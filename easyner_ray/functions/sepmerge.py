@@ -1,0 +1,102 @@
+"""Separator-merge mention postprocessing (reference M9).
+
+Reproduces the observable semantics of the reference's
+``postprocess_separator_merging.py:24-119``: model NER tends to fragment
+entities around ``- ( ) [ ] { }``; the postprocessor
+
+  1. merges two mentions separated by exactly one separator character
+     (optionally space-padded) into one mention spanning both;
+  2. extends a mention that touches a separator char into the sentence text
+     up to the next whitespace/sentence-punctuation boundary (e.g.
+     ``ABT1`` + ``-beta`` tail -> ``ABT1-beta``);
+  3. drops spans contained inside another span.
+
+Pure per-sentence function; quadratic in mentions-per-sentence (tiny).
+Surfaces are re-read from the sentence text after span changes. Merged
+mentions keep the FIRST fragment's class.
+"""
+
+from __future__ import annotations
+
+from easyner_ray.functions.tokenize import norm_key
+
+SEPARATORS = set("-()[]{}")
+_STOP_CHARS = set(" \t\n.,;:!?")
+
+
+def _merge_pairs(ms: list[dict], text: str) -> list[dict]:
+    ms = sorted(ms, key=lambda m: (m["start"], m["end"]))
+    out: list[dict] = []
+    i = 0
+    while i < len(ms):
+        cur = dict(ms[i])
+        j = i + 1
+        while j < len(ms):
+            between = text[cur["end"] : ms[j]["start"]]
+            if between.strip() in {s for s in SEPARATORS} and len(between) <= 3:
+                cur["end"] = ms[j]["end"]
+                j += 1
+            else:
+                break
+        out.append(cur)
+        i = j
+    return out
+
+
+def _extend_over_separators(m: dict, text: str) -> dict:
+    start, end = m["start"], m["end"]
+    # extend right: a separator glued to the span pulls in the rest of the word
+    while end < len(text) and text[end] in SEPARATORS:
+        e = end + 1
+        while e < len(text) and text[e] not in _STOP_CHARS and text[e] not in SEPARATORS:
+            e += 1
+        if e == end + 1:  # bare trailing separator with nothing after: stop
+            break
+        end = e
+    # extend left symmetrically
+    while start > 0 and text[start - 1] in SEPARATORS:
+        s = start - 1
+        while s > 0 and text[s - 1] not in _STOP_CHARS and text[s - 1] not in SEPARATORS:
+            s -= 1
+        if s == start - 1:
+            break
+        start = s
+    if (start, end) == (m["start"], m["end"]):
+        return m
+    return dict(m, start=start, end=end)
+
+
+def _drop_contained(ms: list[dict]) -> list[dict]:
+    out = []
+    for i, m in enumerate(ms):
+        contained = any(
+            j != i
+            and o["start"] <= m["start"]
+            and o["end"] >= m["end"]
+            and (o["end"] - o["start"]) > (m["end"] - m["start"])
+            for j, o in enumerate(ms)
+        )
+        if not contained:
+            out.append(m)
+    return out
+
+
+def separator_merge(mentions: list[dict], text: str) -> list[dict]:
+    if not mentions:
+        return mentions
+    ms = _merge_pairs(mentions, text)
+    ms = [_extend_over_separators(m, text) for m in ms]
+    ms = _drop_contained(ms)
+    # dedupe identical spans created by merging, refresh surfaces/norms
+    seen: set[tuple[int, int, str]] = set()
+    out: list[dict] = []
+    for m in sorted(ms, key=lambda m: (m["start"], m["end"], m["cls"])):
+        key = (m["start"], m["end"], m["cls"])
+        if key in seen:
+            continue
+        seen.add(key)
+        surface = text[m["start"] : m["end"]]
+        out.append(
+            dict(m, surface=surface, norm=norm_key(surface), mention_idx=len(out))
+        )
+    return out

@@ -1,0 +1,115 @@
+"""Dictionary NER as a stateful actor-pool ``map_batches`` stage.
+
+Reference semantics: spaCy PhraseMatcher over term dictionaries, all
+(possibly overlapping) case-insensitive matches (reference
+``ner_main.py:35-86``). The reference rebuilds the matcher per batch *file*
+(``ner_main.py:94``); here the matcher is built ONCE per actor in
+``__init__`` from a broadcast term list (``ray.put`` once on the driver,
+``ray.get`` per actor — the small-side-broadcast pattern, never re-shipped
+per batch).
+
+Output is NESTED (schemas.SENTENCE_MENTIONS): one row per sentence with a
+``mentions`` list<struct> column. A sentence row is atomic, so every
+per-sentence downstream op (triple extraction, conflict resolution,
+separator merging) is row-local — no shuffle and no risk of Ray's
+re-batching splitting a sentence's mentions. ``explode_mentions`` flattens
+to the long mentions table (schemas.MENTIONS) for the aggregation ops.
+Spans are end-exclusive; ``mention_idx`` orders by (start, end, cls).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from easyner_ray import schemas
+from easyner_ray.functions.phrase_match import PhraseMatcher
+from easyner_ray.functions.tokenize import norm_key
+
+
+def mentions_to_structs(found: list[tuple[int, int, str, str]]) -> list[dict]:
+    """(start, end, surface, cls) matches -> mention struct dicts."""
+    return [
+        {
+            "mention_idx": i,
+            "surface": surf,
+            "norm": norm_key(surf),
+            "cls": cls,
+            "start": s,
+            "end": e,
+        }
+        for i, (s, e, surf, cls) in enumerate(found)
+    ]
+
+
+def sentence_mentions_table(
+    batch: pa.Table, per_row_mentions: list[list[dict]]
+) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            batch.column("conv_id"),
+            batch.column("turn_idx"),
+            batch.column("sent_idx"),
+            pa.array(per_row_mentions, pa.list_(schemas.MENTION_STRUCT)),
+        ],
+        schema=schemas.SENTENCE_MENTIONS,
+    )
+
+
+class DictNER:
+    def __init__(self, terms):
+        if isinstance(terms, ray.ObjectRef):
+            terms = ray.get(terms)
+        self.matcher = PhraseMatcher(terms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        find = self.matcher.find
+        rows = [mentions_to_structs(find(t)) for t in batch.column("text").to_pylist()]
+        return sentence_mentions_table(batch, rows)
+
+
+def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024, num_cpus: float = 1):
+    """sentences Dataset -> nested sentence-mentions Dataset via a DictNER
+    actor pool. ``terms`` may be list[(term, cls)] or an ObjectRef to one."""
+    terms_arg = terms
+    if not isinstance(terms, ray.ObjectRef) and len(terms) > 10_000:
+        terms_arg = ray.put(terms)
+    return sentences.map_batches(
+        DictNER,
+        fn_constructor_kwargs={"terms": terms_arg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def explode_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Nested sentence-mentions -> flat mentions rows (row-local explode)."""
+    conv = batch.column("conv_id").to_pylist()
+    tidx = batch.column("turn_idx").to_pylist()
+    sidx = batch.column("sent_idx").to_pylist()
+    ments = batch.column("mentions").to_pylist()
+
+    o = {k: [] for k in schemas.MENTIONS.names}
+    for cid, ti, si, ms in zip(conv, tidx, sidx, ments):
+        for m in ms:
+            o["conv_id"].append(cid)
+            o["turn_idx"].append(ti)
+            o["sent_idx"].append(si)
+            o["mention_idx"].append(m["mention_idx"])
+            o["surface"].append(m["surface"])
+            o["norm"].append(m["norm"])
+            o["cls"].append(m["cls"])
+            o["start"].append(m["start"])
+            o["end"].append(m["end"])
+    return pa.Table.from_arrays(
+        [pa.array(o[f.name], f.type) for f in schemas.MENTIONS], schema=schemas.MENTIONS
+    )
+
+
+def explode_mentions(sentence_mentions, batch_size: int = 4096):
+    return sentence_mentions.map_batches(
+        explode_mentions_batch, batch_format="pyarrow", batch_size=batch_size
+    )

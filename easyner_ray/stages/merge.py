@@ -1,0 +1,133 @@
+"""Multi-model mention merging (reference J2/J3 re-expressed).
+
+The reference zips k NER result folders positionally — files matched by
+numeric suffix, docs zipped with hard mismatch errors (reference
+``entity_merger.py:36-57,91-100``; class-tagged variant
+``entity_merger2.py:54-95``). The engine replaces positional alignment with
+two shapes:
+
+  * :class:`MultiNER` — the FAST path: one actor holds all k taggers and
+    emits the merged (optionally conflict-resolved) mention list per
+    sentence in a single pass. No join, no shuffle, models loaded once per
+    actor. Use when all taggers run in the same pool (CPU dictionaries +
+    stub model).
+  * :func:`merge_sentence_mentions` — the GENERAL path: union k nested
+    sentence-mentions datasets (e.g. a GPU model pool's output and a CPU
+    dictionary pool's output) and equi-join on the composite key
+    ``(conv_id, turn_idx, sent_idx)`` via groupby().map_groups. This is a
+    shuffle; key cardinality = #sentences, no hot keys by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from easyner_ray.functions.conflict import resolve_conflicts
+from easyner_ray.functions.phrase_match import PhraseMatcher
+from easyner_ray.functions.sepmerge import separator_merge
+from easyner_ray.stages.dict_ner import mentions_to_structs, sentence_mentions_table
+
+
+class MultiNER:
+    """k phrase-match taggers fused in one actor; merged per-sentence output
+    sorted by (start, end, cls), optionally conflict-resolved / sep-merged."""
+
+    def __init__(self, term_sets, resolve: bool = False, sep_merge: bool = False,
+                 lowercase_surfaces=None):
+        """term_sets: list of term lists [(term, cls)] (or ObjectRefs);
+        lowercase_surfaces: per-tagger bool list (model-path convention)."""
+        if isinstance(term_sets, ray.ObjectRef):
+            term_sets = ray.get(term_sets)
+        term_sets = [ray.get(t) if isinstance(t, ray.ObjectRef) else t for t in term_sets]
+        self.matchers = [PhraseMatcher(t) for t in term_sets]
+        self.lower = lowercase_surfaces or [False] * len(self.matchers)
+        self.resolve = resolve
+        self.sep_merge = sep_merge
+
+    def tag(self, text: str) -> list[dict]:
+        found: list[tuple[int, int, str, str]] = []
+        for matcher, lower in zip(self.matchers, self.lower):
+            for s, e, surf, cls in matcher.find(text):
+                found.append((s, e, surf.lower() if lower else surf, cls))
+        found.sort(key=lambda m: (m[0], m[1], m[3]))
+        ms = mentions_to_structs(found)
+        if self.sep_merge:
+            ms = separator_merge(ms, text)
+        if self.resolve:
+            ms = resolve_conflicts(ms)
+        return ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self.tag(t) for t in batch.column("text").to_pylist()]
+        return sentence_mentions_table(batch, rows)
+
+
+def tag_mentions_multi(
+    sentences,
+    term_sets,
+    *,
+    resolve: bool = False,
+    sep_merge: bool = False,
+    lowercase_surfaces=None,
+    concurrency=(1, 8),
+    batch_size: int = 1024,
+    num_cpus: float = 1,
+):
+    return sentences.map_batches(
+        MultiNER,
+        fn_constructor_kwargs={
+            "term_sets": term_sets,
+            "resolve": resolve,
+            "sep_merge": sep_merge,
+            "lowercase_surfaces": lowercase_surfaces,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def merge_sentence_mentions(datasets, resolve: bool = True):
+    """Union k nested sentence-mentions datasets and merge per sentence.
+
+    Replaces the reference's positional zip with an equi-join on
+    (conv_id, turn_idx, sent_idx). Mentions are concatenated, re-sorted by
+    (start, end, cls) — the reference merger2's (start, end) sort,
+    ``entity_merger2.py:87-93`` — deduped on (start, end, cls), and
+    optionally conflict-resolved (O6).
+    """
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        merged: list[dict] = []
+        for ms in g["mentions"]:
+            merged.extend(ms)
+        seen: set[tuple[int, int, str]] = set()
+        uniq: list[dict] = []
+        for m in sorted(merged, key=lambda m: (m["start"], m["end"], m["cls"])):
+            key = (m["start"], m["end"], m["cls"])
+            if key not in seen:
+                seen.add(key)
+                uniq.append(m)
+        if resolve:
+            uniq = resolve_conflicts(uniq)
+        else:
+            uniq = [dict(m, mention_idx=i) for i, m in enumerate(uniq)]
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "turn_idx": pd.array([g["turn_idx"].iloc[0]], dtype="int32"),
+                "sent_idx": pd.array([g["sent_idx"].iloc[0]], dtype="int32"),
+                "mentions": [uniq],
+            }
+        )
+
+    return ds.groupby(["conv_id", "turn_idx", "sent_idx"]).map_groups(
+        combine, batch_format="pandas"
+    )

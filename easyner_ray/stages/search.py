@@ -1,0 +1,46 @@
+"""Entity search — the graph's sentence-evidence selector.
+
+Reference (``search.py:30-53``): filter sentences containing watchlist
+entities, keep (text, entities, spans). Engine: a broadcast-set semi-join
+over the NESTED sentence-mentions rows — row-local ``map_batches`` filter,
+no shuffle; the watchlist is actor state.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+
+class WatchlistFilter:
+    def __init__(self, watchlist):
+        if isinstance(watchlist, ray.ObjectRef):
+            watchlist = ray.get(watchlist)
+        self.watch = frozenset(watchlist)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ments = batch.column("mentions").to_pylist()
+        keep: list[int] = []
+        hits: list[int] = []
+        for i, ms in enumerate(ments):
+            n = sum(1 for m in ms if m["norm"] in self.watch)
+            if n:
+                keep.append(i)
+                hits.append(n)
+        out = batch.take(pa.array(keep, pa.int64()))
+        return out.append_column(
+            pa.field("n_watch_mentions", pa.int64()), pa.array(hits, pa.int64())
+        )
+
+
+def search_sentences(sentence_mentions, watchlist, *, concurrency=(1, 4), batch_size: int = 4096):
+    """Nested sentence-mentions -> rows whose sentence contains >=1 watchlist
+    entity (by norm), with a ``n_watch_mentions`` count column."""
+    return sentence_mentions.map_batches(
+        WatchlistFilter,
+        fn_constructor_kwargs={"watchlist": list(watchlist)},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,83 @@
+"""Sentence-split explode stage (reference splitter module, re-expressed).
+
+The reference reloads a spaCy model per text and writes numbered JSON batch
+files (reference ``splitter.py:18-75``); here the sentencizer is a
+module-level compiled-regex function applied inside ``map_batches`` over
+Arrow batches: one input turn row explodes into N ordered sentence rows
+carrying ``(conv_id, turn_idx, sent_idx, char_start)`` so order never
+depends on block arrival (SURVEY.md §2.9 stable-turn-ordering invariant).
+
+Long-conversation skew is defused here by construction: a 10^4-turn
+conversation is 10^4 independent input rows, so its sentences spread across
+blocks instead of serializing in one task (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from easyner_ray import schemas
+from easyner_ray.functions.sentencize import sentencize
+
+
+def split_batch(batch: pa.Table) -> pa.Table:
+    """Arrow in / Arrow out: explode turn rows into sentence rows."""
+    conv = batch.column("conv_id").to_pylist()
+    tidx = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+
+    o_conv: list[str] = []
+    o_turn: list[int] = []
+    o_sent: list[int] = []
+    o_text: list[str] = []
+    o_start: list[int] = []
+    for cid, ti, text in zip(conv, tidx, texts):
+        if not text:
+            continue
+        for sent_idx, (char_start, sent) in enumerate(sentencize(text)):
+            o_conv.append(cid)
+            o_turn.append(ti)
+            o_sent.append(sent_idx)
+            o_text.append(sent)
+            o_start.append(char_start)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(o_conv, pa.string()),
+            pa.array(o_turn, pa.int32()),
+            pa.array(o_sent, pa.int32()),
+            pa.array(o_text, pa.string()),
+            pa.array(o_start, pa.int32()),
+        ],
+        schema=schemas.SENTENCES,
+    )
+
+
+def split_sentences(transcripts, batch_size: int = 2048):
+    """transcripts Dataset -> sentences Dataset (stateless tasks: the
+    sentencizer has no model state, so an actor pool would add nothing)."""
+    return transcripts.map_batches(split_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def reassemble_turns(sentences, batch_size: int = 4096):
+    """Inverse of :func:`split_sentences` — per-turn text via the
+    reference's ``" ".join`` rule over sentences sorted by ``sent_idx``
+    (reference ``convert_easyner_output_json_to_pubtator.py:34-57``).
+
+    A per-(conv_id, turn_idx) grouped op; groups are tiny so
+    ``groupby().map_groups`` is fine. Used by the per-turn text-equality
+    gate and the PubTator-style exporter.
+    """
+    import pandas as pd
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("sent_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "turn_idx": [g["turn_idx"].iloc[0]],
+                "text": [" ".join(g["text"])],
+            }
+        )
+
+    return sentences.groupby(["conv_id", "turn_idx"]).map_groups(join_group, batch_format="pandas")

@@ -1,0 +1,154 @@
+"""Resumable partitioned Parquet sink (north rule: per-partition lineage +
+checkpoint markers; SURVEY.md §2.1 S8, §4 checkpoint/resume).
+
+Layout:
+
+    <root>/part=<p>/<files>.parquet      hash-partitioned data
+    <root>/_manifests/part-<p>.json      per-partition manifest: row count,
+                                         files+sizes, lineage blob
+    <root>/_SUCCESS                      whole-sink completion marker
+
+Resume contract: rerunning the same write against the same root first
+prunes input rows whose partition already has a manifest (the moral
+equivalent of the reference's batch-file range filters,
+``ner_main.py:141-151``), recomputes only the missing partitions, then
+refreshes manifests. Partition assignment is a deterministic content hash
+(crc32 of the key column) so a row always lands in the same partition
+regardless of cluster size or block layout — never one giant file, and any
+partition can be re-audited in isolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def partition_of(key: str, num_partitions: int) -> int:
+    return zlib.crc32(key.encode()) % num_partitions
+
+
+def add_partition_column(ds, key_col: str, num_partitions: int):
+    def assign(batch: pa.Table) -> pa.Table:
+        parts = [partition_of(k, num_partitions) for k in batch.column(key_col).to_pylist()]
+        return batch.append_column(pa.field("part", pa.int32()), pa.array(parts, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def completed_partitions(root: str) -> set[int]:
+    mdir = os.path.join(root, "_manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            done.add(int(name[len("part-") : -len(".json")]))
+    return done
+
+
+def _write_manifest(root: str, part: int, lineage: str | None) -> dict:
+    pdir = os.path.join(root, f"part={part}")
+    files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    rows = 0
+    entries = []
+    for f in files:
+        fp = os.path.join(pdir, f)
+        meta = pq.ParquetFile(fp).metadata
+        rows += meta.num_rows
+        entries.append({"file": f, "rows": meta.num_rows, "bytes": os.path.getsize(fp)})
+    manifest = {"part": part, "rows": rows, "files": entries, "lineage": lineage}
+    mdir = os.path.join(root, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".part-{part}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(mdir, f"part-{part}.json"))  # atomic publish
+    return manifest
+
+
+def write_partitioned(
+    ds,
+    root: str,
+    *,
+    key_col: str,
+    num_partitions: int = 32,
+    lineage: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """Write ``ds`` hash-partitioned on ``key_col``; returns a summary dict.
+
+    With ``resume=True``, partitions already holding a manifest are pruned
+    from the INPUT (cheap vectorized filter) and left untouched on disk.
+    """
+    os.makedirs(root, exist_ok=True)
+    done = completed_partitions(root) if resume else set()
+    with_part = add_partition_column(ds, key_col, num_partitions)
+    if done:
+        done_arr = sorted(done)
+
+        def prune(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.is_in(batch.column("part"), value_set=pa.array(done_arr, pa.int32())))
+            return batch.filter(mask)
+
+        with_part = with_part.map_batches(prune, batch_format="pyarrow")
+
+    with_part.write_parquet(root, partition_cols=["part"])
+
+    manifests = {}
+    for name in os.listdir(root):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=", 1)[1])
+        if part in done:
+            continue
+        manifests[part] = _write_manifest(root, part, lineage)
+
+    with open(os.path.join(root, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    total_rows = sum(m["rows"] for m in manifests.values())
+    return {
+        "root": root,
+        "new_partitions": sorted(manifests),
+        "resumed_partitions": sorted(done),
+        "rows_written": total_rows,
+    }
+
+
+def read_partitioned(root: str, columns: list[str] | None = None):
+    """Read a sink back as a Dataset. Parquet files are enumerated
+    explicitly (``_manifests``/markers are skipped; Ray's read_parquet
+    wants file paths, not hive directories, when given a list)."""
+    import ray.data as rd
+
+    paths = [
+        os.path.join(root, d, f)
+        for d in sorted(os.listdir(root))
+        if d.startswith("part=")
+        for f in sorted(os.listdir(os.path.join(root, d)))
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(paths, columns=columns)
+
+
+def verify_manifests(root: str) -> bool:
+    """Audit: every manifest's file list and row counts match what is on
+    disk. Returns True when consistent; raises with detail otherwise."""
+    for part in sorted(completed_partitions(root)):
+        with open(os.path.join(root, "_manifests", f"part-{part}.json")) as fh:
+            manifest = json.load(fh)
+        pdir = os.path.join(root, f"part={part}")
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        if files != [e["file"] for e in manifest["files"]]:
+            raise ValueError(f"partition {part}: file list drift")
+        for e in manifest["files"]:
+            meta = pq.ParquetFile(os.path.join(pdir, e["file"])).metadata
+            if meta.num_rows != e["rows"]:
+                raise ValueError(f"partition {part}: row drift in {e['file']}")
+    return True

@@ -1,0 +1,62 @@
+from easyner_ray.functions.conflict import resolve_conflicts
+from easyner_ray.functions.sepmerge import separator_merge
+
+
+def _m(start, end, cls="gene", surface=None, idx=0):
+    surface = surface or "x" * (end - start)
+    return {
+        "mention_idx": idx,
+        "surface": surface,
+        "norm": surface.lower(),
+        "cls": cls,
+        "start": start,
+        "end": end,
+    }
+
+
+def test_identical_span_priority():
+    # cell > gene > species > disease > chemical (reference entity_merger2.py:116)
+    kept = resolve_conflicts([_m(0, 5, "chemical"), _m(0, 5, "cell")])
+    assert len(kept) == 1 and kept[0]["cls"] == "cell"
+
+
+def test_contained_span_dropped():
+    kept = resolve_conflicts([_m(0, 13, "chemical"), _m(0, 8, "chemical")])
+    assert len(kept) == 1 and kept[0]["end"] == 13
+
+
+def test_partial_overlap_shorter_dropped():
+    kept = resolve_conflicts([_m(0, 6, "gene"), _m(4, 12, "gene")])
+    assert len(kept) == 1 and (kept[0]["start"], kept[0]["end"]) == (4, 12)
+
+
+def test_disjoint_all_kept_and_reindexed():
+    kept = resolve_conflicts([_m(10, 14, idx=7), _m(0, 4, idx=9)])
+    assert [(m["start"], m["mention_idx"]) for m in kept] == [(0, 0), (10, 1)]
+
+
+def test_sepmerge_fragments_joined():
+    text = "saw ABT1-beta today"
+    ms = [_m(4, 8, "gene", "ABT1"), _m(9, 13, "gene", "beta")]
+    out = separator_merge(ms, text)
+    assert len(out) == 1
+    assert (out[0]["start"], out[0]["end"], out[0]["surface"]) == (4, 13, "ABT1-beta")
+
+
+def test_sepmerge_extends_over_separator_tail():
+    text = "saw ABT1-beta today"
+    out = separator_merge([_m(4, 8, "gene", "ABT1")], text)
+    assert (out[0]["start"], out[0]["end"], out[0]["surface"]) == (4, 13, "ABT1-beta")
+
+
+def test_sepmerge_containment_drop():
+    text = "alpha beta gamma"
+    out = separator_merge([_m(0, 16, "gene"), _m(6, 10, "gene")], text)
+    assert len(out) == 1 and out[0]["end"] == 16
+
+
+def test_sepmerge_idempotent():
+    text = "saw ABT1-beta today"
+    once = separator_merge([_m(4, 8, "gene", "ABT1"), _m(9, 13, "gene", "beta")], text)
+    twice = separator_merge(once, text)
+    assert once == twice

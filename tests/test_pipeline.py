@@ -1,0 +1,147 @@
+"""End-to-end conformance on the tiny corpus: mentions/triples vs gold,
+per-turn text equality, node/edge aggregates vs pandas recomputation."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from easyner_ray.pipelines.kg import build_kg, drop_empty_turns, read_transcripts
+from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+from easyner_ray.stages.nel import link_mentions
+from easyner_ray.stages.search import search_sentences
+from easyner_ray.stages.splitter import reassemble_turns, split_sentences
+from easyner_ray.stages.triples import window_triples
+from easyner_ray.sources import vocab
+
+
+@pytest.fixture(scope="module")
+def kg(ray_session, tiny_corpus):
+    ts = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    return tiny_corpus, build_kg(ts, checkpoint="memory")
+
+
+def test_sentences_match_gold(ray_session, tiny_corpus):
+    ts = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    got = split_sentences(drop_empty_turns(ts)).to_pandas()
+    gold = pq.read_table(tiny_corpus + "/gold_sentences.parquet").to_pandas()
+    key = ["conv_id", "turn_idx", "sent_idx", "text", "char_start"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    gold_s = gold[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, gold_s, check_dtype=False)
+
+
+def test_per_turn_text_equality(ray_session, tiny_corpus):
+    """North-rule invariant: reassembling split sentences in (turn, sent)
+    order reproduces every non-empty turn's text exactly."""
+    ts = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    sentences = split_sentences(drop_empty_turns(ts))
+    rebuilt = reassemble_turns(sentences).to_pandas()
+    orig = pq.read_table(tiny_corpus + "/transcripts.parquet").to_pandas()
+    orig = orig[orig.text != ""][["conv_id", "turn_idx", "text"]]
+    merged = orig.merge(rebuilt, on=["conv_id", "turn_idx"], suffixes=("_orig", "_re"))
+    assert len(merged) == len(orig)
+    assert (merged.text_orig == merged.text_re).all()
+
+
+def test_mentions_match_gold(kg):
+    tiny_corpus, res = kg
+    eng = res["mentions"].to_pandas()
+    gold = pq.read_table(tiny_corpus + "/gold_mentions.parquet").to_pandas()
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_idx", "surface", "norm", "cls", "start", "end"]
+    ke = set(map(tuple, eng[cols].itertuples(index=False)))
+    kgold = set(map(tuple, gold[cols].itertuples(index=False)))
+    assert ke == kgold
+
+
+def test_triples_match_gold(kg):
+    tiny_corpus, res = kg
+    gold_m = pq.read_table(tiny_corpus + "/gold_mentions.parquet").to_pandas()
+    expected = set()
+    for (cid, ti, si), g in gold_m.groupby(["conv_id", "turn_idx", "sent_idx"]):
+        uniq = sorted(set(g["norm"]))
+        for a in uniq:
+            for b in uniq:
+                if a != b:
+                    expected.add((a, "co_occurs_with", b, cid, ti, si))
+    eng = res["triples"].to_pandas()
+    got = set(map(tuple, eng.itertuples(index=False)))
+    inter = got & expected
+    assert len(inter) / max(1, len(got)) >= 0.95  # precision (is 1.0)
+    assert len(inter) / max(1, len(expected)) >= 0.95  # recall (is 1.0)
+    assert got == expected
+
+
+def test_nodes_match_pandas_recompute(kg):
+    tiny_corpus, res = kg
+    gold_m = pq.read_table(tiny_corpus + "/gold_mentions.parquet").to_pandas()
+    exp = (
+        gold_m.groupby(["norm", "cls"])
+        .agg(n_mentions=("surface", "size"))
+        .reset_index()
+    )
+    nodes = res["nodes"].to_pandas()
+    merged = exp.merge(nodes, on=["norm", "cls"], suffixes=("_e", "_g"))
+    assert len(merged) == len(exp) == len(nodes)
+    assert (merged.n_mentions_e == merged.n_mentions_g).all()
+    # aliases contain the observed surfaces
+    row = nodes[nodes.norm == nodes.norm.iloc[0]].iloc[0]
+    assert isinstance(list(row.aliases), list)
+
+
+def test_edges_match_pandas_recompute(kg):
+    tiny_corpus, res = kg
+    triples = res["triples"].to_pandas()
+    exp = triples.groupby(["subj", "pred", "obj"]).size().rename("weight").reset_index()
+    edges = res["edges"].to_pandas()
+    merged = exp.merge(edges, on=["subj", "pred", "obj"], suffixes=("_e", "_g"))
+    assert len(merged) == len(exp) == len(edges)
+    assert (merged.weight_e == merged.weight_g).all()
+    assert edges.subj_id.str.len().eq(16).all()
+
+
+def test_nel_all_ids_taken_and_empty_for_unmatched(kg):
+    tiny_corpus, res = kg
+    alias = pq.read_table(tiny_corpus + "/alias.parquet").to_pandas()
+    pairs = list(alias.itertuples(index=False))
+    linked = link_mentions(res["mentions"], pairs).to_pandas()
+    gold_m = pq.read_table(tiny_corpus + "/gold_mentions.parquet").to_pandas()
+    exp = gold_m.merge(alias, left_on="norm", right_on="term", how="left")
+    exp["entity_id"] = exp["id"].fillna("")
+    assert len(linked) == len(exp)
+    assert sorted(linked.entity_id) == sorted(exp.entity_id)
+    assert (linked.entity_id == "").any()  # some unmatched
+    amb = linked.groupby(["conv_id", "turn_idx", "sent_idx", "mention_idx"]).size()
+    assert (amb > 1).any()  # some ambiguous terms yield several rows
+
+
+def test_search_watchlist(kg):
+    tiny_corpus, res = kg
+    hot = vocab.HOT_ENTITY[0]
+    found = search_sentences(res["sentence_mentions"], [hot]).to_pandas()
+    gold_m = pq.read_table(tiny_corpus + "/gold_mentions.parquet").to_pandas()
+    exp = gold_m[gold_m.norm == hot].groupby(["conv_id", "turn_idx", "sent_idx"]).size()
+    assert len(found) == len(exp)
+    assert found.n_watch_mentions.sum() == exp.sum()
+
+
+def test_window_triples_small(ray_session, tiny_corpus):
+    ts = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    sm = tag_mentions(split_sentences(drop_empty_turns(ts)), vocab.vocabulary())
+    mentions = explode_mentions(sm)
+    wt = window_triples(mentions, window=1).to_pandas()
+    # recompute expected on pandas
+    m = mentions.to_pandas()
+    expected = set()
+    for cid, g in m.groupby("conv_id"):
+        turn_norms = {int(ti): set(sub["norm"]) for ti, sub in g.groupby("turn_idx")}
+        for ti in turn_norms:
+            for tj in turn_norms:
+                if ti <= tj <= ti + 1:
+                    for a in turn_norms[ti]:
+                        for b in turn_norms[tj]:
+                            if a != b:
+                                expected.add((a, b, cid, ti))
+    got = set(map(tuple, wt[["subj", "obj", "conv_id", "turn_idx"]].itertuples(index=False)))
+    assert got == expected

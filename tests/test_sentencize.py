@@ -1,0 +1,53 @@
+from easyner_ray.functions.sentencize import reassemble, sentencize, sentencize_spans
+
+
+def test_spans_tile_text():
+    texts = [
+        "One sentence only",
+        "First here. Second there! Third? Yes.",
+        "Dr. Smith saw 3.5 mg of it. Then left.",
+        "He said e.g. this and that. Next one.",
+        "Weird spacing.   Next starts here.",
+        "ends lowercase. not a boundary here",
+        "Quote done.\" New one begins.",
+        "",
+    ]
+    for text in texts:
+        spans = sentencize_spans(text)
+        assert "".join(text[s:e] for s, e in spans) == text
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 == s2
+
+
+def test_basic_split():
+    got = sentencize("First here. Second there! Third? Yes.")
+    assert [t for _, t in got] == ["First here.", "Second there!", "Third?", "Yes."]
+    assert [s for s, _ in got] == [0, 12, 26, 33]
+
+
+def test_abbreviations_do_not_split():
+    assert len(sentencize("Dr. Smith arrived. Then left.")) == 2
+    assert len(sentencize("It was e.g. cited. Next.")) == 2
+    assert len(sentencize("J. Smith wrote it. Done.")) == 2
+
+
+def test_decimal_not_split():
+    # "3. 5" style decimals are not split because the next char is only a
+    # boundary when whitespace follows the punctuation
+    assert len(sentencize("Dose was 3.5 mg total.")) == 1
+
+
+def test_lowercase_continuation_not_split():
+    assert len(sentencize("this ends. but continues lowercase")) == 1
+
+
+def test_reassemble_roundtrip():
+    text = "First here. Second there! Third? Yes."
+    parts = sentencize(text)
+    rebuilt = reassemble([t for _, t in parts], [s for s, _ in parts], total_len=len(text))
+    assert rebuilt == text
+
+
+def test_empty_turn():
+    assert sentencize("") == []
+    assert sentencize_spans("") == []
