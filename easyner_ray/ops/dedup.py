@@ -1,0 +1,375 @@
+"""Deduplication operators over a documents table.
+
+Four families, each chosen by what "duplicate" means and what scales:
+
+  * :func:`exact_dedup` — identical text. Hash-partition on a text digest,
+    keep the smallest doc_id per group. Two-phase: a vectorized per-batch
+    ``pyarrow`` group_by collapses each batch first, so the shuffle moves one
+    row per (digest, batch) — hot digests (a boilerplate page duplicated a
+    million times) are bounded by batch count, not occurrence count.
+  * :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard >= threshold.
+    Complete candidate generation via an inverted index on shingles
+    (a pair with Jaccard > 0 shares >= 1 shingle, so grouping by shingle and
+    pairing within groups misses nothing); intersection sizes come out of a
+    (doc_a, doc_b) count aggregate; union sizes via broadcast shingle-count
+    lookup. Integer outputs (inter, uni) so equality checks are exact.
+    Partitioning assumption: one shingle's posting list fits in a task
+    (``hot_cap`` drops stopword-like shingles the way search engines drop
+    stopwords — documented, deterministic).
+  * :func:`minhash_lsh_pairs` — approximate Jaccard at scale. 64 minhash
+    permutations (vectorized numpy over crc32 shingle hashes) -> banded LSH
+    bucket groupby -> candidate pairs -> similarity estimated from signature
+    agreement. The scale path when the full inverted index is too wide.
+  * :func:`simhash_pairs` — near-duplicate by Hamming distance over a
+    64-bit SimHash; candidates via 4x16-bit band blocking (a pair within
+    Hamming distance 3 must agree on >= 1 of 4 bands — pigeonhole).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Max, Min, Sum
+
+# ---------------------------------------------------------------- exact ----
+
+
+def _partial_exact(batch: pa.Table, text_col: str) -> pa.Table:
+    digest = pa.array(
+        [f"{zlib.crc32(t.encode()):08x}-{len(t)}" if t is not None else ""
+         for t in batch.column(text_col).to_pylist()],
+        pa.string(),
+    )
+    t = pa.Table.from_arrays([digest, batch.column("doc_id")], names=["digest", "doc_id"])
+    return t.group_by("digest").aggregate([("doc_id", "min"), ("doc_id", "count")]).rename_columns(
+        ["digest", "doc_id_min", "n"]
+    )
+
+
+def exact_dedup(docs, text_col: str = "text", batch_size: int = 8192):
+    """-> (doc_id, n_copies): the representative (min doc_id) of every
+    distinct text plus how many copies existed.
+
+    crc32+length digest groups candidate-identical texts; the min-doc_id
+    winner per digest is the kept representative. (A digest collision
+    between *different* texts would merge two groups; collision rate at
+    2^-32 x pairs-per-length is accepted and documented — use
+    ``fingerprint`` from textstats for a 128-bit md5 when auditability
+    matters more than speed.)
+    """
+    partial = docs.map_batches(
+        lambda b: _partial_exact(b, text_col), batch_format="pyarrow", batch_size=batch_size
+    )
+    agg = partial.groupby("digest").aggregate(
+        Min("doc_id_min", alias_name="doc_id"), Sum("n", alias_name="n_copies")
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+# ------------------------------------------------------------- shingles ----
+
+
+def shingle_set(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def _shingle_rows(batch: pa.Table, k: int, text_col: str) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    o_doc, o_sh = [], []
+    for d, t in zip(doc_ids, texts):
+        for s in shingle_set(t or "", k):
+            o_doc.append(d)
+            o_sh.append(s)
+    return pa.Table.from_arrays(
+        [pa.array(o_doc, pa.int64()), pa.array(o_sh, pa.string())],
+        names=["doc_id", "shingle"],
+    )
+
+
+def _shingle_counts(batch: pa.Table, k: int, text_col: str) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, pa.int64()),
+            pa.array([len(shingle_set(t or "", k)) for t in texts], pa.int64()),
+        ],
+        names=["doc_id", "n_shingles"],
+    )
+
+
+def ngram_jaccard_pairs(
+    docs,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    hot_cap: int = 2000,
+    batch_size: int = 4096,
+):
+    """-> (doc_a, doc_b, inter, uni) for all pairs with exact shingle-set
+    Jaccard inter/uni >= threshold (doc_a < doc_b). Integer outputs.
+
+    ``hot_cap``: posting lists longer than this are dropped (a shingle
+    shared by >hot_cap docs identifies nothing and would emit O(cap^2)
+    pairs); exactness holds for every pair that shares at least one
+    sub-cap shingle.
+    """
+    import pandas as pd
+
+    shingles = docs.map_batches(
+        lambda b: _shingle_rows(b, k, text_col), batch_format="pyarrow", batch_size=batch_size
+    )
+    sizes = docs.map_batches(
+        lambda b: _shingle_counts(b, k, text_col), batch_format="pyarrow", batch_size=batch_size
+    )
+    size_of = dict(
+        zip(
+            (t := sizes.to_pandas())["doc_id"].tolist(),
+            t["n_shingles"].tolist(),
+        )
+    )  # broadcast small side; at 10^12 scale this becomes ds.join on doc_a/doc_b
+    import ray
+
+    size_ref = ray.put(size_of)
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2 or len(ids) > hot_cap:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64")})
+        a_l, b_l = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_l.append(ids[i])
+                b_l.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
+                             "doc_b": pd.array(b_l, dtype="int64")})
+
+    pair_hits = shingles.groupby("shingle").map_groups(pairs_in_group, batch_format="pandas")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["doc_a", "doc_b"]).aggregate([("doc_a", "count")]).rename_columns(
+            ["doc_a", "doc_b", "n"]
+        )
+
+    inter = (
+        pair_hits.map_batches(count_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="inter"))
+    )
+
+    class Finish:
+        def __init__(self, size_ref):
+            self.size_of = ray.get(size_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            da = b.column("doc_a").to_pylist()
+            db = b.column("doc_b").to_pylist()
+            it = b.column("inter").to_pylist()
+            uni = [self.size_of[a] + self.size_of[x] - i for a, x, i in zip(da, db, it)]
+            t = pa.Table.from_arrays(
+                [
+                    pa.array(da, pa.int64()),
+                    pa.array(db, pa.int64()),
+                    pa.array(it, pa.int64()),
+                    pa.array(uni, pa.int64()),
+                ],
+                names=["doc_a", "doc_b", "inter", "uni"],
+            )
+            keep = pc.greater_equal(
+                pc.divide(t.column("inter").cast(pa.float64()), t.column("uni").cast(pa.float64())),
+                threshold,
+            )
+            return t.filter(keep)
+
+    return inter.map_batches(
+        Finish, fn_constructor_kwargs={"size_ref": size_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+# -------------------------------------------------------------- minhash ----
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(n_perm: int, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingles:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    h = np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
+    # (S, P) permuted hashes, min over shingles — all numpy
+    perm = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    return perm.min(axis=0)
+
+
+class MinHasher:
+    """Actor: permutation params generated once; emits per-doc band keys."""
+
+    def __init__(self, n_perm: int, n_bands: int, k: int, text_col: str, seed: int = 17):
+        assert n_perm % n_bands == 0
+        self.a, self.b = _perm_params(n_perm, seed)
+        self.rows = n_perm // n_bands
+        self.n_bands = n_bands
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        o_doc, o_band, o_sig = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = minhash_signature(shingle_set(t or "", self.k), self.a, self.b)
+            sig_bytes = sig.tobytes()
+            for bi in range(self.n_bands):
+                chunk = sig[bi * self.rows : (bi + 1) * self.rows].tobytes()
+                o_doc.append(d)
+                o_band.append(f"{bi}:{zlib.crc32(chunk):08x}")
+                o_sig.append(sig_bytes)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, pa.int64()),
+                pa.array(o_band, pa.string()),
+                pa.array(o_sig, pa.binary()),
+            ],
+            names=["doc_id", "band_key", "sig"],
+        )
+
+
+def minhash_lsh_pairs(
+    docs,
+    threshold: float = 0.5,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    hot_cap: int = 500,
+    batch_size: int = 4096,
+):
+    """-> (doc_a, doc_b, est_jaccard) candidate near-dup pairs.
+
+    Banded LSH: docs agreeing on any band become candidates; similarity is
+    the signature-agreement fraction (unbiased Jaccard estimator). Groups
+    larger than ``hot_cap`` are dropped (hot-bucket guard, same contract as
+    ngram_jaccard_pairs).
+    """
+    import pandas as pd
+
+    bands = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "n_perm": n_perm, "n_bands": n_bands, "k": k, "text_col": text_col
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        by_id = {}
+        for d, s in zip(g["doc_id"], g["sig"]):
+            by_id[int(d)] = s
+        ids = sorted(by_id)
+        if len(ids) < 2 or len(ids) > hot_cap:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "est_jaccard": pd.array([], dtype="float64")})
+        a_l, b_l, j_l = [], [], []
+        sigs = {d: np.frombuffer(by_id[d], dtype=np.uint64) for d in ids}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs[ids[i]] == sigs[ids[j]]).mean())
+                if est >= threshold:
+                    a_l.append(ids[i])
+                    b_l.append(ids[j])
+                    j_l.append(est)
+        return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
+                             "doc_b": pd.array(b_l, dtype="int64"),
+                             "est_jaccard": pd.array(j_l, dtype="float64")})
+
+    cand = bands.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    # a pair can collide in several bands — dedupe keeping max estimate
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+# -------------------------------------------------------------- simhash ----
+
+
+def simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    uniq, counts = np.unique(np.array(tokens), return_counts=True)
+    h1 = np.array([zlib.crc32(t.encode()) for t in uniq], dtype=np.uint64)
+    h2 = np.array([zlib.crc32((t + "\x00").encode()) for t in uniq], dtype=np.uint64)
+    h = (h1 << np.uint64(32)) | h2
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def _simhash_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    hashes = [simhash64((t or "").split()) for t in batch.column(text_col).to_pylist()]
+    o_doc, o_band, o_hash = [], [], []
+    for d, h in zip(doc_ids, hashes):
+        for bi in range(4):
+            o_doc.append(d)
+            o_band.append((bi << 16) | ((h >> (16 * bi)) & 0xFFFF))
+            o_hash.append(f"{h:016x}")
+    return pa.Table.from_arrays(
+        [
+            pa.array(o_doc, pa.int64()),
+            pa.array(o_band, pa.int64()),
+            pa.array(o_hash, pa.string()),
+        ],
+        names=["doc_id", "band_key", "simhash"],
+    )
+
+
+def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
+                  hot_cap: int = 500, batch_size: int = 4096):
+    """-> (doc_a, doc_b, hamming) pairs with SimHash Hamming distance <=
+    ``max_hamming`` (requires max_hamming <= 3 for the 4-band blocking to be
+    complete by pigeonhole)."""
+    import pandas as pd
+
+    assert max_hamming <= 3, "4-band blocking is complete only for distance <= 3"
+    bands = docs.map_batches(
+        lambda b: _simhash_batch(b, text_col), batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        by_id = {int(d): int(h, 16) for d, h in zip(g["doc_id"], g["simhash"])}
+        ids = sorted(by_id)
+        if len(ids) < 2 or len(ids) > hot_cap:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "hamming": pd.array([], dtype="int64")})
+        a_l, b_l, h_l = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(by_id[ids[i]] ^ by_id[ids[j]]).count("1")
+                if d <= max_hamming:
+                    a_l.append(ids[i])
+                    b_l.append(ids[j])
+                    h_l.append(d)
+        return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
+                             "doc_b": pd.array(b_l, dtype="int64"),
+                             "hamming": pd.array(h_l, dtype="int64")})
+
+    cand = bands.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -1,0 +1,218 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode libraries (PIL/ffmpeg/librosa) are NOT in this container, so the
+codec boundary is stubbed (SURVEY-mandated): :class:`StubCodec` produces a
+deterministic fake decode keyed by the payload bytes, and a real codec slots
+in behind the same interface. Everything Ray-side — schema, actor-pool
+signature, small-batch sizing for large payloads, output layout — is real
+and tested.
+
+Canonical media schema:
+
+    media(item_id:int64, kind:string, payload:binary,
+          meta:string/*json*/)
+
+Stages (all actor-pool ``map_batches`` with SMALL batch_size — a batch of
+decoded media is memory-heavy, so batch_size x concurrency is the knob that
+must fit the worker heap):
+
+  * :func:`extract_features` — payload -> fixed-dim float feature vector
+  * :func:`resize_images`    — payload -> payload' (re-encoded thumbnail)
+  * :func:`sample_frames`    — video payload -> exploded frame rows
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("meta", pa.string()),
+    ]
+)
+
+FEATURES = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("kind", pa.string()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+FRAMES = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("frame_idx", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class StubCodec:
+    """Deterministic stand-in for the image/audio codec boundary.
+
+    ``strict=True`` reproduces the no-libs-installed behavior
+    (NotImplementedError) so callers must handle the gate explicitly.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires PIL/ffmpeg/librosa — not installed in "
+                "this container; StubCodec(strict=False) provides the "
+                "deterministic fake used by tests"
+            )
+        # fake decode: bytes -> seeded pseudo-signal, stable across runs
+        seed = zlib.crc32(payload) & 0xFFFFFFFF
+        rng = np.random.RandomState(seed)
+        n = 256 if kind == "audio" else 16 * 16
+        return rng.rand(n).astype(np.float32)
+
+    def encode(self, signal: np.ndarray, kind: str) -> bytes:
+        if self.strict:
+            raise NotImplementedError("media encode requires codec libs")
+        return hashlib.md5(signal.tobytes()).digest() + signal[:8].tobytes()
+
+
+class FeatureExtractor:
+    """Actor: codec + 'model' state built once; payload -> feature vector."""
+
+    def __init__(self, dim: int = 32, strict: bool = False):
+        self.codec = StubCodec(strict=strict)
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        kinds = batch.column("kind").to_pylist()
+        for payload, kind in zip(batch.column("payload").to_pylist(), kinds):
+            sig = self.codec.decode(payload, kind)
+            # fake embedding: fold the signal into `dim` bins (mean-pool)
+            pad = (-len(sig)) % self.dim
+            pooled = np.pad(sig, (0, pad)).reshape(self.dim, -1).mean(axis=1)
+            feats.append(pooled.astype(np.float32))
+        return pa.Table.from_arrays(
+            [
+                batch.column("item_id"),
+                batch.column("kind"),
+                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            ],
+            schema=FEATURES,
+        )
+
+
+def extract_features(media, *, dim: int = 32, concurrency=(1, 4), batch_size: int = 32):
+    """media -> features. batch_size is deliberately SMALL: payloads are
+    large binaries, and batch_size x concurrency bounds per-node heap."""
+    return media.map_batches(
+        FeatureExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ImageResizer:
+    def __init__(self, size: int = 64, strict: bool = False):
+        self.codec = StubCodec(strict=strict)
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_meta = [], []
+        for payload, meta in zip(batch.column("payload").to_pylist(), batch.column("meta").to_pylist()):
+            sig = self.codec.decode(payload, "image")
+            thumb = sig[: self.size]
+            out_payloads.append(self.codec.encode(thumb, "image"))
+            m = json.loads(meta) if meta else {}
+            m["resized_to"] = self.size
+            out_meta.append(json.dumps(m, sort_keys=True))
+        return pa.Table.from_arrays(
+            [
+                batch.column("item_id"),
+                batch.column("kind"),
+                pa.array(out_payloads, pa.binary()),
+                pa.array(out_meta, pa.string()),
+            ],
+            schema=MEDIA,
+        )
+
+
+def resize_images(media, *, size: int = 64, concurrency=(1, 4), batch_size: int = 32):
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video payload -> every Nth 'frame' (explode: 1 row -> k rows)."""
+
+    def __init__(self, every: int = 8, strict: bool = False):
+        self.codec = StubCodec(strict=strict)
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_id, o_idx, o_payload = [], [], []
+        for item_id, payload in zip(batch.column("item_id").to_pylist(), batch.column("payload").to_pylist()):
+            sig = self.codec.decode(payload, "video")
+            frames = sig.reshape(16, -1)  # fake: 16 frames per clip
+            for fi in range(0, len(frames), self.every):
+                o_id.append(item_id)
+                o_idx.append(fi)
+                o_payload.append(self.codec.encode(frames[fi], "image"))
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_id, pa.int64()),
+                pa.array(o_idx, pa.int32()),
+                pa.array(o_payload, pa.binary()),
+            ],
+            schema=FRAMES,
+        )
+
+
+def sample_frames(media, *, every: int = 8, concurrency=(1, 4), batch_size: int = 16):
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_media(n: int = 64, seed: int = 5):
+    """Deterministic fake media table for tests (binary payloads)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows_id, rows_kind, rows_payload, rows_meta = [], [], [], []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(512 + (i % 7) * 128)
+        rows_id.append(i)
+        rows_kind.append(kind)
+        rows_payload.append(payload)
+        rows_meta.append(json.dumps({"kind": kind, "bytes": len(payload)}, sort_keys=True))
+    return pa.Table.from_arrays(
+        [
+            pa.array(rows_id, pa.int64()),
+            pa.array(rows_kind, pa.string()),
+            pa.array(rows_payload, pa.binary()),
+            pa.array(rows_meta, pa.string()),
+        ],
+        schema=MEDIA,
+    )

@@ -1,0 +1,321 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * :func:`knn_brute` — the exact baseline: the query matrix is broadcast
+    once (``ray.put``); every batch does one numpy matmul against it and
+    emits its LOCAL top-k per query; a final tiny groupby merges partials.
+    Shuffle volume is O(n_queries x k x n_batches) — never the corpus.
+  * :func:`knn_ivf` — the scale path: coarse k-means centroids (trained on
+    a driver-side sample, Lloyd iterations in numpy), every vector assigned
+    to its nearest centroid (one matmul per batch); a query searches only
+    the ``nprobe`` nearest buckets. Probabilistic recall, measured in tests
+    against knn_brute.
+  * :func:`cosine_near_dup_pairs` — embedding near-duplicate pairs via
+    random-hyperplane LSH bucketing + in-bucket exact cosine.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BatchTopK:
+    """Per-batch exact top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (Q, d)
+        self.k = k
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))  # (n, d)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        scores = self.q @ vecs.T  # (Q, n)
+        k = min(self.k, scores.shape[1])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        o_q, o_id, o_s = [], [], []
+        for qi in range(scores.shape[0]):
+            for j in idx[qi]:
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_s.append(float(scores[qi, j]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_q, pa.int64()),
+                pa.array(o_id, pa.int64()),
+                pa.array(o_s, pa.float64()),
+            ],
+            names=["query_id", "vec_id", "score"],
+        )
+
+
+def _merge_topk(partials: pa.Table, k: int) -> pa.Table:
+    """Tiny final merge: partial top-k rows -> global top-k with dense rank.
+    Deterministic tie-break on (-score, vec_id)."""
+    best: dict[int, list] = {}
+    for q, v, s in zip(
+        partials.column("query_id").to_pylist(),
+        partials.column("vec_id").to_pylist(),
+        partials.column("score").to_pylist(),
+    ):
+        best.setdefault(q, []).append((-s, v))
+    o_q, o_r, o_v, o_s = [], [], [], []
+    for q in sorted(best):
+        for rank, (negs, v) in enumerate(heapq.nsmallest(k, best[q]), start=1):
+            o_q.append(q)
+            o_r.append(rank)
+            o_v.append(v)
+            o_s.append(-negs)
+    return pa.Table.from_arrays(
+        [
+            pa.array(o_q, pa.int64()),
+            pa.array(o_r, pa.int64()),
+            pa.array(o_v, pa.int64()),
+            pa.array(o_s, pa.float64()),
+        ],
+        names=["query_id", "rank", "vec_id", "score"],
+    )
+
+
+def knn_brute(embeddings, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
+              batch_size: int = 4096, concurrency=(1, 8)):
+    """-> (query_id, rank, vec_id, score): exact cosine top-k per query row.
+
+    The partial-top-k stream is tiny (Q x k x n_batches rows), so the final
+    merge is a driver-side reduce over a small Arrow table, not a shuffle.
+    """
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = embeddings.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    import ray.data as rd
+
+    refs = partials.to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    merged = _merge_topk(pa.concat_tables(tables), k)
+    return rd.from_arrow(merged)
+
+
+def train_centroids(embeddings, n_centroids: int = 16, sample_size: int = 4096,
+                    iters: int = 8, vec_col: str = "embedding", seed: int = 13) -> np.ndarray:
+    """Coarse k-means on a driver-side sample (numpy Lloyd iterations)."""
+    sample = embeddings.limit(sample_size).to_pandas()
+    x = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IVFAssign:
+    def __init__(self, cent_ref, vec_col: str):
+        self.cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))
+        assign = (vecs @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column(pa.field("bucket", pa.int64()), pa.array(assign, pa.int64()))
+
+
+def assign_ivf_buckets(embeddings, centroids: np.ndarray, vec_col: str = "embedding",
+                       batch_size: int = 4096, concurrency=(1, 8)):
+    """Append a ``bucket`` column (nearest-centroid id) — the IVF index.
+    At scale this dataset is written partitioned by bucket so a query reads
+    only its nprobe buckets (partition pruning at the read)."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    return embeddings.map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def knn_ivf(embeddings, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, vec_col: str = "embedding", batch_size: int = 4096):
+    """Approximate top-k: search only the nprobe nearest IVF buckets per
+    query. Returns the same schema as knn_brute."""
+    import pyarrow.compute as pc
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cent = train_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    bucketed = assign_ivf_buckets(embeddings, cent, vec_col=vec_col, batch_size=batch_size)
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = sorted({int(b) for row in probe for b in row})
+    filtered = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    allowed = {qi: {int(b) for b in probe[qi]} for qi in range(len(q))}
+
+    # exact knn within the probed subset, then mask per-query buckets
+    res = knn_brute(filtered, q, k=max(k * 4, k), vec_col=vec_col, batch_size=batch_size)
+    tbl = res.to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in tbl])
+    bucket_of = dict(zip(
+        (bt := pa.concat_tables([ray.get(r) for r in filtered.select_columns(["vec_id", "bucket"]).to_arrow_refs()])).column("vec_id").to_pylist(),
+        bt.column("bucket").to_pylist(),
+    ))
+    keep = [
+        i
+        for i, (qi, v) in enumerate(zip(tbl.column("query_id").to_pylist(), tbl.column("vec_id").to_pylist()))
+        if bucket_of.get(v) in allowed[qi]
+    ]
+    import ray.data as rd
+
+    pruned = tbl.take(pa.array(keep, pa.int64()))
+    # re-rank to k after pruning
+    out = _merge_topk(pruned.select(["query_id", "vec_id", "score"]), k)
+    return rd.from_arrow(out)
+
+
+class _HyperplaneBucket:
+    def __init__(self, planes_ref, vec_col: str):
+        self.planes = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))
+        signs = (vecs @ self.planes.T) > 0  # (n, P)
+        keys = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(keys.astype(np.int64), pa.int64()),
+                batch.column(self.vec_col),
+            ],
+            names=["vec_id", "bucket", "embedding"],
+        )
+
+
+def cosine_near_dup_pairs(embeddings, threshold: float = 0.95, n_planes: int = 8,
+                          n_tables: int = 4, vec_col: str = "embedding", seed: int = 29,
+                          hot_cap: int = 2000, batch_size: int = 4096):
+    """-> (vec_id_a, vec_id_b, cosine) near-duplicate pairs by
+    random-hyperplane LSH + in-bucket exact cosine verify.
+
+    n_tables independent hash tables; a pair is caught if it agrees in any
+    table: P(same bucket) = (1 - theta/pi)^n_planes per table, so high-cosine
+    pairs are caught with probability -> 1 as tables grow.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    rng = np.random.RandomState(seed)
+    d = len(embeddings.limit(1).to_pandas()[vec_col].iloc[0])
+    results = []
+    for t in range(n_tables):
+        planes = rng.randn(n_planes, d)
+        planes_ref = ray.put(planes)
+        bucketed = embeddings.map_batches(
+            _HyperplaneBucket,
+            fn_constructor_kwargs={"planes_ref": planes_ref, "vec_col": vec_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, 8),
+        )
+
+        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2 or len(g) > hot_cap:
+                return pd.DataFrame({"vec_id_a": pd.array([], dtype="int64"),
+                                     "vec_id_b": pd.array([], dtype="int64"),
+                                     "cosine": pd.array([], dtype="float64")})
+            ids = g["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in g["embedding"].iloc[order]]))
+            sim = m @ m.T
+            ii, jj = np.where(np.triu(sim >= threshold, k=1))
+            return pd.DataFrame({
+                "vec_id_a": pd.array(ids[ii], dtype="int64"),
+                "vec_id_b": pd.array(ids[jj], dtype="int64"),
+                "cosine": pd.array(sim[ii, jj], dtype="float64"),
+            })
+
+        results.append(bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas"))
+
+    ds = results[0]
+    for other in results[1:]:
+        ds = ds.union(other)
+    return ds.groupby(["vec_id_a", "vec_id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+class _BrutePairs:
+    """Exact cosine>=threshold pairs: each batch matmuls against the ONE
+    broadcast full matrix (the exact baseline; LSH above is the scale path)."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float, vec_col: str):
+        self.mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        self.threshold = threshold
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        sim = vecs @ self.mat.T  # (b, N)
+        ii, jj = np.where(sim >= self.threshold)
+        keep = bids[ii] < self.ids[jj]  # emit each unordered pair once (a < b)
+        return pa.Table.from_arrays(
+            [
+                pa.array(bids[ii][keep], pa.int64()),
+                pa.array(self.ids[jj][keep], pa.int64()),
+            ],
+            names=["vec_id_a", "vec_id_b"],
+        )
+
+
+def cosine_pairs_brute(embeddings, threshold: float = 0.5, vec_col: str = "embedding",
+                       batch_size: int = 2048, concurrency=(1, 8)):
+    """-> (vec_id_a, vec_id_b): ALL pairs with cosine >= threshold, exact.
+
+    O(n^2) compute but O(n) shuffle (the matrix broadcast happens once).
+    Use :func:`cosine_near_dup_pairs` (LSH) when n^2 flops are the
+    bottleneck; this is the correctness baseline and the right tool when
+    the corpus side fits the object store.
+    """
+    df = embeddings.select_columns(["vec_id", vec_col]).to_pandas()
+    order = np.argsort(df["vec_id"].to_numpy())
+    ids = df["vec_id"].to_numpy()[order].astype(np.int64)
+    mat = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in df[vec_col].iloc[order]]))
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids)
+    return embeddings.map_batches(
+        _BrutePairs,
+        fn_constructor_kwargs={
+            "mat_ref": mat_ref, "ids_ref": ids_ref,
+            "threshold": threshold, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,218 @@
+"""DuckDB oracle SQL for every oracle-checkable query in
+:mod:`easyner_ray.pipelines.queries`.
+
+Relational queries run against the driver's pre-registered views (region,
+nation, customer, supplier, part, orders, lineitem, events, documents,
+embeddings). KG queries read the synthetic corpus' GOLD parquet tables
+directly (absolute paths under /tmp/easyner_synth/sf0.01 — the driver's
+correctness pass runs at sf=0.01; :func:`oracle_sql` materializes that
+corpus idempotently before returning so the files always exist).
+
+Floats that are order-of-summation-sensitive are rounded to 4 decimals on
+both sides; ratio columns (int/int in float64) are bit-exact without
+rounding because IEEE division of exactly-representable operands is
+correctly rounded in both engines.
+"""
+
+from __future__ import annotations
+
+SYNTH = "/tmp/easyner_synth/sf0.01"
+GM = f"read_parquet('{SYNTH}/gold_mentions.parquet')"
+GS = f"read_parquet('{SYNTH}/gold_sentences.parquet')"
+TR = f"read_parquet('{SYNTH}/transcripts.parquet')"
+AL = f"read_parquet('{SYNTH}/alias.parquet')"
+
+RELATIONAL = {
+    "agg_lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_orders_customer_nation": """
+        SELECT n_name,
+               round(sum(o_totalprice), 4) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "top_parts_by_revenue": """
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY revenue DESC, l_partkey LIMIT 10
+    """,
+    "orders_priority_count": """
+        SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+    """,
+    "semi_join_large_parts": """
+        SELECT l_partkey, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        GROUP BY l_partkey
+    """,
+    "events_stats": """
+        SELECT event_type,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 4) AS avg_value,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "events_top_users": """
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id LIMIT 20
+    """,
+    "nations_sorted": """
+        SELECT r_name, n_name, n_nationkey
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY r_name, n_name
+    """,
+    "dedup_exact_docs": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "doc_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               md5(text) AS fingerprint
+        FROM documents
+    """,
+    "quality_scores": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                 / greatest(length(text), 1) AS punct_ratio,
+               len(regexp_extract_all(text,
+                 '(?i)\\b(?:the|a|an|and|or|of|to|in|is|that|it|for|on|with|as|was|at|by|be|this)\\b')) * 1.0
+                 / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1) AS stopword_ratio,
+               length(text) * 1.0
+                 / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1) AS chars_per_token,
+               len(regexp_extract_all(text, '\\b[A-Z]{2,}\\b')) * 1.0
+                 / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1) AS caps_token_ratio
+        FROM documents
+    """,
+    # exact n-gram Jaccard, O(n^2) in SQL (fine at sf0.01): shingle lists
+    # via list_transform over token positions, intersection via list_intersect.
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, inter, uni FROM pairs
+        WHERE inter * 1.0 / uni >= 0.2
+    """,
+    "cosine_pairs_brute": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+    "knn_brute": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 4
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS score
+          FROM q CROSS JOIN embeddings e
+        ), ranked AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+    """,
+}
+
+KG = {
+    "kg_sentences": f"SELECT conv_id, turn_idx, sent_idx, text, char_start FROM {GS}",
+    "kg_turn_reassembly": f"""
+        SELECT conv_id, turn_idx, text FROM {TR} WHERE length(text) > 0
+    """,
+    "kg_mentions": f"""
+        SELECT conv_id, turn_idx, sent_idx, mention_idx, surface, norm, cls,
+               start, "end" FROM {GM}
+    """,
+    "kg_triples": f"""
+        SELECT DISTINCT a.norm AS subj, 'co_occurs_with' AS pred, b.norm AS obj,
+               a.conv_id, a.turn_idx, a.sent_idx
+        FROM {GM} a JOIN {GM} b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+         AND a.sent_idx = b.sent_idx
+        WHERE a.norm <> b.norm
+    """,
+    "kg_window_triples": f"""
+        WITH tn AS (SELECT DISTINCT conv_id, turn_idx, norm FROM {GM})
+        SELECT DISTINCT a.norm AS subj, 'co_occurs_in_window' AS pred,
+               b.norm AS obj, a.conv_id, a.turn_idx,
+               CAST(-1 AS INTEGER) AS sent_idx
+        FROM tn a JOIN tn b
+          ON a.conv_id = b.conv_id
+         AND b.turn_idx BETWEEN a.turn_idx AND a.turn_idx + 2
+        WHERE a.norm <> b.norm
+    """,
+    "kg_nodes": f"""
+        SELECT substr(md5(cls || '|' || norm), 1, 16) AS node_id, norm, cls,
+               count(*) AS n_mentions
+        FROM {GM} GROUP BY norm, cls
+    """,
+    "kg_edges": f"""
+        WITH triples AS (
+          SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+                 a.conv_id, a.turn_idx, a.sent_idx
+          FROM {GM} a JOIN {GM} b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+           AND a.sent_idx = b.sent_idx
+          WHERE a.norm <> b.norm
+        )
+        SELECT substr(md5('|' || subj), 1, 16) AS subj_id, subj,
+               'co_occurs_with' AS pred,
+               substr(md5('|' || obj), 1, 16) AS obj_id, obj,
+               count(*) AS weight
+        FROM triples GROUP BY subj, obj
+    """,
+    "kg_entity_freq": f"""
+        SELECT norm AS entity, count(*) AS total_count,
+               count(DISTINCT conv_id) AS convs_spanned,
+               count(*) * 1.0 / count(DISTINCT conv_id) AS freq_per_conv
+        FROM {GM} GROUP BY norm
+    """,
+    "kg_top_entities": f"""
+        SELECT norm AS entity, count(*) AS total_count,
+               count(DISTINCT conv_id) AS convs_spanned,
+               count(*) * 1.0 / count(DISTINCT conv_id) AS freq_per_conv
+        FROM {GM} GROUP BY norm
+        ORDER BY total_count DESC, entity LIMIT 25
+    """,
+    "kg_linked_mentions": f"""
+        SELECT m.conv_id, m.turn_idx, m.sent_idx, m.mention_idx, m.surface,
+               m.norm, m.cls, m.start, m."end",
+               coalesce(a.id, '') AS entity_id
+        FROM {GM} m LEFT JOIN {AL} a ON m.norm = a.term
+    """,
+    "kg_search": f"""
+        SELECT conv_id, turn_idx, sent_idx, count(*) AS n_watch_mentions
+        FROM {GM}
+        WHERE norm IN ('zetamycin', 'actozine', 'arvel syndrome')
+        GROUP BY conv_id, turn_idx, sent_idx
+    """,
+}
+
+
+def all_oracles() -> dict[str, str]:
+    return {**RELATIONAL, **KG}

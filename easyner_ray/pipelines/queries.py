@@ -1,0 +1,375 @@
+"""Driver-contract query implementations (SURVEY.md §2 inventory).
+
+Every function takes ``sf_dir`` (a /root/testdata/sfX directory) and returns
+a Dataset / pandas DataFrame / pyarrow Table. Each has a matching DuckDB
+oracle in :mod:`easyner_ray.pipelines.oracles`; column names and dtypes are
+kept identical on both sides (floats are rounded to 4 decimals wherever the
+value is an aggregate whose summation order differs between engines).
+
+KG queries run over the deterministic synthetic transcript corpus derived
+from ``sf_dir`` (BASELINE.json input_hint shape); their oracles read the
+analytically-derived GOLD parquet tables — an engine-independent ground
+truth (the gold is computed from the generator's construction invariants,
+never by running engine code).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round4(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        i = t.schema.get_field_index(c)
+        t = t.set_column(i, c, pc.round(t.column(c).cast(pa.float64()), ndigits=4))
+    return t
+
+
+# ------------------------------------------------------------ relational ---
+
+
+def agg_lineitem_pricing(sf_dir: str):
+    """Two-phase groupby aggregate (A1/A2 analog) on the widest table."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("l_quantity", "mean", "avg_qty"),
+            ("l_quantity", "count", "n"),
+        ],
+    )
+    return out.map_batches(
+        lambda t: _round4(t, ["sum_qty", "sum_base_price", "avg_qty"]),
+        batch_format="pyarrow",
+    )
+
+
+def join_orders_customer_nation(sf_dir: str):
+    """Broadcast two dimension tables into the orders fact stream (J1), then
+    a two-phase aggregate per nation."""
+    import pyarrow.parquet as pq
+
+    from easyner_ray.ops.relational import broadcast_join, grouped_agg
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    with_nk = broadcast_join(orders, cust, on="o_custkey", right_key="c_custkey",
+                             value_cols=["c_nationkey"])
+    with_name = broadcast_join(with_nk, nation, on="c_nationkey", right_key="n_nationkey",
+                               value_cols=["n_name"])
+    out = grouped_agg(
+        with_name,
+        ["n_name"],
+        [("o_totalprice", "sum", "total_price"), ("o_totalprice", "count", "n_orders")],
+    )
+    return out.map_batches(lambda t: _round4(t, ["total_price"]), batch_format="pyarrow")
+
+
+def top_parts_by_revenue(sf_dir: str):
+    """Projection + vectorized derived column + two-phase agg + top-k
+    (O2/O3): top 10 parts by discounted revenue."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    li = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.Table.from_arrays([t.column("l_partkey"), rev],
+                                    names=["l_partkey", "rev"])
+
+    per_part = grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("rev", "sum", "revenue")],
+    ).map_batches(lambda t: _round4(t, ["revenue"]), batch_format="pyarrow")
+    return per_part.sort(["revenue", "l_partkey"], descending=[True, False]).limit(10)
+
+
+def orders_priority_count(sf_dir: str):
+    from easyner_ray.ops.relational import grouped_agg
+
+    return grouped_agg(
+        _rp(sf_dir, "orders", columns=["o_orderpriority"]),
+        ["o_orderpriority"],
+        [("o_orderpriority", "count", "n")],
+    )
+
+
+def semi_join_large_parts(sf_dir: str):
+    """Semi-join filter (J4): lineitems of parts with p_size >= 40,
+    aggregated per part."""
+    import pyarrow.parquet as pq
+
+    from easyner_ray.ops.relational import grouped_agg, semi_join_filter
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"])
+    big = set(part.filter(pc.greater_equal(part.column("p_size"), 40)).column("p_partkey").to_pylist())
+    li = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    out = grouped_agg(
+        semi_join_filter(li, big, on="l_partkey"),
+        ["l_partkey"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n")],
+    )
+    return out.map_batches(lambda t: _round4(t, ["sum_qty"]), batch_format="pyarrow")
+
+
+def events_stats(sf_dir: str):
+    from easyner_ray.ops.relational import grouped_agg
+
+    out = grouped_agg(
+        _rp(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"],
+        [("value", "sum", "sum_value"), ("value", "mean", "avg_value"),
+         ("value", "count", "n")],
+    )
+    return out.map_batches(lambda t: _round4(t, ["sum_value", "avg_value"]), batch_format="pyarrow")
+
+
+def events_top_users(sf_dir: str):
+    from easyner_ray.ops.relational import grouped_agg
+
+    per_user = grouped_agg(
+        _rp(sf_dir, "events", columns=["user_id"]),
+        ["user_id"],
+        [("user_id", "count", "n")],
+    )
+    return per_user.sort(["n", "user_id"], descending=[True, False]).limit(20)
+
+
+def nations_sorted(sf_dir: str):
+    """Broadcast join + global sort (small output)."""
+    import pyarrow.parquet as pq
+
+    from easyner_ray.ops.relational import broadcast_join
+
+    nation = _rp(sf_dir, "nation")
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    joined = broadcast_join(nation, region, on="n_regionkey", right_key="r_regionkey",
+                            value_cols=["r_name"])
+    return joined.sort(["r_name", "n_name"]).select_columns(["r_name", "n_name", "n_nationkey"])
+
+
+# --------------------------------------------------- dedup / text / ANN ----
+
+
+def dedup_exact_docs(sf_dir: str):
+    from easyner_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_stats_q(sf_dir: str):
+    from easyner_ray.ops.textstats import doc_stats
+
+    return doc_stats(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def quality_scores_q(sf_dir: str):
+    from easyner_ray.ops.textstats import quality_scores
+
+    return quality_scores(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def lang_id_q(sf_dir: str):
+    from easyner_ray.ops.textstats import lang_id
+
+    return lang_id(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def rolling_fp_q(sf_dir: str):
+    from easyner_ray.ops.textstats import rolling_fingerprints
+
+    return rolling_fingerprints(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def ngram_jaccard_q(sf_dir: str):
+    from easyner_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2, k=3
+    )
+
+
+def minhash_lsh_q(sf_dir: str):
+    from easyner_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2
+    )
+
+
+def simhash_q(sf_dir: str):
+    from easyner_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_rp(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3)
+
+
+def _query_vectors(sf_dir: str, n: int = 4) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def knn_brute_q(sf_dir: str):
+    from easyner_ray.ops.similarity import knn_brute
+
+    res = knn_brute(_rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                    _query_vectors(sf_dir), k=10)
+    return res.select_columns(["query_id", "rank", "vec_id"])  # score float dropped
+
+
+def knn_ivf_q(sf_dir: str):
+    from easyner_ray.ops.similarity import knn_ivf
+
+    return knn_ivf(_rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                   _query_vectors(sf_dir), k=10).select_columns(["query_id", "rank", "vec_id"])
+
+
+def cosine_pairs_q(sf_dir: str):
+    from easyner_ray.ops.similarity import cosine_pairs_brute
+
+    return cosine_pairs_brute(_rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                              threshold=0.5)
+
+
+def cosine_lsh_q(sf_dir: str):
+    from easyner_ray.ops.similarity import cosine_near_dup_pairs
+
+    ds = cosine_near_dup_pairs(_rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                               threshold=0.5)
+    return ds.select_columns(["vec_id_a", "vec_id_b"])
+
+
+# ------------------------------------------------------------ KG (north) ---
+
+
+def _corpus(sf_dir: str) -> str:
+    from easyner_ray.sources.synthetic import ensure_for_sf_dir
+
+    return ensure_for_sf_dir(sf_dir)
+
+
+def _transcripts(sf_dir: str):
+    import ray.data as rd
+
+    from easyner_ray.pipelines.kg import read_transcripts
+
+    return read_transcripts(os.path.join(_corpus(sf_dir), "transcripts.parquet"))
+
+
+def _sentences(sf_dir: str):
+    from easyner_ray.pipelines.kg import drop_empty_turns
+    from easyner_ray.stages.splitter import split_sentences
+
+    return split_sentences(drop_empty_turns(_transcripts(sf_dir)))
+
+
+def _mentions(sf_dir: str):
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+
+    return explode_mentions(tag_mentions(_sentences(sf_dir), vocabulary()))
+
+
+def kg_sentences(sf_dir: str):
+    return _sentences(sf_dir)
+
+
+def kg_turn_reassembly(sf_dir: str):
+    from easyner_ray.stages.splitter import reassemble_turns
+
+    return reassemble_turns(_sentences(sf_dir))
+
+
+def kg_mentions(sf_dir: str):
+    return _mentions(sf_dir)
+
+
+def kg_triples(sf_dir: str):
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    return sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+
+
+def kg_window_triples(sf_dir: str):
+    from easyner_ray.stages.triples import window_triples
+
+    return window_triples(_mentions(sf_dir), window=2)
+
+
+def kg_nodes(sf_dir: str):
+    from easyner_ray.stages.canonicalize import canonical_nodes
+
+    nodes = canonical_nodes(_mentions(sf_dir))
+    return nodes.select_columns(["node_id", "norm", "cls", "n_mentions"])  # aliases list dropped
+
+
+def kg_edges(sf_dir: str):
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.canonicalize import aggregate_edges
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return aggregate_edges(triples)
+
+
+def kg_entity_freq(sf_dir: str):
+    from easyner_ray.stages.analysis import entity_frequency
+
+    return entity_frequency(_mentions(sf_dir))
+
+
+def kg_top_entities(sf_dir: str):
+    from easyner_ray.stages.analysis import top_entities
+
+    return top_entities(_mentions(sf_dir), n=25)
+
+
+def kg_linked_mentions(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from easyner_ray.stages.nel import link_mentions
+
+    alias = pq.read_table(os.path.join(_corpus(sf_dir), "alias.parquet"))
+    pairs = list(zip(alias.column("term").to_pylist(), alias.column("id").to_pylist()))
+    return link_mentions(_mentions(sf_dir), pairs)
+
+
+WATCHLIST = ("zetamycin", "actozine", "arvel syndrome")
+
+
+def kg_search(sf_dir: str):
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.search import search_sentences
+
+    sm = tag_mentions(_sentences(sf_dir), vocabulary())
+    hits = search_sentences(sm, WATCHLIST)
+    return hits.select_columns(["conv_id", "turn_idx", "sent_idx", "n_watch_mentions"])
