@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+    python bench.py              # headline pipelines at $GRAFT_SF_DIR (sf0.1)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes -> throughput + scaling efficiency
+
+Prints exactly ONE JSON line on stdout. RAY_GRAFT_CPUS sets num_cpus
+(default 32). The headline metric is end-to-end KG-construction (sentence
+split -> dictionary NER -> triples -> nodes+edges consumed) in turns/sec
+over the synthetic transcript corpus derived from the sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_headline(sf_dir: str) -> dict:
+    """KG build end-to-end; returns timings + throughput."""
+    import ray
+
+    from easyner_ray.pipelines.kg import build_kg, read_transcripts
+    from easyner_ray.sources.synthetic import ensure_for_sf_dir
+
+    corpus = ensure_for_sf_dir(sf_dir)  # generated once, cached on disk
+    path = os.path.join(corpus, "transcripts.parquet")
+    n_turns = read_transcripts(path).count()
+
+    t0 = time.time()
+    out = build_kg(read_transcripts(path), ner_concurrency=(1, NUM_CPUS))
+    n_nodes = out["nodes"].count()
+    n_edges = out["edges"].count()
+    wall = time.time() - t0
+    return {
+        "kg_build_sec": round(wall, 3),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1),
+        "nodes": n_nodes,
+        "edges": n_edges,
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Representative per-operator timings (each consumed to completion)."""
+    from easyner_ray.pipelines import queries as q
+
+    def consume(ds):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(ds, (pd.DataFrame, pa.Table)):
+            return len(ds)
+        return ds.count()
+
+    picks = {
+        "agg_lineitem_pricing": q.agg_lineitem_pricing,
+        "join_orders_customer_nation": q.join_orders_customer_nation,
+        "top_parts_by_revenue": q.top_parts_by_revenue,
+        "dedup_exact_docs": q.dedup_exact_docs,
+        "doc_stats": q.doc_stats_q,
+        "minhash_lsh_pairs": q.minhash_lsh_q,
+        "knn_brute": q.knn_brute_q,
+        "kg_mentions": q.kg_mentions,
+        "kg_entity_freq": q.kg_entity_freq,
+    }
+    out: dict[str, float] = {}
+    for name, fn in picks.items():
+        t0 = time.time()
+        consume(fn(sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    headline = run_headline(SF_DIR)
+    queries = run_queries(SF_DIR)
+    result = {
+        "metric": "kg_build_turns_per_sec",
+        "value": headline["kg_build_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }
+    ray.shutdown()
+    return result
+
+
+def bench_scaling() -> dict:
+    """Same job at two parallelism levels in FRESH processes (the sandbox
+    stand-in for two cluster sizes, BASELINE.json scaling gate)."""
+    levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    runs = {}
+    for cpus in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        runs[cpus] = json.loads(line)
+    lo, hi = min(levels), max(levels)
+    tp_lo = runs[lo]["headline"]["turns_per_sec"]
+    tp_hi = runs[hi]["headline"]["turns_per_sec"]
+    factor = hi / lo
+    eff = (tp_hi / tp_lo) / factor
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"x{int(factor)} efficiency",
+        "queries": {f"turns_per_sec@{c}": runs[c]["headline"]["turns_per_sec"] for c in levels},
+        "sf": SF_DIR,
+        "num_cpus": hi,
+        "runs": {str(c): runs[c]["headline"] for c in levels},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+    else:
+        print(json.dumps(bench_once()))

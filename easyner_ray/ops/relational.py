@@ -25,43 +25,32 @@ def broadcast_lookup(small_table: pa.Table, key: str, value_cols: list[str]) -> 
     return dict(zip(keys, vals))
 
 
-class _BroadcastJoin:
-    def __init__(self, lookup_ref, on: str, value_names: list[str], how: str):
-        self.lookup = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
-        self.on = on
-        self.value_names = value_names
-        self.how = how
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.on).to_pylist()
-        hits = [self.lookup.get(k) for k in keys]
-        if self.how == "inner":
-            take = [i for i, h in enumerate(hits) if h is not None]
-            batch = batch.take(pa.array(take, pa.int64()))
-            hits = [hits[i] for i in take]
-        cols = list(zip(*hits)) if hits else [[] for _ in self.value_names]
-        for name, col in zip(self.value_names, cols):
-            batch = batch.append_column(name, pa.array(list(col)))
-        return batch
-
-
 def broadcast_join(large_ds, small_table: pa.Table, *, on: str, right_key: str,
                    value_cols: list[str], how: str = "inner",
-                   concurrency=(1, 8), batch_size: int = 8192):
+                   batch_size: int = 8192):
     """Map-side hash join: ``large_ds`` joins ``small_table`` on
-    large.on == small.right_key, appending ``value_cols``. The small side is
-    shipped to the object store ONCE and shared by every actor."""
-    lookup = broadcast_lookup(small_table, right_key, value_cols)
-    lookup_ref = ray.put(lookup)
-    return large_ds.map_batches(
-        _BroadcastJoin,
-        fn_constructor_kwargs={
-            "lookup_ref": lookup_ref, "on": on, "value_names": value_cols, "how": how,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    large.on == small.right_key, appending ``value_cols``.
+
+    The small side goes to the object store ONCE (``ray.put`` of an Arrow
+    table — plasma reads are zero-copy, so per-task ``ray.get`` costs
+    nothing) and each batch runs pyarrow's C++ hash join against it.
+    Stateless tasks, deliberately NOT an actor pool: chained pools each
+    pin their minimum actor and can starve upstream reads on small CPU
+    counts, while the join itself has no per-worker state to amortize.
+
+    Duplicate keys on the small side multiply rows (SQL join semantics).
+    Row order within a batch is not preserved (hash join).
+    """
+    small = small_table.select([right_key] + value_cols).combine_chunks()
+    small_ref = ray.put(small)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        st = ray.get(small_ref)
+        joined = batch.join(st, keys=[on], right_keys=[right_key], join_type=join_type)
+        return joined.select(list(batch.schema.names) + list(value_cols))
+
+    return large_ds.map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def semi_join_filter(large_ds, key_set, *, on: str, batch_size: int = 8192):

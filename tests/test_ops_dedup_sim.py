@@ -1,0 +1,134 @@
+"""Dedup + similarity operator tests (planted duplicates, known geometry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts: list[str]):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session):
+    texts = [
+        BASE,                                   # 0
+        BASE,                                   # 1: exact dup of 0
+        BASE.replace("delta", "DELTA-PRIME"),   # 2: near dup of 0
+        "totally different words entirely here unlike the others at all",  # 3
+        BASE + " extra trailing tokens appended here",  # 4: near dup of 0
+    ]
+    return _docs_ds(texts), texts
+
+
+def test_exact_dedup(planted):
+    from easyner_ray.ops.dedup import exact_dedup
+
+    ds, texts = planted
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 4  # 0/1 collapse
+    rep = out[out["n_copies"] == 2]
+    assert rep["doc_id"].tolist() == [0]  # min doc_id kept
+
+
+def test_ngram_jaccard_exact_values(planted):
+    from easyner_ray.ops.dedup import exact_dedup, ngram_jaccard_pairs, shingle_set
+
+    ds, texts = planted
+    out = ngram_jaccard_pairs(ds, threshold=0.3, k=3).to_pandas()
+    pairs = {(a, b): (i, u) for a, b, i, u in
+             zip(out["doc_a"], out["doc_b"], out["inter"], out["uni"])}
+    # independent hand-check for the (0, 4) pair
+    s0, s4 = set(shingle_set(texts[0], 3)), set(shingle_set(texts[4], 3))
+    assert pairs[(0, 4)] == (len(s0 & s4), len(s0 | s4))
+    assert (0, 1) in pairs and pairs[(0, 1)][0] == pairs[(0, 1)][1]  # identical
+    assert not any(3 in p for p in pairs)  # the unrelated doc pairs with nobody
+
+
+def test_minhash_catches_exact_and_near(planted):
+    from easyner_ray.ops.dedup import minhash_lsh_pairs
+
+    ds, _ = planted
+    out = minhash_lsh_pairs(ds, threshold=0.3).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got  # identical docs always collide
+    est = out.set_index(["doc_a", "doc_b"])["est_jaccard"]
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash_identical_distance_zero(planted):
+    from easyner_ray.ops.dedup import simhash_pairs
+
+    ds, _ = planted
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    assert got[(0, 1)] == 0
+
+
+def _emb_ds(mat: np.ndarray):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(len(mat)), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in mat],
+                                        pa.list_(pa.float32()))})
+    )
+
+
+def test_knn_brute_geometry(ray_session):
+    from easyner_ray.ops.similarity import knn_brute
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(200, 16).astype(np.float32)
+    mat[7] = mat[3] * 2.0  # same direction, different magnitude
+    ds = _emb_ds(mat)
+    out = knn_brute(ds, mat[3:4].astype(np.float64), k=3).to_pandas()
+    top2 = set(out[out["rank"] <= 2]["vec_id"])
+    assert top2 == {3, 7}  # cosine ignores magnitude
+    assert out[out["rank"] == 1]["score"].iloc[0] == pytest.approx(1.0)
+
+
+def test_knn_ivf_recall_on_clustered(ray_session):
+    from easyner_ray.ops.similarity import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 16) * 5
+    mat = np.vstack([c + rng.randn(40, 16) * 0.3 for c in centers])
+    ds = _emb_ds(mat.astype(np.float32))
+    q = mat[:3].astype(np.float64)
+    brute = knn_brute(ds, q, k=5).to_pandas()
+    ivf = knn_ivf(ds, q, k=5, n_centroids=6, nprobe=2).to_pandas()
+    b = set(map(tuple, brute[["query_id", "vec_id"]].values))
+    i = set(map(tuple, ivf[["query_id", "vec_id"]].values))
+    assert len(b & i) / len(b) >= 0.8  # clustered data: IVF recall high
+
+
+def test_cosine_pairs_brute_threshold(ray_session):
+    from easyner_ray.ops.similarity import cosine_pairs_brute
+
+    v = np.eye(4, dtype=np.float32)
+    v = np.vstack([v, (v[0] + v[1]) / np.sqrt(2)])  # cos(v4, v0)=0.707
+    out = cosine_pairs_brute(_emb_ds(v), threshold=0.7).to_pandas()
+    got = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    assert got == {(0, 4), (1, 4)}
+
+
+def test_cosine_lsh_catches_high_sim(ray_session):
+    from easyner_ray.ops.similarity import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(100, 16).astype(np.float32)
+    mat[50] = mat[10] + rng.randn(16).astype(np.float32) * 0.01  # ~identical
+    out = cosine_near_dup_pairs(_emb_ds(mat), threshold=0.98).to_pandas()
+    assert (10, 50) in set(zip(out["vec_id_a"], out["vec_id_b"]))
