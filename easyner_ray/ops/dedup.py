@@ -33,8 +33,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Max, Min, Sum
-
 # ---------------------------------------------------------------- exact ----
 
 
@@ -59,14 +57,17 @@ def exact_dedup(docs, text_col: str = "text", batch_size: int = 8192):
     between *different* texts would merge two groups; collision rate at
     2^-32 x pairs-per-length is accepted and documented — use
     ``fingerprint`` from textstats for a 128-bit md5 when auditability
-    matters more than speed.)
+    matters more than speed.) Final combine is the coarse-bucket Arrow
+    path — digest cardinality ~= corpus size, far beyond Python-per-group.
     """
+    from easyner_ray.ops.relational import bucketed_final
+
     partial = docs.map_batches(
         lambda b: _partial_exact(b, text_col), batch_format="pyarrow", batch_size=batch_size
     )
-    agg = partial.groupby("digest").aggregate(
-        Min("doc_id_min", alias_name="doc_id"), Sum("n", alias_name="n_copies")
-    )
+    agg = bucketed_final(partial, ["digest"],
+                         pa_aggs=[("doc_id_min", "min"), ("n", "sum")],
+                         out_names=["doc_id", "n_copies"])
     return agg.select_columns(["doc_id", "n_copies"])
 
 
@@ -124,6 +125,8 @@ def ngram_jaccard_pairs(
     """
     import pandas as pd
 
+    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
+
     shingles = docs.map_batches(
         lambda b: _shingle_rows(b, k, text_col), batch_format="pyarrow", batch_size=batch_size
     )
@@ -140,30 +143,42 @@ def ngram_jaccard_pairs(
 
     size_ref = ray.put(size_of)
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2 or len(ids) > hot_cap:
+    # Pair generation: shuffle on a coarse hash bucket of the shingle (every
+    # shingle's postings stay in one bucket), then inside each bucket keep
+    # only COLLIDING shingles (vectorized duplicated() filter) and emit
+    # pairs per posting list with numpy triu indices. Avoids a Python
+    # map_groups call per shingle (most postings are singletons).
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("shingle", keep=False)]
+        out_a, out_b = [], []
+        for _, grp in g.groupby("shingle", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2 or len(ids) > hot_cap:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                                  "doc_b": pd.array([], dtype="int64")})
-        a_l, b_l = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_l.append(ids[i])
-                b_l.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
-                             "doc_b": pd.array(b_l, dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype("int64"),
+                             "doc_b": np.concatenate(out_b).astype("int64")})
 
-    pair_hits = shingles.groupby("shingle").map_groups(pairs_in_group, batch_format="pandas")
+    bucketed = shingles.map_batches(
+        lambda t: add_hash_bucket(t, ["shingle"], 64), batch_format="pyarrow"
+    )
+    pair_hits = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
 
     def count_partial(b: pa.Table) -> pa.Table:
-        return b.group_by(["doc_a", "doc_b"]).aggregate([("doc_a", "count")]).rename_columns(
-            ["doc_a", "doc_b", "n"]
+        g = b.group_by(["doc_a", "doc_b"]).aggregate([("doc_a", "count")])
+        return pa.Table.from_arrays(
+            [g.column("doc_a"), g.column("doc_b"), g.column("doc_a_count").cast(pa.int64())],
+            names=["doc_a", "doc_b", "n"],
         )
 
-    inter = (
-        pair_hits.map_batches(count_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("n", alias_name="inter"))
+    inter = bucketed_final(
+        pair_hits.map_batches(count_partial, batch_format="pyarrow", batch_size=65536),
+        ["doc_a", "doc_b"], pa_aggs=[("n", "sum")], out_names=["inter"],
     )
 
     class Finish:
@@ -269,6 +284,8 @@ def minhash_lsh_pairs(
     """
     import pandas as pd
 
+    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
+
     bands = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -279,31 +296,39 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
 
+    # Coarse-bucket the band keys (a band's collisions stay in one bucket),
+    # then inside each bucket: vectorized filter to COLLIDING band keys
+    # only, numpy signature-agreement per collision group. No Python call
+    # per band key (most are singletons).
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        by_id = {}
-        for d, s in zip(g["doc_id"], g["sig"]):
-            by_id[int(d)] = s
-        ids = sorted(by_id)
-        if len(ids) < 2 or len(ids) > hot_cap:
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64"),
-                                 "est_jaccard": pd.array([], dtype="float64")})
+        g = g[g.duplicated("band_key", keep=False)]
         a_l, b_l, j_l = [], [], []
-        sigs = {d: np.frombuffer(by_id[d], dtype=np.uint64) for d in ids}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[ids[i]] == sigs[ids[j]]).mean())
-                if est >= threshold:
-                    a_l.append(ids[i])
-                    b_l.append(ids[j])
-                    j_l.append(est)
+        for _, grp in g.groupby("band_key", sort=False):
+            ids = grp["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            if len(ids) < 2 or len(ids) > hot_cap:
+                continue
+            sigs = np.vstack([np.frombuffer(s, dtype=np.uint64)
+                              for s in grp["sig"].iloc[order]])
+            for i in range(len(ids) - 1):
+                est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                sel = np.nonzero(est >= threshold)[0]
+                for j in sel:
+                    a_l.append(int(ids[i]))
+                    b_l.append(int(ids[i + 1 + j]))
+                    j_l.append(float(est[j]))
         return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
                              "doc_b": pd.array(b_l, dtype="int64"),
                              "est_jaccard": pd.array(j_l, dtype="float64")})
 
-    cand = bands.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    bucketed = bands.map_batches(
+        lambda t: add_hash_bucket(t, ["band_key"], 64), batch_format="pyarrow"
+    )
+    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
     # a pair can collide in several bands — dedupe keeping max estimate
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return bucketed_final(cand, ["doc_a", "doc_b"],
+                          pa_aggs=[("est_jaccard", "max")], out_names=["est_jaccard"])
 
 
 # -------------------------------------------------------------- simhash ----
@@ -347,29 +372,39 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     complete by pigeonhole)."""
     import pandas as pd
 
+    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
+
     assert max_hamming <= 3, "4-band blocking is complete only for distance <= 3"
     bands = docs.map_batches(
         lambda b: _simhash_batch(b, text_col), batch_format="pyarrow", batch_size=batch_size
     )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        by_id = {int(d): int(h, 16) for d, h in zip(g["doc_id"], g["simhash"])}
-        ids = sorted(by_id)
-        if len(ids) < 2 or len(ids) > hot_cap:
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64"),
-                                 "hamming": pd.array([], dtype="int64")})
+        g = g[g.duplicated("band_key", keep=False)]
         a_l, b_l, h_l = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(by_id[ids[i]] ^ by_id[ids[j]]).count("1")
-                if d <= max_hamming:
-                    a_l.append(ids[i])
-                    b_l.append(ids[j])
-                    h_l.append(d)
+        for _, grp in g.groupby("band_key", sort=False):
+            ids = grp["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            if len(ids) < 2 or len(ids) > hot_cap:
+                continue
+            hs = np.array([int(h, 16) for h in grp["simhash"].iloc[order]],
+                          dtype=np.uint64)
+            for i in range(len(ids) - 1):
+                x = hs[i + 1:] ^ hs[i]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                sel = np.nonzero(d <= max_hamming)[0]
+                for j in sel:
+                    a_l.append(int(ids[i]))
+                    b_l.append(int(ids[i + 1 + j]))
+                    h_l.append(int(d[j]))
         return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
                              "doc_b": pd.array(b_l, dtype="int64"),
                              "hamming": pd.array(h_l, dtype="int64")})
 
-    cand = bands.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    bucketed = bands.map_batches(
+        lambda t: add_hash_bucket(t, ["band_key"], 64), batch_format="pyarrow"
+    )
+    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    return bucketed_final(cand, ["doc_a", "doc_b"],
+                          pa_aggs=[("hamming", "min")], out_names=["hamming"])

@@ -66,21 +66,65 @@ def semi_join_filter(large_ds, key_set, *, on: str, batch_size: int = 8192):
 
 _AGG_FNS = {"sum": "sum", "min": "min", "max": "max", "count": "count", "mean": None}
 _FINAL = {"sum": Sum, "min": Min, "max": Max}
+_FINAL_PA = {"sum": "sum", "min": "min", "max": "max"}
 
 
-def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], batch_size: int = 65536):
+def add_hash_bucket(batch: pa.Table, keys: list[str], n_buckets: int,
+                    col: str = "__bucket") -> pa.Table:
+    """Append an int32 hash-bucket column over ``keys`` (crc32)."""
+    import zlib
+
+    cols = [batch.column(k).to_pylist() for k in keys]
+    b = pa.array(
+        [zlib.crc32("\x00".join(map(str, row)).encode()) % n_buckets
+         for row in zip(*cols)],
+        pa.int32(),
+    )
+    return batch.append_column(col, b)
+
+
+def bucketed_final(partial_ds, keys: list[str], pa_aggs: list[tuple[str, str]],
+                   out_names: list[str], n_buckets: int = 64):
+    """Final combine of a partial-aggregate stream WITHOUT Ray's per-group
+    Python loop: shuffle on a coarse int bucket (hash of the real key), then
+    one vectorized ``pyarrow.Table.group_by`` per bucket.
+
+    Ray's native ``groupby(keys).aggregate(...)`` costs Python-per-group in
+    its combine stage — at 10^5+ groups that dominates wall time (measured
+    ~10x). Hash-uniform buckets keep every group intact inside one bucket
+    and bound the group-launch overhead by ``n_buckets``, while the in-
+    bucket aggregation runs in Arrow C++.
+    """
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(pa_aggs)
+        cols = [g.column(k) for k in keys]
+        for (col, fn), out in zip(pa_aggs, out_names):
+            cols.append(g.column(f"{col}_{fn}"))
+        return pa.Table.from_arrays(cols, names=list(keys) + list(out_names))
+
+    bucketed = partial_ds.map_batches(
+        lambda t: add_hash_bucket(t, keys, n_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("__bucket").map_groups(combine, batch_format="pyarrow")
+
+
+def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+                batch_size: int = 65536, n_buckets: int | None = 64):
     """Two-phase distributed aggregate.
 
     specs: (col, fn, out_name) with fn in {sum,min,max,count,mean}.
     Phase 1 (vectorized, per batch): pyarrow Table.group_by collapses the
-    batch; mean becomes (sum, count) partials. Phase 2: Ray groupby over the
-    collapsed stream combines partials and derives mean.
+    batch; mean becomes (sum, count) partials. Phase 2: bucketed Arrow
+    final (``bucketed_final``) by default; pass ``n_buckets=None`` to use
+    Ray's native aggregate (fine for low-cardinality keys).
     """
     # (col, fn) -> output name; deduped so e.g. mean+sum of one column
     # computes the pyarrow partial only once.
     p_aggs: list[tuple[str, str]] = []
     outputs: list[tuple[str, str]] = []  # (pyarrow_name, rename) per output col
     finals = []
+    final_specs: list[tuple[str, str]] = []  # (partial_out_name, final_fn)
     derive_means: list[tuple[str, str, str]] = []
 
     def _add(col: str, fn: str) -> str:
@@ -94,13 +138,16 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], batch_si
             outputs.append((_add(col, "count"), f"__{out}_c"))
             finals += [Sum(f"__{out}_s", alias_name=f"__{out}_s"),
                        Sum(f"__{out}_c", alias_name=f"__{out}_c")]
+            final_specs += [(f"__{out}_s", "sum"), (f"__{out}_c", "sum")]
             derive_means.append((out, f"__{out}_s", f"__{out}_c"))
         elif fn == "count":
             outputs.append((_add(col, "count"), out))
             finals.append(Sum(out, alias_name=out))
+            final_specs.append((out, "sum"))
         else:
             outputs.append((_add(col, fn), out))
             finals.append(_FINAL[fn](out, alias_name=out))
+            final_specs.append((out, _FINAL_PA[fn]))
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys).aggregate(p_aggs)
@@ -112,7 +159,15 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], batch_si
         return pa.Table.from_arrays(cols, names=names)
 
     partial_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    out_ds = partial_ds.groupby(keys).aggregate(*finals)
+    if n_buckets:
+        out_ds = bucketed_final(
+            partial_ds, keys,
+            pa_aggs=[(pname, ffn) for pname, ffn in final_specs],
+            out_names=[pname for pname, _ in final_specs],
+            n_buckets=n_buckets,
+        )
+    else:
+        out_ds = partial_ds.groupby(keys).aggregate(*finals)
 
     if derive_means:
         def derive(t: pa.Table) -> pa.Table:

@@ -9,33 +9,31 @@ distributed aggregations over the flat mentions table:
   * convs_spanned     = exact distinct conv_id per entity key
   * freq_per_conv     = total_count / convs_spanned
 
-Exact distinct at scale: first collapse to distinct (entity, conv_id) pairs
-(itself a pre-aggregated groupby — the pair cardinality is bounded by
-mentions and hot keys are diluted by the conv_id dimension), then count per
-entity. The entity key is the normalized surface (``norm``) — the
-reference keys raw model output strings; its model path emits lowercased
-surfaces, making ``norm`` the faithful scale-out key (SURVEY.md §2.7).
+Exact distinct at scale: first collapse to per-(entity, conv_id) counts
+(a pre-aggregated two-phase groupby — hot keys are diluted by the conv_id
+dimension), then count pairs per entity. Both shuffles use the coarse-
+bucket Arrow final (ops.relational.bucketed_final): the pair key space is
+#entities x #convs, far too many groups for a Python-per-group combine.
+
+The entity key is the normalized surface (``norm``) — the reference keys
+raw model output strings; its model path emits lowercased surfaces, making
+``norm`` the faithful scale-out key (SURVEY.md §2.7).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Sum
+from easyner_ray.ops.relational import bucketed_final
 
 
 def _partial_pair_counts(batch: pa.Table) -> pa.Table:
-    norms = batch.column("norm").to_pylist()
-    convs = batch.column("conv_id").to_pylist()
-    acc: dict[tuple[str, str], int] = {}
-    for n, c in zip(norms, convs):
-        acc[(n, c)] = acc.get((n, c), 0) + 1
-    keys = sorted(acc)
+    g = batch.group_by(["norm", "conv_id"]).aggregate([("norm", "count")])
     return pa.Table.from_arrays(
         [
-            pa.array([k[0] for k in keys], pa.string()),
-            pa.array([k[1] for k in keys], pa.string()),
-            pa.array([acc[k] for k in keys], pa.int64()),
+            g.column("norm"),
+            g.column("conv_id"),
+            g.column("norm_count").cast(pa.int64()),
         ],
         names=["entity", "conv_id", "n"],
     )
@@ -46,10 +44,26 @@ def entity_frequency(mentions, batch_size: int = 65536):
     pairs = mentions.map_batches(
         _partial_pair_counts, batch_format="pyarrow", batch_size=batch_size
     )
-    per_pair = pairs.groupby(["entity", "conv_id"]).aggregate(Sum("n", alias_name="n"))
-    freq = per_pair.groupby("entity").aggregate(
-        Sum("n", alias_name="total_count"), Count(alias_name="convs_spanned")
+    per_pair = bucketed_final(pairs, ["entity", "conv_id"],
+                              pa_aggs=[("n", "sum")], out_names=["n"])
+
+    def pair_to_entity_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["entity"]).aggregate([("n", "sum"), ("n", "count")])
+        return pa.Table.from_arrays(
+            [
+                g.column("entity"),
+                g.column("n_sum").cast(pa.int64()),
+                g.column("n_count").cast(pa.int64()),
+            ],
+            names=["entity", "tc", "cs"],
+        )
+
+    entity_partial = per_pair.map_batches(
+        pair_to_entity_partial, batch_format="pyarrow", batch_size=batch_size
     )
+    freq = bucketed_final(entity_partial, ["entity"],
+                          pa_aggs=[("tc", "sum"), ("cs", "sum")],
+                          out_names=["total_count", "convs_spanned"])
 
     def derive(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

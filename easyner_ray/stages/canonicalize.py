@@ -1,14 +1,18 @@
 """Node canonicalization + edge aggregation — THE wide shuffles of the KG
 build (SURVEY.md §2.5 A8, §4).
 
-Both are two-phase (partial-then-final) aggregations: a vectorized
-``map_batches`` pass first collapses each batch to one row per key, so the
-``groupby`` that follows shuffles at most (#keys x #batches) rows instead of
+Both are two-phase (partial-then-final) aggregations: a VECTORIZED
+``pyarrow.Table.group_by`` pass collapses each batch to one row per key, so
+the shuffle that follows moves at most (#keys x #batches) rows instead of
 every mention. This is what makes hot keys (the "rapamycin" pattern — one
-entity in >60% of documents, cf. the reference's sample analysis TSV)
-safe: a hot key contributes ONE partial row per batch regardless of its
-in-batch frequency, which bounds the final group size by the batch count —
-the same guarantee salting would give, without a salt column.
+entity in >60% of documents, cf. the reference's sample analysis TSV) safe:
+a hot key contributes ONE partial row per batch regardless of its in-batch
+frequency, which bounds the final group size by the batch count — the same
+guarantee salting would give, without a salt column.
+
+The final combine is a native Ray ``groupby().aggregate`` (Sum + a custom
+``AggregateFnV2`` for the alias union) — no per-group pandas ``map_groups``,
+so the node count can grow to millions without a Python-per-group penalty.
 
 ``node_id`` is a deterministic content hash ``md5(cls|norm)[:16]`` — so
 edges resolve their endpoint ids by hashing, with NO join against the nodes
@@ -20,7 +24,6 @@ from __future__ import annotations
 import hashlib
 import json
 
-import pandas as pd
 import pyarrow as pa
 
 from easyner_ray import schemas
@@ -33,118 +36,135 @@ def node_id(cls: str, norm: str) -> str:
 
 
 def _partial_nodes(batch: pa.Table) -> pa.Table:
-    norms = batch.column("norm").to_pylist()
-    clss = batch.column("cls").to_pylist()
-    surfs = batch.column("surface").to_pylist()
-    acc: dict[tuple[str, str], list] = {}
-    for norm, cls, surf in zip(norms, clss, surfs):
-        ent = acc.get((norm, cls))
-        if ent is None:
-            acc[(norm, cls)] = [1, {surf}]
-        else:
-            ent[0] += 1
-            if len(ent[1]) < MAX_ALIASES:
-                ent[1].add(surf)
-    keys = sorted(acc)
+    g = batch.group_by(["norm", "cls"]).aggregate(
+        [("surface", "count"), ("surface", "distinct")]
+    )
+    aliases = [
+        sorted(x)[:MAX_ALIASES] for x in g.column("surface_distinct").to_pylist()
+    ]
     return pa.Table.from_arrays(
         [
-            pa.array([k[0] for k in keys], pa.string()),
-            pa.array([k[1] for k in keys], pa.string()),
-            pa.array([acc[k][0] for k in keys], pa.int64()),
-            pa.array([sorted(acc[k][1]) for k in keys], pa.list_(pa.string())),
+            g.column("norm"),
+            g.column("cls"),
+            g.column("surface_count").cast(pa.int64()),
+            pa.array(aliases, pa.list_(pa.string())),
         ],
         names=["norm", "cls", "n", "aliases"],
     )
 
 
-def canonical_nodes(mentions, batch_size: int = 65536):
-    """Flat mentions Dataset -> nodes Dataset (schemas.NODES)."""
-    partial = mentions.map_batches(_partial_nodes, batch_format="pyarrow", batch_size=batch_size)
+def _combine_nodes_bucket(t: pa.Table) -> pa.Table:
+    """Per-bucket vectorized final: sum counts; union alias lists by
+    flattening list offsets (Arrow kernels) + one distinct group_by."""
+    import pyarrow.compute as pc
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        norm = g["norm"].iloc[0]
-        cls = g["cls"].iloc[0]
-        aliases: set[str] = set()
-        for a in g["aliases"]:
-            aliases.update(a)
-            if len(aliases) >= MAX_ALIASES:
-                break
-        return pd.DataFrame(
-            {
-                "node_id": [node_id(cls, norm)],
-                "norm": [norm],
-                "cls": [cls],
-                "n_mentions": pd.array([int(g["n"].sum())], dtype="int64"),
-                "aliases": [sorted(aliases)[:MAX_ALIASES]],
-            }
+    counts = t.group_by(["norm", "cls"]).aggregate([("n", "sum")])
+    # flatten aliases with their parent (norm, cls) keys, then distinct-list
+    al = t.column("aliases").combine_chunks()
+    flat_al = pc.list_flatten(al)
+    parent = pc.list_parent_indices(al)
+    keys = pa.Table.from_arrays(
+        [
+            t.column("norm").take(parent),
+            t.column("cls").take(parent),
+            flat_al,
+        ],
+        names=["norm", "cls", "alias"],
+    )
+    al_g = keys.group_by(["norm", "cls"]).aggregate([("alias", "distinct")])
+    # pyarrow's join can't carry list columns; align counts to the alias
+    # rows with a per-bucket dict (bucket keyspace is #nodes / n_buckets)
+    cnt = {
+        (n, c): v
+        for n, c, v in zip(
+            counts.column("norm").to_pylist(),
+            counts.column("cls").to_pylist(),
+            counts.column("n_sum").to_pylist(),
         )
+    }
+    norms = al_g.column("norm").to_pylist()
+    clss = al_g.column("cls").to_pylist()
+    aliases = [sorted(x)[:MAX_ALIASES] for x in al_g.column("alias_distinct").to_pylist()]
+    ids = [node_id(c, n) for c, n in zip(clss, norms)]
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(norms, pa.string()),
+            pa.array(clss, pa.string()),
+            pa.array([cnt[(n, c)] for n, c in zip(norms, clss)], pa.int64()),
+            pa.array(aliases, pa.list_(pa.string())),
+        ],
+        schema=schemas.NODES,
+    )
 
-    return partial.groupby(["norm", "cls"]).map_groups(final, batch_format="pandas")
+
+def canonical_nodes(mentions, batch_size: int = 65536, n_buckets: int = 64):
+    """Flat mentions Dataset -> nodes Dataset (schemas.NODES).
+
+    Final combine is a coarse-bucket shuffle (hash of norm) + per-bucket
+    Arrow group_by — no Python-per-group cost, so node cardinality can hit
+    millions (see ops.relational.bucketed_final for the rationale)."""
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    partial = mentions.map_batches(_partial_nodes, batch_format="pyarrow", batch_size=batch_size)
+    bucketed = partial.map_batches(
+        lambda t: add_hash_bucket(t, ["norm", "cls"], n_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("__bucket").map_groups(
+        _combine_nodes_bucket, batch_format="pyarrow"
+    )
 
 
 def _partial_edges(batch: pa.Table) -> pa.Table:
-    subj = batch.column("subj").to_pylist()
-    pred = batch.column("pred").to_pylist()
-    obj = batch.column("obj").to_pylist()
-    acc: dict[tuple[str, str, str], int] = {}
-    for s, p, o in zip(subj, pred, obj):
-        acc[(s, p, o)] = acc.get((s, p, o), 0) + 1
-    keys = sorted(acc)
+    g = batch.group_by(["subj", "pred", "obj"]).aggregate([("subj", "count")])
     return pa.Table.from_arrays(
         [
-            pa.array([k[0] for k in keys], pa.string()),
-            pa.array([k[1] for k in keys], pa.string()),
-            pa.array([k[2] for k in keys], pa.string()),
-            pa.array([acc[k] for k in keys], pa.int64()),
+            g.column("subj"),
+            g.column("pred"),
+            g.column("obj"),
+            g.column("subj_count").cast(pa.int64()),
         ],
         names=["subj", "pred", "obj", "w"],
     )
 
 
 def aggregate_edges(triples, batch_size: int = 65536, cls_of_norm=None):
-    """Triples Dataset -> aggregated edges (schemas.EDGES minus classes).
+    """Triples Dataset -> aggregated edges (schemas.EDGES).
 
     ``weight`` counts triple occurrences (one per sentence of evidence —
-    the per-sentence distinctness is already enforced upstream).
+    per-sentence distinctness is already enforced upstream).
     ``cls_of_norm``: optional broadcastable dict norm->cls used to compute
     endpoint node ids; when None, ids hash the bare norm (untyped graph).
     """
-    from ray.data.aggregate import Sum
-
-    partial = triples.map_batches(_partial_edges, batch_format="pyarrow", batch_size=batch_size)
-    agg = partial.groupby(["subj", "pred", "obj"]).aggregate(Sum("w", alias_name="weight"))
-
     import ray as _ray
 
-    cls_ref = cls_of_norm
+    from easyner_ray.ops.relational import bucketed_final
 
-    class AddIds:
-        def __init__(self, cls_ref=None):
-            self.cls_of = _ray.get(cls_ref) if isinstance(cls_ref, _ray.ObjectRef) else (cls_ref or {})
+    partial = triples.map_batches(_partial_edges, batch_format="pyarrow", batch_size=batch_size)
+    agg = bucketed_final(partial, ["subj", "pred", "obj"],
+                         pa_aggs=[("w", "sum")], out_names=["weight"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            subj = t.column("subj").to_pylist()
-            obj = t.column("obj").to_pylist()
-            sid = [node_id(self.cls_of.get(s, ""), s) for s in subj]
-            oid = [node_id(self.cls_of.get(o, ""), o) for o in obj]
-            return pa.Table.from_arrays(
-                [
-                    pa.array(sid, pa.string()),
-                    t.column("subj"),
-                    t.column("pred"),
-                    pa.array(oid, pa.string()),
-                    t.column("obj"),
-                    t.column("weight").cast(pa.int64()),
-                ],
-                schema=schemas.EDGES,
-            )
+    cls_ref = _ray.put(cls_of_norm) if isinstance(cls_of_norm, dict) and cls_of_norm else cls_of_norm
 
-    return agg.map_batches(
-        AddIds,
-        fn_constructor_kwargs={"cls_ref": cls_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    def add_ids(t: pa.Table) -> pa.Table:
+        cls_of = _ray.get(cls_ref) if isinstance(cls_ref, _ray.ObjectRef) else (cls_ref or {})
+        subj = t.column("subj").to_pylist()
+        obj = t.column("obj").to_pylist()
+        sid = [node_id(cls_of.get(s, ""), s) for s in subj]
+        oid = [node_id(cls_of.get(o, ""), o) for o in obj]
+        return pa.Table.from_arrays(
+            [
+                pa.array(sid, pa.string()),
+                t.column("subj"),
+                t.column("pred"),
+                pa.array(oid, pa.string()),
+                t.column("obj"),
+                t.column("weight").cast(pa.int64()),
+            ],
+            schema=schemas.EDGES,
+        )
+
+    return agg.map_batches(add_ids, batch_format="pyarrow")
 
 
 def lineage_record(stage: str, inputs: list[str], extra: dict | None = None) -> str:
