@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_entities": q.kg_top_entities,
         "kg_linked_mentions": q.kg_linked_mentions,
         "kg_search": q.kg_search,
+        "kg_doc_spans": q.kg_doc_spans,
+        "kg_triple_prf": q.kg_triple_prf,            # P/R gate artifact: rows-only
     }
 
 

@@ -205,6 +205,15 @@ KG = {
                coalesce(a.id, '') AS entity_id
         FROM {GM} m LEFT JOIN {AL} a ON m.norm = a.term
     """,
+    "kg_doc_spans": f"""
+        SELECT m.conv_id, m.turn_idx, m.sent_idx, m.mention_idx, m.surface,
+               m.norm, m.cls,
+               CAST(m.start + s.char_start AS INTEGER) AS doc_start,
+               CAST(m."end" + s.char_start AS INTEGER) AS doc_end
+        FROM {GM} m JOIN {GS} s
+          ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+         AND m.sent_idx = s.sent_idx
+    """,
     "kg_search": f"""
         SELECT conv_id, turn_idx, sent_idx, count(*) AS n_watch_mentions
         FROM {GM}

@@ -373,3 +373,71 @@ def kg_search(sf_dir: str):
     sm = tag_mentions(_sentences(sf_dir), vocabulary())
     hits = search_sentences(sm, WATCHLIST)
     return hits.select_columns(["conv_id", "turn_idx", "sent_idx", "n_watch_mentions"])
+
+
+def kg_doc_spans(sf_dir: str):
+    """M8 span re-basing: mentions with turn-level char offsets (engine
+    carries exact sentence char_start, so this is a vectorized add)."""
+    from easyner_ray.stages.rebase import mentions_with_char_start, rebase_mentions
+
+    sents = _sentences(sf_dir)
+    rebased = rebase_mentions(mentions_with_char_start(sents, _mentions(sf_dir)))
+    return rebased.select_columns(
+        ["conv_id", "turn_idx", "sent_idx", "mention_idx", "surface", "norm",
+         "cls", "doc_start", "doc_end"]
+    )
+
+
+def kg_triple_prf(sf_dir: str):
+    """North-rule gate artifact: engine triples vs gold-derived triples
+    P/R/F (single-row table). Gold triples come from the analytic gold
+    mentions — engine-independent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from easyner_ray.stages.metrics import triple_prf
+
+    gold_m = rd.read_parquet(os.path.join(_corpus(sf_dir), "gold_mentions.parquet"))
+
+    def gold_triples_batch(t: pa.Table) -> pa.Table:
+        import collections
+
+        by_sent: dict = collections.defaultdict(set)
+        for c, ti, si, n in zip(
+            t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist(),
+            t.column("sent_idx").to_pylist(), t.column("norm").to_pylist(),
+        ):
+            by_sent[(c, ti, si)].add(n)
+        rows = {k: [] for k in ("subj", "pred", "obj", "conv_id", "turn_idx", "sent_idx")}
+        for (c, ti, si), norms in by_sent.items():
+            u = sorted(norms)
+            for a in u:
+                for b in u:
+                    if a != b:
+                        rows["subj"].append(a)
+                        rows["pred"].append("co_occurs_with")
+                        rows["obj"].append(b)
+                        rows["conv_id"].append(c)
+                        rows["turn_idx"].append(ti)
+                        rows["sent_idx"].append(si)
+        from easyner_ray import schemas
+
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in schemas.TRIPLES], schema=schemas.TRIPLES
+        )
+
+    # A sentence's gold mentions must not split across tasks (pairs between
+    # the halves would be lost): bucket on the sentence key first so each
+    # group task sees whole sentences.
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    bucketed = gold_m.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id", "turn_idx", "sent_idx"], 64),
+        batch_format="pyarrow",
+    )
+    gold_t = bucketed.groupby("__bucket").map_groups(
+        lambda t: gold_triples_batch(t), batch_format="pyarrow"
+    )
+    pred_t = kg_triples(sf_dir)
+    res = triple_prf(pred_t, gold_t)
+    return pd.DataFrame([res])

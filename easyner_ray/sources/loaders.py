@@ -1,0 +1,247 @@
+"""Corpus loaders (SURVEY.md §2.1 S3-S6 re-expressed for Ray Data).
+
+Every loader lands the reference's implicit ``{doc_id: {title, abstract}}``
+JSON shape as an explicit Arrow table ``docs(doc_id:string, title:string,
+abstract:string)``, from which the transcript-shaped pipeline (or the
+documents-table ops) proceeds.
+
+  * :func:`load_text_dir` — reference ``text_loader.py:6-38`` (S4): one
+    ``*.txt`` file per doc, ids ``prefix_<i>`` in sorted-path order.
+  * :func:`load_articles_csv` — reference ``cord_loader.py:14-103`` (S3):
+    CSV metadata with an id-precedence chain, empty-title/abstract filter
+    and optional id-subset semi-join.
+  * :func:`load_pubtator` — reference
+    ``convert_hunflair2_pubtator_to_json.py:47-66`` (S5): ``id|t|`` /
+    ``id|a|`` line format.
+  * :func:`to_easyner_json` / :func:`from_easyner_json` — the reference's
+    batched-JSON artifact shape (S6), used only for golden-artifact tests;
+    Parquet is the engine's real interchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DOCS_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("title", pa.string()), ("abstract", pa.string())]
+)
+
+ID_PRECEDENCE = ("cord_uid", "doi", "pmcid", "pubmed_id", "mag_id",
+                 "who_covidence_id", "arxiv_id")
+
+
+def load_text_dir(path: str, prefix: str = "doc"):
+    """Each ``*.txt`` file -> one row (title=filename stem, abstract=joined
+    lines); ids ``<prefix>_<i>`` by sorted file order (S4 semantics)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, include_paths=True, file_extensions=["txt"])
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        rows = sorted(zip(paths, blobs))
+        return pa.Table.from_arrays(
+            [
+                pa.array([p for p, _ in rows], pa.string()),
+                pa.array([os.path.splitext(os.path.basename(p))[0] for p, _ in rows], pa.string()),
+                pa.array([" ".join(b.decode("utf-8", "replace").splitlines()) for _, b in rows], pa.string()),
+            ],
+            names=["__path", "title", "abstract"],
+        )
+
+    with_paths = ds.map_batches(to_docs, batch_format="pyarrow")
+    # deterministic ids by global sorted-path order (the reference sorts the
+    # file listing); sort is cheap — one row per file
+    ordered = with_paths.sort("__path")
+
+    def add_ids(batch: pa.Table, prefix=prefix) -> pa.Table:
+        # NOTE: ids are per-sorted-order; Ray gives no global row index in
+        # map_batches, so derive the id from the path hash instead — stable
+        # across partitionings (documented divergence: reference uses a
+        # running integer; engine uses content-addressed ids).
+        ids = [f"{prefix}_{hashlib.md5(p.encode()).hexdigest()[:12]}"
+               for p in batch.column("__path").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), batch.column("title"), batch.column("abstract")],
+            schema=DOCS_SCHEMA,
+        )
+
+    return ordered.map_batches(add_ids, batch_format="pyarrow")
+
+
+def first_nonempty_id(batch: pa.Table, sha_fallback_col: str = "title") -> pa.Array:
+    """Vectorized id-precedence chain (reference ``cord_loader.py:53-83``):
+    first non-empty of ID_PRECEDENCE columns, else sha256 of the title."""
+    present = [c for c in ID_PRECEDENCE if c in batch.schema.names]
+    n = len(batch)
+    chosen = pa.nulls(n, pa.string())
+    for c in reversed(present):  # build coalesce right-to-left
+        # an all-empty CSV column is inferred as null type — cast first
+        col = batch.column(c).cast(pa.string())
+        valid = pc.and_(pc.is_valid(col), pc.not_equal(pc.coalesce(col, ""), ""))
+        chosen = pc.if_else(valid, col, chosen)
+    fallback = pa.array(
+        [hashlib.sha256((t or "").encode()).hexdigest()
+         for t in batch.column(sha_fallback_col).to_pylist()],
+        pa.string(),
+    )
+    return pc.coalesce(chosen, fallback)
+
+
+def load_articles_csv(path: str, id_subset: set[str] | None = None):
+    """CSV -> docs with precedence ids, dropping rows with empty
+    title/abstract; optional id-subset semi-join (S3 semantics)."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = first_nonempty_id(batch)
+        out = pa.Table.from_arrays(
+            [ids, batch.column("title"), batch.column("abstract")],
+            schema=DOCS_SCHEMA,
+        )
+        keep = pc.and_(
+            pc.greater(pc.utf8_length(pc.coalesce(out.column("title"), "")), 0),
+            pc.greater(pc.utf8_length(pc.coalesce(out.column("abstract"), "")), 0),
+        )
+        out = out.filter(keep)
+        if id_subset is not None:
+            out = out.filter(
+                pc.is_in(out.column("doc_id"), value_set=pa.array(sorted(id_subset), pa.string()))
+            )
+        return out
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def load_pubtator(path: str):
+    """PubTator ``id|t|title`` / ``id|a|abstract`` text -> docs (S5).
+
+    Title/abstract lines of one doc are adjacent in the file; the assemble
+    is a grouped combine keyed by doc id (coarse-bucketed like every other
+    high-cardinality groupby in the engine)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    lines = rd.read_text(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, kinds, texts = [], [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.split("|", 2)
+            if len(parts) == 3 and parts[1] in ("t", "a"):
+                ids.append(parts[0])
+                kinds.append(parts[1])
+                texts.append(parts[2])
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(kinds, pa.string()),
+             pa.array(texts, pa.string())],
+            names=["doc_id", "kind", "text"],
+        )
+
+    parsed = lines.map_batches(parse, batch_format="pyarrow")
+    bucketed = parsed.map_batches(
+        lambda t: add_hash_bucket(t, ["doc_id"], 64), batch_format="pyarrow"
+    )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="doc_id", columns="kind", values="text",
+                             aggfunc="first").reset_index()
+        for c in ("t", "a"):
+            if c not in piv:
+                piv[c] = ""
+        return pd.DataFrame({
+            "doc_id": piv["doc_id"],
+            "title": piv["t"].fillna(""),
+            "abstract": piv["a"].fillna(""),
+        })
+
+    return bucketed.groupby("__bucket").map_groups(assemble, batch_format="pandas")
+
+
+# ------------------------------------------------ golden JSON round-trip ---
+
+
+def to_easyner_json(sentence_mentions_table: pa.Table) -> dict:
+    """Materialize the reference's nested JSON artifact shape
+    ``{doc_id: {title, sentences: [{text?, entities, entity_spans}]}}``
+    from a nested sentence-mentions Arrow table — test/golden surface only
+    (reference ``splitter.py:51-67``, ``ner_main.py:85-86``)."""
+    out: dict = {}
+    t = sentence_mentions_table
+    has_text = "text" in t.schema.names
+    for i in range(len(t)):
+        cid = t.column("conv_id")[i].as_py()
+        doc = out.setdefault(cid, {"title": cid, "sentences": []})
+        ments = t.column("mentions")[i].as_py() or []
+        sent: dict = {
+            "entities": [m["surface"] for m in ments],
+            "entity_spans": [[m["start"], m["end"]] for m in ments],
+        }
+        if has_text:
+            sent["text"] = t.column("text")[i].as_py()
+        doc["sentences"].append(sent)
+    return out
+
+
+def from_easyner_json(blob: dict) -> pa.Table:
+    """Inverse of :func:`to_easyner_json` (flat mentions rows; spans kept
+    as stored — caller knows the per-operator span convention)."""
+    rows = {k: [] for k in ("conv_id", "sent_idx", "mention_idx", "surface", "start", "end")}
+    for cid, doc in blob.items():
+        for si, sent in enumerate(doc.get("sentences", [])):
+            for mi, (surf, span) in enumerate(
+                zip(sent.get("entities", []), sent.get("entity_spans", []))
+            ):
+                rows["conv_id"].append(cid)
+                rows["sent_idx"].append(si)
+                rows["mention_idx"].append(mi)
+                rows["surface"].append(surf)
+                rows["start"].append(span[0])
+                rows["end"].append(span[1])
+    return pa.Table.from_arrays(
+        [
+            pa.array(rows["conv_id"], pa.string()),
+            pa.array(rows["sent_idx"], pa.int32()),
+            pa.array(rows["mention_idx"], pa.int32()),
+            pa.array(rows["surface"], pa.string()),
+            pa.array(rows["start"], pa.int32()),
+            pa.array(rows["end"], pa.int32()),
+        ],
+        names=["conv_id", "sent_idx", "mention_idx", "surface", "start", "end"],
+    )
+
+
+def write_batched_json(sentence_mentions, out_dir: str, prefix: str = "ner",
+                       docs_per_batch: int = 1000) -> list[str]:
+    """Reference S6 sink shape: ``<prefix>-<i>.json`` files of at most
+    ``docs_per_batch`` docs each (insertion order). Golden-artifact surface;
+    collects to the driver, so fixture-scale only."""
+    import math
+
+    if isinstance(sentence_mentions, pa.Table):
+        tbl = sentence_mentions
+    else:
+        import ray
+
+        tbl = pa.concat_tables([ray.get(r) for r in sentence_mentions.to_arrow_refs()])
+    blob = to_easyner_json(tbl)
+    doc_ids = list(blob)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for bi in range(max(1, math.ceil(len(doc_ids) / docs_per_batch))):
+        chunk = {d: blob[d] for d in doc_ids[bi * docs_per_batch : (bi + 1) * docs_per_batch]}
+        p = os.path.join(out_dir, f"{prefix}-{bi + 1}.json")
+        with open(p, "w") as fh:
+            json.dump(chunk, fh, indent=2, ensure_ascii=False)
+        paths.append(p)
+    return paths

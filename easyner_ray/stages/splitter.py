@@ -59,25 +59,42 @@ def split_sentences(transcripts, batch_size: int = 2048):
     return transcripts.map_batches(split_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
-def reassemble_turns(sentences, batch_size: int = 4096):
+def reassemble_turns(sentences, batch_size: int = 8192, n_buckets: int = 64):
     """Inverse of :func:`split_sentences` — per-turn text via the
     reference's ``" ".join`` rule over sentences sorted by ``sent_idx``
     (reference ``convert_easyner_output_json_to_pubtator.py:34-57``).
+    Used by the per-turn text-equality gate and the PubTator-style exporter.
 
-    A per-(conv_id, turn_idx) grouped op; groups are tiny so
-    ``groupby().map_groups`` is fine. Used by the per-turn text-equality
-    gate and the PubTator-style exporter.
+    Two-phase to avoid a Python map_groups call per turn: phase 1 joins the
+    (contiguous) sentences of each turn *within a batch* into a fragment
+    keyed by its first ``sent_idx`` — explode preserved input order, so a
+    turn spans at most two adjacent batches; phase 2 shuffles fragments on
+    a coarse hash bucket of (conv_id, turn_idx) and joins the 1-2 fragments
+    per turn with a vectorized pandas groupby-agg inside the bucket.
     """
     import pandas as pd
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("sent_idx")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "turn_idx": [g["turn_idx"].iloc[0]],
-                "text": [" ".join(g["text"])],
-            }
-        )
+    from easyner_ray.ops.relational import add_hash_bucket
 
-    return sentences.groupby(["conv_id", "turn_idx"]).map_groups(join_group, batch_format="pandas")
+    def fragments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "sent_idx"], kind="mergesort")
+        g = df.groupby(["conv_id", "turn_idx"], sort=False)
+        out = g.agg(text=("text", " ".join), first_sent=("sent_idx", "min")).reset_index()
+        out["first_sent"] = out["first_sent"].astype("int32")
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out[["conv_id", "turn_idx", "first_sent", "text"]]
+
+    frag = sentences.map_batches(fragments, batch_format="pandas", batch_size=batch_size)
+    bucketed = frag.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id", "turn_idx"], n_buckets),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx", "first_sent"], kind="mergesort")
+        g = df.groupby(["conv_id", "turn_idx"], sort=False)
+        out = g.agg(text=("text", " ".join)).reset_index()
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out[["conv_id", "turn_idx", "text"]]
+
+    return bucketed.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -1,0 +1,184 @@
+"""Loader (S3-S6), span-rebase (M7/M8) and metrics (A4/A5) tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_load_text_dir(ray_session, tmp_path):
+    from easyner_ray.sources.loaders import load_text_dir
+
+    (tmp_path / "b.txt").write_text("second file\nline two")
+    (tmp_path / "a.txt").write_text("first file")
+    out = load_text_dir(str(tmp_path)).to_pandas().sort_values("title").reset_index(drop=True)
+    assert out["title"].tolist() == ["a", "b"]
+    assert out["abstract"].tolist() == ["first file", "second file line two"]
+    assert out["doc_id"].str.startswith("doc_").all()
+
+
+def test_load_articles_csv_precedence_and_filter(ray_session, tmp_path):
+    from easyner_ray.sources.loaders import load_articles_csv
+
+    csv = tmp_path / "meta.csv"
+    csv.write_text(
+        "cord_uid,doi,title,abstract\n"
+        "u1,d1,Title One,Abstract one\n"
+        ",d2,Title Two,Abstract two\n"
+        ",,Title Three,Abstract three\n"
+        "u4,d4,,Abstract four\n"          # empty title -> dropped
+        "u5,d5,Title Five,\n"             # empty abstract -> dropped
+    )
+    out = load_articles_csv(str(csv)).to_pandas().sort_values("title").reset_index(drop=True)
+    assert len(out) == 3
+    ids = dict(zip(out["title"], out["doc_id"]))
+    assert ids["Title One"] == "u1"          # cord_uid wins
+    assert ids["Title Two"] == "d2"          # falls back to doi
+    assert len(ids["Title Three"]) == 64     # sha256 fallback
+
+    sub = load_articles_csv(str(csv), id_subset={"u1"}).to_pandas()
+    assert sub["doc_id"].tolist() == ["u1"]
+
+
+def test_load_pubtator(ray_session, tmp_path):
+    from easyner_ray.sources.loaders import load_pubtator
+
+    p = tmp_path / "corpus.txt"
+    p.write_text(
+        "101|t|First title\n"
+        "101|a|First abstract text\n"
+        "102|t|Second title\n"
+        "102|a|Second abstract\n"
+        "\n"
+    )
+    out = load_pubtator(str(p)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ["101", "102"]
+    assert out["abstract"].tolist() == ["First abstract text", "Second abstract"]
+
+
+def test_easyner_json_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from easyner_ray.sources.loaders import from_easyner_json, to_easyner_json, write_batched_json
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+
+    sents = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "sent_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": ["The zetamycin level rose.", "No entities here.", "ABT1 and KRAV2 interact."],
+        "char_start": pa.array([0, 26, 0], pa.int32()),
+    }))
+    sm = tag_mentions(sents, vocabulary())
+    import ray as _r
+
+    tbl = pa.concat_tables([_r.get(r) for r in sm.to_arrow_refs()])
+    blob = to_easyner_json(tbl)
+    assert blob["c1"]["sentences"][0]["entities"] == ["zetamycin"]
+    back = from_easyner_json(blob)
+    assert back.num_rows == sum(len(s["entities"]) for d in blob.values() for s in d["sentences"])
+
+    paths = write_batched_json(tbl, str(tmp_path / "ner"), docs_per_batch=1)
+    assert [os.path.basename(p) for p in paths] == ["ner-1.json", "ner-2.json"]
+
+
+def test_rebase_spans_match_turn_text(ray_session, tiny_corpus):
+    """doc_start/doc_end index into the original TURN text exactly."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.kg import drop_empty_turns, read_transcripts
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+    from easyner_ray.stages.rebase import mentions_with_char_start, rebase_mentions
+    from easyner_ray.stages.splitter import split_sentences
+
+    ts = read_transcripts(os.path.join(tiny_corpus, "transcripts.parquet"))
+    sents = split_sentences(drop_empty_turns(ts))
+    mentions = explode_mentions(tag_mentions(sents, vocabulary()))
+    rebased = rebase_mentions(mentions_with_char_start(sents, mentions)).to_pandas()
+
+    turn_text = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in rd.read_parquet(os.path.join(tiny_corpus, "transcripts.parquet"))
+        .to_pandas().itertuples()
+    }
+    sample = rebased.sample(n=min(300, len(rebased)), random_state=1)
+    for r in sample.itertuples():
+        assert turn_text[(r.conv_id, r.turn_idx)][r.doc_start:r.doc_end] == r.surface
+
+
+def test_mention_prf_exact_and_tolerant():
+    import pandas as pd
+
+    from easyner_ray.stages.metrics import mention_prf
+
+    gold = pd.DataFrame({
+        "conv_id": ["c"] * 2, "turn_idx": [0, 0], "sent_idx": [0, 0],
+        "cls": ["gene", "chemical"], "start": [0, 10], "end": [4, 18],
+    })
+    pred = pd.DataFrame({
+        "conv_id": ["c"] * 2, "turn_idx": [0, 0], "sent_idx": [0, 0],
+        "cls": ["gene", "chemical"], "start": [0, 11], "end": [4, 19],  # chem off by 1
+    })
+    exact = mention_prf(pred, gold, offset_stride=0)
+    assert exact["micro"]["tp"] == 1 and exact["micro"]["fp"] == 1
+    tol = mention_prf(pred, gold, offset_stride=1)
+    assert tol["micro"] == {"tp": 2, "fp": 0, "fn": 0, "precision": 1.0, "recall": 1.0, "f1": 1.0}
+
+
+def test_triple_prf_gate(ray_session, tiny_corpus):
+    """North-rule gate on the tiny corpus: engine vs gold triples P/R = 1."""
+    import os
+
+    os.environ.setdefault("EASYNER_SYNTH_ROOT", os.path.dirname(tiny_corpus))
+    import ray.data as rd
+
+    from easyner_ray.pipelines.kg import drop_empty_turns, read_transcripts
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.metrics import triple_prf
+    from easyner_ray.stages.splitter import split_sentences
+    from easyner_ray.stages.triples import sentence_triples
+
+    ts = read_transcripts(os.path.join(tiny_corpus, "transcripts.parquet"))
+    pred = sentence_triples(tag_mentions(split_sentences(drop_empty_turns(ts)), vocabulary()))
+
+    gm = rd.read_parquet(os.path.join(tiny_corpus, "gold_mentions.parquet")).to_pandas()
+    rows = []
+    for key, grp in gm.groupby(["conv_id", "turn_idx", "sent_idx"]):
+        u = sorted(set(grp["norm"]))
+        for a in u:
+            for b in u:
+                if a != b:
+                    rows.append((a, "co_occurs_with", b, *key))
+    import pandas as pd
+
+    gold = pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx", "sent_idx"])
+    gold["turn_idx"] = gold["turn_idx"].astype("int32")
+    gold["sent_idx"] = gold["sent_idx"].astype("int32")
+    res = triple_prf(pred, rd.from_pandas(gold))
+    assert res["precision"] == 1.0 and res["recall"] == 1.0, res
+
+
+def test_iob_token_metrics():
+    from easyner_ray.stages.metrics import iob_token_metrics
+
+    pred = [["B-gene", "I-gene", "O", "B-chem"]]
+    true = [["B-gene", "I-gene", "O", "O"]]
+    m = iob_token_metrics(pred, true)
+    assert m["per_class"]["gene"]["f1"] == 1.0
+    assert m["per_class"]["chem"]["precision"] == 0.0
+    assert m["micro"]["recall"] == 1.0  # the one true span was found
+
+
+def test_normalize_newlines(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.stages.rebase import normalize_newlines
+
+    ds = rd.from_arrow(pa.table({"text": ["a\nb\n\nc", "no newlines"]}))
+    out = normalize_newlines(ds).to_pandas()
+    assert out["text"].tolist() == ["a b c", "no newlines"]
