@@ -76,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_search": q.kg_search,
         "kg_doc_spans": q.kg_doc_spans,
         "kg_triple_prf": q.kg_triple_prf,            # P/R gate artifact: rows-only
+        "kg_merged_mentions": q.kg_merged_mentions,  # J2/J3 merge == gold oracle
+        "kg_resolved_mentions": q.kg_resolved_mentions,  # O6: rows-only
+        "kg_disambiguated": q.kg_disambiguated,      # scored NEL: rows-only
+        "events_hourly": q.events_hourly,
+        "events_sessions": q.events_sessions,
     }
 
 

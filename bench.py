@@ -25,18 +25,27 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 def run_headline(sf_dir: str) -> dict:
-    """KG build end-to-end; returns timings + throughput."""
+    """KG build end-to-end; returns timings + throughput.
+
+    GRAFT_BENCH_CORPUS overrides the input corpus directory (used by the
+    scaling mode to run a larger, compute-dominated job)."""
     import ray
 
     from easyner_ray.pipelines.kg import build_kg, read_transcripts
     from easyner_ray.sources.synthetic import ensure_for_sf_dir
 
-    corpus = ensure_for_sf_dir(sf_dir)  # generated once, cached on disk
+    corpus = os.environ.get("GRAFT_BENCH_CORPUS") or ensure_for_sf_dir(sf_dir)
     path = os.path.join(corpus, "transcripts.parquet")
     n_turns = read_transcripts(path).count()
 
     t0 = time.time()
-    out = build_kg(read_transcripts(path), ner_concurrency=(1, NUM_CPUS))
+    # Fixed-size NER pool sized to leave CPUs for the read stage: a pool
+    # covering every CPU starves ReadParquet (actors pin their CPU and the
+    # pool is the whole pipeline except the read — observed as near-idle
+    # actors at 100% pool size). Ramp-up of an autoscaling pool is also
+    # measurable at bench scale, hence fixed min=max.
+    pool = max(1, NUM_CPUS - 2)
+    out = build_kg(read_transcripts(path), ner_concurrency=(pool, pool))
     n_nodes = out["nodes"].count()
     n_edges = out["edges"].count()
     wall = time.time() - t0
@@ -91,7 +100,7 @@ def bench_once() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     headline = run_headline(SF_DIR)
-    queries = run_queries(SF_DIR)
+    queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries(SF_DIR)
     result = {
         "metric": "kg_build_turns_per_sec",
         "value": headline["kg_build_sec"],
@@ -107,11 +116,30 @@ def bench_once() -> dict:
 
 def bench_scaling() -> dict:
     """Same job at two parallelism levels in FRESH processes (the sandbox
-    stand-in for two cluster sizes, BASELINE.json scaling gate)."""
+    stand-in for two cluster sizes, BASELINE.json scaling gate).
+
+    Uses a larger dedicated corpus (~1M turns) than the per-round bench so
+    the job is compute-dominated: scaling efficiency measures the
+    pipeline's parallel fraction, not Ray's fixed session/ramp overhead.
+    Override size via GRAFT_SCALING_SF (conversation-count scale factor).
+    """
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "0.5"))
+    corpus = os.environ.get("GRAFT_BENCH_CORPUS")
+    if not corpus:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                     logging_level="ERROR")
+        from easyner_ray.sources.synthetic import ensure_corpus
+
+        corpus = ensure_corpus(f"scaling{scaling_sf}", scaling_sf, with_gold=False)
+        ray.shutdown()
     levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")]
     runs = {}
     for cpus in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_CORPUS=corpus, GRAFT_HEADLINE_ONLY="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,

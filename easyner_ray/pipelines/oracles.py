@@ -225,3 +225,24 @@ KG = {
 
 def all_oracles() -> dict[str, str]:
     return {**RELATIONAL, **KG}
+
+RELATIONAL["events_hourly"] = """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+RELATIONAL["events_sessions"] = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM ordered GROUP BY user_id
+"""
+
+KG["kg_merged_mentions"] = KG["kg_mentions"]

@@ -29,9 +29,14 @@ def _rp(sf_dir: str, table: str, columns=None):
 
 
 def _round4(t: pa.Table, cols: list[str]) -> pa.Table:
+    # Python round(), not pc.round: pyarrow's scaling can return a double
+    # one ulp off the nearest representation of the rounded decimal
+    # (209.98000000000002 vs DuckDB's 209.98) — which breaks value-hash
+    # equality. Applied only to small FINAL aggregate tables.
     for c in cols:
         i = t.schema.get_field_index(c)
-        t = t.set_column(i, c, pc.round(t.column(c).cast(pa.float64()), ndigits=4))
+        vals = [None if v is None else round(v, 4) for v in t.column(c).to_pylist()]
+        t = t.set_column(i, c, pa.array(vals, pa.float64()))
     return t
 
 
@@ -441,3 +446,65 @@ def kg_triple_prf(sf_dir: str):
     pred_t = kg_triples(sf_dir)
     res = triple_prf(pred_t, gold_t)
     return pd.DataFrame([res])
+
+
+def kg_merged_mentions(sf_dir: str):
+    """J2/J3 multi-run merge: the vocabulary split across TWO dictionary
+    tagger pools, merged per sentence on the composite key. Equals the
+    single full-vocabulary pass exactly (dedupe on (start,end,cls)), so
+    the gold-mentions oracle applies unchanged."""
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+    from easyner_ray.stages.merge import merge_sentence_mentions
+
+    voc = vocabulary()
+    half_a, half_b = voc[::2], voc[1::2]
+    sents = _sentences(sf_dir)
+    a = tag_mentions(sents, half_a)
+    b = tag_mentions(_sentences(sf_dir), half_b)
+    merged = merge_sentence_mentions([a, b], resolve=False)
+    return explode_mentions(merged)
+
+
+def kg_resolved_mentions(sf_dir: str):
+    """O6 conflict resolution over the full tagger output (greedy
+    longest/priority/earliest; reference entity_merger2.py:99-146
+    semantics). Not SQL-expressible — unit-tested, rows-only here."""
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions
+    from easyner_ray.stages.merge import tag_mentions_multi
+
+    sm = tag_mentions_multi(_sentences(sf_dir), [vocabulary()], resolve=True)
+    return explode_mentions(sm)
+
+
+def kg_disambiguated(sf_dir: str):
+    """North-star NEL: candidate generation + scored disambiguation
+    (actor-pool stage with broadcast alias + stub KB embeddings)."""
+    import pyarrow.parquet as pq
+
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.disambiguate import disambiguate_mentions
+
+    alias = pq.read_table(os.path.join(_corpus(sf_dir), "alias.parquet"))
+    pairs = list(zip(alias.column("term").to_pylist(), alias.column("id").to_pylist()))
+    sm = tag_mentions(_sentences(sf_dir), vocabulary())
+    return disambiguate_mentions(sm, pairs).select_columns(
+        ["conv_id", "turn_idx", "sent_idx", "mention_idx", "norm", "entity_id"]
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window aggregate (vectorized floor_temporal key)."""
+    from easyner_ray.ops.windows import hourly_rollup
+
+    return hourly_rollup(_rp(sf_dir, "events", columns=["event_type", "ts", "value"]))
+
+
+def events_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — ordered per-user scan
+    inside coarse hash buckets."""
+    from easyner_ray.ops.windows import user_sessions
+
+    return user_sessions(_rp(sf_dir, "events", columns=["user_id", "event_id", "ts"]))

@@ -100,34 +100,47 @@ def merge_sentence_mentions(datasets, resolve: bool = True):
     ``entity_merger2.py:87-93`` — deduped on (start, end, cls), and
     optionally conflict-resolved (O6).
     """
+    from easyner_ray.ops.relational import add_hash_bucket
+
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        merged: list[dict] = []
-        for ms in g["mentions"]:
-            merged.extend(ms)
-        seen: set[tuple[int, int, str]] = set()
-        uniq: list[dict] = []
-        for m in sorted(merged, key=lambda m: (m["start"], m["end"], m["cls"])):
-            key = (m["start"], m["end"], m["cls"])
-            if key not in seen:
-                seen.add(key)
-                uniq.append(m)
-        if resolve:
-            uniq = resolve_conflicts(uniq)
-        else:
-            uniq = [dict(m, mention_idx=i) for i, m in enumerate(uniq)]
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One task per coarse bucket of sentence keys; the per-sentence
+        merge loop runs inside (bucket count, not sentence count, bounds
+        the task-launch overhead)."""
+        o_conv, o_turn, o_sent, o_ments = [], [], [], []
+        for (cid, ti, si), sub in g.groupby(["conv_id", "turn_idx", "sent_idx"], sort=False):
+            merged: list[dict] = []
+            for ms in sub["mentions"]:
+                merged.extend(ms)
+            seen: set[tuple[int, int, str]] = set()
+            uniq: list[dict] = []
+            for m in sorted(merged, key=lambda m: (m["start"], m["end"], m["cls"])):
+                key = (m["start"], m["end"], m["cls"])
+                if key not in seen:
+                    seen.add(key)
+                    uniq.append(m)
+            if resolve:
+                uniq = resolve_conflicts(uniq)
+            else:
+                uniq = [dict(m, mention_idx=i) for i, m in enumerate(uniq)]
+            o_conv.append(cid)
+            o_turn.append(ti)
+            o_sent.append(si)
+            o_ments.append(uniq)
         return pd.DataFrame(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "turn_idx": pd.array([g["turn_idx"].iloc[0]], dtype="int32"),
-                "sent_idx": pd.array([g["sent_idx"].iloc[0]], dtype="int32"),
-                "mentions": [uniq],
+                "conv_id": o_conv,
+                "turn_idx": pd.array(o_turn, dtype="int32"),
+                "sent_idx": pd.array(o_sent, dtype="int32"),
+                "mentions": o_ments,
             }
         )
 
-    return ds.groupby(["conv_id", "turn_idx", "sent_idx"]).map_groups(
-        combine, batch_format="pandas"
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id", "turn_idx", "sent_idx"], 64),
+        batch_format="pyarrow",
     )
+    return bucketed.groupby("__bucket").map_groups(combine_bucket, batch_format="pandas")
