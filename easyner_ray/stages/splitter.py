@@ -20,8 +20,12 @@ from easyner_ray import schemas
 from easyner_ray.functions.sentencize import sentencize
 
 
-def split_batch(batch: pa.Table) -> pa.Table:
-    """Arrow in / Arrow out: explode turn rows into sentence rows."""
+def split_batch(batch: pa.Table, with_tokens: bool = False) -> pa.Table:
+    """Arrow in / Arrow out: explode turn rows into sentence rows.
+
+    ``with_tokens`` mirrors the reference's opt-in token store
+    (``ner_main.py:63-69``): appends a ``tokens`` list<string> column.
+    """
     conv = batch.column("conv_id").to_pylist()
     tidx = batch.column("turn_idx").to_pylist()
     texts = batch.column("text").to_pylist()
@@ -41,7 +45,7 @@ def split_batch(batch: pa.Table) -> pa.Table:
             o_text.append(sent)
             o_start.append(char_start)
 
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             pa.array(o_conv, pa.string()),
             pa.array(o_turn, pa.int32()),
@@ -51,12 +55,23 @@ def split_batch(batch: pa.Table) -> pa.Table:
         ],
         schema=schemas.SENTENCES,
     )
+    if with_tokens:
+        from easyner_ray.functions.tokenize import tokenize
+
+        out = out.append_column(
+            "tokens", pa.array([tokenize(t) for t in o_text], pa.list_(pa.string()))
+        )
+    return out
 
 
-def split_sentences(transcripts, batch_size: int = 2048):
+def split_sentences(transcripts, batch_size: int = 2048, with_tokens: bool = False):
     """transcripts Dataset -> sentences Dataset (stateless tasks: the
     sentencizer has no model state, so an actor pool would add nothing)."""
-    return transcripts.map_batches(split_batch, batch_format="pyarrow", batch_size=batch_size)
+    return transcripts.map_batches(
+        lambda b: split_batch(b, with_tokens=with_tokens),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
 
 
 def reassemble_turns(sentences, batch_size: int = 8192, n_buckets: int = 64):

@@ -85,33 +85,55 @@ def window_triples(mentions, window: int = 2):
     turn); ``sent_idx`` is -1 (turn-window provenance, not sentence-level).
     """
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        cid = g["conv_id"].iloc[0]
-        turn_norms: dict[int, set[str]] = {}
-        for ti, sub in g.groupby("turn_idx"):
-            turn_norms[int(ti)] = set(sub["norm"])
-        rows: set[tuple[str, str, int]] = set()
-        turns_sorted = sorted(turn_norms)
-        import bisect
+    import bisect
 
-        for idx, ti in enumerate(turns_sorted):
-            hi = bisect.bisect_right(turns_sorted, ti + window)
-            ents_here = turn_norms[ti]
-            for tj in turns_sorted[idx:hi]:
-                for a in ents_here:
-                    for b in turn_norms[tj]:
-                        if a != b:
-                            rows.add((a, b, ti))
-        rows_l = sorted(rows)
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One task per coarse bucket of conv_ids (a conversation never
+        splits across buckets); the windowed scan runs per conversation
+        inside."""
+        o_subj: list[str] = []
+        o_obj: list[str] = []
+        o_conv: list[str] = []
+        o_turn: list[int] = []
+        for cid, sub in g.groupby("conv_id", sort=False):
+            turn_norms: dict[int, set[str]] = {}
+            for ti, tsub in sub.groupby("turn_idx", sort=False):
+                turn_norms[int(ti)] = set(tsub["norm"])
+            rows: set[tuple[str, str, int]] = set()
+            turns_sorted = sorted(turn_norms)
+            for idx, ti in enumerate(turns_sorted):
+                hi = bisect.bisect_right(turns_sorted, ti + window)
+                ents_here = turn_norms[ti]
+                for tj in turns_sorted[idx:hi]:
+                    for a in ents_here:
+                        for b in turn_norms[tj]:
+                            if a != b:
+                                rows.add((a, b, ti))
+            for r in sorted(rows):
+                o_subj.append(r[0])
+                o_obj.append(r[1])
+                o_conv.append(cid)
+                o_turn.append(r[2])
         return pd.DataFrame(
             {
-                "subj": [r[0] for r in rows_l],
+                "subj": o_subj,
                 "pred": PRED_WINDOW,
-                "obj": [r[1] for r in rows_l],
-                "conv_id": cid,
-                "turn_idx": pd.array([r[2] for r in rows_l], dtype="int32"),
-                "sent_idx": pd.array([-1] * len(rows_l), dtype="int32"),
+                "obj": o_obj,
+                "conv_id": o_conv,
+                "turn_idx": pd.array(o_turn, dtype="int32"),
+                "sent_idx": pd.array([-1] * len(o_subj), dtype="int32"),
             }
         )
 
-    return mentions.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    bucketed = mentions.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id"], 64), batch_format="pyarrow"
+    )
+    out = bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+    # normalize pandas group blocks back to Arrow with the declared schema
+    # (unioning mixed block types breaks downstream batching)
+    return out.map_batches(
+        lambda t: schemas.ensure_schema(t, schemas.TRIPLES, "window_triples"),
+        batch_format="pyarrow",
+    )
