@@ -24,6 +24,18 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no cluster work)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def run_headline(sf_dir: str) -> dict:
     """KG build end-to-end; returns timings + throughput.
 
@@ -31,21 +43,20 @@ def run_headline(sf_dir: str) -> dict:
     scaling mode to run a larger, compute-dominated job)."""
     import ray
 
-    from easyner_ray.pipelines.kg import build_kg, read_transcripts
+    from easyner_ray.pipelines.kg import build_kg_single_pass, read_transcripts
     from easyner_ray.sources.synthetic import ensure_for_sf_dir
 
     corpus = os.environ.get("GRAFT_BENCH_CORPUS") or ensure_for_sf_dir(sf_dir)
     path = os.path.join(corpus, "transcripts.parquet")
-    n_turns = read_transcripts(path).count()
+    n_turns = _parquet_rows(path)
 
     t0 = time.time()
-    # Fixed-size NER pool sized to leave CPUs for the read stage: a pool
-    # covering every CPU starves ReadParquet (actors pin their CPU and the
-    # pool is the whole pipeline except the read — observed as near-idle
-    # actors at 100% pool size). Ramp-up of an autoscaling pool is also
-    # measurable at bench scale, hence fixed min=max.
-    pool = max(1, NUM_CPUS - 2)
-    out = build_kg(read_transcripts(path), ner_concurrency=(pool, pool))
+    # Fixed-size NER pool at a CONSTANT 7/8 fraction of the CPUs: a pool
+    # covering every CPU starves ReadParquet (actors pin their CPU), an
+    # autoscaling pool's ramp is measurable at bench scale, and an equal
+    # fraction across CPU levels keeps the scaling comparison fair.
+    pool = max(1, (NUM_CPUS * 7) // 8)
+    out = build_kg_single_pass(read_transcripts(path), ner_concurrency=(pool, pool))
     n_nodes = out["nodes"].count()
     n_edges = out["edges"].count()
     wall = time.time() - t0
@@ -123,7 +134,7 @@ def bench_scaling() -> dict:
     pipeline's parallel fraction, not Ray's fixed session/ramp overhead.
     Override size via GRAFT_SCALING_SF (conversation-count scale factor).
     """
-    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "0.5"))
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "5.0"))
     corpus = os.environ.get("GRAFT_BENCH_CORPUS")
     if not corpus:
         import ray

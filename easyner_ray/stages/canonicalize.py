@@ -98,7 +98,7 @@ def _combine_nodes_bucket(t: pa.Table) -> pa.Table:
     )
 
 
-def canonical_nodes(mentions, batch_size: int = 65536, n_buckets: int = 64):
+def canonical_nodes(mentions, batch_size: int = 524288, n_buckets: int = 64):
     """Flat mentions Dataset -> nodes Dataset (schemas.NODES).
 
     Final combine is a coarse-bucket shuffle (hash of norm) + per-bucket
@@ -128,7 +128,7 @@ def _partial_edges(batch: pa.Table) -> pa.Table:
     )
 
 
-def aggregate_edges(triples, batch_size: int = 65536, cls_of_norm=None):
+def aggregate_edges(triples, batch_size: int = 524288, cls_of_norm=None):
     """Triples Dataset -> aggregated edges (schemas.EDGES).
 
     ``weight`` counts triple occurrences (one per sentence of evidence —

@@ -57,6 +57,54 @@ def sentence_mentions_table(
     )
 
 
+def sentence_mentions_table_flat(
+    batch: pa.Table, per_row_found: list[list[tuple[int, int, str, str]]]
+) -> pa.Table:
+    """Build the nested mentions column DIRECTLY as
+    ``ListArray(offsets, StructArray)`` from flat per-row match tuples —
+    skips the list-of-dicts detour (python dict -> Arrow struct conversion
+    was the NER stage's hottest non-matcher cost)."""
+    offsets = [0]
+    f_idx: list[int] = []
+    f_surf: list[str] = []
+    f_norm: list[str] = []
+    f_cls: list[str] = []
+    f_start: list[int] = []
+    f_end: list[int] = []
+    total = 0
+    for found in per_row_found:
+        for i, (s, e, surf, cls) in enumerate(found):
+            f_idx.append(i)
+            f_surf.append(surf)
+            f_norm.append(norm_key(surf))
+            f_cls.append(cls)
+            f_start.append(s)
+            f_end.append(e)
+        total += len(found)
+        offsets.append(total)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(f_idx, pa.int32()),
+            pa.array(f_surf, pa.string()),
+            pa.array(f_norm, pa.string()),
+            pa.array(f_cls, pa.string()),
+            pa.array(f_start, pa.int32()),
+            pa.array(f_end, pa.int32()),
+        ],
+        fields=list(schemas.MENTION_STRUCT),
+    )
+    ments = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.Table.from_arrays(
+        [
+            batch.column("conv_id"),
+            batch.column("turn_idx"),
+            batch.column("sent_idx"),
+            ments,
+        ],
+        schema=schemas.SENTENCE_MENTIONS,
+    )
+
+
 class DictNER:
     def __init__(self, terms):
         if isinstance(terms, ray.ObjectRef):
@@ -65,8 +113,8 @@ class DictNER:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         find = self.matcher.find
-        rows = [mentions_to_structs(find(t)) for t in batch.column("text").to_pylist()]
-        return sentence_mentions_table(batch, rows)
+        rows = [find(t) for t in batch.column("text").to_pylist()]
+        return sentence_mentions_table_flat(batch, rows)
 
 
 def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024, num_cpus: float = 1):
@@ -86,26 +134,30 @@ def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024
 
 
 def explode_mentions_batch(batch: pa.Table) -> pa.Table:
-    """Nested sentence-mentions -> flat mentions rows (row-local explode)."""
-    conv = batch.column("conv_id").to_pylist()
-    tidx = batch.column("turn_idx").to_pylist()
-    sidx = batch.column("sent_idx").to_pylist()
-    ments = batch.column("mentions").to_pylist()
+    """Nested sentence-mentions -> flat mentions rows.
 
-    o = {k: [] for k in schemas.MENTIONS.names}
-    for cid, ti, si, ms in zip(conv, tidx, sidx, ments):
-        for m in ms:
-            o["conv_id"].append(cid)
-            o["turn_idx"].append(ti)
-            o["sent_idx"].append(si)
-            o["mention_idx"].append(m["mention_idx"])
-            o["surface"].append(m["surface"])
-            o["norm"].append(m["norm"])
-            o["cls"].append(m["cls"])
-            o["start"].append(m["start"])
-            o["end"].append(m["end"])
+    Fully vectorized: ``list_flatten`` exposes the struct children
+    directly and ``list_parent_indices`` + ``take`` replicate the sentence
+    keys — no ``to_pylist`` (python-dict materialization of nested columns
+    was the explode's entire cost)."""
+    import pyarrow.compute as pc
+
+    ments = batch.column("mentions").combine_chunks()
+    flat = pc.list_flatten(ments)
+    parent = pc.list_parent_indices(ments)
     return pa.Table.from_arrays(
-        [pa.array(o[f.name], f.type) for f in schemas.MENTIONS], schema=schemas.MENTIONS
+        [
+            batch.column("conv_id").take(parent),
+            batch.column("turn_idx").take(parent),
+            batch.column("sent_idx").take(parent),
+            flat.field("mention_idx"),
+            flat.field("surface"),
+            flat.field("norm"),
+            flat.field("cls"),
+            flat.field("start"),
+            flat.field("end"),
+        ],
+        schema=schemas.MENTIONS,
     )
 
 

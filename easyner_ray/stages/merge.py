@@ -28,7 +28,7 @@ import ray
 from easyner_ray.functions.conflict import resolve_conflicts
 from easyner_ray.functions.phrase_match import PhraseMatcher
 from easyner_ray.functions.sepmerge import separator_merge
-from easyner_ray.stages.dict_ner import mentions_to_structs, sentence_mentions_table
+from easyner_ray.stages.dict_ner import mentions_to_structs, sentence_mentions_table_flat
 
 
 class MultiNER:
@@ -47,22 +47,33 @@ class MultiNER:
         self.resolve = resolve
         self.sep_merge = sep_merge
 
-    def tag(self, text: str) -> list[dict]:
-        found: list[tuple[int, int, str, str]] = []
-        for matcher, lower in zip(self.matchers, self.lower):
-            for s, e, surf, cls in matcher.find(text):
-                found.append((s, e, surf.lower() if lower else surf, cls))
-        found.sort(key=lambda m: (m[0], m[1], m[3]))
-        ms = mentions_to_structs(found)
+    def tag(self, text: str) -> list[tuple[int, int, str, str]]:
+        """-> sorted (start, end, surface, cls) tuples (the fast path when
+        no postprocessing is enabled — struct building stays columnar)."""
+        if len(self.matchers) == 1 and not self.lower[0]:
+            found = self.matchers[0].find(text)  # already sorted
+        else:
+            found = []
+            for matcher, lower in zip(self.matchers, self.lower):
+                for s, e, surf, cls in matcher.find(text):
+                    found.append((s, e, surf.lower() if lower else surf, cls))
+            found.sort(key=lambda m: (m[0], m[1], m[3]))
+        return found
+
+    def tag_post(self, text: str) -> list[tuple[int, int, str, str]]:
+        """tag + separator-merge / conflict-resolution postprocessing
+        (dict-shaped internally, returned as tuples)."""
+        ms = mentions_to_structs(self.tag(text))
         if self.sep_merge:
             ms = separator_merge(ms, text)
         if self.resolve:
             ms = resolve_conflicts(ms)
-        return ms
+        return [(m["start"], m["end"], m["surface"], m["cls"]) for m in ms]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = [self.tag(t) for t in batch.column("text").to_pylist()]
-        return sentence_mentions_table(batch, rows)
+        fn = self.tag_post if (self.sep_merge or self.resolve) else self.tag
+        rows = [fn(t) for t in batch.column("text").to_pylist()]
+        return sentence_mentions_table_flat(batch, rows)
 
 
 def tag_mentions_multi(

@@ -32,7 +32,7 @@ import ray
 
 from easyner_ray.functions.phrase_match import PhraseMatcher
 from easyner_ray.functions.tokenize import norm_key
-from easyner_ray.stages.dict_ner import mentions_to_structs, sentence_mentions_table
+from easyner_ray.stages.dict_ner import mentions_to_structs, sentence_mentions_table_flat
 
 try:  # pragma: no cover - not installed in the sandbox
     import transformers  # noqa: F401
@@ -63,10 +63,10 @@ class StubModelNER:
         rows = []
         for text in batch.column("text").to_pylist():
             try:
-                rows.append(mentions_to_structs(self._predict(text)))
+                rows.append(self._predict(text))
             except Exception:
                 rows.append([])  # reference error policy: empty per-row prediction
-        return sentence_mentions_table(batch, rows)
+        return sentence_mentions_table_flat(batch, rows)
 
 
 class TransformersNER:  # pragma: no cover - exercised only where HF is installed
@@ -103,11 +103,9 @@ class TransformersNER:  # pragma: no cover - exercised only where HF is installe
                 except Exception:
                     preds = []
             rows.append(
-                mentions_to_structs(
-                    [(int(p["start"]), int(p["end"]), p["word"], self.cls_name) for p in preds]
-                )
+                [(int(p["start"]), int(p["end"]), p["word"], self.cls_name) for p in preds]
             )
-        return sentence_mentions_table(batch, rows)
+        return sentence_mentions_table_flat(batch, rows)
 
 
 def tag_mentions_model(

@@ -29,38 +29,76 @@ PRED_WINDOW = "co_occurs_in_window"
 
 
 def sentence_triples_batch(batch: pa.Table) -> pa.Table:
-    conv = batch.column("conv_id").to_pylist()
-    tidx = batch.column("turn_idx").to_pylist()
-    sidx = batch.column("sent_idx").to_pylist()
-    ments = batch.column("mentions").to_pylist()
+    """Vectorized ordered-pair generation over the nested mentions column.
 
-    o_subj: list[str] = []
-    o_obj: list[str] = []
-    o_conv: list[str] = []
-    o_turn: list[int] = []
-    o_sent: list[int] = []
+    No ``to_pylist`` on the nested column (python-dict materialization was
+    the stage's entire cost): norms come out via ``list_flatten``,
+    per-sentence uniqueness via ``np.unique`` of (sentence, norm-code)
+    keys, and the all-ordered-pairs expansion is pure index arithmetic
+    (np.repeat + per-element rotation), so cost scales with the number of
+    OUTPUT triples in C, not python loop iterations.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
 
-    for cid, ti, si, ms in zip(conv, tidx, sidx, ments):
-        uniq = sorted({m["norm"] for m in ms})
-        if len(uniq) < 2:
-            continue
-        for a in uniq:
-            for b in uniq:
-                if a != b:
-                    o_subj.append(a)
-                    o_obj.append(b)
-                    o_conv.append(cid)
-                    o_turn.append(ti)
-                    o_sent.append(si)
+    ments = batch.column("mentions").combine_chunks()
+    flat = pc.list_flatten(ments)
+    if len(flat) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in schemas.TRIPLES], schema=schemas.TRIPLES
+        )
+    parent = pc.list_parent_indices(ments).to_numpy()
+    norms = flat.field("norm")
+    enc = pc.dictionary_encode(norms)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    dictionary = enc.dictionary
 
+    # distinct (sentence, norm) pairs, sorted by sentence then code
+    key = parent * (int(codes.max()) + 1) + codes
+    uniq_key = np.unique(key)
+    u_parent = uniq_key // (int(codes.max()) + 1)
+    u_code = uniq_key % (int(codes.max()) + 1)
+
+    # group sizes per sentence (u_parent is sorted)
+    sent_ids, first_idx, n_per = np.unique(u_parent, return_index=True, return_counts=True)
+    # drop sentences with < 2 distinct entities
+    keep = n_per >= 2
+    if not keep.any():
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in schemas.TRIPLES], schema=schemas.TRIPLES
+        )
+    # per unique mention element: its group size and group start
+    elem_n = np.repeat(n_per, n_per)          # group size per element
+    elem_start = np.repeat(first_idx, n_per)  # group start per element
+    sel = elem_n >= 2
+    elem_idx = np.nonzero(sel)[0]
+    en = elem_n[sel]
+    es = elem_start[sel]
+    local = elem_idx - es                     # local position in group
+
+    # each element pairs as subj with (n-1) objs: rank r in [0, n-2],
+    # obj_local = (local + 1 + r) % n
+    reps = en - 1
+    pair_subj = np.repeat(elem_idx, reps)
+    pair_n = np.repeat(en, reps)
+    pair_local = np.repeat(local, reps)
+    pair_start = np.repeat(es, reps)
+    total = len(pair_subj)
+    r = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+    pair_obj = pair_start + (pair_local + 1 + r) % pair_n
+
+    subj = dictionary.take(pa.array(u_code[pair_subj]))
+    obj = dictionary.take(pa.array(u_code[pair_obj]))
+    sent_row = u_parent[pair_subj]
+    sent_idx_arr = pa.array(sent_row)
     return pa.Table.from_arrays(
         [
-            pa.array(o_subj, pa.string()),
-            pa.array([PRED_SENTENCE] * len(o_subj), pa.string()),
-            pa.array(o_obj, pa.string()),
-            pa.array(o_conv, pa.string()),
-            pa.array(o_turn, pa.int32()),
-            pa.array(o_sent, pa.int32()),
+            subj,
+            pa.array([PRED_SENTENCE] * total, pa.string()),
+            obj,
+            batch.column("conv_id").take(sent_idx_arr),
+            batch.column("turn_idx").take(sent_idx_arr),
+            batch.column("sent_idx").take(sent_idx_arr),
         ],
         schema=schemas.TRIPLES,
     )
