@@ -51,14 +51,21 @@ def run_headline(sf_dir: str) -> dict:
     n_turns = _parquet_rows(path)
 
     t0 = time.time()
-    # Fixed-size NER pool at a CONSTANT 7/8 fraction of the CPUs: a pool
+    # Fixed-size NER pool at a CONSTANT 1/2 fraction of the CPUs: a pool
     # covering every CPU starves ReadParquet (actors pin their CPU), an
     # autoscaling pool's ramp is measurable at bench scale, and an equal
     # fraction across CPU levels keeps the scaling comparison fair.
-    pool = max(1, (NUM_CPUS * 7) // 8)
+    pool = max(1, NUM_CPUS // 2)
     out = build_kg_single_pass(read_transcripts(path), ner_concurrency=(pool, pool))
-    n_nodes = out["nodes"].count()
-    n_edges = out["edges"].count()
+    # consume the two graph outputs CONCURRENTLY — their final shuffles are
+    # small and latency-floor-bound, so serializing them taxes the high-CPU
+    # leg disproportionately
+    import concurrent.futures as _fut
+
+    with _fut.ThreadPoolExecutor(2) as ex:
+        f_nodes = ex.submit(out["nodes"].count)
+        f_edges = ex.submit(out["edges"].count)
+        n_nodes, n_edges = f_nodes.result(), f_edges.result()
     wall = time.time() - t0
     return {
         "kg_build_sec": round(wall, 3),
@@ -134,7 +141,7 @@ def bench_scaling() -> dict:
     pipeline's parallel fraction, not Ray's fixed session/ramp overhead.
     Override size via GRAFT_SCALING_SF (conversation-count scale factor).
     """
-    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "5.0"))
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "2.0"))
     corpus = os.environ.get("GRAFT_BENCH_CORPUS")
     if not corpus:
         import ray
@@ -146,7 +153,7 @@ def bench_scaling() -> dict:
 
         corpus = ensure_corpus(f"scaling{scaling_sf}", scaling_sf, with_gold=False)
         ray.shutdown()
-    levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")]
     runs = {}
     for cpus in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,

@@ -71,15 +71,33 @@ _FINAL_PA = {"sum": "sum", "min": "min", "max": "max"}
 
 def add_hash_bucket(batch: pa.Table, keys: list[str], n_buckets: int,
                     col: str = "__bucket") -> pa.Table:
-    """Append an int32 hash-bucket column over ``keys`` (crc32)."""
+    """Append an int32 hash-bucket column over ``keys``.
+
+    Hashes are computed on the DICTIONARY of distinct key values, not per
+    row: the composite key is dictionary-encoded (C), crc32 runs once per
+    distinct value, and rows get their bucket via a vectorized ``take`` —
+    on pre-aggregated streams distinct values are a small fraction of rows.
+    """
     import zlib
 
-    cols = [batch.column(k).to_pylist() for k in keys]
-    b = pa.array(
-        [zlib.crc32("\x00".join(map(str, row)).encode()) % n_buckets
-         for row in zip(*cols)],
-        pa.int32(),
+    import numpy as np
+
+    if len(batch) == 0:
+        return batch.append_column(col, pa.array([], pa.int32()))
+    if len(keys) == 1:
+        key_col = batch.column(keys[0]).combine_chunks().cast(pa.string())
+    else:
+        key_col = pc.binary_join_element_wise(
+            *[batch.column(k).combine_chunks().cast(pa.string()) for k in keys], "\x00"
+        )
+    enc = pc.dictionary_encode(key_col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_vals = enc.dictionary.to_pylist()
+    dict_buckets = np.array(
+        [zlib.crc32(v.encode()) % n_buckets for v in dict_vals], dtype=np.int32
     )
+    b = pa.array(dict_buckets[np.asarray(enc.indices)], pa.int32())
     return batch.append_column(col, b)
 
 
