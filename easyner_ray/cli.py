@@ -148,10 +148,15 @@ def run(config: dict, num_cpus: int | None = None) -> dict:
 
     # ---- optional analysis / search
     if not ignore.get("analysis", True):
-        from easyner_ray.stages.analysis import top_entities
+        from easyner_ray.stages.analysis import export_top_entities, top_entities
 
         with timed("analysis"):
-            summary["top_entities"] = top_entities(mentions, n=25).to_pandas().to_dict("records")
+            if out_dir:
+                summary["analysis_artifacts"] = export_top_entities(
+                    mentions, out_dir, n=int(config.get("analysis", {}).get("top_n", 50))
+                )
+            else:
+                summary["top_entities"] = top_entities(mentions, n=25).to_pandas().to_dict("records")
 
     if not ignore.get("search", True):
         from easyner_ray.stages.search import search_sentences

@@ -88,3 +88,36 @@ def top_entities(mentions, n: int = 50):
     return entity_frequency(mentions).sort(
         ["total_count", "entity"], descending=[True, False]
     ).limit(n)
+
+
+def export_top_entities(mentions, out_dir: str, n: int = 50, prefix: str = "analysis"):
+    """Reference A3 artifact surface (``analysis.py:82-150``): top-N entity
+    frequency table as TSV, plus a bar chart PNG when matplotlib is
+    installed (gated import — not present in this container).
+
+    Returns {"tsv": path, "png": path | None}.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = top_entities(mentions, n=n).to_pandas()
+    tsv = os.path.join(out_dir, f"{prefix}_top{n}.tsv")
+    df.to_csv(tsv, sep="\t", index=False)
+
+    png = None
+    try:  # pragma: no cover - matplotlib not installed in the sandbox
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, max(3, n * 0.25)))
+        ax.barh(df["entity"][::-1], df["total_count"][::-1])
+        ax.set_xlabel("total_count")
+        fig.tight_layout()
+        png = os.path.join(out_dir, f"{prefix}_top{n}.png")
+        fig.savefig(png)
+        plt.close(fig)
+    except ImportError:
+        pass
+    return {"tsv": tsv, "png": png}

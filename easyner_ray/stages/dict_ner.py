@@ -58,7 +58,8 @@ def sentence_mentions_table(
 
 
 def sentence_mentions_table_flat(
-    batch: pa.Table, per_row_found: list[list[tuple[int, int, str, str]]]
+    batch: pa.Table, per_row_found: list[list[tuple[int, int, str, str]]],
+    keep_text: bool = False,
 ) -> pa.Table:
     """Build the nested mentions column DIRECTLY as
     ``ListArray(offsets, StructArray)`` from flat per-row match tuples —
@@ -94,7 +95,7 @@ def sentence_mentions_table_flat(
         fields=list(schemas.MENTION_STRUCT),
     )
     ments = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             batch.column("conv_id"),
             batch.column("turn_idx"),
@@ -103,29 +104,36 @@ def sentence_mentions_table_flat(
         ],
         schema=schemas.SENTENCE_MENTIONS,
     )
+    if keep_text:
+        out = out.append_column("text", batch.column("text"))
+    return out
 
 
 class DictNER:
-    def __init__(self, terms):
+    def __init__(self, terms, keep_text: bool = False):
         if isinstance(terms, ray.ObjectRef):
             terms = ray.get(terms)
         self.matcher = PhraseMatcher(terms)
+        self.keep_text = keep_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         find = self.matcher.find
         rows = [find(t) for t in batch.column("text").to_pylist()]
-        return sentence_mentions_table_flat(batch, rows)
+        return sentence_mentions_table_flat(batch, rows, keep_text=self.keep_text)
 
 
-def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024, num_cpus: float = 1):
+def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024,
+                 num_cpus: float = 1, keep_text: bool = False):
     """sentences Dataset -> nested sentence-mentions Dataset via a DictNER
-    actor pool. ``terms`` may be list[(term, cls)] or an ObjectRef to one."""
+    actor pool. ``terms`` may be list[(term, cls)] or an ObjectRef to one.
+    ``keep_text`` carries the sentence text column through (the reference's
+    search output keeps (text, entities, spans), ``search.py:30-53``)."""
     terms_arg = terms
     if not isinstance(terms, ray.ObjectRef) and len(terms) > 10_000:
         terms_arg = ray.put(terms)
     return sentences.map_batches(
         DictNER,
-        fn_constructor_kwargs={"terms": terms_arg},
+        fn_constructor_kwargs={"terms": terms_arg, "keep_text": keep_text},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -20,17 +20,28 @@ class WatchlistFilter:
         self.watch = frozenset(watchlist)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ments = batch.column("mentions").to_pylist()
-        keep: list[int] = []
-        hits: list[int] = []
-        for i, ms in enumerate(ments):
-            n = sum(1 for m in ms if m["norm"] in self.watch)
-            if n:
-                keep.append(i)
-                hits.append(n)
+        """Vectorized: flatten mention norms, membership-test against the
+        watchlist, count hits per sentence via the parent indices."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ments = batch.column("mentions").combine_chunks()
+        flat = pc.list_flatten(ments)
+        if len(flat) == 0:
+            empty = batch.take(pa.array([], pa.int64()))
+            return empty.append_column(
+                pa.field("n_watch_mentions", pa.int64()), pa.array([], pa.int64())
+            )
+        parent = pc.list_parent_indices(ments).to_numpy()
+        is_hit = pc.is_in(
+            flat.field("norm"), value_set=pa.array(sorted(self.watch), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        counts = np.bincount(parent[is_hit], minlength=len(batch))
+        keep = np.nonzero(counts)[0]
         out = batch.take(pa.array(keep, pa.int64()))
         return out.append_column(
-            pa.field("n_watch_mentions", pa.int64()), pa.array(hits, pa.int64())
+            pa.field("n_watch_mentions", pa.int64()),
+            pa.array(counts[keep].astype("int64"), pa.int64()),
         )
 
 

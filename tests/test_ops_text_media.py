@@ -153,3 +153,25 @@ def test_grouped_agg_matches_pandas(ray_session):
     assert np.allclose(out["mx"], ref["mean"])
     assert out["n"].tolist() == ref["count"].tolist()
     assert np.allclose(out["mn"], ref["min"]) and np.allclose(out["mxx"], ref["max"])
+
+
+def test_media_features_feed_similarity_search(ray_session):
+    """Integration: multimodal feature extraction output plugs directly
+    into the ANN operator (schema compatibility media -> embeddings)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.ops.multimodal import extract_features, synthetic_media
+    from easyner_ray.ops.similarity import knn_brute
+
+    media = rd.from_arrow(synthetic_media(48))
+    feats = extract_features(media, dim=16).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("item_id"), t.column("feature")], names=["vec_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+    )
+    q = np.vstack(feats.limit(2).to_pandas()["embedding"].to_numpy())
+    out = knn_brute(feats, q.astype("float64"), k=3).to_pandas()
+    top1 = out[out["rank"] == 1].sort_values("query_id")
+    assert top1["vec_id"].tolist() == [0, 1]  # self-match at rank 1

@@ -1,0 +1,118 @@
+"""Property-based tests (SURVEY.md §5): explode/reassemble round-trip,
+dedup idempotence, matcher/span invariants — hypothesis over the pure
+functions (no Ray needed)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text made of words + sentence punctuation, with occasional abbreviations
+_words = st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=10),
+    min_size=1, max_size=30,
+)
+
+
+@st.composite
+def prose(draw):
+    words = draw(_words)
+    seps = draw(st.lists(st.sampled_from([" ", ". ", "! ", "? ", ", ", " "]),
+                         min_size=len(words), max_size=len(words)))
+    return "".join(w + s for w, s in zip(words, seps)).strip()
+
+
+@given(prose())
+@settings(max_examples=200, deadline=None)
+def test_sentencize_spans_tile_text(text):
+    """Every char of the input belongs to exactly one span (per-turn text
+    equality by construction)."""
+    from easyner_ray.functions.sentencize import sentencize_spans
+
+    spans = sentencize_spans(text)
+    if not text:
+        assert spans == []
+        return
+    assert spans[0][0] == 0 and spans[-1][1] == len(text)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2
+    assert "".join(text[s:e] for s, e in spans) == text
+
+
+@given(prose())
+@settings(max_examples=200, deadline=None)
+def test_sentencize_reassembly_inverse(text):
+    from easyner_ray.functions.sentencize import reassemble, sentencize
+
+    parts = sentencize(text)
+    got = reassemble([p[1] for p in parts], [p[0] for p in parts], total_len=len(text))
+    # reassemble fills stripped trailing whitespace with spaces; compare
+    # modulo trailing-space runs per sentence boundary
+    assert got.rstrip() == text.rstrip()
+    assert len(got) == len(text)
+
+
+_mention = st.fixed_dictionaries({
+    "start": st.integers(0, 80),
+    "length": st.integers(1, 10),
+    "cls": st.sampled_from(["chemical", "disease", "gene", "species", "cell"]),
+})
+
+
+@st.composite
+def mention_lists(draw):
+    raw = draw(st.lists(_mention, max_size=12))
+    out = []
+    for i, m in enumerate(raw):
+        out.append({
+            "mention_idx": i, "surface": "x", "norm": "x", "cls": m["cls"],
+            "start": m["start"], "end": m["start"] + m["length"],
+        })
+    return out
+
+
+@given(mention_lists())
+@settings(max_examples=200, deadline=None)
+def test_conflict_resolution_idempotent_and_nonoverlapping(ms):
+    from easyner_ray.functions.conflict import resolve_conflicts
+
+    once = resolve_conflicts(ms)
+    twice = resolve_conflicts(once)
+    assert once == twice  # O6 idempotence
+    for a, b in zip(once, once[1:]):
+        assert a["end"] <= b["start"]  # sorted and non-overlapping
+    assert [m["mention_idx"] for m in once] == list(range(len(once)))
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " -", min_size=1, max_size=15),
+                min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_phrase_matcher_spans_index_text(terms):
+    """Every reported span slices the text to the reported surface, and
+    matching is insensitive to text casing."""
+    from easyner_ray.functions.phrase_match import PhraseMatcher
+
+    matcher = PhraseMatcher([(t, "x") for t in terms])
+    text = " ".join(terms).upper()
+    for s, e, surf, cls in matcher.find(text):
+        assert text[s:e] == surf
+
+
+@given(st.lists(st.integers(0, 5), min_size=0, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_simhash_deterministic_and_permutation_invariant(xs):
+    from easyner_ray.ops.dedup import simhash64
+
+    toks = [f"w{v}" for v in xs]
+    assert simhash64(toks) == simhash64(toks)
+    assert simhash64(toks) == simhash64(list(reversed(toks)))  # bag semantics
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_norm_key_idempotent(s):
+    from easyner_ray.functions.tokenize import norm_key
+
+    assert norm_key(norm_key(s)) == norm_key(s)

@@ -62,3 +62,31 @@ def test_manifest_audit_detects_drift(ray_session, tmp_path):
     pq.write_table(pa.table({"key": ["x"], "val": [1]}), extra)
     with pytest.raises(ValueError, match="file list drift"):
         verify_manifests(root)
+
+
+def test_resume_recomputes_only_lost_partition(ray_session, tmp_path):
+    """Partial-failure drill: drop one partition's data+manifest, rerun the
+    same write -> only that partition is recomputed, others untouched."""
+    root = str(tmp_path / "sink_partial")
+    write_partitioned(_demo_ds(), root, key_col="key", num_partitions=8)
+    victim = os.path.join(root, "part=3")
+    before_mtime = {
+        p: os.path.getmtime(os.path.join(root, f"part={p}"))
+        for p in range(8) if p != 3
+    }
+    shutil.rmtree(victim)
+    os.remove(os.path.join(root, "_manifests", "part-3.json"))
+
+    summary = write_partitioned(_demo_ds(), root, key_col="key", num_partitions=8)
+    assert summary["new_partitions"] == [3]
+    assert sorted(summary["resumed_partitions"]) == [0, 1, 2, 4, 5, 6, 7]
+    assert verify_manifests(root)
+    # resumed partitions' directories were not rewritten
+    for p, mt in before_mtime.items():
+        assert os.path.getmtime(os.path.join(root, f"part={p}")) == mt
+    # full readback equals a fresh write elsewhere
+    a = read_partitioned(root).to_pandas().sort_values(["key", "val"]).reset_index(drop=True)
+    root2 = str(tmp_path / "sink_fresh")
+    write_partitioned(_demo_ds(), root2, key_col="key", num_partitions=8)
+    b = read_partitioned(root2).to_pandas().sort_values(["key", "val"]).reset_index(drop=True)
+    assert a[["key", "val"]].equals(b[["key", "val"]])
