@@ -44,21 +44,41 @@ def _merge_pairs(ms: list[dict], text: str) -> list[dict]:
 
 
 def _extend_over_separators(m: dict, text: str) -> dict:
+    """Extend across separators in BOTH boundary shapes (matching the
+    reference's test vectors, ``postprocess_separator_merging.py:153-163``):
+    a separator glued just OUTSIDE the span ("ABT1" + "-beta" text) or a
+    separator that is the span's own edge char ("no-" -> "no-pq",
+    "x-" -> "x-y-z")."""
     start, end = m["start"], m["end"]
-    # extend right: a separator glued to the span pulls in the rest of the word
-    while end < len(text) and text[end] in SEPARATORS:
-        e = end + 1
-        while e < len(text) and text[e] not in _STOP_CHARS and text[e] not in SEPARATORS:
+    n = len(text)
+    # extend right
+    while True:
+        if end < n and text[end] in SEPARATORS:
+            anchor = end + 1  # separator just outside: jump over it
+        elif end > start and text[end - 1] in SEPARATORS and end < n \
+                and text[end] not in _STOP_CHARS:
+            anchor = end      # span ends with a separator: continue the word
+        else:
+            break
+        e = anchor
+        while e < n and text[e] not in _STOP_CHARS and text[e] not in SEPARATORS:
             e += 1
-        if e == end + 1:  # bare trailing separator with nothing after: stop
+        if e == anchor:  # no word after the separator: leave the span alone
             break
         end = e
     # extend left symmetrically
-    while start > 0 and text[start - 1] in SEPARATORS:
-        s = start - 1
+    while True:
+        if start > 0 and text[start - 1] in SEPARATORS:
+            anchor = start - 1
+        elif start < end and text[start] in SEPARATORS and start > 0 \
+                and text[start - 1] not in _STOP_CHARS:
+            anchor = start
+        else:
+            break
+        s = anchor
         while s > 0 and text[s - 1] not in _STOP_CHARS and text[s - 1] not in SEPARATORS:
             s -= 1
-        if s == start - 1:
+        if s == anchor:  # no word before the separator
             break
         start = s
     if (start, end) == (m["start"], m["end"]):

@@ -60,3 +60,33 @@ def test_sepmerge_idempotent():
     once = separator_merge([_m(4, 8, "gene", "ABT1"), _m(9, 13, "gene", "beta")], text)
     twice = separator_merge(once, text)
     assert once == twice
+
+
+def test_sepmerge_reference_vectors():
+    """The reference's own inline test vectors
+    (postprocess_separator_merging.py:153-163): fragment groups around
+    - ( ) [ ] { } resolve to the full joined entities."""
+    from easyner_ray.functions.sepmerge import separator_merge
+
+    text2 = ("Co-immunoprecipitation analysis and glutathione-S-transferase "
+             "(GST) pull down assay were conducted to analyze the association "
+             "between EZH2 and H2BY37ph .")
+    ms = [
+        {"mention_idx": 0, "surface": "glutathione", "norm": "glutathione",
+         "cls": "c", "start": 36, "end": 47},
+        {"mention_idx": 1, "surface": "-", "norm": "-", "cls": "c",
+         "start": 47, "end": 48},
+    ]
+    out = separator_merge(ms, text2)
+    assert [(m["start"], m["end"], m["surface"]) for m in out] == \
+        [(36, 61, "glutathione-S-transferase")]
+
+    text = "ab(de fg]hi jk{lm no-pq rs-tu, vw x-y-z a-b-c. abc d-e-f; gh-ij-kl"
+    frags = [("ab", 0, 2), ("(de", 2, 5), ("no-", 18, 21), ("x-", 34, 36),
+             ("-z", 37, 39), ("a-", 40, 42), ("-e-", 52, 55), ("gh", 58, 60),
+             ("ij-", 61, 64)]
+    ms1 = [{"mention_idx": i, "surface": s, "norm": s, "cls": "g",
+            "start": a, "end": b} for i, (s, a, b) in enumerate(frags)]
+    got = [(m["start"], m["end"], m["surface"]) for m in separator_merge(ms1, text)]
+    assert got == [(0, 5, "ab(de"), (18, 23, "no-pq"), (34, 39, "x-y-z"),
+                   (40, 45, "a-b-c"), (51, 56, "d-e-f"), (58, 66, "gh-ij-kl")]

@@ -145,3 +145,32 @@ def test_window_triples_small(ray_session, tiny_corpus):
                                 expected.add((a, b, cid, ti))
     got = set(map(tuple, wt[["subj", "obj", "conv_id", "turn_idx"]].itertuples(index=False)))
     assert got == expected
+
+
+def test_model_ner_error_policy(ray_session):
+    """Reference ner_main.py:104-108: a per-row inference error yields an
+    EMPTY prediction for that row, never a failed task."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.stages.dict_ner import explode_mentions
+    from easyner_ray.stages.model_ner import StubModelNER, tag_mentions_model
+
+    class Poisoned(StubModelNER):
+        def _predict(self, text):
+            if "poison" in text:
+                raise RuntimeError("model exploded")
+            return super()._predict(text)
+
+    sents = rd.from_arrow(pa.table({
+        "conv_id": ["a", "b"], "turn_idx": pa.array([0, 0], pa.int32()),
+        "sent_idx": pa.array([0, 0], pa.int32()),
+        "text": ["zetamycin is fine", "poison zetamycin row"],
+        "char_start": pa.array([0, 0], pa.int32()),
+    }))
+    sm = sents.map_batches(
+        Poisoned, fn_constructor_kwargs={"terms": [("zetamycin", "chemical")]},
+        batch_format="pyarrow", batch_size=1, concurrency=(1, 2),
+    )
+    out = explode_mentions(sm).to_pandas()
+    assert sorted(out["conv_id"]) == ["a"]  # poisoned row -> empty, no crash
