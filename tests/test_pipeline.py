@@ -174,3 +174,47 @@ def test_model_ner_error_policy(ray_session):
     )
     out = explode_mentions(sm).to_pandas()
     assert sorted(out["conv_id"]) == ["a"]  # poisoned row -> empty, no crash
+
+
+def test_hot_key_skew_bounded(ray_session):
+    """Skew drill (SURVEY.md §4): ONE entity in ~90% of sentences must not
+    concentrate the aggregation — the per-batch partial collapse bounds a
+    hot key's shuffle rows by the batch count, so nodes/edges stay exact
+    and the job completes without a straggler task."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.stages.canonicalize import aggregate_edges, canonical_nodes
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    rng = np.random.RandomState(3)
+    n = 60_000
+    others = [f"othergene{i}" for i in range(50)]
+    texts = []
+    for i in range(n):
+        parts = ["filler", "words", "here"]
+        if rng.rand() < 0.9:
+            parts.insert(1, "hotentity")          # the skew anchor
+        parts.insert(2, others[rng.randint(50)])
+        texts.append(" ".join(parts))
+    sents = rd.from_arrow(pa.table({
+        "conv_id": [f"c{i % 997}" for i in range(n)],
+        "turn_idx": pa.array([i // 997 for i in range(n)], pa.int32()),
+        "sent_idx": pa.array([0] * n, pa.int32()),
+        "text": texts,
+        "char_start": pa.array([0] * n, pa.int32()),
+    }))
+    terms = [("hotentity", "chemical")] + [(o, "gene") for o in others]
+    sm = tag_mentions(sents, terms)
+    mentions = explode_mentions(sm)
+    nodes = canonical_nodes(mentions).to_pandas()
+    hot = nodes[nodes["norm"] == "hotentity"]
+    assert len(hot) == 1
+    total_hot = int(hot["n_mentions"].iloc[0])
+    assert 0.88 * n < total_hot < 0.92 * n  # exact count survived the skew
+    edges = aggregate_edges(sentence_triples(sm)).to_pandas()
+    hot_edges = edges[edges["subj"] == "hotentity"]
+    assert len(hot_edges) == 50  # hot entity pairs with every other entity
+    assert hot_edges["weight"].sum() == total_hot  # every co-occurrence kept
