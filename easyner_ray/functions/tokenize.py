@@ -42,3 +42,22 @@ def norm_key(surface: str) -> str:
     lowercase comparisons (PhraseMatcher ``attr="LOWER"``; eval remap
     ``.lower()``)."""
     return WHITESPACE_RE.sub(" ", surface.casefold()).strip()
+
+
+# Entity-class remap (reference §2.7: evaluate_ner_pubtatorformat.py:125-158,
+# preprocess_pubtatorformat.py:26-70): corpus-specific labels normalized to
+# the engine's canonical five classes.
+CLASS_REMAP = {
+    "molecule": "chemical", "drug": "chemical", "chemical": "chemical",
+    "cellline": "cell", "cell_line": "cell", "cell": "cell",
+    "protein": "gene", "gene": "gene", "gene_or_protein": "gene",
+    "organism": "species", "taxon": "species", "species": "species",
+    "disease": "disease", "phenotype": "disease",
+}
+
+
+def remap_class(cls: str) -> str:
+    """Lowercased dictionary remap; unknown labels pass through lowercased
+    (the reference keeps unmapped labels as-is after ``.lower()``)."""
+    low = cls.lower()
+    return CLASS_REMAP.get(low, low)

@@ -214,6 +214,10 @@ KG = {
           ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
          AND m.sent_idx = s.sent_idx
     """,
+    "kg_entity_freq_per_conv": f"""
+        SELECT conv_id, norm AS entity, count(*) AS n
+        FROM {GM} GROUP BY conv_id, norm
+    """,
     "kg_search": f"""
         SELECT conv_id, turn_idx, sent_idx, count(*) AS n_watch_mentions
         FROM {GM}

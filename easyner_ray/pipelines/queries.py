@@ -508,3 +508,10 @@ def events_sessions(sf_dir: str):
     from easyner_ray.ops.windows import user_sessions
 
     return user_sessions(_rp(sf_dir, "events", columns=["user_id", "event_id", "ts"]))
+
+
+def kg_entity_freq_per_conv(sf_dir: str):
+    """A2 per-article variant: mention counts per (conversation, entity)."""
+    from easyner_ray.stages.analysis import entity_frequency_per_conv
+
+    return entity_frequency_per_conv(_mentions(sf_dir))

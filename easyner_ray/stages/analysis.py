@@ -121,3 +121,22 @@ def export_top_entities(mentions, out_dir: str, n: int = 50, prefix: str = "anal
     except ImportError:
         pass
     return {"tsv": tsv, "png": png}
+
+
+def entity_frequency_per_conv(mentions, batch_size: int = 524288):
+    """Reference A2 per-article variant (``evals.py:5-50``): mention counts
+    keyed by (conversation, entity). Two-phase bucketed aggregate."""
+    import pyarrow as pa
+
+    from easyner_ray.ops.relational import bucketed_final
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id", "norm"]).aggregate([("norm", "count")])
+        return pa.Table.from_arrays(
+            [g.column("conv_id"), g.column("norm"),
+             g.column("norm_count").cast(pa.int64())],
+            names=["conv_id", "entity", "n"],
+        )
+
+    p = mentions.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed_final(p, ["conv_id", "entity"], pa_aggs=[("n", "sum")], out_names=["n"])

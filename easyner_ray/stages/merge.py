@@ -155,3 +155,38 @@ def merge_sentence_mentions(datasets, resolve: bool = True):
         batch_format="pyarrow",
     )
     return bucketed.groupby("__bucket").map_groups(combine_bucket, batch_format="pandas")
+
+
+def to_class_map(sentence_mentions_row: list[dict]) -> dict[str, list[str]]:
+    """The reference merger1's per-class entity map shape
+    (``entity_merger.py:28-29``): {class: [surface, ...]} per sentence.
+    Golden-artifact materializer (pairs with loaders.to_easyner_json)."""
+    out: dict[str, list[str]] = {}
+    for m in sentence_mentions_row:
+        out.setdefault(m["cls"], []).append(m["surface"])
+    return out
+
+
+def remap_mention_classes(mentions, batch_size: int = 65536):
+    """Vectorized class-remap column transform over the flat mentions table
+    (reference §2.7 class remap tables)."""
+    import pyarrow as pa
+
+    from easyner_ray.functions.tokenize import CLASS_REMAP
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cls = pc.utf8_lower(batch.column("cls"))
+        # dictionary-encode then remap the (tiny) dictionary
+        enc = pc.dictionary_encode(cls.combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        new_dict = pa.array(
+            [CLASS_REMAP.get(v, v) for v in enc.dictionary.to_pylist()], pa.string()
+        )
+        remapped = new_dict.take(enc.indices)
+        i = batch.schema.get_field_index("cls")
+        return batch.set_column(i, "cls", remapped)
+
+    return mentions.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

@@ -140,3 +140,28 @@ def tag_mentions_model(
         num_cpus=num_cpus,
         num_gpus=num_gpus,
     )
+
+
+class OnnxNER:  # pragma: no cover - onnxruntime model path, env-gated
+    """Legacy ONNX token-classification path (reference N2,
+    ``ner_inference.py:10-80``): BertTokenizer + onnxruntime session,
+    max_length 128 pad-to-max, (token, label) pairs decoded through the
+    WordPiece detok (M10) + BIO walk (M11). Same actor/schema contract as
+    the other NER stages; requires onnxruntime + a model file, neither of
+    which ship in this container — construction raises with a clear gate.
+    """
+
+    def __init__(self, model_path: str, vocab_path: str, labels: list[str],
+                 cls_name: str = "entity", max_length: int = 128):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "onnxruntime is not installed in this environment; the "
+                "biobert/stub paths cover NER — this class documents the "
+                "reference's legacy ONNX contract"
+            ) from e
+        raise NotImplementedError(
+            "ONNX session loading requires model weights not present in "
+            "this container; see TransformersNER for the active model path"
+        )

@@ -182,3 +182,29 @@ def test_normalize_newlines(ray_session):
     ds = rd.from_arrow(pa.table({"text": ["a\nb\n\nc", "no newlines"]}))
     out = normalize_newlines(ds).to_pandas()
     assert out["text"].tolist() == ["a b c", "no newlines"]
+
+
+def test_class_remap_and_class_map(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.functions.tokenize import remap_class
+    from easyner_ray.stages.merge import remap_mention_classes, to_class_map
+
+    assert remap_class("Protein") == "gene"
+    assert remap_class("CELLLINE") == "cell"
+    assert remap_class("weirdlabel") == "weirdlabel"
+
+    m = rd.from_arrow(pa.table({
+        "conv_id": ["c"] * 3, "turn_idx": pa.array([0] * 3, pa.int32()),
+        "sent_idx": pa.array([0] * 3, pa.int32()),
+        "mention_idx": pa.array([0, 1, 2], pa.int32()),
+        "surface": ["A", "B", "C"], "norm": ["a", "b", "c"],
+        "cls": ["Protein", "molecule", "organism"],
+        "start": pa.array([0, 2, 4], pa.int32()),
+        "end": pa.array([1, 3, 5], pa.int32()),
+    }))
+    out = remap_mention_classes(m).to_pandas()
+    assert out["cls"].tolist() == ["gene", "chemical", "species"]
+    assert to_class_map([{"cls": "gene", "surface": "A"}, {"cls": "gene", "surface": "B"}]) \
+        == {"gene": ["A", "B"]}
