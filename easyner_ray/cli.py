@@ -86,8 +86,43 @@ def run(config: dict, num_cpus: int | None = None) -> dict:
 
     transcripts = read_transcripts(source)
 
-    # ---- split (+ NER fused in one actor pool, like the flagship)
+    # ---- engine selection: "staged" (default; checkpointable, aliases,
+    # all optional stages) or "single_pass" (fused KGPartialsNER actor —
+    # the throughput shape; nodes/edges only)
     ner_cfg = config.get("ner", {})
+    engine = config.get("engine", "staged")
+    if engine not in ("staged", "single_pass"):
+        raise ValueError(f"unknown engine {engine!r}: use 'staged' or 'single_pass'")
+    if engine == "single_pass":
+        import ray as _ray
+
+        from easyner_ray.pipelines.kg import build_kg_single_pass
+
+        # clamp the fixed pool below the cluster size — a pool >= num_cpus
+        # can never fully start and deadlocks the pipeline
+        cluster_cpus = int(_ray.cluster_resources().get("CPU", 8))
+        conc = min(int(ner_cfg.get("concurrency", 8)), max(1, cluster_cpus - 1))
+        with timed("single_pass"):
+            out = build_kg_single_pass(
+                transcripts,
+                ner_concurrency=(conc, conc),
+                ner_batch_size=int(ner_cfg.get("batch_size", 8192)),
+            )
+            if out_dir:
+                summary["nodes_sink"] = write_partitioned(
+                    out["nodes"], os.path.join(out_dir, "nodes"), key_col="norm",
+                    num_partitions=nparts, lineage=lineage_record("nodes", [source]),
+                )
+                summary["edges_sink"] = write_partitioned(
+                    out["edges"], os.path.join(out_dir, "edges"), key_col="subj",
+                    num_partitions=nparts, lineage=lineage_record("edges", [source]),
+                )
+            else:
+                summary["nodes"] = out["nodes"].count()
+                summary["edges"] = out["edges"].count()
+        _finish(summary, config)
+        return summary
+
     with timed("split+ner"):
         sentences = split_sentences(drop_empty_turns(transcripts))
         if not ignore.get("ner", False):
