@@ -39,13 +39,16 @@ def _edges_as_partials(edges):
 
 
 def _nodes_as_partials(nodes):
-    """Existing NODES rows -> (norm, cls, n) partial shape."""
+    """Existing NODES rows -> the _partial_nodes shape
+    (norm, cls, n, aliases) — old alias lists ride along and survive the
+    alias-aware final combine."""
 
     def f(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [t.column("norm"), t.column("cls"),
-             t.column("n_mentions").cast(pa.int64())],
-            names=["norm", "cls", "n"],
+             t.column("n_mentions").cast(pa.int64()),
+             t.column("aliases")],
+            names=["norm", "cls", "n", "aliases"],
         )
 
     return nodes.map_batches(f, batch_format="pyarrow")
@@ -72,17 +75,22 @@ def update_graph(
     """
     import pyarrow.compute as pc
 
+    import ray as _ray
+
     from easyner_ray import schemas
-    from easyner_ray.ops.relational import bucketed_final
+    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
     from easyner_ray.pipelines.kg import (KGPartialsNER, _recollapse_combined,
                                           drop_empty_turns)
     from easyner_ray.sources import vocab as _vocab
-    from easyner_ray.stages.canonicalize import lineage_record, node_id
+    from easyner_ray.stages.canonicalize import (_combine_nodes_bucket,
+                                                 cls_of_norm_map,
+                                                 lineage_record, node_id)
     from easyner_ray.stages.splitter import split_sentences
     from easyner_ray.state.sink import read_partitioned, write_partitioned
 
     if term_sets is None:
         term_sets = [_vocab.vocabulary()]
+    cls_ref = _ray.put(cls_of_norm_map(term_sets))
     if out_dir is not None and os.path.realpath(out_dir) == os.path.realpath(graph_dir):
         raise ValueError(
             "out_dir must differ from graph_dir: the old graph is read "
@@ -111,7 +119,7 @@ def update_graph(
     )
     old_nodes = _nodes_as_partials(
         read_partitioned(os.path.join(graph_dir, "nodes"),
-                         columns=["norm", "cls", "n_mentions"])
+                         columns=["norm", "cls", "n_mentions", "aliases"])
     )
 
     edges_agg = bucketed_final(old_edges.union(new_edge_partials),
@@ -119,13 +127,16 @@ def update_graph(
                                pa_aggs=[("w", "sum")], out_names=["weight"])
 
     def edge_ids(t: pa.Table) -> pa.Table:
+        # same (cls, norm) hash key the nodes table uses (broadcast map) —
+        # edges stay referentially valid against nodes.node_id, no join
+        cls_of = _ray.get(cls_ref)
         subj = t.column("subj").to_pylist()
         obj = t.column("obj").to_pylist()
         return pa.Table.from_arrays(
             [
-                pa.array([node_id("", s) for s in subj], pa.string()),
+                pa.array([node_id(cls_of.get(s, ""), s) for s in subj], pa.string()),
                 t.column("subj"), t.column("pred"),
-                pa.array([node_id("", o) for o in obj], pa.string()),
+                pa.array([node_id(cls_of.get(o, ""), o) for o in obj], pa.string()),
                 t.column("obj"), t.column("weight").cast(pa.int64()),
             ],
             schema=schemas.EDGES,
@@ -133,24 +144,23 @@ def update_graph(
 
     edges = edges_agg.map_batches(edge_ids, batch_format="pyarrow")
 
-    nodes_agg = bucketed_final(old_nodes.union(new_node_partials),
-                               ["norm", "cls"],
-                               pa_aggs=[("n", "sum")], out_names=["n_mentions"])
-
-    def node_ids(t: pa.Table) -> pa.Table:
-        norms = t.column("norm").to_pylist()
-        clss = t.column("cls").to_pylist()
-        return pa.Table.from_arrays(
-            [
-                pa.array([node_id(c, nm) for c, nm in zip(clss, norms)], pa.string()),
-                t.column("norm"), t.column("cls"),
-                t.column("n_mentions").cast(pa.int64()),
-                pa.array([[] for _ in norms], pa.list_(pa.string())),
-            ],
-            schema=schemas.NODES,
+    # Nodes fold through the alias-AWARE final combine: old rows carry their
+    # alias lists (preserved + unioned), new single-pass partials contribute
+    # counts with empty alias lists (the fused partial stage discards
+    # surfaces by design — new aliases accrue only via a staged rebuild).
+    def empty_aliases(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "aliases", pa.array([[]] * len(t), pa.list_(pa.string()))
         )
 
-    nodes = nodes_agg.map_batches(node_ids, batch_format="pyarrow")
+    node_partials = old_nodes.union(
+        new_node_partials.map_batches(empty_aliases, batch_format="pyarrow"))
+    bucketed = node_partials.map_batches(
+        lambda t: add_hash_bucket(t, ["norm", "cls"], 64), batch_format="pyarrow"
+    )
+    nodes = bucketed.groupby("__bucket").map_groups(
+        _combine_nodes_bucket, batch_format="pyarrow"
+    )
 
     out = {"nodes": nodes, "edges": edges}
     target = out_dir

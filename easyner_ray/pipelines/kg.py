@@ -23,7 +23,8 @@ import os
 import pyarrow.compute as pc
 
 from easyner_ray.sources import vocab as _vocab
-from easyner_ray.stages.canonicalize import aggregate_edges, canonical_nodes, lineage_record
+from easyner_ray.stages.canonicalize import (aggregate_edges, canonical_nodes,
+                                             cls_of_norm_map, lineage_record)
 from easyner_ray.stages.dict_ner import explode_mentions
 from easyner_ray.stages.merge import tag_mentions_multi
 from easyner_ray.stages.splitter import split_sentences
@@ -104,10 +105,12 @@ def build_kg(
     elif checkpoint == "memory":
         sm = sm.materialize()
 
+    if term_sets is None:
+        term_sets = [_vocab.vocabulary()]
     mentions = explode_mentions(sm)
     triples = sentence_triples(sm)
     nodes = canonical_nodes(mentions)
-    edges = aggregate_edges(triples)
+    edges = aggregate_edges(triples, cls_of_norm=cls_of_norm_map(term_sets))
 
     out = {
         "sentence_mentions": sm,
@@ -256,6 +259,8 @@ def build_kg_single_pass(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import ray as _ray
+
     from easyner_ray import schemas
     from easyner_ray.ops.relational import bucketed_final
     from easyner_ray.sources import vocab as _vocab
@@ -264,6 +269,7 @@ def build_kg_single_pass(
 
     if term_sets is None:
         term_sets = [_vocab.vocabulary()]
+    cls_ref = _ray.put(cls_of_norm_map(term_sets))
     sentences = split_sentences(drop_empty_turns(transcripts))
     combined = sentences.map_batches(
         KGPartialsNER,
@@ -284,13 +290,16 @@ def build_kg_single_pass(
                                pa_aggs=[("w", "sum")], out_names=["weight"])
 
     def edge_ids(t: pa.Table) -> pa.Table:
+        # endpoint ids hash the SAME (cls, norm) key node_ids uses, via the
+        # broadcast norm->cls map — referential integrity without a join
+        cls_of = _ray.get(cls_ref)
         subj = t.column("subj").to_pylist()
         obj = t.column("obj").to_pylist()
         return pa.Table.from_arrays(
             [
-                pa.array([node_id("", s) for s in subj], pa.string()),
+                pa.array([node_id(cls_of.get(s, ""), s) for s in subj], pa.string()),
                 t.column("subj"), t.column("pred"),
-                pa.array([node_id("", o) for o in obj], pa.string()),
+                pa.array([node_id(cls_of.get(o, ""), o) for o in obj], pa.string()),
                 t.column("obj"), t.column("weight").cast(pa.int64()),
             ],
             schema=schemas.EDGES,

@@ -179,12 +179,19 @@ KG = {
             ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
            AND a.sent_idx = b.sent_idx
           WHERE a.norm <> b.norm
+        ), clsmap AS (
+          -- endpoint ids hash (cls, norm) exactly as nodes do; min(cls)
+          -- mirrors the engine's lexicographic conflict rule
+          SELECT norm, min(cls) AS cls FROM {GM} GROUP BY norm
         )
-        SELECT substr(md5('|' || subj), 1, 16) AS subj_id, subj,
+        SELECT substr(md5(cs.cls || '|' || subj), 1, 16) AS subj_id, subj,
                'co_occurs_with' AS pred,
-               substr(md5('|' || obj), 1, 16) AS obj_id, obj,
+               substr(md5(co.cls || '|' || obj), 1, 16) AS obj_id, obj,
                count(*) AS weight
-        FROM triples GROUP BY subj, obj
+        FROM triples t
+        JOIN clsmap cs ON t.subj = cs.norm
+        JOIN clsmap co ON t.obj = co.norm
+        GROUP BY subj, obj, cs.cls, co.cls
     """,
     "kg_entity_freq": f"""
         SELECT norm AS entity, count(*) AS total_count,

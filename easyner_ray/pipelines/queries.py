@@ -337,12 +337,13 @@ def kg_nodes(sf_dir: str):
 
 def kg_edges(sf_dir: str):
     from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.canonicalize import aggregate_edges
+    from easyner_ray.stages.canonicalize import aggregate_edges, cls_of_norm_map
     from easyner_ray.stages.dict_ner import tag_mentions
     from easyner_ray.stages.triples import sentence_triples
 
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
-    return aggregate_edges(triples)
+    voc = vocabulary()
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), voc))
+    return aggregate_edges(triples, cls_of_norm=cls_of_norm_map([voc]))
 
 
 def kg_entity_freq(sf_dir: str):

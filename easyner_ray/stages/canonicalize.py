@@ -35,6 +35,25 @@ def node_id(cls: str, norm: str) -> str:
     return hashlib.md5(f"{cls}|{norm}".encode()).hexdigest()[:16]
 
 
+def cls_of_norm_map(term_sets) -> dict[str, str]:
+    """norm -> cls map derived from the dictionary term sets, used to hash
+    edge endpoint ids with the SAME (cls, norm) key the nodes table uses —
+    keeping edges.subj_id/obj_id referentially valid against nodes.node_id
+    without any join. Conflicts (a norm carrying two classes across term
+    sets) resolve to the lexicographically smallest cls, matching the
+    oracle's ``min(cls)``."""
+    from easyner_ray.functions.tokenize import norm_key
+
+    out: dict[str, str] = {}
+    for terms in term_sets:
+        for term, cls in terms:
+            n = norm_key(term)
+            prev = out.get(n)
+            if prev is None or cls < prev:
+                out[n] = cls
+    return out
+
+
 def _partial_nodes(batch: pa.Table) -> pa.Table:
     g = batch.group_by(["norm", "cls"]).aggregate(
         [("surface", "count"), ("surface", "distinct")]
@@ -72,26 +91,29 @@ def _combine_nodes_bucket(t: pa.Table) -> pa.Table:
         names=["norm", "cls", "alias"],
     )
     al_g = keys.group_by(["norm", "cls"]).aggregate([("alias", "distinct")])
-    # pyarrow's join can't carry list columns; align counts to the alias
-    # rows with a per-bucket dict (bucket keyspace is #nodes / n_buckets)
-    cnt = {
-        (n, c): v
-        for n, c, v in zip(
-            counts.column("norm").to_pylist(),
-            counts.column("cls").to_pylist(),
-            counts.column("n_sum").to_pylist(),
+    # pyarrow's join can't carry list columns; align alias lists to the
+    # count rows with a per-bucket dict (bucket keyspace is #nodes /
+    # n_buckets). Output is driven by COUNTS — a key whose partials all
+    # carry empty alias lists (single-pass / incremental shapes) must
+    # still emit its node.
+    als = {
+        (n, c): sorted(a)[:MAX_ALIASES]
+        for n, c, a in zip(
+            al_g.column("norm").to_pylist(),
+            al_g.column("cls").to_pylist(),
+            al_g.column("alias_distinct").to_pylist(),
         )
     }
-    norms = al_g.column("norm").to_pylist()
-    clss = al_g.column("cls").to_pylist()
-    aliases = [sorted(x)[:MAX_ALIASES] for x in al_g.column("alias_distinct").to_pylist()]
+    norms = counts.column("norm").to_pylist()
+    clss = counts.column("cls").to_pylist()
+    aliases = [als.get((n, c), []) for n, c in zip(norms, clss)]
     ids = [node_id(c, n) for c, n in zip(clss, norms)]
     return pa.Table.from_arrays(
         [
             pa.array(ids, pa.string()),
             pa.array(norms, pa.string()),
             pa.array(clss, pa.string()),
-            pa.array([cnt[(n, c)] for n, c in zip(norms, clss)], pa.int64()),
+            counts.column("n_sum").cast(pa.int64()),
             pa.array(aliases, pa.list_(pa.string())),
         ],
         schema=schemas.NODES,

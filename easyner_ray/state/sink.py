@@ -16,6 +16,14 @@ refreshes manifests. Partition assignment is a deterministic content hash
 (crc32 of the key column) so a row always lands in the same partition
 regardless of cluster size or block layout — never one giant file, and any
 partition can be re-audited in isolation.
+
+Crash safety: a partition directory without a manifest holds PARTIAL
+output from an interrupted run (``write_parquet`` appends uniquely-named
+files, the manifest is the atomic commit marker). Such orphan ``*.parquet``
+files are deleted before rewriting, so a resumed run can never double rows.
+A sink-level manifest (``_manifests/_sink.json``) pins ``key_col`` and
+``num_partitions``; resuming with different values is refused (a changed
+partition count would silently drop rows through the prune filter).
 """
 
 from __future__ import annotations
@@ -71,6 +79,51 @@ def _write_manifest(root: str, part: int, lineage: str | None) -> dict:
     return manifest
 
 
+def _sink_manifest_path(root: str) -> str:
+    return os.path.join(root, "_manifests", "_sink.json")
+
+
+def _check_sink_config(root: str, key_col: str, num_partitions: int, resume: bool) -> None:
+    """Pin (key_col, num_partitions) in a sink-level manifest; refuse a
+    resume whose config drifted (the prune filter would drop rows)."""
+    path = _sink_manifest_path(root)
+    if os.path.exists(path):
+        with open(path) as fh:
+            cfg = json.load(fh)
+        if resume and (cfg.get("key_col") != key_col
+                       or cfg.get("num_partitions") != num_partitions):
+            raise ValueError(
+                f"sink config mismatch at {root}: existing "
+                f"(key_col={cfg.get('key_col')}, num_partitions={cfg.get('num_partitions')}) "
+                f"vs requested ({key_col}, {num_partitions}); "
+                "resume requires identical partitioning"
+            )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"key_col": key_col, "num_partitions": num_partitions}, fh)
+    os.replace(tmp, path)
+
+
+def _clean_orphan_partitions(root: str, done: set[int]) -> list[int]:
+    """Delete parquet files in any part= dir lacking a manifest — partial
+    output of a crashed run; the rerun rewrites those partitions fully."""
+    cleaned = []
+    for name in os.listdir(root):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=", 1)[1])
+        if part in done:
+            continue
+        pdir = os.path.join(root, name)
+        stale = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        for f in stale:
+            os.remove(os.path.join(pdir, f))
+        if stale:
+            cleaned.append(part)
+    return cleaned
+
+
 def write_partitioned(
     ds,
     root: str,
@@ -83,10 +136,17 @@ def write_partitioned(
     """Write ``ds`` hash-partitioned on ``key_col``; returns a summary dict.
 
     With ``resume=True``, partitions already holding a manifest are pruned
-    from the INPUT (cheap vectorized filter) and left untouched on disk.
+    from the INPUT (cheap vectorized filter) and left untouched on disk;
+    unmanifested partition dirs (crash leftovers) are wiped and rewritten.
     """
     os.makedirs(root, exist_ok=True)
+    _check_sink_config(root, key_col, num_partitions, resume)
     done = completed_partitions(root) if resume else set()
+    if not resume:
+        # fresh write: previous manifests are void (partitioning may differ)
+        for p in completed_partitions(root):
+            os.remove(os.path.join(root, "_manifests", f"part-{p}.json"))
+    _clean_orphan_partitions(root, done)
     with_part = add_partition_column(ds, key_col, num_partitions)
     if done:
         done_arr = sorted(done)

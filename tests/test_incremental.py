@@ -69,3 +69,29 @@ def test_incremental_rejects_in_place(ray_session, tiny_corpus, tmp_path):
     with pytest.raises(ValueError, match="out_dir must differ"):
         update_graph(_transcripts(tiny_corpus), str(tmp_path / "g"),
                      out_dir=str(tmp_path / "g"))
+
+
+def test_incremental_preserves_aliases(ray_session, tiny_corpus, tmp_path):
+    """Folding new shards into a staged-build graph (alias lists populated)
+    must carry the old aliases through, not erase them. New single-pass
+    partials contribute counts only (documented: aliases accrue via staged
+    rebuilds)."""
+    from easyner_ray.pipelines.incremental import update_graph
+    from easyner_ray.pipelines.kg import build_kg
+    from easyner_ray.state.sink import write_partitioned
+
+    ts = _transcripts(tiny_corpus)
+    g = build_kg(ts, checkpoint="memory")
+    root = str(tmp_path / "staged_graph")
+    write_partitioned(g["nodes"], os.path.join(root, "nodes"),
+                      key_col="norm", num_partitions=4)
+    write_partitioned(g["edges"], os.path.join(root, "edges"),
+                      key_col="subj", num_partitions=4)
+    old = g["nodes"].to_pandas().set_index(["norm", "cls"])
+
+    upd = update_graph(ts, root, out_dir=str(tmp_path / "snap2"), num_partitions=4)
+    new = upd["nodes"].to_pandas().set_index(["norm", "cls"])
+    assert len(new) == len(old)
+    for key, row in old.iterrows():
+        assert sorted(new.loc[key, "aliases"]) == sorted(row["aliases"]), key
+        assert new.loc[key, "n_mentions"] == 2 * row["n_mentions"]

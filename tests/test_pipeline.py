@@ -218,3 +218,38 @@ def test_hot_key_skew_bounded(ray_session):
     hot_edges = edges[edges["subj"] == "hotentity"]
     assert len(hot_edges) == 50  # hot entity pairs with every other entity
     assert hot_edges["weight"].sum() == total_hot  # every co-occurrence kept
+
+
+def test_edge_node_referential_integrity(kg):
+    """Every edge endpoint id resolves to a real node (the 'edges resolve
+    endpoints by hashing, no join' contract, canonicalize.py)."""
+    tiny_corpus, res = kg
+    nodes = res["nodes"].to_pandas()
+    edges = res["edges"].to_pandas()
+    ids = set(nodes.node_id)
+    assert set(edges.subj_id) <= ids
+    assert set(edges.obj_id) <= ids
+
+
+def test_vocab_norm_cls_unique():
+    """cls_of_norm_map relies on a unique norm->cls in the vocabulary; a
+    conflict would make edge endpoint classes ambiguous."""
+    from easyner_ray.functions.tokenize import norm_key
+    from easyner_ray.sources.vocab import vocabulary
+
+    seen = {}
+    for term, cls in vocabulary():
+        n = norm_key(term)
+        assert seen.setdefault(n, cls) == cls, f"norm {n!r} has classes {seen[n]}, {cls}"
+
+
+def test_single_pass_referential_integrity(ray_session, tiny_corpus):
+    from easyner_ray.pipelines.kg import build_kg_single_pass
+
+    ts = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    res = build_kg_single_pass(ts, ner_concurrency=(1, 2))
+    nodes = res["nodes"].to_pandas()
+    edges = res["edges"].to_pandas()
+    ids = set(nodes.node_id)
+    assert set(edges.subj_id) <= ids
+    assert set(edges.obj_id) <= ids

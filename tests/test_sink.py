@@ -90,3 +90,32 @@ def test_resume_recomputes_only_lost_partition(ray_session, tmp_path):
     write_partitioned(_demo_ds(), root2, key_col="key", num_partitions=8)
     b = read_partitioned(root2).to_pandas().sort_values(["key", "val"]).reset_index(drop=True)
     assert a[["key", "val"]].equals(b[["key", "val"]])
+
+
+def test_crash_resume_does_not_duplicate_rows(ray_session, tmp_path):
+    """A partition interrupted BEFORE its manifest was written keeps stale
+    parquet on disk; the rerun must wipe those orphans, not append."""
+    root = str(tmp_path / "sink_crash")
+    write_partitioned(_demo_ds(), root, key_col="key", num_partitions=8)
+    # simulate a crash mid-partition-3: data present, manifest never written
+    os.remove(os.path.join(root, "_manifests", "part-3.json"))
+
+    summary = write_partitioned(_demo_ds(), root, key_col="key", num_partitions=8)
+    assert summary["new_partitions"] == [3]
+    back = read_partitioned(root).to_pandas()
+    assert len(back) == 500  # no duplicated rows from the stale files
+    assert sorted(back["val"]) == list(range(500))
+    assert verify_manifests(root)
+
+
+def test_resume_refuses_partitioning_drift(ray_session, tmp_path):
+    root = str(tmp_path / "sink_drift")
+    write_partitioned(_demo_ds(), root, key_col="key", num_partitions=8)
+    with pytest.raises(ValueError, match="sink config mismatch"):
+        write_partitioned(_demo_ds(), root, key_col="key", num_partitions=16)
+    with pytest.raises(ValueError, match="sink config mismatch"):
+        write_partitioned(_demo_ds(), root, key_col="val", num_partitions=8)
+    # resume=False rewrites from scratch under the new config
+    summary = write_partitioned(_demo_ds(), root, key_col="key",
+                                num_partitions=16, resume=False)
+    assert summary["rows_written"] == 500
