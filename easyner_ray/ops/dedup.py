@@ -11,8 +11,9 @@ Four families, each chosen by what "duplicate" means and what scales:
     Complete candidate generation via an inverted index on shingles
     (a pair with Jaccard > 0 shares >= 1 shingle, so grouping by shingle and
     pairing within groups misses nothing); intersection sizes come out of a
-    (doc_a, doc_b) count aggregate; union sizes via broadcast shingle-count
-    lookup. Integer outputs (inter, uni) so equality checks are exact.
+    (doc_a, doc_b) count aggregate; union sizes ride along on the posting
+    rows themselves (each posting carries its doc's shingle-set size).
+    Integer outputs (inter, uni) so equality checks are exact.
     Partitioning assumption: one shingle's posting list fits in a task
     (``hot_cap`` drops stopword-like shingles the way search engines drop
     stopwords — documented, deterministic).
@@ -27,6 +28,7 @@ Four families, each chosen by what "duplicate" means and what scales:
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -38,7 +40,7 @@ import pyarrow.compute as pc
 
 def _partial_exact(batch: pa.Table, text_col: str) -> pa.Table:
     digest = pa.array(
-        [f"{zlib.crc32(t.encode()):08x}-{len(t)}" if t is not None else ""
+        [hashlib.md5(t.encode()).hexdigest() if t is not None else ""
          for t in batch.column(text_col).to_pylist()],
         pa.string(),
     )
@@ -52,13 +54,11 @@ def exact_dedup(docs, text_col: str = "text", batch_size: int = 8192):
     """-> (doc_id, n_copies): the representative (min doc_id) of every
     distinct text plus how many copies existed.
 
-    crc32+length digest groups candidate-identical texts; the min-doc_id
-    winner per digest is the kept representative. (A digest collision
-    between *different* texts would merge two groups; collision rate at
-    2^-32 x pairs-per-length is accepted and documented — use
-    ``fingerprint`` from textstats for a 128-bit md5 when auditability
-    matters more than speed.) Final combine is the coarse-bucket Arrow
-    path — digest cardinality ~= corpus size, far beyond Python-per-group.
+    Texts group on their 128-bit md5 digest (collision odds are
+    cryptographically negligible at any corpus size, and the hash cost is
+    a rounding error next to reading the text). Final combine is the
+    coarse-bucket Arrow path — digest cardinality ~= corpus size, far
+    beyond Python-per-group.
     """
     from easyner_ray.ops.relational import bucketed_final
 
@@ -82,28 +82,22 @@ def shingle_set(text: str, k: int = 3) -> list[str]:
 
 
 def _shingle_rows(batch: pa.Table, k: int, text_col: str) -> pa.Table:
+    """(doc_id, shingle, n_sh) posting rows; each posting carries its doc's
+    TOTAL shingle-set size so union sizes ride along with the candidate
+    pairs — no size lookup table, no join, no driver state."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column(text_col).to_pylist()
-    o_doc, o_sh = [], []
+    o_doc, o_sh, o_n = [], [], []
     for d, t in zip(doc_ids, texts):
-        for s in shingle_set(t or "", k):
+        sh = shingle_set(t or "", k)
+        for s in sh:
             o_doc.append(d)
             o_sh.append(s)
+            o_n.append(len(sh))
     return pa.Table.from_arrays(
-        [pa.array(o_doc, pa.int64()), pa.array(o_sh, pa.string())],
-        names=["doc_id", "shingle"],
-    )
-
-
-def _shingle_counts(batch: pa.Table, k: int, text_col: str) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    return pa.Table.from_arrays(
-        [
-            pa.array(doc_ids, pa.int64()),
-            pa.array([len(shingle_set(t or "", k)) for t in texts], pa.int64()),
-        ],
-        names=["doc_id", "n_shingles"],
+        [pa.array(o_doc, pa.int64()), pa.array(o_sh, pa.string()),
+         pa.array(o_n, pa.int64())],
+        names=["doc_id", "shingle", "n_sh"],
     )
 
 
@@ -130,39 +124,34 @@ def ngram_jaccard_pairs(
     shingles = docs.map_batches(
         lambda b: _shingle_rows(b, k, text_col), batch_format="pyarrow", batch_size=batch_size
     )
-    sizes = docs.map_batches(
-        lambda b: _shingle_counts(b, k, text_col), batch_format="pyarrow", batch_size=batch_size
-    )
-    size_of = dict(
-        zip(
-            (t := sizes.to_pandas())["doc_id"].tolist(),
-            t["n_shingles"].tolist(),
-        )
-    )  # broadcast small side; at 10^12 scale this becomes ds.join on doc_a/doc_b
-    import ray
-
-    size_ref = ray.put(size_of)
 
     # Pair generation: shuffle on a coarse hash bucket of the shingle (every
     # shingle's postings stay in one bucket), then inside each bucket keep
     # only COLLIDING shingles (vectorized duplicated() filter) and emit
     # pairs per posting list with numpy triu indices. Avoids a Python
-    # map_groups call per shingle (most postings are singletons).
+    # map_groups call per shingle (most postings are singletons). Each pair
+    # row carries both docs' shingle-set sizes (n_a, n_b) from the posting
+    # rows themselves, so the union size needs no lookup downstream.
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated("shingle", keep=False)]
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for _, grp in g.groupby("shingle", sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
+            ids, first = np.unique(grp["doc_id"].to_numpy(), return_index=True)
             if len(ids) < 2 or len(ids) > hot_cap:
                 continue
+            ns = grp["n_sh"].to_numpy()[first]
             ii, jj = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
+            out_na.append(ns[ii])
+            out_nb.append(ns[jj])
         if not out_a:
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64")})
+            return pd.DataFrame({c: pd.array([], dtype="int64")
+                                 for c in ("doc_a", "doc_b", "n_a", "n_b")})
         return pd.DataFrame({"doc_a": np.concatenate(out_a).astype("int64"),
-                             "doc_b": np.concatenate(out_b).astype("int64")})
+                             "doc_b": np.concatenate(out_b).astype("int64"),
+                             "n_a": np.concatenate(out_na).astype("int64"),
+                             "n_b": np.concatenate(out_nb).astype("int64")})
 
     bucketed = shingles.map_batches(
         lambda t: add_hash_bucket(t, ["shingle"], 64), batch_format="pyarrow"
@@ -170,45 +159,36 @@ def ngram_jaccard_pairs(
     pair_hits = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
 
     def count_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["doc_a", "doc_b"]).aggregate([("doc_a", "count")])
+        g = b.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count"), ("n_a", "min"), ("n_b", "min")]
+        )
         return pa.Table.from_arrays(
-            [g.column("doc_a"), g.column("doc_b"), g.column("doc_a_count").cast(pa.int64())],
-            names=["doc_a", "doc_b", "n"],
+            [g.column("doc_a"), g.column("doc_b"), g.column("doc_a_count").cast(pa.int64()),
+             g.column("n_a_min"), g.column("n_b_min")],
+            names=["doc_a", "doc_b", "n", "n_a", "n_b"],
         )
 
     inter = bucketed_final(
         pair_hits.map_batches(count_partial, batch_format="pyarrow", batch_size=65536),
-        ["doc_a", "doc_b"], pa_aggs=[("n", "sum")], out_names=["inter"],
+        ["doc_a", "doc_b"],
+        pa_aggs=[("n", "sum"), ("n_a", "min"), ("n_b", "min")],
+        out_names=["inter", "n_a", "n_b"],
     )
 
-    class Finish:
-        def __init__(self, size_ref):
-            self.size_of = ray.get(size_ref)
+    def finish(b: pa.Table) -> pa.Table:
+        uni = pc.subtract(pc.add(b.column("n_a"), b.column("n_b")), b.column("inter"))
+        t = pa.Table.from_arrays(
+            [b.column("doc_a"), b.column("doc_b"),
+             b.column("inter").cast(pa.int64()), uni.cast(pa.int64())],
+            names=["doc_a", "doc_b", "inter", "uni"],
+        )
+        keep = pc.greater_equal(
+            pc.divide(t.column("inter").cast(pa.float64()), t.column("uni").cast(pa.float64())),
+            threshold,
+        )
+        return t.filter(keep)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            da = b.column("doc_a").to_pylist()
-            db = b.column("doc_b").to_pylist()
-            it = b.column("inter").to_pylist()
-            uni = [self.size_of[a] + self.size_of[x] - i for a, x, i in zip(da, db, it)]
-            t = pa.Table.from_arrays(
-                [
-                    pa.array(da, pa.int64()),
-                    pa.array(db, pa.int64()),
-                    pa.array(it, pa.int64()),
-                    pa.array(uni, pa.int64()),
-                ],
-                names=["doc_a", "doc_b", "inter", "uni"],
-            )
-            keep = pc.greater_equal(
-                pc.divide(t.column("inter").cast(pa.float64()), t.column("uni").cast(pa.float64())),
-                threshold,
-            )
-            return t.filter(keep)
-
-    return inter.map_batches(
-        Finish, fn_constructor_kwargs={"size_ref": size_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- minhash ----
@@ -333,6 +313,14 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash ----
 
+# 8-bit popcount LUT: vectorized Hamming distance over uint64 arrays by
+# viewing them as uint8 and summing per-byte popcounts.
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCOUNT8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
 
 def simhash64(tokens: list[str]) -> int:
     if not tokens:
@@ -392,7 +380,7 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
                           dtype=np.uint64)
             for i in range(len(ids) - 1):
                 x = hs[i + 1:] ^ hs[i]
-                d = np.array([bin(int(v)).count("1") for v in x])
+                d = _popcount64(x)
                 sel = np.nonzero(d <= max_hamming)[0]
                 for j in sel:
                     a_l.append(int(ids[i]))

@@ -160,10 +160,56 @@ def assign_ivf_buckets(embeddings, centroids: np.ndarray, vec_col: str = "embedd
     )
 
 
+class _IVFBatchTopK:
+    """Per-batch top-k with the per-query bucket mask applied IN the task:
+    a vector only scores for queries probing its bucket. The bucket column
+    rides on the batch, so no driver-side (vec_id -> bucket) map exists
+    anywhere — the partial top-k stream is the only thing leaving tasks."""
+
+    def __init__(self, queries_ref, probe_ref, k: int, vec_col: str):
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.probe = np.asarray(ray.get(probe_ref), dtype=np.int64)  # (Q, nprobe)
+        self.k = k
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))  # (n, d)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
+        scores = self.q @ vecs.T  # (Q, n)
+        # (Q, n) mask: vector j allowed for query i iff bucket[j] in probe[i]
+        allowed = (buckets[None, :, None] == self.probe[:, None, :]).any(axis=2)
+        scores = np.where(allowed, scores, -np.inf)
+        k = min(self.k, scores.shape[1])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        o_q, o_id, o_s = [], [], []
+        for qi in range(scores.shape[0]):
+            for j in idx[qi]:
+                s = scores[qi, j]
+                if s == -np.inf:
+                    continue
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_s.append(float(s))
+        return pa.Table.from_arrays(
+            [pa.array(o_q, pa.int64()), pa.array(o_id, pa.int64()),
+             pa.array(o_s, pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+
+
 def knn_ivf(embeddings, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-            nprobe: int = 4, vec_col: str = "embedding", batch_size: int = 4096):
+            nprobe: int = 4, vec_col: str = "embedding", batch_size: int = 4096,
+            concurrency=(1, 8)):
     """Approximate top-k: search only the nprobe nearest IVF buckets per
-    query. Returns the same schema as knn_brute."""
+    query. Returns the same schema as knn_brute.
+
+    The bucket column is threaded THROUGH the top-k partials (each task
+    masks disallowed (query, vector) cells before its local top-k), so the
+    only data ever gathered on the driver is the tiny partial-top-k stream
+    — no per-vector bucket map, no corpus collect. At scale the bucketed
+    index is written partitioned by bucket and the is_in filter becomes
+    partition pruning at the read (see :func:`assign_ivf_buckets`)."""
     import pyarrow.compute as pc
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -175,27 +221,22 @@ def knn_ivf(embeddings, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))),
         batch_format="pyarrow",
     )
-    allowed = {qi: {int(b) for b in probe[qi]} for qi in range(len(q))}
-
-    # exact knn within the probed subset, then mask per-query buckets
-    res = knn_brute(filtered, q, k=max(k * 4, k), vec_col=vec_col, batch_size=batch_size)
-    tbl = res.to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in tbl])
-    bucket_of = dict(zip(
-        (bt := pa.concat_tables([ray.get(r) for r in filtered.select_columns(["vec_id", "bucket"]).to_arrow_refs()])).column("vec_id").to_pylist(),
-        bt.column("bucket").to_pylist(),
-    ))
-    keep = [
-        i
-        for i, (qi, v) in enumerate(zip(tbl.column("query_id").to_pylist(), tbl.column("vec_id").to_pylist()))
-        if bucket_of.get(v) in allowed[qi]
-    ]
+    partials = filtered.map_batches(
+        _IVFBatchTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(q), "probe_ref": ray.put(probe),
+            "k": k, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
     import ray.data as rd
 
-    pruned = tbl.take(pa.array(keep, pa.int64()))
-    # re-rank to k after pruning
-    out = _merge_topk(pruned.select(["query_id", "vec_id", "score"]), k)
-    return rd.from_arrow(out)
+    merged = _merge_topk(
+        pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()]), k
+    )
+    return rd.from_arrow(merged)
 
 
 class _HyperplaneBucket:

@@ -148,17 +148,20 @@ def lang_id(docs, *, concurrency=(1, 8), batch_size: int = 4096):
 
 # --- rolling-hash shingle fingerprint (content-defined document signature) --
 
-_ROLL_BASE = np.uint64(1099511628211)
+_ROLL_BASE = 1099511628211
+_U64_MASK = (1 << 64) - 1
 
 
 def rolling_fingerprint(tokens: list[str]) -> int:
     """64-bit polynomial rolling hash over the token sequence (order
     sensitive — distinguishes permuted bags, unlike the md5-of-text only
-    when whitespace differs)."""
-    h = np.uint64(14695981039346656037)
+    when whitespace differs). Python ints masked to 64 bits: the wraparound
+    is intended, and unlike np.uint64 arithmetic it raises no
+    RuntimeWarning on overflow."""
+    h = 14695981039346656037
     for tok in tokens:
-        h = (h * _ROLL_BASE) ^ np.uint64(zlib.crc32(tok.encode()))
-    return int(h)
+        h = ((h * _ROLL_BASE) & _U64_MASK) ^ zlib.crc32(tok.encode())
+    return h
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

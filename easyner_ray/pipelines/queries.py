@@ -382,12 +382,17 @@ def kg_search(sf_dir: str):
 
 
 def kg_doc_spans(sf_dir: str):
-    """M8 span re-basing: mentions with turn-level char offsets (engine
-    carries exact sentence char_start, so this is a vectorized add)."""
-    from easyner_ray.stages.rebase import mentions_with_char_start, rebase_mentions
+    """M8 span re-basing: mentions with turn-level char offsets. The
+    sentence's exact ``char_start`` is carried INTO the nested mentions
+    table at tag time (keep_cols) and replicated per mention by the
+    vectorized explode — re-basing is a pure add with no join, lookup, or
+    driver-side state."""
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+    from easyner_ray.stages.rebase import rebase_mentions
 
-    sents = _sentences(sf_dir)
-    rebased = rebase_mentions(mentions_with_char_start(sents, _mentions(sf_dir)))
+    sm = tag_mentions(_sentences(sf_dir), vocabulary(), keep_cols=("char_start",))
+    rebased = rebase_mentions(explode_mentions(sm))
     return rebased.select_columns(
         ["conv_id", "turn_idx", "sent_idx", "mention_idx", "surface", "norm",
          "cls", "doc_start", "doc_end"]

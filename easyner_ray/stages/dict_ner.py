@@ -59,7 +59,7 @@ def sentence_mentions_table(
 
 def sentence_mentions_table_flat(
     batch: pa.Table, per_row_found: list[list[tuple[int, int, str, str]]],
-    keep_text: bool = False,
+    keep_text: bool = False, keep_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Build the nested mentions column DIRECTLY as
     ``ListArray(offsets, StructArray)`` from flat per-row match tuples —
@@ -106,34 +106,44 @@ def sentence_mentions_table_flat(
     )
     if keep_text:
         out = out.append_column("text", batch.column("text"))
+    for c in keep_cols:
+        out = out.append_column(c, batch.column(c))
     return out
 
 
 class DictNER:
-    def __init__(self, terms, keep_text: bool = False):
+    def __init__(self, terms, keep_text: bool = False, keep_cols: tuple[str, ...] = ()):
         if isinstance(terms, ray.ObjectRef):
             terms = ray.get(terms)
         self.matcher = PhraseMatcher(terms)
         self.keep_text = keep_text
+        self.keep_cols = tuple(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         find = self.matcher.find
         rows = [find(t) for t in batch.column("text").to_pylist()]
-        return sentence_mentions_table_flat(batch, rows, keep_text=self.keep_text)
+        return sentence_mentions_table_flat(
+            batch, rows, keep_text=self.keep_text, keep_cols=self.keep_cols
+        )
 
 
 def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024,
-                 num_cpus: float = 1, keep_text: bool = False):
+                 num_cpus: float = 1, keep_text: bool = False,
+                 keep_cols: tuple[str, ...] = ()):
     """sentences Dataset -> nested sentence-mentions Dataset via a DictNER
     actor pool. ``terms`` may be list[(term, cls)] or an ObjectRef to one.
     ``keep_text`` carries the sentence text column through (the reference's
-    search output keeps (text, entities, spans), ``search.py:30-53``)."""
+    search output keeps (text, entities, spans), ``search.py:30-53``);
+    ``keep_cols`` carries arbitrary sentence columns (e.g. ``char_start``
+    for span re-basing — attached at tag time so rebasing never needs a
+    join or lookup)."""
     terms_arg = terms
     if not isinstance(terms, ray.ObjectRef) and len(terms) > 10_000:
         terms_arg = ray.put(terms)
     return sentences.map_batches(
         DictNER,
-        fn_constructor_kwargs={"terms": terms_arg, "keep_text": keep_text},
+        fn_constructor_kwargs={"terms": terms_arg, "keep_text": keep_text,
+                               "keep_cols": tuple(keep_cols)},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -153,7 +163,7 @@ def explode_mentions_batch(batch: pa.Table) -> pa.Table:
     ments = batch.column("mentions").combine_chunks()
     flat = pc.list_flatten(ments)
     parent = pc.list_parent_indices(ments)
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             batch.column("conv_id").take(parent),
             batch.column("turn_idx").take(parent),
@@ -167,6 +177,11 @@ def explode_mentions_batch(batch: pa.Table) -> pa.Table:
         ],
         schema=schemas.MENTIONS,
     )
+    # carried sentence columns (keep_cols at tag time) replicate per mention
+    for c in batch.schema.names:
+        if c not in schemas.SENTENCE_MENTIONS.names and c != "mentions":
+            out = out.append_column(c, batch.column(c).take(parent))
+    return out
 
 
 def explode_mentions(sentence_mentions, batch_size: int = 4096):

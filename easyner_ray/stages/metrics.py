@@ -57,9 +57,14 @@ def mention_prf(pred_mentions, gold_mentions, offset_stride: int = 0) -> dict:
             matched: set = set()
             for row in pc_.itertuples(index=False):
                 spans = gold_by_sent.get((row.conv_id, row.turn_idx, row.sent_idx), [])
+                # a boundary matches on a delta of exactly 0 or +/-stride —
+                # NOT any |delta| <= stride — mirroring the reference's
+                # get_offsets expansion (evaluate_ner_pubtatorformat.py);
+                # identical at the reference default stride=1
+                ok = (0, offset_stride, -offset_stride)
                 hit = None
                 for j, (gs, ge) in enumerate(spans):
-                    if abs(row.start - gs) <= offset_stride and abs(row.end - ge) <= offset_stride:
+                    if (row.start - gs) in ok and (row.end - ge) in ok:
                         hit = (row.conv_id, row.turn_idx, row.sent_idx, j)
                         break
                 if hit is not None:

@@ -50,43 +50,45 @@ def rebase_mentions(mentions_with_char_start, batch_size: int = 65536):
     return mentions_with_char_start.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
-def mentions_with_char_start(sentences, sentence_mentions):
-    """Attach each sentence's ``char_start`` to its exploded mentions.
+def mentions_with_char_start(sentences, mentions):
+    """Attach each sentence's ``char_start`` to its (flat) mentions rows.
 
-    Both inputs explode from the same rows, but re-joining them would be a
-    shuffle; instead re-derive mentions from the nested table and look the
-    char_start up from the sentence rows via a same-key zip inside one
-    pass. Cheapest correct form: carry char_start INTO the nested table at
-    tag time — provided here for pipelines that kept the default schema.
-    """
-    import ray
+    FALLBACK for pipelines that dropped ``char_start`` before tagging —
+    prefer ``tag_mentions(..., keep_cols=("char_start",))``, which carries
+    the offset through tag time and makes re-basing a pure vectorized add
+    with no join at all.
 
-    # small-side broadcast: (conv,turn,sent) -> char_start
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in sentences.select_columns(
-            ["conv_id", "turn_idx", "sent_idx", "char_start"]).to_arrow_refs()]
+    Fully distributed: both sides shuffle on a coarse hash bucket of the
+    sentence key; each bucket equi-joins in Arrow C++. No driver-side
+    materialization (the previous broadcast-dict form held every sentence
+    key on the driver — O(corpus) memory)."""
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    KEYS = ["conv_id", "turn_idx", "sent_idx"]
+    m_schema = mentions.schema()
+    m_names = list(m_schema.names)
+    m_types = dict(zip(m_schema.names, m_schema.types))
+
+    def s_rows(t: pa.Table) -> pa.Table:
+        out = t.select(KEYS + ["char_start"])
+        for c in m_names:
+            if c not in out.schema.names:
+                out = out.append_column(c, pa.nulls(len(out), m_types[c]))
+        return out.append_column("__side", pa.array([0] * len(out), pa.int8()))
+
+    def m_rows(t: pa.Table) -> pa.Table:
+        out = t.append_column("char_start", pa.nulls(len(t), pa.int32()))
+        return out.append_column("__side", pa.array([1] * len(out), pa.int8()))
+
+    s = sentences.map_batches(s_rows, batch_format="pyarrow")
+    m = mentions.map_batches(m_rows, batch_format="pyarrow")
+    unioned = s.union(m).map_batches(
+        lambda t: add_hash_bucket(t, KEYS, 64), batch_format="pyarrow"
     )
-    idx = {
-        (c, t, s): cs
-        for c, t, s, cs in zip(
-            tbl.column("conv_id").to_pylist(),
-            tbl.column("turn_idx").to_pylist(),
-            tbl.column("sent_idx").to_pylist(),
-            tbl.column("char_start").to_pylist(),
-        )
-    }
-    idx_ref = ray.put(idx)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(idx_ref)
-        cs = [
-            m[(c, t, s)]
-            for c, t, s in zip(
-                batch.column("conv_id").to_pylist(),
-                batch.column("turn_idx").to_pylist(),
-                batch.column("sent_idx").to_pylist(),
-            )
-        ]
-        return batch.append_column("char_start", pa.array(cs, pa.int32()))
+    def join_bucket(t: pa.Table) -> pa.Table:
+        sid = t.filter(pc.equal(t.column("__side"), 0)).select(KEYS + ["char_start"])
+        mid = t.filter(pc.equal(t.column("__side"), 1)).select(m_names)
+        return mid.join(sid, keys=KEYS, join_type="inner")
 
-    return sentence_mentions.map_batches(attach, batch_format="pyarrow")
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

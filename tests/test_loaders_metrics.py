@@ -97,8 +97,19 @@ def test_rebase_spans_match_turn_text(ray_session, tiny_corpus):
 
     ts = read_transcripts(os.path.join(tiny_corpus, "transcripts.parquet"))
     sents = split_sentences(drop_empty_turns(ts))
+    # primary path: char_start carried through tag time (no join anywhere)
+    sm = tag_mentions(sents, vocabulary(), keep_cols=("char_start",))
+    rebased = rebase_mentions(explode_mentions(sm)).to_pandas()
+
+    # fallback path: distributed bucketed join, must agree exactly
     mentions = explode_mentions(tag_mentions(sents, vocabulary()))
-    rebased = rebase_mentions(mentions_with_char_start(sents, mentions)).to_pandas()
+    joined = rebase_mentions(mentions_with_char_start(sents, mentions)).to_pandas()
+    key = ["conv_id", "turn_idx", "sent_idx", "mention_idx"]
+    a = rebased.sort_values(key).reset_index(drop=True)
+    b = joined.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["doc_start"].values == b["doc_start"].values).all()
+    assert (a["doc_end"].values == b["doc_end"].values).all()
 
     turn_text = {
         (r.conv_id, r.turn_idx): r.text
