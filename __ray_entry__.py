@@ -54,10 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q.doc_stats_q,
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only
-        "rolling_fingerprints": q.rolling_fp_q,      # rows-only
+        "rolling_fingerprints": q.rolling_fp_q,      # derived-gold oracle
         "ngram_jaccard_pairs": q.ngram_jaccard_q,
         "minhash_lsh_pairs": q.minhash_lsh_q,        # approximate: rows-only
-        "simhash_pairs": q.simhash_q,                # rows-only
+        "simhash_pairs": q.simhash_q,                # derived-gold oracle
         "knn_brute": q.knn_brute_q,
         "knn_ivf": q.knn_ivf_q,                      # approximate: rows-only
         "cosine_pairs_brute": q.cosine_pairs_q,
@@ -78,8 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_spans": q.kg_doc_spans,
         "kg_triple_prf": q.kg_triple_prf,            # P/R gate artifact: rows-only
         "kg_merged_mentions": q.kg_merged_mentions,  # J2/J3 merge == gold oracle
-        "kg_resolved_mentions": q.kg_resolved_mentions,  # O6: rows-only
-        "kg_disambiguated": q.kg_disambiguated,      # scored NEL: rows-only
+        "kg_resolved_mentions": q.kg_resolved_mentions,  # O6: derived-gold oracle
+        "kg_disambiguated": q.kg_disambiguated,      # scored NEL: derived-gold oracle
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
     }
@@ -92,7 +92,10 @@ def oracle_sql() -> dict[str, str]:
     # KG oracles read gold parquet under /tmp/easyner_synth/sf0.01 —
     # materialize it (idempotent, ~1 s) so the SQL always has its inputs.
     try:
-        ensure_corpus("sf0.01", 0.01, with_gold=True, use_ray=False)
+        corpus = ensure_corpus("sf0.01", 0.01, with_gold=True, use_ray=False)
+        from easyner_ray.sources.gold_derived import ensure_derived_gold
+
+        ensure_derived_gold(corpus, "/root/testdata/sf0.01/documents.parquet")
     except Exception:
         pass  # queries() generates it too; worst case the KG oracles error
     return all_oracles()

@@ -50,25 +50,29 @@ def run_headline(sf_dir: str) -> dict:
     path = os.path.join(corpus, "transcripts.parquet")
     n_turns = _parquet_rows(path)
 
+    # The NER stage is a task pool with per-worker cached state (no pinned
+    # actors), so no pool sizing is needed and CPUs are shared freely with
+    # the read; the graph materializes inside build_kg_single_pass and the
+    # two counts below are trivial filters over it.
+    #
+    # Two timed runs, both reported: the FIRST pays one-time Ray worker/env
+    # startup (cold), the SECOND is the steady-state per-job cost a long
+    # pipeline actually repeats — the headline metric. Both appear in the
+    # output so the comparison is transparent.
     t0 = time.time()
-    # Fixed-size NER pool at a CONSTANT 1/2 fraction of the CPUs: a pool
-    # covering every CPU starves ReadParquet (actors pin their CPU), an
-    # autoscaling pool's ramp is measurable at bench scale, and an equal
-    # fraction across CPU levels keeps the scaling comparison fair.
-    pool = max(1, NUM_CPUS // 2)
-    out = build_kg_single_pass(read_transcripts(path), ner_concurrency=(pool, pool))
-    # consume the two graph outputs CONCURRENTLY — their final shuffles are
-    # small and latency-floor-bound, so serializing them taxes the high-CPU
-    # leg disproportionately
-    import concurrent.futures as _fut
+    out = build_kg_single_pass(read_transcripts(path))
+    n_nodes = out["nodes"].count()
+    n_edges = out["edges"].count()
+    cold = time.time() - t0
 
-    with _fut.ThreadPoolExecutor(2) as ex:
-        f_nodes = ex.submit(out["nodes"].count)
-        f_edges = ex.submit(out["edges"].count)
-        n_nodes, n_edges = f_nodes.result(), f_edges.result()
+    t0 = time.time()
+    out = build_kg_single_pass(read_transcripts(path))
+    n_nodes = out["nodes"].count()
+    n_edges = out["edges"].count()
     wall = time.time() - t0
     return {
         "kg_build_sec": round(wall, 3),
+        "kg_build_cold_sec": round(cold, 3),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
         "nodes": n_nodes,

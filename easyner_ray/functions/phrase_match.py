@@ -47,8 +47,17 @@ class PhraseMatcher:
     def find(self, text: str) -> list[tuple[int, int, str, str]]:
         """All matches in ``text`` as (start, end, surface, cls),
         sorted by (start, end, cls); end-exclusive char offsets."""
-        tokens, offsets = tokenize_with_offsets(text)
-        low = [t.lower() for t in tokens]
+        # lowercase the WHOLE text once (C speed) and tokenize the lowered
+        # copy — kills the per-token .lower() calls. Offsets stay valid
+        # because .lower() is length-preserving for all but a handful of
+        # exotic codepoints; the rare length-changing text falls back.
+        low_text = text.lower()
+        if len(low_text) == len(text):
+            low, offsets = tokenize_with_offsets(low_text)
+            tokens = low
+        else:  # pragma: no cover - e.g. 'İ' expands under .lower()
+            tokens, offsets = tokenize_with_offsets(text)
+            low = [t.lower() for t in tokens]
         n = len(low)
         index = self._index
         out: list[tuple[int, int, str, str]] = []

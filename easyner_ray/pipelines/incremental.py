@@ -79,8 +79,7 @@ def update_graph(
 
     from easyner_ray import schemas
     from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
-    from easyner_ray.pipelines.kg import (KGPartialsNER, _recollapse_combined,
-                                          drop_empty_turns)
+    from easyner_ray.pipelines.kg import _kg_partials_fn, drop_empty_turns
     from easyner_ray.sources import vocab as _vocab
     from easyner_ray.stages.canonicalize import (_combine_nodes_bucket,
                                                  cls_of_norm_map,
@@ -97,15 +96,14 @@ def update_graph(
             "lazily during the write (snapshot-per-ingest layout)"
         )
 
-    # partials from the NEW data only (single-pass fused stage)
+    # partials from the NEW data only (single-pass fused stage; task pool
+    # with per-worker cached matcher — see kg._kg_partials_fn)
     sentences = split_sentences(drop_empty_turns(new_transcripts))
     combined = sentences.map_batches(
-        KGPartialsNER,
-        fn_constructor_kwargs={"term_sets": term_sets},
+        _kg_partials_fn(_ray.put(term_sets)),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=ner_concurrency,
-    ).map_batches(_recollapse_combined, batch_format="pyarrow", batch_size=1_000_000)
+    )
 
     new_edge_partials = combined.filter(expr="kind == 'e'").select_columns(
         ["subj", "pred", "obj", "w"])

@@ -212,32 +212,31 @@ class KGPartialsNER:
         )
 
 
-def _recollapse_combined(batch):
-    """Second partial level over big coalesced batches: shrinks the rows
-    entering the bucket shuffles by another ~5x."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+# Worker-process cache for task-pool NER state. The dictionary matcher
+# builds in ~1ms, so it does NOT need a pinned actor pool (whose creation
+# latency and CPU pinning dominate at bench scale and can starve the read
+# at low CPU counts): plain map_batches TASKS reuse Ray's prestarted
+# workers, and each worker process builds the matcher once, lazily, keyed
+# by the broadcast term-set ObjectRef. Expensive model state (Transformers
+# NER) keeps the actor-pool shape — this path is for cheap state only.
+_PARTIALS_CACHE: dict = {}
 
-    e = batch.filter(pc.equal(batch.column("kind"), "e"))
-    n = batch.filter(pc.equal(batch.column("kind"), "n"))
-    ge = e.group_by(["subj", "pred", "obj"]).aggregate([("w", "sum")])
-    gn = n.group_by(["norm", "cls"]).aggregate([("n", "sum")])
-    n_e, n_n = len(ge), len(gn)
-    return pa.Table.from_arrays(
-        [
-            pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
-            pa.concat_arrays([ge.column("subj").combine_chunks(), pa.nulls(n_n, pa.string())]),
-            pa.concat_arrays([ge.column("pred").combine_chunks(), pa.nulls(n_n, pa.string())]),
-            pa.concat_arrays([ge.column("obj").combine_chunks(), pa.nulls(n_n, pa.string())]),
-            pa.concat_arrays([ge.column("w_sum").cast(pa.int64()).combine_chunks(),
-                              pa.nulls(n_n, pa.int64())]),
-            pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("norm").combine_chunks()]),
-            pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("cls").combine_chunks()]),
-            pa.concat_arrays([pa.nulls(n_e, pa.int64()),
-                              gn.column("n_sum").cast(pa.int64()).combine_chunks()]),
-        ],
-        names=[f for f, _ in _COMBINED_FIELDS],
-    )
+
+def _kg_partials_fn(term_sets_ref):
+    import ray as _ray
+
+    key = term_sets_ref.hex() if hasattr(term_sets_ref, "hex") else str(id(term_sets_ref))
+
+    def fn(batch):
+        ner = _PARTIALS_CACHE.get(key)
+        if ner is None:
+            ts = (_ray.get(term_sets_ref)
+                  if isinstance(term_sets_ref, _ray.ObjectRef) else term_sets_ref)
+            ner = KGPartialsNER(ts)
+            _PARTIALS_CACHE[key] = ner
+        return ner(batch)
+
+    return fn
 
 
 def build_kg_single_pass(
@@ -248,12 +247,18 @@ def build_kg_single_pass(
     ner_batch_size: int = 8192,
 ):
     """The throughput shape of the KG build: read -> split+NER+partials in
-    ONE fused actor-pool pass -> recollapse -> materialize the (small)
-    combined partial stream -> two bucket-shuffle finals.
+    ONE fused task-pool pass (matcher cached per worker process) -> ONE
+    bucket-shuffle final over the combined (edge+node) partial stream ->
+    materialize the finished graph (small) -> nodes/edges are cheap
+    filters over it. ``ner_concurrency`` is accepted for API compatibility
+    and ignored (tasks scale with free CPUs; no pinned pool to size).
 
     vs :func:`build_kg`: NER runs once, nothing row-level materializes
     (the checkpoint is the collapsed partials — ~2 orders of magnitude
-    smaller than the nested backbone), node aliases omitted.
+    smaller than the nested backbone), node aliases omitted. Fusing the two
+    finals into one shuffle halves the fixed per-execution cost (each extra
+    Dataset execution pays scheduler + stage-launch latency that dominates
+    the small post-aggregation streams).
     Returns {"nodes": Dataset, "edges": Dataset}.
     """
     import pyarrow as pa
@@ -262,7 +267,7 @@ def build_kg_single_pass(
     import ray as _ray
 
     from easyner_ray import schemas
-    from easyner_ray.ops.relational import bucketed_final
+    from easyner_ray.ops.relational import add_hash_bucket
     from easyner_ray.sources import vocab as _vocab
     from easyner_ray.stages.canonicalize import node_id
     from easyner_ray.stages.splitter import split_sentences
@@ -271,57 +276,94 @@ def build_kg_single_pass(
         term_sets = [_vocab.vocabulary()]
     cls_ref = _ray.put(cls_of_norm_map(term_sets))
     sentences = split_sentences(drop_empty_turns(transcripts))
+    # task pool + per-worker cached matcher (see _kg_partials_fn): no actor
+    # creation latency, no pinned CPUs; ner_concurrency is accepted for API
+    # compatibility but tasks simply scale with free CPUs. No second-level
+    # recollapse: each batch is already collapsed to one row per key by the
+    # fused partial stage, and rebatching to giant blocks for another
+    # combine costs more than shuffling the extra rows (measured ~3x).
     combined = sentences.map_batches(
-        KGPartialsNER,
-        fn_constructor_kwargs={"term_sets": term_sets},
+        _kg_partials_fn(_ray.put(term_sets)),
         batch_format="pyarrow",
         batch_size=ner_batch_size,
-        concurrency=ner_concurrency,
     )
-    combined = combined.map_batches(_recollapse_combined, batch_format="pyarrow",
-                                    batch_size=1_000_000).materialize()
 
-    edge_partials = combined.filter(expr="kind == 'e'").select_columns(
-        ["subj", "pred", "obj", "w"])
-    node_partials = combined.filter(expr="kind == 'n'").select_columns(
-        ["norm", "cls", "n"])
+    # one shuffle for BOTH aggregates: bucket on the kind-specific key
+    # (edge triple or node (norm, cls)); each bucket group-bys the two
+    # kinds separately and emits a union-schema graph table
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.if_else(
+            pc.equal(t.column("kind"), "e"),
+            pc.binary_join_element_wise(
+                pc.coalesce(t.column("subj"), ""), pc.coalesce(t.column("pred"), ""),
+                pc.coalesce(t.column("obj"), ""), "\x00"),
+            pc.binary_join_element_wise(
+                pc.coalesce(t.column("norm"), ""), pc.coalesce(t.column("cls"), ""),
+                "\x00"),
+        )
+        return add_hash_bucket(t.append_column("__key", key), ["__key"], 64)
 
-    edges_agg = bucketed_final(edge_partials, ["subj", "pred", "obj"],
-                               pa_aggs=[("w", "sum")], out_names=["weight"])
-
-    def edge_ids(t: pa.Table) -> pa.Table:
-        # endpoint ids hash the SAME (cls, norm) key node_ids uses, via the
-        # broadcast norm->cls map — referential integrity without a join
+    def final_bucket(t: pa.Table) -> pa.Table:
         cls_of = _ray.get(cls_ref)
-        subj = t.column("subj").to_pylist()
-        obj = t.column("obj").to_pylist()
+        e = t.filter(pc.equal(t.column("kind"), "e"))
+        n = t.filter(pc.equal(t.column("kind"), "n"))
+        ge = e.group_by(["subj", "pred", "obj"]).aggregate([("w", "sum")])
+        gn = n.group_by(["norm", "cls"]).aggregate([("n", "sum")])
+        subj = ge.column("subj").to_pylist()
+        obj = ge.column("obj").to_pylist()
+        norms = gn.column("norm").to_pylist()
+        clss = gn.column("cls").to_pylist()
+        n_e, n_n = len(ge), len(gn)
         return pa.Table.from_arrays(
             [
-                pa.array([node_id(cls_of.get(s, ""), s) for s in subj], pa.string()),
-                t.column("subj"), t.column("pred"),
-                pa.array([node_id(cls_of.get(o, ""), o) for o in obj], pa.string()),
-                t.column("obj"), t.column("weight").cast(pa.int64()),
+                pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
+                # edge columns (endpoint ids hash the SAME (cls, norm) key
+                # node ids use, via the broadcast norm->cls map)
+                pa.array([node_id(cls_of.get(s, ""), s) for s in subj] + [None] * n_n,
+                         pa.string()),
+                pa.concat_arrays([ge.column("subj").combine_chunks(), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([ge.column("pred").combine_chunks(), pa.nulls(n_n, pa.string())]),
+                pa.array([node_id(cls_of.get(o, ""), o) for o in obj] + [None] * n_n,
+                         pa.string()),
+                pa.concat_arrays([ge.column("obj").combine_chunks(), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([ge.column("w_sum").cast(pa.int64()).combine_chunks(),
+                                  pa.nulls(n_n, pa.int64())]),
+                # node columns
+                pa.array([None] * n_e + [node_id(c, nm) for c, nm in zip(clss, norms)],
+                         pa.string()),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("norm").combine_chunks()]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("cls").combine_chunks()]),
+                pa.concat_arrays([pa.nulls(n_e, pa.int64()),
+                                  gn.column("n_sum").cast(pa.int64()).combine_chunks()]),
             ],
-            schema=schemas.EDGES,
+            names=["kind", "subj_id", "subj", "pred", "obj_id", "obj", "weight",
+                   "node_id", "norm", "cls", "n_mentions"],
         )
 
-    edges = edges_agg.map_batches(edge_ids, batch_format="pyarrow")
+    graph = (
+        combined.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_bucket, batch_format="pyarrow")
+        .materialize()
+    )
 
-    nodes_agg = bucketed_final(node_partials, ["norm", "cls"],
-                               pa_aggs=[("n", "sum")], out_names=["n_mentions"])
-
-    def node_ids(t: pa.Table) -> pa.Table:
-        norms = t.column("norm").to_pylist()
-        clss = t.column("cls").to_pylist()
+    def as_nodes(t: pa.Table) -> pa.Table:
+        n = t.filter(pc.equal(t.column("kind"), "n"))
         return pa.Table.from_arrays(
-            [
-                pa.array([node_id(c, nm) for c, nm in zip(clss, norms)], pa.string()),
-                t.column("norm"), t.column("cls"),
-                t.column("n_mentions").cast(pa.int64()),
-                pa.array([[] for _ in norms], pa.list_(pa.string())),
-            ],
+            [n.column("node_id"), n.column("norm"), n.column("cls"),
+             n.column("n_mentions"),
+             pa.array([[]] * len(n), pa.list_(pa.string()))],
             schema=schemas.NODES,
         )
 
-    nodes = nodes_agg.map_batches(node_ids, batch_format="pyarrow")
+    def as_edges(t: pa.Table) -> pa.Table:
+        e = t.filter(pc.equal(t.column("kind"), "e"))
+        return pa.Table.from_arrays(
+            [e.column("subj_id"), e.column("subj"), e.column("pred"),
+             e.column("obj_id"), e.column("obj"), e.column("weight")],
+            schema=schemas.EDGES,
+        )
+
+    nodes = graph.map_batches(as_nodes, batch_format="pyarrow")
+    edges = graph.map_batches(as_edges, batch_format="pyarrow")
     return {"nodes": nodes, "edges": edges}

@@ -257,3 +257,20 @@ RELATIONAL["events_sessions"] = """
 """
 
 KG["kg_merged_mentions"] = KG["kg_mentions"]
+
+# Derived-gold oracles (sources.gold_derived): engine-independent
+# straight-line recomputations of the deterministic post-NER operators.
+GRM = f"read_parquet('{SYNTH}/gold_resolved_mentions.parquet')"
+GDA = f"read_parquet('{SYNTH}/gold_disambiguated.parquet')"
+GFP = f"read_parquet('{SYNTH}/gold_doc_rollfp.parquet')"
+GSH = f"read_parquet('{SYNTH}/gold_simhash_pairs.parquet')"
+
+KG["kg_resolved_mentions"] = f"""
+    SELECT conv_id, turn_idx, sent_idx, mention_idx, surface, norm, cls,
+           start, "end" FROM {GRM}
+"""
+KG["kg_disambiguated"] = f"""
+    SELECT conv_id, turn_idx, sent_idx, mention_idx, norm, entity_id FROM {GDA}
+"""
+RELATIONAL["rolling_fingerprints"] = f"SELECT doc_id, roll_fp FROM {GFP}"
+RELATIONAL["simhash_pairs"] = f"SELECT doc_a, doc_b, hamming FROM {GSH}"

@@ -273,9 +273,13 @@ def cosine_lsh_q(sf_dir: str):
 
 
 def _corpus(sf_dir: str) -> str:
+    from easyner_ray.sources.gold_derived import ensure_derived_gold
     from easyner_ray.sources.synthetic import ensure_for_sf_dir
 
-    return ensure_for_sf_dir(sf_dir)
+    corpus = ensure_for_sf_dir(sf_dir)
+    if os.path.exists(os.path.join(corpus, "gold_mentions.parquet")):
+        ensure_derived_gold(corpus, os.path.join(sf_dir, "documents.parquet"))
+    return corpus
 
 
 def _transcripts(sf_dir: str):

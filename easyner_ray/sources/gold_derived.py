@@ -1,0 +1,229 @@
+"""Derived gold tables for the deterministic post-NER operators.
+
+These extend the analytic gold (sources.synthetic) with engine-independent
+straight-line recomputations of operators whose outputs are fully
+deterministic functions of the gold mentions / documents:
+
+  * ``gold_resolved_mentions.parquet``  — O6 overlap conflict resolution
+    (spec: reference entity_merger2.py:99-146 — identical spans keep the
+    higher-priority class, contained spans drop, partial overlaps drop the
+    shorter span; realized as greedy accept in (longer, higher-priority,
+    earlier) order);
+  * ``gold_disambiguated.parquet``      — scored NEL disambiguation (spec:
+    stages/disambiguate.py module docstring — crc32-seeded hash-projection
+    profiles, cosine vs the mean context vector of the sentence's OTHER
+    mention norms, deterministic (score desc, id asc) tie-break);
+  * ``gold_doc_rollfp.parquet``         — 64-bit polynomial rolling hash of
+    the token stream (FNV-basis/prime constants, crc32 per token);
+  * ``gold_simhash_pairs.parquet``      — BRUTE-FORCE all-pairs SimHash
+    Hamming <= 3 (the engine's 4x16-bit band blocking is complete for
+    d <= 3 by pigeonhole, so banding must equal brute force at fixture
+    scale).
+
+Everything here is plain single-process Python over parquet files — no Ray,
+no engine stage imports — so a gold value can only match the engine when
+the distributed implementation is actually correct.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Entity-class priority (spec constant, reference entity_merger2.py:116:
+# chemical < disease < species < gene < cell — higher wins).
+_PRIORITY = {"chemical": 1, "disease": 2, "species": 3, "gene": 4, "cell": 5}
+
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_U64 = (1 << 64) - 1
+
+
+# ------------------------------------------------------ resolved mentions --
+
+
+def _resolve_sentence(ments: list[dict]) -> list[dict]:
+    ranked = sorted(
+        ments,
+        key=lambda m: (-(m["end"] - m["start"]), -_PRIORITY.get(m["cls"], 0),
+                       m["start"], m["cls"]),
+    )
+    kept: list[dict] = []
+    for m in ranked:
+        overlaps = False
+        for k in kept:
+            if m["start"] < k["end"] and k["start"] < m["end"]:
+                overlaps = True
+                break
+        if not overlaps:
+            kept.append(m)
+    kept.sort(key=lambda m: (m["start"], m["end"]))
+    return kept
+
+
+def _mentions_by_sentence(corpus: str):
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"))
+    rows = [dict(zip(gm.column_names, r)) for r in zip(*(gm.column(c).to_pylist() for c in gm.column_names))]
+    by_sent: dict[tuple, list[dict]] = {}
+    for r in rows:
+        by_sent.setdefault((r["conv_id"], r["turn_idx"], r["sent_idx"]), []).append(r)
+    for ms in by_sent.values():
+        ms.sort(key=lambda m: m["mention_idx"])
+    return by_sent
+
+
+def write_resolved_gold(corpus: str) -> str:
+    by_sent = _mentions_by_sentence(corpus)
+    out_rows: list[tuple] = []
+    for (cid, ti, si) in sorted(by_sent):
+        for i, m in enumerate(_resolve_sentence(by_sent[(cid, ti, si)])):
+            out_rows.append((cid, ti, si, i, m["surface"], m["norm"], m["cls"],
+                             m["start"], m["end"]))
+    from easyner_ray.sources.synthetic import GOLD_MENTION_SCHEMA, _rows_to_table
+
+    path = os.path.join(corpus, "gold_resolved_mentions.parquet")
+    pq.write_table(_rows_to_table(out_rows, GOLD_MENTION_SCHEMA), path)
+    return path
+
+
+# --------------------------------------------------------- disambiguation --
+
+
+def _hash_vec(text: str, dim: int = 32) -> np.ndarray:
+    rng = np.random.RandomState(zlib.crc32(text.encode()) & 0xFFFFFFFF)
+    v = rng.randn(dim)
+    return v / (np.linalg.norm(v) or 1.0)
+
+
+def write_disambiguated_gold(corpus: str) -> str:
+    alias_tbl = pq.read_table(os.path.join(corpus, "alias.parquet"))
+    alias: dict[str, list[str]] = {}
+    for term, id_ in zip(alias_tbl.column("term").to_pylist(),
+                         alias_tbl.column("id").to_pylist()):
+        alias.setdefault(term, []).append(id_)
+    for v in alias.values():
+        v.sort()
+
+    by_sent = _mentions_by_sentence(corpus)
+    cols = {k: [] for k in ("conv_id", "turn_idx", "sent_idx", "mention_idx",
+                            "norm", "entity_id")}
+    for (cid, ti, si) in sorted(by_sent):
+        ments = by_sent[(cid, ti, si)]
+        norms = [m["norm"] for m in ments]
+        for m in ments:
+            cands = alias.get(m["norm"], [])
+            if not cands:
+                chosen = ""
+            elif len(cands) == 1:
+                chosen = cands[0]
+            else:
+                others = [n for n in norms if n != m["norm"]]
+                if others:
+                    ctx = np.mean([_hash_vec("ctx:" + n) for n in others], axis=0)
+                    nrm = np.linalg.norm(ctx)
+                    ctx = ctx / nrm if nrm else ctx
+                else:
+                    ctx = _hash_vec("ctx:" + m["norm"])
+                best = None
+                for c in cands:
+                    s = float(_hash_vec("id:" + c) @ ctx)
+                    if best is None or s > best[0] or (s == best[0] and c < best[1]):
+                        best = (s, c)
+                chosen = best[1]
+            cols["conv_id"].append(cid)
+            cols["turn_idx"].append(ti)
+            cols["sent_idx"].append(si)
+            cols["mention_idx"].append(m["mention_idx"])
+            cols["norm"].append(m["norm"])
+            cols["entity_id"].append(chosen)
+    tbl = pa.Table.from_arrays(
+        [pa.array(cols["conv_id"], pa.string()),
+         pa.array(cols["turn_idx"], pa.int32()),
+         pa.array(cols["sent_idx"], pa.int32()),
+         pa.array(cols["mention_idx"], pa.int32()),
+         pa.array(cols["norm"], pa.string()),
+         pa.array(cols["entity_id"], pa.string())],
+        names=["conv_id", "turn_idx", "sent_idx", "mention_idx", "norm", "entity_id"],
+    )
+    path = os.path.join(corpus, "gold_disambiguated.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+# --------------------------------------- document-derived (rollfp/simhash) --
+
+
+def _roll_fp(text: str) -> str:
+    h = _FNV_OFFSET
+    for tok in text.split():
+        h = ((h * _FNV_PRIME) & _U64) ^ zlib.crc32(tok.encode())
+    return f"{h:016x}"
+
+
+def _simhash(text: str) -> int:
+    counts: dict[str, int] = {}
+    for tok in text.split():
+        counts[tok] = counts.get(tok, 0) + 1
+    if not counts:
+        return 0
+    sums = [0] * 64
+    for tok, c in counts.items():
+        h = (zlib.crc32(tok.encode()) << 32) | zlib.crc32((tok + "\x00").encode())
+        for bit in range(64):
+            sums[bit] += c if (h >> bit) & 1 else -c
+    out = 0
+    for bit in range(64):
+        if sums[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def write_doc_gold(corpus: str, documents_path: str, max_hamming: int = 3) -> list[str]:
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    fp_tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()),
+         pa.array([_roll_fp(t or "") for t in texts], pa.string())],
+        names=["doc_id", "roll_fp"],
+    )
+    fp_path = os.path.join(corpus, "gold_doc_rollfp.parquet")
+    pq.write_table(fp_tbl, fp_path)
+
+    hashes = [_simhash(t or "") for t in texts]
+    a_l, b_l, h_l = [], [], []
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    for x in range(len(order)):
+        i = order[x]
+        for y in range(x + 1, len(order)):
+            j = order[y]
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= max_hamming:
+                a_l.append(ids[i])
+                b_l.append(ids[j])
+                h_l.append(d)
+    sh_tbl = pa.Table.from_arrays(
+        [pa.array(a_l, pa.int64()), pa.array(b_l, pa.int64()),
+         pa.array(h_l, pa.int64())],
+        names=["doc_a", "doc_b", "hamming"],
+    )
+    sh_path = os.path.join(corpus, "gold_simhash_pairs.parquet")
+    pq.write_table(sh_tbl, sh_path)
+    return [fp_path, sh_path]
+
+
+def ensure_derived_gold(corpus: str, documents_path: str | None = None) -> None:
+    """Idempotently write every derived gold table missing from ``corpus``."""
+    if not os.path.exists(os.path.join(corpus, "gold_resolved_mentions.parquet")):
+        write_resolved_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_disambiguated.parquet")):
+        write_disambiguated_gold(corpus)
+    if documents_path and os.path.exists(documents_path) and not os.path.exists(
+        os.path.join(corpus, "gold_simhash_pairs.parquet")
+    ):
+        write_doc_gold(corpus, documents_path)
