@@ -245,20 +245,31 @@ def build_kg_single_pass(
     *,
     ner_concurrency=(1, 8),
     ner_batch_size: int = 8192,
+    combine: str = "tree",
 ):
     """The throughput shape of the KG build: read -> split+NER+partials in
-    ONE fused task-pool pass (matcher cached per worker process) -> ONE
-    bucket-shuffle final over the combined (edge+node) partial stream ->
-    materialize the finished graph (small) -> nodes/edges are cheap
-    filters over it. ``ner_concurrency`` is accepted for API compatibility
-    and ignored (tasks scale with free CPUs; no pinned pool to size).
+    ONE fused task-pool pass (matcher cached per worker process) -> final
+    combine -> materialize the finished graph (small) -> nodes/edges are
+    cheap filters over it. ``ner_concurrency`` is accepted for API
+    compatibility and ignored (tasks scale with free CPUs; no pinned pool
+    to size).
+
+    ``combine`` picks the final-aggregation strategy:
+
+      * ``"tree"`` (default) — NO keyed shuffle: the partial stream
+        materializes (the resume checkpoint), a coalescing ``map_batches``
+        collapses ~1M-row chunks to one row per key, and one tiny task
+        finishes the graph. Correct whenever the final keyspace fits a
+        task; with dictionary NER the keyspace is bounded by |vocab|^2
+        pairs + |vocab| nodes — far below corpus size. The 100-TB shape
+        for closed vocabularies.
+      * ``"shuffle"`` — ONE bucket-shuffle final (hash of the kind-specific
+        key, 64 buckets, per-bucket Arrow group_by). Use when the keyspace
+        itself is corpus-scale (open-vocabulary model NER).
 
     vs :func:`build_kg`: NER runs once, nothing row-level materializes
     (the checkpoint is the collapsed partials — ~2 orders of magnitude
-    smaller than the nested backbone), node aliases omitted. Fusing the two
-    finals into one shuffle halves the fixed per-execution cost (each extra
-    Dataset execution pays scheduler + stage-launch latency that dominates
-    the small post-aggregation streams).
+    smaller than the nested backbone), node aliases omitted.
     Returns {"nodes": Dataset, "edges": Dataset}.
     """
     import pyarrow as pa
@@ -288,9 +299,8 @@ def build_kg_single_pass(
         batch_size=ner_batch_size,
     )
 
-    # one shuffle for BOTH aggregates: bucket on the kind-specific key
-    # (edge triple or node (norm, cls)); each bucket group-bys the two
-    # kinds separately and emits a union-schema graph table
+    # bucket on the kind-specific key (edge triple or node (norm, cls)) —
+    # the shuffle variant; each bucket group-bys the two kinds separately
     def keyed(t: pa.Table) -> pa.Table:
         key = pc.if_else(
             pc.equal(t.column("kind"), "e"),
@@ -302,6 +312,30 @@ def build_kg_single_pass(
                 "\x00"),
         )
         return add_hash_bucket(t.append_column("__key", key), ["__key"], 64)
+
+    def collapse_partials(t: pa.Table) -> pa.Table:
+        """partial-shape -> partial-shape, one row per key (algebraic, so
+        it can be applied at any tree level)."""
+        e = t.filter(pc.equal(t.column("kind"), "e"))
+        n = t.filter(pc.equal(t.column("kind"), "n"))
+        ge = e.group_by(["subj", "pred", "obj"]).aggregate([("w", "sum")])
+        gn = n.group_by(["norm", "cls"]).aggregate([("n", "sum")])
+        n_e, n_n = len(ge), len(gn)
+        return pa.Table.from_arrays(
+            [
+                pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
+                pa.concat_arrays([ge.column("subj").combine_chunks(), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([ge.column("pred").combine_chunks(), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([ge.column("obj").combine_chunks(), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([ge.column("w_sum").cast(pa.int64()).combine_chunks(),
+                                  pa.nulls(n_n, pa.int64())]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("norm").combine_chunks()]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("cls").combine_chunks()]),
+                pa.concat_arrays([pa.nulls(n_e, pa.int64()),
+                                  gn.column("n_sum").cast(pa.int64()).combine_chunks()]),
+            ],
+            names=[f for f, _ in _COMBINED_FIELDS],
+        )
 
     def final_bucket(t: pa.Table) -> pa.Table:
         cls_of = _ray.get(cls_ref)
@@ -340,12 +374,26 @@ def build_kg_single_pass(
                    "node_id", "norm", "cls", "n_mentions"],
         )
 
-    graph = (
-        combined.map_batches(keyed, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(final_bucket, batch_format="pyarrow")
-        .materialize()
-    )
+    if combine == "tree":
+        # materialize the partial stream (the resume checkpoint; also a
+        # fusion barrier so the coalescing combine below doesn't force the
+        # NER stage onto million-row batches), then collapse ~1M-row chunks
+        # and finish in one tiny task — no keyed shuffle anywhere
+        part = combined.materialize()
+        lvl1 = part.map_batches(collapse_partials, batch_format="pyarrow",
+                                batch_size=1_000_000)
+        graph = (
+            lvl1.repartition(1)
+            .map_batches(final_bucket, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+    else:
+        graph = (
+            combined.map_batches(keyed, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(final_bucket, batch_format="pyarrow")
+            .materialize()
+        )
 
     def as_nodes(t: pa.Table) -> pa.Table:
         n = t.filter(pc.equal(t.column("kind"), "n"))

@@ -274,3 +274,25 @@ KG["kg_disambiguated"] = f"""
 """
 RELATIONAL["rolling_fingerprints"] = f"SELECT doc_id, roll_fp FROM {GFP}"
 RELATIONAL["simhash_pairs"] = f"SELECT doc_a, doc_b, hamming FROM {GSH}"
+
+KG["kg_entity_freq_batches"] = f"""
+    SELECT norm AS entity, count(*) AS total_count,
+           count(DISTINCT conv_id) AS convs_spanned,
+           count(DISTINCT CAST(substr(conv_id, 6) AS INTEGER) % 8) AS batches_spanned,
+           count(*) * 1.0 / count(DISTINCT conv_id) AS freq_per_conv,
+           count(*) * 1.0
+             / count(DISTINCT CAST(substr(conv_id, 6) AS INTEGER) % 8) AS freq_per_batch,
+           string_agg(DISTINCT conv_id, ',' ORDER BY conv_id) AS articles_set
+    FROM {GM} GROUP BY norm
+"""
+
+# write->load round trip must reproduce the doc-span mentions exactly
+KG["kg_pubtator_roundtrip"] = f"""
+    SELECT m.conv_id, m.turn_idx,
+           CAST(m.start + s.char_start AS INTEGER) AS doc_start,
+           CAST(m."end" + s.char_start AS INTEGER) AS doc_end,
+           m.surface, m.cls, m.norm
+    FROM {GM} m JOIN {GS} s
+      ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+     AND m.sent_idx = s.sent_idx
+"""

@@ -525,3 +525,46 @@ def kg_entity_freq_per_conv(sf_dir: str):
     from easyner_ray.stages.analysis import entity_frequency_per_conv
 
     return entity_frequency_per_conv(_mentions(sf_dir))
+
+
+def kg_entity_freq_batches(sf_dir: str):
+    """Reference A1 with the ingest-batch dimension: per-entity counts,
+    conv/batch span counts, per-batch frequency and the materialized
+    articles_set. The batch id is a deterministic function of the conv's
+    numeric suffix (the engine analog of the reference's source-file
+    index), computed vectorized on the mention stream."""
+    from easyner_ray.stages.analysis import entity_frequency_batches
+
+    N_PARTS = 8
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # conv ids are "conv-NNNNNNN": batch = numeric suffix mod N_PARTS
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 12), pa.int32())
+        part = pc.subtract(num, pc.multiply(pc.divide(num, N_PARTS), N_PARTS))
+        return t.append_column("part_id", part)
+
+    m = _mentions(sf_dir).map_batches(add_part, batch_format="pyarrow")
+    return entity_frequency_batches(m)
+
+
+def kg_pubtator_roundtrip(sf_dir: str, out_dir: str | None = None):
+    """M8+S6 artifact parity: rebased doc-span mentions + reassembled turn
+    texts -> PubTator files -> parsed back. The returned mentions must
+    equal the doc-span oracle exactly (write->load is lossless)."""
+    import tempfile
+
+    from easyner_ray.sources.pubtator_export import (load_pubtator_mentions,
+                                                     write_pubtator)
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+    from easyner_ray.stages.rebase import rebase_mentions
+    from easyner_ray.stages.splitter import reassemble_turns
+
+    sm = tag_mentions(_sentences(sf_dir), vocabulary(), keep_cols=("char_start",))
+    rebased = rebase_mentions(explode_mentions(sm))
+    turns = reassemble_turns(_sentences(sf_dir))
+    out = out_dir or os.path.join(tempfile.gettempdir(),
+                                  "easyner_pubtator",
+                                  os.path.basename(os.path.normpath(sf_dir)))
+    write_pubtator(turns, rebased, out)
+    return load_pubtator_mentions(out)

@@ -140,3 +140,62 @@ def entity_frequency_per_conv(mentions, batch_size: int = 524288):
 
     p = mentions.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     return bucketed_final(p, ["conv_id", "entity"], pa_aggs=[("n", "sum")], out_names=["n"])
+
+
+def entity_frequency_batches(mentions_with_part, batch_size: int = 65536):
+    """Reference A1 with the BATCH dimension (``analysis.py:40-80``):
+    per-entity ``total_count`` / ``convs_spanned`` / ``batches_spanned`` /
+    ``freq_per_conv`` / ``freq_per_batch`` plus the materialized
+    ``articles_set`` (sorted distinct conv ids, comma-joined — the
+    reference keeps a Python set per entity; a string column keeps the
+    artifact exact AND columnar).
+
+    Input must carry a ``part_id`` int column — the ingest-batch id
+    (reference: source file index; engine: any deterministic function of
+    the shard/conv). Exactness at scale: collapse to per-(entity, part,
+    conv) counts first (two-phase), then per-entity distinct counts inside
+    entity-keyed buckets. ``articles_set`` is exact but O(#convs) per
+    entity — at 100 TB gate it behind a cap or drop the column; counts
+    stay exact either way.
+    """
+    import pandas as pd
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["norm", "part_id", "conv_id"]).aggregate([("norm", "count")])
+        return pa.Table.from_arrays(
+            [g.column("norm"), g.column("part_id").cast(pa.int32()),
+             g.column("conv_id"), g.column("norm_count").cast(pa.int64())],
+            names=["entity", "part_id", "conv_id", "n"],
+        )
+
+    triples = mentions_with_part.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    per_triple = bucketed_final(triples, ["entity", "part_id", "conv_id"],
+                                pa_aggs=[("n", "sum")], out_names=["n"])
+
+    def combine_entity(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for entity, g in df.groupby("entity", sort=False):
+            total = int(g["n"].sum())
+            convs = g["conv_id"].nunique()
+            batches = g["part_id"].nunique()
+            rows.append({
+                "entity": entity,
+                "total_count": total,
+                "convs_spanned": int(convs),
+                "batches_spanned": int(batches),
+                "freq_per_conv": total / convs,
+                "freq_per_batch": total / batches,
+                "articles_set": ",".join(sorted(g["conv_id"].unique())),
+            })
+        return pd.DataFrame(rows, columns=["entity", "total_count", "convs_spanned",
+                                           "batches_spanned", "freq_per_conv",
+                                           "freq_per_batch", "articles_set"])
+
+    bucketed = per_triple.map_batches(
+        lambda t: add_hash_bucket(t, ["entity"], 64), batch_format="pyarrow"
+    )
+    return bucketed.groupby("__bucket").map_groups(combine_entity, batch_format="pandas")

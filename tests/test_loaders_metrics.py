@@ -219,3 +219,45 @@ def test_class_remap_and_class_map(ray_session):
     assert out["cls"].tolist() == ["gene", "chemical", "species"]
     assert to_class_map([{"cls": "gene", "surface": "A"}, {"cls": "gene", "surface": "B"}]) \
         == {"gene": ["A", "B"]}
+
+
+def test_pubtator_write_load_roundtrip(ray_session, tiny_corpus, tmp_path):
+    """PubTator writer (reference convert_easyner_output_json_to_pubtator)
+    -> annotation loader reproduces the doc-span mentions exactly, and the
+    text lines parse through the S5 loader."""
+    import pandas as pd
+
+    from easyner_ray.pipelines.kg import drop_empty_turns, read_transcripts
+    from easyner_ray.sources.loaders import load_pubtator
+    from easyner_ray.sources.pubtator_export import (load_pubtator_mentions,
+                                                     write_pubtator)
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
+    from easyner_ray.stages.rebase import rebase_mentions
+    from easyner_ray.stages.splitter import reassemble_turns, split_sentences
+
+    ts = read_transcripts(os.path.join(tiny_corpus, "transcripts.parquet"))
+    sents = split_sentences(drop_empty_turns(ts))
+    sm = tag_mentions(sents, vocabulary(), keep_cols=("char_start",))
+    rebased = rebase_mentions(explode_mentions(sm))
+    turns = reassemble_turns(split_sentences(drop_empty_turns(
+        read_transcripts(os.path.join(tiny_corpus, "transcripts.parquet")))))
+
+    out = str(tmp_path / "pubtator")
+    summary = write_pubtator(turns, rebased, out, n_buckets=4)
+    assert summary["n_docs"] == turns.count()
+
+    back = load_pubtator_mentions(out).to_pandas()
+    orig = rebased.to_pandas()
+    key = ["conv_id", "turn_idx", "doc_start", "doc_end", "surface", "cls", "norm"]
+    a = back[key].sort_values(key).reset_index(drop=True)
+    b = orig[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # the text lines parse as documents via the S5 loader (doc text == turn)
+    docs = load_pubtator(out).to_pandas()
+    assert len(docs) == summary["n_docs"]
+    tdf = turns.to_pandas()
+    tdf["doc_id"] = tdf.conv_id + ":" + tdf.turn_idx.astype(str)
+    m = docs.merge(tdf, on="doc_id")
+    assert (m.title == m.text).all()
