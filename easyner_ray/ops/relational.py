@@ -198,3 +198,39 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
 
         out_ds = out_ds.map_batches(derive, batch_format="pyarrow")
     return out_ds
+
+
+def tree_final(partial_ds, keys: list[str], pa_aggs: list[tuple[str, str]],
+               out_names: list[str], level1_batch: int = 1_000_000):
+    """Final combine WITHOUT any keyed shuffle — for SMALL final keyspaces.
+
+    Level 1 coalesces ~``level1_batch`` partial rows per task and collapses
+    them with one vectorized ``Table.group_by``; level 2 concatenates the
+    (per-task-keyspace-bounded) outputs into one block and finishes there.
+    Correct whenever #distinct(keys) fits one task comfortably — entity
+    vocabularies, class labels, time buckets. Use :func:`bucketed_final`
+    when the keyspace scales with the corpus.
+    """
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(pa_aggs)
+        cols = [g.column(k) for k in keys]
+        for (col, fn), out in zip(pa_aggs, out_names):
+            cols.append(g.column(f"{col}_{fn}"))
+        return pa.Table.from_arrays(cols, names=list(keys) + list(out_names))
+
+    # level-2 aggregates re-aggregate level-1 outputs: same fn per column,
+    # but input column names are now out_names
+    l2_aggs = [(out, fn) for (_, fn), out in zip(pa_aggs, out_names)]
+
+    def combine2(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(l2_aggs)
+        cols = [g.column(k) for k in keys]
+        for (col, fn) in l2_aggs:
+            cols.append(g.column(f"{col}_{fn}"))
+        return pa.Table.from_arrays(cols, names=list(keys) + list(out_names))
+
+    lvl1 = partial_ds.map_batches(combine, batch_format="pyarrow",
+                                  batch_size=level1_batch)
+    return lvl1.repartition(1).map_batches(combine2, batch_format="pyarrow",
+                                           batch_size=None)

@@ -245,3 +245,113 @@ def write_batched_json(sentence_mentions, out_dir: str, prefix: str = "ner",
             json.dump(chunk, fh, indent=2, ensure_ascii=False)
         paths.append(p)
     return paths
+
+
+def load_pubtator_variant(path: str, corpus: str = "medmentions"):
+    """Per-corpus PubTator -> docs converter variants (reference
+    ``convert_hunflair2_pubtator_to_json.py:47-200``):
+
+      * ``bioid``       — every ``id|x|text`` line is its own document;
+        ``title`` keeps the raw ``id|x|`` prefix, ``abstract`` is the text
+        (reference ``convert_bioid_to_json``);
+      * ``medmentions`` — ``abstract = title + "." + " " + abstract``
+        (the reference appends '.' to the title, then joins);
+      * ``tmvar3`` / ``biored`` — ``abstract = title + " " + abstract``
+        (join without the added period).
+
+    All variants are distributed: line parse is a stateless map, the
+    title/abstract join a bucketed group per doc id (bioid needs no group
+    at all — one line is one doc).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    lines = rd.read_text(path)
+
+    if corpus == "bioid":
+        def parse_bioid(batch: pa.Table) -> pa.Table:
+            ids, titles, abstracts = [], [], []
+            for line in batch.column("text").to_pylist():
+                parts = line.split("|", 2)
+                if len(parts) == 3 and parts[0] and parts[1]:
+                    ids.append(parts[0])
+                    titles.append(f"{parts[0]}|{parts[1]}|")
+                    abstracts.append(parts[2].strip())
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(titles, pa.string()),
+                 pa.array(abstracts, pa.string())],
+                names=["doc_id", "title", "abstract"],
+            )
+
+        return lines.map_batches(parse_bioid, batch_format="pyarrow")
+
+    if corpus not in ("medmentions", "tmvar3", "biored"):
+        raise ValueError(f"unknown pubtator corpus variant {corpus!r}")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, kinds, texts = [], [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.split("|", 2)
+            if len(parts) == 3 and parts[1] in ("t", "a"):
+                ids.append(parts[0])
+                kinds.append(parts[1])
+                texts.append(parts[2].strip())
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(kinds, pa.string()),
+             pa.array(texts, pa.string())],
+            names=["doc_id", "kind", "text"],
+        )
+
+    parsed = lines.map_batches(parse, batch_format="pyarrow")
+    bucketed = parsed.map_batches(
+        lambda t: add_hash_bucket(t, ["doc_id"], 64), batch_format="pyarrow"
+    )
+    title_suffix = "." if corpus == "medmentions" else ""
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="doc_id", columns="kind", values="text",
+                             aggfunc="first").reset_index()
+        for c in ("t", "a"):
+            if c not in piv:
+                piv[c] = ""
+        title = piv["t"].fillna("") + title_suffix
+        return pd.DataFrame({
+            "doc_id": piv["doc_id"],
+            "title": title,
+            "abstract": title + " " + piv["a"].fillna(""),
+        })
+
+    return bucketed.groupby("__bucket").map_groups(assemble, batch_format="pandas")
+
+
+def preprocess_pubtator_lines(path: str, mapping: dict[str, str] | None = None):
+    """Reference ``preprocess_pubtatorformat.py:26-70``: pass text lines
+    through; for annotation lines (>=5 TAB fields) append the dummy
+    identifier ``-1`` when missing and remap the class field through
+    ``mapping`` (exact-match, as the reference's TSV map). Returns a
+    Dataset of corrected lines (write with ``write_text`` /
+    ``write_csv``)."""
+    import ray
+    import ray.data as rd
+
+    lines = rd.read_text(path)
+    map_ref = ray.put(mapping or {})
+
+    def fix(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        out = []
+        for line in batch.column("text").to_pylist():
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 5:
+                out.append(line)
+                continue
+            if len(parts) == 5:
+                parts.append("-1")
+            if parts[4].strip() in m:
+                parts[4] = m[parts[4].strip()]
+            out.append("\t".join(parts))
+        return pa.Table.from_arrays([pa.array(out, pa.string())], names=["text"])
+
+    return lines.map_batches(fix, batch_format="pyarrow")

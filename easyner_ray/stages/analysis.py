@@ -61,9 +61,13 @@ def entity_frequency(mentions, batch_size: int = 65536):
     entity_partial = per_pair.map_batches(
         pair_to_entity_partial, batch_format="pyarrow", batch_size=batch_size
     )
-    freq = bucketed_final(entity_partial, ["entity"],
-                          pa_aggs=[("tc", "sum"), ("cs", "sum")],
-                          out_names=["total_count", "convs_spanned"])
+    # the per-entity final keyspace is the vocabulary — small — so the
+    # shuffle-free tree combine finishes it (ops.relational.tree_final)
+    from easyner_ray.ops.relational import tree_final
+
+    freq = tree_final(entity_partial, ["entity"],
+                      pa_aggs=[("tc", "sum"), ("cs", "sum")],
+                      out_names=["total_count", "convs_spanned"])
 
     def derive(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

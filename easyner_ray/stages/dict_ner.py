@@ -127,22 +127,54 @@ class DictNER:
         )
 
 
+# Worker-process cache for task-pool DictNER state: the phrase matcher
+# builds in ~1ms, so pinning an actor pool for it costs more (actor
+# creation latency + reserved CPUs that can starve the read at low CPU
+# counts) than rebuilding it once per worker process. Keyed by the terms
+# ObjectRef so different vocabularies coexist. Model NER (expensive state)
+# keeps the actor-pool shape — see stages.model_ner.
+_DICT_NER_CACHE: dict = {}
+
+
+def _dict_ner_fn(terms_ref, keep_text: bool, keep_cols: tuple[str, ...]):
+    key = (terms_ref.hex() if hasattr(terms_ref, "hex") else id(terms_ref),
+           keep_text, keep_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ner = _DICT_NER_CACHE.get(key)
+        if ner is None:
+            ner = DictNER(terms_ref, keep_text=keep_text, keep_cols=keep_cols)
+            _DICT_NER_CACHE[key] = ner
+        return ner(batch)
+
+    return fn
+
+
 def tag_mentions(sentences, terms, *, concurrency=(1, 8), batch_size: int = 1024,
                  num_cpus: float = 1, keep_text: bool = False,
-                 keep_cols: tuple[str, ...] = ()):
-    """sentences Dataset -> nested sentence-mentions Dataset via a DictNER
-    actor pool. ``terms`` may be list[(term, cls)] or an ObjectRef to one.
+                 keep_cols: tuple[str, ...] = (), backend: str = "tasks"):
+    """sentences Dataset -> nested sentence-mentions Dataset via DictNER.
+    ``terms`` may be list[(term, cls)] or an ObjectRef to one.
     ``keep_text`` carries the sentence text column through (the reference's
     search output keeps (text, entities, spans), ``search.py:30-53``);
     ``keep_cols`` carries arbitrary sentence columns (e.g. ``char_start``
     for span re-basing — attached at tag time so rebasing never needs a
-    join or lookup)."""
-    terms_arg = terms
-    if not isinstance(terms, ray.ObjectRef) and len(terms) > 10_000:
-        terms_arg = ray.put(terms)
+    join or lookup).
+
+    ``backend='tasks'`` (default) runs plain map_batches tasks with the
+    matcher cached per worker process — no actor-creation latency, no
+    pinned CPUs; ``backend='actors'`` keeps the pool shape (``concurrency``
+    / ``num_cpus`` apply) for parity with expensive-state stages."""
+    terms_ref = terms if isinstance(terms, ray.ObjectRef) else ray.put(list(terms))
+    if backend == "tasks":
+        return sentences.map_batches(
+            _dict_ner_fn(terms_ref, keep_text, tuple(keep_cols)),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return sentences.map_batches(
         DictNER,
-        fn_constructor_kwargs={"terms": terms_arg, "keep_text": keep_text,
+        fn_constructor_kwargs={"terms": terms_ref, "keep_text": keep_text,
                                "keep_cols": tuple(keep_cols)},
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -76,6 +76,26 @@ class MultiNER:
         return sentence_mentions_table_flat(batch, rows)
 
 
+# worker-process cache (same rationale as dict_ner._DICT_NER_CACHE: the
+# matchers are ~1ms state, so cached tasks beat a pinned actor pool)
+_MULTI_NER_CACHE: dict = {}
+
+
+def _multi_ner_fn(term_sets_ref, resolve, sep_merge, lowercase_surfaces):
+    key = (term_sets_ref.hex() if hasattr(term_sets_ref, "hex") else id(term_sets_ref),
+           resolve, sep_merge, tuple(lowercase_surfaces or ()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ner = _MULTI_NER_CACHE.get(key)
+        if ner is None:
+            ner = MultiNER(term_sets_ref, resolve=resolve, sep_merge=sep_merge,
+                           lowercase_surfaces=lowercase_surfaces)
+            _MULTI_NER_CACHE[key] = ner
+        return ner(batch)
+
+    return fn
+
+
 def tag_mentions_multi(
     sentences,
     term_sets,
@@ -86,7 +106,15 @@ def tag_mentions_multi(
     concurrency=(1, 8),
     batch_size: int = 1024,
     num_cpus: float = 1,
+    backend: str = "tasks",
 ):
+    if backend == "tasks":
+        ts_ref = term_sets if isinstance(term_sets, ray.ObjectRef) else ray.put(term_sets)
+        return sentences.map_batches(
+            _multi_ner_fn(ts_ref, resolve, sep_merge, lowercase_surfaces),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return sentences.map_batches(
         MultiNER,
         fn_constructor_kwargs={

@@ -261,3 +261,42 @@ def test_pubtator_write_load_roundtrip(ray_session, tiny_corpus, tmp_path):
     tdf["doc_id"] = tdf.conv_id + ":" + tdf.turn_idx.astype(str)
     m = docs.merge(tdf, on="doc_id")
     assert (m.title == m.text).all()
+
+
+def test_pubtator_variant_converters(ray_session, tmp_path):
+    """Per-corpus converter variants (reference
+    convert_hunflair2_pubtator_to_json.py): bioid line-per-doc, medmentions
+    title+'.' join, tmvar3 plain join; plus the preprocessors' dummy-id +
+    class-remap pass."""
+    from easyner_ray.sources.loaders import (load_pubtator_variant,
+                                             preprocess_pubtator_lines)
+
+    src = tmp_path / "corpus.txt"
+    src.write_text(
+        "101|t|Title one\n"
+        "101|a|Abstract one.\n"
+        "101\t0\t5\tTSC1\tGene\n"
+        "\n"
+        "102|t|Title two\n"
+        "102|a|Abstract two.\n"
+        "102\t3\t9\tmTOR\tProtein\tMESH:1\n"
+        "\n"
+    )
+
+    med = load_pubtator_variant(str(src), "medmentions").to_pandas().set_index("doc_id")
+    assert med.loc["101", "title"] == "Title one."
+    assert med.loc["101", "abstract"] == "Title one. Abstract one."
+
+    tm = load_pubtator_variant(str(src), "tmvar3").to_pandas().set_index("doc_id")
+    assert tm.loc["102", "abstract"] == "Title two Abstract two."
+
+    bio = load_pubtator_variant(str(src), "bioid").to_pandas()
+    assert len(bio) == 4  # every id|x| line is its own doc
+    assert (bio.title.str.endswith("|")).all()
+
+    fixed = preprocess_pubtator_lines(
+        str(src), {"Gene": "gene", "Protein": "gene"}
+    ).to_pandas()["text"].tolist()
+    ann = [l for l in fixed if "\t" in l]
+    assert ann[0].split("\t") == ["101", "0", "5", "TSC1", "gene", "-1"]
+    assert ann[1].split("\t") == ["102", "3", "9", "mTOR", "gene", "MESH:1"]
