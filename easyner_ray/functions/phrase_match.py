@@ -27,9 +27,18 @@ from easyner_ray.functions.tokenize import norm_key, tokenize, tokenize_with_off
 
 class PhraseMatcher:
     def __init__(self, terms: Iterable[tuple[str, str]]):
-        """``terms``: iterable of (surface_term, cls)."""
-        index: dict[str, list[tuple[tuple[str, ...], int, str]]] = {}
+        """``terms``: iterable of (surface_term, cls).
+
+        Besides the span-producing :meth:`find`, the matcher registers each
+        distinct (token-sequence, cls) under an integer ``term_id`` with
+        precomputed ``term_norm`` / ``term_cls`` arrays — the
+        count-only fast path (:meth:`find_term_ids`) used by the
+        single-pass KG build, which needs WHICH terms occur (with
+        multiplicity) but not where."""
+        index: dict[str, list[tuple[tuple[str, ...], int, str, int]]] = {}
         seen: set[tuple[tuple[str, ...], str]] = set()
+        self.term_norm: list[str] = []
+        self.term_cls: list[str] = []
         for term, cls in terms:
             toks = tuple(t.lower() for t in tokenize(term))
             if not toks:
@@ -38,11 +47,35 @@ class PhraseMatcher:
             if key in seen:
                 continue
             seen.add(key)
-            index.setdefault(toks[0], []).append((toks, len(toks), cls))
+            tid = len(self.term_norm)
+            self.term_norm.append(norm_key(term))
+            self.term_cls.append(cls)
+            index.setdefault(toks[0], []).append((toks, len(toks), cls, tid))
         # longest-first within a bucket gives (start, end) sorted output cheaply
         for bucket in index.values():
             bucket.sort(key=lambda t: -t[1])
         self._index = index
+
+    def find_term_ids(self, low_tokens: list[str]) -> list[int]:
+        """term_ids of all matches (with multiplicity, incl. overlapping)
+        in an already-lowercased token list. No offsets, no slicing — the
+        hot kernel of the single-pass KG build. The norm a term_id maps to
+        is ``norm_key(term)`` (the DICTIONARY term, not the sentence
+        slice): identical whenever the sentence separators match the
+        term's, and the stabler canonicalization key either way."""
+        n = len(low_tokens)
+        out: list[int] = []
+        index = self._index
+        for i, tok in enumerate(low_tokens):
+            bucket = index.get(tok)
+            if bucket is None:
+                continue
+            for toks, k, _cls, tid in bucket:
+                if i + k > n:
+                    continue
+                if k == 1 or tuple(low_tokens[i : i + k]) == toks:
+                    out.append(tid)
+        return out
 
     def find(self, text: str) -> list[tuple[int, int, str, str]]:
         """All matches in ``text`` as (start, end, surface, cls),
@@ -65,7 +98,7 @@ class PhraseMatcher:
             bucket = index.get(tok)
             if bucket is None:
                 continue
-            for toks, k, cls in bucket:
+            for toks, k, cls, _tid in bucket:
                 if i + k > n:
                     continue
                 if k == 1 or tuple(low[i : i + k]) == toks:

@@ -360,3 +360,69 @@ def cosine_pairs_brute(embeddings, threshold: float = 0.5, vec_col: str = "embed
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def build_ivf_index(embeddings, out_dir: str, n_centroids: int = 16,
+                    vec_col: str = "embedding", batch_size: int = 4096) -> np.ndarray:
+    """Materialize the IVF index as BUCKET-PARTITIONED Parquet
+    (``out_dir/bucket=<b>/...``) plus the centroid matrix
+    (``centroids.npy``) — the scale shape promised by
+    :func:`assign_ivf_buckets`: a query then reads ONLY its nprobe
+    partitions (pruning at the read), instead of streaming the whole
+    corpus through a filter. Returns the centroids."""
+    import os
+
+    cent = train_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    bucketed = assign_ivf_buckets(embeddings, cent, vec_col=vec_col,
+                                  batch_size=batch_size)
+    os.makedirs(out_dir, exist_ok=True)
+    bucketed.write_parquet(out_dir, partition_cols=["bucket"])
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    return cent
+
+
+def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4, vec_col: str = "embedding",
+                    batch_size: int = 4096, concurrency=(1, 8)):
+    """Approximate top-k over a :func:`build_ivf_index` directory.
+
+    Partition pruning at the read: only the union of the queries' nprobe
+    bucket directories is listed and scanned — at 100 TB the other
+    partitions never leave storage. Same output schema as knn_brute."""
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = sorted({int(b) for row in probe for b in row})
+    paths, buckets = [], []
+    for b in wanted:
+        pdir = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(pdir):
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    paths.append(os.path.join(pdir, f))
+                    buckets.append(b)
+    if not paths:
+        return rd.from_arrow(_merge_topk(pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 3, names=["query_id", "vec_id", "score"]), k))
+    # hive column is consumed by the path prune; re-derive bucket per batch
+    # from the centroid matrix (one matmul — same assignment by construction)
+    ds = rd.read_parquet(paths, columns=["vec_id", vec_col])
+    cent_ref = ray.put(cent)
+    withb = ds.map_batches(
+        _IVFAssign, fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+    partials = withb.map_batches(
+        _IVFBatchTopK,
+        fn_constructor_kwargs={"queries_ref": ray.put(q), "probe_ref": ray.put(probe),
+                               "k": k, "vec_col": vec_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+    merged = _merge_topk(
+        pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()]), k
+    )
+    return rd.from_arrow(merged)

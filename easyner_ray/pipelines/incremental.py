@@ -79,7 +79,8 @@ def update_graph(
 
     from easyner_ray import schemas
     from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
-    from easyner_ray.pipelines.kg import _kg_partials_fn, drop_empty_turns
+    from easyner_ray.pipelines.kg import (_kg_partials_fn, drop_empty_turns,
+                                          int_partials_to_string_partials)
     from easyner_ray.sources import vocab as _vocab
     from easyner_ray.stages.canonicalize import (_combine_nodes_bucket,
                                                  cls_of_norm_map,
@@ -97,12 +98,17 @@ def update_graph(
         )
 
     # partials from the NEW data only (single-pass fused stage; task pool
-    # with per-worker cached matcher — see kg._kg_partials_fn)
+    # with per-worker cached matcher — see kg._kg_partials_fn); decoded
+    # from the compact int stream to string keys so they union with the
+    # existing graph's rows
     sentences = split_sentences(drop_empty_turns(new_transcripts))
-    combined = sentences.map_batches(
-        _kg_partials_fn(_ray.put(term_sets)),
-        batch_format="pyarrow",
-        batch_size=8192,
+    combined = int_partials_to_string_partials(
+        sentences.map_batches(
+            _kg_partials_fn(_ray.put(term_sets)),
+            batch_format="pyarrow",
+            batch_size=8192,
+        ),
+        term_sets,
     )
 
     new_edge_partials = combined.filter(expr="kind == 'e'").select_columns(

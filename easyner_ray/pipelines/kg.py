@@ -146,47 +146,75 @@ _COMBINED_FIELDS = [
 ]
 
 
-class KGPartialsNER:
-    """The single-pass fused actor: sentence batch -> tagged mentions ->
-    per-batch node/edge PARTIAL aggregates, all inside one actor call.
+def _build_term_maps(term_sets) -> dict:
+    """Deterministic driver/worker-shared arrays for the int-keyed partial
+    stream: term_id -> (norm, cls), dense norm index -> norm string, and
+    norm -> cls for edge endpoint ids. Built from the SAME PhraseMatcher
+    registration order everywhere, so worker-emitted indices and the
+    driver-broadcast decode arrays always agree."""
+    import ray as _r
 
-    Keeping the partial aggregation INSIDE the pool matters: as a separate
-    task stage it competes with the pinned actors for the few free CPUs
-    and backpressure idles the pool (measured 52% actor utilization).
-    Python dict counting is fine here — a batch holds a few thousand
-    sentences with a handful of mentions each, and the emitted rows are
-    bounded by distinct keys per batch, not mentions.
+    if isinstance(term_sets, _r.ObjectRef):
+        term_sets = _r.get(term_sets)
+    term_sets = [_r.get(t) if isinstance(t, _r.ObjectRef) else t for t in term_sets]
+    from easyner_ray.functions.phrase_match import PhraseMatcher
+
+    matcher = PhraseMatcher([t for ts in term_sets for t in ts])
+    norm_idx: dict[str, int] = {}
+    tid_norm = [norm_idx.setdefault(nm, len(norm_idx)) for nm in matcher.term_norm]
+    return {
+        "matcher": matcher,
+        "tid_norm": tid_norm,
+        "norm_strings": list(norm_idx),
+        "term_norm": matcher.term_norm,
+        "term_cls": matcher.term_cls,
+    }
+
+
+class KGPartialsNER:
+    """The single-pass fused stage: sentence batch -> matched term ids ->
+    per-batch node/edge PARTIAL aggregates, all inside one call.
+
+    The id fast path: the whole text column lowercases in one Arrow kernel,
+    tokens come from a single ``findall`` (no match objects, no offsets),
+    and the matcher returns integer term_ids whose norm/cls are
+    precomputed — the per-sentence loop touches only ints and small dicts.
+    Norms key off the DICTIONARY term (see PhraseMatcher.find_term_ids);
+    identical to surface-normalization whenever sentence separators match
+    the term's. Multiple term sets fuse into ONE matcher over their union
+    (the multi-matcher merge is order-insensitive for counting).
+
+    Output is the compact INT partial stream — ``kind``:int8 (0=edge,
+    1=node), ``a``/``b``:int32 key indices, ``c``:int64 count — strings
+    appear only in the final decode, so the materialized checkpoint and
+    every combine touch ~4x fewer bytes than a string-keyed stream (this
+    VM is memory-bandwidth-bound at full width; bytes ARE wall time).
     """
 
     def __init__(self, term_sets):
-        from easyner_ray.stages.merge import MultiNER
-
-        self.ner = MultiNER(term_sets)
-        self._norm_cache: dict[str, str] = {}
+        maps = _build_term_maps(term_sets)
+        self.matcher = maps["matcher"]
+        self.tid_norm = maps["tid_norm"]
 
     def __call__(self, batch):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        from easyner_ray.functions.tokenize import norm_key
-        from easyner_ray.stages.triples import PRED_SENTENCE
+        from easyner_ray.functions.tokenize import TOKEN_RE
 
-        cache = self._norm_cache
-        tag = self.ner.tag
-        node_n: dict[tuple[str, str], int] = {}
-        edge_w: dict[tuple[str, str], int] = {}
-        for text in batch.column("text").to_pylist():
-            found = tag(text)
-            if not found:
+        findall = TOKEN_RE.findall
+        find_ids = self.matcher.find_term_ids
+        tid_norm = self.tid_norm
+        node_n: dict[int, int] = {}
+        edge_w: dict[tuple[int, int], int] = {}
+        for text in pc.utf8_lower(batch.column("text")).to_pylist():
+            ids = find_ids(findall(text))
+            if not ids:
                 continue
             norms_here = set()
-            for _s, _e, surf, cls in found:
-                norm = cache.get(surf)
-                if norm is None:
-                    norm = norm_key(surf)
-                    cache[surf] = norm
-                key = (norm, cls)
-                node_n[key] = node_n.get(key, 0) + 1
-                norms_here.add(norm)
+            for tid in ids:
+                node_n[tid] = node_n.get(tid, 0) + 1
+                norms_here.add(tid_norm[tid])
             if len(norms_here) >= 2:
                 uniq = sorted(norms_here)
                 for a in uniq:
@@ -199,17 +227,28 @@ class KGPartialsNER:
         n_keys = list(node_n)
         return pa.Table.from_arrays(
             [
-                pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
-                pa.array([k[0] for k in e_keys] + [None] * n_n, pa.string()),
-                pa.array([PRED_SENTENCE] * n_e + [None] * n_n, pa.string()),
-                pa.array([k[1] for k in e_keys] + [None] * n_n, pa.string()),
-                pa.array([edge_w[k] for k in e_keys] + [None] * n_n, pa.int64()),
-                pa.array([None] * n_e + [k[0] for k in n_keys], pa.string()),
-                pa.array([None] * n_e + [k[1] for k in n_keys], pa.string()),
-                pa.array([None] * n_e + [node_n[k] for k in n_keys], pa.int64()),
+                pa.array([0] * n_e + [1] * n_n, pa.int8()),
+                pa.array([k[0] for k in e_keys] + n_keys, pa.int32()),
+                pa.array([k[1] for k in e_keys] + [-1] * n_n, pa.int32()),
+                pa.array([edge_w[k] for k in e_keys] + [node_n[t] for t in n_keys],
+                         pa.int64()),
             ],
-            names=[f for f, _ in _COMBINED_FIELDS],
+            names=["kind", "a", "b", "c"],
         )
+
+
+def _collapse_ints(t):
+    """Int partial stream -> same shape, one row per key: a single
+    vectorized group_by over the 3 int key columns (kind separates edges
+    from nodes, so no filtering/splitting is needed)."""
+    g = t.group_by(["kind", "a", "b"]).aggregate([("c", "sum")])
+    import pyarrow as pa
+
+    return pa.Table.from_arrays(
+        [g.column("kind"), g.column("a"), g.column("b"),
+         g.column("c_sum").cast(pa.int64())],
+        names=["kind", "a", "b", "c"],
+    )
 
 
 # Worker-process cache for task-pool NER state. The dictionary matcher
@@ -237,6 +276,56 @@ def _kg_partials_fn(term_sets_ref):
         return ner(batch)
 
     return fn
+
+
+def int_partials_to_string_partials(combined, term_sets):
+    """Decode the compact int partial stream to the string partial shape
+    (``_COMBINED_FIELDS``) — for consumers that union partials with
+    string-keyed tables (incremental graph updates). Vectorized take on
+    broadcast decode arrays; the int->string decode happens once per
+    partial row, not per corpus row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    maps = _build_term_maps(term_sets)
+    decode_ref = _ray.put({
+        "norm_strings": maps["norm_strings"],
+        "term_norm": maps["term_norm"],
+        "term_cls": maps["term_cls"],
+    })
+
+    def conv(t: pa.Table) -> pa.Table:
+        from easyner_ray.stages.triples import PRED_SENTENCE
+
+        d = _ray.get(decode_ref)
+        e = t.filter(pc.equal(t.column("kind"), 0))
+        n = t.filter(pc.equal(t.column("kind"), 1))
+        norm_arr = pa.array(d["norm_strings"], pa.string())
+        tnorm_arr = pa.array(d["term_norm"], pa.string())
+        tcls_arr = pa.array(d["term_cls"], pa.string())
+        ea, eb = e.column("a").combine_chunks(), e.column("b").combine_chunks()
+        na = n.column("a").combine_chunks()
+        n_e, n_n = len(e), len(n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
+                pa.concat_arrays([norm_arr.take(ea), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([pa.array([PRED_SENTENCE] * n_e, pa.string()),
+                                  pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([norm_arr.take(eb), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([e.column("c").cast(pa.int64()).combine_chunks(),
+                                  pa.nulls(n_n, pa.int64())]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), tnorm_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), tcls_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.int64()),
+                                  n.column("c").cast(pa.int64()).combine_chunks()]),
+            ],
+            names=[f for f, _ in _COMBINED_FIELDS],
+        )
+
+    return combined.map_batches(conv, batch_format="pyarrow")
 
 
 def build_kg_single_pass(
@@ -278,120 +367,111 @@ def build_kg_single_pass(
     import ray as _ray
 
     from easyner_ray import schemas
-    from easyner_ray.ops.relational import add_hash_bucket
     from easyner_ray.sources import vocab as _vocab
     from easyner_ray.stages.canonicalize import node_id
     from easyner_ray.stages.splitter import split_sentences
 
     if term_sets is None:
         term_sets = [_vocab.vocabulary()]
-    cls_ref = _ray.put(cls_of_norm_map(term_sets))
     sentences = split_sentences(drop_empty_turns(transcripts))
     # task pool + per-worker cached matcher (see _kg_partials_fn): no actor
     # creation latency, no pinned CPUs; ner_concurrency is accepted for API
-    # compatibility but tasks simply scale with free CPUs. No second-level
-    # recollapse: each batch is already collapsed to one row per key by the
-    # fused partial stage, and rebatching to giant blocks for another
-    # combine costs more than shuffling the extra rows (measured ~3x).
+    # compatibility but tasks simply scale with free CPUs.
     combined = sentences.map_batches(
         _kg_partials_fn(_ray.put(term_sets)),
         batch_format="pyarrow",
         batch_size=ner_batch_size,
     )
 
-    # bucket on the kind-specific key (edge triple or node (norm, cls)) —
-    # the shuffle variant; each bucket group-bys the two kinds separately
-    def keyed(t: pa.Table) -> pa.Table:
-        key = pc.if_else(
-            pc.equal(t.column("kind"), "e"),
-            pc.binary_join_element_wise(
-                pc.coalesce(t.column("subj"), ""), pc.coalesce(t.column("pred"), ""),
-                pc.coalesce(t.column("obj"), ""), "\x00"),
-            pc.binary_join_element_wise(
-                pc.coalesce(t.column("norm"), ""), pc.coalesce(t.column("cls"), ""),
-                "\x00"),
-        )
-        return add_hash_bucket(t.append_column("__key", key), ["__key"], 64)
+    # decode arrays (same deterministic construction the workers use),
+    # broadcast once; node/edge md5 ids precompute per DISTINCT key here —
+    # never per corpus row
+    maps = _build_term_maps(term_sets)
+    cls_of = cls_of_norm_map(term_sets)
+    norm_strings = maps["norm_strings"]
+    decode_ref = _ray.put({
+        "norm_strings": norm_strings,
+        "norm_ids": [node_id(cls_of.get(nm, ""), nm) for nm in norm_strings],
+        "term_norm": maps["term_norm"],
+        "term_cls": maps["term_cls"],
+        "term_ids": [node_id(c, nm) for nm, c in zip(maps["term_norm"], maps["term_cls"])],
+    })
 
-    def collapse_partials(t: pa.Table) -> pa.Table:
-        """partial-shape -> partial-shape, one row per key (algebraic, so
-        it can be applied at any tree level)."""
-        e = t.filter(pc.equal(t.column("kind"), "e"))
-        n = t.filter(pc.equal(t.column("kind"), "n"))
-        ge = e.group_by(["subj", "pred", "obj"]).aggregate([("w", "sum")])
-        gn = n.group_by(["norm", "cls"]).aggregate([("n", "sum")])
-        n_e, n_n = len(ge), len(gn)
+    def final_decode(t: pa.Table) -> pa.Table:
+        """Collapsed int partials -> the finished union-schema graph table
+        (all string/id columns built by vectorized take on the broadcast
+        decode arrays)."""
+        from easyner_ray.stages.triples import PRED_SENTENCE
+
+        d = _ray.get(decode_ref)
+        t = _collapse_ints(t)
+        e = t.filter(pc.equal(t.column("kind"), 0))
+        n = t.filter(pc.equal(t.column("kind"), 1))
+        norm_arr = pa.array(d["norm_strings"], pa.string())
+        nid_arr = pa.array(d["norm_ids"], pa.string())
+        tnorm_arr = pa.array(d["term_norm"], pa.string())
+        tcls_arr = pa.array(d["term_cls"], pa.string())
+        tid_arr = pa.array(d["term_ids"], pa.string())
+        ea = e.column("a").combine_chunks()
+        eb = e.column("b").combine_chunks()
+        na = n.column("a").combine_chunks()
+        n_e, n_n = len(e), len(n)
         return pa.Table.from_arrays(
             [
-                pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
-                pa.concat_arrays([ge.column("subj").combine_chunks(), pa.nulls(n_n, pa.string())]),
-                pa.concat_arrays([ge.column("pred").combine_chunks(), pa.nulls(n_n, pa.string())]),
-                pa.concat_arrays([ge.column("obj").combine_chunks(), pa.nulls(n_n, pa.string())]),
-                pa.concat_arrays([ge.column("w_sum").cast(pa.int64()).combine_chunks(),
+                pa.concat_arrays([
+                    pa.array(["e"] * n_e, pa.string()),
+                    pa.array(["n"] * n_n, pa.string()),
+                ]),
+                pa.concat_arrays([nid_arr.take(ea), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([norm_arr.take(ea), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([pa.array([PRED_SENTENCE] * n_e, pa.string()),
+                                  pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([nid_arr.take(eb), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([norm_arr.take(eb), pa.nulls(n_n, pa.string())]),
+                pa.concat_arrays([e.column("c").cast(pa.int64()).combine_chunks(),
                                   pa.nulls(n_n, pa.int64())]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("norm").combine_chunks()]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("cls").combine_chunks()]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), tid_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), tnorm_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), tcls_arr.take(na)]),
                 pa.concat_arrays([pa.nulls(n_e, pa.int64()),
-                                  gn.column("n_sum").cast(pa.int64()).combine_chunks()]),
-            ],
-            names=[f for f, _ in _COMBINED_FIELDS],
-        )
-
-    def final_bucket(t: pa.Table) -> pa.Table:
-        cls_of = _ray.get(cls_ref)
-        e = t.filter(pc.equal(t.column("kind"), "e"))
-        n = t.filter(pc.equal(t.column("kind"), "n"))
-        ge = e.group_by(["subj", "pred", "obj"]).aggregate([("w", "sum")])
-        gn = n.group_by(["norm", "cls"]).aggregate([("n", "sum")])
-        subj = ge.column("subj").to_pylist()
-        obj = ge.column("obj").to_pylist()
-        norms = gn.column("norm").to_pylist()
-        clss = gn.column("cls").to_pylist()
-        n_e, n_n = len(ge), len(gn)
-        return pa.Table.from_arrays(
-            [
-                pa.array(["e"] * n_e + ["n"] * n_n, pa.string()),
-                # edge columns (endpoint ids hash the SAME (cls, norm) key
-                # node ids use, via the broadcast norm->cls map)
-                pa.array([node_id(cls_of.get(s, ""), s) for s in subj] + [None] * n_n,
-                         pa.string()),
-                pa.concat_arrays([ge.column("subj").combine_chunks(), pa.nulls(n_n, pa.string())]),
-                pa.concat_arrays([ge.column("pred").combine_chunks(), pa.nulls(n_n, pa.string())]),
-                pa.array([node_id(cls_of.get(o, ""), o) for o in obj] + [None] * n_n,
-                         pa.string()),
-                pa.concat_arrays([ge.column("obj").combine_chunks(), pa.nulls(n_n, pa.string())]),
-                pa.concat_arrays([ge.column("w_sum").cast(pa.int64()).combine_chunks(),
-                                  pa.nulls(n_n, pa.int64())]),
-                # node columns
-                pa.array([None] * n_e + [node_id(c, nm) for c, nm in zip(clss, norms)],
-                         pa.string()),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("norm").combine_chunks()]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), gn.column("cls").combine_chunks()]),
-                pa.concat_arrays([pa.nulls(n_e, pa.int64()),
-                                  gn.column("n_sum").cast(pa.int64()).combine_chunks()]),
+                                  n.column("c").cast(pa.int64()).combine_chunks()]),
             ],
             names=["kind", "subj_id", "subj", "pred", "obj_id", "obj", "weight",
                    "node_id", "norm", "cls", "n_mentions"],
         )
 
     if combine == "tree":
-        # materialize the partial stream (the resume checkpoint; also a
-        # fusion barrier so the coalescing combine below doesn't force the
-        # NER stage onto million-row batches), then collapse ~1M-row chunks
-        # and finish in one tiny task — no keyed shuffle anywhere
+        # materialize the compact int partial stream (the resume
+        # checkpoint; also a fusion barrier so the coalescing combine
+        # doesn't force the NER stage onto million-row batches), collapse
+        # ~4M-row chunks in parallel, finish in one tiny decode task —
+        # no keyed shuffle anywhere
         part = combined.materialize()
-        lvl1 = part.map_batches(collapse_partials, batch_format="pyarrow",
-                                batch_size=1_000_000)
+        lvl1 = part.map_batches(_collapse_ints, batch_format="pyarrow",
+                                batch_size=4_000_000)
         graph = (
             lvl1.repartition(1)
-            .map_batches(final_bucket, batch_format="pyarrow", batch_size=None)
+            .map_batches(final_decode, batch_format="pyarrow", batch_size=None)
             .materialize()
         )
     else:
+        # bucket-shuffle variant for corpus-scale keyspaces: cheap int
+        # bucket key, per-bucket collapse+decode
+        def bucketed(t: pa.Table) -> pa.Table:
+            h = pc.add(
+                pc.multiply(pc.cast(t.column("a"), pa.int64()), 2654435761),
+                pc.add(pc.multiply(pc.cast(t.column("b"), pa.int64()), 40503),
+                       pc.cast(t.column("kind"), pa.int64())),
+            )
+            b = pc.cast(
+                pc.subtract(h, pc.multiply(pc.divide(h, 64), 64)), pa.int32())
+            return t.append_column("__bucket", b)
+
         graph = (
-            combined.map_batches(keyed, batch_format="pyarrow")
+            combined.map_batches(bucketed, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(final_bucket, batch_format="pyarrow")
+            .map_groups(lambda g: final_decode(g.drop(["__bucket"])),
+                        batch_format="pyarrow")
             .materialize()
         )
 

@@ -300,3 +300,76 @@ def test_pubtator_variant_converters(ray_session, tmp_path):
     ann = [l for l in fixed if "\t" in l]
     assert ann[0].split("\t") == ["101", "0", "5", "TSC1", "gene", "-1"]
     assert ann[1].split("\t") == ["102", "3", "9", "mTOR", "gene", "MESH:1"]
+
+
+_MEDLINE_XML = """<?xml version="1.0"?>
+<PubmedArticleSet>
+  <PubmedArticle><MedlineCitation>
+    <PMID>111</PMID>
+    <Article>
+      <ArticleTitle>TSC1 study</ArticleTitle>
+      <Journal><JournalIssue><PubDate><Year>2021</Year><Month>May</Month></PubDate></JournalIssue></Journal>
+      <Abstract><AbstractText>Background part.</AbstractText><AbstractText>Result part.</AbstractText></Abstract>
+    </Article>
+    <MeshHeadingList><MeshHeading><DescriptorName>Autophagy</DescriptorName></MeshHeading></MeshHeadingList>
+    <ChemicalList><Chemical><NameOfSubstance>rapamycin</NameOfSubstance></Chemical></ChemicalList>
+  </MedlineCitation></PubmedArticle>
+  <PubmedArticle><MedlineCitation>
+    <PMID>222</PMID>
+    <Article><ArticleTitle>No abstract here</ArticleTitle></Article>
+  </MedlineCitation></PubmedArticle>
+</PubmedArticleSet>
+"""
+
+
+def test_pubmed_downloader_injectable_transport(ray_session):
+    """S1: batching (one eFetch URL per batch), URL spec, parse, and the
+    no-network gate."""
+    import pytest
+
+    from easyner_ray.sources.pubmed import download_pmids, efetch_url
+
+    url = efetch_url(["1", "2"])
+    assert url.startswith("https://eutils.ncbi.nlm.nih.gov/entrez/eutils/efetch.fcgi")
+    assert "db=pubmed&id=1,2&retmode=xml&rettype=abstract" in url
+
+    def fake_fetch(u):
+        return _MEDLINE_XML
+
+    arts = download_pmids(["111", "222", "333"], fetch_fn=fake_fetch,
+                          batch_size=2).to_pandas()
+    # ceil(3/2) = 2 batches -> 2 fetches -> the 2-article XML parsed twice
+    assert len(arts) == 4
+    row = arts[arts.pmid == "111"].iloc[0]
+    assert row.title == "TSC1 study"
+    assert row.abstract == "Background part. Result part."
+    assert row.mesh_terms == "Autophagy"
+    assert row.chemical_list == "rapamycin"
+    assert row.pubdate == "2021-May"
+
+    with pytest.raises(Exception, match="no network"):
+        download_pmids(["1"]).to_pandas()
+
+
+def test_pubmed_bulk_loader_files(ray_session, tmp_path):
+    """S2: gz + plain files parse, empty-abstract filter, per-file counts,
+    and the baseline/update URL builders."""
+    import gzip as _gzip
+
+    from easyner_ray.sources.pubmed import (bulk_file_urls, load_medline_files,
+                                            per_file_counts)
+
+    p1 = tmp_path / "pubmed23n0001.xml"
+    p1.write_text(_MEDLINE_XML)
+    p2 = tmp_path / "pubmed23n0002.xml.gz"
+    p2.write_bytes(_gzip.compress(_MEDLINE_XML.encode()))
+
+    arts = load_medline_files([str(p1), str(p2)]).to_pandas()
+    assert len(arts) == 2                      # pmid 222 dropped (no abstract)
+    assert set(arts.pmid) == {"111"}
+    counts = per_file_counts(load_medline_files([str(p1), str(p2)])).to_pandas()
+    assert sorted(counts.n_articles) == [1, 1]
+
+    urls = bulk_file_urls(3, 5, baseline=23)
+    assert urls[0].endswith("/baseline/pubmed23n0003.xml.gz") and len(urls) == 3
+    assert bulk_file_urls(1, 1, update=True)[0].count("updatefiles") == 1

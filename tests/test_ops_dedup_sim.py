@@ -132,3 +132,41 @@ def test_cosine_lsh_catches_high_sim(ray_session):
     mat[50] = mat[10] + rng.randn(16).astype(np.float32) * 0.01  # ~identical
     out = cosine_near_dup_pairs(_emb_ds(mat), threshold=0.98).to_pandas()
     assert (10, 50) in set(zip(out["vec_id_a"], out["vec_id_b"]))
+
+
+def test_ivf_index_partition_pruning(ray_session, tmp_path):
+    """build_ivf_index writes bucket-partitioned parquet; the indexed query
+    reads only probed partitions and matches the streaming knn_ivf."""
+    import os
+
+    import ray.data as rd
+
+    from easyner_ray.ops.similarity import (build_ivf_index, knn_ivf,
+                                            knn_ivf_indexed)
+
+    rng = np.random.RandomState(5)
+    # 4 well-separated clusters so bucketing is meaningful
+    centers = rng.randn(4, 16) * 4
+    vecs = np.vstack([centers[i % 4] + rng.randn(16) * 0.1 for i in range(400)])
+    emb_tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    emb = rd.from_arrow(emb_tbl)
+    queries = vecs[:3]
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, n_centroids=8)
+    parts = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(parts) >= 2  # partitioned layout on disk
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+
+    a = knn_ivf_indexed(idx, queries, k=5, nprobe=3).to_pandas()
+    b = knn_ivf(rd.from_arrow(emb_tbl), queries, k=5, nprobe=3,
+                n_centroids=8).to_pandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key)["vec_id"].tolist() == b.sort_values(key)["vec_id"].tolist()
+    # every query finds its own cluster
+    assert (a[a["rank"] == 1].sort_values("query_id")["vec_id"].values
+            == np.array([0, 1, 2])).all()
