@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "kg_entity_freq_batches": q.kg_entity_freq_batches,  # A1 batch dim
         "kg_pubtator_roundtrip": q.kg_pubtator_roundtrip,    # artifact round trip
+        "near_dup_groups": q.near_dup_groups,                # CC dup clusters
     }
 
 

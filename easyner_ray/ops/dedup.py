@@ -396,3 +396,158 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
     return bucketed_final(cand, ["doc_a", "doc_b"],
                           pa_aggs=[("hamming", "min")], out_names=["hamming"])
+
+
+# ------------------------------------------------------- dup group closure --
+
+
+def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
+               small_edge_cutoff: int = 2_000_000):
+    """Connected components over a near-duplicate pair list: ->
+    (doc_id, group_id) where ``group_id`` is the smallest doc_id reachable
+    through any chain of pairs — the canonical representative each
+    duplicate cluster keeps (A~B, B~C => A,B,C all collapse to min id,
+    even though A,C were never directly compared).
+
+    Distributed iterative min-label propagation, all Dataset ops: labels
+    start as each doc's own id; each round joins the symmetric edge list
+    against current labels (bucketed equi-join) and takes the per-doc min
+    of (own label, neighbours' labels); converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so a handful. The driver holds
+    only the convergence counter, never the labels. ``max_iters`` bounds
+    pathological chains (a 10^7-long path is not a dup cluster).
+
+    Pair lists up to ``small_edge_cutoff`` rows (the COUNTED edge list, a
+    bounded dedup output — not the corpus) short-circuit to a single-pass
+    union-find on the driver: O(pairs) with path compression beats several
+    distributed rounds of fixed scheduling latency by orders of magnitude
+    at that size. Set the cutoff to 0 to force the distributed path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
+
+    # symmetric edges (a->b and b->a) so min labels flow both ways
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([t.column("doc_a").cast(pa.int64()).combine_chunks(),
+                                  t.column("doc_b").cast(pa.int64()).combine_chunks()]),
+                pa.concat_arrays([t.column("doc_b").cast(pa.int64()).combine_chunks(),
+                                  t.column("doc_a").cast(pa.int64()).combine_chunks()]),
+            ],
+            names=["src", "dst"],
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    if small_edge_cutoff and edges.count() <= small_edge_cutoff:
+        import ray as _ray
+        import ray.data as rd
+
+        tbl = pa.concat_tables([_ray.get(r) for r in edges.to_arrow_refs()])
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the group representative
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+            parent.setdefault(a, find(a))
+            parent.setdefault(b, find(b))
+        docs = sorted({*tbl.column("src").to_pylist()})
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array(docs, pa.int64()),
+             pa.array([find(d) for d in docs], pa.int64())],
+            names=["doc_id", "group_id"],
+        ))
+
+    # initial labels: every doc in the edge list labels itself
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("src"), t.column("src")], names=["doc_id", "label"]
+        )
+
+    labels = bucketed_final(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["doc_id"], pa_aggs=[("label", "min")], out_names=["label"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    for _ in range(max_iters):
+        # join edges to labels on src (bucketed): each edge proposes its
+        # src's label to its dst; then per-doc min over proposals + own
+        def e_side(t: pa.Table) -> pa.Table:
+            out = t.select(["src", "dst"])
+            return out.append_column("__side", pa.array([0] * len(out), pa.int8()))
+
+        def l_side(t: pa.Table) -> pa.Table:
+            out = pa.Table.from_arrays(
+                [t.column("doc_id"), pa.nulls(len(t), pa.int64()),
+                 ], names=["src", "dst"])
+            out = out.set_column(1, "dst", t.column("label"))  # carry label in dst slot
+            return out.append_column("__side", pa.array([1] * len(out), pa.int8()))
+
+        tagged = edges.map_batches(e_side, batch_format="pyarrow").union(
+            labels.map_batches(l_side, batch_format="pyarrow")
+        ).map_batches(lambda t: add_hash_bucket(t, ["src"], n_buckets),
+                      batch_format="pyarrow")
+
+        def propose(t: pa.Table) -> pa.Table:
+            e = t.filter(pc.equal(t.column("__side"), 0)).select(["src", "dst"])
+            l = t.filter(pc.equal(t.column("__side"), 1))
+            lt = pa.Table.from_arrays(
+                [l.column("src"), l.column("dst")], names=["src", "label"])
+            j = e.join(lt, keys=["src"], join_type="inner")
+            # proposals: dst receives src's label; plus every doc keeps its own
+            return pa.Table.from_arrays(
+                [pa.concat_arrays([j.column("dst").combine_chunks(),
+                                   lt.column("src").combine_chunks()]),
+                 pa.concat_arrays([j.column("label").combine_chunks(),
+                                   lt.column("label").combine_chunks()])],
+                names=["doc_id", "label"],
+            )
+
+        proposals = tagged.groupby("__bucket").map_groups(propose, batch_format="pyarrow")
+        new_labels = bucketed_final(proposals, ["doc_id"],
+                                    pa_aggs=[("label", "min")], out_names=["label"],
+                                    n_buckets=n_buckets).materialize()
+
+        # convergence: any label changed? (tiny aggregate, not a collect)
+        def tag_old(t: pa.Table) -> pa.Table:
+            return t.append_column("__v", pa.array([0] * len(t), pa.int8()))
+
+        def tag_new(t: pa.Table) -> pa.Table:
+            return t.append_column("__v", pa.array([1] * len(t), pa.int8()))
+
+        diff = labels.map_batches(tag_old, batch_format="pyarrow").union(
+            new_labels.map_batches(tag_new, batch_format="pyarrow"))
+        # a (doc_id, label) pair present an odd number of times means change;
+        # cheap check: distinct (doc_id, label) count vs doc count
+        n_docs = new_labels.count()
+        n_distinct = bucketed_final(
+            diff.map_batches(lambda t: t.select(["doc_id", "label"]),
+                             batch_format="pyarrow"),
+            ["doc_id", "label"], pa_aggs=[("label", "count")], out_names=["n"],
+            n_buckets=n_buckets,
+        ).count()
+        labels = new_labels
+        if n_distinct == n_docs:  # old and new agree on every doc
+            break
+
+    return labels.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), t.column("label").cast(pa.int64())],
+            names=["doc_id", "group_id"]),
+        batch_format="pyarrow",
+    )

@@ -296,3 +296,30 @@ KG["kg_pubtator_roundtrip"] = f"""
       ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
      AND m.sent_idx = s.sent_idx
 """
+
+# transitive closure over the SAME exact-jaccard pair set (recursive CTE);
+# group id = smallest doc id reachable through any chain of pairs
+RELATIONAL["near_dup_groups"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), cc(doc_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.doc_id
+    )
+    SELECT doc_id, min(label) AS group_id FROM cc GROUP BY doc_id
+"""

@@ -568,3 +568,16 @@ def kg_pubtator_roundtrip(sf_dir: str, out_dir: str | None = None):
                                   os.path.basename(os.path.normpath(sf_dir)))
     write_pubtator(turns, rebased, out)
     return load_pubtator_mentions(out)
+
+
+def near_dup_groups(sf_dir: str):
+    """Duplicate-cluster closure: exact n-gram Jaccard pairs -> connected
+    components -> (doc_id, group_id=min doc id in the cluster). The
+    grouping step every dedup pipeline needs after pair generation
+    (transitive: A~B, B~C collapse A,B,C even though A,C never compared)."""
+    from easyner_ray.ops.dedup import dup_groups, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2, k=3
+    )
+    return dup_groups(pairs)

@@ -170,3 +170,46 @@ def test_ivf_index_partition_pruning(ray_session, tmp_path):
     # every query finds its own cluster
     assert (a[a["rank"] == 1].sort_values("query_id")["vec_id"].values
             == np.array([0, 1, 2])).all()
+
+
+def test_dup_groups_transitive_closure(ray_session):
+    """A~B, B~C (A,C never directly paired) collapse to one group; a
+    separate D~E pair is its own group; chain propagation crosses several
+    hops."""
+    import ray.data as rd
+
+    from easyner_ray.ops.dedup import dup_groups
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 10, 20, 21, 22], pa.int64()),
+        "doc_b": pa.array([2, 3, 11, 21, 22, 23], pa.int64()),
+    }))
+    out = dup_groups(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out.doc_id, out.group_id))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dup_groups_distributed_path_matches_union_find(ray_session):
+    """Force the iterative label-propagation path (cutoff=0) and compare
+    against the union-find fast path on the same edges."""
+    import ray.data as rd
+
+    from easyner_ray.ops.dedup import dup_groups
+
+    rng = np.random.RandomState(3)
+    # random clusters: ring + chain + star shapes across 60 docs
+    edges = []
+    for base in (0, 100, 200):
+        ids = list(range(base, base + 20))
+        edges += list(zip(ids[:-1], ids[1:]))          # chain
+        edges.append((ids[-1], ids[0]))                # close the ring
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    fast = dup_groups(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = dup_groups(pairs, small_edge_cutoff=0).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert fast.equals(dist)
+    assert set(fast.group_id) == {0, 100, 200}
