@@ -86,11 +86,65 @@ class StubCodec:
         return hashlib.md5(signal.tobytes()).digest() + signal[:8].tobytes()
 
 
+class StdlibCodec:
+    """REAL decode for the formats the standard library can handle — proof
+    the codec boundary is an interface, not a hand-wave:
+
+      * WAV audio  (``wave`` module): PCM samples -> float32 in [-1, 1];
+      * PPM images (binary ``P6``): RGB bytes -> float32 grayscale in
+        [0, 1].
+
+    Anything else falls through to :class:`StubCodec` (PIL/ffmpeg-class
+    formats are not decodable in this container). Selection is by payload
+    magic, not by the caller's claim."""
+
+    def __init__(self):
+        self._stub = StubCodec()
+
+    def decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
+        if payload[:2] == b"P6":
+            return self._decode_ppm(payload)
+        return self._stub.decode(payload, kind)
+
+    @staticmethod
+    def _decode_wav(payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+        if width == 2:
+            sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:
+            sig = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            sig = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        return sig
+
+    @staticmethod
+    def _decode_ppm(payload: bytes) -> np.ndarray:
+        # P6 header: magic, width, height, maxval, then raw RGB
+        parts = payload.split(maxsplit=4)
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        pixels = np.frombuffer(parts[4][: w * h * 3], dtype=np.uint8)
+        rgb = pixels.reshape(-1, 3).astype(np.float32) / float(maxval)
+        return (0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2])
+
+    def encode(self, signal: np.ndarray, kind: str) -> bytes:
+        return self._stub.encode(signal, kind)
+
+
+_CODECS = {"stub": StubCodec, "stdlib": StdlibCodec}
+
+
 class FeatureExtractor:
     """Actor: codec + 'model' state built once; payload -> feature vector."""
 
-    def __init__(self, dim: int = 32, strict: bool = False):
-        self.codec = StubCodec(strict=strict)
+    def __init__(self, dim: int = 32, strict: bool = False, codec: str = "stub"):
+        self.codec = StubCodec(strict=strict) if codec == "stub" else _CODECS[codec]()
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -112,12 +166,14 @@ class FeatureExtractor:
         )
 
 
-def extract_features(media, *, dim: int = 32, concurrency=(1, 4), batch_size: int = 32):
+def extract_features(media, *, dim: int = 32, concurrency=(1, 4), batch_size: int = 32,
+                     codec: str = "stub"):
     """media -> features. batch_size is deliberately SMALL: payloads are
-    large binaries, and batch_size x concurrency bounds per-node heap."""
+    large binaries, and batch_size x concurrency bounds per-node heap.
+    ``codec='stdlib'`` really decodes WAV/PPM payloads (see StdlibCodec)."""
     return media.map_batches(
         FeatureExtractor,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

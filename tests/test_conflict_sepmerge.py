@@ -90,3 +90,34 @@ def test_sepmerge_reference_vectors():
     got = [(m["start"], m["end"], m["surface"]) for m in separator_merge(ms1, text)]
     assert got == [(0, 5, "ab(de"), (18, 23, "no-pq"), (34, 39, "x-y-z"),
                    (40, 45, "a-b-c"), (51, 56, "d-e-f"), (58, 66, "gh-ij-kl")]
+
+
+def test_wordpiece_detokenize_and_extract():
+    """M10/M11 parity with reference entity_parser.py:4-53: X-label
+    continuations merge (stripping the ## marker), BIO walk builds
+    entities with the separator fixes, trailing open entities drop, text
+    reassembles with the punctuation fix table."""
+    from easyner_ray.functions.wordpiece import detokenize, extract_entities
+
+    pairs = [
+        ("gsk", "B"), ("##1", "X"), ("-", "I"), ("3", "I"), ("binds", "O"),
+        ("tsc", "B"), ("##2", "X"), (".", "O"),
+    ]
+    lw = detokenize(pairs)
+    assert lw == [("B", "gsk1"), ("I", "-"), ("I", "3"), ("O", "binds"),
+                  ("B", "tsc2"), ("O", ".")]
+
+    out = extract_entities(lw)
+    assert out["entities"] == ["gsk1-3", "tsc2"]  # ' - ' -> '-' fix applied
+    assert out["has_co_occurrence"] is True
+    assert out["text"] == "gsk1-3 binds tsc2."  # ' - '->'-' and ' .'->'.'
+
+    # trailing open entity is dropped (reference walk closes only on 'O')
+    out2 = extract_entities([("O", "x"), ("B", "abc"), ("I", "def")])
+    assert out2["entities"] == []
+    assert out2["has_co_occurrence"] is False
+
+    # single entity -> no co-occurrence
+    out3 = extract_entities([("B", "abc"), ("O", "end")])
+    assert out3["entities"] == ["abc"]
+    assert out3["has_co_occurrence"] is False

@@ -175,3 +175,56 @@ def test_media_features_feed_similarity_search(ray_session):
     out = knn_brute(feats, q.astype("float64"), k=3).to_pandas()
     top1 = out[out["rank"] == 1].sort_values("query_id")
     assert top1["vec_id"].tolist() == [0, 1]  # self-match at rank 1
+
+
+def test_stdlib_codec_real_wav_and_ppm(ray_session):
+    """The codec boundary accepts REAL payloads: a PCM WAV sine decodes to
+    its actual samples (RMS ~ 1/sqrt(2)), a P6 PPM decodes to grayscale,
+    and unknown formats fall through to the stub."""
+    import io
+    import json
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.ops.multimodal import MEDIA, StdlibCodec, extract_features
+
+    # real 16-bit WAV: one second of a 440 Hz sine at 8 kHz
+    t = np.arange(8000) / 8000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(sine.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # real P6 PPM: 4x2 image, red row + white row
+    ppm = b"P6\n4 2\n255\n" + (b"\xff\x00\x00" * 4) + (b"\xff\xff\xff" * 4)
+
+    codec = StdlibCodec()
+    sig = codec.decode(wav_bytes, "audio")
+    assert len(sig) == 8000
+    assert abs(float(np.sqrt((sig ** 2).mean())) - 1 / np.sqrt(2)) < 0.01
+
+    img = codec.decode(ppm, "image")
+    assert len(img) == 8
+    assert abs(img[0] - 0.299) < 1e-6        # red pixel grayscale
+    assert abs(img[4] - 1.0) < 1e-6          # white pixel
+
+    # unknown payloads fall back to the deterministic stub
+    fake = codec.decode(b"not-a-known-format", "image")
+    assert len(fake) == 256
+
+    # and the Ray stage runs end-to-end on real payloads
+    media = pa.Table.from_arrays(
+        [pa.array([0, 1], pa.int64()),
+         pa.array(["audio", "image"], pa.string()),
+         pa.array([wav_bytes, ppm], pa.binary()),
+         pa.array([json.dumps({}), json.dumps({})], pa.string())],
+        schema=MEDIA,
+    )
+    feats = extract_features(rd.from_arrow(media), dim=8, codec="stdlib").to_pandas()
+    assert len(feats) == 2
+    assert all(len(f) == 8 for f in feats.feature)
