@@ -46,7 +46,8 @@ def run(config: dict, num_cpus: int | None = None) -> dict:
 
     from easyner_ray.pipelines.kg import drop_empty_turns, read_transcripts
     from easyner_ray.sources import vocab as _vocab
-    from easyner_ray.stages.canonicalize import aggregate_edges, canonical_nodes, lineage_record
+    from easyner_ray.stages.canonicalize import (aggregate_edges, canonical_nodes,
+                                                 cls_of_norm_map, lineage_record)
     from easyner_ray.stages.dict_ner import explode_mentions
     from easyner_ray.stages.merge import tag_mentions_multi
     from easyner_ray.stages.splitter import split_sentences
@@ -87,26 +88,20 @@ def run(config: dict, num_cpus: int | None = None) -> dict:
     transcripts = read_transcripts(source)
 
     # ---- engine selection: "staged" (default; checkpointable, aliases,
-    # all optional stages) or "single_pass" (fused KGPartialsNER actor —
-    # the throughput shape; nodes/edges only)
+    # all optional stages) or "single_pass" (fused task-pool KGPartialsNER
+    # with worker-cached matcher — the throughput shape; nodes/edges only)
     ner_cfg = config.get("ner", {})
     engine = config.get("engine", "staged")
     if engine not in ("staged", "single_pass"):
         raise ValueError(f"unknown engine {engine!r}: use 'staged' or 'single_pass'")
     if engine == "single_pass":
-        import ray as _ray
-
         from easyner_ray.pipelines.kg import build_kg_single_pass
 
-        # clamp the fixed pool below the cluster size — a pool >= num_cpus
-        # can never fully start and deadlocks the pipeline
-        cluster_cpus = int(_ray.cluster_resources().get("CPU", 8))
-        conc = min(int(ner_cfg.get("concurrency", 8)), max(1, cluster_cpus - 1))
         with timed("single_pass"):
             out = build_kg_single_pass(
                 transcripts,
-                ner_concurrency=(conc, conc),
                 ner_batch_size=int(ner_cfg.get("batch_size", 8192)),
+                combine=config.get("combine", "tree"),
             )
             if out_dir:
                 summary["nodes_sink"] = write_partitioned(
@@ -172,7 +167,8 @@ def run(config: dict, num_cpus: int | None = None) -> dict:
 
     if triples is not None and not ignore.get("edges", False):
         with timed("edges"):
-            edges = aggregate_edges(triples)
+            edges = aggregate_edges(
+                triples, cls_of_norm=cls_of_norm_map([_vocab.vocabulary()]))
             if out_dir:
                 summary["edges_sink"] = write_partitioned(
                     edges, os.path.join(out_dir, "edges"), key_col="subj",
@@ -199,6 +195,19 @@ def run(config: dict, num_cpus: int | None = None) -> dict:
         watch = config.get("search", {}).get("watchlist", [])
         with timed("search"):
             summary["search_hits"] = search_sentences(sm, watch).count()
+
+    if not ignore.get("pubtator", True) and out_dir:
+        from easyner_ray.sources.pubtator_export import write_pubtator
+        from easyner_ray.stages.rebase import (mentions_with_char_start,
+                                               rebase_mentions)
+        from easyner_ray.stages.splitter import reassemble_turns
+
+        with timed("pubtator_export"):
+            rebased = rebase_mentions(mentions_with_char_start(sentences, mentions))
+            summary["pubtator"] = write_pubtator(
+                reassemble_turns(sentences), rebased,
+                os.path.join(out_dir, "pubtator"),
+            )
 
     if not ignore.get("linked", True):
         from easyner_ray.stages.disambiguate import disambiguate_mentions

@@ -253,3 +253,21 @@ def test_single_pass_referential_integrity(ray_session, tiny_corpus):
     ids = set(nodes.node_id)
     assert set(edges.subj_id) <= ids
     assert set(edges.obj_id) <= ids
+
+
+def test_single_pass_combine_modes_identical(ray_session, tiny_corpus):
+    """The tree-reduce final (closed keyspace) and the bucket-shuffle final
+    (open keyspace) must produce byte-identical graphs."""
+    from easyner_ray.pipelines.kg import build_kg_single_pass
+
+    def frames(res):
+        n = res["nodes"].to_pandas().sort_values(["norm", "cls"]).reset_index(drop=True)
+        e = res["edges"].to_pandas().sort_values(["subj", "obj"]).reset_index(drop=True)
+        return n, e
+
+    ts = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    tn, te = frames(build_kg_single_pass(ts, combine="tree"))
+    ts2 = read_transcripts(tiny_corpus + "/transcripts.parquet")
+    sn, se = frames(build_kg_single_pass(ts2, combine="shuffle"))
+    assert tn.equals(sn)
+    assert te.equals(se)
