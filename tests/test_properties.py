@@ -116,3 +116,83 @@ def test_norm_key_idempotent(s):
     from easyner_ray.functions.tokenize import norm_key
 
     assert norm_key(norm_key(s)) == norm_key(s)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=0, max_size=50))
+def test_popcount_lut_matches_bin_count(vals):
+    import numpy as np
+
+    from easyner_ray.ops.dedup import _popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = _popcount64(arr)
+    assert got.tolist() == [bin(v).count("1") for v in vals]
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=8),
+                min_size=0, max_size=30))
+def test_rolling_fp_is_64bit_and_order_sensitive(tokens):
+    from easyner_ray.ops.textstats import rolling_fingerprint
+
+    h = rolling_fingerprint(tokens)
+    assert 0 <= h < (1 << 64)
+    if len(set(tokens)) >= 2 and tokens != tokens[::-1]:
+        # order sensitivity: reversing a non-palindromic sequence changes
+        # the hash (collision chance 2^-64 — treated as impossible)
+        assert rolling_fingerprint(tokens[::-1]) != h
+
+
+@given(st.text(alphabet="abcz -,.", min_size=0, max_size=120))
+def test_find_term_ids_agrees_with_span_matcher(text):
+    """The count-only id path must report exactly the matches the
+    span-producing path finds (same multiset of (norm, cls))."""
+    from easyner_ray.functions.phrase_match import PhraseMatcher
+    from easyner_ray.functions.tokenize import TOKEN_RE, norm_key
+
+    terms = [("ab", "x"), ("ab c", "y"), ("c", "x"), ("z z", "y"), ("ab", "y")]
+    m = PhraseMatcher(terms)
+    spans = m.find(text)
+    want = sorted((norm_key(s_txt), cls) for _, _, s_txt, cls in spans)
+    ids = m.find_term_ids(TOKEN_RE.findall(text.lower()))
+    got = sorted((m.term_norm[t], m.term_cls[t]) for t in ids)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=40))
+def test_dup_groups_union_find_reachability(ray_session, pairs_raw):
+    """Union-find groups == brute-force reachability closure."""
+    pairs = [(a, b) for a, b in pairs_raw if a != b]
+    if not pairs:
+        return
+    # brute force: BFS components
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for start in adj:
+        seen = {start}
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        expected[start] = min(seen)
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.ops.dedup import dup_groups
+
+    ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    out = dup_groups(ds).to_pandas()
+    got = dict(zip(out.doc_id, out.group_id))
+    assert got == expected
