@@ -346,7 +346,7 @@ def build_kg_single_pass(
     ``combine`` picks the final-aggregation strategy:
 
       * ``"tree"`` (default) — NO keyed shuffle: the partial stream
-        materializes (the resume checkpoint), a coalescing ``map_batches``
+        materializes, a coalescing ``map_batches``
         collapses ~1M-row chunks to one row per key, and one tiny task
         finishes the graph. Correct whenever the final keyspace fits a
         task; with dictionary NER the keyspace is bounded by |vocab|^2
@@ -441,9 +441,12 @@ def build_kg_single_pass(
         )
 
     if combine == "tree":
-        # materialize the compact int partial stream (the resume
-        # checkpoint; also a fusion barrier so the coalescing combine
-        # doesn't force the NER stage onto million-row batches), collapse
+        # materialize the compact int partial stream (a fusion barrier so
+        # the coalescing combine doesn't force the NER stage onto
+        # million-row batches; at scale this is also the natural point to
+        # persist partials — durable resume itself lives in the staged
+        # build's parquet checkpoint and in incremental.update_graph's
+        # snapshot-per-ingest folding), collapse
         # ~4M-row chunks in parallel, finish in one tiny decode task —
         # no keyed shuffle anywhere
         part = combined.materialize()

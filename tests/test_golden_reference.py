@@ -134,3 +134,43 @@ def test_golden_json_roundtrip_through_loader():
     starts = tbl.column("start").to_pylist()
     ends = tbl.column("end").to_pylist()
     assert all(s < e for s, e in zip(starts, ends))
+
+
+def test_entity_frequency_batches_on_golden_mentions(ray_session):
+    """A1 analysis over the reference's REAL NER output (18,258 gene
+    mentions in 999 abstracts): totals tie out, the batch dimension
+    reflects the single source file, and the dominant genes match the
+    corpus (autophagy literature -> mtor/tsc1 at the top)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.functions.tokenize import norm_key
+    from easyner_ray.stages.analysis import entity_frequency_batches
+
+    with open(GOLD, encoding="utf8") as f:
+        ner = json.load(f)
+    convs, norms = [], []
+    for doc_id, doc in ner.items():
+        for s in doc["sentences"]:
+            for ent in s["entities"]:
+                convs.append(doc_id)
+                norms.append(norm_key(ent))
+    tbl = pa.table({
+        "conv_id": pa.array(convs, pa.string()),
+        "norm": pa.array(norms, pa.string()),
+        "part_id": pa.array([1] * len(convs), pa.int32()),  # one source file
+    })
+    out = entity_frequency_batches(rd.from_arrow(tbl)).to_pandas()
+
+    assert out.total_count.sum() == 18258
+    assert (out.batches_spanned == 1).all()
+    assert (out.freq_per_batch == out.total_count).all()
+    assert out.convs_spanned.max() <= 999
+    top = out.sort_values(["total_count", "entity"],
+                          ascending=[False, True]).head(5)
+    assert {"mtor", "tsc1"} <= set(top.entity)
+    # articles_set materializes exactly convs_spanned distinct ids
+    row = top.iloc[0]
+    assert len(row.articles_set.split(",")) == row.convs_spanned
