@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": q.events_stats,
         "events_top_users": q.events_top_users,
         "nations_sorted": q.nations_sorted,
+        "revenue_by_priority": q.revenue_by_priority,    # big-big hash join
         # training-data ops: dedup / text analysis / similarity
         "dedup_exact_docs": q.dedup_exact_docs,
         "doc_stats": q.doc_stats_q,

@@ -234,3 +234,20 @@ def tree_final(partial_ds, keys: list[str], pa_aggs: list[tuple[str, str]],
                                   batch_size=level1_batch)
     return lvl1.repartition(1).map_batches(combine2, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def hash_join(left, right, *, on: str, right_on: str | None = None,
+              join_type: str = "inner", num_partitions: int = 32):
+    """Big-big equi-join via Ray Data's native hash-shuffle join — the
+    strategy for the case :func:`broadcast_join` can't take (NEITHER side
+    fits in worker memory). Both sides hash-partition on the key across
+    ``num_partitions`` aggregators; size partitions so each fits a worker.
+    Prefer broadcast whenever one side is dimension-table-sized: it costs
+    zero shuffles."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=((right_on or on),),
+    )

@@ -323,3 +323,11 @@ RELATIONAL["near_dup_groups"] = """
     )
     SELECT doc_id, min(label) AS group_id FROM cc GROUP BY doc_id
 """
+
+RELATIONAL["revenue_by_priority"] = """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""

@@ -581,3 +581,26 @@ def near_dup_groups(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2, k=3
     )
     return dup_groups(pairs)
+
+
+def revenue_by_priority(sf_dir: str):
+    """Big-big hash-shuffle join (fact x fact): every lineitem joins its
+    order on orderkey — neither side is broadcastable at scale — then a
+    two-phase aggregate per order priority."""
+    from easyner_ray.ops.relational import grouped_agg, hash_join
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=16)
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.Table.from_arrays([t.column("o_orderpriority"), rev],
+                                    names=["o_orderpriority", "rev"])
+
+    out = grouped_agg(joined.map_batches(revenue, batch_format="pyarrow"),
+                      ["o_orderpriority"],
+                      [("rev", "sum", "revenue"), ("rev", "count", "n")])
+    return out.map_batches(lambda t: _round4(t, ["revenue"]), batch_format="pyarrow")
