@@ -442,7 +442,15 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
 
-    if small_edge_cutoff and edges.count() <= small_edge_cutoff:
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["doc_id", "group_id"],
+        ))
+    if small_edge_cutoff and n_edges <= small_edge_cutoff:
         import ray as _ray
         import ray.data as rd
 

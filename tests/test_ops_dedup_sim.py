@@ -213,3 +213,27 @@ def test_dup_groups_distributed_path_matches_union_find(ray_session):
         "doc_id").reset_index(drop=True)
     assert fast.equals(dist)
     assert set(fast.group_id) == {0, 100, 200}
+
+
+def test_empty_inputs_yield_empty_outputs(ray_session):
+    """Empty corpora flow through the heavy pipelines without error."""
+    import ray.data as rd
+
+    from easyner_ray.ops.dedup import dup_groups, ngram_jaccard_pairs
+    from easyner_ray.pipelines.kg import build_kg_single_pass
+
+    empty_ts = rd.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string()),
+    }))
+    out = build_kg_single_pass(empty_ts)
+    assert out["nodes"].count() == 0 and out["edges"].count() == 0
+
+    empty_pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}))
+    assert dup_groups(empty_pairs).count() == 0
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
