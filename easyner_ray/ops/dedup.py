@@ -203,10 +203,12 @@ def _perm_params(n_perm: int, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(shingles: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_signature(shingles: list[str], a: np.ndarray, b: np.ndarray,
+                      hashes: np.ndarray | None = None) -> np.ndarray:
     if not shingles:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
+    h = (np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
+         if hashes is None else hashes)
     # (S, P) permuted hashes, min over shingles — all numpy
     perm = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
     return perm.min(axis=0)
@@ -222,13 +224,31 @@ class MinHasher:
         self.n_bands = n_bands
         self.k = k
         self.text_col = text_col
+        # shingle -> crc32 cache: common trigrams repeat across documents,
+        # and the crc32-of-encoded-string call is the per-shingle hot cost.
+        # Bounded: cleared past 2M entries (~100MB worst case).
+        self._h: dict[str, int] = {}
+
+    def _hashes(self, shingles: list[str]) -> np.ndarray:
+        cache = self._h
+        if len(cache) > 2_000_000:
+            cache.clear()
+        out = np.empty(len(shingles), dtype=np.uint64)
+        for i, s in enumerate(shingles):
+            v = cache.get(s)
+            if v is None:
+                v = zlib.crc32(s.encode())
+                cache[s] = v
+            out[i] = v
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column(self.text_col).to_pylist()
         o_doc, o_band, o_sig = [], [], []
         for d, t in zip(doc_ids, texts):
-            sig = minhash_signature(shingle_set(t or "", self.k), self.a, self.b)
+            sh = shingle_set(t or "", self.k)
+            sig = minhash_signature(sh, self.a, self.b, hashes=self._hashes(sh))
             sig_bytes = sig.tobytes()
             for bi in range(self.n_bands):
                 chunk = sig[bi * self.rows : (bi + 1) * self.rows].tobytes()
