@@ -38,11 +38,22 @@ ABBREVIATIONS = frozenset(
 
 _WORD_BEFORE_RE = re.compile(r"([A-Za-z][A-Za-z.]*)\.$")
 
+# longest abbreviation is 6 chars; a 64-char window around the candidate
+# period bounds the backwards scan (the old full-prefix regex search made
+# every boundary check O(text length))
+_ABBR_WINDOW = 64
 
-def _is_abbreviation(prefix: str) -> bool:
-    """True if ``prefix`` (text up to and including the candidate '.')
-    ends in an abbreviation or a single-letter initial."""
-    m = _WORD_BEFORE_RE.search(prefix)
+
+def _is_abbreviation(text: str, dot_pos: int) -> bool:
+    """True if the word ending at ``text[dot_pos] == '.'`` is an
+    abbreviation or a single-letter initial. Only the final contiguous
+    word is examined (same result as the anchored-regex form: the leftmost
+    letter whose letter/dot run reaches the period)."""
+    lo = max(0, dot_pos - _ABBR_WINDOW)
+    sp = text.rfind(" ", lo, dot_pos)
+    if sp < 0 and lo > 0:
+        return False  # final word longer than any abbreviation
+    m = _WORD_BEFORE_RE.search(text, sp + 1 if sp >= 0 else lo, dot_pos + 1)
     if m is None:
         return False
     word = m.group(1)
@@ -72,7 +83,7 @@ def sentencize_spans(text: str) -> list[tuple[int, int]]:
             continue
         # candidate '.' position: last [.!?] in the match
         punct_end = m.start() + len(m.group().rstrip()) - _closers_len(m.group())
-        if text[m.start()] == "." and _is_abbreviation(text[: m.start() + 1]):
+        if text[m.start()] == "." and _is_abbreviation(text, m.start()):
             continue
         del punct_end
         spans.append((start, end))

@@ -26,29 +26,28 @@ def split_batch(batch: pa.Table, with_tokens: bool = False) -> pa.Table:
     ``with_tokens`` mirrors the reference's opt-in token store
     (``ner_main.py:63-69``): appends a ``tokens`` list<string> column.
     """
-    conv = batch.column("conv_id").to_pylist()
-    tidx = batch.column("turn_idx").to_pylist()
     texts = batch.column("text").to_pylist()
 
-    o_conv: list[str] = []
-    o_turn: list[int] = []
+    # sentence -> parent turn indices; conv/turn key columns replicate via
+    # one vectorized take instead of a Python append per sentence
+    parent: list[int] = []
     o_sent: list[int] = []
     o_text: list[str] = []
     o_start: list[int] = []
-    for cid, ti, text in zip(conv, tidx, texts):
+    for row, text in enumerate(texts):
         if not text:
             continue
         for sent_idx, (char_start, sent) in enumerate(sentencize(text)):
-            o_conv.append(cid)
-            o_turn.append(ti)
+            parent.append(row)
             o_sent.append(sent_idx)
             o_text.append(sent)
             o_start.append(char_start)
 
+    idx = pa.array(parent, pa.int64())
     out = pa.Table.from_arrays(
         [
-            pa.array(o_conv, pa.string()),
-            pa.array(o_turn, pa.int32()),
+            batch.column("conv_id").take(idx),
+            batch.column("turn_idx").cast(pa.int32()).take(idx),
             pa.array(o_sent, pa.int32()),
             pa.array(o_text, pa.string()),
             pa.array(o_start, pa.int32()),
