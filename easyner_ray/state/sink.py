@@ -41,9 +41,26 @@ def partition_of(key: str, num_partitions: int) -> int:
 
 
 def add_partition_column(ds, key_col: str, num_partitions: int):
+    """Append the deterministic partition id. Hashing runs once per
+    DISTINCT key via dictionary-encode + vectorized take (the checkpoint
+    write puts corpus-sized streams through here; a Python crc32 per ROW
+    was the write's CPU)."""
+
     def assign(batch: pa.Table) -> pa.Table:
-        parts = [partition_of(k, num_partitions) for k in batch.column(key_col).to_pylist()]
-        return batch.append_column(pa.field("part", pa.int32()), pa.array(parts, pa.int32()))
+        import numpy as np
+
+        if len(batch) == 0:
+            return batch.append_column(pa.field("part", pa.int32()),
+                                       pa.array([], pa.int32()))
+        enc = batch.column(key_col).combine_chunks().cast(pa.string()).dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_parts = np.array(
+            [partition_of(v, num_partitions) for v in enc.dictionary.to_pylist()],
+            dtype=np.int32,
+        )
+        parts = pa.array(dict_parts[np.asarray(enc.indices)], pa.int32())
+        return batch.append_column(pa.field("part", pa.int32()), parts)
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
