@@ -108,6 +108,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "knn_brute": q.knn_brute_q,
         "kg_mentions": q.kg_mentions,
         "kg_entity_freq": q.kg_entity_freq,
+        "revenue_by_priority": q.revenue_by_priority,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
