@@ -73,3 +73,42 @@ def extract_entities(label_word_pairs: list[tuple[str, str]]) -> dict:
         "entities": entities,
         "text": text,
     }
+
+
+def wordpiece_tokenize(text: str, vocab: dict[str, int],
+                       unk_token: str = "[UNK]",
+                       max_chars_per_word: int = 100) -> list[str]:
+    """Greedy longest-match WordPiece over a whitespace+punctuation
+    pre-split (the published WordPiece algorithm the reference's
+    BertTokenizer implements): each word splits into the longest vocab
+    piece, continuations prefixed ``##``; an unsplittable word becomes
+    ``[UNK]``. Lowercases (uncased-model convention, matching the
+    reference's BioBERT vocab usage)."""
+    import re as _re
+
+    out: list[str] = []
+    for word in _re.findall(r"\w+|[^\w\s]", text.lower()):
+        if len(word) > max_chars_per_word:
+            out.append(unk_token)
+            continue
+        start = 0
+        pieces: list[str] = []
+        ok = True
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                ok = False
+                break
+            pieces.append(piece)
+            start = end
+        out.extend(pieces if ok else [unk_token])
+    return out

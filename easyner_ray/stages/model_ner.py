@@ -142,26 +142,102 @@ def tag_mentions_model(
     )
 
 
-class OnnxNER:  # pragma: no cover - onnxruntime model path, env-gated
+ONNX_LABELS = ["[PAD]", "B", "I", "O", "X", "[CLS]", "[SEP]"]
+
+# the reference model's graph input names (ner_inference.py:63-67)
+_ONNX_FEEDS = ("segment_ids_1:0", "input_mask_1_raw_output___9:0",
+               "input_ids_1:0", "label_ids_1:0")
+
+
+class OnnxNER:
     """Legacy ONNX token-classification path (reference N2,
-    ``ner_inference.py:10-80``): BertTokenizer + onnxruntime session,
-    max_length 128 pad-to-max, (token, label) pairs decoded through the
-    WordPiece detok (M10) + BIO walk (M11). Same actor/schema contract as
-    the other NER stages; requires onnxruntime + a model file, neither of
-    which ship in this container — construction raises with a clear gate.
+    ``ner_inference.py:10-80``): WordPiece encode, max_length 128
+    pad-to-max with [CLS]/[SEP], one ``session.run`` per sentence against
+    the reference's graph input names, label-id argmax stream decoded
+    through the WordPiece detok (M10) + BIO walk (M11, functions.wordpiece).
+
+    The runtime is INJECTABLE: pass any object with
+    ``run(output_names, feeds) -> (_, label_ids, _)`` as ``session`` (a
+    real ``onnxruntime.InferenceSession`` when the library and weights
+    exist — neither ships in this container, so constructing from
+    ``model_path`` alone raises the environment gate). The legacy path
+    emits ENTITY STRINGS, not spans — exactly the reference's output
+    shape (its downstream is the co-occurrence extractor, not span eval).
+
+    ``__call__`` maps a sentence batch to (keys..., entities
+    list<string>, has_co_occurrence bool).
     """
 
-    def __init__(self, model_path: str, vocab_path: str, labels: list[str],
-                 cls_name: str = "entity", max_length: int = 128):
-        try:
-            import onnxruntime  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "onnxruntime is not installed in this environment; the "
-                "biobert/stub paths cover NER — this class documents the "
-                "reference's legacy ONNX contract"
-            ) from e
-        raise NotImplementedError(
-            "ONNX session loading requires model weights not present in "
-            "this container; see TransformersNER for the active model path"
+    def __init__(self, vocab: dict[str, int] | None = None,
+                 labels: list[str] | None = None, *,
+                 session=None, model_path: str | None = None,
+                 max_length: int = 128):
+        if session is None:
+            try:
+                import onnxruntime
+            except ImportError as e:
+                raise NotImplementedError(
+                    "onnxruntime is not installed in this environment; "
+                    "inject a session object (run(outputs, feeds)) to use "
+                    "this stage, or see TransformersNER / StubModelNER"
+                ) from e
+            if not model_path:
+                raise ValueError("model_path required when no session is injected")
+            session = onnxruntime.InferenceSession(model_path)  # pragma: no cover
+        self.session = session
+        self.vocab = vocab or {}
+        self.labels = labels or ONNX_LABELS
+        self.max_length = max_length
+
+    def _encode(self, text: str):
+        import numpy as np
+
+        from easyner_ray.functions.wordpiece import wordpiece_tokenize
+
+        pieces = wordpiece_tokenize(text, self.vocab)[: self.max_length - 2]
+        tokens = ["[CLS]"] + pieces + ["[SEP]"]
+        ids = [self.vocab.get(t, self.vocab.get("[UNK]", 1)) for t in tokens]
+        n = len(ids)
+        pad = self.max_length - n
+        input_ids = np.array([ids + [0] * pad], dtype=np.int32)
+        mask = np.array([[1] * n + [0] * pad], dtype=np.int32)
+        seg = np.zeros((1, self.max_length), dtype=np.int32)
+        return tokens, {
+            _ONNX_FEEDS[0]: seg,
+            _ONNX_FEEDS[1]: mask,
+            _ONNX_FEEDS[2]: input_ids,
+            _ONNX_FEEDS[3]: np.array([0], dtype=np.int32),
+        }
+
+    def predict(self, text: str) -> list[tuple[str, str]]:
+        tokens, feeds = self._encode(text)
+        _, label_ids, _ = self.session.run([], feeds)
+        pairs = []
+        for token, idx in zip(tokens, label_ids[0]):
+            pairs.append((token, self.labels[int(idx)]))
+        return pairs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from easyner_ray.functions.wordpiece import detokenize, extract_entities
+
+        ents, cooc = [], []
+        for text in batch.column("text").to_pylist():
+            try:
+                pairs = self.predict(text)
+                # drop [CLS]/[SEP] markers before the BIO walk
+                pairs = [(t, l) for t, l in pairs if t not in ("[CLS]", "[SEP]")]
+                out = extract_entities(detokenize(pairs))
+            except Exception:
+                out = {"entities": [], "has_co_occurrence": False}
+            ents.append(out["entities"])
+            cooc.append(out["has_co_occurrence"])
+        return pa.Table.from_arrays(
+            [
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                batch.column("sent_idx"),
+                pa.array(ents, pa.list_(pa.string())),
+                pa.array(cooc, pa.bool_()),
+            ],
+            names=["conv_id", "turn_idx", "sent_idx", "entities", "has_co_occurrence"],
         )

@@ -104,3 +104,58 @@ def test_transformers_ner_output_schema(mocked_transformers):
     actor = mn.TransformersNER("any/model", cls_name="gene")
     out = actor(_batch(["TSC1 x."]))
     assert out.schema.equals(schemas.SENTENCE_MENTIONS)
+
+
+class _FakeOnnxSession:
+    """Maps each input id to a label id by a fixed table — stands in for
+    the onnxruntime session (same .run contract, reference feed names)."""
+
+    def __init__(self, vocab, labelmap):
+        import numpy as np
+
+        self.np = np
+        self.id_label = {vocab[t]: l for t, l in labelmap.items()}
+        self.calls = []
+
+    def run(self, outputs, feeds):
+        np = self.np
+        ids = feeds["input_ids_1:0"][0]
+        self.calls.append(list(feeds))
+        lab = np.array([[self.id_label.get(int(i), 3) for i in ids]])  # default O
+        return None, lab, None
+
+
+def test_onnx_ner_injectable_session():
+    """N2 end-to-end with an injected session: WordPiece encode, the
+    reference feed names, label decode through detok + BIO walk, entity
+    strings + co-occurrence out."""
+    from easyner_ray.stages.model_ner import ONNX_LABELS, OnnxNER
+
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "tsc", "##1", "binds", "mtor", "."])}
+    # label ids index ONNX_LABELS: B=1 I=2 O=3 X=4
+    labelmap = {"[CLS]": 5, "[SEP]": 6, "tsc": 1, "##1": 4, "binds": 3,
+                "mtor": 1, ".": 3, "[PAD]": 0}
+    sess = _FakeOnnxSession(vocab, labelmap)
+    ner = OnnxNER(vocab, ONNX_LABELS, session=sess)
+
+    pairs = ner.predict("TSC1 binds mTOR.")
+    assert ("tsc", "B") in pairs and ("##1", "X") in pairs
+
+    batch = _batch(["TSC1 binds mTOR.", "nothing here."])
+    out = ner(batch)
+    ents = out.column("entities").to_pylist()
+    assert ents[0] == ["tsc1", "mtor"]          # X continuation merged
+    assert ents[1] == []
+    assert out.column("has_co_occurrence").to_pylist() == [True, False]
+    assert set(sess.calls[0]) == {"segment_ids_1:0", "input_mask_1_raw_output___9:0",
+                                  "input_ids_1:0", "label_ids_1:0"}
+
+
+def test_onnx_ner_gate_without_session():
+    import pytest
+
+    from easyner_ray.stages.model_ner import OnnxNER
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        OnnxNER({}, model_path=None)
