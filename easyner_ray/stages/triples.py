@@ -129,31 +129,45 @@ def window_triples(mentions, window: int = 2):
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One task per coarse bucket of conv_ids (a conversation never
-        splits across buckets); the windowed scan runs per conversation
-        inside."""
+        splits across buckets). Per conversation the norms factorize to
+        int codes and every windowed turn pair cross-products in numpy;
+        distinct (subj, obj, earlier-turn) triples come out of one
+        np.unique over packed int64 keys — no Python pair loop."""
+        import numpy as np
+
         o_subj: list[str] = []
         o_obj: list[str] = []
         o_conv: list[str] = []
         o_turn: list[int] = []
         for cid, sub in g.groupby("conv_id", sort=False):
-            turn_norms: dict[int, set[str]] = {}
-            for ti, tsub in sub.groupby("turn_idx", sort=False):
-                turn_norms[int(ti)] = set(tsub["norm"])
-            rows: set[tuple[str, str, int]] = set()
-            turns_sorted = sorted(turn_norms)
+            codes, uniq_norms = pd.factorize(sub["norm"], sort=False)
+            assert len(uniq_norms) < (1 << 20) and sub["turn_idx"].max() < (1 << 20)
+            tis = sub["turn_idx"].to_numpy()
+            turn_codes = {
+                int(ti): np.unique(codes[tis == ti]) for ti in np.unique(tis)
+            }
+            turns_sorted = sorted(turn_codes)
+            packed: list[np.ndarray] = []
             for idx, ti in enumerate(turns_sorted):
                 hi = bisect.bisect_right(turns_sorted, ti + window)
-                ents_here = turn_norms[ti]
+                a = turn_codes[ti].astype(np.int64)
                 for tj in turns_sorted[idx:hi]:
-                    for a in ents_here:
-                        for b in turn_norms[tj]:
-                            if a != b:
-                                rows.add((a, b, ti))
-            for r in sorted(rows):
-                o_subj.append(r[0])
-                o_obj.append(r[1])
-                o_conv.append(cid)
-                o_turn.append(r[2])
+                    b = turn_codes[tj].astype(np.int64)
+                    A = np.repeat(a, len(b))
+                    B = np.tile(b, len(a))
+                    m = A != B
+                    if m.any():
+                        packed.append((A[m] << 40) | (B[m] << 20) | ti)
+            if not packed:
+                continue
+            u = np.unique(np.concatenate(packed))
+            subj_idx = (u >> 40).astype(np.intp)
+            obj_idx = ((u >> 20) & 0xFFFFF).astype(np.intp)
+            t_dec = (u & 0xFFFFF).astype(int)
+            o_subj.extend(uniq_norms[subj_idx])
+            o_obj.extend(uniq_norms[obj_idx])
+            o_conv.extend([cid] * len(u))
+            o_turn.extend(t_dec.tolist())
         return pd.DataFrame(
             {
                 "subj": o_subj,
