@@ -472,8 +472,9 @@ def kg_merged_mentions(sf_dir: str):
     sents = _sentences(sf_dir)
     a = tag_mentions(sents, half_a)
     b = tag_mentions(_sentences(sf_dir), half_b)
-    merged = merge_sentence_mentions([a, b], resolve=False)
-    return explode_mentions(merged)
+    from easyner_ray.stages.merge import merge_mentions_flat
+
+    return merge_mentions_flat([a, b])
 
 
 def kg_resolved_mentions(sf_dir: str):

@@ -218,3 +218,40 @@ def remap_mention_classes(mentions, batch_size: int = 65536):
         return batch.set_column(i, "cls", remapped)
 
     return mentions.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def merge_mentions_flat(nested_datasets, n_buckets: int = 64):
+    """Vectorized multi-run merge producing the FLAT mentions table
+    directly (the shape every aggregate consumes anyway): union the nested
+    runs, explode, dedupe on (sentence key, start, end, cls) and renumber
+    ``mention_idx`` per sentence in (start, end, cls) order — all
+    column-level pandas ops inside coarse sentence-key buckets, no Python
+    loop per sentence. Equals ``explode(merge_sentence_mentions(...,
+    resolve=False))`` exactly."""
+    from easyner_ray import schemas
+    from easyner_ray.ops.relational import add_hash_bucket
+    from easyner_ray.stages.dict_ner import explode_mentions
+
+    ds = nested_datasets[0]
+    for other in nested_datasets[1:]:
+        ds = ds.union(other)
+    flat = explode_mentions(ds)
+    bucketed = flat.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id", "turn_idx", "sent_idx"], n_buckets),
+        batch_format="pyarrow",
+    )
+
+    KEYS = ["conv_id", "turn_idx", "sent_idx"]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(KEYS + ["start", "end", "cls"], kind="mergesort")
+        df = df.drop_duplicates(KEYS + ["start", "end", "cls"], keep="first")
+        df = df.assign(mention_idx=df.groupby(KEYS, sort=False).cumcount().astype("int32"))
+        return df[["conv_id", "turn_idx", "sent_idx", "mention_idx",
+                   "surface", "norm", "cls", "start", "end"]]
+
+    merged = bucketed.groupby("__bucket").map_groups(combine, batch_format="pandas")
+    return merged.map_batches(
+        lambda t: schemas.ensure_schema(t, schemas.MENTIONS, "merge_mentions_flat"),
+        batch_format="pyarrow",
+    )
