@@ -30,28 +30,51 @@ def build_alias_dict(pairs) -> dict[str, list[str]]:
 
 
 class LinkMentions:
+    """Vectorized broadcast lookup: the alias dict flattens ONCE per
+    worker into (all_ids, offset, count) arrays; per batch the norm column
+    dictionary-encodes, every row's candidate ids resolve through numpy
+    repeat-range arithmetic, and the 1->many explode is a single ``take``
+    — no Python loop over mention rows."""
+
     def __init__(self, alias):
+        import numpy as np
+
         if isinstance(alias, ray.ObjectRef):
             alias = ray.get(alias)
         if not isinstance(alias, dict):
             alias = build_alias_dict(alias)
         self.alias = alias
+        flat: list[str] = []
+        self._off: dict[str, tuple[int, int]] = {}
+        for term, ids in alias.items():
+            self._off[term] = (len(flat), len(ids))
+            flat.extend(ids)
+        self._all_ids = np.array(flat + [""], dtype=object)
+        self._miss = len(flat)  # index of the sentinel "" id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        norms = batch.column("norm").to_pylist()
-        take: list[int] = []  # source row index per output row
-        ids: list[str] = []
-        for i, n in enumerate(norms):
-            matched = self.alias.get(n)
-            if not matched:
-                take.append(i)
-                ids.append("")
-            else:
-                for id_ in matched:
-                    take.append(i)
-                    ids.append(id_)
-        out = batch.take(pa.array(take, pa.int64()))
-        return out.append_column(pa.field("entity_id", pa.string()), pa.array(ids, pa.string()))
+        import numpy as np
+
+        enc = batch.column("norm").combine_chunks().dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_vals = enc.dictionary.to_pylist()
+        d_start = np.empty(len(dict_vals), dtype=np.int64)
+        d_cnt = np.empty(len(dict_vals), dtype=np.int64)
+        for i, v in enumerate(dict_vals):  # once per DISTINCT norm
+            start, cnt = self._off.get(v, (self._miss, 1))
+            d_start[i], d_cnt[i] = start, cnt
+        idx = np.asarray(enc.indices)
+        starts, lens = d_start[idx], d_cnt[idx]
+        total = int(lens.sum())
+        # flat positions: for each row r, the range [starts[r], +lens[r])
+        pos = (np.arange(total)
+               - np.repeat(np.cumsum(lens) - lens, lens)
+               + np.repeat(starts, lens))
+        ids = pa.array(self._all_ids[pos], pa.string())
+        take = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lens))
+        out = batch.take(take)
+        return out.append_column(pa.field("entity_id", pa.string()), ids)
 
 
 def link_mentions(mentions, alias, *, concurrency=(1, 8), batch_size: int = 8192, num_cpus: float = 1):
