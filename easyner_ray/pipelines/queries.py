@@ -564,9 +564,9 @@ def kg_pubtator_roundtrip(sf_dir: str, out_dir: str | None = None):
     sm = tag_mentions(_sentences(sf_dir), vocabulary(), keep_cols=("char_start",))
     rebased = rebase_mentions(explode_mentions(sm))
     turns = reassemble_turns(_sentences(sf_dir))
-    out = out_dir or os.path.join(tempfile.gettempdir(),
-                                  "easyner_pubtator",
-                                  os.path.basename(os.path.normpath(sf_dir)))
+    # a FRESH directory per invocation: rereading a dir left by an earlier
+    # run with different bucketing would mix stale files into the parse
+    out = out_dir or tempfile.mkdtemp(prefix="easyner_pubtator_")
     write_pubtator(turns, rebased, out)
     return load_pubtator_mentions(out)
 
