@@ -289,6 +289,11 @@ def test_pubtator_variant_converters(ray_session, tmp_path):
 
     tm = load_pubtator_variant(str(src), "tmvar3").to_pandas().set_index("doc_id")
     assert tm.loc["102", "abstract"] == "Title two Abstract two."
+    br = load_pubtator_variant(str(src), "biored").to_pandas().set_index("doc_id")
+    assert br.loc["102", "abstract"] == "Title two Abstract two."
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown pubtator corpus"):
+        load_pubtator_variant(str(src), "nope")
 
     bio = load_pubtator_variant(str(src), "bioid").to_pandas()
     assert len(bio) == 4  # every id|x| line is its own doc

@@ -237,3 +237,57 @@ def test_empty_inputs_yield_empty_outputs(ray_session):
     empty_docs = rd.from_arrow(pa.table({
         "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
     assert ngram_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_tree_final_equals_bucketed_final(ray_session):
+    """Shuffle-free tree combine == bucketed sort combine on the same
+    partial stream (small keyspace)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import bucketed_final, tree_final
+
+    ds = rd.range(20000).map_batches(
+        lambda b: {"k": [f"k{int(i) % 37}" for i in b["id"]],
+                   "n": [int(i) % 5 for i in b["id"]]},
+        batch_format="numpy",
+    )
+    a = tree_final(ds, ["k"], pa_aggs=[("n", "sum")], out_names=["total"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ds2 = rd.range(20000).map_batches(
+        lambda b: {"k": [f"k{int(i) % 37}" for i in b["id"]],
+                   "n": [int(i) % 5 for i in b["id"]]},
+        batch_format="numpy",
+    )
+    b = bucketed_final(ds2, ["k"], pa_aggs=[("n", "sum")], out_names=["total"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hash_join_equals_broadcast_join(ray_session):
+    """Ray-native hash-shuffle join == map-side broadcast join on the same
+    inputs (inner equi-join)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import broadcast_join, hash_join
+
+    left = rd.range(5000).map_batches(
+        lambda b: {"key": [int(i) % 97 for i in b["id"]],
+                   "val": [int(i) for i in b["id"]]},
+        batch_format="numpy",
+    )
+    right_tbl = pa.table({"rkey": pa.array(list(range(0, 97, 2)), pa.int64()),
+                          "label": pa.array([f"L{i}" for i in range(0, 97, 2)],
+                                            pa.string())})
+    a = broadcast_join(left, right_tbl, on="key", right_key="rkey",
+                       value_cols=["label"]).to_pandas()
+    left2 = rd.range(5000).map_batches(
+        lambda b: {"key": [int(i) % 97 for i in b["id"]],
+                   "val": [int(i) for i in b["id"]]},
+        batch_format="numpy",
+    )
+    b = hash_join(left2, rd.from_arrow(right_tbl), on="key", right_on="rkey",
+                  num_partitions=4).to_pandas()
+    cols = ["key", "val", "label"]
+    a = a[cols].sort_values(["key", "val"]).reset_index(drop=True)
+    b = b[cols].sort_values(["key", "val"]).reset_index(drop=True)
+    assert a.equals(b)
