@@ -27,11 +27,19 @@ STOPWORDS = (
 _STOPWORD_RE = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
 
 
+# the BPE-ish pretokenizer WITHOUT the whitespace branch: counts the
+# pieces a GPT-2-style tokenizer would split off (whitespace runs are
+# separators, not tokens)
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\pL]+| ?[\pN]+| ?[^\s\pL\pN]+"
+
+
 def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized per-doc stats: char/token/alpha counts + md5 fingerprint."""
+    """Vectorized per-doc stats: char count, whitespace-token and BPE-ish
+    piece counts, alpha count, md5 fingerprint."""
     text = batch.column(text_col)
     n_chars = pc.utf8_length(text).cast(pa.int64())
     n_tokens = pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
+    n_bpe = pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64())
     n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.int64())
     fp = pa.array(
         [hashlib.md5(t.encode()).hexdigest() if t is not None else None
@@ -39,8 +47,8 @@ def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pa.string(),
     )
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), n_chars, n_tokens, n_alpha, fp],
-        names=["doc_id", "n_chars", "n_tokens", "n_alpha", "fingerprint"],
+        [batch.column("doc_id"), n_chars, n_tokens, n_bpe, n_alpha, fp],
+        names=["doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "n_alpha", "fingerprint"],
     )
 
 

@@ -79,6 +79,9 @@ RELATIONAL = {
         SELECT doc_id,
                length(text) AS n_chars,
                len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+               len(regexp_extract_all(text,
+                 chr(39) || '(?:[sdmt]|ll|ve|re)| ?[\\pL]+| ?[\\pN]+| ?[^\\s\\pL\\pN]+'))
+                 AS n_bpe_tokens,
                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                md5(text) AS fingerprint
         FROM documents
