@@ -70,46 +70,62 @@ class Disambiguator:
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in LINKED_SCHEMA.names}
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_pylist()
-        sidx = batch.column("sent_idx").to_pylist()
-        ments = batch.column("mentions").to_pylist()
-        for cid, ti, si, ms in zip(conv, tidx, sidx, ments):
-            norms = [m["norm"] for m in ms]
-            for m in ms:
-                cands = self.alias.get(m["norm"], [])
+        """Decode the nested column via list_flatten + parent indices (a
+        to_pylist of list<struct> was ~10x the scoring cost); the Python
+        loop touches only flat string/int lists, and only AMBIGUOUS
+        mentions (>= 2 candidates) compute a context vector."""
+        import pyarrow.compute as pc
+
+        ments = batch.column("mentions").combine_chunks()
+        flat = pc.list_flatten(ments)
+        parent = pc.list_parent_indices(ments)
+        norms = flat.field("norm").to_pylist()
+        # sentence boundaries in the flat stream
+        offs = ments.offsets.to_numpy(zero_copy_only=False)
+        ids_out: list[str] = []
+        score_out: list[float] = []
+        alias = self.alias
+        for si in range(len(ments)):
+            lo, hi = int(offs[si]), int(offs[si + 1])
+            sent_norms = norms[lo:hi]
+            for j in range(lo, hi):
+                n = norms[j]
+                cands = alias.get(n, [])
                 if not cands:
                     chosen, score = "", 0.0
                 elif len(cands) == 1:
                     chosen, score = cands[0], 1.0
                 else:
                     # context = mean of the OTHER mention norms' vectors
-                    others = [n for n in norms if n != m["norm"]]
+                    others = [x for x in sent_norms if x != n]
                     if others:
-                        ctx = np.mean([self._ctx(n) for n in others], axis=0)
+                        ctx = np.mean([self._ctx(x) for x in others], axis=0)
                         nrm = np.linalg.norm(ctx)
                         ctx = ctx / nrm if nrm else ctx
                     else:
-                        ctx = self._ctx(m["norm"])
+                        ctx = self._ctx(n)
                     scored = sorted(
                         ((float(self.id_vec[c] @ ctx), c) for c in cands),
                         key=lambda t: (-t[0], t[1]),
                     )
                     score, chosen = scored[0]
-                out["conv_id"].append(cid)
-                out["turn_idx"].append(ti)
-                out["sent_idx"].append(si)
-                out["mention_idx"].append(m["mention_idx"])
-                out["surface"].append(m["surface"])
-                out["norm"].append(m["norm"])
-                out["cls"].append(m["cls"])
-                out["start"].append(m["start"])
-                out["end"].append(m["end"])
-                out["entity_id"].append(chosen)
-                out["link_score"].append(score)
+                ids_out.append(chosen)
+                score_out.append(score)
         return pa.Table.from_arrays(
-            [pa.array(out[f.name], f.type) for f in LINKED_SCHEMA], schema=LINKED_SCHEMA
+            [
+                batch.column("conv_id").take(parent),
+                batch.column("turn_idx").take(parent),
+                batch.column("sent_idx").take(parent),
+                flat.field("mention_idx"),
+                flat.field("surface"),
+                flat.field("norm"),
+                flat.field("cls"),
+                flat.field("start"),
+                flat.field("end"),
+                pa.array(ids_out, pa.string()),
+                pa.array(score_out, pa.float64()),
+            ],
+            schema=LINKED_SCHEMA,
         )
 
 
