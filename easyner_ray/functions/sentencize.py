@@ -50,7 +50,9 @@ def _is_abbreviation(text: str, dot_pos: int) -> bool:
     word is examined (same result as the anchored-regex form: the leftmost
     letter whose letter/dot run reaches the period)."""
     lo = max(0, dot_pos - _ABBR_WINDOW)
-    sp = text.rfind(" ", lo, dot_pos)
+    # last WHITESPACE (any kind — text that skipped newline normalization
+    # may separate words with \t or \n, not just space) before the period
+    sp = max(text.rfind(c, lo, dot_pos) for c in " \t\n\r\x0b\f")
     if sp < 0 and lo > 0:
         return False  # final word longer than any abbreviation
     m = _WORD_BEFORE_RE.search(text, sp + 1 if sp >= 0 else lo, dot_pos + 1)

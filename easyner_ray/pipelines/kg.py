@@ -162,10 +162,14 @@ def _build_term_maps(term_sets) -> dict:
     matcher = PhraseMatcher([t for ts in term_sets for t in ts])
     norm_idx: dict[str, int] = {}
     tid_norm = [norm_idx.setdefault(nm, len(norm_idx)) for nm in matcher.term_norm]
+    cls_idx: dict[str, int] = {}
+    tid_cls = [cls_idx.setdefault(c, len(cls_idx)) for c in matcher.term_cls]
     return {
         "matcher": matcher,
         "tid_norm": tid_norm,
+        "tid_cls": tid_cls,
         "norm_strings": list(norm_idx),
+        "cls_strings": list(cls_idx),
         "term_norm": matcher.term_norm,
         "term_cls": matcher.term_cls,
     }
@@ -189,12 +193,19 @@ class KGPartialsNER:
     appear only in the final decode, so the materialized checkpoint and
     every combine touch ~4x fewer bytes than a string-keyed stream (this
     VM is memory-bandwidth-bound at full width; bytes ARE wall time).
+
+    Node partials key on (norm_idx, cls_idx) — NOT term_id — so distinct
+    vocabulary terms whose norm keys collide (e.g. 'µM' U+00B5 and 'μM'
+    U+03BC both casefold to 'μm') merge into ONE node row, exactly like
+    the staged build's group-by-(norm, cls) (canonicalize.canonical_nodes)
+    and incremental.update_graph.
     """
 
     def __init__(self, term_sets):
         maps = _build_term_maps(term_sets)
         self.matcher = maps["matcher"]
         self.tid_norm = maps["tid_norm"]
+        self.tid_cls = maps["tid_cls"]
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -205,7 +216,8 @@ class KGPartialsNER:
         findall = TOKEN_RE.findall
         find_ids = self.matcher.find_term_ids
         tid_norm = self.tid_norm
-        node_n: dict[int, int] = {}
+        tid_cls = self.tid_cls
+        node_n: dict[tuple[int, int], int] = {}
         edge_w: dict[tuple[int, int], int] = {}
         for text in pc.utf8_lower(batch.column("text")).to_pylist():
             ids = find_ids(findall(text))
@@ -213,7 +225,8 @@ class KGPartialsNER:
                 continue
             norms_here = set()
             for tid in ids:
-                node_n[tid] = node_n.get(tid, 0) + 1
+                nk = (tid_norm[tid], tid_cls[tid])
+                node_n[nk] = node_n.get(nk, 0) + 1
                 norms_here.add(tid_norm[tid])
             if len(norms_here) >= 2:
                 uniq = sorted(norms_here)
@@ -228,9 +241,9 @@ class KGPartialsNER:
         return pa.Table.from_arrays(
             [
                 pa.array([0] * n_e + [1] * n_n, pa.int8()),
-                pa.array([k[0] for k in e_keys] + n_keys, pa.int32()),
-                pa.array([k[1] for k in e_keys] + [-1] * n_n, pa.int32()),
-                pa.array([edge_w[k] for k in e_keys] + [node_n[t] for t in n_keys],
+                pa.array([k[0] for k in e_keys] + [k[0] for k in n_keys], pa.int32()),
+                pa.array([k[1] for k in e_keys] + [k[1] for k in n_keys], pa.int32()),
+                pa.array([edge_w[k] for k in e_keys] + [node_n[k] for k in n_keys],
                          pa.int64()),
             ],
             names=["kind", "a", "b", "c"],
@@ -258,6 +271,10 @@ def _collapse_ints(t):
 # workers, and each worker process builds the matcher once, lazily, keyed
 # by the broadcast term-set ObjectRef. Expensive model state (Transformers
 # NER) keeps the actor-pool shape — this path is for cheap state only.
+# Evict-on-insert (keep only the newest entry): each build_kg call does a
+# fresh ray.put of the term sets, so an append-only dict would leak one
+# vocabulary-sized matcher per invocation per worker on a long-lived
+# cluster.
 _PARTIALS_CACHE: dict = {}
 
 
@@ -272,6 +289,8 @@ def _kg_partials_fn(term_sets_ref):
             ts = (_ray.get(term_sets_ref)
                   if isinstance(term_sets_ref, _ray.ObjectRef) else term_sets_ref)
             ner = KGPartialsNER(ts)
+            while len(_PARTIALS_CACHE) >= 4:  # bound the per-worker leak
+                _PARTIALS_CACHE.pop(next(iter(_PARTIALS_CACHE)))
             _PARTIALS_CACHE[key] = ner
         return ner(batch)
 
@@ -292,8 +311,7 @@ def int_partials_to_string_partials(combined, term_sets):
     maps = _build_term_maps(term_sets)
     decode_ref = _ray.put({
         "norm_strings": maps["norm_strings"],
-        "term_norm": maps["term_norm"],
-        "term_cls": maps["term_cls"],
+        "cls_strings": maps["cls_strings"],
     })
 
     def conv(t: pa.Table) -> pa.Table:
@@ -303,10 +321,10 @@ def int_partials_to_string_partials(combined, term_sets):
         e = t.filter(pc.equal(t.column("kind"), 0))
         n = t.filter(pc.equal(t.column("kind"), 1))
         norm_arr = pa.array(d["norm_strings"], pa.string())
-        tnorm_arr = pa.array(d["term_norm"], pa.string())
-        tcls_arr = pa.array(d["term_cls"], pa.string())
+        cls_arr = pa.array(d["cls_strings"], pa.string())
         ea, eb = e.column("a").combine_chunks(), e.column("b").combine_chunks()
         na = n.column("a").combine_chunks()
+        nb = n.column("b").combine_chunks()
         n_e, n_n = len(e), len(n)
         return pa.Table.from_arrays(
             [
@@ -317,8 +335,8 @@ def int_partials_to_string_partials(combined, term_sets):
                 pa.concat_arrays([norm_arr.take(eb), pa.nulls(n_n, pa.string())]),
                 pa.concat_arrays([e.column("c").cast(pa.int64()).combine_chunks(),
                                   pa.nulls(n_n, pa.int64())]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), tnorm_arr.take(na)]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), tcls_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), norm_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), cls_arr.take(nb)]),
                 pa.concat_arrays([pa.nulls(n_e, pa.int64()),
                                   n.column("c").cast(pa.int64()).combine_chunks()]),
             ],
@@ -392,9 +410,7 @@ def build_kg_single_pass(
     decode_ref = _ray.put({
         "norm_strings": norm_strings,
         "norm_ids": [node_id(cls_of.get(nm, ""), nm) for nm in norm_strings],
-        "term_norm": maps["term_norm"],
-        "term_cls": maps["term_cls"],
-        "term_ids": [node_id(c, nm) for nm, c in zip(maps["term_norm"], maps["term_cls"])],
+        "cls_strings": maps["cls_strings"],
     })
 
     def final_decode(t: pa.Table) -> pa.Table:
@@ -409,13 +425,21 @@ def build_kg_single_pass(
         n = t.filter(pc.equal(t.column("kind"), 1))
         norm_arr = pa.array(d["norm_strings"], pa.string())
         nid_arr = pa.array(d["norm_ids"], pa.string())
-        tnorm_arr = pa.array(d["term_norm"], pa.string())
-        tcls_arr = pa.array(d["term_cls"], pa.string())
-        tid_arr = pa.array(d["term_ids"], pa.string())
+        cls_arr = pa.array(d["cls_strings"], pa.string())
         ea = e.column("a").combine_chunks()
         eb = e.column("b").combine_chunks()
         na = n.column("a").combine_chunks()
+        nb = n.column("b").combine_chunks()
         n_e, n_n = len(e), len(n)
+        # node ids hash the decoded (cls, norm) per DISTINCT key (the rows
+        # here are already one-per-key, bounded by the vocabulary)
+        node_norms = norm_arr.take(na)
+        node_clss = cls_arr.take(nb)
+        node_ids = pa.array(
+            [node_id(c, nm) for c, nm in zip(node_clss.to_pylist(),
+                                             node_norms.to_pylist())],
+            pa.string(),
+        )
         return pa.Table.from_arrays(
             [
                 pa.concat_arrays([
@@ -430,9 +454,9 @@ def build_kg_single_pass(
                 pa.concat_arrays([norm_arr.take(eb), pa.nulls(n_n, pa.string())]),
                 pa.concat_arrays([e.column("c").cast(pa.int64()).combine_chunks(),
                                   pa.nulls(n_n, pa.int64())]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), tid_arr.take(na)]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), tnorm_arr.take(na)]),
-                pa.concat_arrays([pa.nulls(n_e, pa.string()), tcls_arr.take(na)]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), node_ids]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), node_norms]),
+                pa.concat_arrays([pa.nulls(n_e, pa.string()), node_clss]),
                 pa.concat_arrays([pa.nulls(n_e, pa.int64()),
                                   n.column("c").cast(pa.int64()).combine_chunks()]),
             ],

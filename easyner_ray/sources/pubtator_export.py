@@ -33,8 +33,20 @@ _NL = re.compile(r"\n+")
 
 
 def _format_doc(doc_id: str, text: str, ments: list[tuple[int, int, str, str, str]]) -> str:
-    lines = [f"{doc_id}|t|{_NL.sub(' ', text).strip()}"]
+    written = _NL.sub(" ", text).strip()
+    lines = [f"{doc_id}|t|{written}"]
     for s, e, surf, cls, norm in ments:
+        # offsets are char_start-based in the ORIGINAL text; they index the
+        # written line only when newline-collapse/strip didn't shift chars
+        # before the span. Validate at write time so drift is a hard error,
+        # never a silently-corrupt artifact.
+        if written[s:e] != surf:
+            raise ValueError(
+                f"pubtator offset drift in {doc_id}: [{s}:{e}] slices "
+                f"{written[s:e]!r} in the written text, not {surf!r} — "
+                "normalize newlines before rebasing (stages.rebase expects "
+                "the splitter to have seen the normalized text)"
+            )
         lines.append(f"{doc_id}\t{s}\t{e}\t{surf}\t{cls}\t{norm}")
     lines.append("")
     return "\n".join(lines) + "\n"

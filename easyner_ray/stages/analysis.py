@@ -62,10 +62,14 @@ def entity_frequency(mentions, batch_size: int = 65536):
         pair_to_entity_partial, batch_format="pyarrow", batch_size=batch_size
     )
     # the per-entity final keyspace is the vocabulary — small — so the
-    # shuffle-free tree combine finishes it (ops.relational.tree_final)
+    # shuffle-free tree combine finishes it (ops.relational.tree_final).
+    # materialize() first: a fusion barrier so tree_final's 1M-row level-1
+    # batch size can't force THIS stage onto million-row batches (the
+    # measured fusion trap documented in pipelines/kg.py) — the entity
+    # partial stream is already collapsed and tiny, so the barrier is free.
     from easyner_ray.ops.relational import tree_final
 
-    freq = tree_final(entity_partial, ["entity"],
+    freq = tree_final(entity_partial.materialize(), ["entity"],
                       pa_aggs=[("tc", "sum"), ("cs", "sum")],
                       out_names=["total_count", "convs_spanned"])
 
@@ -146,7 +150,8 @@ def entity_frequency_per_conv(mentions, batch_size: int = 524288):
     return bucketed_final(p, ["conv_id", "entity"], pa_aggs=[("n", "sum")], out_names=["n"])
 
 
-def entity_frequency_batches(mentions_with_part, batch_size: int = 65536):
+def entity_frequency_batches(mentions_with_part, batch_size: int = 65536,
+                             max_set: int | None = None):
     """Reference A1 with the BATCH dimension (``analysis.py:40-80``):
     per-entity ``total_count`` / ``convs_spanned`` / ``batches_spanned`` /
     ``freq_per_conv`` / ``freq_per_batch`` plus the materialized
@@ -159,8 +164,10 @@ def entity_frequency_batches(mentions_with_part, batch_size: int = 65536):
     the shard/conv). Exactness at scale: collapse to per-(entity, part,
     conv) counts first (two-phase), then per-entity distinct counts inside
     entity-keyed buckets. ``articles_set`` is exact but O(#convs) per
-    entity — at 100 TB gate it behind a cap or drop the column; counts
-    stay exact either way.
+    entity; ``max_set`` is the 100-TB switch — when set, the column keeps
+    only the FIRST ``max_set`` sorted conv ids (deterministic truncation),
+    bounding the per-entity string while every count stays exact.
+    ``max_set=None`` (default) materializes the exact set.
     """
     import pandas as pd
 
@@ -186,6 +193,9 @@ def entity_frequency_batches(mentions_with_part, batch_size: int = 65536):
             total = int(g["n"].sum())
             convs = g["conv_id"].nunique()
             batches = g["part_id"].nunique()
+            ids = sorted(g["conv_id"].unique())
+            if max_set is not None:
+                ids = ids[:max_set]
             rows.append({
                 "entity": entity,
                 "total_count": total,
@@ -193,7 +203,7 @@ def entity_frequency_batches(mentions_with_part, batch_size: int = 65536):
                 "batches_spanned": int(batches),
                 "freq_per_conv": total / convs,
                 "freq_per_batch": total / batches,
-                "articles_set": ",".join(sorted(g["conv_id"].unique())),
+                "articles_set": ",".join(ids),
             })
         return pd.DataFrame(rows, columns=["entity", "total_count", "convs_spanned",
                                            "batches_spanned", "freq_per_conv",

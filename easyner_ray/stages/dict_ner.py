@@ -131,8 +131,11 @@ class DictNER:
 # builds in ~1ms, so pinning an actor pool for it costs more (actor
 # creation latency + reserved CPUs that can starve the read at low CPU
 # counts) than rebuilding it once per worker process. Keyed by the terms
-# ObjectRef so different vocabularies coexist. Model NER (expensive state)
-# keeps the actor-pool shape — see stages.model_ner.
+# ObjectRef so different vocabularies coexist; bounded FIFO (4 entries —
+# enough for concurrent multi-vocab pipelines) so repeated invocations on
+# a long-lived cluster can't leak one matcher per ray.put per worker.
+# Model NER (expensive state) keeps the actor-pool shape — see
+# stages.model_ner.
 _DICT_NER_CACHE: dict = {}
 
 
@@ -144,6 +147,8 @@ def _dict_ner_fn(terms_ref, keep_text: bool, keep_cols: tuple[str, ...]):
         ner = _DICT_NER_CACHE.get(key)
         if ner is None:
             ner = DictNER(terms_ref, keep_text=keep_text, keep_cols=keep_cols)
+            while len(_DICT_NER_CACHE) >= 4:
+                _DICT_NER_CACHE.pop(next(iter(_DICT_NER_CACHE)))
             _DICT_NER_CACHE[key] = ner
         return ner(batch)
 

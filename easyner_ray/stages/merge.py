@@ -90,6 +90,8 @@ def _multi_ner_fn(term_sets_ref, resolve, sep_merge, lowercase_surfaces):
         if ner is None:
             ner = MultiNER(term_sets_ref, resolve=resolve, sep_merge=sep_merge,
                            lowercase_surfaces=lowercase_surfaces)
+            while len(_MULTI_NER_CACHE) >= 4:  # bound the per-worker leak
+                _MULTI_NER_CACHE.pop(next(iter(_MULTI_NER_CACHE)))
             _MULTI_NER_CACHE[key] = ner
         return ner(batch)
 

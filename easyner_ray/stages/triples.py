@@ -141,13 +141,19 @@ def window_triples(mentions, window: int = 2):
         o_turn: list[int] = []
         for cid, sub in g.groupby("conv_id", sort=False):
             codes, uniq_norms = pd.factorize(sub["norm"], sort=False)
-            assert len(uniq_norms) < (1 << 20) and sub["turn_idx"].max() < (1 << 20)
+            # 20-bit packing is the fast path; conversations with >2^20
+            # distinct norms or turn indices (pathological but possible at
+            # 100 TB) take the widening np.unique(axis=0) fallback instead
+            # of aborting the job.
+            fits20 = (len(uniq_norms) < (1 << 20)
+                      and int(sub["turn_idx"].max()) < (1 << 20))
             tis = sub["turn_idx"].to_numpy()
             turn_codes = {
                 int(ti): np.unique(codes[tis == ti]) for ti in np.unique(tis)
             }
             turns_sorted = sorted(turn_codes)
             packed: list[np.ndarray] = []
+            wide: list[np.ndarray] = []
             for idx, ti in enumerate(turns_sorted):
                 hi = bisect.bisect_right(turns_sorted, ti + window)
                 a = turn_codes[ti].astype(np.int64)
@@ -156,17 +162,30 @@ def window_triples(mentions, window: int = 2):
                     A = np.repeat(a, len(b))
                     B = np.tile(b, len(a))
                     m = A != B
-                    if m.any():
+                    if not m.any():
+                        continue
+                    if fits20:
                         packed.append((A[m] << 40) | (B[m] << 20) | ti)
-            if not packed:
-                continue
-            u = np.unique(np.concatenate(packed))
-            subj_idx = (u >> 40).astype(np.intp)
-            obj_idx = ((u >> 20) & 0xFFFFF).astype(np.intp)
-            t_dec = (u & 0xFFFFF).astype(int)
+                    else:
+                        wide.append(np.column_stack(
+                            [A[m], B[m], np.full(int(m.sum()), ti, np.int64)]))
+            if fits20:
+                if not packed:
+                    continue
+                u = np.unique(np.concatenate(packed))
+                subj_idx = (u >> 40).astype(np.intp)
+                obj_idx = ((u >> 20) & 0xFFFFF).astype(np.intp)
+                t_dec = (u & 0xFFFFF).astype(int)
+            else:
+                if not wide:
+                    continue
+                u3 = np.unique(np.concatenate(wide, axis=0), axis=0)
+                subj_idx = u3[:, 0].astype(np.intp)
+                obj_idx = u3[:, 1].astype(np.intp)
+                t_dec = u3[:, 2].astype(int)
             o_subj.extend(uniq_norms[subj_idx])
             o_obj.extend(uniq_norms[obj_idx])
-            o_conv.extend([cid] * len(u))
+            o_conv.extend([cid] * len(subj_idx))
             o_turn.extend(t_dec.tolist())
         return pd.DataFrame(
             {

@@ -271,3 +271,38 @@ def test_single_pass_combine_modes_identical(ray_session, tiny_corpus):
     sn, se = frames(build_kg_single_pass(ts2, combine="shuffle"))
     assert tn.equals(sn)
     assert te.equals(se)
+
+
+def test_single_pass_merges_norm_colliding_terms(ray_session):
+    """Two DISTINCT vocabulary terms whose token sequences differ but whose
+    norm keys casefold identically ('µM' U+00B5 vs 'μM' U+03BC -> 'μm')
+    must produce ONE node row per (norm, cls) with summed n_mentions — in
+    BOTH combine modes — matching the staged build's group-by-(norm, cls)
+    (round-2 ADVICE, kg.py node partials were keyed by term_id)."""
+    import pyarrow as pa
+
+    from easyner_ray.pipelines.kg import build_kg, build_kg_single_pass
+
+    terms = [("µM", "chemical"), ("μM", "chemical"), ("aspirin", "chemical")]
+    tbl = pa.table({
+        "conv_id": pa.array(["c1"] * 4, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+        "text": pa.array(
+            ["Dose was 5 µM here.", "Then 10 μM with aspirin.",
+             "Another 2 µM reading.", "No entities at all."], pa.string()),
+    })
+    ts = rd.from_arrow(tbl)
+
+    for mode in ("tree", "shuffle"):
+        res = build_kg_single_pass(rd.from_arrow(tbl), [terms], combine=mode)
+        nodes = res["nodes"].to_pandas().sort_values("norm").reset_index(drop=True)
+        um = nodes[nodes.norm == "μm"]
+        assert len(um) == 1, f"{mode}: duplicate (norm, cls) node rows:\n{nodes}"
+        assert int(um.n_mentions.iloc[0]) == 3
+        assert len(nodes) == 2  # μm + aspirin
+
+    staged = build_kg(ts, [terms])["nodes"].to_pandas()
+    sp = build_kg_single_pass(rd.from_arrow(tbl), [terms])["nodes"].to_pandas()
+    a = staged[["norm", "cls", "n_mentions"]].sort_values(["norm", "cls"]).reset_index(drop=True)
+    b = sp[["norm", "cls", "n_mentions"]].sort_values(["norm", "cls"]).reset_index(drop=True)
+    assert a.equals(b)
