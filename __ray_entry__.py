@@ -57,12 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.lang_id_q,                      # heuristic: rows-only
         "rolling_fingerprints": q.rolling_fp_q,      # derived-gold oracle
         "ngram_jaccard_pairs": q.ngram_jaccard_q,
-        "minhash_lsh_pairs": q.minhash_lsh_q,        # approximate: rows-only
+        "minhash_lsh_pairs": q.minhash_lsh_q,        # derived-gold oracle
         "simhash_pairs": q.simhash_q,                # derived-gold oracle
         "knn_brute": q.knn_brute_q,
         "knn_ivf": q.knn_ivf_q,                      # approximate: rows-only
         "cosine_pairs_brute": q.cosine_pairs_q,
-        "cosine_lsh_pairs": q.cosine_lsh_q,          # approximate: rows-only
+        "cosine_lsh_pairs": q.cosine_lsh_q,          # derived-gold oracle
         # KG construction (north rule; gold-parquet oracles)
         "kg_sentences": q.kg_sentences,
         "kg_turn_reassembly": q.kg_turn_reassembly,
@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_mentions": q.kg_linked_mentions,
         "kg_search": q.kg_search,
         "kg_doc_spans": q.kg_doc_spans,
-        "kg_triple_prf": q.kg_triple_prf,            # P/R gate artifact: rows-only
+        "kg_triple_prf": q.kg_triple_prf,            # P/R gate artifact: gold-side oracle
         "kg_merged_mentions": q.kg_merged_mentions,  # J2/J3 merge == gold oracle
         "kg_resolved_mentions": q.kg_resolved_mentions,  # O6: derived-gold oracle
         "kg_disambiguated": q.kg_disambiguated,      # scored NEL: derived-gold oracle
@@ -99,7 +99,8 @@ def oracle_sql() -> dict[str, str]:
         corpus = ensure_corpus("sf0.01", 0.01, with_gold=True, use_ray=False)
         from easyner_ray.sources.gold_derived import ensure_derived_gold
 
-        ensure_derived_gold(corpus, "/root/testdata/sf0.01/documents.parquet")
+        ensure_derived_gold(corpus, "/root/testdata/sf0.01/documents.parquet",
+                            "/root/testdata/sf0.01/embeddings.parquet")
     except Exception:
         pass  # queries() generates it too; worst case the KG oracles error
     return all_oracles()

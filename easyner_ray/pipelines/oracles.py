@@ -268,6 +268,31 @@ GDA = f"read_parquet('{SYNTH}/gold_disambiguated.parquet')"
 GFP = f"read_parquet('{SYNTH}/gold_doc_rollfp.parquet')"
 GSH = f"read_parquet('{SYNTH}/gold_simhash_pairs.parquet')"
 
+GMH = f"read_parquet('{SYNTH}/gold_minhash_pairs.parquet')"
+GCL = f"read_parquet('{SYNTH}/gold_cosine_lsh_pairs.parquet')"
+
+RELATIONAL["minhash_lsh_pairs"] = f"SELECT doc_a, doc_b, est_jaccard FROM {GMH}"
+RELATIONAL["cosine_lsh_pairs"] = f"SELECT vec_id_a, vec_id_b FROM {GCL}"
+
+# The P/R gate artifact is a pure function of (engine triples, gold
+# triples); since kg_triples is itself oracled to EQUAL the gold set, the
+# correct metric row is exactly (tp = |distinct gold triples|, fp = fn = 0,
+# P = R = F1 = 1.0) — any engine/gold divergence breaks tp or the ratios.
+KG["kg_triple_prf"] = f"""
+    WITH t AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm
+    )
+    SELECT count(*) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+           CAST(1.0 AS DOUBLE) AS "precision", CAST(1.0 AS DOUBLE) AS recall,
+           CAST(1.0 AS DOUBLE) AS f1
+    FROM t
+"""
+
 KG["kg_resolved_mentions"] = f"""
     SELECT conv_id, turn_idx, sent_idx, mention_idx, surface, norm, cls,
            start, "end" FROM {GRM}

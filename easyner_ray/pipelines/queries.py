@@ -278,7 +278,8 @@ def _corpus(sf_dir: str) -> str:
 
     corpus = ensure_for_sf_dir(sf_dir)
     if os.path.exists(os.path.join(corpus, "gold_mentions.parquet")):
-        ensure_derived_gold(corpus, os.path.join(sf_dir, "documents.parquet"))
+        ensure_derived_gold(corpus, os.path.join(sf_dir, "documents.parquet"),
+                            os.path.join(sf_dir, "embeddings.parquet"))
     return corpus
 
 

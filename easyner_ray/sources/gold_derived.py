@@ -18,11 +18,21 @@ deterministic functions of the gold mentions / documents:
   * ``gold_simhash_pairs.parquet``      — BRUTE-FORCE all-pairs SimHash
     Hamming <= 3 (the engine's 4x16-bit band blocking is complete for
     d <= 3 by pigeonhole, so banding must equal brute force at fixture
-    scale).
+    scale);
+  * ``gold_minhash_pairs.parquet``      — straight-line MinHash-LSH
+    candidate pairs (spec constants: 64 perms seeded 17 over crc32 word-
+    trigram shingles, 16 bands x 4 rows, crc32 band keys, hot_cap 500,
+    signature-agreement estimate >= threshold, max-estimate dedupe);
+  * ``gold_cosine_lsh_pairs.parquet``   — straight-line random-hyperplane
+    LSH near-dup pairs (spec: planes/tables derived from (threshold, n)
+    by the documented formula, RandomState(29).randn(T, P, d) planes,
+    per-table sign-bit keys, in-group exact cosine >= threshold).
 
 Everything here is plain single-process Python over parquet files — no Ray,
 no engine stage imports — so a gold value can only match the engine when
-the distributed implementation is actually correct.
+the distributed implementation is actually correct. The LSH spec formulas
+are DUPLICATED here on purpose (not imported): the gold is the spec's
+second, independent realization.
 """
 
 from __future__ import annotations
@@ -217,13 +227,150 @@ def write_doc_gold(corpus: str, documents_path: str, max_hamming: int = 3) -> li
     return [fp_path, sh_path]
 
 
-def ensure_derived_gold(corpus: str, documents_path: str | None = None) -> None:
+# ------------------------------------------------------------ minhash LSH --
+
+_MINHASH_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def write_minhash_gold(corpus: str, documents_path: str, threshold: float = 0.2,
+                       n_perm: int = 64, n_bands: int = 16, k: int = 3,
+                       seed: int = 17, hot_cap: int = 500) -> str:
+    """Straight-line MinHash-LSH pair recompute (spec constants match the
+    query's call of the engine op). Output: (doc_a, doc_b, est_jaccard)."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    rows = n_perm // n_bands
+
+    def shingles(text: str) -> list[str]:
+        toks = text.split()
+        if len(toks) < k:
+            return [" ".join(toks)] if toks else []
+        return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+    sigs: list[np.ndarray] = []
+    buckets: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        sh = shingles(t or "")
+        if not sh:
+            sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            h = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+            sig = ((h[:, None] * a[None, :] + b[None, :]) % _MINHASH_MERSENNE).min(axis=0)
+        sigs.append(sig)
+        for bi in range(n_bands):
+            chunk = sig[bi * rows : (bi + 1) * rows].tobytes()
+            buckets.setdefault(f"{bi}:{zlib.crc32(chunk):08x}", []).append(i)
+
+    best: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > hot_cap:
+            continue
+        order = sorted(members, key=lambda i: ids[i])
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    key = (ids[i], ids[j])
+                    if est > best.get(key, -1.0):
+                        best[key] = est
+
+    keys = sorted(best)
+    tbl = pa.Table.from_arrays(
+        [pa.array([x for x, _ in keys], pa.int64()),
+         pa.array([y for _, y in keys], pa.int64()),
+         pa.array([best[kk] for kk in keys], pa.float64())],
+        names=["doc_a", "doc_b", "est_jaccard"],
+    )
+    path = os.path.join(corpus, "gold_minhash_pairs.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+# --------------------------------------------------------- cosine-LSH gold --
+
+
+def _lsh_plane_params_spec(threshold: float, n: int, target_recall: float = 0.9,
+                           target_bucket: int = 128, max_tables: int = 64) -> tuple[int, int]:
+    """The (n_planes, n_tables) derivation — deliberately DUPLICATED from
+    ops.similarity.lsh_plane_params (the spec's independent realization;
+    tests assert the two stay identical)."""
+    import math
+
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n_planes = int(min(24, max(2, math.ceil(math.log2(max(n, 2) / target_bucket))
+                               if n > target_bucket else 2)))
+    p_table = p1 ** n_planes
+    if p_table >= 1.0:
+        return n_planes, 1
+    n_tables = int(min(max_tables,
+                       math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table))))
+    return n_planes, max(1, n_tables)
+
+
+def write_cosine_lsh_gold(corpus: str, embeddings_path: str, threshold: float = 0.5,
+                          seed: int = 29, hot_cap: int = 2000) -> str:
+    """Straight-line random-hyperplane LSH pair recompute. Output:
+    (vec_id_a, vec_id_b) — the query drops the cosine column."""
+    emb = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs = mat / norms
+    n = len(ids)
+
+    n_planes, n_tables = _lsh_plane_params_spec(threshold, n)
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, mat.shape[1])
+    signs = np.einsum("nd,tpd->ntp", vecs, planes) > 0
+    bits = (signs.astype(np.uint64)
+            << np.arange(n_planes, dtype=np.uint64)[None, None, :]).sum(axis=2)
+
+    pairs: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            groups.setdefault(int(bits[i, t]), []).append(i)
+        for members in groups.values():
+            if len(members) < 2 or len(members) > hot_cap:
+                continue
+            order = sorted(members, key=lambda i: ids[i])
+            m = vecs[order]
+            sim = m @ m.T
+            ii, jj = np.where(np.triu(sim >= threshold, k=1))
+            for x, y in zip(ii, jj):
+                pairs.add((int(ids[order[x]]), int(ids[order[y]])))
+
+    keys = sorted(pairs)
+    tbl = pa.Table.from_arrays(
+        [pa.array([x for x, _ in keys], pa.int64()),
+         pa.array([y for _, y in keys], pa.int64())],
+        names=["vec_id_a", "vec_id_b"],
+    )
+    path = os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def ensure_derived_gold(corpus: str, documents_path: str | None = None,
+                        embeddings_path: str | None = None) -> None:
     """Idempotently write every derived gold table missing from ``corpus``."""
     if not os.path.exists(os.path.join(corpus, "gold_resolved_mentions.parquet")):
         write_resolved_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_disambiguated.parquet")):
         write_disambiguated_gold(corpus)
-    if documents_path and os.path.exists(documents_path) and not os.path.exists(
-        os.path.join(corpus, "gold_simhash_pairs.parquet")
+    if documents_path and os.path.exists(documents_path):
+        if not os.path.exists(os.path.join(corpus, "gold_simhash_pairs.parquet")):
+            write_doc_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_minhash_pairs.parquet")):
+            write_minhash_gold(corpus, documents_path)
+    if embeddings_path and os.path.exists(embeddings_path) and not os.path.exists(
+        os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")
     ):
-        write_doc_gold(corpus, documents_path)
+        write_cosine_lsh_gold(corpus, embeddings_path)

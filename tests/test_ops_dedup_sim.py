@@ -291,3 +291,56 @@ def test_hash_join_equals_broadcast_join(ray_session):
     a = a[cols].sort_values(["key", "val"]).reset_index(drop=True)
     b = b[cols].sort_values(["key", "val"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cosine_lsh_recall_vs_brute_at_low_threshold(ray_session):
+    """The round-2 gap: at threshold 0.5 the old fixed (8 planes, 4 tables)
+    caught ~15% of threshold-grazing pairs. The derived params must reach
+    >= ~target_recall measured against the exact brute baseline on a
+    fixture with MANY pairs straddling the threshold (deterministic seed,
+    so the measured recall is a constant of the code)."""
+    from easyner_ray.ops.similarity import (cosine_near_dup_pairs,
+                                            cosine_pairs_brute,
+                                            lsh_plane_params)
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 24)
+    # pairs across a spread of cosines around 0.5: mix each base vector
+    # with noise at varying ratios
+    rows = [base]
+    for alpha in (0.45, 0.55, 0.65, 0.75):
+        noise = rng.randn(60, 24)
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        b = base / np.linalg.norm(base, axis=1, keepdims=True)
+        rows.append(alpha * b + (1 - alpha**2) ** 0.5 * noise)
+    mat = np.vstack(rows).astype(np.float32)
+
+    brute = cosine_pairs_brute(_emb_ds(mat), threshold=0.5).to_pandas()
+    bset = set(zip(brute["vec_id_a"], brute["vec_id_b"]))
+    assert len(bset) >= 100  # the fixture really does make many pairs
+
+    lsh = cosine_near_dup_pairs(_emb_ds(mat), threshold=0.5,
+                                target_recall=0.9).to_pandas()
+    lset = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    assert not (lset - bset), "LSH emitted a pair brute didn't (verify is exact)"
+    recall = len(lset & bset) / len(bset)
+    assert recall >= 0.85, f"measured recall {recall:.3f}"
+
+    # the derivation itself: more tables at lower thresholds, capped
+    p_lo, t_lo = lsh_plane_params(0.5, 100_000)
+    p_hi, t_hi = lsh_plane_params(0.95, 100_000)
+    assert t_lo <= 64 and t_hi <= 64
+    assert p_lo == p_hi  # planes depend on corpus size, not threshold
+    assert t_lo > t_hi  # lower threshold needs more tables
+
+
+def test_lsh_param_spec_duplicates_stay_identical():
+    """gold_derived duplicates the plane/table derivation on purpose (the
+    gold must not import engine code); this pins the two realizations to
+    each other across the parameter space."""
+    from easyner_ray.ops.similarity import lsh_plane_params
+    from easyner_ray.sources.gold_derived import _lsh_plane_params_spec
+
+    for thr in (0.3, 0.5, 0.7, 0.9, 0.95, 0.99):
+        for n in (10, 100, 500, 5_000, 100_000, 10_000_000):
+            assert lsh_plane_params(thr, n) == _lsh_plane_params_spec(thr, n), (thr, n)
