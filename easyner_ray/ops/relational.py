@@ -128,14 +128,22 @@ def bucketed_final(partial_ds, keys: list[str], pa_aggs: list[tuple[str, str]],
 
 
 def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
-                batch_size: int = 65536, n_buckets: int | None = 64):
+                batch_size: int = 65536, n_buckets: int | None = 64,
+                final: str = "bucketed"):
     """Two-phase distributed aggregate.
 
     specs: (col, fn, out_name) with fn in {sum,min,max,count,mean}.
     Phase 1 (vectorized, per batch): pyarrow Table.group_by collapses the
-    batch; mean becomes (sum, count) partials. Phase 2: bucketed Arrow
-    final (``bucketed_final``) by default; pass ``n_buckets=None`` to use
-    Ray's native aggregate (fine for low-cardinality keys).
+    batch; mean becomes (sum, count) partials. Phase 2 (``final``):
+
+      * ``"bucketed"`` (default) — coarse-hash-bucket shuffle + per-bucket
+        Arrow group_by (``bucketed_final``); the corpus-scale-keyspace
+        shape. Pass ``n_buckets=None`` to use Ray's native aggregate.
+      * ``"tree"`` — NO keyed shuffle (``tree_final`` over the
+        materialized partial stream): the right shape when #distinct(keys)
+        is small (class labels, priorities, flags) — a 64-bucket shuffle
+        of a 5-key stream leaves ~59 empty sort partitions whose empty
+        blocks cost scheduling and trip Ray's schema-divergence warning.
     """
     # (col, fn) -> output name; deduped so e.g. mean+sum of one column
     # computes the pyarrow partial only once.
@@ -177,7 +185,16 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
         return pa.Table.from_arrays(cols, names=names)
 
     partial_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    if n_buckets:
+    if final == "tree":
+        # materialize() = fusion barrier (tree_final's 1M level-1 batch
+        # size must not force the partial stage onto million-row batches);
+        # the partial stream is per-batch collapsed, so it is tiny
+        out_ds = tree_final(
+            partial_ds.materialize(), keys,
+            pa_aggs=[(pname, ffn) for pname, ffn in final_specs],
+            out_names=[pname for pname, _ in final_specs],
+        )
+    elif n_buckets:
         out_ds = bucketed_final(
             partial_ds, keys,
             pa_aggs=[(pname, ffn) for pname, ffn in final_specs],

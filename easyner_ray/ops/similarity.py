@@ -55,6 +55,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# Worker-process cache for task-pool similarity state (normalized query /
+# centroid / plane matrices — all broadcast ObjectRefs, ~1ms to hydrate).
+# Plain map_batches TASKS with this cache beat a pinned actor pool here by
+# seconds per query: actor-pool creation latency alone (~2s for 8) exceeds
+# the entire matmul work at bench scale (the measured round-1/2 pattern —
+# see pipelines/kg._kg_partials_fn). Bounded FIFO so long-lived workers
+# can't leak one matrix per invocation.
+_STATE_CACHE: dict = {}
+
+
+def _cached_state(key, build):
+    v = _STATE_CACHE.get(key)
+    if v is None:
+        v = build()
+        while len(_STATE_CACHE) >= 8:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+        _STATE_CACHE[key] = v
+    return v
+
+
+def _task_fn(tag: str, refs: tuple, build):
+    """A map_batches TASK closure whose stateful callable hydrates once per
+    worker process (keyed by the broadcast refs' hex ids)."""
+    key = (tag,) + tuple(r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs)
+
+    def fn(batch):
+        return _cached_state(key, build)(batch)
+
+    return fn
+
+
 class _BatchTopK:
     """Per-batch exact top-k against the broadcast query matrix."""
 
@@ -123,11 +154,10 @@ def knn_brute(embeddings, queries: np.ndarray, k: int = 10, vec_col: str = "embe
     """
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = embeddings.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k, "vec_col": vec_col},
+        _task_fn("topk", (queries_ref,),
+                 lambda: _BatchTopK(queries_ref, k, vec_col)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     import ray.data as rd
 
@@ -172,11 +202,9 @@ def assign_ivf_buckets(embeddings, centroids: np.ndarray, vec_col: str = "embedd
     only its nprobe buckets (partition pruning at the read)."""
     cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
     return embeddings.map_batches(
-        _IVFAssign,
-        fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
+        _task_fn("ivfassign", (cent_ref,), lambda: _IVFAssign(cent_ref, vec_col)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -241,15 +269,12 @@ def knn_ivf(embeddings, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(wanted, pa.int64()))),
         batch_format="pyarrow",
     )
+    q_ref, probe_ref = ray.put(q), ray.put(probe)
     partials = filtered.map_batches(
-        _IVFBatchTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ray.put(q), "probe_ref": ray.put(probe),
-            "k": k, "vec_col": vec_col,
-        },
+        _task_fn("ivftopk", (q_ref, probe_ref),
+                 lambda: _IVFBatchTopK(q_ref, probe_ref, k, vec_col)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     import ray.data as rd
 
@@ -351,12 +376,12 @@ def cosine_near_dup_pairs(embeddings, threshold: float = 0.95,
     rng = np.random.RandomState(seed)
     d = len(embeddings.limit(1).to_pandas()[vec_col].iloc[0])
     planes = rng.randn(n_tables, n_planes, d)
+    planes_ref = ray.put(planes)
     bucketed = embeddings.map_batches(
-        _HyperplaneBucket,
-        fn_constructor_kwargs={"planes_ref": ray.put(planes), "vec_col": vec_col},
+        _task_fn("hplanes", (planes_ref,),
+                 lambda: _HyperplaneBucket(planes_ref, vec_col)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
 
     # coarse-bucket the composite keys (a key's collisions stay in one
@@ -450,14 +475,10 @@ def cosine_pairs_brute(embeddings, threshold: float = 0.5, vec_col: str = "embed
     ds = embeddings.select_columns(["vec_id", vec_col]).materialize()
     ids_ref, mat_ref = _assemble_matrix.remote(vec_col, *ds.to_arrow_refs())
     return ds.map_batches(
-        _BrutePairs,
-        fn_constructor_kwargs={
-            "mat_ref": mat_ref, "ids_ref": ids_ref,
-            "threshold": threshold, "vec_col": vec_col,
-        },
+        _task_fn("brutepairs", (mat_ref, ids_ref),
+                 lambda: _BrutePairs(mat_ref, ids_ref, threshold, vec_col)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -512,14 +533,14 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
     ds = rd.read_parquet(paths, columns=["vec_id", vec_col])
     cent_ref = ray.put(cent)
     withb = ds.map_batches(
-        _IVFAssign, fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        _task_fn("ivfassign", (cent_ref,), lambda: _IVFAssign(cent_ref, vec_col)),
+        batch_format="pyarrow", batch_size=batch_size,
     )
+    q_ref, probe_ref = ray.put(q), ray.put(probe)
     partials = withb.map_batches(
-        _IVFBatchTopK,
-        fn_constructor_kwargs={"queries_ref": ray.put(q), "probe_ref": ray.put(probe),
-                               "k": k, "vec_col": vec_col},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        _task_fn("ivftopk", (q_ref, probe_ref),
+                 lambda: _IVFBatchTopK(q_ref, probe_ref, k, vec_col)),
+        batch_format="pyarrow", batch_size=batch_size,
     )
     merged = _merge_topk(
         pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()]), k

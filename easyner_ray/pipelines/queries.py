@@ -23,9 +23,19 @@ import pyarrow.compute as pc
 
 
 def _rp(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # pandas-written parquet carries b'pandas' schema metadata that makes
+    # pa.Schema unhashable in this pyarrow build — Ray then logs a
+    # "Failed to hash the schemas" warning per block unification. Read with
+    # an explicit metadata-free schema (one local footer read, no extra
+    # operator).
+    schema = pq.read_schema(path)
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema.remove_metadata())
 
 
 def _round4(t: pa.Table, cols: list[str]) -> pa.Table:
@@ -58,6 +68,7 @@ def agg_lineitem_pricing(sf_dir: str):
             ("l_quantity", "mean", "avg_qty"),
             ("l_quantity", "count", "n"),
         ],
+        final="tree",  # 6 (flag, status) groups: shuffle-free final
     )
     return out.map_batches(
         lambda t: _round4(t, ["sum_qty", "sum_base_price", "avg_qty"]),
@@ -85,6 +96,7 @@ def join_orders_customer_nation(sf_dir: str):
         with_name,
         ["n_name"],
         [("o_totalprice", "sum", "total_price"), ("o_totalprice", "count", "n_orders")],
+        final="tree",  # 25 nations: shuffle-free final
     )
     return out.map_batches(lambda t: _round4(t, ["total_price"]), batch_format="pyarrow")
 
@@ -119,6 +131,7 @@ def orders_priority_count(sf_dir: str):
         _rp(sf_dir, "orders", columns=["o_orderpriority"]),
         ["o_orderpriority"],
         [("o_orderpriority", "count", "n")],
+        final="tree",  # 5 priorities: shuffle-free final
     )
 
 
@@ -148,6 +161,7 @@ def events_stats(sf_dir: str):
         ["event_type"],
         [("value", "sum", "sum_value"), ("value", "mean", "avg_value"),
          ("value", "count", "n")],
+        final="tree",  # 5 event types: shuffle-free final
     )
     return out.map_batches(lambda t: _round4(t, ["sum_value", "avg_value"]), batch_format="pyarrow")
 
@@ -604,5 +618,6 @@ def revenue_by_priority(sf_dir: str):
 
     out = grouped_agg(joined.map_batches(revenue, batch_format="pyarrow"),
                       ["o_orderpriority"],
-                      [("rev", "sum", "revenue"), ("rev", "count", "n")])
+                      [("rev", "sum", "revenue"), ("rev", "count", "n")],
+                      final="tree")  # 5 priorities: shuffle-free final
     return out.map_batches(lambda t: _round4(t, ["revenue"]), batch_format="pyarrow")
