@@ -7,11 +7,16 @@ one sentence span, so per-turn text equality holds by construction
 (``text == "".join(text[s:e] for s, e in spans)``).
 
 Boundary rule: a sentence ends after a run of ``. ! ?`` (plus any closing
-quotes/brackets) that is followed by whitespace and whose next non-space
-character starts a new sentence (uppercase letter, digit, or opening
-quote/bracket). A period attached to a known abbreviation or a single
-capital initial ("Dr.", "e.g.", "J. Smith") does not split. Trailing
-whitespace is attached to the *preceding* sentence span.
+quotes/brackets) that is followed by whitespace — the next sentence may
+start with ANY non-space character (biomedical prose regularly opens
+sentences with lowercase entities: "… inflammation. mTOR primarily …";
+requiring an uppercase start cost 2.6% boundary recall against the spaCy
+gold, tests/test_golden_reference.py). A period attached to a known
+abbreviation or a single capital initial ("Dr.", "e.g.", "J. Smith") does
+not split; the initial rule applies only when the single letter is a
+whole token — embedded letter-runs ("PI3K.", "NF-κB.") end sentences
+normally. Trailing whitespace is attached to the *preceding* sentence
+span.
 
 The stored sentence ``text`` column is the span text with trailing
 whitespace stripped (what spaCy's ``sent.text`` gives the reference,
@@ -25,8 +30,6 @@ import re
 
 # Sentence-terminating punctuation run, optional closers, then whitespace.
 _BOUNDARY_RE = re.compile(r"[.!?]+[\"'”’)\]]*\s+")
-
-_OPENERS = "\"'“‘([{"
 
 ABBREVIATIONS = frozenset(
     {
@@ -55,8 +58,14 @@ def _is_abbreviation(text: str, dot_pos: int) -> bool:
     sp = max(text.rfind(c, lo, dot_pos) for c in " \t\n\r\x0b\f")
     if sp < 0 and lo > 0:
         return False  # final word longer than any abbreviation
-    m = _WORD_BEFORE_RE.search(text, sp + 1 if sp >= 0 else lo, dot_pos + 1)
+    word_start = sp + 1 if sp >= 0 else lo
+    m = _WORD_BEFORE_RE.search(text, word_start, dot_pos + 1)
     if m is None:
+        return False
+    if m.start() > word_start:
+        # the letter run is EMBEDDED in a larger token ("PI3K.", "NF-κB.":
+        # digits / non-ASCII before the run) — not an initial, and no
+        # abbreviation in the list contains such characters
         return False
     word = m.group(1)
     if len(word) == 1:  # single capital initial: "J. Smith"
@@ -80,26 +89,12 @@ def sentencize_spans(text: str) -> list[tuple[int, int]]:
         end = m.end()  # includes trailing whitespace
         if end >= n:
             break
-        nxt = text[end]
-        if not (nxt.isupper() or nxt.isdigit() or nxt in _OPENERS):
-            continue
-        # candidate '.' position: last [.!?] in the match
-        punct_end = m.start() + len(m.group().rstrip()) - _closers_len(m.group())
         if text[m.start()] == "." and _is_abbreviation(text, m.start()):
             continue
-        del punct_end
         spans.append((start, end))
         start = end
     spans.append((start, n))
     return spans
-
-
-def _closers_len(boundary: str) -> int:
-    stripped = boundary.rstrip()
-    i = len(stripped)
-    while i > 0 and stripped[i - 1] not in ".!?":
-        i -= 1
-    return len(stripped) - i
 
 
 def sentencize(text: str) -> list[tuple[int, str]]:
