@@ -30,6 +30,16 @@ import pyarrow as pa
 from easyner_ray.ops.relational import add_hash_bucket
 
 _NL = re.compile(r"\n+")
+_SEP_SPACE = re.compile(r"\s*([^\w\s])\s*")
+
+
+def _surface_norm(x: str) -> str:
+    """Casefold + collapse spaces around separators: the model path's
+    surfaces are the uncased tokenizer's detokenized words ('gsk - 3' for
+    sentence text 'GSK-3' — reference entity_parser.py:36 applies the same
+    fix), so byte equality with the text slice is NOT expected; offset
+    drift still breaks this normalized equality."""
+    return _SEP_SPACE.sub(r"\1", x.lower())
 
 
 def _format_doc(doc_id: str, text: str, ments: list[tuple[int, int, str, str, str]]) -> str:
@@ -40,7 +50,7 @@ def _format_doc(doc_id: str, text: str, ments: list[tuple[int, int, str, str, st
         # written line only when newline-collapse/strip didn't shift chars
         # before the span. Validate at write time so drift is a hard error,
         # never a silently-corrupt artifact.
-        if written[s:e] != surf:
+        if _surface_norm(written[s:e]) != _surface_norm(surf):
             raise ValueError(
                 f"pubtator offset drift in {doc_id}: [{s}:{e}] slices "
                 f"{written[s:e]!r} in the written text, not {surf!r} — "

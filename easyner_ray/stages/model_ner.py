@@ -69,23 +69,39 @@ class StubModelNER:
         return sentence_mentions_table_flat(batch, rows)
 
 
-class TransformersNER:  # pragma: no cover - exercised only where HF is installed
-    """Real HF pipeline stage; same schema contract as StubModelNER."""
+class TransformersNER:
+    """Real HF pipeline stage; same schema contract as StubModelNER.
 
-    def __init__(self, model_id: str, cls_name: str, device: int = -1, max_length: int = 192):
-        if not HAVE_TRANSFORMERS:
-            raise NotImplementedError(
-                "transformers is not installed in this environment; "
-                "use StubModelNER for deterministic CI runs"
+    The pipeline object is INJECTABLE (``pipe=``), exactly like OnnxNER's
+    session: tests drive this class end-to-end with a replay pipeline that
+    returns the reference's recorded golden predictions
+    (``results/sample_output/ner_huner_gene-1.json``), so everything but
+    the matmul — list-in batching, the per-row error fallback, span/word
+    extraction, the nested output schema — executes against real text.
+    Constructing from ``model_id`` alone requires transformers installed
+    (the honest environment gate)."""
+
+    def __init__(self, model_id: str | None = None, cls_name: str = "entity",
+                 device: int = -1, max_length: int = 192, *, pipe=None,
+                 keep_cols: tuple[str, ...] = ()):
+        if pipe is not None:
+            self.pipe = pipe
+        else:  # pragma: no cover - exercised only where HF is installed
+            if not HAVE_TRANSFORMERS:
+                raise NotImplementedError(
+                    "transformers is not installed in this environment; "
+                    "inject pipe= (any callable with the HF pipeline's "
+                    "list-in/list-out contract) or use StubModelNER"
+                )
+            from transformers import (AutoModelForTokenClassification, AutoTokenizer, pipeline)
+
+            tok = AutoTokenizer.from_pretrained(model_id, model_max_length=max_length)
+            model = AutoModelForTokenClassification.from_pretrained(model_id)
+            self.pipe = pipeline(
+                "ner", model=model, tokenizer=tok, aggregation_strategy="max", device=device
             )
-        from transformers import (AutoModelForTokenClassification, AutoTokenizer, pipeline)
-
-        tok = AutoTokenizer.from_pretrained(model_id, model_max_length=max_length)
-        model = AutoModelForTokenClassification.from_pretrained(model_id)
-        self.pipe = pipeline(
-            "ner", model=model, tokenizer=tok, aggregation_strategy="max", device=device
-        )
         self.cls_name = cls_name
+        self.keep_cols = keep_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -105,7 +121,7 @@ class TransformersNER:  # pragma: no cover - exercised only where HF is installe
             rows.append(
                 [(int(p["start"]), int(p["end"]), p["word"], self.cls_name) for p in preds]
             )
-        return sentence_mentions_table_flat(batch, rows)
+        return sentence_mentions_table_flat(batch, rows, keep_cols=self.keep_cols)
 
 
 def tag_mentions_model(

@@ -174,3 +174,111 @@ def test_entity_frequency_batches_on_golden_mentions(ray_session):
     # articles_set materializes exactly convs_spanned distinct ids
     row = top.iloc[0]
     assert len(row.articles_set.split(",")) == row.convs_spanned
+
+
+def test_transformers_replay_end_to_end(ray_session, tmp_path):
+    """VERDICT r2 #5: drive the REAL TransformersNER.__call__ (list-in
+    batching, span/word extraction, nested schema) with a pipeline that
+    replays the reference's 18,258 golden predictions, then run the output
+    through rebase -> PubTator export (with its write-time offset
+    validation) -> parse-back, all on the real abstracts. Everything but
+    the matmul is the production code path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.sources.pubtator_export import (_surface_norm,
+                                                     load_pubtator_mentions,
+                                                     write_pubtator)
+    from easyner_ray.stages.dict_ner import explode_mentions
+    from easyner_ray.stages.model_ner import TransformersNER
+    from easyner_ray.stages.rebase import rebase_mentions
+
+    class _ReplayPipe:
+        """HF-pipeline stand-in that REPLAYS the reference's recorded
+        golden predictions: text -> the exact prediction dicts the real
+        BioBERT run produced (list-in/list-out contract included).
+        Defined INSIDE the test so cloudpickle ships it by value — Ray
+        workers cannot import the test module."""
+
+        def __init__(self, table: dict):
+            self._t = table
+
+        def __call__(self, texts):
+            if isinstance(texts, list):
+                return [self._t.get(t, []) for t in texts]
+            return self._t.get(texts, [])
+
+    ner, _ = _load()
+    replay: dict = {}
+    s_conv, s_turn, s_sent, s_text, s_cs = [], [], [], [], []
+    t_conv, t_turn, t_text = [], [], []
+    total = dropped = 0
+    for k, d in ner.items():
+        sents = [s["text"] for s in d["sentences"]]
+        # the document text is the reference converter's own reassembly
+        # (running len(sent)+1 cursor == " ".join)
+        t_conv.append(k)
+        t_turn.append(0)
+        t_text.append(" ".join(sents))
+        cur = 0
+        for i, s in enumerate(d["sentences"]):
+            preds = []
+            for ent, (st, en) in zip(s["entities"], s["entity_spans"]):
+                total += 1
+                # a handful of golden words carry NBSP/accent-folding
+                # artifacts of the reference tokenizer where even the
+                # normalized slice differs — those can't round-trip by
+                # construction and are dropped up front
+                if _surface_norm(s["text"][st:en]) != _surface_norm(ent):
+                    dropped += 1
+                    continue
+                preds.append({"start": st, "end": en, "word": ent, "score": 1.0,
+                              "entity_group": "GENE"})
+            replay[s["text"]] = preds
+            s_conv.append(k)
+            s_turn.append(0)
+            s_sent.append(i)
+            s_text.append(s["text"])
+            s_cs.append(cur)
+            cur += len(s["text"]) + 1
+    assert total == 18258
+    assert dropped <= 10, f"unexpectedly many non-round-trippable words: {dropped}"
+
+    sentences = rd.from_arrow(pa.table({
+        "conv_id": pa.array(s_conv, pa.string()),
+        "turn_idx": pa.array(s_turn, pa.int32()),
+        "sent_idx": pa.array(s_sent, pa.int32()),
+        "text": pa.array(s_text, pa.string()),
+        "char_start": pa.array(s_cs, pa.int32()),
+    }))
+    sm = sentences.map_batches(
+        TransformersNER,
+        fn_constructor_kwargs={"cls_name": "gene", "pipe": _ReplayPipe(replay),
+                               "keep_cols": ("char_start",)},
+        batch_format="pyarrow", batch_size=512, concurrency=2,
+    )
+    rebased = rebase_mentions(explode_mentions(sm)).materialize()
+    n_mentions = rebased.count()
+    assert n_mentions == total - dropped
+
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array(t_conv, pa.string()),
+        "turn_idx": pa.array(t_turn, pa.int32()),
+        "text": pa.array(t_text, pa.string()),
+    }))
+    out_dir = str(tmp_path / "pubtator_replay")
+    res = write_pubtator(turns, rebased, out_dir)
+    assert res["n_docs"] == len(t_conv)
+
+    parsed = load_pubtator_mentions(out_dir).to_pandas()
+    got = rebased.select_columns(
+        ["conv_id", "turn_idx", "doc_start", "doc_end", "surface", "cls", "norm"]
+    ).to_pandas()
+    key = ["conv_id", "turn_idx", "doc_start", "doc_end", "surface", "cls", "norm"]
+    a = parsed[key].sort_values(key).reset_index(drop=True)
+    b = got[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "write -> load is not lossless on the golden corpus"
+
+    # sanity on content: the autophagy corpus' dominant genes surface
+    top = got["norm"].value_counts()
+    assert top.index[0] == "mtor"
