@@ -306,3 +306,53 @@ def test_single_pass_merges_norm_colliding_terms(ray_session):
     a = staged[["norm", "cls", "n_mentions"]].sort_values(["norm", "cls"]).reset_index(drop=True)
     b = sp[["norm", "cls", "n_mentions"]].sort_values(["norm", "cls"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_window_triples_wide_turn_indices(ray_session):
+    """Turn indices past the 20-bit packing limit must take the widening
+    np.unique(axis=0) fallback and produce the same triples the packed
+    path would (VERDICT r2 #6 — was an assert that aborted the job)."""
+    import pyarrow as pa
+
+    base = 1 << 20  # past the packed path's turn_idx range
+    rows = [
+        ("c1", base + 0, "aspirin"),
+        ("c1", base + 0, "ibuprofen"),
+        ("c1", base + 1, "aspirin"),
+        ("c1", base + 3, "ibuprofen"),  # outside window=2 of turn 0
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "norm": pa.array([r[2] for r in rows], pa.string()),
+    })
+    wt = window_triples(rd.from_arrow(tbl), window=2).to_pandas()
+    got = set(map(tuple, wt[["subj", "obj", "turn_idx"]].itertuples(index=False)))
+    expected = {
+        ("aspirin", "ibuprofen", base + 0),   # within turn 0; and 0 -> 1 pair
+        ("ibuprofen", "aspirin", base + 0),
+        ("aspirin", "ibuprofen", base + 1),   # turn 1 aspirin x turn 3 ibuprofen
+    }
+    assert got == expected
+
+
+def test_entity_frequency_batches_max_set_cap(ray_session):
+    """max_set bounds the articles_set string (the 100-TB switch) while
+    every count stays exact."""
+    import pyarrow as pa
+
+    from easyner_ray.stages.analysis import entity_frequency_batches
+
+    convs = [f"conv-{i:07d}" for i in range(6)]
+    tbl = pa.table({
+        "conv_id": pa.array(convs * 2, pa.string()),
+        "norm": pa.array(["tsc1"] * 12, pa.string()),
+        "part_id": pa.array([0, 1] * 6, pa.int32()),
+    })
+    exact = entity_frequency_batches(rd.from_arrow(tbl)).to_pandas()
+    capped = entity_frequency_batches(rd.from_arrow(tbl), max_set=3).to_pandas()
+    assert exact.articles_set.iloc[0] == ",".join(sorted(convs))
+    assert capped.articles_set.iloc[0] == ",".join(sorted(convs)[:3])
+    for col in ("total_count", "convs_spanned", "batches_spanned",
+                "freq_per_conv", "freq_per_batch"):
+        assert capped[col].iloc[0] == exact[col].iloc[0]

@@ -65,3 +65,10 @@ def test_reassemble_roundtrip():
 def test_empty_turn():
     assert sentencize("") == []
     assert sentencize_spans("") == []
+
+
+def test_abbreviation_after_tab_or_newline():
+    # any whitespace separates the final word, not just space (ADVICE r2):
+    # an abbreviation preceded by a tab/newline must still protect its '.'
+    assert len(sentencize("See\tfig. 2 for details.")) == 1
+    assert len(sentencize("Compare\nvs. the control group.")) == 1
