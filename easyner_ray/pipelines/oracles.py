@@ -274,6 +274,12 @@ GCL = f"read_parquet('{SYNTH}/gold_cosine_lsh_pairs.parquet')"
 RELATIONAL["minhash_lsh_pairs"] = f"SELECT doc_a, doc_b, est_jaccard FROM {GMH}"
 RELATIONAL["cosine_lsh_pairs"] = f"SELECT vec_id_a, vec_id_b FROM {GCL}"
 
+GLI = f"read_parquet('{SYNTH}/gold_langid.parquet')"
+GKI = f"read_parquet('{SYNTH}/gold_knn_ivf.parquet')"
+
+RELATIONAL["lang_id"] = f"SELECT doc_id, lang_pred, lang_score FROM {GLI}"
+RELATIONAL["knn_ivf"] = f"SELECT query_id, rank, vec_id FROM {GKI}"
+
 # The P/R gate artifact is a pure function of (engine triples, gold
 # triples); since kg_triples is itself oracled to EQUAL the gold set, the
 # correct metric row is exactly (tp = |distinct gold triples|, fp = fn = 0,

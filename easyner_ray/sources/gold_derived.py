@@ -358,6 +358,136 @@ def write_cosine_lsh_gold(corpus: str, embeddings_path: str, threshold: float = 
     return path
 
 
+# --------------------------------------------------------- language-ID gold --
+
+# Spec seed profiles — deliberately DUPLICATED from ops.textstats._LANG_SEEDS
+# (tests assert the two stay identical): the most characteristic frequent
+# words per language from public stopword lists.
+_LANG_SEEDS_SPEC = {
+    "en": "the and of to in is that it for on with as was at by this have from are be not",
+    "de": "der die und das ist nicht von mit den auf für ein eine zu im sich des auch werden",
+    "fr": "le la les des et de un une est pas que pour dans qui sur avec au plus par",
+    "es": "el la los las de que y en un una es no por con para su al lo como más",
+    "it": "il la di che e un una per non sono con del alla nel più come anche dalla",
+}
+
+
+def _trigram_profile_spec(s: str) -> dict[str, float]:
+    """L2-normalized char-trigram counts over '  <lower(s)>  '. Insertion
+    order (= first-occurrence order in the text) is part of the spec: the
+    classifier's score accumulates in this order, so the gold's float sums
+    are bit-identical to the engine's, not merely close."""
+    s = f"  {s.lower()}  "
+    out: dict[str, float] = {}
+    for i in range(len(s) - 2):
+        g = s[i : i + 3]
+        out[g] = out.get(g, 0.0) + 1.0
+    norm = sum(v * v for v in out.values()) ** 0.5 or 1.0
+    return {k: v / norm for k, v in out.items()}
+
+
+def write_langid_gold(corpus: str, documents_path: str) -> str:
+    """Straight-line trigram-cosine language-ID recompute over the documents
+    table. Output: (doc_id, lang_pred, lang_score) — the exact op schema."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    profiles = {lang: _trigram_profile_spec(seed)
+                for lang, seed in _LANG_SEEDS_SPEC.items()}
+    preds: list[str] = []
+    scores: list[float] = []
+    for t in docs.column("text").to_pylist():
+        t = t or ""
+        if not t:
+            preds.append("und")
+            scores.append(0.0)
+            continue
+        tg = _trigram_profile_spec(t[:2000])
+        best_lang, best, second = "und", 0.0, 0.0
+        for lang, prof in profiles.items():
+            score = sum(w * prof.get(g, 0.0) for g, w in tg.items())
+            if score > best:
+                best_lang, second, best = lang, best, score
+            elif score > second:
+                second = score
+        preds.append(best_lang)
+        scores.append(best)
+    tbl = pa.Table.from_arrays(
+        [docs.column("doc_id"),
+         pa.array(preds, pa.string()),
+         pa.array(scores, pa.float64())],
+        names=["doc_id", "lang_pred", "lang_score"],
+    )
+    path = os.path.join(corpus, "gold_langid.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+# ------------------------------------------------------------ knn-IVF gold --
+
+
+def write_knn_ivf_gold(corpus: str, embeddings_path: str, k: int = 10,
+                       n_centroids: int = 16, nprobe: int = 4,
+                       n_queries: int = 4, sample_size: int = 4096,
+                       iters: int = 8, seed: int = 13) -> str:
+    """Straight-line IVF top-k recompute (spec: ops.similarity.knn_ivf with
+    the query defaults): k-means centroids from the FIRST sample_size rows
+    in file order (RandomState(seed) init, ``iters`` Lloyd rounds,
+    re-normalized each round), nearest-centroid bucket per vector, per-query
+    nprobe nearest buckets probed, exact cosine top-k inside them with the
+    (-score, vec_id) tie-break. Output: (query_id, rank, vec_id) — the float
+    score column is dropped, exactly as the driver query drops it, so
+    rank equality is what's certified (BLAS summation-order ulps between
+    this single-process gemm and the engine's per-batch gemms cannot be
+    bit-pinned; distinct random vectors never tie within an ulp, and exact
+    duplicate vectors yield exactly equal dots on both sides, where the
+    vec_id tie-break is deterministic)."""
+    emb = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])
+
+    def norm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    vecs = norm(mat)
+    # queries = the n_queries smallest vec_ids' raw embeddings, normalized
+    qorder = np.argsort(ids, kind="stable")[:n_queries]
+    q = norm(mat[qorder])
+
+    x = vecs[:sample_size]
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+        cent = norm(cent)
+
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    buckets = (vecs @ cent.T).argmax(axis=1)
+    o_q: list[int] = []
+    o_r: list[int] = []
+    o_v: list[int] = []
+    for qi in range(len(q)):
+        allowed = np.isin(buckets, probe[qi])
+        cand = sorted(zip(-(vecs[allowed] @ q[qi]), ids[allowed]))[:k]
+        for rank, (_negs, v) in enumerate(cand, start=1):
+            o_q.append(qi)
+            o_r.append(rank)
+            o_v.append(int(v))
+    tbl = pa.Table.from_arrays(
+        [pa.array(o_q, pa.int64()), pa.array(o_r, pa.int64()),
+         pa.array(o_v, pa.int64())],
+        names=["query_id", "rank", "vec_id"],
+    )
+    path = os.path.join(corpus, "gold_knn_ivf.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def ensure_derived_gold(corpus: str, documents_path: str | None = None,
                         embeddings_path: str | None = None) -> None:
     """Idempotently write every derived gold table missing from ``corpus``."""
@@ -370,7 +500,10 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_doc_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_minhash_pairs.parquet")):
             write_minhash_gold(corpus, documents_path)
-    if embeddings_path and os.path.exists(embeddings_path) and not os.path.exists(
-        os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")
-    ):
-        write_cosine_lsh_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_langid.parquet")):
+            write_langid_gold(corpus, documents_path)
+    if embeddings_path and os.path.exists(embeddings_path):
+        if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
+            write_cosine_lsh_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_knn_ivf.parquet")):
+            write_knn_ivf_gold(corpus, embeddings_path)

@@ -344,3 +344,49 @@ def test_lsh_param_spec_duplicates_stay_identical():
     for thr in (0.3, 0.5, 0.7, 0.9, 0.95, 0.99):
         for n in (10, 100, 500, 5_000, 100_000, 10_000_000):
             assert lsh_plane_params(thr, n) == _lsh_plane_params_spec(thr, n), (thr, n)
+
+
+def test_langid_gold_matches_op_bitwise(ray_session, tmp_path):
+    """write_langid_gold is the spec's second realization of the trigram
+    classifier; on the real sf0.001 documents it must equal the distributed
+    op row-for-row INCLUDING float-bit-equal scores (both accumulate in
+    trigram first-occurrence order)."""
+    from easyner_ray.ops import textstats
+    from easyner_ray.pipelines.queries import lang_id_q
+    from easyner_ray.sources.gold_derived import (_LANG_SEEDS_SPEC,
+                                                  write_langid_gold)
+
+    assert _LANG_SEEDS_SPEC == textstats._LANG_SEEDS
+
+    import pyarrow.parquet as pq
+
+    gold = pq.read_table(
+        write_langid_gold(str(tmp_path), "/root/testdata/sf0.001/documents.parquet")
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = (lang_id_q("/root/testdata/sf0.001").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == list(gold["doc_id"])
+    assert list(got["lang_pred"]) == list(gold["lang_pred"])
+    assert list(got["lang_score"]) == list(gold["lang_score"])  # bit-equal
+    assert len(set(got["lang_pred"])) >= 1 and (got["lang_score"] > 0).any()
+
+
+def test_knn_ivf_gold_matches_op(ray_session, tmp_path):
+    """write_knn_ivf_gold straight-lines the IVF search (same centroid
+    seed/iters, same probe rule, same tie-break); ranks must equal the
+    distributed op's on the real sf0.001 embeddings."""
+    from easyner_ray.pipelines.queries import knn_ivf_q
+    from easyner_ray.sources.gold_derived import write_knn_ivf_gold
+
+    import pyarrow.parquet as pq
+
+    gold = pq.read_table(
+        write_knn_ivf_gold(str(tmp_path), "/root/testdata/sf0.001/embeddings.parquet")
+    ).to_pandas()
+    got = knn_ivf_q("/root/testdata/sf0.001").to_pandas()
+    key = ["query_id", "rank"]
+    gold = gold.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(gold) and len(got) == 40
+    for col in ("query_id", "rank", "vec_id"):
+        assert list(got[col]) == list(gold[col]), col
