@@ -122,8 +122,12 @@ def bench_once() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: raylet worker-count warnings otherwise land on
+        # STDOUT (the task-pool stages block momentarily in ray.get while
+        # hydrating broadcast state, which spawns extra workers at low CPU
+        # counts) and break the one-JSON-line contract.
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -151,6 +155,13 @@ def bench_scaling() -> dict:
     the job is compute-dominated: scaling efficiency measures the
     pipeline's parallel fraction, not Ray's fixed session/ramp overhead.
     Override size via GRAFT_SCALING_SF (conversation-count scale factor).
+
+    Each leg's WHOLE process tree (driver, raylet, workers) is pinned to
+    exactly N physical cores with taskset, so an N-CPU leg cannot
+    free-ride on the idle remainder of the machine (unpinned, the 2-CPU
+    leg's driver/raylet/Arrow threads run on spare cores and its 2 active
+    cores turbo higher — measured inflation up to 1.3x, which reads as
+    fake scaling loss). Disable via GRAFT_SCALING_PIN=0.
     """
     scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "2.0"))
     corpus = os.environ.get("GRAFT_BENCH_CORPUS")
@@ -159,13 +170,18 @@ def bench_scaling() -> dict:
 
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                     logging_level="ERROR")
+                     logging_level="ERROR", log_to_driver=False)
         from easyner_ray.sources.synthetic import ensure_corpus
 
         corpus = ensure_corpus(f"scaling{scaling_sf}", scaling_sf, with_gold=False)
         ray.shutdown()
     levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")]
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    import shutil
+
+    pin = (os.environ.get("GRAFT_SCALING_PIN", "1") != "0"
+           and shutil.which("taskset") is not None
+           and max(levels) <= (os.cpu_count() or 1))
     runs = {}
     all_runs = {}
     for cpus in levels:
@@ -179,9 +195,11 @@ def bench_scaling() -> dict:
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                        GRAFT_BENCH_CORPUS=corpus, GRAFT_HEADLINE_ONLY="1")
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600,
+                cmd, env=env, capture_output=True, text=True, timeout=3600,
             )
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
@@ -205,6 +223,7 @@ def bench_scaling() -> dict:
         "unit": f"x{int(factor)} efficiency",
         "queries": {f"turns_per_sec@{c}": runs[c]["headline"]["turns_per_sec"] for c in levels},
         "all_runs": all_runs,
+        "pinned": pin,
         "sf": SF_DIR,
         "num_cpus": hi,
         "runs": {str(c): runs[c]["headline"] for c in levels},
@@ -212,7 +231,15 @@ def bench_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(bench_scaling()))
-    else:
-        print(json.dumps(bench_once()))
+    # Guarantee the one-JSON-line stdout contract at the fd level: Ray's
+    # raylet/worker log lines are written straight to fd 1 from background
+    # threads (log_to_driver=False does not stop the GCS warning pub/sub),
+    # so divert fd 1 to stderr for the duration and emit the result on the
+    # saved real stdout.
+    _real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        out = bench_scaling() if "--scaling" in sys.argv else bench_once()
+    finally:
+        sys.stdout.flush()
+    os.write(_real_stdout, (json.dumps(out) + "\n").encode())

@@ -82,6 +82,13 @@ def add_hash_bucket(batch: pa.Table, keys: list[str], n_buckets: int,
 
     import numpy as np
 
+    # strip schema metadata (zero-copy): blocks arriving from pandas
+    # map_groups stages carry b'pandas' metadata that makes pa.Schema
+    # unhashable in this pyarrow build — the downstream sort's schema
+    # unification then logs a warning per block. Every bucketed shuffle
+    # enters through here, so this is the one chokepoint.
+    if batch.schema.metadata:
+        batch = batch.replace_schema_metadata(None)
     if len(batch) == 0:
         return batch.append_column(col, pa.array([], pa.int32()))
     if len(keys) == 1:
