@@ -286,14 +286,23 @@ def minhash_lsh_pairs(
 
     from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
 
+    # task pool with per-worker cached MinHasher (state is a deterministic
+    # function of the params, ~1ms to build): actor-pool creation latency
+    # alone (~2s) exceeds the whole signature pass at bench scale — the
+    # measured pattern from pipelines/kg._kg_partials_fn.
+    from easyner_ray.ops.similarity import _cached_state
+
+    mh_key = ("minhash", n_perm, n_bands, k, text_col)
+
+    def mh_fn(batch: pa.Table) -> pa.Table:
+        return _cached_state(
+            mh_key,
+            lambda: MinHasher(n_perm=n_perm, n_bands=n_bands, k=k,
+                              text_col=text_col),
+        )(batch)
+
     bands = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "n_perm": n_perm, "n_bands": n_bands, "k": k, "text_col": text_col
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, 8),
+        mh_fn, batch_format="pyarrow", batch_size=batch_size
     )
 
     # Coarse-bucket the band keys (a band's collisions stay in one bucket),

@@ -148,10 +148,20 @@ class LangID:
         )
 
 
-def lang_id(docs, *, concurrency=(1, 8), batch_size: int = 4096):
-    return docs.map_batches(
-        LangID, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
-    )
+def lang_id(docs, *, concurrency=None, batch_size: int = 4096,
+            min_margin: float = 0.0):
+    """Task pool with per-worker cached profiles (they build in ~1ms from
+    module constants — an actor pool's creation latency alone would cost
+    more than the whole classification pass at bench scale). ``concurrency``
+    is accepted for API compatibility and ignored: tasks autoscale."""
+    from easyner_ray.ops.similarity import _cached_state
+
+    key = ("langid", min_margin)
+
+    def li_fn(batch: pa.Table) -> pa.Table:
+        return _cached_state(key, lambda: LangID(min_margin=min_margin))(batch)
+
+    return docs.map_batches(li_fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 # --- rolling-hash shingle fingerprint (content-defined document signature) --

@@ -77,19 +77,24 @@ class LinkMentions:
         return out.append_column(pa.field("entity_id", pa.string()), ids)
 
 
-def link_mentions(mentions, alias, *, concurrency=(1, 8), batch_size: int = 8192, num_cpus: float = 1):
-    """mentions Dataset + alias (dict / pairs / ObjectRef) -> linked mentions."""
-    alias_arg = alias
+def link_mentions(mentions, alias, *, concurrency=None, batch_size: int = 8192, num_cpus: float = 1):
+    """mentions Dataset + alias (dict / pairs / ObjectRef) -> linked mentions.
+
+    Task pool with per-worker cached state keyed by the broadcast alias
+    ref (always ``ray.put`` so the cache key is an ObjectRef hex, never a
+    reusable ``id()``): hydration is one zero-copy object-store read, so an
+    actor pool's creation latency would dominate at bench scale.
+    ``concurrency`` is accepted for API compatibility and ignored."""
+    from easyner_ray.ops.similarity import _task_fn
+
     if not isinstance(alias, ray.ObjectRef):
         if not isinstance(alias, dict):
             alias = build_alias_dict(alias)
-        alias_arg = ray.put(alias) if len(alias) > 10_000 else alias
-    ds = mentions.map_batches(
-        LinkMentions,
-        fn_constructor_kwargs={"alias": alias_arg},
+        alias = ray.put(alias)
+    alias_ref = alias
+    return mentions.map_batches(
+        _task_fn("nel", (alias_ref,), lambda: LinkMentions(alias=alias_ref)),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=num_cpus,
     )
-    return ds
