@@ -600,24 +600,43 @@ def near_dup_groups(sf_dir: str):
 
 
 def revenue_by_priority(sf_dir: str):
-    """Big-big hash-shuffle join (fact x fact): every lineitem joins its
+    """Big-big hash-shuffle join (fact x fact): lineitem revenue joins its
     order on orderkey — neither side is broadcastable at scale — then a
-    two-phase aggregate per order priority."""
+    two-phase aggregate per order priority.
+
+    The lineitem side is partially aggregated per orderkey INSIDE each
+    batch before the join (sum is associative across the later per-
+    priority rollup), so the all-to-all join shuffle moves ~1 row per
+    order instead of ~4 rows per lineitem — the push-agg-below-join
+    shape that matters most at 100 TB, where the join shuffle is the
+    single largest data movement in the query."""
     from easyner_ray.ops.relational import grouped_agg, hash_join
 
     li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                       num_partitions=16)
 
-    def revenue(t: pa.Table) -> pa.Table:
+    def rev_per_order(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.Table.from_arrays([t.column("o_orderpriority"), rev],
-                                    names=["o_orderpriority", "rev"])
+        g = (pa.Table.from_arrays([t.column("l_orderkey"), rev],
+                                  names=["l_orderkey", "rev"])
+             .group_by(["l_orderkey"]).aggregate([("rev", "sum"), ("rev", "count")]))
+        return pa.Table.from_arrays(
+            [g.column("l_orderkey"), g.column("rev_sum"),
+             g.column("rev_count").cast(pa.int64())],
+            names=["l_orderkey", "rev", "n_li"],
+        )
 
-    out = grouped_agg(joined.map_batches(revenue, batch_format="pyarrow"),
+    joined = hash_join(
+        li.map_batches(rev_per_order, batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        # partition count sized from the pruned reads (metadata-cheap);
+        # the pre-agg only shrinks the left side, so this upper-bounds it
+        approx_bytes=li.size_bytes() + orders.size_bytes(),
+    )
+
+    out = grouped_agg(joined.select_columns(["o_orderpriority", "rev", "n_li"]),
                       ["o_orderpriority"],
-                      [("rev", "sum", "revenue"), ("rev", "count", "n")],
+                      [("rev", "sum", "revenue"), ("n_li", "sum", "n")],
                       final="tree")  # 5 priorities: shuffle-free final
     return out.map_batches(lambda t: _round4(t, ["revenue"]), batch_format="pyarrow")

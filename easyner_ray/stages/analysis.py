@@ -40,9 +40,18 @@ def _partial_pair_counts(batch: pa.Table) -> pa.Table:
 
 
 def entity_frequency(mentions, batch_size: int = 65536):
-    """mentions -> (entity, total_count, convs_spanned, freq_per_conv)."""
+    """mentions -> (entity, total_count, convs_spanned, freq_per_conv).
+
+    The pair partial runs at the UPSTREAM's block granularity
+    (``batch_size=None``): an explicit coarse batch size here fuses into
+    the mention-producing chain and coalesces it onto a handful of huge
+    batches — measured at sf0.1: 3 tasks instead of 64 for the whole
+    split+NER chain, and the downstream pair shuffle inherits those 3
+    blocks as its entire sort parallelism (9 s vs 2 s end-to-end). The
+    per-block group_by collapses repeats just as well; the fusion trap is
+    documented in pipelines/kg.py."""
     pairs = mentions.map_batches(
-        _partial_pair_counts, batch_format="pyarrow", batch_size=batch_size
+        _partial_pair_counts, batch_format="pyarrow", batch_size=None
     )
     per_pair = bucketed_final(pairs, ["entity", "conv_id"],
                               pa_aggs=[("n", "sum")], out_names=["n"])
