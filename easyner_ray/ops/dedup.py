@@ -169,7 +169,10 @@ def ngram_jaccard_pairs(
         )
 
     inter = bucketed_final(
-        pair_hits.map_batches(count_partial, batch_format="pyarrow", batch_size=65536),
+        # batch_size=None: an explicit coarse size here would fuse into
+        # pairs_in_bucket and coalesce the per-bucket groups onto one task
+        # (the measured fusion trap documented in stages/analysis.py)
+        pair_hits.map_batches(count_partial, batch_format="pyarrow", batch_size=None),
         ["doc_a", "doc_b"],
         pa_aggs=[("n", "sum"), ("n_a", "min"), ("n_b", "min")],
         out_names=["inter", "n_a", "n_b"],

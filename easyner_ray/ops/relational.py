@@ -260,6 +260,17 @@ def tree_final(partial_ds, keys: list[str], pa_aggs: list[tuple[str, str]],
                                            batch_size=None)
 
 
+def join_partition_count(approx_bytes: int | None,
+                         partition_bytes: int = 256 << 20) -> int:
+    """Hash-join aggregator count from an input-bytes estimate: one
+    aggregator per ~``partition_bytes`` of joined data, floor 4 (keep a
+    minimum of parallelism), cap 512 (scheduler sanity); 32 when the
+    caller has no estimate."""
+    if approx_bytes is None:
+        return 32
+    return max(4, min(512, int(approx_bytes // partition_bytes) + 1))
+
+
 def hash_join(left, right, *, on: str, right_on: str | None = None,
               join_type: str = "inner", num_partitions: int | None = None,
               approx_bytes: int | None = None, partition_bytes: int = 256 << 20):
@@ -282,10 +293,7 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     EXECUTES any transformed dataset — never call it on one); with
     neither given, falls back to 32."""
     if num_partitions is None:
-        if approx_bytes is None:
-            num_partitions = 32
-        else:
-            num_partitions = max(4, min(512, int(approx_bytes // partition_bytes) + 1))
+        num_partitions = join_partition_count(approx_bytes, partition_bytes)
     return left.join(
         right,
         join_type=join_type,

@@ -293,6 +293,44 @@ def test_hash_join_equals_broadcast_join(ray_session):
     assert a.equals(b)
 
 
+def test_join_partition_count_sizing():
+    """Adaptive hash-join aggregator sizing: ~one per partition_bytes of
+    input, floor 4, cap 512, fallback 32 with no estimate."""
+    from easyner_ray.ops.relational import join_partition_count
+
+    pb = 256 << 20
+    assert join_partition_count(None) == 32
+    assert join_partition_count(0) == 4           # floor
+    assert join_partition_count(20 << 20) == 4    # bench-scale inputs stay small
+    assert join_partition_count(10 * pb) == 10 + 1
+    assert join_partition_count(10_000 * pb) == 512  # cap
+
+    # 100 GB at default partition_bytes lands well inside (floor, cap):
+    assert 4 < join_partition_count(100 << 30) < 512
+
+
+def test_hash_join_adaptive_partitions(ray_session):
+    """hash_join with approx_bytes (no explicit num_partitions) joins
+    correctly through the derived aggregator count."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "key": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "val": pa.array([10, 20, 30, 40, 41], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rkey": pa.array([2, 4], pa.int64()),
+        "label": pa.array(["b", "d"], pa.string()),
+    }))
+    out = hash_join(left, right, on="key", right_on="rkey",
+                    approx_bytes=1 << 20).to_pandas()
+    out = out.sort_values(["key", "val"]).reset_index(drop=True)
+    assert out["key"].tolist() == [2, 4, 4]
+    assert out["label"].tolist() == ["b", "d", "d"]
+
+
 def test_cosine_lsh_recall_vs_brute_at_low_threshold(ray_session):
     """The round-2 gap: at threshold 0.5 the old fixed (8 planes, 4 tables)
     caught ~15% of threshold-grazing pairs. The derived params must reach
