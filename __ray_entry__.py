@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_disambiguated": q.kg_disambiguated,      # scored NEL: derived-gold oracle
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
+        "events_hopping": q.events_hopping,          # sliding windows
+        "events_attribution": q.events_attribution,  # as-of join
+
         "kg_entity_freq_batches": q.kg_entity_freq_batches,  # A1 batch dim
         "kg_pubtator_roundtrip": q.kg_pubtator_roundtrip,    # artifact round trip
         "near_dup_groups": q.near_dup_groups,                # CC dup clusters

@@ -45,6 +45,58 @@ def hourly_rollup(events, value_col: str = "value"):
     return out.map_batches(round4, batch_format="pyarrow")
 
 
+def hopping_rollup(events, size_s: int = 3600, hop_s: int = 900,
+                   value_col: str = "value"):
+    """-> (event_type, wstart_sec, n, sum_value): hopping (sliding) time
+    windows of ``size_s`` seconds advancing every ``hop_s`` seconds.
+
+    Each event belongs to exactly ``size_s/hop_s`` windows (hop must
+    divide size): wstart = floor(sec/hop)*hop - i*hop for
+    i in [0, size/hop). The explode is a numpy tile/repeat — no Python
+    per-row work, no ordering assumption — after which it is an ordinary
+    two-phase grouped aggregate, exactly like the tumbling case.
+    ``wstart_sec`` is int64 epoch seconds (timezone-free, engine-neutral).
+    """
+    import numpy as np
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    if size_s % hop_s != 0:
+        raise ValueError("hop_s must divide size_s")
+    k = size_s // hop_s
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        # int64 division truncates; epoch values are positive so
+        # truncation == floor at both steps
+        sec = pc.divide(t.column("ts").cast(pa.int64()), 1_000_000)
+        base = np.asarray(
+            pc.multiply(pc.divide(sec, hop_s), hop_s).combine_chunks())
+        # (n, k) window starts, flattened row-major so each event's k
+        # windows stay adjacent
+        wstart = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_s
+                  ).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        rep = t.select(["event_type", value_col]).take(idx)
+        return pa.Table.from_arrays(
+            [rep.column("event_type"), pa.array(wstart, pa.int64()),
+             rep.column(value_col)],
+            names=["event_type", "wstart_sec", "value"],
+        )
+
+    keyed = events.map_batches(explode, batch_format="pyarrow")
+    out = grouped_agg(keyed, ["event_type", "wstart_sec"],
+                      [("value", "count", "n"), ("value", "sum", "sum_value")])
+
+    def round4(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_value")
+        vals = [None if v is None else round(v, 4)
+                for v in t.column("sum_value").to_pylist()]
+        return t.set_column(i, "sum_value", pa.array(vals, pa.float64()))
+
+    return out.map_batches(round4, batch_format="pyarrow")
+
+
 def user_sessions(events, gap_seconds: int = 1800, n_buckets: int = 64):
     """-> (user_id, n_events, n_sessions): session-window count per user.
 

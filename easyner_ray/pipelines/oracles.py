@@ -259,6 +259,32 @@ RELATIONAL["events_sessions"] = """
     FROM ordered GROUP BY user_id
 """
 
+RELATIONAL["events_hopping"] = """
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) // 1000000 AS sec FROM events
+    ), w AS (
+      SELECT event_type, value,
+             (sec // 900) * 900 - i * 900 AS wstart_sec
+      FROM e CROSS JOIN (SELECT unnest(range(4)) AS i)
+    )
+    SELECT event_type, wstart_sec, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM w GROUP BY event_type, wstart_sec
+"""
+
+RELATIONAL["events_attribution"] = """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, max(event_id) AS event_id_r FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.ts, p.event_id, p.value,
+           c.ts AS ts_r, c.event_id_r
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
 KG["kg_merged_mentions"] = KG["kg_mentions"]
 
 # Derived-gold oracles (sources.gold_derived): engine-independent

@@ -528,6 +528,35 @@ def events_hourly(sf_dir: str):
     return hourly_rollup(_rp(sf_dir, "events", columns=["event_type", "ts", "value"]))
 
 
+def events_hopping(sf_dir: str):
+    """Hopping (sliding) 1h windows advancing every 15 min — vectorized
+    window-membership explode, then the standard two-phase aggregate."""
+    from easyner_ray.ops.windows import hopping_rollup
+
+    return hopping_rollup(
+        _rp(sf_dir, "events", columns=["event_type", "ts", "value"]),
+        size_s=3600, hop_s=900,
+    )
+
+
+def events_attribution(sf_dir: str):
+    """As-of join: each purchase event attributed to the same user's
+    latest preceding (or simultaneous) click — DuckDB ASOF JOIN
+    semantics, hash-bucketed by user with a per-bucket vectorized
+    merge_asof."""
+    from easyner_ray.ops.asof import asof_join
+
+    ev = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "event_id", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "event_id"])
+    return asof_join(purchases, clicks, key="user_id", ts="ts",
+                     left_cols=["event_id", "value"],
+                     right_cols=["event_id"], tie_col="event_id")
+
+
 def events_sessions(sf_dir: str):
     """Session windows (30-min gap) per user — ordered per-user scan
     inside coarse hash buckets."""
