@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_hopping": q.events_hopping,          # sliding windows
         "events_attribution": q.events_attribution,  # as-of join
+        "approx_distinct_users": q.approx_distinct_q,  # HLL sketch: derived-gold oracle
 
         "kg_entity_freq_batches": q.kg_entity_freq_batches,  # A1 batch dim
         "kg_pubtator_roundtrip": q.kg_pubtator_roundtrip,    # artifact round trip
@@ -103,7 +104,8 @@ def oracle_sql() -> dict[str, str]:
         from easyner_ray.sources.gold_derived import ensure_derived_gold
 
         ensure_derived_gold(corpus, "/root/testdata/sf0.01/documents.parquet",
-                            "/root/testdata/sf0.01/embeddings.parquet")
+                            "/root/testdata/sf0.01/embeddings.parquet",
+                            "/root/testdata/sf0.01/events.parquet")
     except Exception:
         pass  # queries() generates it too; worst case the KG oracles error
     return all_oracles()

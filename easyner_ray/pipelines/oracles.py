@@ -306,6 +306,13 @@ GKI = f"read_parquet('{SYNTH}/gold_knn_ivf.parquet')"
 RELATIONAL["lang_id"] = f"SELECT doc_id, lang_pred, lang_score FROM {GLI}"
 RELATIONAL["knn_ivf"] = f"SELECT query_id, rank, vec_id FROM {GKI}"
 
+# HLL approx-distinct: deterministic (splitmix64 + fixed estimator), so the
+# oracle is the straight-line single-process recompute in gold_derived.
+GAD = f"read_parquet('{SYNTH}/gold_approx_distinct.parquet')"
+RELATIONAL["approx_distinct_users"] = (
+    f"SELECT event_type, approx_distinct FROM {GAD}"
+)
+
 # The P/R gate artifact is a pure function of (engine triples, gold
 # triples); since kg_triples is itself oracled to EQUAL the gold set, the
 # correct metric row is exactly (tp = |distinct gold triples|, fp = fn = 0,

@@ -275,6 +275,17 @@ def cosine_pairs_q(sf_dir: str):
                               threshold=0.5)
 
 
+def approx_distinct_q(sf_dir: str):
+    """HLL approximate distinct users per event type (ops.sketch) —
+    constant-memory partials, shuffle-free merge; derived-gold oracle."""
+    from easyner_ray.ops.sketch import approx_distinct
+
+    return approx_distinct(
+        _rp(sf_dir, "events", columns=["event_type", "user_id"]),
+        keys=["event_type"], value_col="user_id", p=12,
+    )
+
+
 def cosine_lsh_q(sf_dir: str):
     from easyner_ray.ops.similarity import cosine_near_dup_pairs
 
@@ -293,7 +304,8 @@ def _corpus(sf_dir: str) -> str:
     corpus = ensure_for_sf_dir(sf_dir)
     if os.path.exists(os.path.join(corpus, "gold_mentions.parquet")):
         ensure_derived_gold(corpus, os.path.join(sf_dir, "documents.parquet"),
-                            os.path.join(sf_dir, "embeddings.parquet"))
+                            os.path.join(sf_dir, "embeddings.parquet"),
+                            os.path.join(sf_dir, "events.parquet"))
     return corpus
 
 

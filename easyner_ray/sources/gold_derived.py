@@ -488,8 +488,65 @@ def write_knn_ivf_gold(corpus: str, embeddings_path: str, k: int = 10,
     return path
 
 
+# --------------------------------------------------- approx-distinct gold --
+
+_SM1, _SM2, _SM3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+
+def _splitmix64_scalar(x: int) -> int:
+    """Scalar splitmix64 — deliberately DUPLICATED from ops.sketch
+    (the spec's independent realization; a test asserts they agree)."""
+    z = (x + _SM1) & _U64
+    z = ((z ^ (z >> 30)) * _SM2) & _U64
+    z = ((z ^ (z >> 27)) * _SM3) & _U64
+    return z ^ (z >> 31)
+
+
+def write_approx_distinct_gold(corpus: str, events_path: str,
+                               p: int = 12) -> str:
+    """Straight-line HyperLogLog recompute: approximate distinct user_id
+    per event_type over the events table (spec: ops.sketch module
+    docstring — splitmix64 hash, top-p register index, leading-zero rho,
+    bias-corrected estimate with linear-counting small range). Registers
+    are built with scalar Python ints; only the final estimate uses the
+    same ascending-index numpy sum as the engine so the rounded int64 is
+    bit-identical, not merely close."""
+    ev = pq.read_table(events_path, columns=["event_type", "user_id"])
+    m = 1 << p
+    lowbits = 64 - p
+    regs: dict[str, list[int]] = {}
+    for et, uid in zip(ev.column("event_type").to_pylist(),
+                       ev.column("user_id").to_pylist()):
+        h = _splitmix64_scalar(uid & _U64)
+        idx = h >> lowbits
+        rem = h & ((1 << lowbits) - 1)
+        rho = lowbits - rem.bit_length() + 1
+        r = regs.setdefault(et, [0] * m)
+        if rho > r[idx]:
+            r[idx] = rho
+    def estimate(r: list[int]) -> int:
+        arr = np.asarray(r, dtype=np.float64)
+        alpha = 0.7213 / (1.0 + 1.079 / m) if m > 64 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+        est = alpha * m * m / np.sum(np.exp2(-arr))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(arr == 0))
+            if zeros:
+                est = m * np.log(m / zeros)
+        return int(round(est))
+    types = sorted(regs)
+    tbl = pa.Table.from_arrays(
+        [pa.array(types, pa.string()),
+         pa.array([estimate(regs[t]) for t in types], pa.int64())],
+        names=["event_type", "approx_distinct"],
+    )
+    path = os.path.join(corpus, "gold_approx_distinct.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def ensure_derived_gold(corpus: str, documents_path: str | None = None,
-                        embeddings_path: str | None = None) -> None:
+                        embeddings_path: str | None = None,
+                        events_path: str | None = None) -> None:
     """Idempotently write every derived gold table missing from ``corpus``."""
     if not os.path.exists(os.path.join(corpus, "gold_resolved_mentions.parquet")):
         write_resolved_gold(corpus)
@@ -507,3 +564,6 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_cosine_lsh_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_knn_ivf.parquet")):
             write_knn_ivf_gold(corpus, embeddings_path)
+    if events_path and os.path.exists(events_path):
+        if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
+            write_approx_distinct_gold(corpus, events_path)
