@@ -248,21 +248,33 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        o_doc, o_band, o_sig = [], [], []
-        for d, t in zip(doc_ids, texts):
+        n_docs = len(doc_ids)
+        n_perm = len(self.a)
+        sigs = np.empty((n_docs, n_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
             sh = shingle_set(t or "", self.k)
-            sig = minhash_signature(sh, self.a, self.b, hashes=self._hashes(sh))
-            sig_bytes = sig.tobytes()
+            sigs[i] = minhash_signature(sh, self.a, self.b, hashes=self._hashes(sh))
+        # band key = (band_idx << 32) | crc32(band chunk bytes): same
+        # collision sets as hashing the chunk to a string key, but int64
+        # through the shuffle (cheaper to build, sort and group).
+        band_keys = np.empty((n_docs, self.n_bands), dtype=np.int64)
+        chunk_nbytes = self.rows * 8
+        for i in range(n_docs):
+            row = sigs[i].tobytes()
             for bi in range(self.n_bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows].tobytes()
-                o_doc.append(d)
-                o_band.append(f"{bi}:{zlib.crc32(chunk):08x}")
-                o_sig.append(sig_bytes)
+                band_keys[i, bi] = (bi << 32) | zlib.crc32(
+                    row[bi * chunk_nbytes : (bi + 1) * chunk_nbytes])
+        # one row per (doc, band); the full signature rides along as
+        # fixed-size binary so the pair stage reads it as a zero-copy matrix
+        sig_col = pa.Array.from_buffers(
+            pa.binary(n_perm * 8), n_docs * self.n_bands,
+            [None, pa.py_buffer(np.repeat(sigs, self.n_bands, axis=0).tobytes())],
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(o_doc, pa.int64()),
-                pa.array(o_band, pa.string()),
-                pa.array(o_sig, pa.binary()),
+                pa.array(np.repeat(np.asarray(doc_ids, dtype=np.int64), self.n_bands)),
+                pa.array(band_keys.reshape(-1)),
+                sig_col,
             ],
             names=["doc_id", "band_key", "sig"],
         )
@@ -276,7 +288,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     text_col: str = "text",
     hot_cap: int = 500,
-    batch_size: int = 4096,
+    batch_size: int = 1024,
 ):
     """-> (doc_a, doc_b, est_jaccard) candidate near-dup pairs.
 
@@ -285,9 +297,7 @@ def minhash_lsh_pairs(
     larger than ``hot_cap`` are dropped (hot-bucket guard, same contract as
     ngram_jaccard_pairs).
     """
-    import pandas as pd
-
-    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
+    from easyner_ray.ops.relational import bucketed_final
 
     # task pool with per-worker cached MinHasher (state is a deterministic
     # function of the params, ~1ms to build): actor-pool creation latency
@@ -309,35 +319,76 @@ def minhash_lsh_pairs(
     )
 
     # Coarse-bucket the band keys (a band's collisions stay in one bucket),
-    # then inside each bucket: vectorized filter to COLLIDING band keys
-    # only, numpy signature-agreement per collision group. No Python call
-    # per band key (most are singletons).
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated("band_key", keep=False)]
-        a_l, b_l, j_l = [], [], []
-        for _, grp in g.groupby("band_key", sort=False):
-            ids = grp["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            if len(ids) < 2 or len(ids) > hot_cap:
-                continue
-            sigs = np.vstack([np.frombuffer(s, dtype=np.uint64)
-                              for s in grp["sig"].iloc[order]])
-            for i in range(len(ids) - 1):
-                est = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-                sel = np.nonzero(est >= threshold)[0]
-                for j in sel:
-                    a_l.append(int(ids[i]))
-                    b_l.append(int(ids[i + 1 + j]))
-                    j_l.append(float(est[j]))
-        return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
-                             "doc_b": pd.array(b_l, dtype="int64"),
-                             "est_jaccard": pd.array(j_l, dtype="float64")})
+    # then inside each bucket: lexsort on (band_key, doc_id), vectorized
+    # group-boundary detection, and a batched signature-agreement compare
+    # for the dominant size-2 collision groups. The signature column is
+    # fixed-size binary, so the whole matrix is one zero-copy reshape.
+    _EMPTY = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.float64())],
+        names=["doc_a", "doc_b", "est_jaccard"])
 
-    bucketed = bands.map_batches(
-        lambda t: add_hash_bucket(t, ["band_key"], 64), batch_format="pyarrow"
-    )
-    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return _EMPTY
+        band = np.asarray(g.column("band_key").combine_chunks())
+        ids = np.asarray(g.column("doc_id").combine_chunks())
+        order = np.lexsort((ids, band))
+        band_s, ids_s = band[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, band_s[1:] != band_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(band_s)])
+        keep = (sizes >= 2) & (sizes <= hot_cap)
+        if not keep.any():
+            return _EMPTY
+        sig_arr = g.column("sig").combine_chunks()
+        n_perm = sig_arr.type.byte_width // 8
+        flat = np.frombuffer(sig_arr.buffers()[1], dtype=np.uint64)
+        mat = flat[sig_arr.offset * n_perm
+                   : (sig_arr.offset + len(sig_arr)) * n_perm]
+        mat = mat.reshape(len(sig_arr), n_perm)[order]
+        a_parts, b_parts, j_parts = [], [], []
+        s2 = starts[keep & (sizes == 2)]
+        if len(s2):
+            est2 = (mat[s2] == mat[s2 + 1]).mean(axis=1)
+            sel = est2 >= threshold
+            a_parts.append(ids_s[s2[sel]])
+            b_parts.append(ids_s[s2[sel] + 1])
+            j_parts.append(est2[sel])
+        big = keep & (sizes > 2)
+        for st, sz in zip(starts[big], sizes[big]):
+            sub_ids = ids_s[st : st + sz]
+            sub = mat[st : st + sz]
+            for i in range(sz - 1):
+                est = (sub[i + 1 :] == sub[i]).mean(axis=1)
+                sel = np.nonzero(est >= threshold)[0]
+                if len(sel):
+                    a_parts.append(np.full(len(sel), sub_ids[i], dtype=np.int64))
+                    b_parts.append(sub_ids[i + 1 + sel])
+                    j_parts.append(est[sel])
+        if not a_parts:
+            return _EMPTY
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(a_parts).astype(np.int64)),
+             pa.array(np.concatenate(b_parts).astype(np.int64)),
+             pa.array(np.concatenate(j_parts).astype(np.float64))],
+            names=["doc_a", "doc_b", "est_jaccard"])
+
+    # int band keys bucket via vectorized splitmix64 (no per-distinct
+    # Python crc32 — band keys are nearly all distinct, so the generic
+    # dictionary-encode path in add_hash_bucket would run per row)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from easyner_ray.ops.sketch import splitmix64
+
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        if len(t) == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        bk = np.asarray(t.column("band_key").combine_chunks()).view(np.uint64)
+        b = (splitmix64(bk) % np.uint64(64)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    bucketed = bands.map_batches(add_bucket, batch_format="pyarrow")
+    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
     # a pair can collide in several bands — dedupe keeping max estimate
     return bucketed_final(cand, ["doc_a", "doc_b"],
                           pa_aggs=[("est_jaccard", "max")], out_names=["est_jaccard"])
