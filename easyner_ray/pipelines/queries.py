@@ -35,7 +35,19 @@ def _rp(sf_dir: str, table: str, columns=None):
     schema = pq.read_schema(path)
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=schema.remove_metadata())
+    # Size the block count to the file: Ray's default splits even a 10 MB
+    # local file into ~2x num_cpus blocks, and the per-task scheduling
+    # overhead on 64 near-empty blocks dominates small-table stages
+    # (measured: lineitem read+preagg 2.08 s at 64 blocks vs 0.32 s at 8
+    # at sf0.1/32 cpus). One block per ~8 MiB, floor 4; inputs past 4 GiB
+    # keep Ray's own sizing (the heuristic only exists to stop tiny files
+    # from over-splitting — at scale the default is already right).
+    size = os.path.getsize(path)
+    kwargs = {}
+    if size < (4 << 30):
+        kwargs["override_num_blocks"] = max(4, -(-size // (8 << 20)))
+    return rd.read_parquet(path, columns=columns,
+                           schema=schema.remove_metadata(), **kwargs)
 
 
 def _round4(t: pa.Table, cols: list[str]) -> pa.Table:
