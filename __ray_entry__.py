@@ -90,6 +90,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_freq_batches": q.kg_entity_freq_batches,  # A1 batch dim
         "kg_pubtator_roundtrip": q.kg_pubtator_roundtrip,    # artifact round trip
         "near_dup_groups": q.near_dup_groups,                # CC dup clusters
+        # round-3 additions: window/rank, sampling, joins, sketches, text
+        "events_top_value_per_type": q.events_top_value_per_type,  # top-k per group
+        "orders_hash_sample": q.orders_hash_sample,          # deterministic sample
+        "customers_without_orders": q.customers_without_orders,  # anti join
+        "events_in_promo_windows": q.events_in_promo_windows,    # interval join
+        "events_value_quantiles": q.events_value_quantiles,  # exact distributed quantiles
+        "docs_tfidf": q.docs_tfidf,                          # TF-IDF scoring
+        "cms_user_counts": q.cms_user_counts,  # count-min sketch: derived-gold oracle
     }
 
 

@@ -301,3 +301,141 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
         on=(on,),
         right_on=((right_on or on),),
     )
+
+
+def anti_join(left, right, *, on: str, right_on: str | None = None,
+              num_partitions: int | None = None,
+              approx_bytes: int | None = None):
+    """Rows of ``left`` with NO match in ``right`` (reference has only the
+    positive subset filter, ``subset_creator.py``; the negative filter is
+    its complement and the shape every train/eval split audit needs).
+
+    Big-big: Ray's native ``left_anti`` hash-shuffle join — both sides
+    partition on the key, so it scales exactly like :func:`hash_join`.
+    When ``right``'s DISTINCT key set is dimension-table-sized, prefer the
+    zero-shuffle broadcast complement: ``semi_join_filter`` with the set
+    inverted (``pc.is_in`` + ``invert``) — same pattern, no exchange."""
+    base = left.schema().base_schema
+    out = hash_join(left, right, on=on, right_on=right_on,
+                    join_type="left_anti", num_partitions=num_partitions,
+                    approx_bytes=approx_bytes)
+
+    # Ray's join emits SCHEMA-LESS empty blocks for empty partitions;
+    # normalize so an all-filtered result still carries the left schema
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return base.empty_table()
+        return t.select(base.names).cast(base)
+
+    import ray.data as rd
+
+    # one empty schema-carrying block unioned in: an all-filtered result
+    # still exposes the left schema (the join can emit ZERO blocks)
+    return out.map_batches(norm, batch_format="pyarrow").union(
+        rd.from_arrow(base.empty_table()))
+
+
+_KNUTH32 = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
+def hash_sample(ds, key: str, rate: float, batch_size: int = 65536):
+    """Deterministic, reproducible Bernoulli sample: keep rows where
+    ``(key * 2654435761) mod 2^32 < rate * 2^32``.
+
+    The train/holdout-split primitive for a 100 TB corpus: map-only (no
+    shuffle, no RNG state, no seed coordination across workers), stable
+    under repartitioning and re-runs, and the SAME row set falls in the
+    sample on every engine that implements the arithmetic — which is why
+    the oracle can express it in ANSI SQL. Multiplicative hashing scrambles
+    sequential ids uniformly across the 2^32 range.
+
+    ``key`` must be a non-negative integer column; values < 2^32 keep the
+    engine bit-identical with plain-SQL int64 arithmetic (beyond that the
+    wrapping uint64 product still samples correctly, but an oracle needs
+    128-bit math)."""
+    import numpy as np
+
+    thr = np.uint64(int(rate * (1 << 32)))
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        k = np.asarray(t.column(key).combine_chunks().cast(pa.int64())
+                       ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult) & mask32
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _topk_kernel(t: pa.Table, group_keys: list[str], order_col: str, k: int,
+                 descending: bool, tie_cols: list[str],
+                 rank_name: str | None) -> pa.Table:
+    """Vectorized per-group top-k over one table: one multi-key sort, then
+    a run-length rank over the (now contiguous) groups — no Python loop,
+    no per-group slicing."""
+    import numpy as np
+
+    if len(t) == 0:
+        return t.append_column(rank_name, pa.array([], pa.int64())) \
+            if rank_name else t
+    sort_keys = [(g, "ascending") for g in group_keys]
+    sort_keys.append((order_col, "descending" if descending else "ascending"))
+    sort_keys += [(c, "ascending") for c in tie_cols]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    n = len(t)
+    # group-change flags via shifted whole-column compares (Arrow C++)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for g in group_keys:
+        c = t.column(g).combine_chunks()
+        neq = pc.not_equal(c.slice(1), c.slice(0, n - 1))
+        change[1:] |= np.asarray(neq.fill_null(True))
+    run_start = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    rank = np.arange(n, dtype=np.int64) - run_start[run_id]
+    keep = rank < k
+    out = t.filter(pa.array(keep))
+    if rank_name:
+        out = out.append_column(rank_name, pa.array(rank[keep] + 1, pa.int64()))
+    return out
+
+
+def topk_per_group(ds, group_keys: list[str], order_col: str, k: int, *,
+                   descending: bool = True, tie_cols: list[str] | None = None,
+                   rank_name: str = "rn", n_buckets: int = 32,
+                   batch_size: int = 65536):
+    """Per-group top-k ROWS (the ``row_number() OVER (PARTITION BY ...)
+    <= k`` window pattern) — Ray Data has no window functions, so this is
+    custom-operator rule (a): map_batches partials + a bucketed final.
+
+    Phase 1 bounds the shuffle: each batch keeps at most k rows per group
+    it sees, so the exchange moves <= k x #groups x #batches rows no
+    matter how large the input — a hot group ships k rows per batch, not
+    its full membership. Phase 2 shuffles the survivors on a coarse hash
+    bucket of the group key (each group lands intact in one bucket) and
+    re-runs the same kernel once per bucket, now assigning the final rank.
+
+    ``tie_cols`` must totally order rows within a group — with a
+    non-deterministic tiebreak the phase-1 cut and the final rank are both
+    unstable (same reason the SQL form needs them in its ORDER BY)."""
+    ties = list(tie_cols or [])
+
+    partial = ds.map_batches(
+        lambda t: _topk_kernel(t, group_keys, order_col, k, descending, ties,
+                               None),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    bucketed = partial.map_batches(
+        lambda t: add_hash_bucket(t, group_keys, n_buckets),
+        batch_format="pyarrow",
+    )
+    final = bucketed.groupby("__bucket").map_groups(
+        lambda t: _topk_kernel(t.drop(["__bucket"]), group_keys, order_col, k,
+                               descending, ties, rank_name),
+        batch_format="pyarrow",
+    )
+    return final

@@ -202,3 +202,230 @@ def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
     # sites); the partial stream is #batches x #keys fixed-size rows
     return partials.materialize().repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None)
+
+
+# ----------------------------------------------------------- quantiles ---
+
+
+def _bin_of(v: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
+    """The ONE bin-assignment formula shared by every histogram pass and
+    every membership re-check — self-consistency of this float expression
+    (not mathematical bin boundaries) is what makes the refinement exact.
+    ``v == hi`` lands in the top bin; values outside [lo, hi] get
+    out-of-range indices and match no bin."""
+    idx = np.floor((v - lo) * (float(n_bins) / (hi - lo))).astype(np.int64)
+    idx[(idx == n_bins) & (v <= hi)] = n_bins - 1
+    return idx
+
+
+def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 8192,
+                    collect_cap: int = 2_000_000, max_depth: int = 4):
+    """EXACT discrete quantiles of a column at 100 TB — no sort, no
+    shuffle: iterative histogram refinement (the classic distributed
+    selection algorithm). Returns {q: value}; value is an actual element
+    (DuckDB ``quantile_disc`` semantics: 1-indexed rank ``ceil(q*n)`` in
+    ascending order).
+
+    Passes over the (single-column, pruned) stream:
+      1. min/max/count partials — one tiny row per batch.
+      2..d. per active quantile, an ``n_bins`` histogram of the candidate
+         range; merged by elementwise SUM (shuffle-free ``repartition(1)``
+         final, the HLL-register pattern). The bin holding the target rank
+         narrows the range by ``n_bins``x per pass — two passes resolve
+         ~1e12 rows below ``collect_cap``.
+      d+1. collect the surviving candidates (<= ``collect_cap`` per
+         quantile, the documented driver bound) and pick the rank exactly.
+
+    The driver holds only per-batch stat rows, merged histograms and the
+    final candidate sets — never O(corpus) state. Ties/duplicates that
+    keep one bin above ``collect_cap`` stop narrowing early and fall back
+    to collecting that bin (cap is a soft bound for pathological
+    single-value skew; a bin of IDENTICAL values short-circuits without
+    collection)."""
+    vals = ds.select_columns([col])
+
+    def stats(t: pa.Table) -> pa.Table:
+        a = t.column(col).combine_chunks().drop_null()
+        v = np.asarray(a.cast(pa.float64()))
+        if len(v) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.float64()), pa.array([], pa.float64()),
+                 pa.array([], pa.int64())], names=["mn", "mx", "n"])
+        return pa.Table.from_arrays(
+            [pa.array([float(v.min())]), pa.array([float(v.max())]),
+             pa.array([len(v)], pa.int64())], names=["mn", "mx", "n"])
+
+    stat_rows = vals.map_batches(stats, batch_format="pyarrow").take_all()
+    if not stat_rows:  # zero input blocks: no schema to reduce over
+        return {q: None for q in qs}
+    st = pa.Table.from_pylist(stat_rows)
+    n_total = int(pc.sum(st.column("n")).as_py() or 0)
+    if n_total == 0:
+        return {q: None for q in qs}
+    lo0 = float(pc.min(st.column("mn")).as_py())
+    hi0 = float(pc.max(st.column("mx")).as_py())
+    if lo0 == hi0:  # constant column: every quantile IS that value
+        return {q: lo0 for q in qs}
+
+    # state per quantile: chain of (lo, hi, bin) levels + rank inside it
+    state = []
+    for q in qs:
+        rank = max(1, int(np.ceil(np.float64(q) * n_total)))
+        state.append({"q": q, "chain": [], "lo": lo0, "hi": hi0,
+                      "rank": rank, "count": n_total, "value": None})
+
+    def members(v: np.ndarray, chain) -> np.ndarray:
+        m = np.ones(len(v), dtype=bool)
+        for lo, hi, b in chain:
+            m &= _bin_of(v, lo, hi, n_bins) == b
+        return m
+
+    for _ in range(max_depth):
+        active = [s for s in state if s["value"] is None
+                  and not s.get("frozen")
+                  and s["count"] > collect_cap and s["lo"] < s["hi"]]
+        if not active:
+            break
+        chains = [list(s["chain"]) for s in active]
+        bounds = [(s["lo"], s["hi"]) for s in active]
+
+        def hist(t: pa.Table) -> pa.Table:
+            a = t.column(col).combine_chunks().drop_null()
+            v = np.asarray(a.cast(pa.float64()))
+            rows = []
+            for ci, ((lo, hi), ch) in enumerate(zip(bounds, chains)):
+                vv = v[members(v, ch)] if ch else v
+                counts = np.zeros(n_bins, dtype=np.int64)
+                if len(vv):
+                    idx = _bin_of(vv, lo, hi, n_bins)
+                    ok = (idx >= 0) & (idx < n_bins)
+                    np.add.at(counts, idx[ok], 1)
+                rows.append((ci, counts.tobytes()))
+            return pa.Table.from_arrays(
+                [pa.array([r[0] for r in rows], pa.int32()),
+                 pa.array([r[1] for r in rows], pa.binary())],
+                names=["ci", "counts"])
+
+        def merge(t: pa.Table) -> pa.Table:
+            ci = np.asarray(t.column("ci").combine_chunks())
+            raw = t.column("counts").to_pylist()
+            out = {}
+            for i, c in enumerate(ci):
+                arr = np.frombuffer(raw[i], dtype=np.int64)
+                out[int(c)] = out.get(int(c), 0) + arr
+            items = sorted(out.items())
+            return pa.Table.from_arrays(
+                [pa.array([k for k, _ in items], pa.int32()),
+                 pa.array([a.tobytes() for _, a in items], pa.binary())],
+                names=["ci", "counts"])
+
+        merged = pa.Table.from_pylist(
+            vals.map_batches(hist, batch_format="pyarrow")
+            .materialize().repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .take_all())
+        by_ci = {int(r["ci"]): np.frombuffer(r["counts"], dtype=np.int64)
+                 for r in merged.to_pylist()}
+        for ci, s in enumerate(active):
+            counts = by_ci[ci]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["rank"]))
+            before = int(cum[b - 1]) if b > 0 else 0
+            new_count = int(counts[b])
+            if new_count == s["count"]:
+                # no narrowing (all candidates in one bin — heavy ties):
+                # freeze this quantile and collect its bin as-is
+                s["chain"].append((s["lo"], s["hi"], b))
+                s["rank"] -= before
+                s["frozen"] = True
+                continue
+            s["chain"].append((s["lo"], s["hi"], b))
+            s["rank"] -= before
+            s["count"] = new_count
+            w = (s["hi"] - s["lo"]) / n_bins
+            s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
+
+    # final collect: candidates of every unresolved quantile, tagged
+    open_states = [s for s in state if s["value"] is None]
+    chains = [list(s["chain"]) for s in open_states]
+
+    def collect(t: pa.Table) -> pa.Table:
+        a = t.column(col).combine_chunks().drop_null()
+        v = np.asarray(a.cast(pa.float64()))
+        ci_out, v_out = [], []
+        for ci, ch in enumerate(chains):
+            vv = v[members(v, ch)] if ch else v
+            ci_out.append(np.full(len(vv), ci, dtype=np.int32))
+            v_out.append(vv)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(ci_out) if ci_out else [], pa.int32()),
+             pa.array(np.concatenate(v_out) if v_out else [], pa.float64())],
+            names=["ci", "v"])
+
+    cand = pa.Table.from_pylist(
+        vals.map_batches(collect, batch_format="pyarrow").take_all())
+    ci_arr = np.asarray(cand.column("ci").combine_chunks())
+    v_arr = np.asarray(cand.column("v").combine_chunks())
+    for ci, s in enumerate(open_states):
+        mine = np.sort(v_arr[ci_arr == ci], kind="stable")
+        s["value"] = float(mine[s["rank"] - 1])
+    return {s["q"]: s["value"] for s in state}
+
+
+# ------------------------------------------------------ count-min sketch ---
+
+
+def _cms_hashes(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) int64 counter indices: row i hashes via splitmix64 with
+    seed splitmix64(i+1) XORed in — d pairwise-independent-ish rows from
+    one vectorized finalizer."""
+    out = np.empty((depth, len(keys)), dtype=np.int64)
+    k = keys.astype(np.uint64)
+    for i in range(depth):
+        seed = splitmix64(np.array([i + 1], dtype=np.uint64))[0]
+        out[i] = (splitmix64(k ^ seed) % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_counts(ds, col: str, query_keys: list[int], width: int = 2048,
+               depth: int = 4, out_name: str = "est_count"):
+    """Count-min sketch frequency estimates (never under-counts) for
+    ``query_keys`` over an int column — the heavy-hitter primitive whose
+    state is a FIXED depth x width counter matrix regardless of
+    cardinality. Partials merge by elementwise ADDITION (commutative +
+    associative), so the distributed build is bit-identical to a
+    single-pass build and the oracle is a straight-line recompute
+    (sources/gold_derived.write_cms_gold, duplicated on purpose as the
+    spec's second realization). Merge is the shuffle-free
+    ``repartition(1)`` HLL pattern — counter rows stream, never rows of
+    the corpus."""
+    mat_bytes = depth * width * 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column(col).combine_chunks().drop_null()
+        k = np.asarray(a.cast(pa.int64()))
+        counts = np.zeros((depth, width), dtype=np.int64)
+        if len(k):
+            h = _cms_hashes(k, depth, width)
+            for i in range(depth):
+                np.add.at(counts[i], h[i], 1)
+        return pa.Table.from_arrays(
+            [pa.array([counts.tobytes()], pa.binary())], names=["__cms"])
+
+    def final(t: pa.Table) -> pa.Table:
+        counts = np.zeros(depth * width, dtype=np.int64)
+        for raw in t.column("__cms").to_pylist():
+            counts += np.frombuffer(raw, dtype=np.int64)
+        counts = counts.reshape(depth, width)
+        qk = np.asarray(query_keys, dtype=np.int64)
+        h = _cms_hashes(qk, depth, width)
+        est = counts[np.arange(depth)[:, None], h].min(axis=0)
+        return pa.Table.from_arrays(
+            [pa.array(qk, pa.int64()), pa.array(est, pa.int64())],
+            names=[col, out_name])
+
+    assert mat_bytes < (64 << 20), "sketch must fit one merge task"
+    return (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .materialize().repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

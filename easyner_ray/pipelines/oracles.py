@@ -398,3 +398,62 @@ RELATIONAL["revenue_by_priority"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
 """
+
+RELATIONAL["events_top_value_per_type"] = """
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 5
+"""
+
+# same multiplicative-hash arithmetic as ops.relational.hash_sample;
+# 214748364 = int(0.05 * 2^32)
+RELATIONAL["orders_hash_sample"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
+"""
+
+RELATIONAL["customers_without_orders"] = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+"""
+
+# intervals derived from nation exactly as queries._promo_intervals
+RELATIONAL["events_in_promo_windows"] = """
+    WITH iv AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS interval_id,
+             TIMESTAMP '2024-01-02' + (n_nationkey % 9) * INTERVAL 3 DAY
+               + n_nationkey * INTERVAL 1 HOUR AS t_start,
+             TIMESTAMP '2024-01-02' + (n_nationkey % 9) * INTERVAL 3 DAY
+               + n_nationkey * INTERVAL 1 HOUR + INTERVAL 36 HOUR AS t_end
+      FROM nation)
+    SELECT e.event_id, iv.interval_id
+    FROM events e JOIN iv ON e.ts BETWEEN iv.t_start AND iv.t_end
+"""
+
+RELATIONAL["events_value_quantiles"] = """
+    SELECT quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events
+"""
+
+RELATIONAL["docs_tfidf"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df),
+                 4) AS tfidf
+    FROM tf JOIN df USING (term) WHERE df.df >= 2
+"""
+
+GCMS = f"read_parquet('{SYNTH}/gold_cms_counts.parquet')"
+RELATIONAL["cms_user_counts"] = f"SELECT user_id, est_count FROM {GCMS}"

@@ -693,3 +693,109 @@ def revenue_by_priority(sf_dir: str):
                       [("rev", "sum", "revenue"), ("n_li", "sum", "n")],
                       final="tree")  # 5 priorities: shuffle-free final
     return out.map_batches(lambda t: _round4(t, ["revenue"]), batch_format="pyarrow")
+
+
+def events_top_value_per_type(sf_dir: str):
+    """Per-group top-k (the row_number() window pattern Ray Data lacks):
+    top 5 events by value within each event_type, ties broken by
+    event_id — phase-1 per-batch top-k bounds the shuffle to k rows per
+    (group, batch)."""
+    from easyner_ray.ops.relational import topk_per_group
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return topk_per_group(ev, ["event_type"], "value", 5,
+                          tie_cols=["event_id"])
+
+
+def orders_hash_sample(sf_dir: str):
+    """Deterministic multiplicative-hash Bernoulli sample (~5% of orders):
+    the reproducible train/holdout-split primitive — map-only, no RNG
+    state, bit-identical across engines (the oracle IS the same
+    arithmetic in SQL)."""
+    from easyner_ray.ops.relational import hash_sample
+
+    o = _rp(sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return hash_sample(o, "o_orderkey", 0.05)
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join (complement of the J4 subset filter): customers with no
+    URGENT order — Ray-native ``left_anti`` hash-shuffle join, both sides
+    partitioned on the key. (Restricted to urgent orders so the result is
+    non-empty on the synthetic data — a 0-row pass certifies nothing.)"""
+    from easyner_ray.ops.relational import anti_join
+
+    c = _rp(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    o = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'") \
+        .select_columns(["o_custkey"])
+    return anti_join(c, o, on="c_custkey", right_on="o_custkey",
+                     approx_bytes=c.size_bytes())
+
+
+def _promo_intervals(sf_dir: str) -> pa.Table:
+    """Deterministic interval table derived from nation (no external
+    data): window k starts 2024-01-02 + (k%9)*3 days + k hours, spans 36
+    hours — overlapping, covering the events ts range."""
+    import datetime
+    import pyarrow.parquet as pq
+
+    nk = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                       columns=["n_nationkey"]
+                       ).column("n_nationkey").cast(pa.int64()).to_pylist()
+    hour = 3_600_000_000
+    day = 24 * hour
+    base = int((datetime.datetime(2024, 1, 2)
+                - datetime.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    starts = [base + (k % 9) * 3 * day + k * hour for k in nk]
+    return pa.Table.from_arrays(
+        [pa.array(nk, pa.int64()),
+         pa.array(starts, pa.timestamp("us")),
+         pa.array([s + 36 * hour for s in starts], pa.timestamp("us"))],
+        names=["interval_id", "t_start", "t_end"])
+
+
+def events_in_promo_windows(sf_dir: str):
+    """Range (interval-containment) join: every event paired with every
+    promo window containing its timestamp — time-bucketed broadcast
+    theta-join (ops.asof.interval_join)."""
+    from easyner_ray.ops.asof import interval_join
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "ts"])
+    return interval_join(ev, _promo_intervals(sf_dir), ts="ts",
+                         left_cols=["event_id"],
+                         interval_cols=["interval_id"])
+
+
+def events_value_quantiles(sf_dir: str):
+    """EXACT p50/p90/p99 of events.value with no sort and no shuffle —
+    iterative histogram refinement (distributed selection); DuckDB
+    quantile_disc semantics, so the returned values are actual elements
+    and bit-compare with the oracle."""
+    from easyner_ray.ops.sketch import exact_quantiles
+
+    ev = _rp(sf_dir, "events", columns=["value"])
+    qs = exact_quantiles(ev, "value", [0.5, 0.9, 0.99])
+    return pa.Table.from_arrays(
+        [pa.array([qs[0.5]], pa.float64()), pa.array([qs[0.9]], pa.float64()),
+         pa.array([qs[0.99]], pa.float64())], names=["p50", "p90", "p99"])
+
+
+def docs_tfidf(sf_dir: str):
+    """Per-(doc, term) TF-IDF (tf * ln(N/df), df >= 2) — exact per-batch
+    tf rows, two-phase df count, vocabulary-sized broadcast join back."""
+    from easyner_ray.ops.textstats import tfidf
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf(d)
+
+
+def cms_user_counts(sf_dir: str):
+    """Count-min sketch frequency estimates for user_ids 0..63 over the
+    events stream — fixed-size counters, addition merge (bit-identical
+    to the straight-line gold recompute)."""
+    from easyner_ray.ops.sketch import cms_counts
+
+    ev = _rp(sf_dir, "events", columns=["user_id"])
+    return cms_counts(ev, "user_id", list(range(64)))

@@ -544,6 +544,31 @@ def write_approx_distinct_gold(corpus: str, events_path: str,
     return path
 
 
+def write_cms_gold(corpus: str, events_path: str, width: int = 2048,
+                   depth: int = 4, n_query: int = 64) -> str:
+    """Straight-line count-min recompute: estimated user_id frequencies
+    for query keys 0..n_query-1 over the events table (spec:
+    ops.sketch.cms_counts — row-i counter index = splitmix64(key ^
+    splitmix64(i+1)) mod width, estimate = min over rows). Built with
+    scalar Python ints; addition-merged counters make the distributed
+    build bit-identical to this single pass."""
+    ev = pq.read_table(events_path, columns=["user_id"])
+    counts = [[0] * width for _ in range(depth)]
+    seeds = [_splitmix64_scalar(i + 1) for i in range(depth)]
+    for uid in ev.column("user_id").to_pylist():
+        for i in range(depth):
+            counts[i][_splitmix64_scalar((uid & _U64) ^ seeds[i]) % width] += 1
+    keys = list(range(n_query))
+    est = [min(counts[i][_splitmix64_scalar((k & _U64) ^ seeds[i]) % width]
+               for i in range(depth)) for k in keys]
+    tbl = pa.Table.from_arrays(
+        [pa.array(keys, pa.int64()), pa.array(est, pa.int64())],
+        names=["user_id", "est_count"])
+    path = os.path.join(corpus, "gold_cms_counts.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def ensure_derived_gold(corpus: str, documents_path: str | None = None,
                         embeddings_path: str | None = None,
                         events_path: str | None = None) -> None:
@@ -567,3 +592,5 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)
+        if not os.path.exists(os.path.join(corpus, "gold_cms_counts.parquet")):
+            write_cms_gold(corpus, events_path)

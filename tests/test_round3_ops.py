@@ -1,0 +1,294 @@
+"""Round-3 operator tests: per-group top-k, deterministic hash sampling,
+anti join, interval (range) join, exact distributed quantiles, count-min
+sketch, TF-IDF. Each is checked against an independent straight-line
+recompute (pandas / numpy / scalar Python) plus a partition-invariance
+assertion where the op has a distributed merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table, parts: int = 1):
+    import ray.data as rd
+
+    d = rd.from_arrow(tbl)
+    return d.repartition(parts) if parts > 1 else d
+
+
+# ------------------------------------------------------- topk_per_group ---
+
+
+def _rand_events(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "g": pa.array(np.array(["a", "b", "c", "d"])[
+            rng.integers(0, 4, n)].tolist(), pa.string()),
+        "v": pa.array(rng.integers(0, 300, n).astype(np.float64) / 7.0),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+
+def _topk_pandas(df, k=5):
+    df = df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+    df["rn"] = df.groupby("g").cumcount() + 1
+    return df[df["rn"] <= k].reset_index(drop=True)
+
+
+def test_topk_matches_pandas(ray_session):
+    from easyner_ray.ops.relational import topk_per_group
+
+    t = _rand_events()
+    want = _topk_pandas(t.to_pandas())
+    got = (topk_per_group(_ds(t, 7), ["g"], "v", 5, tie_cols=["id"])
+           .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "id", "rn"]],
+        want[["g", "v", "id", "rn"]].sort_values(["g", "rn"]
+                                                 ).reset_index(drop=True))
+
+
+def test_topk_partition_invariance(ray_session):
+    from easyner_ray.ops.relational import topk_per_group
+
+    t = _rand_events(seed=9)
+    a = (topk_per_group(_ds(t, 1), ["g"], "v", 3, tie_cols=["id"])
+         .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True))
+    b = (topk_per_group(_ds(t, 11), ["g"], "v", 3, tie_cols=["id"])
+         .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_topk_hot_group_and_k_larger_than_group(ray_session):
+    from easyner_ray.ops.relational import topk_per_group
+
+    # one group holds 99% of rows; another has fewer rows than k
+    n = 2000
+    t = pa.table({
+        "g": pa.array(["hot"] * (n - 2) + ["cold", "cold"], pa.string()),
+        "v": pa.array(np.arange(n, dtype=np.float64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = (topk_per_group(_ds(t, 5), ["g"], "v", 4, tie_cols=["id"])
+           .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True))
+    assert out[out.g == "cold"].shape[0] == 2          # short group survives
+    hot = out[out.g == "hot"]
+    assert hot["v"].tolist() == [float(n - 3 - i) for i in range(4)]
+
+
+# ---------------------------------------------------------- hash_sample ---
+
+
+def test_hash_sample_matches_formula_and_partitioning(ray_session):
+    from easyner_ray.ops.relational import hash_sample
+
+    keys = np.arange(20_000, dtype=np.int64)
+    t = pa.table({"k": pa.array(keys), "x": pa.array(keys * 2)})
+    h = (keys.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    want = keys[h < np.uint64(int(0.1 * (1 << 32)))]
+    got = np.sort(hash_sample(_ds(t, 9), "k", 0.1)
+                  .to_pandas()["k"].to_numpy())
+    assert np.array_equal(got, want)
+    # a plausible Bernoulli rate, not a degenerate subset
+    assert 0.08 < len(want) / len(keys) < 0.12
+
+
+# ------------------------------------------------------------ anti_join ---
+
+
+def test_anti_join_matches_set_difference(ray_session):
+    from easyner_ray.ops.relational import anti_join
+
+    left = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64)),
+                     "p": pa.array(np.arange(1000, dtype=np.int64) * 3)})
+    # right has duplicates + keys outside left's range
+    rk = np.concatenate([np.arange(0, 1000, 2), np.arange(0, 1000, 2), [5000]])
+    right = pa.table({"rk": pa.array(rk.astype(np.int64))})
+    out = anti_join(_ds(left, 4), _ds(right, 3), on="k", right_on="rk",
+                    num_partitions=2)  # 4-CPU test session: few aggregators
+    got = np.sort(out.to_pandas()["k"].to_numpy())
+    assert np.array_equal(got, np.arange(1, 1000, 2))
+
+
+def test_anti_join_empty_result_keeps_schema(ray_session):
+    from easyner_ray.ops.relational import anti_join
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "p": pa.array(["a", "b", "c"], pa.string())})
+    right = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64())})
+    out = anti_join(_ds(left), _ds(right), on="k", num_partitions=2)
+    # Ray's join can emit ZERO blocks; the unioned empty block keeps the
+    # Dataset schema intact (to_pandas on a 0-row Dataset still drops
+    # columns — a Ray conversion quirk, so assert on schema())
+    assert len(out.to_pandas()) == 0
+    assert out.schema().names == ["k", "p"]
+
+
+# -------------------------------------------------------- interval_join ---
+
+
+def test_interval_join_vs_bruteforce(ray_session):
+    from easyner_ray.ops.asof import interval_join
+
+    rng = np.random.default_rng(5)
+    day_us = 86_400_000_000
+    ts = rng.integers(0, 30 * day_us, size=4000).astype(np.int64)
+    left = pa.table({
+        "id": pa.array(np.arange(4000, dtype=np.int64)),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+    })
+    # intervals: varied spans, some crossing bucket (day) boundaries,
+    # one exactly bucket-aligned, one zero-length
+    starts = np.array([0, day_us - 1, 3 * day_us, int(5.5 * day_us),
+                       10 * day_us, 29 * day_us], dtype=np.int64)
+    ends = starts + np.array([day_us // 2, 2, 4 * day_us, day_us,
+                              0, 5 * day_us], dtype=np.int64)
+    iv = pa.table({
+        "iid": pa.array(np.arange(6, dtype=np.int64)),
+        "t_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+        "t_end": pa.array(ends, pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = interval_join(_ds(left, 6), iv, ts="ts", left_cols=["id"],
+                        interval_cols=["iid"])
+    got = set(map(tuple, out.to_pandas()[["id", "iid"]].to_numpy()))
+    want = {(int(i), int(j)) for i in range(4000) for j in range(6)
+            if starts[j] <= ts[i] <= ends[j]}
+    assert got == want
+
+
+def test_interval_join_inclusive_endpoints(ray_session):
+    from easyner_ray.ops.asof import interval_join
+
+    left = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([100, 200, 201], pa.int64()).cast(pa.timestamp("us")),
+    })
+    iv = pa.table({
+        "iid": pa.array([7], pa.int64()),
+        "t_start": pa.array([100], pa.int64()).cast(pa.timestamp("us")),
+        "t_end": pa.array([200], pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = interval_join(_ds(left), iv, ts="ts", left_cols=["id"],
+                        interval_cols=["iid"]).to_pandas()
+    assert sorted(out["id"].tolist()) == [0, 1]  # BETWEEN: both ends in
+
+
+# ------------------------------------------------------ exact_quantiles ---
+
+
+def _rank_value(vals: np.ndarray, q: float) -> float:
+    s = np.sort(vals)
+    return float(s[max(1, int(np.ceil(q * len(s)))) - 1])
+
+
+def test_exact_quantiles_match_numpy_and_duckdb(ray_session):
+    import duckdb
+
+    from easyner_ray.ops.sketch import exact_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = rng.normal(50.0, 12.0, size=30_000)
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    got = exact_quantiles(_ds(t, 8), "v", [0.5, 0.9, 0.99])
+    for q in (0.5, 0.9, 0.99):
+        assert got[q] == _rank_value(vals, q), q
+    ref = duckdb.sql(
+        "SELECT quantile_disc(v, 0.5), quantile_disc(v, 0.9), "
+        "quantile_disc(v, 0.99) FROM t",
+    ).fetchone()
+    assert (got[0.5], got[0.9], got[0.99]) == ref
+
+
+def test_exact_quantiles_refinement_and_ties(ray_session):
+    """A tiny collect_cap forces multi-level histogram refinement; heavy
+    ties exercise the frozen-bin path."""
+    from easyner_ray.ops.sketch import exact_quantiles
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate([
+        rng.uniform(0, 1, 20_000),
+        np.full(15_000, 0.5),          # a dominant tie right at the median
+        np.full(5, 42.0),              # far outlier stretches the range
+    ])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    got = exact_quantiles(_ds(t, 6), "v", [0.25, 0.5, 0.75],
+                          n_bins=64, collect_cap=500, max_depth=6)
+    for q in (0.25, 0.5, 0.75):
+        assert got[q] == _rank_value(vals, q), q
+
+
+def test_exact_quantiles_constant_and_empty(ray_session):
+    from easyner_ray.ops.sketch import exact_quantiles
+
+    const = pa.table({"v": pa.array(np.full(100, 3.25))})
+    assert exact_quantiles(_ds(const), "v", [0.5])[0.5] == 3.25
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    assert exact_quantiles(_ds(empty), "v", [0.5])[0.5] is None
+
+
+# ----------------------------------------------------------- count-min ---
+
+
+def test_cms_matches_gold_and_overestimates(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from easyner_ray.ops.sketch import cms_counts
+    from easyner_ray.sources.gold_derived import write_cms_gold
+
+    rng = np.random.default_rng(23)
+    uids = rng.zipf(1.3, size=30_000).astype(np.int64) % 500
+    events = pa.table({"user_id": pa.array(uids)})
+    ev_path = str(tmp_path / "events.parquet")
+    pq.write_table(events, ev_path)
+
+    gold = pq.read_table(
+        write_cms_gold(str(tmp_path), ev_path)).to_pandas()
+    got = (cms_counts(_ds(events, 9), "user_id", list(range(64)))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # distributed build (9 partitions) is bit-identical to the scalar
+    # single-pass gold: addition merge is order-independent
+    assert got["user_id"].tolist() == gold["user_id"].tolist()
+    assert got["est_count"].tolist() == gold["est_count"].tolist()
+    # CMS never under-counts
+    exact = pd.Series(uids).value_counts()
+    for k, est in zip(got["user_id"], got["est_count"]):
+        assert est >= int(exact.get(k, 0))
+
+
+# -------------------------------------------------------------- TF-IDF ---
+
+
+def test_tfidf_matches_straightline(ray_session):
+    import math
+    from collections import Counter
+
+    from easyner_ray.ops.textstats import tfidf
+
+    docs = [
+        (0, "the quick brown fox JUMPS over the lazy dog"),
+        (1, "the quick red fox; the dog sleeps!"),
+        (2, "Pack my box with five dozen liquor jugs 42 times"),
+        (3, "dog dog dog quick"),
+        (4, ""),
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs], pa.string())})
+
+    import re
+    tok = re.compile(r"[a-z0-9]+")
+    tf = {(d, w): c for d, s in docs
+          for w, c in Counter(tok.findall(s.lower())).items()}
+    df = Counter(w for _, w in tf)
+    n = len(docs)
+    want = {(d, w): (c, df[w], round(c * math.log(n / df[w]), 4))
+            for (d, w), c in tf.items() if df[w] >= 2}
+
+    out = tfidf(_ds(t, 3)).to_pandas()
+    got = {(int(r.doc_id), r.term): (int(r.tf), int(r.df), r.tfidf)
+           for r in out.itertuples()}
+    assert got == want
