@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": q.events_value_quantiles,  # exact distributed quantiles
         "docs_tfidf": q.docs_tfidf,                          # TF-IDF scoring
         "cms_user_counts": q.cms_user_counts,  # count-min sketch: derived-gold oracle
+        "events_quantiles_by_type": q.events_quantiles_by_type,  # grouped exact quantiles
+        "orders_bloom_semi": q.orders_bloom_semi,  # bloom-prefiltered semi join
     }
 
 

@@ -429,3 +429,234 @@ def cms_counts(ds, col: str, query_keys: list[int], width: int = 2048,
             .map_batches(partial, batch_format="pyarrow", batch_size=None)
             .materialize().repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def grouped_quantiles(ds, col: str, qs: list[float], by: str,
+                      n_bins: int = 8192, collect_cap: int = 2_000_000,
+                      max_depth: int = 4) -> pa.Table:
+    """Per-group EXACT discrete quantiles (quantile_disc semantics) for a
+    SMALL group keyspace (class labels, event types, languages) — the
+    grouped form of :func:`exact_quantiles`, same histogram-refinement
+    passes with one candidate range per (group, q). Returns a driver-side
+    ``pa.Table`` (by, q, value) — #groups x #qs rows.
+
+    The per-pass state is #groups x #qs x n_bins int64 counts — for open
+    group keyspaces use a bucketed shuffle per group instead (the
+    windows.user_sessions contract); this operator's contract is the
+    quality-threshold-per-language / score-per-class shape where groups
+    number in the dozens."""
+    vals = ds.select_columns([by, col])
+
+    def stats(t: pa.Table) -> pa.Table:
+        tt = pa.Table.from_arrays(
+            [t.column(by), t.column(col)], names=[by, col]
+        ).drop_null()
+        g = tt.group_by([by]).aggregate(
+            [(col, "min"), (col, "max"), (col, "count")])
+        return pa.Table.from_arrays(
+            [g.column(by), g.column(f"{col}_min").cast(pa.float64()),
+             g.column(f"{col}_max").cast(pa.float64()),
+             g.column(f"{col}_count").cast(pa.int64())],
+            names=[by, "mn", "mx", "n"])
+
+    rows = vals.map_batches(stats, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in rows:
+        k = r[by]
+        mn, mx, n = agg.get(k, (np.inf, -np.inf, 0))
+        agg[k] = (min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"])
+
+    # one refinement state per (group, q) — reuses the scalar machinery
+    state = []
+    for gk in sorted(agg):
+        mn, mx, n = agg[gk]
+        for q in qs:
+            rank = max(1, int(np.ceil(np.float64(q) * n)))
+            state.append({"g": gk, "q": q, "chain": [], "lo": mn, "hi": mx,
+                          "rank": rank, "count": n,
+                          "value": mn if mn == mx else None})
+
+    def members(v: np.ndarray, chain) -> np.ndarray:
+        m = np.ones(len(v), dtype=bool)
+        for lo, hi, b in chain:
+            m &= _bin_of(v, lo, hi, n_bins) == b
+        return m
+
+    for _ in range(max_depth):
+        active = [s for s in state if s["value"] is None
+                  and not s.get("frozen")
+                  and s["count"] > collect_cap and s["lo"] < s["hi"]]
+        if not active:
+            break
+        spec = [(s["g"], s["lo"], s["hi"], list(s["chain"])) for s in active]
+
+        def hist(t: pa.Table) -> pa.Table:
+            gcol = t.column(by).combine_chunks()
+            v = np.asarray(t.column(col).combine_chunks().cast(pa.float64()))
+            nn = ~np.isnan(v) if v.dtype == np.float64 else np.ones(len(v), bool)
+            out_ci, out_counts = [], []
+            for ci, (gk, lo, hi, ch) in enumerate(spec):
+                gm = np.asarray(pc.equal(gcol, gk).fill_null(False)) & nn
+                vv = v[gm]
+                if ch:
+                    vv = vv[members(vv, ch)]
+                counts = np.zeros(n_bins, dtype=np.int64)
+                if len(vv):
+                    idx = _bin_of(vv, lo, hi, n_bins)
+                    ok = (idx >= 0) & (idx < n_bins)
+                    np.add.at(counts, idx[ok], 1)
+                out_ci.append(ci)
+                out_counts.append(counts.tobytes())
+            return pa.Table.from_arrays(
+                [pa.array(out_ci, pa.int32()),
+                 pa.array(out_counts, pa.binary())], names=["ci", "counts"])
+
+        def merge(t: pa.Table) -> pa.Table:
+            ci = np.asarray(t.column("ci").combine_chunks())
+            raw = t.column("counts").to_pylist()
+            out: dict = {}
+            for i, c in enumerate(ci):
+                out[int(c)] = out.get(int(c), 0) + np.frombuffer(
+                    raw[i], dtype=np.int64)
+            items = sorted(out.items())
+            return pa.Table.from_arrays(
+                [pa.array([k for k, _ in items], pa.int32()),
+                 pa.array([a.tobytes() for _, a in items], pa.binary())],
+                names=["ci", "counts"])
+
+        merged = (vals.map_batches(hist, batch_format="pyarrow")
+                  .materialize().repartition(1)
+                  .map_batches(merge, batch_format="pyarrow",
+                               batch_size=None).take_all())
+        by_ci = {int(r["ci"]): np.frombuffer(r["counts"], dtype=np.int64)
+                 for r in merged}
+        for ci, s in enumerate(active):
+            counts = by_ci[ci]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["rank"]))
+            before = int(cum[b - 1]) if b > 0 else 0
+            new_count = int(counts[b])
+            s["chain"].append((s["lo"], s["hi"], b))
+            s["rank"] -= before
+            if new_count == s["count"]:
+                s["frozen"] = True
+                continue
+            s["count"] = new_count
+            w = (s["hi"] - s["lo"]) / n_bins
+            s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
+
+    open_states = [s for s in state if s["value"] is None]
+    spec = [(s["g"], list(s["chain"])) for s in open_states]
+
+    def collect(t: pa.Table) -> pa.Table:
+        gcol = t.column(by).combine_chunks()
+        v = np.asarray(t.column(col).combine_chunks().cast(pa.float64()))
+        ci_out, v_out = [], []
+        for ci, (gk, ch) in enumerate(spec):
+            gm = np.asarray(pc.equal(gcol, gk).fill_null(False))
+            vv = v[gm]
+            if ch:
+                vv = vv[members(vv, ch)]
+            ci_out.append(np.full(len(vv), ci, dtype=np.int32))
+            v_out.append(vv)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(ci_out) if ci_out else [], pa.int32()),
+             pa.array(np.concatenate(v_out) if v_out else [], pa.float64())],
+            names=["ci", "v"])
+
+    if open_states:
+        cand = pa.Table.from_pylist(
+            vals.map_batches(collect, batch_format="pyarrow").take_all())
+        ci_arr = np.asarray(cand.column("ci").combine_chunks())
+        v_arr = np.asarray(cand.column("v").combine_chunks())
+        for ci, s in enumerate(open_states):
+            mine = np.sort(v_arr[ci_arr == ci], kind="stable")
+            s["value"] = float(mine[s["rank"] - 1])
+
+    by_type = pa.Table.from_pylist(rows).schema.field(by).type if rows \
+        else pa.string()
+    return pa.Table.from_arrays(
+        [pa.array([s["g"] for s in state], by_type),
+         pa.array([s["q"] for s in state], pa.float64()),
+         pa.array([s["value"] for s in state], pa.float64())],
+        names=[by, "q", "value"])
+
+
+# -------------------------------------------------------- bloom filter ---
+
+
+def _bloom_bits(hashes: np.ndarray, n_bits: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(word index, bit mask) arrays for k derived hashes per value —
+    h_i = splitmix64(h ^ splitmix64(1000+i)) mod n_bits, packed uint64."""
+    words_list, masks_list = [], []
+    for i in range(k):
+        seed = splitmix64(np.array([1000 + i], dtype=np.uint64))[0]
+        hi = splitmix64(hashes ^ seed) % np.uint64(n_bits)
+        words_list.append((hi >> np.uint64(6)).astype(np.int64))
+        masks_list.append(np.uint64(1) << (hi & np.uint64(63)))
+    return np.concatenate(words_list), np.concatenate(masks_list)
+
+
+def bloom_build(ds, col: str, n_bits: int = 1 << 23, k: int = 5) -> bytes:
+    """Build a Bloom filter over a column — the broadcastable membership
+    sketch that turns a big-big semi/anti join into a map-only prefilter.
+    FIXED n_bits/8 bytes regardless of cardinality; partials merge by
+    bitwise OR (commutative/associative/idempotent -> partition-
+    invariant), the shuffle-free repartition(1) pattern. Returns the
+    packed bitmap (driver-side, bounded: 1 MiB at the default).
+
+    False-positive rate ~ (1 - e^{-k n / m})^k; size n_bits for the
+    expected distinct count (~10 bits/element at k=5 -> ~1% FP)."""
+    assert n_bits % 64 == 0
+    n_words = n_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        a = t.column(col).combine_chunks().drop_null()
+        if len(a):
+            w, m = _bloom_bits(_value_hashes(a), n_bits, k)
+            np.bitwise_or.at(bits, w, m)
+        return pa.Table.from_arrays(
+            [pa.array([bits.tobytes()], pa.binary())], names=["__bloom"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for raw in t.column("__bloom").to_pylist():
+            bits |= np.frombuffer(raw, dtype=np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array([bits.tobytes()], pa.binary())], names=["__bloom"])
+
+    rows = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .materialize().repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .take_all())
+    return rows[0]["__bloom"] if rows else bytes(n_bits // 8)
+
+
+def bloom_filter_rows(ds, col: str, bloom: bytes, n_bits: int | None = None,
+                      k: int = 5, batch_size: int = 65536):
+    """Keep rows whose ``col`` value is POSSIBLY in the bloom set (no
+    false negatives; FP rate per the build). The bitmap ships to plasma
+    ONCE (``ray.put``); each batch tests membership with k vectorized
+    gathers. Chain an exact ``semi_join_filter`` (or keyed join) after it
+    when exact semantics are required — the bloom's job is to drop the
+    bulk of non-members before the expensive stage."""
+    import ray
+
+    if n_bits is None:
+        n_bits = len(bloom) * 8
+    ref = ray.put(np.frombuffer(bloom, dtype=np.uint64))
+
+    def probe(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        bits = ray.get(ref)
+        a = t.column(col).combine_chunks()
+        w, m = _bloom_bits(_value_hashes(a), n_bits, k)
+        hit = (bits[w] & m) != 0
+        ok = hit.reshape(k, len(t)).all(axis=0)
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size)

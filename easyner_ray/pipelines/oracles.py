@@ -457,3 +457,19 @@ RELATIONAL["docs_tfidf"] = """
 
 GCMS = f"read_parquet('{SYNTH}/gold_cms_counts.parquet')"
 RELATIONAL["cms_user_counts"] = f"SELECT user_id, est_count FROM {GCMS}"
+
+RELATIONAL["events_quantiles_by_type"] = """
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+           quantile_disc(value, 0.5) AS value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+           quantile_disc(value, 0.9) AS value
+    FROM events GROUP BY event_type
+"""
+
+RELATIONAL["orders_bloom_semi"] = """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_acctbal < 0)
+"""

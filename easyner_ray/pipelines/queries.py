@@ -799,3 +799,30 @@ def cms_user_counts(sf_dir: str):
 
     ev = _rp(sf_dir, "events", columns=["user_id"])
     return cms_counts(ev, "user_id", list(range(64)))
+
+
+def events_quantiles_by_type(sf_dir: str):
+    """Per-group exact quantiles: p50/p90 of value per event_type —
+    histogram refinement with one candidate range per (group, q)."""
+    from easyner_ray.ops.sketch import grouped_quantiles
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ev, "value", [0.5, 0.9], by="event_type")
+
+
+def orders_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered semi join: orders of negative-balance customers.
+    The bloom (built distributed, OR-merged, broadcast once) drops the
+    bulk of non-member orders map-only; the exact key-set check after it
+    restores exact semi-join semantics — so the SQL oracle is the plain
+    EXISTS, while the query exercises the 100-TB prefilter path."""
+    from easyner_ray.ops.relational import semi_join_filter
+    from easyner_ray.ops.sketch import bloom_build, bloom_filter_rows
+
+    cust = (_rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+            .filter(expr="c_acctbal < 0").select_columns(["c_custkey"]))
+    bloom = bloom_build(cust, "c_custkey", n_bits=1 << 20)
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    pre = bloom_filter_rows(orders, "o_custkey", bloom)
+    keys = {r["c_custkey"] for r in cust.take_all()}  # dimension-sized
+    return semi_join_filter(pre, keys, on="o_custkey")

@@ -292,3 +292,60 @@ def test_tfidf_matches_straightline(ray_session):
     got = {(int(r.doc_id), r.term): (int(r.tf), int(r.df), r.tfidf)
            for r in out.itertuples()}
     assert got == want
+
+
+# ----------------------------------------------- grouped quantiles ---
+
+
+def test_grouped_quantiles_match_numpy(ray_session):
+    from easyner_ray.ops.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(29)
+    n = 20_000
+    g = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    v = rng.gamma(2.0, 10.0, n)
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                  "v": pa.array(v, pa.float64())})
+    out = grouped_quantiles(_ds(t, 7), "v", [0.5, 0.9], by="g")
+    got = {(r["g"], r["q"]): r["value"] for r in out.to_pylist()}
+    for gk in ("x", "y", "z"):
+        mine = v[g == gk]
+        for q in (0.5, 0.9):
+            assert got[(gk, q)] == _rank_value(mine, q), (gk, q)
+
+
+def test_grouped_quantiles_small_groups_collect_direct(ray_session):
+    """Groups under collect_cap skip refinement entirely."""
+    from easyner_ray.ops.sketch import grouped_quantiles
+
+    t = pa.table({"g": pa.array(["a"] * 10 + ["b"] * 3, pa.string()),
+                  "v": pa.array(np.arange(13, dtype=np.float64))})
+    out = grouped_quantiles(_ds(t, 2), "v", [0.5], by="g")
+    got = {(r["g"], r["q"]): r["value"] for r in out.to_pylist()}
+    assert got[("a", 0.5)] == 4.0     # rank ceil(0.5*10)=5 -> value 4
+    assert got[("b", 0.5)] == 11.0    # rank ceil(0.5*3)=2 -> value 11
+
+
+# ----------------------------------------------------- bloom filter ---
+
+
+def test_bloom_no_false_negatives_and_fp_bound(ray_session):
+    from easyner_ray.ops.sketch import bloom_build, bloom_filter_rows
+
+    members = np.arange(0, 50_000, 7, dtype=np.int64)       # ~7.1k keys
+    probes = np.arange(50_000, dtype=np.int64)
+    bloom = bloom_build(
+        _ds(pa.table({"k": pa.array(members)}), 5), "k", n_bits=1 << 17)
+    out = bloom_filter_rows(
+        _ds(pa.table({"k": pa.array(probes)}), 4), "k", bloom)
+    kept = set(out.to_pandas()["k"].tolist())
+    assert set(members.tolist()) <= kept          # never a false negative
+    fp = (len(kept) - len(members)) / (len(probes) - len(members))
+    assert fp < 0.05, fp        # ~1.8 bits/elem... generous bound for 17 bits
+
+
+def test_bloom_or_merge_partition_invariance(ray_session):
+    from easyner_ray.ops.sketch import bloom_build
+
+    keys = pa.table({"k": pa.array(np.arange(5_000, dtype=np.int64))})
+    assert bloom_build(_ds(keys, 1), "k") == bloom_build(_ds(keys, 13), "k")
