@@ -50,11 +50,12 @@ def entity_frequency(mentions, batch_size: int = 65536):
     blocks as its entire sort parallelism (9 s vs 2 s end-to-end). The
     per-block group_by collapses repeats just as well; the fusion trap is
     documented in pipelines/kg.py."""
+    # materialize() the per-batch-collapsed pair stream: (a) fusion
+    # barrier (same trap as pipelines/kg.py), (b) makes size_bytes()
+    # metadata-cheap for the final-strategy pick below
     pairs = mentions.map_batches(
         _partial_pair_counts, batch_format="pyarrow", batch_size=None
-    )
-    per_pair = bucketed_final(pairs, ["entity", "conv_id"],
-                              pa_aggs=[("n", "sum")], out_names=["n"])
+    ).materialize()
 
     def pair_to_entity_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["entity"]).aggregate([("n", "sum"), ("n", "count")])
@@ -67,20 +68,38 @@ def entity_frequency(mentions, batch_size: int = 65536):
             names=["entity", "tc", "cs"],
         )
 
-    entity_partial = per_pair.map_batches(
-        pair_to_entity_partial, batch_format="pyarrow", batch_size=batch_size
-    )
-    # the per-entity final keyspace is the vocabulary — small — so the
-    # shuffle-free tree combine finishes it (ops.relational.tree_final).
-    # materialize() first: a fusion barrier so tree_final's 1M-row level-1
-    # batch size can't force THIS stage onto million-row batches (the
-    # measured fusion trap documented in pipelines/kg.py) — the entity
-    # partial stream is already collapsed and tiny, so the barrier is free.
-    from easyner_ray.ops.relational import tree_final
+    if pairs.size_bytes() < (256 << 20):
+        # Small pair stream: the 64-bucket sort exchange costs ~1.5 s of
+        # pure scheduling for a stream one Arrow group_by chews through in
+        # ~50 ms (measured at sf0.1: 435k rows / 18 MB) — coalesce to one
+        # task and finish there. The keyspace check is on actual bytes,
+        # so growing inputs switch shape automatically.
+        def finish(t: pa.Table) -> pa.Table:
+            g = t.group_by(["entity", "conv_id"]).aggregate([("n", "sum")])
+            per_pair = pa.Table.from_arrays(
+                [g.column("entity"), g.column("conv_id"),
+                 g.column("n_sum").cast(pa.int64())],
+                names=["entity", "conv_id", "n"])
+            return pair_to_entity_partial(per_pair).rename_columns(
+                ["entity", "total_count", "convs_spanned"])
 
-    freq = tree_final(entity_partial.materialize(), ["entity"],
-                      pa_aggs=[("tc", "sum"), ("cs", "sum")],
-                      out_names=["total_count", "convs_spanned"])
+        freq = pairs.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None)
+    else:
+        # 100-TB shape: (entity, conv) keyspace scales with the corpus —
+        # dedupe through the coarse-bucket exchange, then tree-combine
+        # the vocabulary-sized entity partials shuffle-free.
+        from easyner_ray.ops.relational import tree_final
+
+        per_pair = bucketed_final(pairs, ["entity", "conv_id"],
+                                  pa_aggs=[("n", "sum")], out_names=["n"])
+        entity_partial = per_pair.map_batches(
+            pair_to_entity_partial, batch_format="pyarrow",
+            batch_size=batch_size
+        )
+        freq = tree_final(entity_partial.materialize(), ["entity"],
+                          pa_aggs=[("tc", "sum"), ("cs", "sum")],
+                          out_names=["total_count", "convs_spanned"])
 
     def derive(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
