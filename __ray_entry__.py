@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": q.cms_user_counts,  # count-min sketch: derived-gold oracle
         "events_quantiles_by_type": q.events_quantiles_by_type,  # grouped exact quantiles
         "orders_bloom_semi": q.orders_bloom_semi,  # bloom-prefiltered semi join
+        "embedding_label_centroids": q.embedding_label_centroids,  # grouped vector mean
     }
 
 

@@ -546,3 +546,133 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
         pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()]), k
     )
     return rd.from_arrow(merged)
+
+
+def label_centroids(embeddings, label_col: str = "label",
+                    vec_col: str = "embedding", round_digits: int = 4):
+    """Per-label mean embedding (class prototypes / cluster seeds) ->
+    pa.Table (label, dim, centroid) exploded one row per dimension.
+
+    Partial: per batch, one (sum-vector, count) row per label present —
+    a matmul-free ``np.add.at`` over the batch matrix; the partial stream
+    is #labels x #batches FIXED-SIZE rows no matter the corpus. Final:
+    shuffle-free ``repartition(1)`` vector-add merge (the HLL pattern),
+    then one divide. Mean floats are rounded (Python round, the project's
+    oracle convention) — summation order differs between engines."""
+    import ray.data as rd  # noqa: F401  (documents the Dataset-in contract)
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column(label_col).combine_chunks().cast(pa.int64()))
+        m = _as_matrix(t.column(vec_col))
+        if len(labels) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.binary()),
+                 pa.array([], pa.int64())], names=["label", "vsum", "n"])
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()),
+             pa.array([sums[i].tobytes() for i in range(len(uniq))], pa.binary()),
+             pa.array(counts, pa.int64())],
+            names=["label", "vsum", "n"])
+
+    def final(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column("label").combine_chunks())
+        raw = t.column("vsum").to_pylist()
+        ns = np.asarray(t.column("n").combine_chunks())
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for i, lb in enumerate(labels):
+            v = np.frombuffer(raw[i], dtype=np.float64)
+            s, n = acc.get(int(lb), (np.zeros_like(v), 0))
+            acc[int(lb)] = (s + v, n + int(ns[i]))
+        out_l, out_d, out_c = [], [], []
+        for lb in sorted(acc):
+            s, n = acc[lb]
+            mean = s / n
+            for d in range(len(mean)):
+                out_l.append(lb)
+                out_d.append(d)
+                out_c.append(round(float(mean[d]), round_digits)
+                             if round_digits is not None else float(mean[d]))
+        return pa.Table.from_arrays(
+            [pa.array(out_l, pa.int64()), pa.array(out_d, pa.int64()),
+             pa.array(out_c, pa.float64())],
+            names=["label", "dim", "centroid"])
+
+    return (embeddings.select_columns([label_col, vec_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .materialize().repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def kmeans(embeddings, k: int = 8, iters: int = 5, vec_col: str = "embedding",
+           id_col: str = "vec_id"):
+    """Distributed Lloyd k-means over an embedding column — the iterative
+    algorithm shape: per iteration, centroids broadcast ONCE (``ray.put``),
+    one streaming pass computes per-batch (cluster-sum, count) partials
+    (assign = one matmul per batch against the centroid matrix), and a
+    tiny driver merge (k x d floats — never O(corpus)) recomputes the
+    centroids. Deterministic: init = the k lowest-``id_col`` vectors,
+    ties in assignment break to the lowest cluster id (argmin).
+
+    Returns (centroids ndarray (k, d), assignments Dataset (id, cluster)).
+    """
+    import ray
+
+    # deterministic init: k lowest-id vectors (one tiny sorted take)
+    seed = (embeddings.select_columns([id_col, vec_col])
+            .sort(id_col).limit(k).take_all())
+    cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seed])
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _as_matrix(t.column(vec_col))
+            if len(m) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.binary()),
+                     pa.array([], pa.int64())], names=["cl", "vsum", "n"])
+            # squared euclidean via the expansion trick: one matmul
+            d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            uniq, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, m)
+            counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(uniq, pa.int64()),
+                 pa.array([sums[i].tobytes() for i in range(len(uniq))],
+                          pa.binary()),
+                 pa.array(counts, pa.int64())],
+                names=["cl", "vsum", "n"])
+
+        rows = (embeddings.select_columns([vec_col])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).take_all())
+        new = cents.copy()  # empty cluster keeps its centroid
+        agg: dict[int, tuple[np.ndarray, int]] = {}
+        for r in rows:
+            v = np.frombuffer(r["vsum"], dtype=np.float64)
+            s, n = agg.get(r["cl"], (np.zeros_like(v), 0))
+            agg[r["cl"]] = (s + v, n + r["n"])
+        for cl, (s, n) in agg.items():
+            new[cl] = s / n
+        cents = new
+
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _as_matrix(t.column(vec_col))
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        return pa.Table.from_arrays(
+            [t.column(id_col), pa.array(np.argmin(d2, axis=1), pa.int64())],
+            names=[id_col, "cluster"])
+
+    out = embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")
+    return cents, out

@@ -473,3 +473,14 @@ RELATIONAL["orders_bloom_semi"] = """
     WHERE EXISTS (SELECT 1 FROM customer
                   WHERE c_custkey = o_custkey AND c_acctbal < 0)
 """
+
+# parallel unnests of equal-length lists align positionally in DuckDB
+RELATIONAL["embedding_label_centroids"] = """
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+           round(avg(v), 4) AS centroid
+    FROM e GROUP BY label, i
+"""

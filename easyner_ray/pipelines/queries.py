@@ -826,3 +826,13 @@ def orders_bloom_semi(sf_dir: str):
     pre = bloom_filter_rows(orders, "o_custkey", bloom)
     keys = {r["c_custkey"] for r in cust.take_all()}  # dimension-sized
     return semi_join_filter(pre, keys, on="o_custkey")
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class prototypes): fixed-size per-batch
+    sum partials, shuffle-free vector-add merge, exploded to
+    (label, dim, centroid) rows."""
+    from easyner_ray.ops.similarity import label_centroids
+
+    em = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
+    return label_centroids(em)

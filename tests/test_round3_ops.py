@@ -349,3 +349,67 @@ def test_bloom_or_merge_partition_invariance(ray_session):
 
     keys = pa.table({"k": pa.array(np.arange(5_000, dtype=np.int64))})
     assert bloom_build(_ds(keys, 1), "k") == bloom_build(_ds(keys, 13), "k")
+
+
+# -------------------------------------------- vector centroids / kmeans ---
+
+
+def _emb_table(n=3000, d=16, n_labels=5, seed=31):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, n_labels, n).astype(np.int32)),
+    }), vecs
+
+
+def test_label_centroids_match_numpy(ray_session):
+    from easyner_ray.ops.similarity import label_centroids
+
+    t, vecs = _emb_table()
+    labels = np.asarray(t.column("label"))
+    out = label_centroids(_ds(t, 7)).to_pandas()
+    for lb in np.unique(labels):
+        want = vecs[labels == lb].astype(np.float64).mean(axis=0)
+        mine = out[out.label == lb].sort_values("dim")["centroid"].to_numpy()
+        assert np.allclose(mine, want, atol=5e-5)  # rounded to 4 decimals
+
+
+def test_kmeans_matches_straightline_numpy(ray_session):
+    from easyner_ray.ops.similarity import kmeans
+
+    t, vecs = _emb_table(n=1200, d=8, seed=37)
+    m = vecs.astype(np.float64)
+
+    # straight-line Lloyd with the same init (k lowest vec_ids) and the
+    # same argmin tie-break
+    k, iters = 6, 4
+    cents = m[:k].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = m[a == c].mean(axis=0)
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want_assign = np.argmin(d2, axis=1)
+
+    got_c, got_ds = kmeans(_ds(t, 5), k=k, iters=iters)
+    got = got_ds.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    assert np.allclose(got_c, cents, atol=1e-8)
+    assert np.array_equal(got, want_assign)
+
+
+def test_kmeans_partition_invariant_assignments(ray_session):
+    from easyner_ray.ops.similarity import kmeans
+
+    t, _ = _emb_table(n=800, d=8, seed=41)
+    c1, a1 = kmeans(_ds(t, 1), k=4, iters=3)
+    c2, a2 = kmeans(_ds(t, 9), k=4, iters=3)
+    # float partial-sum merge order differs across layouts; centroids agree
+    # to fp noise and assignments exactly (no boundary point at this scale)
+    assert np.allclose(c1, c2, atol=1e-9)
+    assert np.array_equal(
+        a1.to_pandas().sort_values("vec_id")["cluster"].to_numpy(),
+        a2.to_pandas().sort_values("vec_id")["cluster"].to_numpy())
