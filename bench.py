@@ -109,6 +109,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_mentions": q.kg_mentions,
         "kg_entity_freq": q.kg_entity_freq,
         "revenue_by_priority": q.revenue_by_priority,
+        # round-3 operators
+        "events_top_value_per_type": q.events_top_value_per_type,
+        "events_value_quantiles": q.events_value_quantiles,
+        "docs_tfidf": q.docs_tfidf,
+        "orders_bloom_semi": q.orders_bloom_semi,
+        "events_in_promo_windows": q.events_in_promo_windows,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -284,12 +284,17 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
         idf = idf_dict.take(enc.indices)
         score_arr = pc.multiply(
             joined.column("tf").cast(pa.float64()), idf)
-        out = joined.append_column("tfidf", score_arr)
         if round_digits is not None:
-            vals = [round(v, round_digits)
-                    for v in out.column("tfidf").to_pylist()]
-            out = out.set_column(out.schema.get_field_index("tfidf"),
-                                 "tfidf", pa.array(vals, pa.float64()))
+            # Python round (oracle convention) once per DISTINCT score —
+            # distinct (tf, df) pairs are few — mapped back vectorized
+            senc = pc.dictionary_encode(score_arr)
+            if isinstance(senc, pa.ChunkedArray):
+                senc = senc.combine_chunks()
+            rdict = pa.array([round(v, round_digits)
+                              for v in senc.dictionary.to_pylist()],
+                             pa.float64())
+            score_arr = rdict.take(senc.indices)
+        out = joined.append_column("tfidf", score_arr)
         return out.select([id_col, "term", "tf", "df", "tfidf"])
 
     return tf.map_batches(score, batch_format="pyarrow",
