@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_by_type": q.events_quantiles_by_type,  # grouped exact quantiles
         "orders_bloom_semi": q.orders_bloom_semi,  # bloom-prefiltered semi join
         "embedding_label_centroids": q.embedding_label_centroids,  # grouped vector mean
+        "events_props_extract": q.events_props_extract,  # field extract + redaction
+        "latest_event_per_user": q.latest_event_per_user,  # LWW by recency (top-1)
     }
 
 

@@ -484,3 +484,18 @@ RELATIONAL["embedding_label_centroids"] = """
            round(avg(v), 4) AS centroid
     FROM e GROUP BY label, i
 """
+
+RELATIONAL["events_props_extract"] = """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+           regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_redacted
+    FROM events
+"""
+
+RELATIONAL["latest_event_per_user"] = """
+    SELECT user_id, event_id, ts, rn FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id) AS rn
+      FROM events) WHERE rn = 1
+"""

@@ -836,3 +836,34 @@ def embedding_label_centroids(sf_dir: str):
 
     em = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
     return label_centroids(em)
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured field extraction + redaction, map-only: pull the
+    integer ``k`` out of the JSON-ish props string (vectorized RE2
+    ``extract_regex``) and redact every digit run (``<NUM>``) — the
+    PII-scrub / metadata-parse stage of a curation pipeline. Both
+    kernels and the oracle run RE2-compatible patterns."""
+    ev = _rp(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        props = t.column("props").combine_chunks()
+        ex = pc.extract_regex(props, r'"k": (?P<k>\d+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        red = pc.replace_substring_regex(props, r"\d+", "<NUM>")
+        return pa.Table.from_arrays(
+            [t.column("event_id"), k, red],
+            names=["event_id", "k", "props_redacted"])
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+def latest_event_per_user(sf_dir: str):
+    """Last-writer-wins by recency (the reference's O7 doc-id dict-merge,
+    relationally): each user's single latest event — topk_per_group with
+    k=1 ordered by ts desc, event_id tie-break."""
+    from easyner_ray.ops.relational import topk_per_group
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return topk_per_group(ev, ["user_id"], "ts", 1,
+                          tie_cols=["event_id"])
