@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def asof_join(
@@ -172,6 +173,14 @@ def interval_join(left, intervals: pa.Table, *, ts: str,
             names=list(left_cols) + list(interval_cols))
         if len(t) == 0:
             return empty
+        ts_col = t.column(ts).combine_chunks()
+        if ts_col.null_count:
+            # NULL ts matches no interval (SQL BETWEEN); drop BEFORE the
+            # numpy cast — int64-with-nulls converts to float64/NaN and
+            # poisons every row's bucket key
+            t = t.filter(pc.is_valid(ts_col))
+            if len(t) == 0:
+                return empty
         ts_us = np.asarray(t.column(ts).combine_chunks()
                            .cast(pa.timestamp("us")).cast(pa.int64()))
         b = ts_us // bus

@@ -97,6 +97,10 @@ def add_hash_bucket(batch: pa.Table, keys: list[str], n_buckets: int,
         key_col = pc.binary_join_element_wise(
             *[batch.column(k).combine_chunks().cast(pa.string()) for k in keys], "\x00"
         )
+    if key_col.null_count:
+        # null keys share ONE bucket (SQL partition semantics); null
+        # dictionary indices would also go float in numpy below
+        key_col = key_col.fill_null("\x00__null__")
     enc = pc.dictionary_encode(key_col)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -362,11 +366,21 @@ def hash_sample(ds, key: str, rate: float, batch_size: int = 65536):
     def f(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t
-        k = np.asarray(t.column(key).combine_chunks().cast(pa.int64())
-                       ).astype(np.uint64)
+        col = t.column(key).combine_chunks()
+        # null keys are excluded (SQL: NULL*c % m < thr is NULL -> false);
+        # fill BEFORE numpy — an int64 array with nulls converts to
+        # float64/NaN and corrupts every row's arithmetic
+        valid = None
+        if col.null_count:
+            valid = np.asarray(pc.is_valid(col))
+            col = col.fill_null(0)
+        k = np.asarray(col.cast(pa.int64())).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (k * mult) & mask32
-        return t.filter(pa.array(h < thr))
+        keep = h < thr
+        if valid is not None:
+            keep &= valid
+        return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
@@ -387,13 +401,19 @@ def _topk_kernel(t: pa.Table, group_keys: list[str], order_col: str, k: int,
     sort_keys += [(c, "ascending") for c in tie_cols]
     t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
     n = len(t)
-    # group-change flags via shifted whole-column compares (Arrow C++)
+    # group-change flags via shifted whole-column compares (Arrow C++).
+    # NULL keys form ONE group (SQL PARTITION BY semantics): two adjacent
+    # nulls are NOT a change (not_equal -> null -> False); a null next to
+    # a non-null IS (validity flip).
     change = np.zeros(n, dtype=bool)
     change[0] = True
     for g in group_keys:
         c = t.column(g).combine_chunks()
         neq = pc.not_equal(c.slice(1), c.slice(0, n - 1))
-        change[1:] |= np.asarray(neq.fill_null(True))
+        change[1:] |= np.asarray(neq.fill_null(False))
+        if c.null_count:
+            va = np.asarray(pc.is_valid(c))
+            change[1:] |= va[1:] != va[:-1]
     run_start = np.flatnonzero(change)
     run_id = np.cumsum(change) - 1
     rank = np.arange(n, dtype=np.int64) - run_start[run_id]

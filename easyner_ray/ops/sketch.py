@@ -99,10 +99,18 @@ def _registers_for(hashes: np.ndarray, p: int) -> np.ndarray:
 
 
 def _value_hashes(col: pa.ChunkedArray) -> np.ndarray:
-    """uint64 hashes of an int64 or string value column."""
+    """uint64 hashes of an int64 or string value column.
+
+    Nulls are filled (0 / "") BEFORE the numpy conversion: an Arrow int64
+    array WITH nulls converts to float64 (nulls -> NaN), and viewing
+    float bit patterns as uint64 silently corrupts every hash in the
+    batch — including the non-null rows (and costs exactness above 2^53).
+    Callers that must EXCLUDE nulls apply ``pc.is_valid`` themselves."""
     import zlib
 
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if col.null_count:
+        col = col.fill_null(0 if pa.types.is_integer(col.type) else "")
     if pa.types.is_integer(col.type):
         return splitmix64(np.asarray(col.cast(pa.int64())).view(np.uint64))
     # strings: crc32-pair mix per DISTINCT value, then splitmix64
@@ -211,42 +219,167 @@ def _bin_of(v: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
     """The ONE bin-assignment formula shared by every histogram pass and
     every membership re-check — self-consistency of this float expression
     (not mathematical bin boundaries) is what makes the refinement exact.
-    ``v == hi`` lands in the top bin; values outside [lo, hi] get
-    out-of-range indices and match no bin."""
+    CLAMPED into [0, n_bins-1]: a chain member can drift one ulp outside
+    its child range (child bounds are lo + b*w floats), and an unclamped
+    formula would drop it from every child bin — under-counting the
+    histogram and shifting the rank bookkeeping off by one. Clamping is
+    total, and membership tests reuse the same clamped expression, so
+    counted set == collected set exactly. (Values far outside [lo, hi]
+    never reach this: level 0 spans the true min/max and level k+1 only
+    sees level-k members, which sit within a ulp of their bin.) NaNs must
+    be filtered by the caller BEFORE this (floor(NaN) -> undefined int)."""
     idx = np.floor((v - lo) * (float(n_bins) / (hi - lo))).astype(np.int64)
-    idx[(idx == n_bins) & (v <= hi)] = n_bins - 1
-    return idx
+    return np.clip(idx, 0, n_bins - 1)
+
+
+def _finite_values(t: pa.Table, col: str) -> np.ndarray:
+    """float64 values of ``col`` with nulls AND NaNs removed (NaN has no
+    defined rank here; DuckDB sorts NaN above all values — out of scope,
+    documented)."""
+    a = t.column(col).combine_chunks().drop_null()
+    v = np.asarray(a.cast(pa.float64()))
+    return v[~np.isnan(v)] if np.isnan(v).any() else v
+
+
+def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
+                      collect_cap: int, max_depth: int,
+                      group_col: str | None = None) -> None:
+    """Shared histogram-refinement engine behind :func:`exact_quantiles`
+    (one implicit group) and :func:`grouped_quantiles` (one state per
+    (group, q)). Mutates each state dict in place until ``value`` is set.
+
+    A state: {"g": group value or None, "chain": [(lo, hi, bin)...],
+    "lo", "hi", "rank", "count", "value"}. Each pass streams the input
+    once, histogramming every active state's candidate range (fixed
+    n_bins int64 counts per state per batch) and merging by elementwise
+    SUM — the shuffle-free repartition(1) HLL pattern. The bin holding
+    the target rank narrows the range n_bins-fold; states whose candidate
+    count drops under ``collect_cap`` (and any left over at max_depth)
+    are resolved exactly from one final tagged collect. The driver holds
+    per-batch stat rows, merged histograms and the bounded candidate
+    sets — never O(corpus) state."""
+
+    def values_and_masks(t: pa.Table, needed: list[dict]):
+        """(v, per-state candidate arrays) for one batch — nulls/NaNs out,
+        group mask + chain membership applied with the clamped formula."""
+        a = t.column(col).combine_chunks()
+        valid = np.asarray(pc.and_kleene(
+            pc.is_valid(a), pc.invert(pc.is_nan(
+                a.cast(pa.float64())))).fill_null(False))             if a.null_count or pa.types.is_floating(a.type) else None
+        v_all = np.asarray(a.fill_null(0).cast(pa.float64()))             if a.null_count else np.asarray(a.cast(pa.float64()))
+        out = []
+        for s in needed:
+            m = valid.copy() if valid is not None else np.ones(len(v_all), bool)
+            if group_col is not None:
+                gcol = t.column(group_col).combine_chunks()
+                m &= np.asarray(pc.equal(gcol, s["g"]).fill_null(False))
+            vv = v_all[m]
+            for lo, hi, b in s["chain"]:
+                vv = vv[_bin_of(vv, lo, hi, n_bins) == b]
+            out.append(vv)
+        return out
+
+    for _ in range(max_depth):
+        active = [s for s in states if s["value"] is None
+                  and not s.get("frozen")
+                  and s["count"] > collect_cap and s["lo"] < s["hi"]]
+        if not active:
+            break
+        spec = [dict(s) for s in active]  # plain dicts ship to tasks
+
+        def hist(t: pa.Table) -> pa.Table:
+            vvs = values_and_masks(t, spec)
+            ci_out, counts_out = [], []
+            for ci, (s, vv) in enumerate(zip(spec, vvs)):
+                counts = np.zeros(n_bins, dtype=np.int64)
+                if len(vv):
+                    np.add.at(counts,
+                              _bin_of(vv, s["lo"], s["hi"], n_bins), 1)
+                ci_out.append(ci)
+                counts_out.append(counts.tobytes())
+            return pa.Table.from_arrays(
+                [pa.array(ci_out, pa.int32()),
+                 pa.array(counts_out, pa.binary())], names=["ci", "counts"])
+
+        def merge(t: pa.Table) -> pa.Table:
+            ci = np.asarray(t.column("ci").combine_chunks())
+            raw = t.column("counts").to_pylist()
+            acc: dict = {}
+            for i, c in enumerate(ci):
+                acc[int(c)] = acc.get(int(c), 0) + np.frombuffer(
+                    raw[i], dtype=np.int64)
+            items = sorted(acc.items())
+            return pa.Table.from_arrays(
+                [pa.array([k for k, _ in items], pa.int32()),
+                 pa.array([a.tobytes() for _, a in items], pa.binary())],
+                names=["ci", "counts"])
+
+        merged = (vals.map_batches(hist, batch_format="pyarrow")
+                  .materialize().repartition(1)
+                  .map_batches(merge, batch_format="pyarrow",
+                               batch_size=None).take_all())
+        by_ci = {int(r["ci"]): np.frombuffer(r["counts"], dtype=np.int64)
+                 for r in merged}
+        for ci, s in enumerate(active):
+            counts = by_ci[ci]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["rank"]))
+            before = int(cum[b - 1]) if b > 0 else 0
+            new_count = int(counts[b])
+            s["chain"].append((s["lo"], s["hi"], b))
+            s["rank"] -= before
+            if new_count == s["count"]:
+                # no narrowing (all candidates share one bin — heavy
+                # ties): freeze and collect this bin as-is
+                s["frozen"] = True
+                continue
+            s["count"] = new_count
+            w = (s["hi"] - s["lo"]) / n_bins
+            s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
+
+    open_states = [s for s in states if s["value"] is None]
+    if not open_states:
+        return
+    spec = [dict(s) for s in open_states]
+
+    def collect(t: pa.Table) -> pa.Table:
+        vvs = values_and_masks(t, spec)
+        ci_out = [np.full(len(vv), ci, dtype=np.int32)
+                  for ci, vv in enumerate(vvs)]
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(ci_out) if ci_out else [], pa.int32()),
+             pa.array(np.concatenate(vvs) if vvs else [], pa.float64())],
+            names=["ci", "v"])
+
+    cand = pa.Table.from_pylist(
+        vals.map_batches(collect, batch_format="pyarrow").take_all())
+    ci_arr = np.asarray(cand.column("ci").combine_chunks())
+    v_arr = np.asarray(cand.column("v").combine_chunks())
+    for ci, s in enumerate(open_states):
+        mine = np.sort(v_arr[ci_arr == ci], kind="stable")
+        s["value"] = float(mine[s["rank"] - 1])
 
 
 def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 8192,
                     collect_cap: int = 2_000_000, max_depth: int = 4):
     """EXACT discrete quantiles of a column at 100 TB — no sort, no
     shuffle: iterative histogram refinement (the classic distributed
-    selection algorithm). Returns {q: value}; value is an actual element
-    (DuckDB ``quantile_disc`` semantics: 1-indexed rank ``ceil(q*n)`` in
-    ascending order).
+    selection algorithm; core shared with :func:`grouped_quantiles`).
+    Returns {q: value}; value is an actual element (DuckDB
+    ``quantile_disc`` semantics: 1-indexed rank ``ceil(q*n)`` ascending).
 
-    Passes over the (single-column, pruned) stream:
-      1. min/max/count partials — one tiny row per batch.
-      2..d. per active quantile, an ``n_bins`` histogram of the candidate
-         range; merged by elementwise SUM (shuffle-free ``repartition(1)``
-         final, the HLL-register pattern). The bin holding the target rank
-         narrows the range by ``n_bins``x per pass — two passes resolve
-         ~1e12 rows below ``collect_cap``.
-      d+1. collect the surviving candidates (<= ``collect_cap`` per
-         quantile, the documented driver bound) and pick the rank exactly.
-
-    The driver holds only per-batch stat rows, merged histograms and the
-    final candidate sets — never O(corpus) state. Ties/duplicates that
-    keep one bin above ``collect_cap`` stop narrowing early and fall back
-    to collecting that bin (cap is a soft bound for pathological
-    single-value skew; a bin of IDENTICAL values short-circuits without
-    collection)."""
+    Passes over the (single-column, pruned) stream: (1) min/max/count
+    partials, one tiny row per batch; (2..d) per active quantile an
+    ``n_bins`` histogram of its candidate range, merged by elementwise
+    SUM — two passes resolve ~1e12 rows below ``collect_cap``; (d+1) one
+    tagged collect of the surviving candidates (<= collect_cap per
+    quantile, the documented driver bound) picks the rank exactly. Heavy
+    ties freeze a state early (its bin cannot narrow) and fall through to
+    the collect."""
     vals = ds.select_columns([col])
 
     def stats(t: pa.Table) -> pa.Table:
-        a = t.column(col).combine_chunks().drop_null()
-        v = np.asarray(a.cast(pa.float64()))
+        v = _finite_values(t, col)
         if len(v) == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.float64()), pa.array([], pa.float64()),
@@ -267,109 +400,11 @@ def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 8192,
     if lo0 == hi0:  # constant column: every quantile IS that value
         return {q: lo0 for q in qs}
 
-    # state per quantile: chain of (lo, hi, bin) levels + rank inside it
-    state = []
-    for q in qs:
-        rank = max(1, int(np.ceil(np.float64(q) * n_total)))
-        state.append({"q": q, "chain": [], "lo": lo0, "hi": hi0,
-                      "rank": rank, "count": n_total, "value": None})
-
-    def members(v: np.ndarray, chain) -> np.ndarray:
-        m = np.ones(len(v), dtype=bool)
-        for lo, hi, b in chain:
-            m &= _bin_of(v, lo, hi, n_bins) == b
-        return m
-
-    for _ in range(max_depth):
-        active = [s for s in state if s["value"] is None
-                  and not s.get("frozen")
-                  and s["count"] > collect_cap and s["lo"] < s["hi"]]
-        if not active:
-            break
-        chains = [list(s["chain"]) for s in active]
-        bounds = [(s["lo"], s["hi"]) for s in active]
-
-        def hist(t: pa.Table) -> pa.Table:
-            a = t.column(col).combine_chunks().drop_null()
-            v = np.asarray(a.cast(pa.float64()))
-            rows = []
-            for ci, ((lo, hi), ch) in enumerate(zip(bounds, chains)):
-                vv = v[members(v, ch)] if ch else v
-                counts = np.zeros(n_bins, dtype=np.int64)
-                if len(vv):
-                    idx = _bin_of(vv, lo, hi, n_bins)
-                    ok = (idx >= 0) & (idx < n_bins)
-                    np.add.at(counts, idx[ok], 1)
-                rows.append((ci, counts.tobytes()))
-            return pa.Table.from_arrays(
-                [pa.array([r[0] for r in rows], pa.int32()),
-                 pa.array([r[1] for r in rows], pa.binary())],
-                names=["ci", "counts"])
-
-        def merge(t: pa.Table) -> pa.Table:
-            ci = np.asarray(t.column("ci").combine_chunks())
-            raw = t.column("counts").to_pylist()
-            out = {}
-            for i, c in enumerate(ci):
-                arr = np.frombuffer(raw[i], dtype=np.int64)
-                out[int(c)] = out.get(int(c), 0) + arr
-            items = sorted(out.items())
-            return pa.Table.from_arrays(
-                [pa.array([k for k, _ in items], pa.int32()),
-                 pa.array([a.tobytes() for _, a in items], pa.binary())],
-                names=["ci", "counts"])
-
-        merged = pa.Table.from_pylist(
-            vals.map_batches(hist, batch_format="pyarrow")
-            .materialize().repartition(1)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None)
-            .take_all())
-        by_ci = {int(r["ci"]): np.frombuffer(r["counts"], dtype=np.int64)
-                 for r in merged.to_pylist()}
-        for ci, s in enumerate(active):
-            counts = by_ci[ci]
-            cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, s["rank"]))
-            before = int(cum[b - 1]) if b > 0 else 0
-            new_count = int(counts[b])
-            if new_count == s["count"]:
-                # no narrowing (all candidates in one bin — heavy ties):
-                # freeze this quantile and collect its bin as-is
-                s["chain"].append((s["lo"], s["hi"], b))
-                s["rank"] -= before
-                s["frozen"] = True
-                continue
-            s["chain"].append((s["lo"], s["hi"], b))
-            s["rank"] -= before
-            s["count"] = new_count
-            w = (s["hi"] - s["lo"]) / n_bins
-            s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
-
-    # final collect: candidates of every unresolved quantile, tagged
-    open_states = [s for s in state if s["value"] is None]
-    chains = [list(s["chain"]) for s in open_states]
-
-    def collect(t: pa.Table) -> pa.Table:
-        a = t.column(col).combine_chunks().drop_null()
-        v = np.asarray(a.cast(pa.float64()))
-        ci_out, v_out = [], []
-        for ci, ch in enumerate(chains):
-            vv = v[members(v, ch)] if ch else v
-            ci_out.append(np.full(len(vv), ci, dtype=np.int32))
-            v_out.append(vv)
-        return pa.Table.from_arrays(
-            [pa.array(np.concatenate(ci_out) if ci_out else [], pa.int32()),
-             pa.array(np.concatenate(v_out) if v_out else [], pa.float64())],
-            names=["ci", "v"])
-
-    cand = pa.Table.from_pylist(
-        vals.map_batches(collect, batch_format="pyarrow").take_all())
-    ci_arr = np.asarray(cand.column("ci").combine_chunks())
-    v_arr = np.asarray(cand.column("v").combine_chunks())
-    for ci, s in enumerate(open_states):
-        mine = np.sort(v_arr[ci_arr == ci], kind="stable")
-        s["value"] = float(mine[s["rank"] - 1])
-    return {s["q"]: s["value"] for s in state}
+    states = [{"g": None, "q": q, "chain": [], "lo": lo0, "hi": hi0,
+               "rank": max(1, int(np.ceil(np.float64(q) * n_total))),
+               "count": n_total, "value": None} for q in qs]
+    _refine_quantiles(vals, col, states, n_bins, collect_cap, max_depth)
+    return {s["q"]: s["value"] for s in states}
 
 
 # ------------------------------------------------------ count-min sketch ---
@@ -436,9 +471,10 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
                       max_depth: int = 4) -> pa.Table:
     """Per-group EXACT discrete quantiles (quantile_disc semantics) for a
     SMALL group keyspace (class labels, event types, languages) — the
-    grouped form of :func:`exact_quantiles`, same histogram-refinement
-    passes with one candidate range per (group, q). Returns a driver-side
-    ``pa.Table`` (by, q, value) — #groups x #qs rows.
+    grouped form of :func:`exact_quantiles`: same shared refinement core
+    (:func:`_refine_quantiles`) with one candidate-range state per
+    (group, q). Returns a driver-side ``pa.Table`` (by, q, value) —
+    #groups x #qs rows.
 
     The per-pass state is #groups x #qs x n_bins int64 counts — for open
     group keyspaces use a bucketed shuffle per group instead (the
@@ -466,119 +502,23 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
         mn, mx, n = agg.get(k, (np.inf, -np.inf, 0))
         agg[k] = (min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"])
 
-    # one refinement state per (group, q) — reuses the scalar machinery
-    state = []
+    states = []
     for gk in sorted(agg):
         mn, mx, n = agg[gk]
         for q in qs:
-            rank = max(1, int(np.ceil(np.float64(q) * n)))
-            state.append({"g": gk, "q": q, "chain": [], "lo": mn, "hi": mx,
-                          "rank": rank, "count": n,
-                          "value": mn if mn == mx else None})
-
-    def members(v: np.ndarray, chain) -> np.ndarray:
-        m = np.ones(len(v), dtype=bool)
-        for lo, hi, b in chain:
-            m &= _bin_of(v, lo, hi, n_bins) == b
-        return m
-
-    for _ in range(max_depth):
-        active = [s for s in state if s["value"] is None
-                  and not s.get("frozen")
-                  and s["count"] > collect_cap and s["lo"] < s["hi"]]
-        if not active:
-            break
-        spec = [(s["g"], s["lo"], s["hi"], list(s["chain"])) for s in active]
-
-        def hist(t: pa.Table) -> pa.Table:
-            gcol = t.column(by).combine_chunks()
-            v = np.asarray(t.column(col).combine_chunks().cast(pa.float64()))
-            nn = ~np.isnan(v) if v.dtype == np.float64 else np.ones(len(v), bool)
-            out_ci, out_counts = [], []
-            for ci, (gk, lo, hi, ch) in enumerate(spec):
-                gm = np.asarray(pc.equal(gcol, gk).fill_null(False)) & nn
-                vv = v[gm]
-                if ch:
-                    vv = vv[members(vv, ch)]
-                counts = np.zeros(n_bins, dtype=np.int64)
-                if len(vv):
-                    idx = _bin_of(vv, lo, hi, n_bins)
-                    ok = (idx >= 0) & (idx < n_bins)
-                    np.add.at(counts, idx[ok], 1)
-                out_ci.append(ci)
-                out_counts.append(counts.tobytes())
-            return pa.Table.from_arrays(
-                [pa.array(out_ci, pa.int32()),
-                 pa.array(out_counts, pa.binary())], names=["ci", "counts"])
-
-        def merge(t: pa.Table) -> pa.Table:
-            ci = np.asarray(t.column("ci").combine_chunks())
-            raw = t.column("counts").to_pylist()
-            out: dict = {}
-            for i, c in enumerate(ci):
-                out[int(c)] = out.get(int(c), 0) + np.frombuffer(
-                    raw[i], dtype=np.int64)
-            items = sorted(out.items())
-            return pa.Table.from_arrays(
-                [pa.array([k for k, _ in items], pa.int32()),
-                 pa.array([a.tobytes() for _, a in items], pa.binary())],
-                names=["ci", "counts"])
-
-        merged = (vals.map_batches(hist, batch_format="pyarrow")
-                  .materialize().repartition(1)
-                  .map_batches(merge, batch_format="pyarrow",
-                               batch_size=None).take_all())
-        by_ci = {int(r["ci"]): np.frombuffer(r["counts"], dtype=np.int64)
-                 for r in merged}
-        for ci, s in enumerate(active):
-            counts = by_ci[ci]
-            cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, s["rank"]))
-            before = int(cum[b - 1]) if b > 0 else 0
-            new_count = int(counts[b])
-            s["chain"].append((s["lo"], s["hi"], b))
-            s["rank"] -= before
-            if new_count == s["count"]:
-                s["frozen"] = True
-                continue
-            s["count"] = new_count
-            w = (s["hi"] - s["lo"]) / n_bins
-            s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
-
-    open_states = [s for s in state if s["value"] is None]
-    spec = [(s["g"], list(s["chain"])) for s in open_states]
-
-    def collect(t: pa.Table) -> pa.Table:
-        gcol = t.column(by).combine_chunks()
-        v = np.asarray(t.column(col).combine_chunks().cast(pa.float64()))
-        ci_out, v_out = [], []
-        for ci, (gk, ch) in enumerate(spec):
-            gm = np.asarray(pc.equal(gcol, gk).fill_null(False))
-            vv = v[gm]
-            if ch:
-                vv = vv[members(vv, ch)]
-            ci_out.append(np.full(len(vv), ci, dtype=np.int32))
-            v_out.append(vv)
-        return pa.Table.from_arrays(
-            [pa.array(np.concatenate(ci_out) if ci_out else [], pa.int32()),
-             pa.array(np.concatenate(v_out) if v_out else [], pa.float64())],
-            names=["ci", "v"])
-
-    if open_states:
-        cand = pa.Table.from_pylist(
-            vals.map_batches(collect, batch_format="pyarrow").take_all())
-        ci_arr = np.asarray(cand.column("ci").combine_chunks())
-        v_arr = np.asarray(cand.column("v").combine_chunks())
-        for ci, s in enumerate(open_states):
-            mine = np.sort(v_arr[ci_arr == ci], kind="stable")
-            s["value"] = float(mine[s["rank"] - 1])
+            states.append({"g": gk, "q": q, "chain": [], "lo": mn, "hi": mx,
+                           "rank": max(1, int(np.ceil(np.float64(q) * n))),
+                           "count": n,
+                           "value": mn if mn == mx else None})
+    _refine_quantiles(vals, col, states, n_bins, collect_cap, max_depth,
+                      group_col=by)
 
     by_type = pa.Table.from_pylist(rows).schema.field(by).type if rows \
         else pa.string()
     return pa.Table.from_arrays(
-        [pa.array([s["g"] for s in state], by_type),
-         pa.array([s["q"] for s in state], pa.float64()),
-         pa.array([s["value"] for s in state], pa.float64())],
+        [pa.array([s["g"] for s in states], by_type),
+         pa.array([s["q"] for s in states], pa.float64()),
+         pa.array([s["value"] for s in states], pa.float64())],
         names=[by, "q", "value"])
 
 
@@ -656,6 +596,9 @@ def bloom_filter_rows(ds, col: str, bloom: bytes, n_bits: int | None = None,
         w, m = _bloom_bits(_value_hashes(a), n_bits, k)
         hit = (bits[w] & m) != 0
         ok = hit.reshape(k, len(t)).all(axis=0)
+        # a null key is NOT a member (the build side drop_null'd)
+        if a.null_count:
+            ok &= np.asarray(pc.is_valid(a))
         return t.filter(pa.array(ok))
 
     return ds.map_batches(probe, batch_format="pyarrow",

@@ -258,9 +258,12 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
         n_docs = docs.count()
     n = float(n_docs)
 
+    # materialize(): tf feeds BOTH the df count and the final scoring
+    # pass — without the checkpoint the tokenize+group lineage (the
+    # dominant cost) re-executes from the source for each consumer
     tf = docs.map_batches(
         lambda t: _tf_partial(t, id_col, text_col),
-        batch_format="pyarrow", batch_size=batch_size)
+        batch_format="pyarrow", batch_size=batch_size).materialize()
     df = grouped_agg(tf.select_columns(["term"]), ["term"],
                      [("term", "count", "df")], final="bucketed")
     df = df.filter(expr=f"df >= {int(min_df)}")

@@ -819,8 +819,11 @@ def orders_bloom_semi(sf_dir: str):
     from easyner_ray.ops.relational import semi_join_filter
     from easyner_ray.ops.sketch import bloom_build, bloom_filter_rows
 
+    # materialize(): the filtered custkey stream feeds BOTH the bloom
+    # build and the exact key-set — one scan, not two
     cust = (_rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
-            .filter(expr="c_acctbal < 0").select_columns(["c_custkey"]))
+            .filter(expr="c_acctbal < 0").select_columns(["c_custkey"])
+            .materialize())
     bloom = bloom_build(cust, "c_custkey", n_bits=1 << 20)
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     pre = bloom_filter_rows(orders, "o_custkey", bloom)

@@ -413,3 +413,58 @@ def test_kmeans_partition_invariant_assignments(ray_session):
     assert np.array_equal(
         a1.to_pandas().sort_values("vec_id")["cluster"].to_numpy(),
         a2.to_pandas().sort_values("vec_id")["cluster"].to_numpy())
+
+
+# ------------------------------------------------------- null handling ---
+
+
+def test_null_keys_across_ops(ray_session):
+    """Nulls must not poison vectorized hashing/bucketing: an Arrow int64
+    array WITH nulls converts to float64/NaN in numpy, so every op either
+    fills-then-masks or drops nulls BEFORE the conversion."""
+    from easyner_ray.ops.asof import interval_join
+    from easyner_ray.ops.relational import hash_sample, topk_per_group
+    from easyner_ray.ops.sketch import bloom_build, bloom_filter_rows
+
+    # hash_sample: null keys excluded, non-null rows unaffected
+    keys = list(range(1000)) + [None] * 50
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    got = hash_sample(_ds(t, 3), "k", 0.2).to_pandas()["k"]
+    assert not got.isna().any()
+    h = (np.arange(1000).astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    want = np.arange(1000)[h < np.uint64(int(0.2 * (1 << 32)))]
+    assert np.array_equal(np.sort(got.to_numpy()), want)
+
+    # bloom probe: null is a non-member; true members all survive
+    members = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    bloom = bloom_build(_ds(members), "k", n_bits=1 << 12)
+    probes = pa.table({"k": pa.array([1, 2, 3, None, 99], pa.int64())})
+    kept = bloom_filter_rows(_ds(probes), "k", bloom).to_pandas()["k"]
+    assert not kept.isna().any()
+    assert {1, 2, 3} <= set(kept.dropna().astype(int).tolist())
+
+    # topk: NULL group keys form ONE partition (SQL semantics)
+    t = pa.table({
+        "g": pa.array(["a", "a", None, None, None], pa.string()),
+        "v": pa.array([5.0, 1.0, 9.0, 8.0, 7.0]),
+        "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    out = topk_per_group(_ds(t), ["g"], "v", 2, tie_cols=["id"]).to_pandas()
+    nulls = out[out.g.isna()]
+    assert len(nulls) == 2 and sorted(nulls["v"].tolist()) == [8.0, 9.0]
+    assert sorted(nulls["rn"].tolist()) == [1, 2]
+
+    # interval_join: NULL ts matches nothing, other rows unaffected
+    left = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([100, None], pa.int64()).cast(pa.timestamp("us")),
+    })
+    iv = pa.table({
+        "iid": pa.array([7], pa.int64()),
+        "t_start": pa.array([50], pa.int64()).cast(pa.timestamp("us")),
+        "t_end": pa.array([150], pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = interval_join(_ds(left), iv, ts="ts", left_cols=["id"],
+                        interval_cols=["iid"]).to_pandas()
+    assert out["id"].tolist() == [0]
