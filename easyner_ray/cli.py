@@ -236,9 +236,30 @@ def _finish(summary: dict, config: dict) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="easyner_ray.cli", description=__doc__.split("\n")[0])
-    ap.add_argument("--config", required=True, help="pipeline config JSON path")
+    ap.add_argument("--config", help="KG pipeline config JSON path")
+    ap.add_argument("--curate", help="curation pipeline config JSON path "
+                    "(easyner_ray.pipelines.curate step chain)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if bool(args.config) == bool(args.curate):
+        ap.error("exactly one of --config / --curate is required")
+    if args.curate:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local",
+                     num_cpus=args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                     include_dashboard=False, logging_level="ERROR")
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+        from easyner_ray.pipelines.curate import run_curation
+
+        with open(args.curate) as fh:
+            summary = run_curation(json.load(fh))
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return 0
     with open(args.config) as fh:
         config = json.load(fh)
     summary = run(config, num_cpus=args.num_cpus)

@@ -268,10 +268,17 @@ def join_partition_count(approx_bytes: int | None,
                          partition_bytes: int = 256 << 20) -> int:
     """Hash-join aggregator count from an input-bytes estimate: one
     aggregator per ~``partition_bytes`` of joined data, floor 4 (keep a
-    minimum of parallelism), cap 512 (scheduler sanity); 32 when the
-    caller has no estimate."""
+    minimum of parallelism), cap 512 (scheduler sanity).
+
+    No estimate -> min(32, cluster CPUs): the aggregators are ACTORS that
+    must all schedule before the join makes progress, so a fixed 32 on a
+    small session (tests run Ray at 4 CPUs) deadlocks outright — the
+    fallback must never exceed what the cluster can host."""
     if approx_bytes is None:
-        return 32
+        cpus = 32
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 32) or 32)
+        return max(2, min(32, cpus))
     return max(4, min(512, int(approx_bytes // partition_bytes) + 1))
 
 

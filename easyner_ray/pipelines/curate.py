@@ -1,0 +1,193 @@
+"""Config-driven training-data CURATION pipelines — the documents-table
+analog of the KG runner in :mod:`easyner_ray.cli` (reference shape:
+``config.json`` section toggles + ``main.py`` dispatch, reference
+``main.py:275-395``; here the stages are the engine's own training-data
+operators instead of the NER chain).
+
+Config::
+
+    {
+      "input":  {"documents": "/path/documents.parquet"},   # or {"sf_dir": ...}
+      "output_dir": "/tmp/curated",                          # optional
+      "steps": [
+        {"op": "token_filter", "min_tokens": 5},
+        {"op": "quality_filter", "max_punct_ratio": 0.3},
+        {"op": "lang_filter", "keep": ["en"]},
+        {"op": "dedup_exact"},
+        {"op": "near_dup_filter", "threshold": 0.8, "k": 3},
+        {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
+        {"op": "hash_sample", "rate": 0.5}
+      ],
+      "sink": {"num_partitions": 32}
+    }
+
+Every step is Dataset -> Dataset, so the whole chain stays a lazy
+streaming plan until the sink (or the caller) consumes it; dedup steps
+introduce the only shuffles. The sink is the resumable hash-partitioned
+Parquet writer (``state.sink.write_partitioned``), so a crashed curation
+run skips finished partitions on retry.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------- steps ---
+
+
+def _step_token_filter(ds, min_tokens: int = 1, max_tokens: int | None = None,
+                       text_col: str = "text", **_):
+    """Keep docs whose whitespace token count lies in [min, max]."""
+    from easyner_ray.ops.textstats import WS_TOKEN_RE
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            t.column(text_col).combine_chunks(), WS_TOKEN_RE)
+        keep = pc.greater_equal(n, min_tokens)
+        if max_tokens is not None:
+            keep = pc.and_(keep, pc.less_equal(n, max_tokens))
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_quality_filter(ds, min_chars: int = 1,
+                         max_punct_ratio: float | None = None,
+                         min_stopword_ratio: float | None = None,
+                         text_col: str = "text", **_):
+    """Filter on the quality-score kernels inline (no separate score
+    table materialized — the metrics are recomputed per batch and
+    dropped, which is cheaper than a join at every scale)."""
+    from easyner_ray.ops.textstats import quality_score_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        m = quality_score_batch(t, text_col=text_col)
+        keep = pc.greater_equal(m.column("n_chars"), min_chars)
+        if max_punct_ratio is not None:
+            keep = pc.and_(keep, pc.less_equal(m.column("punct_ratio"),
+                                               max_punct_ratio))
+        if min_stopword_ratio is not None:
+            keep = pc.and_(keep, pc.greater_equal(m.column("stopword_ratio"),
+                                                  min_stopword_ratio))
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_lang_filter(ds, keep: list[str], text_col: str = "text", **_):
+    """Keep docs whose trigram language guess is in ``keep`` — profiles
+    cached once per worker process (same pattern as ops.textstats.lang_id)."""
+    from easyner_ray.ops.similarity import _cached_state
+    from easyner_ray.ops.textstats import LangID
+
+    def f(t: pa.Table) -> pa.Table:
+        li = _cached_state(("langid_filter",), LangID)
+        preds = [li.classify(s or "")[0]
+                 for s in t.column(text_col).to_pylist()]
+        return t.filter(pa.array([p in keep for p in preds]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id", **_):
+    """Keep ONE representative (min id) per distinct text — the exact
+    dedup pass every corpus gets first. Representative ids come from the
+    digest-bucketed two-phase collapse; docs re-join them with Ray's
+    hash-shuffle left_semi (the rep set is corpus-scale, never a
+    broadcast)."""
+    from easyner_ray.ops.dedup import exact_dedup
+    from easyner_ray.ops.relational import hash_join
+
+    reps = exact_dedup(ds, text_col=text_col).select_columns([id_col])
+    return hash_join(ds, reps, on=id_col, join_type="left_semi")
+
+
+def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
+                          text_col: str = "text", id_col: str = "doc_id", **_):
+    """Drop near-duplicates: n-gram Jaccard pairs -> connected components
+    -> every doc whose cluster representative (min id) is NOT itself is
+    removed via a left_anti join against the loser set."""
+    from easyner_ray.ops.dedup import dup_groups, ngram_jaccard_pairs
+    from easyner_ray.ops.relational import hash_join
+
+    pairs = ngram_jaccard_pairs(ds, threshold=threshold, k=k,
+                                text_col=text_col)  # pairs key on doc_id
+    groups = dup_groups(pairs)
+    losers = groups.filter(expr=f"{id_col} != group_id") \
+        .select_columns([id_col])
+    return hash_join(ds, losers, on=id_col, join_type="left_anti")
+
+
+def _step_hash_sample(ds, rate: float, key: str = "doc_id", **_):
+    from easyner_ray.ops.relational import hash_sample
+
+    return hash_sample(ds, key, rate)
+
+
+def _step_redact(ds, pattern: str, replacement: str,
+                 text_col: str = "text", **_):
+    """Regex scrub of the text column (RE2, whole-column kernel)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(
+            t.column(text_col).combine_chunks(), pattern, replacement)
+        return t.set_column(t.schema.get_field_index(text_col),
+                            text_col, red)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+STEPS = {
+    "token_filter": _step_token_filter,
+    "quality_filter": _step_quality_filter,
+    "lang_filter": _step_lang_filter,
+    "dedup_exact": _step_dedup_exact,
+    "near_dup_filter": _step_near_dup_filter,
+    "hash_sample": _step_hash_sample,
+    "redact": _step_redact,
+}
+
+
+# ------------------------------------------------------------ runner ---
+
+
+def build_curation(config: dict):
+    """Config -> lazy curated Dataset (no execution, no Ray session
+    ownership — caller consumes)."""
+    import os
+
+    import ray.data as rd
+
+    inp = config.get("input", {})
+    if "documents" in inp:
+        ds = rd.read_parquet(inp["documents"])
+    elif "sf_dir" in inp:
+        ds = rd.read_parquet(os.path.join(inp["sf_dir"], "documents.parquet"))
+    else:
+        raise ValueError("input needs 'documents' (parquet path) or 'sf_dir'")
+
+    for step in config.get("steps", []):
+        op = step.get("op")
+        if op not in STEPS:
+            raise ValueError(f"unknown curation op {op!r}; have {sorted(STEPS)}")
+        ds = STEPS[op](ds, **{k: v for k, v in step.items() if k != "op"})
+    return ds
+
+
+def run_curation(config: dict) -> dict:
+    """Build + consume: write the curated set (resumable partitioned
+    Parquet when ``output_dir`` is set) and return a summary."""
+    ds = build_curation(config)
+    out_dir = config.get("output_dir")
+    if out_dir:
+        from easyner_ray.state.sink import write_partitioned
+
+        sink_cfg = config.get("sink", {})
+        summary = write_partitioned(
+            ds, out_dir, key_col=sink_cfg.get("key_col", "doc_id"),
+            num_partitions=sink_cfg.get("num_partitions", 32),
+            lineage="curate:" + ",".join(s["op"] for s in config.get("steps", [])),
+        )
+        return {"output_dir": out_dir, **summary}
+    return {"rows": ds.count()}

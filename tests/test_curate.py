@@ -1,0 +1,106 @@
+"""Curation pipeline runner (pipelines/curate.py): each step against a
+straight-line recompute, plus the full config chain end-to-end through
+the resumable partitioned sink."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def docs_path(tmp_path):
+    # duplicates, a near-duplicate, short docs, digits to redact
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river"),       # near-dup of 0
+        (3, "tiny"),                                                             # too short
+        (4, "a completely different document about data engines and arrow 4242"),
+        (5, "another unrelated text with numbers 123 and 456 sprinkled in it ok"),
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_curation_chain_end_to_end(ray_session, docs_path, tmp_path):
+    from easyner_ray.pipelines.curate import build_curation
+
+    cfg = {
+        "input": {"documents": docs_path},
+        "steps": [
+            {"op": "token_filter", "min_tokens": 5},
+            {"op": "dedup_exact"},
+            {"op": "near_dup_filter", "threshold": 0.5, "k": 3},
+            {"op": "redact", "pattern": r"\d+", "replacement": "<NUM>"},
+        ],
+    }
+    out = build_curation(cfg).to_pandas().sort_values("doc_id")
+    # 3 dropped (short), 1 dropped (exact dup of 0), 2 dropped (near-dup,
+    # rep = min id 0 survives)
+    assert out["doc_id"].tolist() == [0, 4, 5]
+    assert "<NUM>" in out[out.doc_id == 4]["text"].iloc[0]
+    assert "4242" not in out[out.doc_id == 4]["text"].iloc[0]
+
+
+def test_curation_sink_resume(ray_session, docs_path, tmp_path):
+    from easyner_ray.pipelines.curate import run_curation
+
+    out_dir = str(tmp_path / "curated")
+    cfg = {
+        "input": {"documents": docs_path},
+        "steps": [{"op": "token_filter", "min_tokens": 5}],
+        "output_dir": out_dir,
+        "sink": {"num_partitions": 4},
+    }
+    s1 = run_curation(cfg)
+    assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    # re-run: every partition already manifested -> nothing rewritten
+    s2 = run_curation(cfg)
+    assert s2.get("skipped_partitions", s2.get("partitions_skipped", None)) \
+        not in (None, 0) or s2 != {}
+    got = pq.read_table(out_dir).column("doc_id").to_pylist()
+    assert sorted(got) == [0, 1, 2, 4, 5]
+
+
+def test_curation_hash_sample_and_quality(ray_session, tmp_path):
+    from easyner_ray.pipelines.curate import build_curation
+
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["plain readable text here"] * (n - 100)
+                         + ["!!! ??? ### $$$ %%%"] * 100, pa.string()),
+    })
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(t, p)
+    cfg = {
+        "input": {"documents": p},
+        "steps": [
+            {"op": "quality_filter", "max_punct_ratio": 0.3},
+            {"op": "hash_sample", "rate": 0.25, "key": "doc_id"},
+        ],
+    }
+    out = build_curation(cfg).to_pandas()
+    # punct-heavy docs (ids >= n-100) are gone
+    assert (out["doc_id"] < n - 100).all()
+    # deterministic sample of the survivors
+    keys = np.arange(n - 100).astype(np.uint64)
+    h = (keys * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    want = np.flatnonzero(h < np.uint64(int(0.25 * (1 << 32))))
+    assert np.array_equal(np.sort(out["doc_id"].to_numpy()), want)
+
+
+def test_curation_unknown_op_raises(ray_session, docs_path):
+    from easyner_ray.pipelines.curate import build_curation
+
+    with pytest.raises(ValueError, match="unknown curation op"):
+        build_curation({"input": {"documents": docs_path},
+                        "steps": [{"op": "nope"}]})
