@@ -19,6 +19,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -621,10 +622,20 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, vec_col: str = "embedding",
     """
     import ray
 
-    # deterministic init: k lowest-id vectors (one tiny sorted take)
-    seed = (embeddings.select_columns([id_col, vec_col])
-            .sort(id_col).limit(k).take_all())
-    cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seed])
+    # deterministic init: k lowest-id vectors — per-batch partial cut
+    # (each batch keeps its k smallest ids), tiny driver merge; a
+    # Dataset.sort here would be a full all-to-all shuffle to pick k rows
+    def seed_partial(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(idx[:k])
+
+    seed_rows = sorted(
+        (embeddings.select_columns([id_col, vec_col])
+         .map_batches(seed_partial, batch_format="pyarrow").take_all()),
+        key=lambda r: r[id_col])[:k]
+    cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in seed_rows])
 
     for _ in range(iters):
         ref = ray.put(cents)
