@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": q.embedding_label_centroids,  # grouped vector mean
         "events_props_extract": q.events_props_extract,  # field extract + redaction
         "latest_event_per_user": q.latest_event_per_user,  # LWW by recency (top-1)
+        "top_users_by_value_per_type": q.top_users_by_value_per_type,  # agg -> rank composition
     }
 
 

@@ -499,3 +499,12 @@ RELATIONAL["latest_event_per_user"] = """
                                 ORDER BY ts DESC, event_id) AS rn
       FROM events) WHERE rn = 1
 """
+
+RELATIONAL["top_users_by_value_per_type"] = """
+    SELECT event_type, user_id, total_value, rn FROM (
+      SELECT event_type, user_id,
+             round(sum(value), 4) AS total_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(sum(value), 4) DESC, user_id) AS rn
+      FROM events GROUP BY event_type, user_id) WHERE rn <= 3
+"""

@@ -870,3 +870,23 @@ def latest_event_per_user(sf_dir: str):
     ev = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     return topk_per_group(ev, ["user_id"], "ts", 1,
                           tie_cols=["event_id"])
+
+
+def top_users_by_value_per_type(sf_dir: str):
+    """Aggregate-then-rank composition: total value per (event_type,
+    user), then each type's top 3 users — the grouped_agg partial stream
+    feeds topk_per_group directly, so the only exchanges are the
+    aggregate's bucketed final and the top-k's k-rows-per-group final."""
+    from easyner_ray.ops.relational import grouped_agg, topk_per_group
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    per_user = grouped_agg(ev, ["event_type", "user_id"],
+                           [("value", "sum", "total_value")])
+
+    def round4(t: pa.Table) -> pa.Table:
+        return _round4(t, ["total_value"])
+
+    ranked = topk_per_group(per_user.map_batches(round4, batch_format="pyarrow"),
+                            ["event_type"], "total_value", 3,
+                            tie_cols=["user_id"])
+    return ranked
