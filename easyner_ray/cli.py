@@ -34,15 +34,22 @@ import sys
 import time
 
 
-def run(config: dict, num_cpus: int | None = None) -> dict:
+def _init_ray(num_cpus: int | None = None) -> None:
+    """Session bootstrap shared by both CLI modes (the CLI is one of the
+    few places allowed to own a Ray session)."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+        ray.init(address="local",
+                 num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
                  include_dashboard=False, logging_level="ERROR")
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+
+
+def run(config: dict, num_cpus: int | None = None) -> dict:
+    _init_ray(num_cpus)
 
     from easyner_ray.pipelines.kg import drop_empty_turns, read_transcripts
     from easyner_ray.sources import vocab as _vocab
@@ -246,13 +253,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.curate:
         import ray
 
-        if not ray.is_initialized():
-            ray.init(address="local",
-                     num_cpus=args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
-                     include_dashboard=False, logging_level="ERROR")
-            from ray.data import DataContext
-
-            DataContext.get_current().enable_progress_bars = False
+        _init_ray(args.num_cpus)
         from easyner_ray.pipelines.curate import run_curation
 
         with open(args.curate) as fh:

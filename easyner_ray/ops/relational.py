@@ -305,6 +305,20 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     neither given, falls back to 32."""
     if num_partitions is None:
         num_partitions = join_partition_count(approx_bytes, partition_bytes)
+    if join_type in ("left_semi", "left_anti"):
+        # Ray's hash join raises ArrowInvalid when the right side is
+        # EMPTY — and an empty right is the normal case for these types
+        # (no duplicates found, nothing to subtract). The right side of a
+        # semi/anti is a keys-only stream the join consumes fully anyway,
+        # so materializing it to count costs nothing extra.
+        import ray.data as rd
+
+        right = right.materialize()
+        if right.count() == 0:
+            if join_type == "left_anti":
+                return left
+            base = left.schema().base_schema
+            return rd.from_arrow(base.empty_table())
     return left.join(
         right,
         join_type=join_type,

@@ -630,9 +630,16 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, vec_col: str = "embedding",
         idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
         return t.take(idx[:k])
 
+    # two-level cut: per-batch k smallest, then ONE reduce task collapses
+    # the k-per-batch stream before the driver sees it — take_all here is
+    # k rows, not k x #batches (which carries full vectors and would be
+    # O(#batches) driver state at corpus scale)
     seed_rows = sorted(
         (embeddings.select_columns([id_col, vec_col])
-         .map_batches(seed_partial, batch_format="pyarrow").take_all()),
+         .map_batches(seed_partial, batch_format="pyarrow")
+         .materialize().repartition(1)
+         .map_batches(seed_partial, batch_format="pyarrow",
+                      batch_size=None).take_all()),
         key=lambda r: r[id_col])[:k]
     cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
                        for r in seed_rows])

@@ -143,13 +143,27 @@ def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
                 + [pa.array([], pa.binary())],
                 names=list(keys) + ["__regs"],
             )
+        vcol = t.column(value_col).combine_chunks()
+        if vcol.null_count:  # SQL count(DISTINCT) ignores null values
+            t = t.filter(pc.is_valid(vcol))
+            if len(t) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], t.schema.field(k).type) for k in keys]
+                    + [pa.array([], pa.binary())],
+                    names=list(keys) + ["__regs"])
         hashes = _value_hashes(t.column(value_col))
         if len(keys) == 1:
             gk = t.column(keys[0]).combine_chunks().cast(pa.string())
         else:
             gk = pc.binary_join_element_wise(
                 *[t.column(k).combine_chunks().cast(pa.string()) for k in keys],
-                "\x00")
+                "\x00", null_handling="replace",
+                null_replacement="\x00__null__")
+        if gk.null_count:
+            # NULL group keys form ONE group (SQL GROUP BY); the original
+            # (null) key value still rides key_rows below — the sentinel
+            # only keys the dictionary (null indices go float64 in numpy)
+            gk = gk.fill_null("\x00__null__")
         enc = pc.dictionary_encode(gk)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
@@ -185,7 +199,13 @@ def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
         else:
             gk = pc.binary_join_element_wise(
                 *[t.column(k).combine_chunks().cast(pa.string()) for k in keys],
-                "\x00")
+                "\x00", null_handling="replace",
+                null_replacement="\x00__null__")
+        if gk.null_count:
+            # NULL group keys form ONE group (SQL GROUP BY); the original
+            # (null) key value still rides key_rows below — the sentinel
+            # only keys the dictionary (null indices go float64 in numpy)
+            gk = gk.fill_null("\x00__null__")
         enc = pc.dictionary_encode(gk)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
@@ -260,19 +280,33 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
     sets — never O(corpus) state."""
 
     def values_and_masks(t: pa.Table, needed: list[dict]):
-        """(v, per-state candidate arrays) for one batch — nulls/NaNs out,
-        group mask + chain membership applied with the clamped formula."""
+        """(per-state candidate value arrays) for one batch — nulls/NaNs
+        out, group mask + chain membership applied with the clamped
+        formula. The group column is hoisted once per batch and each
+        distinct group's equality mask computed once, shared across that
+        group's quantile states; a ``None`` group value selects the NULL
+        group (SQL PARTITION BY keeps one)."""
         a = t.column(col).combine_chunks()
-        valid = np.asarray(pc.and_kleene(
+        valid = (np.asarray(pc.and_kleene(
             pc.is_valid(a), pc.invert(pc.is_nan(
-                a.cast(pa.float64())))).fill_null(False))             if a.null_count or pa.types.is_floating(a.type) else None
-        v_all = np.asarray(a.fill_null(0).cast(pa.float64()))             if a.null_count else np.asarray(a.cast(pa.float64()))
+                a.cast(pa.float64())))).fill_null(False))
+            if a.null_count or pa.types.is_floating(a.type) else None)
+        v_all = (np.asarray(a.fill_null(0).cast(pa.float64()))
+                 if a.null_count else np.asarray(a.cast(pa.float64())))
+        gcol = (t.column(group_col).combine_chunks()
+                if group_col is not None else None)
+        gmasks: dict = {}
         out = []
         for s in needed:
             m = valid.copy() if valid is not None else np.ones(len(v_all), bool)
-            if group_col is not None:
-                gcol = t.column(group_col).combine_chunks()
-                m &= np.asarray(pc.equal(gcol, s["g"]).fill_null(False))
+            if gcol is not None:
+                gv = s["g"]
+                gm = gmasks.get(gv)
+                if gm is None:
+                    gm = (np.asarray(pc.is_null(gcol)) if gv is None else
+                          np.asarray(pc.equal(gcol, gv).fill_null(False)))
+                    gmasks[gv] = gm
+                m &= gm
             vv = v_all[m]
             for lo, hi, b in s["chain"]:
                 vv = vv[_bin_of(vv, lo, hi, n_bins) == b]
@@ -484,9 +518,16 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
     vals = ds.select_columns([by, col])
 
     def stats(t: pa.Table) -> pa.Table:
+        a = t.column(col).combine_chunks()
+        # keep rows whose VALUE is finite — the refinement core excludes
+        # null/NaN values, so n must count the same set or ranks overrun.
+        # A NULL group KEY stays: Arrow group_by gives it its own group,
+        # matching SQL GROUP BY
+        keep = pc.and_kleene(
+            pc.is_valid(a),
+            pc.invert(pc.is_nan(a.cast(pa.float64())))).fill_null(False)
         tt = pa.Table.from_arrays(
-            [t.column(by), t.column(col)], names=[by, col]
-        ).drop_null()
+            [t.column(by), t.column(col)], names=[by, col]).filter(keep)
         g = tt.group_by([by]).aggregate(
             [(col, "min"), (col, "max"), (col, "count")])
         return pa.Table.from_arrays(
@@ -503,7 +544,7 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
         agg[k] = (min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"])
 
     states = []
-    for gk in sorted(agg):
+    for gk in sorted(agg, key=lambda x: (x is None, x)):  # NULL group last
         mn, mx, n = agg[gk]
         for q in qs:
             states.append({"g": gk, "q": q, "chain": [], "lo": mn, "hi": mx,

@@ -90,7 +90,7 @@ def _step_lang_filter(ds, keep: list[str], text_col: str = "text", **_):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _step_dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id", **_):
+def _step_dedup_exact(ds, text_col: str = "text", **_):
     """Keep ONE representative (min id) per distinct text — the exact
     dedup pass every corpus gets first. Representative ids come from the
     digest-bucketed two-phase collapse; docs re-join them with Ray's
@@ -99,12 +99,13 @@ def _step_dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id", **_):
     from easyner_ray.ops.dedup import exact_dedup
     from easyner_ray.ops.relational import hash_join
 
-    reps = exact_dedup(ds, text_col=text_col).select_columns([id_col])
-    return hash_join(ds, reps, on=id_col, join_type="left_semi")
+    # the dedup ops key on the documents schema's doc_id column
+    reps = exact_dedup(ds, text_col=text_col).select_columns(["doc_id"])
+    return hash_join(ds, reps, on="doc_id", join_type="left_semi")
 
 
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
-                          text_col: str = "text", id_col: str = "doc_id", **_):
+                          text_col: str = "text", **_):
     """Drop near-duplicates: n-gram Jaccard pairs -> connected components
     -> every doc whose cluster representative (min id) is NOT itself is
     removed via a left_anti join against the loser set."""
@@ -114,9 +115,9 @@ def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
     pairs = ngram_jaccard_pairs(ds, threshold=threshold, k=k,
                                 text_col=text_col)  # pairs key on doc_id
     groups = dup_groups(pairs)
-    losers = groups.filter(expr=f"{id_col} != group_id") \
-        .select_columns([id_col])
-    return hash_join(ds, losers, on=id_col, join_type="left_anti")
+    losers = groups.filter(expr="doc_id != group_id") \
+        .select_columns(["doc_id"])
+    return hash_join(ds, losers, on="doc_id", join_type="left_anti")
 
 
 def _step_hash_sample(ds, rate: float, key: str = "doc_id", **_):

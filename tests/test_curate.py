@@ -62,10 +62,11 @@ def test_curation_sink_resume(ray_session, docs_path, tmp_path):
     }
     s1 = run_curation(cfg)
     assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    assert s1["new_partitions"]  # first run writes fresh partitions
     # re-run: every partition already manifested -> nothing rewritten
     s2 = run_curation(cfg)
-    assert s2.get("skipped_partitions", s2.get("partitions_skipped", None)) \
-        not in (None, 0) or s2 != {}
+    assert s2["new_partitions"] == []
+    assert sorted(s2["resumed_partitions"]) == sorted(s1["new_partitions"])
     got = pq.read_table(out_dir).column("doc_id").to_pylist()
     assert sorted(got) == [0, 1, 2, 4, 5]
 

@@ -468,3 +468,64 @@ def test_null_keys_across_ops(ray_session):
     out = interval_join(_ds(left), iv, ts="ts", left_cols=["id"],
                         interval_cols=["iid"]).to_pandas()
     assert out["id"].tolist() == [0]
+
+
+def test_semi_anti_join_empty_right_side(ray_session):
+    """Ray's hash join raises on an EMPTY right side — the normal case
+    for dedup filters (no duplicates found). hash_join shortcuts it."""
+    from easyner_ray.ops.relational import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "x": pa.array(["a", "b", "c"], pa.string())})
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    anti = hash_join(_ds(left), _ds(empty), on="k", join_type="left_anti")
+    assert sorted(anti.to_pandas()["k"].tolist()) == [1, 2, 3]
+    semi = hash_join(_ds(left), _ds(empty), on="k", join_type="left_semi")
+    assert semi.count() == 0 and semi.schema().names == ["k", "x"]
+
+
+def test_curation_dedup_steps_with_no_duplicates(ray_session):
+    """A corpus with nothing to dedup must pass through unchanged."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                          "one two three four five six seven",
+                          "red orange yellow green blue indigo"], pa.string()),
+    })
+    out = STEPS["near_dup_filter"](
+        STEPS["dedup_exact"](rd.from_arrow(t)), threshold=0.5)
+    assert sorted(out.to_pandas()["doc_id"].tolist()) == [0, 1, 2]
+
+
+def test_grouped_quantiles_nan_and_null_group(ray_session):
+    from easyner_ray.ops.sketch import grouped_quantiles
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "a", None, None], pa.string()),
+        "v": pa.array([1.0, 2.0, float("nan"), float("nan"), 5.0, 6.0]),
+    })
+    out = grouped_quantiles(_ds(t, 2), "v", [1.0], by="g")
+    got = {r["g"]: r["value"] for r in out.to_pylist()}
+    # NaNs excluded from BOTH the count and the candidates (no rank overrun)
+    assert got["a"] == 2.0
+    # NULL group key is its own group (SQL GROUP BY), not dropped
+    assert got[None] == 6.0
+
+
+def test_approx_distinct_ignores_null_values_and_keeps_null_group(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.sketch import approx_distinct
+
+    t = pa.table({
+        "g": pa.array(["x"] * 4 + [None] * 2, pa.string()),
+        "u": pa.array([1, 2, None, None, 7, None], pa.int64()),
+    })
+    out = approx_distinct(rd.from_arrow(t), ["g"], "u", p=12)
+    got = {r["g"]: r["approx_distinct"] for r in out.take_all()}
+    assert got["x"] == 2          # nulls not counted as a value
+    assert got[None] == 1         # NULL group key kept as its own group
