@@ -196,3 +196,82 @@ def test_dup_groups_union_find_reachability(ray_session, pairs_raw):
     out = dup_groups(ds).to_pandas()
     got = dict(zip(out.doc_id, out.group_id))
     assert got == expected
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=400),
+       st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99, 1.0]))
+@settings(max_examples=120, deadline=None)
+def test_bin_of_chain_is_total_and_consistent(vals, q):
+    """The clamped bin formula used by the quantile refinement: every
+    in-range value lands in exactly one bin, and the value at rank
+    ceil(q*n) is always a member of the bin the cumulative counts select
+    — the self-consistency that makes the refinement exact."""
+    import numpy as np
+
+    from easyner_ray.ops.sketch import _bin_of
+
+    v = np.asarray(vals, dtype=np.float64)
+    lo, hi = float(v.min()), float(v.max())
+    if lo == hi:
+        return
+    n_bins = 16
+    idx = _bin_of(v, lo, hi, n_bins)
+    assert ((idx >= 0) & (idx < n_bins)).all()     # total
+    counts = np.bincount(idx, minlength=n_bins)
+    assert counts.sum() == len(v)                  # every value counted once
+    rank = max(1, int(np.ceil(np.float64(q) * len(v))))
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, rank))
+    target = np.sort(v, kind="stable")[rank - 1]
+    assert _bin_of(np.array([target]), lo, hi, n_bins)[0] == b
+
+
+@given(st.lists(st.tuples(st.sampled_from("abcd"),
+                          st.integers(min_value=0, max_value=50)),
+                min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=100, deadline=None)
+def test_topk_kernel_matches_sorted_head(rows, k):
+    """_topk_kernel == sort + per-group head, ranks dense from 1."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from easyner_ray.ops.relational import _topk_kernel
+
+    t = pa.table({"g": pa.array([g for g, _ in rows], pa.string()),
+                  "v": pa.array([float(v) for _, v in rows], pa.float64()),
+                  "id": pa.array(list(range(len(rows))), pa.int64())})
+    out = _topk_kernel(t, ["g"], "v", k, True, ["id"], "rn").to_pandas()
+    df = t.to_pandas().sort_values(["g", "v", "id"],
+                                   ascending=[True, False, True])
+    df["rn"] = df.groupby("g").cumcount() + 1
+    want = df[df["rn"] <= k].reset_index(drop=True)
+    got = out.sort_values(["g", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "id", "rn"]],
+                                  want[["g", "v", "id", "rn"]])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                min_size=1, max_size=300),
+       st.sampled_from([0.0, 0.1, 0.5, 1.0]))
+@settings(max_examples=100, deadline=None)
+def test_hash_sample_formula_stability(keys, rate):
+    """The sample predicate is a pure function of the key: subsets sample
+    identically, rate 0 keeps nothing, rate 1 keeps everything."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    h = (k * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    thr = np.uint64(int(rate * (1 << 32)))
+    kept = set(np.asarray(keys)[h < thr].tolist())
+    if rate == 0.0:
+        assert kept == set()
+    if rate == 1.0:
+        assert kept == set(keys)
+    # stability: membership of a key never depends on the other keys
+    for sub in (keys[: len(keys) // 2], keys[::2]):
+        ks = np.asarray(sub, dtype=np.int64).astype(np.uint64)
+        hs = (ks * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        assert set(np.asarray(sub)[hs < thr].tolist()) == kept & set(sub)
