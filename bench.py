@@ -115,6 +115,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_tfidf": q.docs_tfidf,
         "orders_bloom_semi": q.orders_bloom_semi,
         "events_in_promo_windows": q.events_in_promo_windows,
+        "events_quantiles_by_type": q.events_quantiles_by_type,
+        "cms_user_counts": q.cms_user_counts,
+        "top_users_by_value_per_type": q.top_users_by_value_per_type,
+        "embedding_label_centroids": q.embedding_label_centroids,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
