@@ -302,3 +302,62 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
     return tf.map_batches(score, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ----------------------------------------------------------- chunking ---
+
+
+def chunk_documents(docs, *, size: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    batch_size: int = 4096):
+    """Split every document into fixed-size character windows with
+    ``overlap`` (the context-window prep step of an LLM training
+    pipeline) -> rows (id, chunk_idx, chunk). Chunk i covers
+    ``[i*step, i*step + size)`` with ``step = size - overlap``; the last
+    chunk may be short; empty docs emit no chunks. Map-only — chunking
+    never shuffles.
+
+    Vectorized shape: rows explode via a repeat-range parent index; the
+    slice kernel (``utf8_slice_codeunits``) takes scalar offsets, so
+    slicing loops over DISTINCT chunk indices (bounded by the longest
+    doc / step, dozens) with one whole-column kernel call each — never
+    over rows."""
+    assert 0 <= overlap < size
+    step = size - overlap
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        ids = t.column(id_col).combine_chunks()
+        nchars = np.asarray(pc.utf8_length(text).fill_null(0).cast(pa.int64()))
+        # ceil((n - overlap) / step), 0 for empty docs
+        nch = np.maximum(0, -(-(nchars - overlap) // step))
+        nch[(nchars > 0) & (nch == 0)] = 1
+        parent = np.repeat(np.arange(len(t), dtype=np.int64), nch)
+        # chunk_idx within each doc: position minus its doc's first slot
+        starts_of = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(nch, out=starts_of[1:])
+        cidx = np.arange(len(parent), dtype=np.int64) - starts_of[:-1][parent]
+        out_ids = ids.take(pa.array(parent))
+        # slice grouped by chunk index (scalar offsets per group), then
+        # restore the original exploded row order with one take
+        parts = []
+        order = np.argsort(cidx, kind="stable")
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order), dtype=np.int64)
+        sorted_parent = parent[order]
+        sorted_cidx = cidx[order]
+        for i in np.unique(sorted_cidx) if len(sorted_cidx) else []:
+            m = sorted_cidx == i
+            parts.append(pc.utf8_slice_codeunits(
+                text.take(pa.array(sorted_parent[m])),
+                int(i) * step, int(i) * step + size))
+        assembled = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts]) if parts else pa.array([], pa.string())
+        chunk_arr = assembled.take(pa.array(inv))
+        return pa.Table.from_arrays(
+            [out_ids, pa.array(cidx, pa.int64()), chunk_arr],
+            names=[id_col, "chunk_idx", "chunk"])
+
+    return docs.map_batches(f, batch_format="pyarrow",
+                            batch_size=batch_size)

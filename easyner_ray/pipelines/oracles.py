@@ -508,3 +508,16 @@ RELATIONAL["top_users_by_value_per_type"] = """
                                 ORDER BY round(sum(value), 4) DESC, user_id) AS rn
       FROM events GROUP BY event_type, user_id) WHERE rn <= 3
 """
+
+RELATIONAL["docs_chunks"] = """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    e AS (SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(greatest(ceil((n - 20) / 100.0), 1) AS BIGINT) - 1))
+               AS chunk_idx
+          FROM d)
+    SELECT doc_id, chunk_idx,
+           substr(text, 1 + CAST(chunk_idx AS INTEGER) * 100, 120) AS chunk
+    FROM e
+"""

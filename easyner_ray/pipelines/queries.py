@@ -890,3 +890,14 @@ def top_users_by_value_per_type(sf_dir: str):
                             ["event_type"], "total_value", 3,
                             tie_cols=["user_id"])
     return ranked
+
+
+def docs_chunks(sf_dir: str):
+    """Context-window chunking: every document split into 120-char
+    windows advancing 100 chars (20 overlap) — map-only explode, slices
+    grouped by chunk index so the string kernel runs once per index,
+    never per row."""
+    from easyner_ray.ops.textstats import chunk_documents
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(d, size=120, overlap=20)

@@ -529,3 +529,24 @@ def test_approx_distinct_ignores_null_values_and_keeps_null_group(ray_session):
     got = {r["g"]: r["approx_distinct"] for r in out.take_all()}
     assert got["x"] == 2          # nulls not counted as a value
     assert got[None] == 1         # NULL group key kept as its own group
+
+
+def test_chunk_documents_matches_python_slicing(ray_session):
+    from easyner_ray.ops.textstats import chunk_documents
+
+    texts = ["a" * 250, "b" * 100, "c" * 5, "", "d" * 101, "e" * 20]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    size, overlap, step = 100, 20, 80
+    out = chunk_documents(_ds(t, 3), size=size, overlap=overlap).to_pandas()
+    got = {(r.doc_id, r.chunk_idx): r.chunk for r in out.itertuples()}
+    want = {}
+    for d, s in enumerate(texts):
+        if not s:
+            continue  # empty docs emit nothing
+        n = max(1, -(-(len(s) - overlap) // step))
+        for i in range(n):
+            want[(d, i)] = s[i * step: i * step + size]
+    assert got == want
+    # overlap property: consecutive chunks share `overlap` chars
+    assert got[(0, 0)][-overlap:] == got[(0, 1)][:overlap]
