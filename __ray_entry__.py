@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q.latest_event_per_user,  # LWW by recency (top-1)
         "top_users_by_value_per_type": q.top_users_by_value_per_type,  # agg -> rank composition
         "docs_chunks": q.docs_chunks,  # context-window chunking
+        "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
     }
 
 

@@ -521,3 +521,17 @@ RELATIONAL["docs_chunks"] = """
            substr(text, 1 + CAST(chunk_idx AS INTEGER) * 100, 120) AS chunk
     FROM e
 """
+
+# the full curation chain, step for step; 2147483648 = int(0.5 * 2^32)
+RELATIONAL["docs_curated"] = """
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(regexp_extract_all(text, '[^\\s]+')) >= 5
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+    ), dedup AS (
+      SELECT k.doc_id, k.text FROM kept k JOIN reps USING (doc_id)
+    )
+    SELECT doc_id, text FROM dedup
+    WHERE (doc_id * 2654435761) % 4294967296 < 2147483648
+"""

@@ -901,3 +901,23 @@ def docs_chunks(sf_dir: str):
 
     d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     return chunk_documents(d, size=120, overlap=20)
+
+
+def docs_curated(sf_dir: str):
+    """The curation CHAIN as one oracle-checked pipeline: token filter ->
+    exact dedup (keep min-id representative) -> deterministic 50% hash
+    sample, end to end through pipelines.curate — the oracle recomputes
+    every step in SQL, so the whole composed plan is driver-verified,
+    not just its operators."""
+    import os
+
+    from easyner_ray.pipelines.curate import build_curation
+
+    return build_curation({
+        "input": {"documents": os.path.join(sf_dir, "documents.parquet")},
+        "steps": [
+            {"op": "token_filter", "min_tokens": 5},
+            {"op": "dedup_exact"},
+            {"op": "hash_sample", "rate": 0.5, "key": "doc_id"},
+        ],
+    }).select_columns(["doc_id", "text"])
