@@ -89,6 +89,12 @@ def asof_join(
                                                  for c in r_payload]
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL ts matches nothing under ASOF semantics (and merge_asof
+        # raises on null merge keys): an unmatched-left / ignored-right
+        # row, not a hard error — same contract as interval_join's
+        # null-ts drop
+        if df[ts].isna().any():
+            df = df[df[ts].notna()]
         l = df[df["__side"] == 0][[key, ts] + ["__l_" + c for c in l_payload]]
         l.columns = [key, ts] + l_payload
         r = df[df["__side"] == 1][[key, ts] + ["__r_" + c for c in r_payload]]

@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import heapq
+import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -76,10 +77,18 @@ def _cached_state(key, build):
     return v
 
 
+_TASK_FN_SEQ = itertools.count()
+
+
 def _task_fn(tag: str, refs: tuple, build):
     """A map_batches TASK closure whose stateful callable hydrates once per
-    worker process (keyed by the broadcast refs' hex ids)."""
-    key = (tag,) + tuple(r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs)
+    worker process (keyed by the broadcast refs' hex ids). Non-ObjectRef
+    state gets a driver-side monotonic sequence id instead — ``id()``
+    values are reused after GC, so two successive plain objects could
+    otherwise collide on one worker and serve stale cached state."""
+    key = (tag,) + tuple(
+        r.hex() if hasattr(r, "hex") else f"seq{next(_TASK_FN_SEQ)}"
+        for r in refs)
 
     def fn(batch):
         return _cached_state(key, build)(batch)
@@ -146,12 +155,50 @@ def _merge_topk(partials: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _cut_topk_partials(t: pa.Table, k: int) -> pa.Table:
+    """Vectorized per-batch cut of a partial-top-k stream back down to k
+    rows per query. Tie-break identical to :func:`_merge_topk`
+    ((-score, vec_id)), so cut(union of per-block top-k) == global top-k
+    candidates exactly (top-k is a semilattice merge)."""
+    if len(t) == 0:
+        return t
+    q = np.asarray(t.column("query_id").combine_chunks())
+    s = np.asarray(t.column("score").combine_chunks())
+    v = np.asarray(t.column("vec_id").combine_chunks())
+    order = np.lexsort((v, -s, q))  # q asc, then score desc, vec_id asc
+    qs = q[order]
+    grp_start = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    runs = np.diff(np.r_[grp_start, len(qs)])
+    pos_in_grp = np.arange(len(qs)) - np.repeat(grp_start, runs)
+    return t.take(pa.array(order[pos_in_grp < k]))
+
+
+def _tree_merge_topk(partials, k: int):
+    """Tree-coalesce the per-block partial-top-k stream into the global
+    top-k WITHOUT a driver concat: a vectorized k-cut over ~1M-row
+    coalescing batches, then one bounded final task. Peak memory at any
+    process is O(Q x k x batches_per_cut_task) — independent of the
+    block count (a 100 TB read is 1e5-1e6 blocks; concatenating every
+    block's partials on the driver scales with that, this doesn't).
+    materialize() = fusion barrier: keeps the upstream matmul's
+    batch_size intact (the measured round-2 fusion pitfall)."""
+    import ray.data as rd  # noqa: F401  (parity with callers)
+
+    coalesced = (partials.materialize()
+                 .map_batches(lambda t: _cut_topk_partials(t, k),
+                              batch_format="pyarrow", batch_size=1 << 20)
+                 .repartition(1))
+    return coalesced.map_batches(lambda t: _merge_topk(t, k),
+                                 batch_format="pyarrow", batch_size=None)
+
+
 def knn_brute(embeddings, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
               batch_size: int = 4096, concurrency=(1, 8)):
     """-> (query_id, rank, vec_id, score): exact cosine top-k per query row.
 
-    The partial-top-k stream is tiny (Q x k x n_batches rows), so the final
-    merge is a driver-side reduce over a small Arrow table, not a shuffle.
+    The partial-top-k stream is Q x k x n_blocks rows — small per block
+    but proportional to block count, so the final merge is a coalescing
+    tree (:func:`_tree_merge_topk`), never a driver concat.
     """
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = embeddings.map_batches(
@@ -160,12 +207,7 @@ def knn_brute(embeddings, queries: np.ndarray, k: int = 10, vec_col: str = "embe
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    import ray.data as rd
-
-    refs = partials.to_arrow_refs()
-    tables = [ray.get(r) for r in refs]
-    merged = _merge_topk(pa.concat_tables(tables), k)
-    return rd.from_arrow(merged)
+    return _tree_merge_topk(partials, k)
 
 
 def train_centroids(embeddings, n_centroids: int = 16, sample_size: int = 4096,
@@ -277,12 +319,7 @@ def knn_ivf(embeddings, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    import ray.data as rd
-
-    merged = _merge_topk(
-        pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()]), k
-    )
-    return rd.from_arrow(merged)
+    return _tree_merge_topk(partials, k)
 
 
 def lsh_plane_params(threshold: float, n: int, target_recall: float = 0.9,
@@ -543,10 +580,7 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
                  lambda: _IVFBatchTopK(q_ref, probe_ref, k, vec_col)),
         batch_format="pyarrow", batch_size=batch_size,
     )
-    merged = _merge_topk(
-        pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()]), k
-    )
-    return rd.from_arrow(merged)
+    return _tree_merge_topk(partials, k)
 
 
 def label_centroids(embeddings, label_col: str = "label",

@@ -127,7 +127,9 @@ def _value_hashes(col: pa.ChunkedArray) -> np.ndarray:
 def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
                     out_name: str = "approx_distinct"):
     """-> Dataset (keys..., approx_distinct:int64): HLL distinct count of
-    ``value_col`` per key group.
+    ``value_col`` per key group. Null VALUES are ignored (SQL
+    COUNT(DISTINCT)) but the group survives: an all-null group reports 0,
+    it does not vanish.
 
     Partial: one 2^p-byte register row per key per batch (vectorized
     ``np.maximum.at``). Final: shuffle-free elementwise-max merge on one
@@ -143,15 +145,15 @@ def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
                 + [pa.array([], pa.binary())],
                 names=list(keys) + ["__regs"],
             )
+        # SQL count(DISTINCT) ignores null VALUES but keeps the group:
+        # groups are keyed over the FULL batch and only valid rows feed
+        # the registers, so an all-null group emits a zero-register row
+        # (estimate 0) instead of vanishing
         vcol = t.column(value_col).combine_chunks()
-        if vcol.null_count:  # SQL count(DISTINCT) ignores null values
-            t = t.filter(pc.is_valid(vcol))
-            if len(t) == 0:
-                return pa.Table.from_arrays(
-                    [pa.array([], t.schema.field(k).type) for k in keys]
-                    + [pa.array([], pa.binary())],
-                    names=list(keys) + ["__regs"])
-        hashes = _value_hashes(t.column(value_col))
+        valid = (np.asarray(pc.is_valid(vcol)) if vcol.null_count
+                 else None)
+        hashes = _value_hashes(vcol.drop_null() if vcol.null_count
+                               else vcol)
         if len(keys) == 1:
             gk = t.column(keys[0]).combine_chunks().cast(pa.string())
         else:
@@ -170,8 +172,10 @@ def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
         gidx = np.asarray(enc.indices)
         n_groups = len(enc.dictionary)
         regs = np.zeros((n_groups, m), dtype=np.uint8)
-        idx, rho = _rho(hashes, p)
-        np.maximum.at(regs, (gidx, idx), rho)
+        if len(hashes):
+            idx, rho = _rho(hashes, p)
+            g_valid = gidx[valid] if valid is not None else gidx
+            np.maximum.at(regs, (g_valid, idx), rho)
         # one row per group: original key values from the first row of
         # each group (reversed assignment: last write = first row)
         first = np.empty(n_groups, dtype=np.int64)
@@ -235,6 +239,12 @@ def approx_distinct(ds, keys: list[str], value_col: str, p: int = 12,
 # ----------------------------------------------------------- quantiles ---
 
 
+# final-collect row count of the most recent _refine_quantiles run —
+# diagnostic only (tests assert the heavy-tie path never collects at
+# corpus scale); single-threaded driver state
+_LAST_COLLECTED = 0
+
+
 def _bin_of(v: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
     """The ONE bin-assignment formula shared by every histogram pass and
     every membership re-check — self-consistency of this float expression
@@ -247,7 +257,10 @@ def _bin_of(v: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
     counted set == collected set exactly. (Values far outside [lo, hi]
     never reach this: level 0 spans the true min/max and level k+1 only
     sees level-k members, which sit within a ulp of their bin.) NaNs must
-    be filtered by the caller BEFORE this (floor(NaN) -> undefined int)."""
+    be filtered by the caller BEFORE this (floor(NaN) -> undefined int).
+    HARD PRECONDITION: ``hi > lo`` and both finite — the formula divides
+    by (hi - lo); callers uphold it (the active-state filter requires
+    lo < hi, constant sets resolve before ever binning)."""
     idx = np.floor((v - lo) * (float(n_bins) / (hi - lo))).astype(np.int64)
     return np.clip(idx, 0, n_bins - 1)
 
@@ -275,9 +288,17 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
     SUM — the shuffle-free repartition(1) HLL pattern. The bin holding
     the target rank narrows the range n_bins-fold; states whose candidate
     count drops under ``collect_cap`` (and any left over at max_depth)
-    are resolved exactly from one final tagged collect. The driver holds
-    per-batch stat rows, merged histograms and the bounded candidate
-    sets — never O(corpus) state."""
+    are resolved exactly from one final tagged collect. Heavy ties never
+    freeze: each pass also carries the candidate set's exact min/max, so
+    a constant set resolves instantly (any rank IS that value) and a
+    one-bin set resets its range to the exact span, which must split next
+    pass — no corpus-scale collect regardless of tie skew. The driver
+    holds per-batch stat rows, merged histograms and the bounded
+    candidate sets — never O(corpus) state. Returns {"collected": n},
+    the final-collect row count (a testable driver-memory bound), also
+    mirrored to module-level ``_LAST_COLLECTED`` for callers that only
+    see the public quantile functions."""
+    global _LAST_COLLECTED
 
     def values_and_masks(t: pa.Table, needed: list[dict]):
         """(per-state candidate value arrays) for one batch — nulls/NaNs
@@ -315,7 +336,6 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
 
     for _ in range(max_depth):
         active = [s for s in states if s["value"] is None
-                  and not s.get("frozen")
                   and s["count"] > collect_cap and s["lo"] < s["hi"]]
         if not active:
             break
@@ -323,7 +343,7 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
 
         def hist(t: pa.Table) -> pa.Table:
             vvs = values_and_masks(t, spec)
-            ci_out, counts_out = [], []
+            ci_out, counts_out, mn_out, mx_out = [], [], [], []
             for ci, (s, vv) in enumerate(zip(spec, vvs)):
                 counts = np.zeros(n_bins, dtype=np.int64)
                 if len(vv):
@@ -331,31 +351,54 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
                               _bin_of(vv, s["lo"], s["hi"], n_bins), 1)
                 ci_out.append(ci)
                 counts_out.append(counts.tobytes())
+                # candidate-set span rides along: the heavy-tie resolver
+                # below needs the EXACT min/max of the set, not the
+                # lo/hi estimate inherited from the parent bin
+                mn_out.append(float(vv.min()) if len(vv) else np.inf)
+                mx_out.append(float(vv.max()) if len(vv) else -np.inf)
             return pa.Table.from_arrays(
                 [pa.array(ci_out, pa.int32()),
-                 pa.array(counts_out, pa.binary())], names=["ci", "counts"])
+                 pa.array(counts_out, pa.binary()),
+                 pa.array(mn_out, pa.float64()),
+                 pa.array(mx_out, pa.float64())],
+                names=["ci", "counts", "mn", "mx"])
 
         def merge(t: pa.Table) -> pa.Table:
             ci = np.asarray(t.column("ci").combine_chunks())
             raw = t.column("counts").to_pylist()
+            mn = np.asarray(t.column("mn").combine_chunks())
+            mx = np.asarray(t.column("mx").combine_chunks())
             acc: dict = {}
             for i, c in enumerate(ci):
-                acc[int(c)] = acc.get(int(c), 0) + np.frombuffer(
-                    raw[i], dtype=np.int64)
+                prev = acc.get(int(c))
+                cur = (np.frombuffer(raw[i], dtype=np.int64),
+                       float(mn[i]), float(mx[i]))
+                acc[int(c)] = cur if prev is None else (
+                    prev[0] + cur[0], min(prev[1], cur[1]),
+                    max(prev[2], cur[2]))
             items = sorted(acc.items())
             return pa.Table.from_arrays(
                 [pa.array([k for k, _ in items], pa.int32()),
-                 pa.array([a.tobytes() for _, a in items], pa.binary())],
-                names=["ci", "counts"])
+                 pa.array([a[0].tobytes() for _, a in items], pa.binary()),
+                 pa.array([a[1] for _, a in items], pa.float64()),
+                 pa.array([a[2] for _, a in items], pa.float64())],
+                names=["ci", "counts", "mn", "mx"])
 
         merged = (vals.map_batches(hist, batch_format="pyarrow")
                   .materialize().repartition(1)
                   .map_batches(merge, batch_format="pyarrow",
                                batch_size=None).take_all())
-        by_ci = {int(r["ci"]): np.frombuffer(r["counts"], dtype=np.int64)
+        by_ci = {int(r["ci"]): (np.frombuffer(r["counts"], dtype=np.int64),
+                                r["mn"], r["mx"])
                  for r in merged}
         for ci, s in enumerate(active):
-            counts = by_ci[ci]
+            counts, mn, mx = by_ci[ci]
+            if mn == mx:
+                # the whole candidate set is ONE value — any rank picks
+                # it; resolves corpus-scale constant/heavy-tie columns
+                # with no collect at all
+                s["value"] = float(mn)
+                continue
             cum = np.cumsum(counts)
             b = int(np.searchsorted(cum, s["rank"]))
             before = int(cum[b - 1]) if b > 0 else 0
@@ -363,17 +406,23 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
             s["chain"].append((s["lo"], s["hi"], b))
             s["rank"] -= before
             if new_count == s["count"]:
-                # no narrowing (all candidates share one bin — heavy
-                # ties): freeze and collect this bin as-is
-                s["frozen"] = True
+                # no narrowing (all candidates share one bin): reset the
+                # range to the set's EXACT span — both endpoints are
+                # present, so the next histogram puts them in different
+                # bins and MUST split (strict progress, no freeze/collect)
+                s["lo"], s["hi"] = float(mn), float(mx)
                 continue
             s["count"] = new_count
             w = (s["hi"] - s["lo"]) / n_bins
             s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
 
-    open_states = [s for s in states if s["value"] is None]
+    # count==0 states (all-null groups) stay value=None — SQL quantile
+    # over the empty set — and never reach the collect
+    open_states = [s for s in states if s["value"] is None
+                   and s["count"] > 0]
     if not open_states:
-        return
+        _LAST_COLLECTED = 0
+        return {"collected": 0}
     spec = [dict(s) for s in open_states]
 
     def collect(t: pa.Table) -> pa.Table:
@@ -392,6 +441,8 @@ def _refine_quantiles(vals, col: str, states: list[dict], n_bins: int,
     for ci, s in enumerate(open_states):
         mine = np.sort(v_arr[ci_arr == ci], kind="stable")
         s["value"] = float(mine[s["rank"] - 1])
+    _LAST_COLLECTED = len(cand)
+    return {"collected": len(cand)}
 
 
 def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 8192,
@@ -408,8 +459,8 @@ def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 8192,
     SUM — two passes resolve ~1e12 rows below ``collect_cap``; (d+1) one
     tagged collect of the surviving candidates (<= collect_cap per
     quantile, the documented driver bound) picks the rank exactly. Heavy
-    ties freeze a state early (its bin cannot narrow) and fall through to
-    the collect."""
+    ties short-circuit: a constant candidate set resolves in-pass from
+    its min==max, never via collect."""
     vals = ds.select_columns([col])
 
     def stats(t: pa.Table) -> pa.Table:
@@ -508,7 +559,8 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
     grouped form of :func:`exact_quantiles`: same shared refinement core
     (:func:`_refine_quantiles`) with one candidate-range state per
     (group, q). Returns a driver-side ``pa.Table`` (by, q, value) —
-    #groups x #qs rows.
+    #groups x #qs rows. A group whose values are all null/NaN keeps its
+    rows with value=NULL (SQL semantics), it does not vanish.
 
     The per-pass state is #groups x #qs x n_bins int64 counts — for open
     group keyspaces use a bucketed shuffle per group instead (the
@@ -518,21 +570,22 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
     vals = ds.select_columns([by, col])
 
     def stats(t: pa.Table) -> pa.Table:
-        a = t.column(col).combine_chunks()
-        # keep rows whose VALUE is finite — the refinement core excludes
-        # null/NaN values, so n must count the same set or ranks overrun.
-        # A NULL group KEY stays: Arrow group_by gives it its own group,
-        # matching SQL GROUP BY
-        keep = pc.and_kleene(
-            pc.is_valid(a),
-            pc.invert(pc.is_nan(a.cast(pa.float64())))).fill_null(False)
-        tt = pa.Table.from_arrays(
-            [t.column(by), t.column(col)], names=[by, col]).filter(keep)
+        # NaN values become null so min/max/count (null-skipping) exclude
+        # exactly the set the refinement core excludes — but the group
+        # KEY row survives, so a group whose values are ALL null/NaN
+        # still reports (n=0) instead of vanishing (SQL GROUP BY keeps
+        # the group; quantile over the empty set is NULL). A NULL group
+        # KEY also stays: Arrow group_by gives it its own group
+        a = t.column(col).combine_chunks().cast(pa.float64())
+        nan = pc.is_nan(a)
+        if len(a) and (pc.any(nan).as_py() or False):
+            a = pc.if_else(nan, pa.scalar(None, pa.float64()), a)
+        tt = pa.Table.from_arrays([t.column(by), a], names=[by, col])
         g = tt.group_by([by]).aggregate(
             [(col, "min"), (col, "max"), (col, "count")])
         return pa.Table.from_arrays(
-            [g.column(by), g.column(f"{col}_min").cast(pa.float64()),
-             g.column(f"{col}_max").cast(pa.float64()),
+            [g.column(by), g.column(f"{col}_min"),
+             g.column(f"{col}_max"),
              g.column(f"{col}_count").cast(pa.int64())],
             names=[by, "mn", "mx", "n"])
 
@@ -541,7 +594,10 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
     for r in rows:
         k = r[by]
         mn, mx, n = agg.get(k, (np.inf, -np.inf, 0))
-        agg[k] = (min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"])
+        if r["n"]:
+            agg[k] = (min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"])
+        else:
+            agg[k] = (mn, mx, n)
 
     states = []
     for gk in sorted(agg, key=lambda x: (x is None, x)):  # NULL group last

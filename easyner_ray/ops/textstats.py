@@ -227,9 +227,49 @@ def _tf_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
         names=[id_col, "term", "tf"])
 
 
+def _tfidf_score(joined: pa.Table, *, id_col: str, n: float,
+                 round_digits: int | None) -> pa.Table:
+    """tfidf = tf * ln(N / df) over an already-joined (tf, df) table.
+    ln() is evaluated once per DISTINCT df via ``math.log`` (libm,
+    matching DuckDB ``ln``), then mapped onto rows through a vectorized
+    dictionary take — bit-stable across engines; shared by BOTH join
+    strategies so they are value-identical by construction."""
+    import math
+
+    if joined.num_columns == 0:
+        # Ray's hash join emits SCHEMA-LESS blocks for empty partitions
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64())],
+            names=[id_col, "term", "tf", "df", "tfidf"])
+    dfv = joined.column("df").combine_chunks()
+    enc = pc.dictionary_encode(dfv)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idf_dict = pa.array([math.log(n / v) for v in
+                         enc.dictionary.to_pylist()], pa.float64())
+    idf = idf_dict.take(enc.indices)
+    score_arr = pc.multiply(
+        joined.column("tf").cast(pa.float64()), idf)
+    if round_digits is not None:
+        # Python round (oracle convention) once per DISTINCT score —
+        # distinct (tf, df) pairs are few — mapped back vectorized
+        senc = pc.dictionary_encode(score_arr)
+        if isinstance(senc, pa.ChunkedArray):
+            senc = senc.combine_chunks()
+        rdict = pa.array([round(v, round_digits)
+                          for v in senc.dictionary.to_pylist()],
+                         pa.float64())
+        score_arr = rdict.take(senc.indices)
+    out = joined.append_column("tfidf", score_arr)
+    return out.select([id_col, "term", "tf", "df", "tfidf"])
+
+
 def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
           n_docs: int | None = None, min_df: int = 2,
-          batch_size: int = 4096, round_digits: int | None = 4):
+          batch_size: int = 4096, round_digits: int | None = 4,
+          broadcast_max_bytes: int = 256 << 20):
     """Per-(document, term) TF-IDF over a corpus — the classic relevance /
     quality feature for training-data curation. tf = term count in the
     doc, df = #docs containing the term, tfidf = tf * ln(N / df).
@@ -237,22 +277,21 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
     Distributed shape: tf rows are exact per batch (a document is one
     row, so its counts never need a cross-batch combine); df is a
     two-phase grouped count over the term keyspace (tf rows are unique
-    per (doc, term), so df = plain row count per term); idf joins back by
-    BROADCAST — the df table is vocabulary-sized, fetched to ONE plasma
-    object, never per batch. For an open-vocabulary 100 TB corpus swap
-    the broadcast for ``relational.hash_join`` on ``term`` — the
-    revenue_by_priority shape. ln() is evaluated once per DISTINCT df via
-    ``math.log`` (libm, matching DuckDB ``ln``), then mapped onto rows
-    through a vectorized dictionary take — bit-stable across engines.
+    per (doc, term), so df = plain row count per term). The idf join-back
+    is ADAPTIVE (the entity_frequency pattern): a natural-language
+    vocabulary (<= ``broadcast_max_bytes`` measured on the materialized
+    df, which lives in the OBJECT STORE, never the driver) broadcasts as
+    ONE plasma object; an open vocabulary (URLs, code, ids — df bigger
+    than the cutoff) switches to ``relational.hash_join`` on ``term``
+    so no single process ever holds the whole df table. Both strategies
+    share one scoring kernel, so results are identical.
 
     ``n_docs``: total document count; pass it from the source's metadata
     count (``ds.count()`` on a parquet read is footer-only). Defaults to
     counting ``docs``."""
-    import math
-
     import ray
 
-    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.ops.relational import grouped_agg, hash_join
 
     if n_docs is None:
         n_docs = docs.count()
@@ -266,7 +305,20 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", batch_size=batch_size).materialize()
     df = grouped_agg(tf.select_columns(["term"]), ["term"],
                      [("term", "count", "df")], final="bucketed")
-    df = df.filter(expr=f"df >= {int(min_df)}")
+    # materialized df = distributed blocks in plasma; size_bytes() is
+    # then a metadata read, the broadcast-vs-shuffle decision input
+    df = df.filter(expr=f"df >= {int(min_df)}").materialize()
+
+    if df.size_bytes() > broadcast_max_bytes:
+        # open vocabulary: all-to-all hash join on term — neither side
+        # is ever assembled whole anywhere
+        joined = hash_join(tf, df, on="term",
+                           approx_bytes=tf.size_bytes() + df.size_bytes())
+        return joined.map_batches(
+            lambda t: _tfidf_score(t, id_col=id_col, n=n,
+                                   round_digits=round_digits),
+            batch_format="pyarrow", batch_size=batch_size)
+
     # vocabulary-sized: one driver-side Arrow table -> one ray.put
     df_tbl = pa.concat_tables(
         [pa.Table.from_pylist(b, schema=pa.schema(
@@ -277,28 +329,8 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
     def score(t: pa.Table) -> pa.Table:
         d = ray.get(ref)
         joined = t.join(d, keys=["term"], join_type="inner")
-        dfv = joined.column("df").combine_chunks()
-        # ln once per distinct df, mapped back via dictionary indices
-        enc = pc.dictionary_encode(dfv)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        idf_dict = pa.array([math.log(n / v) for v in
-                             enc.dictionary.to_pylist()], pa.float64())
-        idf = idf_dict.take(enc.indices)
-        score_arr = pc.multiply(
-            joined.column("tf").cast(pa.float64()), idf)
-        if round_digits is not None:
-            # Python round (oracle convention) once per DISTINCT score —
-            # distinct (tf, df) pairs are few — mapped back vectorized
-            senc = pc.dictionary_encode(score_arr)
-            if isinstance(senc, pa.ChunkedArray):
-                senc = senc.combine_chunks()
-            rdict = pa.array([round(v, round_digits)
-                              for v in senc.dictionary.to_pylist()],
-                             pa.float64())
-            score_arr = rdict.take(senc.indices)
-        out = joined.append_column("tfidf", score_arr)
-        return out.select([id_col, "term", "tf", "df", "tfidf"])
+        return _tfidf_score(joined, id_col=id_col, n=n,
+                            round_digits=round_digits)
 
     return tf.map_batches(score, batch_format="pyarrow",
                           batch_size=batch_size)

@@ -487,7 +487,11 @@ RELATIONAL["embedding_label_centroids"] = """
 
 RELATIONAL["events_props_extract"] = """
     SELECT event_id,
-           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+           -- NULLIF: DuckDB regexp_extract yields '' on no-match (and
+           -- CAST('') errors); the engine yields NULL — NULLIF makes
+           -- both sides define the no-match case identically as NULL
+           CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+                AS BIGINT) AS k,
            regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_redacted
     FROM events
 """

@@ -1,0 +1,202 @@
+"""Round-4 scale/robustness fixes:
+
+- quantile heavy-tie short-circuit (no corpus-scale collect on a
+  99%-constant column) + all-null groups keep a NULL row,
+- approx_distinct keeps all-null groups with estimate 0,
+- TF-IDF adaptive broadcast-vs-hash-join idf (both paths identical),
+- kNN tree merge (rank-exact vs the straight-line numpy gold),
+- asof_join tolerates NULL timestamps (unmatched, not ValueError),
+- _task_fn cache keys never collide for plain (non-ObjectRef) state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+# ------------------------------------------------------------ quantiles ---
+
+
+def test_exact_quantiles_heavy_tie_no_corpus_collect(ray_session):
+    """99%-constant column: the rank lands in the constant's bin, which
+    cannot narrow — the old code froze and collected the WHOLE bin
+    (corpus-scale). The fix resolves from the candidate min==max, so the
+    final collect stays under collect_cap even though the tied bin holds
+    99k values."""
+    from easyner_ray.ops import sketch
+
+    rng = np.random.RandomState(7)
+    vals = np.full(100_000, 42.0)
+    spread = rng.uniform(0.0, 100.0, size=1000)
+    vals[:1000] = spread  # 99% exactly 42.0
+    ds = _ds(pa.table({"v": pa.array(vals, pa.float64())})).repartition(8)
+
+    out = sketch.exact_quantiles(ds, "v", [0.25, 0.5, 0.9],
+                                 collect_cap=100, max_depth=8)
+    gold = {q: float(np.sort(vals)[int(np.ceil(q * len(vals))) - 1])
+            for q in (0.25, 0.5, 0.9)}
+    assert out == gold
+    # the heavy-tie states resolved in-pass; anything still collected is
+    # bounded by collect_cap per open state (3 states max)
+    assert sketch._LAST_COLLECTED <= 3 * 100
+
+
+def test_exact_quantiles_heavy_tie_resets_range(ray_session):
+    """Two-value column where one value dominates: the no-narrow level
+    must reset to the exact span and then split, not loop or collect the
+    corpus."""
+    from easyner_ray.ops import sketch
+
+    vals = np.r_[np.full(50_000, 5.0), np.full(50_000, 5.0 + 1e-9),
+                 np.array([0.0, 10.0])]
+    ds = _ds(pa.table({"v": pa.array(vals, pa.float64())})).repartition(4)
+    out = sketch.exact_quantiles(ds, "v", [0.5], collect_cap=200,
+                                 max_depth=8)
+    gold = float(np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1])
+    assert out[0.5] == gold
+    assert sketch._LAST_COLLECTED <= 200
+
+
+def test_grouped_quantiles_all_null_group_kept(ray_session):
+    """A group whose values are ALL null/NaN still appears, value NULL
+    (SQL GROUP BY keeps the group)."""
+    from easyner_ray.ops.sketch import grouped_quantiles
+
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, None, None, float("nan"),
+                       10.0, 20.0], pa.float64()),
+    })
+    out = grouped_quantiles(_ds(t), "v", [0.5], "g")
+    rows = {r["g"]: r["value"] for r in out.to_pylist()}
+    assert rows["a"] == 2.0
+    assert rows["b"] is None  # all-null group kept, NULL quantile
+    assert rows["c"] == 10.0
+
+
+def test_approx_distinct_all_null_group_is_zero(ray_session):
+    from easyner_ray.ops.sketch import approx_distinct
+
+    t = pa.table({
+        "g": pa.array(["x"] * 3 + ["y"] * 2),
+        "v": pa.array([1, 2, 2, None, None], pa.int64()),
+    })
+    out = {r["g"]: r["approx_distinct"]
+           for r in approx_distinct(_ds(t), ["g"], "v").take_all()}
+    assert out == {"x": 2, "y": 0}
+
+
+# --------------------------------------------------------------- tfidf ---
+
+
+def test_tfidf_join_path_matches_broadcast_path(ray_session):
+    """broadcast_max_bytes=0 forces the open-vocabulary hash-join path;
+    results must be row-for-row identical to the broadcast path."""
+    import pandas as pd
+
+    from easyner_ray.ops.textstats import tfidf
+
+    docs = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(30)]),
+        "text": pa.array([f"alpha beta gamma{i % 5} alpha" for i in range(30)]),
+    })
+
+    def run(cutoff):
+        out = tfidf(_ds(docs), min_df=2, broadcast_max_bytes=cutoff).to_pandas()
+        return (out.sort_values(["doc_id", "term"])
+                .reset_index(drop=True))
+
+    a, b = run(256 << 20), run(0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0 and (a["df"] >= 2).all()
+
+
+# ----------------------------------------------------------------- knn ---
+
+
+def test_knn_tree_merge_rank_exact(ray_session):
+    """Tree-merged kNN over many small blocks == straight-line numpy gold
+    (the merge must be block-count-invariant)."""
+    from easyner_ray.ops.similarity import knn_brute
+
+    rng = np.random.RandomState(3)
+    n, d = 500, 16
+    mat = rng.randn(n, d)
+    q = rng.randn(3, d)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    })
+    # many blocks + tiny batch: the partial stream spans many cut inputs
+    out = knn_brute(_ds(tbl).repartition(16), q, k=5,
+                    batch_size=32).to_pandas()
+
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = qn @ mn.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(n), -scores[qi]))[:5]
+        got = out[out.query_id == qi].sort_values("rank")
+        assert list(got.vec_id) == list(order)
+
+
+def test_cut_topk_partials_matches_merge(ray_session):
+    """cut(k) keeps exactly the rows _merge_topk would pick per query —
+    same (-score, vec_id) tie-break."""
+    from easyner_ray.ops.similarity import _cut_topk_partials, _merge_topk
+
+    rng = np.random.RandomState(11)
+    n = 300
+    t = pa.table({
+        "query_id": pa.array(rng.randint(0, 4, n), pa.int64()),
+        "vec_id": pa.array(rng.randint(0, 50, n), pa.int64()),
+        "score": pa.array(rng.choice([0.1, 0.5, 0.9], n), pa.float64()),
+    })
+    direct = _merge_topk(t, 3).to_pylist()
+    via_cut = _merge_topk(_cut_topk_partials(t, 3), 3).to_pylist()
+    assert direct == via_cut
+
+
+# ---------------------------------------------------------------- asof ---
+
+
+def test_asof_join_null_ts_unmatched_not_error(ray_session):
+    from easyner_ray.ops.asof import asof_join
+
+    left = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "ts": pa.array([10, None, 30], pa.int64()),
+        "lv": pa.array([1, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(["a", "b", "b"]),
+        "ts": pa.array([5, None, 25], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    })
+    out = asof_join(_ds(left), _ds(right), key="k", ts="ts",
+                    left_cols=["lv"], right_cols=["rv"],
+                    n_buckets=4).to_pandas()
+    got = {(r.k, r.lv): (r.ts_r, r.rv_r) for r in out.itertuples()}
+    # null-ts left row dropped; null-ts right row matches nothing
+    assert got == {("a", 1): (5, 100), ("b", 3): (25, 300)}
+
+
+# -------------------------------------------------------------- task_fn ---
+
+
+def test_task_fn_plain_state_keys_never_collide():
+    from easyner_ray.ops import similarity as S
+
+    f1 = S._task_fn("t", (object(),), lambda: lambda b: ("first", b))
+    f2 = S._task_fn("t", (object(),), lambda: lambda b: ("second", b))
+    assert f1(1) == ("first", 1)
+    assert f2(2) == ("second", 2)  # id()-reuse would have returned "first"
