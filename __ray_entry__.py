@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value_per_type": q.top_users_by_value_per_type,  # agg -> rank composition
         "docs_chunks": q.docs_chunks,  # context-window chunking
         "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
+        # round-4 additions
+        "media_features": q.media_features,  # real WAV/PPM decode on actor pool
+        "embeddings_kmeans": q.embeddings_kmeans,  # iterative k-means assignments
     }
 
 

@@ -126,10 +126,15 @@ class StdlibCodec:
 
     @staticmethod
     def _decode_ppm(payload: bytes) -> np.ndarray:
-        # P6 header: magic, width, height, maxval, then raw RGB
-        parts = payload.split(maxsplit=4)
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-        pixels = np.frombuffer(parts[4][: w * h * 3], dtype=np.uint8)
+        import re
+
+        # P6 header: magic, width, height, maxval, then exactly ONE
+        # whitespace byte before the raw RGB data (PPM spec) — bytes.split
+        # would eat leading whitespace BYTES of the pixel data too
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        pixels = np.frombuffer(payload[m.end(): m.end() + w * h * 3],
+                               dtype=np.uint8)
         rgb = pixels.reshape(-1, 3).astype(np.float32) / float(maxval)
         return (0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2])
 

@@ -643,14 +643,19 @@ def label_centroids(embeddings, label_col: str = "label",
 
 
 def kmeans(embeddings, k: int = 8, iters: int = 5, vec_col: str = "embedding",
-           id_col: str = "vec_id"):
+           id_col: str = "vec_id", round_digits: int | None = 9):
     """Distributed Lloyd k-means over an embedding column — the iterative
     algorithm shape: per iteration, centroids broadcast ONCE (``ray.put``),
     one streaming pass computes per-batch (cluster-sum, count) partials
     (assign = one matmul per batch against the centroid matrix), and a
     tiny driver merge (k x d floats — never O(corpus)) recomputes the
     centroids. Deterministic: init = the k lowest-``id_col`` vectors,
-    ties in assignment break to the lowest cluster id (argmin).
+    ties in assignment break to the lowest cluster id (argmin);
+    ``round_digits`` rounds each centroid element (Python ``round``)
+    after every driver merge so the result is invariant to block layout
+    (partial-sum order drifts by ulps across partitionings — rounding at
+    1e-9 absorbs it, which is what lets a straight-line gold recompute
+    match assignments EXACTLY).
 
     Returns (centroids ndarray (k, d), assignments Dataset (id, cluster)).
     """
@@ -713,6 +718,9 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, vec_col: str = "embedding",
             agg[r["cl"]] = (s + v, n + r["n"])
         for cl, (s, n) in agg.items():
             new[cl] = s / n
+        if round_digits is not None:
+            new = np.array([[round(float(x), round_digits) for x in row]
+                            for row in new])
         cents = new
 
     ref = ray.put(cents)

@@ -458,6 +458,17 @@ RELATIONAL["docs_tfidf"] = """
 GCMS = f"read_parquet('{SYNTH}/gold_cms_counts.parquet')"
 RELATIONAL["cms_user_counts"] = f"SELECT user_id, est_count FROM {GCMS}"
 
+# k-means + media features: deterministic by spec (seeded init, per-
+# iteration centroid rounding / stdlib decode + fixed pooling), so the
+# oracle is the straight-line recompute in gold_derived.
+GKM = f"read_parquet('{SYNTH}/gold_kmeans_assign.parquet')"
+RELATIONAL["embeddings_kmeans"] = f"SELECT vec_id, cluster FROM {GKM}"
+
+GMF = f"read_parquet('{SYNTH}/gold_media_features.parquet')"
+RELATIONAL["media_features"] = (
+    f"SELECT item_id, kind, feat_mean, feat_l2 FROM {GMF}"
+)
+
 RELATIONAL["events_quantiles_by_type"] = """
     SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
            quantile_disc(value, 0.5) AS value

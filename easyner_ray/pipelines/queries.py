@@ -921,3 +921,49 @@ def docs_curated(sf_dir: str):
             {"op": "hash_sample", "rate": 0.5, "key": "doc_id"},
         ],
     }).select_columns(["doc_id", "text"])
+
+
+def media_features(sf_dir: str):
+    """Multimodal feature extraction through the REAL codec boundary:
+    the shared WAV/PPM fixture (sources.media_fixture) decoded by
+    StdlibCodec on an actor pool (small batch_size x concurrency — the
+    decoded-payload heap knob), mean-pooled to a 16-dim feature, then
+    summarized to (feat_mean, feat_l2) per item. Oracle = straight-line
+    decode+pool recompute (gold_media_features.parquet)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.multimodal import extract_features
+    from easyner_ray.sources.media_fixture import ensure_media_fixture
+
+    media = rd.read_parquet(ensure_media_fixture(_corpus(sf_dir)))
+    feats = extract_features(media, dim=16, codec="stdlib", batch_size=16)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        means, l2s = [], []
+        for f in t.column("feature").to_pylist():
+            v = np.asarray(f, dtype=np.float64)
+            means.append(round(float(v.mean()), 6))
+            l2s.append(round(float(np.sqrt((v * v).sum())), 6))
+        return pa.Table.from_arrays(
+            [t.column("item_id"), t.column("kind"),
+             pa.array(means, pa.float64()), pa.array(l2s, pa.float64())],
+            names=["item_id", "kind", "feat_mean", "feat_l2"])
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means assignments over the embeddings table —
+    iterative broadcast + fixed-size partial-sum merges, centroids
+    rounded per iteration for block-layout invariance. Oracle =
+    straight-line numpy Lloyd with the same init/rounding spec
+    (gold_kmeans_assign.parquet)."""
+    from easyner_ray.ops.similarity import kmeans
+
+    # gold exists under the corpus dir keyed to this sf_dir
+    _corpus(sf_dir)
+    em = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans(em, k=6, iters=4)
+    return assign

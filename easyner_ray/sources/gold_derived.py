@@ -569,6 +569,92 @@ def write_cms_gold(corpus: str, events_path: str, width: int = 2048,
     return path
 
 
+def write_kmeans_gold(corpus: str, embeddings_path: str, k: int = 6,
+                      iters: int = 4, round_digits: int = 9) -> str:
+    """Straight-line Lloyd k-means assignments over the embeddings table
+    — the gold for the distributed ``ops.similarity.kmeans`` (spec: init
+    = the k lowest-vec_id vectors, argmin tie-break to the lowest
+    cluster, centroids rounded element-wise with Python ``round`` at
+    ``round_digits`` after every iteration — the rounding is the spec's
+    block-layout-invariance device, duplicated here on purpose)."""
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").combine_chunks())
+    m = np.array(t.column("embedding").combine_chunks().to_pylist(),
+                 dtype=np.float64)
+    order = np.argsort(vid, kind="stable")
+    cents = m[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = m[a == c].mean(axis=0)
+        cents = np.array([[round(float(x), round_digits) for x in row]
+                          for row in cents])
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = np.argmin(d2, axis=1)
+    tbl = pa.Table.from_arrays(
+        [pa.array(vid, pa.int64()), pa.array(assign, pa.int64())],
+        names=["vec_id", "cluster"])
+    path = os.path.join(corpus, "gold_kmeans_assign.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def _decode_media_spec(payload: bytes) -> np.ndarray:
+    """Spec decode for the media fixture (duplicates StdlibCodec's
+    observable behavior straight-line): WAV PCM16 -> float32 / 32768;
+    PPM P6 -> float32 luma (0.299 R + 0.587 G + 0.114 B) / maxval."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    import re
+
+    assert payload[:2] == b"P6"
+    # exactly ONE whitespace byte after maxval (PPM spec) — split would
+    # eat leading whitespace bytes of the pixel data
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    w_px, h_px, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    pixels = np.frombuffer(payload[m.end(): m.end() + w_px * h_px * 3],
+                           dtype=np.uint8)
+    rgb = pixels.reshape(-1, 3).astype(np.float32) / float(maxval)
+    return 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+
+
+def write_media_features_gold(corpus: str, dim: int = 16,
+                              round_digits: int = 6) -> str:
+    """Straight-line decode + mean-pool + summary over the shared media
+    fixture (sources.media_fixture — input generation, not engine code):
+    feature = signal padded to a multiple of ``dim``, reshaped (dim, -1),
+    mean per row, float32; summary = float64 mean and L2 of that vector,
+    Python-rounded at ``round_digits``."""
+    from easyner_ray.sources.media_fixture import ensure_media_fixture
+
+    path_in = ensure_media_fixture(corpus)
+    t = pq.read_table(path_in)
+    ids = t.column("item_id").to_pylist()
+    kinds = t.column("kind").to_pylist()
+    means, l2s = [], []
+    for payload in t.column("payload").to_pylist():
+        sig = _decode_media_spec(payload)
+        pad = (-len(sig)) % dim
+        pooled = np.pad(sig, (0, pad)).reshape(dim, -1).mean(axis=1)
+        v = pooled.astype(np.float32).astype(np.float64)
+        means.append(round(float(v.mean()), round_digits))
+        l2s.append(round(float(np.sqrt((v * v).sum())), round_digits))
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(kinds, pa.string()),
+         pa.array(means, pa.float64()), pa.array(l2s, pa.float64())],
+        names=["item_id", "kind", "feat_mean", "feat_l2"])
+    path = os.path.join(corpus, "gold_media_features.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def ensure_derived_gold(corpus: str, documents_path: str | None = None,
                         embeddings_path: str | None = None,
                         events_path: str | None = None) -> None:
@@ -589,6 +675,10 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_cosine_lsh_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_knn_ivf.parquet")):
             write_knn_ivf_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_kmeans_assign.parquet")):
+            write_kmeans_gold(corpus, embeddings_path)
+    if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
+        write_media_features_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)

@@ -200,3 +200,50 @@ def test_task_fn_plain_state_keys_never_collide():
     f2 = S._task_fn("t", (object(),), lambda: lambda b: ("second", b))
     assert f1(1) == ("first", 1)
     assert f2(2) == ("second", 2)  # id()-reuse would have returned "first"
+
+
+# ---------------------------------------------------------- media/kmeans ---
+
+
+def test_ppm_decode_preserves_leading_whitespace_pixels():
+    """PPM spec: exactly ONE whitespace byte after maxval — pixel data
+    that itself starts with whitespace bytes must not be eaten."""
+    from easyner_ray.ops.multimodal import StdlibCodec
+    from easyner_ray.sources.gold_derived import _decode_media_spec
+
+    payload = b"P6\n2 1\n255\n" + bytes([10, 32, 9, 1, 2, 3])
+    eng = StdlibCodec().decode(payload, "image")
+    gold = _decode_media_spec(payload)
+    assert len(eng) == 2 and len(gold) == 2
+    assert np.allclose(eng, gold)
+
+
+def test_media_fixture_deterministic_and_decodable():
+    from easyner_ray.ops.multimodal import StdlibCodec
+    from easyner_ray.sources.media_fixture import synthetic_real_media
+
+    a, b = synthetic_real_media(), synthetic_real_media()
+    assert a.equals(b)
+    codec = StdlibCodec()
+    for i in range(len(a)):
+        sig = codec.decode(a.column("payload")[i].as_py(),
+                           a.column("kind")[i].as_py())
+        assert len(sig) > 0 and sig.dtype == np.float32
+
+
+def test_kmeans_round_digits_layout_invariant(ray_session):
+    """Per-iteration centroid rounding makes assignments identical across
+    block layouts (the property the driver-gold compare relies on)."""
+    from easyner_ray.ops.similarity import kmeans
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(0, 1, (600, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    _, a1 = kmeans(_ds(t).repartition(2), k=5, iters=3)
+    _, a2 = kmeans(_ds(t).repartition(13), k=5, iters=3)
+    p1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    p2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert p1.equals(p2)
