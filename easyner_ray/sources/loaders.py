@@ -355,3 +355,25 @@ def preprocess_pubtator_lines(path: str, mapping: dict[str, str] | None = None):
         return pa.Table.from_arrays([pa.array(out, pa.string())], names=["text"])
 
     return lines.map_batches(fix, batch_format="pyarrow")
+
+
+def load_column_corpus(path: str) -> list[list[tuple]]:
+    """ColumnCorpus IOB reader (the Flair eval harness input,
+    reference ``Flair_prediction_evaluation.py:25``): whitespace-separated
+    columns (token, gold[, pred...]), blank line = sentence boundary.
+    Driver-side (an eval corpus is fixture-sized); returns a list of
+    sentences, each a list of column tuples."""
+    sentences: list[list[tuple]] = []
+    cur: list[tuple] = []
+    with open(path, encoding="utf8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                if cur:
+                    sentences.append(cur)
+                    cur = []
+                continue
+            cur.append(tuple(line.split()))
+    if cur:
+        sentences.append(cur)
+    return sentences

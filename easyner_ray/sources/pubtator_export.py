@@ -163,3 +163,38 @@ def load_pubtator_mentions(path: str):
         )
 
     return lines.map_batches(parse, batch_format="pyarrow")
+
+
+def raw_articles_to_pubtator(articles, out_path: str | None = None):
+    """Raw (pre-NER, annotation-free) articles -> PubTator text blocks —
+    the reference's raw-JSON converter
+    (``convert_easyner_raw_json_to_pubtator.py``): per article emit
+    ``pmid|t|title`` / ``pmid|a|abstract`` with the title stripped and
+    multi-newline runs in the abstract collapsed to one space.
+
+    ``articles``: Dataset (doc_id, title, abstract). Map-only (one
+    whole-column regex + join per batch — no per-row Python). Returns a
+    Dataset (doc_id, block); ``out_path`` additionally writes the single
+    concatenated file the reference produces (driver-side — a raw export
+    at scale would go through state.sink partitioned text instead)."""
+    import pyarrow.compute as pc_
+
+    def to_blocks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().cast(pa.string())
+        title = pc_.utf8_trim_whitespace(
+            t.column("title").combine_chunks().fill_null(""))
+        abstract = pc_.utf8_trim_whitespace(pc_.replace_substring_regex(
+            t.column("abstract").combine_chunks().fill_null(""),
+            r"\n+", " "))
+        block = pc_.binary_join_element_wise(
+            ids, pa.scalar("|t|"), title, pa.scalar("\n"),
+            ids, pa.scalar("|a|"), abstract, pa.scalar("\n\n"), "")
+        return pa.Table.from_arrays([ids, block], names=["doc_id", "block"])
+
+    blocks = articles.map_batches(to_blocks, batch_format="pyarrow")
+    if out_path is not None:
+        rows = sorted(blocks.take_all(), key=lambda r: r["doc_id"])
+        with open(out_path, "w", encoding="utf8") as f:
+            for r in rows:
+                f.write(r["block"])
+    return blocks

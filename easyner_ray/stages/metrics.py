@@ -140,24 +140,27 @@ def triple_prf(pred_triples, gold_triples) -> dict:
     }
 
 
+def _bio_spans(seq: list[str]):
+    """(start, end, class) spans of one IOB2 sequence (seqeval-style)."""
+    out, start, cls = [], None, None
+    for i, lab in enumerate(seq + ["O"]):
+        if lab.startswith("B-") or lab == "O" or (
+            lab.startswith("I-") and cls != lab[2:]
+        ):
+            if start is not None:
+                out.append((start, i, cls))
+                start, cls = None, None
+            if lab.startswith("B-"):
+                start, cls = i, lab[2:]
+        # continuing I- of same class: nothing to do
+    return out
+
+
 def iob_token_metrics(pred_labels: list[list[str]], true_labels: list[list[str]]) -> dict:
     """A4: token-level entity metrics over IOB2 sequences (seqeval-style
     span extraction + per-class P/R/F1). Driver-side fixture tool, mirrors
     reference ``metrics.py:10-35``."""
-
-    def spans(seq: list[str]):
-        out, start, cls = [], None, None
-        for i, lab in enumerate(seq + ["O"]):
-            if lab.startswith("B-") or lab == "O" or (
-                lab.startswith("I-") and cls != lab[2:]
-            ):
-                if start is not None:
-                    out.append((start, i, cls))
-                    start, cls = None, None
-                if lab.startswith("B-"):
-                    start, cls = i, lab[2:]
-            # continuing I- of same class: nothing to do
-        return out
+    spans = _bio_spans
 
     tp: dict = {}
     fp: dict = {}
@@ -190,3 +193,91 @@ def iob_token_metrics(pred_labels: list[list[str]], true_labels: list[list[str]]
     out["micro"] = {"precision": prec, "recall": rec,
                     "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0}
     return out
+
+
+# ---------------------------------------------------- flair-style report ---
+
+
+def flair_style_report(gold_seqs: list[list[str]],
+                       pred_seqs: list[list[str]]) -> dict:
+    """Entity-level evaluation report in the shape of Flair's
+    ``detailed_results`` table (reference
+    ``supplementary/experiment_scripts/Flair_prediction_evaluation.py``:
+    per-class precision/recall/F1/support plus micro / macro / weighted
+    averages). Span extraction is the same seqeval-style BIO decode as
+    :func:`iob_token_metrics`; the model itself stays behind the
+    injectable-tagger seam in :func:`evaluate_column_corpus` (flair is
+    not installed in this container)."""
+    tp: dict = {}
+    fp: dict = {}
+    fn: dict = {}
+    for gseq, pseq in zip(gold_seqs, pred_seqs):
+        gs, ps = set(_bio_spans(gseq)), set(_bio_spans(pseq))
+        for _, _, c in ps & gs:
+            tp[c] = tp.get(c, 0) + 1
+        for _, _, c in ps - gs:
+            fp[c] = fp.get(c, 0) + 1
+        for _, _, c in gs - ps:
+            fn[c] = fn.get(c, 0) + 1
+
+    def prf(a: int, b: int, d: int) -> tuple[float, float, float]:
+        p = a / (a + b) if a + b else 0.0
+        r = a / (a + d) if a + d else 0.0
+        return p, r, (2 * p * r / (p + r) if p + r else 0.0)
+
+    classes = sorted(set(tp) | set(fp) | set(fn))
+    per_class = {}
+    t_tp = t_fp = t_fn = t_support = 0
+    for c in classes:
+        a, b, d = tp.get(c, 0), fp.get(c, 0), fn.get(c, 0)
+        p, r, f1 = prf(a, b, d)
+        per_class[c] = {"precision": p, "recall": r, "f1": f1,
+                        "support": a + d}
+        t_tp, t_fp, t_fn, t_support = t_tp + a, t_fp + b, t_fn + d, \
+            t_support + a + d
+    mp, mr, mf = prf(t_tp, t_fp, t_fn)
+    n_cls = len(classes) or 1
+    macro = {k: sum(per_class[c][k] for c in classes) / n_cls
+             for k in ("precision", "recall", "f1")}
+    weighted = {k: (sum(per_class[c][k] * per_class[c]["support"]
+                        for c in classes) / t_support if t_support else 0.0)
+                for k in ("precision", "recall", "f1")}
+    return {"per_class": per_class,
+            "micro_avg": {"precision": mp, "recall": mr, "f1": mf,
+                          "support": t_support},
+            "macro_avg": {**macro, "support": t_support},
+            "weighted_avg": {**weighted, "support": t_support}}
+
+
+def evaluate_column_corpus(path: str, tagger=None, out_path: str | None = None) -> dict:
+    """The reference's Flair prediction-evaluation harness
+    (``Flair_prediction_evaluation.py``) over a ColumnCorpus IOB file:
+    column 0 = token, column 1 = gold label, column 2 = predicted label
+    (already present, or produced by the injectable ``tagger``).
+
+    ``tagger``: callable(list of token sequences) -> list of predicted
+    label sequences — the seam where a SequenceTagger plugs in; loading a
+    real Flair model needs the (uninstalled) flair package, so the
+    default requires predictions in the file. ``out_path`` writes the
+    three-column ``token gold pred`` file the reference emits."""
+    from easyner_ray.sources.loaders import load_column_corpus
+
+    sentences = load_column_corpus(path)
+    tokens = [[t[0] for t in s] for s in sentences]
+    gold = [[t[1] for t in s] for s in sentences]
+    if tagger is not None:
+        pred = tagger(tokens)
+    else:
+        if not all(len(t) >= 3 for s in sentences for t in s):
+            raise ValueError(
+                "no predicted-label column in the corpus and no tagger "
+                "given — pass tagger=callable (the flair SequenceTagger "
+                "seam; flair itself is not installed in this container)")
+        pred = [[t[2] for t in s] for s in sentences]
+    if out_path is not None:
+        with open(out_path, "w", encoding="utf8") as f:
+            for toks, gseq, pseq in zip(tokens, gold, pred):
+                for tok, g, p in zip(toks, gseq, pseq):
+                    f.write(f"{tok} {g} {p}\n")
+                f.write("\n")
+    return flair_style_report(gold, pred)

@@ -378,3 +378,115 @@ def test_pubmed_bulk_loader_files(ray_session, tmp_path):
     urls = bulk_file_urls(3, 5, baseline=23)
     assert urls[0].endswith("/baseline/pubmed23n0003.xml.gz") and len(urls) == 3
     assert bulk_file_urls(1, 1, update=True)[0].count("updatefiles") == 1
+
+
+# ------------------------------------------------- round-4 parity closers ---
+
+
+def test_craft_pubannotation_to_iob(ray_session, tmp_path):
+    """CRAFT IOB2 prep (reference CRAFT_preprocessing_spacy.py): span
+    expansion to token boundaries, _FRAGMENT drop, overlap-pointer skip."""
+    import json as _json
+
+    from easyner_ray.sources.craft import (load_pubannotation_dir,
+                                           pubannotation_to_iob)
+
+    # tokens: Alpha(0,5) beta(6,10) -(10,11) gamma(11,16) delta(17,22) .(22,23)
+    doc = {
+        "sourceid": "d1",
+        "text": "Alpha beta-gamma delta.",
+        "denotations": [
+            {"span": {"begin": 0, "end": 3}, "obj": "_FRAGMENT"},  # dropped
+            {"span": {"begin": 7, "end": 14}, "obj": "CHEBI:1"},   # expands 6..16
+            {"span": {"begin": 11, "end": 16}, "obj": "CHEBI:2"},  # overlap: skipped
+            {"span": {"begin": 17, "end": 22}, "obj": "CHEBI:3"},
+        ],
+    }
+    (tmp_path / "d1.json").write_text(_json.dumps(doc))
+    out = (pubannotation_to_iob(load_pubannotation_dir(str(tmp_path)))
+           .to_pandas().sort_values("token_idx"))
+    assert out.token.tolist() == ["Alpha", "beta", "-", "gamma", "delta", "."]
+    assert out.iob.tolist() == ["O", "B", "I", "I", "B", "O"]
+
+
+def test_raw_articles_to_pubtator(ray_session, tmp_path):
+    """Raw-JSON converter (reference convert_easyner_raw_json_to_pubtator.py):
+    pmid|t|title / pmid|a|abstract blocks, title stripped, newline runs in
+    the abstract collapsed to one space."""
+    import ray.data as rd
+
+    from easyner_ray.sources.loaders import load_pubtator
+    from easyner_ray.sources.pubtator_export import raw_articles_to_pubtator
+
+    arts = rd.from_items([
+        {"doc_id": "9", "title": " T one ",
+         "abstract": "line one\n\nline two\nline three"},
+        {"doc_id": "10", "title": "T two", "abstract": "plain"},
+    ])
+    out_file = tmp_path / "raw.txt"
+    blocks = raw_articles_to_pubtator(arts, out_path=str(out_file)).to_pandas()
+    assert set(blocks.doc_id) == {"9", "10"}
+    assert (out_file.read_text() ==
+            "10|t|T two\n10|a|plain\n\n"
+            "9|t|T one\n9|a|line one line two line three\n\n")
+    # the emitted file is itself loadable by the PubTator reader (roundtrip)
+    back = load_pubtator(str(out_file)).to_pandas().sort_values("doc_id")
+    assert back.abstract.tolist() == ["plain", "line one line two line three"]
+
+
+_COLUMN_CORPUS = """\
+cholesterol B-Chemical B-Chemical
+clefts O O
+
+the O O
+ATG5 B-Gene O
+gene O O
+"""
+
+
+def test_flair_eval_harness(tmp_path):
+    """Flair eval harness (reference Flair_prediction_evaluation.py):
+    ColumnCorpus load, per-class/micro/macro/weighted report, out_path
+    three-column file, injectable-tagger seam, no-pred error."""
+    import pytest as _pytest
+
+    from easyner_ray.sources.loaders import load_column_corpus
+    from easyner_ray.stages.metrics import (evaluate_column_corpus,
+                                            flair_style_report)
+
+    p = tmp_path / "test.tsv"
+    p.write_text(_COLUMN_CORPUS)
+    sents = load_column_corpus(str(p))
+    assert [len(s) for s in sents] == [2, 3]
+    assert sents[1][1] == ("ATG5", "B-Gene", "O")
+
+    rep = evaluate_column_corpus(str(p), out_path=str(tmp_path / "pred.txt"))
+    assert rep["per_class"]["Chemical"] == {
+        "precision": 1.0, "recall": 1.0, "f1": 1.0, "support": 1}
+    assert rep["per_class"]["Gene"]["recall"] == 0.0
+    micro = rep["micro_avg"]
+    assert micro["precision"] == 1.0 and micro["recall"] == 0.5
+    assert abs(micro["f1"] - 2 / 3) < 1e-12 and micro["support"] == 2
+    assert rep["macro_avg"]["f1"] == 0.5 and rep["weighted_avg"]["f1"] == 0.5
+    # out_path writes token gold pred; loadable as a 3-column corpus
+    again = load_column_corpus(str(tmp_path / "pred.txt"))
+    assert again == sents
+
+    # injectable tagger overrides column 2 (perfect tagger -> P/R 1.0)
+    perfect = evaluate_column_corpus(
+        str(p), tagger=lambda toks: [["B-Chemical", "O"],
+                                     ["O", "B-Gene", "O"]])
+    assert perfect["micro_avg"]["f1"] == 1.0
+
+    # 2-column corpus with no tagger is a hard error (flair seam)
+    p2 = tmp_path / "two_col.tsv"
+    p2.write_text("tok B-Gene\n\n")
+    with _pytest.raises(ValueError, match="tagger"):
+        evaluate_column_corpus(str(p2))
+
+    # report math agrees with iob_token_metrics micro on the same input
+    from easyner_ray.stages.metrics import iob_token_metrics
+    gold = [["B-Chemical", "O"], ["O", "B-Gene", "O"]]
+    pred = [["B-Chemical", "O"], ["O", "O", "O"]]
+    assert (flair_style_report(gold, pred)["micro_avg"]["f1"]
+            == iob_token_metrics(pred, gold)["micro"]["f1"])
