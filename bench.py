@@ -128,6 +128,45 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_curate(sf_dir: str) -> dict:
+    """Flagship training-data path: the full curation chain (filters ->
+    dedup -> near-dup -> redact -> sample) through the resumable
+    partitioned sink. Reports wall + rows in/out (the number a 100-TB
+    curation run would track per shard)."""
+    import shutil
+    import tempfile
+
+    from easyner_ray.pipelines.curate import run_curation
+
+    out_dir = tempfile.mkdtemp(prefix="bench_curate_")
+    shutil.rmtree(out_dir)  # run_curation resumes over existing partitions
+    cfg = {
+        "input": {"sf_dir": sf_dir},
+        "output_dir": out_dir,
+        "steps": [
+            {"op": "token_filter", "min_tokens": 5},
+            {"op": "quality_filter", "max_punct_ratio": 0.5},
+            {"op": "lang_filter", "keep": ["en"]},
+            {"op": "dedup_exact"},
+            {"op": "near_dup_filter", "threshold": 0.8, "k": 3},
+            {"op": "redact", "pattern": r"\d+", "replacement": "<NUM>"},
+            {"op": "hash_sample", "rate": 0.9},
+        ],
+        "sink": {"num_partitions": 32},
+    }
+    rows_in = _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    summary = run_curation(cfg)
+    wall = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "curate_sec": round(wall, 3),
+        "rows_in": rows_in,
+        "rows_out": summary["rows_written"],
+        "docs_per_sec": round(rows_in / wall, 1),
+    }
+
+
 def bench_once() -> dict:
     import ray
 
@@ -143,7 +182,9 @@ def bench_once() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     headline = run_headline(SF_DIR)
-    queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries(SF_DIR)
+    headline_only = bool(os.environ.get("GRAFT_HEADLINE_ONLY"))
+    queries = {} if headline_only else run_queries(SF_DIR)
+    curate = {} if headline_only else run_curate(SF_DIR)
     result = {
         "metric": "kg_build_turns_per_sec",
         "value": headline["kg_build_sec"],
@@ -152,6 +193,7 @@ def bench_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline": headline,
+        "curate": curate,
     }
     ray.shutdown()
     return result

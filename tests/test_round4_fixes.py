@@ -247,3 +247,62 @@ def test_kmeans_round_digits_layout_invariant(ray_session):
     p1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
     p2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert p1.equals(p2)
+
+
+def test_export_top_entities_gate_both_ways(ray_session, tmp_path, monkeypatch):
+    """A3 artifact (reference analysis.py:82-150): TSV always written;
+    PNG only when matplotlib imports — tested with the real absent
+    module (png=None) and a fake injected one (png written)."""
+    import csv
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from easyner_ray.stages.analysis import export_top_entities
+
+    mentions = rd.from_items([
+        {"conv_id": "c1", "sent_idx": 0, "norm": "apoptosis"},
+        {"conv_id": "c1", "sent_idx": 1, "norm": "apoptosis"},
+        {"conv_id": "c2", "sent_idx": 0, "norm": "rapamycin"},
+    ])
+
+    # gate closed: matplotlib genuinely not installed in this container
+    assert "matplotlib" not in sys.modules
+    out = export_top_entities(mentions, str(tmp_path / "a"), n=2)
+    assert out["png"] is None
+    with open(out["tsv"]) as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    assert rows[0]["entity"] == "apoptosis" and rows[0]["total_count"] == "2"
+
+    # gate open: a minimal fake matplotlib proves the plot branch runs
+    written = {}
+
+    class _Fig:
+        def tight_layout(self):
+            pass
+
+        def savefig(self, path):
+            written["path"] = path
+            open(path, "wb").write(b"\x89PNG fake")
+
+    class _Ax:
+        def barh(self, *a, **k):
+            pass
+
+        def set_xlabel(self, *a):
+            pass
+
+    mpl = types.ModuleType("matplotlib")
+    mpl.use = lambda backend: None
+    plt = types.ModuleType("matplotlib.pyplot")
+    plt.subplots = lambda **k: (_Fig(), _Ax())
+    plt.close = lambda fig: None
+    mpl.pyplot = plt
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+
+    out2 = export_top_entities(mentions, str(tmp_path / "b"), n=2)
+    assert out2["png"] is not None and written["path"] == out2["png"]
+    import os
+    assert os.path.exists(out2["png"])
