@@ -64,6 +64,49 @@ def semi_join_filter(large_ds, key_set, *, on: str, batch_size: int = 8192):
     return large_ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def adaptive_semi_join(left, right_keys, *, on: str, anti: bool = False,
+                       broadcast_bytes: int = 64 << 20,
+                       approx_bytes: int | None = None,
+                       batch_size: int = 8192):
+    """Semi/anti join that auto-switches strategy on the KEY side's size
+    (the same adaptive pattern as ``entity_frequency``'s final and
+    TF-IDF's idf side): a keys stream under ``broadcast_bytes`` becomes
+    ONE ``ray.put`` Arrow array + vectorized ``pc.is_in`` per batch (zero
+    shuffle, no join-aggregator actor startup — measured ~1 s/join saved
+    at bench scale); above it, Ray's hash-shuffle left_semi/left_anti
+    (both sides partition — the 100 TB path, where a dedup rep set scales
+    with the corpus).
+
+    ``right_keys`` is consumed fully either way (it's materialized to
+    read its size), so passing an unbounded stream costs one checkpoint.
+    NULL left keys: never match — dropped by semi, KEPT by anti (``is_in``
+    maps null -> false; NOT EXISTS semantics, same as Ray's left_anti).
+    """
+    right = right_keys.materialize()
+    if right.size_bytes() > broadcast_bytes:
+        # approx_bytes: caller's LEFT-side size estimate for aggregator
+        # sizing (never computed here — size_bytes() on a lazy dataset
+        # executes it). anti goes through the schema-normalizing wrapper.
+        if anti:
+            return anti_join(left, right, on=on, approx_bytes=approx_bytes)
+        return hash_join(left, right, on=on, join_type="left_semi",
+                         approx_bytes=approx_bytes)
+    blocks = [b for b in ray.get(right.to_arrow_refs()) if len(b)]
+    if blocks:
+        keys = pa.concat_tables(blocks).column(on).combine_chunks()
+    else:  # typed empty set (the left's key type keeps is_in well-typed)
+        keys = pa.array([], left.schema().base_schema.field(on).type)
+    keys_ref = ray.put(keys)
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(on), value_set=ray.get(keys_ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, anti))
+
+    return left.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 _AGG_FNS = {"sum": "sum", "min": "min", "max": "max", "count": "count", "mean": None}
 _FINAL = {"sum": Sum, "min": Min, "max": Max}
 _FINAL_PA = {"sum": "sum", "min": "min", "max": "max"}

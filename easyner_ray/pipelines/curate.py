@@ -97,11 +97,20 @@ def _step_dedup_exact(ds, text_col: str = "text", **_):
     hash-shuffle left_semi (the rep set is corpus-scale, never a
     broadcast)."""
     from easyner_ray.ops.dedup import exact_dedup
-    from easyner_ray.ops.relational import hash_join
+    from easyner_ray.ops.relational import adaptive_semi_join
 
-    # the dedup ops key on the documents schema's doc_id column
+    # checkpoint: ds feeds TWO consumers (the digest pass and the join
+    # left side) and Ray Data duplicates a shared subplan per consumer —
+    # unmaterialized, the whole upstream chain (read + filters) would
+    # execute twice. The checkpoint lives in the object store and spills;
+    # at 100 TB it holds the already-filtered corpus, not the raw read.
+    ds = ds.materialize()
+    # the dedup ops key on the documents schema's doc_id column; the rep
+    # set is corpus-scale at 100 TB (hash-join path), broadcast under the
+    # byte gate (size_bytes() is metadata-cheap on the checkpoint)
     reps = exact_dedup(ds, text_col=text_col).select_columns(["doc_id"])
-    return hash_join(ds, reps, on="doc_id", join_type="left_semi")
+    return adaptive_semi_join(ds, reps, on="doc_id",
+                              approx_bytes=ds.size_bytes())
 
 
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
@@ -110,14 +119,17 @@ def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
     -> every doc whose cluster representative (min id) is NOT itself is
     removed via a left_anti join against the loser set."""
     from easyner_ray.ops.dedup import dup_groups, ngram_jaccard_pairs
-    from easyner_ray.ops.relational import hash_join
+    from easyner_ray.ops.relational import adaptive_semi_join
 
+    ds = ds.materialize()  # two consumers — same checkpoint rationale as
+    # _step_dedup_exact (pairs pass + join left side)
     pairs = ngram_jaccard_pairs(ds, threshold=threshold, k=k,
                                 text_col=text_col)  # pairs key on doc_id
     groups = dup_groups(pairs)
     losers = groups.filter(expr="doc_id != group_id") \
         .select_columns(["doc_id"])
-    return hash_join(ds, losers, on="doc_id", join_type="left_anti")
+    return adaptive_semi_join(ds, losers, on="doc_id", anti=True,
+                              approx_bytes=ds.size_bytes())
 
 
 def _step_hash_sample(ds, rate: float, key: str = "doc_id", **_):

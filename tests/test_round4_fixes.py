@@ -306,3 +306,38 @@ def test_export_top_entities_gate_both_ways(ray_session, tmp_path, monkeypatch):
     assert out2["png"] is not None and written["path"] == out2["png"]
     import os
     assert os.path.exists(out2["png"])
+
+
+def test_adaptive_semi_join_paths_agree(ray_session):
+    """adaptive_semi_join: broadcast is_in path (default at test sizes)
+    and the forced hash-join path (broadcast_bytes=0) return identical
+    rows for semi AND anti; empty key set behaves (semi -> 0, anti ->
+    all); null left keys are dropped by semi and kept by anti."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_semi_join
+
+    left = _ds(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, None], pa.int64()),
+        "text": ["a", "b", "c", "d", "e"],
+    }))
+    keys = _ds(pa.table({"doc_id": pa.array([2, 4], pa.int64())}))
+
+    def rows(ds):
+        return sorted(((r["doc_id"], r["text"]) for r in ds.take_all()),
+                      key=lambda x: (x[0] is None, x[0]))
+
+    semi_b = rows(adaptive_semi_join(left, keys, on="doc_id"))
+    semi_h = rows(adaptive_semi_join(left, keys, on="doc_id",
+                                     broadcast_bytes=0))
+    assert semi_b == semi_h == [(2, "b"), (4, "d")]
+
+    anti_b = rows(adaptive_semi_join(left, keys, on="doc_id", anti=True))
+    anti_h = rows(adaptive_semi_join(left, keys, on="doc_id", anti=True,
+                                     broadcast_bytes=0))
+    assert anti_b == anti_h == [(1, "a"), (3, "c"), (None, "e")]
+
+    empty = _ds(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert rows(adaptive_semi_join(left, empty, on="doc_id")) == []
+    assert len(rows(adaptive_semi_join(left, empty, on="doc_id",
+                                       anti=True))) == 5
