@@ -490,3 +490,52 @@ def test_flair_eval_harness(tmp_path):
     pred = [["B-Chemical", "O"], ["O", "O", "O"]]
     assert (flair_style_report(gold, pred)["micro_avg"]["f1"]
             == iob_token_metrics(pred, gold)["micro"]["f1"])
+
+
+def test_craft_to_flair_eval_chain(ray_session, tmp_path):
+    """The reference's experiment workflow end-to-end: CRAFT
+    PubAnnotation -> IOB2 (CRAFT_preprocessing_spacy.py) -> ColumnCorpus
+    file -> Flair-style evaluation (Flair_prediction_evaluation.py) with
+    an injectable tagger — the engine analog of prepping a gold corpus
+    and scoring a model against it."""
+    import json as _json
+
+    from easyner_ray.sources.craft import (load_pubannotation_dir,
+                                           pubannotation_to_iob)
+    from easyner_ray.stages.metrics import evaluate_column_corpus
+
+    docs = {
+        "d1": ("Rapamycin inhibits mTOR signaling",
+               [{"span": {"begin": 0, "end": 9}, "obj": "CHEBI:9168"}]),
+        "d2": ("Autophagy requires ATG5 here",
+               [{"span": {"begin": 19, "end": 23}, "obj": "PR:000004534"}]),
+    }
+    for did, (text, dens) in docs.items():
+        (tmp_path / f"{did}.json").write_text(_json.dumps(
+            {"sourceid": did, "text": text, "denotations": dens}))
+
+    iob = (pubannotation_to_iob(load_pubannotation_dir(str(tmp_path)))
+           .to_pandas().sort_values(["doc_id", "token_idx"]))
+
+    # CRAFT emits class-less B/I/O (reference writes t.ent_iob_); attach
+    # the class for the eval harness, one doc = one sentence, tab columns
+    corpus = tmp_path / "test.tsv"
+    with open(corpus, "w", encoding="utf8") as f:
+        for did, g in iob.groupby("doc_id"):
+            for _, r in g.iterrows():
+                lab = "O" if r.iob == "O" else f"{r.iob}-Entity"
+                f.write(f"{r.token}\t{lab}\n")
+            f.write("\n")
+
+    # tagger that knows rapamycin but misses ATG5 -> P=1, R=0.5
+    def tagger(sents):
+        return [["B-Entity" if tok.lower() == "rapamycin" else "O"
+                 for tok in s] for s in sents]
+
+    rep = evaluate_column_corpus(str(corpus), tagger=tagger,
+                                 out_path=str(tmp_path / "pred.txt"))
+    assert rep["micro_avg"] == {"precision": 1.0, "recall": 0.5,
+                                "f1": 2 / 3, "support": 2}
+    # the three-column artifact is itself a loadable ColumnCorpus
+    again = evaluate_column_corpus(str(tmp_path / "pred.txt"))
+    assert again["micro_avg"] == rep["micro_avg"]
