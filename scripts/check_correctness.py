@@ -3,6 +3,13 @@
 DuckDB (row count, column names, and order-insensitive value equality).
 
 Usage:  python scripts/check_correctness.py [sf_dir] [query ...]
+
+NOTE: only sf=0.01 is a valid comparison scale (the driver's contract).
+The KG and derived-gold oracles read the synthetic corpus / gold parquet
+under /tmp/easyner_synth/sf0.01 by fixed path — at any other sf_dir those
+queries report spurious row-count mismatches (engine at sf_dir vs gold at
+sf0.01); the plain relational oracles (registered-view SQL) remain valid
+at any sf.
 """
 
 from __future__ import annotations
