@@ -1,6 +1,8 @@
 """Benchmark harness (driver contract).
 
     python bench.py              # headline pipelines at $GRAFT_SF_DIR (sf0.1)
+                                 # (includes the curation-chain leg, key "curate")
+    python bench.py --curate     # curation chain only -> one JSON line
     python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
                                  # processes -> throughput + scaling efficiency
 
@@ -199,6 +201,29 @@ def bench_once() -> dict:
     return result
 
 
+def bench_curate_only() -> dict:
+    """--curate: the flagship training-data path alone."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    curate = run_curate(SF_DIR)
+    ray.shutdown()
+    return {
+        "metric": "curate_docs_per_sec",
+        "value": curate["curate_sec"],
+        "unit": "sec",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "curate": curate,
+    }
+
+
 def bench_scaling() -> dict:
     """Same job at two parallelism levels in FRESH processes (the sandbox
     stand-in for two cluster sizes, BASELINE.json scaling gate).
@@ -291,7 +316,12 @@ if __name__ == "__main__":
     _real_stdout = os.dup(1)
     os.dup2(2, 1)
     try:
-        out = bench_scaling() if "--scaling" in sys.argv else bench_once()
+        if "--scaling" in sys.argv:
+            out = bench_scaling()
+        elif "--curate" in sys.argv:
+            out = bench_curate_only()
+        else:
+            out = bench_once()
     finally:
         sys.stdout.flush()
     os.write(_real_stdout, (json.dumps(out) + "\n").encode())
