@@ -341,3 +341,15 @@ def test_adaptive_semi_join_paths_agree(ray_session):
     assert rows(adaptive_semi_join(left, empty, on="doc_id")) == []
     assert len(rows(adaptive_semi_join(left, empty, on="doc_id",
                                        anti=True))) == 5
+
+    # string keys (the documents-table shape docs_curated joins on)
+    sleft = _ds(pa.table({"doc_id": ["a", "b", "c"], "v": [1, 2, 3]}))
+    skeys = _ds(pa.table({"doc_id": ["b"]}))
+    for cutoff in (64 << 20, 0):
+        got = sorted(r["doc_id"] for r in adaptive_semi_join(
+            sleft, skeys, on="doc_id", broadcast_bytes=cutoff).take_all())
+        assert got == ["b"]
+        got = sorted(r["doc_id"] for r in adaptive_semi_join(
+            sleft, skeys, on="doc_id", anti=True,
+            broadcast_bytes=cutoff).take_all())
+        assert got == ["a", "c"]
