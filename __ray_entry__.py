@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_window_triples": q.kg_window_triples,
         "kg_nodes": q.kg_nodes,
         "kg_edges": q.kg_edges,
+        "kg_edges_incremental": q.kg_edges_incremental,  # fold-in == rebuild
         "kg_entity_freq": q.kg_entity_freq,
         "kg_entity_freq_per_conv": q.kg_entity_freq_per_conv,
         "kg_top_entities": q.kg_top_entities,

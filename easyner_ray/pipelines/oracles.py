@@ -550,3 +550,8 @@ RELATIONAL["docs_curated"] = """
     SELECT doc_id, text FROM dedup
     WHERE (doc_id * 2654435761) % 4294967296 < 2147483648
 """
+
+# incremental ingest is additive-exact (update(build(A), B) == build(A∪B)),
+# so its oracle IS the full-corpus kg_edges SQL — the driver check
+# certifies the fold-in path equals a from-scratch rebuild byte for byte
+KG["kg_edges_incremental"] = KG["kg_edges"]

@@ -616,6 +616,43 @@ def kg_entity_freq_batches(sf_dir: str):
     return entity_frequency_batches(m)
 
 
+def kg_edges_incremental(sf_dir: str):
+    """§2.11 incremental graph ingest, end to end: build the graph sink
+    from HALF the corpus (deterministic conv_id hash split), fold the
+    other half in with ``pipelines.incremental.update_graph`` (work ~ new
+    shards + graph size, never corpus history), return the updated edges.
+
+    Additive-aggregate exactness (``update(build(A), B) == build(A∪B)``)
+    makes this fully SQL-expressible: the oracle is kg_edges' full-corpus
+    SQL verbatim — the driver check certifies the incremental path gives
+    byte-identical edges to a from-scratch rebuild."""
+    import shutil
+    import tempfile
+
+    from easyner_ray.ops.relational import add_hash_bucket
+    from easyner_ray.pipelines.incremental import update_graph
+    from easyner_ray.pipelines.kg import build_kg
+
+    tr = _transcripts(sf_dir)
+    bucketed = tr.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id"], 2),
+        batch_format="pyarrow").materialize()  # two consumers (the halves)
+    half_a = bucketed.filter(expr="__bucket == 0").drop_columns(["__bucket"])
+    half_b = bucketed.filter(expr="__bucket == 1").drop_columns(["__bucket"])
+
+    root = tempfile.mkdtemp(prefix="kg_incr_")
+    try:
+        build_kg(half_a, out_dir=os.path.join(root, "g1"), num_partitions=8)
+        upd = update_graph(half_b, os.path.join(root, "g1"),
+                           out_dir=os.path.join(root, "g2"),
+                           num_partitions=8)
+        # materialize: the snapshot dir is deleted below, so the returned
+        # Dataset must not read from it lazily
+        return upd["edges"].materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def kg_pubtator_roundtrip(sf_dir: str, out_dir: str | None = None):
     """M8+S6 artifact parity: rebased doc-span mentions + reassembled turn
     texts -> PubTator files -> parsed back. The returned mentions must
