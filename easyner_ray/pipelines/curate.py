@@ -114,17 +114,28 @@ def _step_dedup_exact(ds, text_col: str = "text", **_):
 
 
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
-                          text_col: str = "text", **_):
-    """Drop near-duplicates: n-gram Jaccard pairs -> connected components
-    -> every doc whose cluster representative (min id) is NOT itself is
-    removed via a left_anti join against the loser set."""
-    from easyner_ray.ops.dedup import dup_groups, ngram_jaccard_pairs
+                          text_col: str = "text", method: str = "jaccard",
+                          **_):
+    """Drop near-duplicates: candidate pairs (exact n-gram Jaccard by
+    default; ``method="minhash"`` for banded MinHash-LSH, the cheaper
+    estimate at corpus scale) -> connected components -> every doc whose
+    cluster representative (min id) is NOT itself is removed via a
+    left_anti join against the loser set."""
+    from easyner_ray.ops.dedup import (dup_groups, minhash_lsh_pairs,
+                                       ngram_jaccard_pairs)
     from easyner_ray.ops.relational import adaptive_semi_join
 
     ds = ds.materialize()  # two consumers — same checkpoint rationale as
     # _step_dedup_exact (pairs pass + join left side)
-    pairs = ngram_jaccard_pairs(ds, threshold=threshold, k=k,
-                                text_col=text_col)  # pairs key on doc_id
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(ds, threshold=threshold, k=k,
+                                  text_col=text_col)
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(ds, threshold=threshold, k=k,
+                                    text_col=text_col)  # pairs key on doc_id
+    else:
+        raise ValueError(f"near_dup_filter method {method!r}: "
+                         "expected 'jaccard' or 'minhash'")
     groups = dup_groups(pairs)
     losers = groups.filter(expr="doc_id != group_id") \
         .select_columns(["doc_id"])
@@ -151,6 +162,21 @@ def _step_redact(ds, pattern: str, replacement: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _step_chunk(ds, size: int, overlap: int = 0, text_col: str = "text",
+                id_col: str = "doc_id", **_):
+    """Explode documents into fixed-size overlapping character windows —
+    the training-ready final shape. Output keeps ``doc_id`` (sink
+    partition key) plus ``chunk_idx``, with the window text under the
+    SAME text column so later steps (redact, sample) still apply."""
+    from easyner_ray.ops.textstats import chunk_documents
+
+    out = chunk_documents(ds, size=size, overlap=overlap,
+                          id_col=id_col, text_col=text_col)
+    return out.map_batches(
+        lambda t: t.rename_columns([id_col, "chunk_idx", text_col]),
+        batch_format="pyarrow")
+
+
 STEPS = {
     "token_filter": _step_token_filter,
     "quality_filter": _step_quality_filter,
@@ -159,6 +185,7 @@ STEPS = {
     "near_dup_filter": _step_near_dup_filter,
     "hash_sample": _step_hash_sample,
     "redact": _step_redact,
+    "chunk": _step_chunk,
 }
 
 

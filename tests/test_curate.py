@@ -105,3 +105,49 @@ def test_curation_unknown_op_raises(ray_session, docs_path):
     with pytest.raises(ValueError, match="unknown curation op"):
         build_curation({"input": {"documents": docs_path},
                         "steps": [{"op": "nope"}]})
+
+
+def test_near_dup_filter_minhash_backend(ray_session, docs_path):
+    """method="minhash" removes the same synthetic near-dup cluster as the
+    exact-Jaccard default on this fixture (doc 1 exact-dup text, doc 2
+    near-dup — both collapse to rep 0), and an unknown method raises."""
+    from easyner_ray.pipelines.curate import build_curation
+
+    def run(method):
+        cfg = {"input": {"documents": docs_path},
+               "steps": [{"op": "token_filter", "min_tokens": 5},
+                         {"op": "near_dup_filter", "threshold": 0.5, "k": 3,
+                          "method": method}]}
+        return sorted(build_curation(cfg).to_pandas()["doc_id"])
+
+    assert run("minhash") == run("jaccard") == [0, 4, 5]
+    with pytest.raises(ValueError, match="minhash"):
+        run("banding")
+
+
+def test_chunk_step(ray_session, docs_path):
+    """chunk explodes docs into overlapping windows under the same text
+    column, so downstream steps (redact) still apply; gold = straight-line
+    slicing."""
+    from easyner_ray.pipelines.curate import build_curation
+
+    cfg = {"input": {"documents": docs_path},
+           "steps": [{"op": "token_filter", "min_tokens": 5},
+                     {"op": "dedup_exact"},
+                     {"op": "chunk", "size": 20, "overlap": 5},
+                     {"op": "redact", "pattern": r"\d+",
+                      "replacement": "<NUM>"}]}
+    out = build_curation(cfg).to_pandas()
+    assert set(out.columns) == {"doc_id", "chunk_idx", "text"}
+    # (no raw length bound: redaction may LENGTHEN a chunk, e.g. 42 -> <NUM>)
+
+    src = pq.read_table(docs_path).to_pandas().set_index("doc_id")["text"]
+    import re
+    for did, g in out.groupby("doc_id"):
+        text = src[did]
+        # chunk_documents contract: n = max(ceil((len - overlap) / step), 1)
+        n = max(-(-(len(text) - 5) // 15), 1)
+        gold = [re.sub(r"\d+", "<NUM>", text[i * 15: i * 15 + 20])
+                for i in range(n)]
+        got = g.sort_values("chunk_idx")["text"].tolist()
+        assert got == gold, (did, got, gold)
