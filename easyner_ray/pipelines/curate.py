@@ -14,9 +14,10 @@ Config::
         {"op": "quality_filter", "max_punct_ratio": 0.3},
         {"op": "lang_filter", "keep": ["en"]},
         {"op": "dedup_exact"},
-        {"op": "near_dup_filter", "threshold": 0.8, "k": 3},
+        {"op": "near_dup_filter", "threshold": 0.8, "k": 3},   # or "method": "minhash"
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
-        {"op": "hash_sample", "rate": 0.5}
+        {"op": "hash_sample", "rate": 0.5},
+        {"op": "chunk", "size": 2048, "overlap": 128}           # training windows
       ],
       "sink": {"num_partitions": 32}
     }
