@@ -371,6 +371,55 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     )
 
 
+def adaptive_join(left, right, *, on: str, right_on: str | None = None,
+                  how: str = "inner", broadcast_bytes: int = 64 << 20,
+                  approx_bytes: int | None = None, batch_size: int = 8192):
+    """Equi-join that auto-switches strategy on the RIGHT side's measured
+    size — the same adaptive gate as :func:`adaptive_semi_join` and
+    TF-IDF's idf side, applied to a full (column-appending) join.
+
+    Under ``broadcast_bytes`` the right side becomes ONE ``ray.put`` Arrow
+    table and each left batch runs pyarrow's C++ hash join against it —
+    zero shuffle, no join-aggregator actors (those are live actors spun up
+    per execution; at bench scale their startup dominates the join).
+    Above the gate, Ray Data's native hash-shuffle :func:`hash_join` —
+    both sides partition, the 100 TB path.
+
+    Output columns on BOTH paths: left columns then right non-key columns
+    (Ray's ``Dataset.join`` drops the right key; the broadcast path selects
+    the same set). Right column names must not collide with left ones.
+    ``right`` is consumed fully either way (materialized to read its
+    size), so passing an unbounded stream costs one checkpoint.
+    ``how``: "inner" or "left" (left outer). Broadcast-path row order
+    within a batch is not preserved (hash join)."""
+    rk = right_on or on
+    right = right.materialize()
+    rschema = right.schema().base_schema
+    value_cols = [n for n in rschema.names if n != rk]
+    out_cols = list(left.schema().base_schema.names) + value_cols
+
+    if right.size_bytes() > broadcast_bytes:
+        joined = hash_join(left, right, on=on, right_on=right_on,
+                           join_type="inner" if how == "inner" else "left_outer",
+                           approx_bytes=approx_bytes)
+        return joined.map_batches(lambda t: t.select(out_cols),
+                                  batch_format="pyarrow")
+
+    blocks = [b for b in ray.get(right.to_arrow_refs()) if len(b)]
+    small = (pa.concat_tables(blocks) if blocks else rschema.empty_table()) \
+        .select([rk] + value_cols).combine_chunks()
+    small_ref = ray.put(small)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        st = ray.get(small_ref)
+        joined = batch.join(st, keys=[on], right_keys=[rk], join_type=join_type)
+        return joined.select(out_cols)
+
+    return left.map_batches(join_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 def anti_join(left, right, *, on: str, right_on: str | None = None,
               num_partitions: int | None = None,
               approx_bytes: int | None = None):

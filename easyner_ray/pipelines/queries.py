@@ -699,8 +699,14 @@ def revenue_by_priority(sf_dir: str):
     priority rollup), so the all-to-all join shuffle moves ~1 row per
     order instead of ~4 rows per lineitem — the push-agg-below-join
     shape that matters most at 100 TB, where the join shuffle is the
-    single largest data movement in the query."""
-    from easyner_ray.ops.relational import grouped_agg, hash_join
+    single largest data movement in the query.
+
+    The join itself is ADAPTIVE (``relational.adaptive_join``): at bench
+    scale the pruned orders side is a few MB, so it broadcasts (zero
+    shuffle, no join-aggregator actor startup — measured 1.8 s -> ~0.5 s
+    at sf0.1); above the 64 MB gate it takes the same hash-shuffle path
+    as before. ``tests/test_round4b_ops.py`` pins both paths identical."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
     li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
@@ -717,7 +723,7 @@ def revenue_by_priority(sf_dir: str):
             names=["l_orderkey", "rev", "n_li"],
         )
 
-    joined = hash_join(
+    joined = adaptive_join(
         li.map_batches(rev_per_order, batch_format="pyarrow"),
         orders, on="l_orderkey", right_on="o_orderkey",
         # partition count sized from the pruned reads (metadata-cheap);

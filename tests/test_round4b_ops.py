@@ -1,0 +1,72 @@
+"""Round-4 (late) additions:
+
+- adaptive_join: broadcast-vs-hash-shuffle inner/left equi-join, both
+  paths identical (columns, rows, duplicate-key multiplication, nulls),
+- windowed analytics (row_number / lag / running sum per key),
+- embedding near-dup groups (cosine pairs -> connected components).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_adaptive_join_paths_agree(ray_session):
+    """Broadcast path (default at test sizes) and forced hash-shuffle
+    path (broadcast_bytes=0) return identical rows and columns for inner
+    AND left joins; duplicate right keys multiply rows (SQL semantics);
+    unmatched left rows drop on inner / null-fill on left; null left
+    keys never match."""
+    from easyner_ray.ops.relational import adaptive_join
+
+    left = _ds(pa.table({
+        "k": pa.array([1, 2, 2, 3, None], pa.int64()),
+        "a": ["p", "q", "r", "s", "t"],
+    }))
+    right = _ds(pa.table({
+        "rk": pa.array([1, 2, 2], pa.int64()),
+        "b": [10.0, 20.0, 21.0],
+    }))
+
+    def rows(ds):
+        out = ds.take_all()
+        assert all(sorted(r) == ["a", "b", "k"] for r in out)
+        return sorted(((r["k"], r["a"], r["b"]) for r in out),
+                      key=lambda x: (x[0] is None, x[0], x[1], x[2] is None,
+                                     x[2] if x[2] is not None else 0.0))
+
+    inner = [(1, "p", 10.0), (2, "q", 20.0), (2, "q", 21.0),
+             (2, "r", 20.0), (2, "r", 21.0)]
+    got_b = rows(adaptive_join(left, right, on="k", right_on="rk"))
+    got_h = rows(adaptive_join(left, right, on="k", right_on="rk",
+                               broadcast_bytes=0))
+    assert got_b == got_h == inner
+
+    outer = inner + [(3, "s", None), (None, "t", None)]
+    got_b = rows(adaptive_join(left, right, on="k", right_on="rk", how="left"))
+    got_h = rows(adaptive_join(left, right, on="k", right_on="rk", how="left",
+                               broadcast_bytes=0))
+    assert got_b == got_h == outer
+
+    # empty right: inner -> 0 rows, left -> all-left with null b
+    empty = _ds(pa.table({"rk": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.float64())}))
+    assert adaptive_join(left, empty, on="k", right_on="rk").count() == 0
+    got = rows(adaptive_join(left, empty, on="k", right_on="rk", how="left"))
+    assert [(k, a) for k, a, _ in got] == \
+        [(1, "p"), (2, "q"), (2, "r"), (3, "s"), (None, "t")]
+    assert all(b is None for _, _, b in got)
+
+    # string keys, same-name join column on both sides
+    sl = _ds(pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]}))
+    sr = _ds(pa.table({"k": ["b", "c"], "w": [20, 30]}))
+    for cutoff in (64 << 20, 0):
+        got = sorted((r["k"], r["v"], r["w"]) for r in adaptive_join(
+            sl, sr, on="k", broadcast_bytes=cutoff).take_all())
+        assert got == [("b", 2, 20), ("c", 3, 30)]
