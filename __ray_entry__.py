@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q.events_props_extract,  # field extract + redaction
         "latest_event_per_user": q.latest_event_per_user,  # LWW by recency (top-1)
         "top_users_by_value_per_type": q.top_users_by_value_per_type,  # agg -> rank composition
+        "events_running_totals": q.events_running_totals,  # window fns: rn/lag/lead/cumsum
+        "embedding_dup_groups": q.embedding_dup_groups,  # cosine near-dup clusters
         "docs_chunks": q.docs_chunks,  # context-window chunking
         "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
         # round-4 additions

@@ -1,0 +1,138 @@
+"""Partitioned analytic (window) functions: row_number / lag / lead /
+running sum per key, ordered — the ``f(x) OVER (PARTITION BY k ORDER BY
+o)`` family Ray Data has no operator for.
+
+Custom-operator rule (a) (SURVEY.md §2): compose from the engine's
+standard pieces. Rows hash-bucket on the partition key (coarse buckets —
+every key's rows land intact in ONE bucket, the same partitioning
+assumption as ``windows.user_sessions`` and ``relational.topk_per_group``),
+then each bucket sorts once and computes every requested function
+vectorized off a shared run-boundary index: group starts are found with
+shifted whole-column compares (Arrow C++), after which
+
+  * ``row_number`` is ``arange - run_start`` (numpy),
+  * ``lag``/``lead`` are one Arrow ``take`` with a clipped index plus a
+    group-boundary null mask,
+  * ``cumsum`` is one global ``np.cumsum`` re-based per group
+    (``c[i] - c[start] + v[start]``) — NULLs contribute 0 and a prefix
+    that is all-NULL yields NULL, matching SQL ``SUM() OVER``.
+
+No Python loop over rows OR groups: a bucket with a million small groups
+costs the same one sort + O(n) vector passes as one giant group.
+Partitioning assumption (documented contract): one partition key's rows
+fit in one bucket task — buckets bound skew, a pathological key is
+bounded by its bucket, not the cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KINDS = ("row_number", "lag", "lead", "cumsum")
+
+
+def _out_type(kind: str, src: str | None, schema: pa.Schema) -> pa.DataType:
+    if kind == "row_number":
+        return pa.int64()
+    if kind == "cumsum":
+        return pa.float64()
+    return schema.field(src).type
+
+
+def _analytics_kernel(t: pa.Table, partition_by: list[str],
+                      order_by: list[str],
+                      specs: list[tuple[str, str | None, str]]) -> pa.Table:
+    if "__bucket" in t.schema.names:
+        t = t.drop(["__bucket"])
+    n = len(t)
+    if n == 0:
+        for kind, src, name in specs:
+            t = t.append_column(name, pa.array([], _out_type(kind, src, t.schema)))
+        return t
+
+    sort_keys = [(c, "ascending") for c in list(partition_by) + list(order_by)]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+
+    # group-change flags: shifted compares; NULL keys form ONE group
+    # (SQL PARTITION BY), so adjacent nulls are NOT a change while a
+    # validity flip IS — same convention as relational._topk_kernel.
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for g in partition_by:
+        c = t.column(g).combine_chunks()
+        neq = pc.not_equal(c.slice(1), c.slice(0, n - 1))
+        change[1:] |= np.asarray(neq.fill_null(False))
+        if c.null_count:
+            va = np.asarray(pc.is_valid(c))
+            change[1:] |= va[1:] != va[:-1]
+    run_start = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    start_of = run_start[run_id]              # each row -> its group's start
+    rank0 = np.arange(n, dtype=np.int64) - start_of
+
+    for kind, src, name in specs:
+        if kind == "row_number":
+            t = t.append_column(name, pa.array(rank0 + 1, pa.int64()))
+        elif kind in ("lag", "lead"):
+            col = t.column(src).combine_chunks()
+            if kind == "lag":
+                idx = np.maximum(np.arange(n) - 1, 0)
+                in_group = rank0 > 0
+            else:
+                idx = np.minimum(np.arange(n) + 1, n - 1)
+                in_group = ~np.append(change[1:], True)  # not last of group
+            shifted = col.take(pa.array(idx))
+            t = t.append_column(
+                name, pc.if_else(pa.array(in_group), shifted,
+                                 pa.scalar(None, col.type)))
+        elif kind == "cumsum":
+            col = t.column(src).combine_chunks().cast(pa.float64())
+            if col.null_count:
+                vmask = np.asarray(pc.is_valid(col)).astype(np.int64)
+            else:
+                vmask = np.ones(n, dtype=np.int64)
+            v = np.asarray(col.fill_null(0.0), dtype=np.float64)
+            c = np.cumsum(v)
+            seg = c - c[start_of] + v[start_of]
+            out = pa.array(seg, pa.float64())
+            nvalid = np.cumsum(vmask)
+            nseg = nvalid - nvalid[start_of] + vmask[start_of]
+            if (nseg == 0).any():             # all-NULL prefix -> NULL
+                out = pc.if_else(pa.array(nseg > 0), out,
+                                 pa.scalar(None, pa.float64()))
+            t = t.append_column(name, out)
+        else:
+            raise ValueError(f"unknown analytic kind {kind!r} "
+                             f"(supported: {_KINDS})")
+    return t
+
+
+def partitioned_analytics(ds, partition_by: list[str], order_by: list[str],
+                          specs: list[tuple[str, str | None, str]],
+                          *, n_buckets: int = 32):
+    """Append analytic columns to ``ds``: for each ``(kind, src_col,
+    out_name)`` in ``specs``, the value of ``kind(src_col) OVER
+    (PARTITION BY partition_by ORDER BY order_by)``.
+
+    ``order_by`` must totally order rows within a partition (same
+    requirement as the SQL form needs for deterministic lag/row_number).
+    Row order of the OUTPUT is per-bucket sorted, globally unordered —
+    order is a property of the final consumer, not the exchange.
+    """
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    for kind, _src, _name in specs:
+        if kind not in _KINDS:
+            raise ValueError(f"unknown analytic kind {kind!r}")
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, list(partition_by), n_buckets),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("__bucket").map_groups(
+        lambda t: _analytics_kernel(t, list(partition_by), list(order_by),
+                                    list(specs)),
+        batch_format="pyarrow",
+    )

@@ -524,6 +524,35 @@ RELATIONAL["top_users_by_value_per_type"] = """
       FROM events GROUP BY event_type, user_id) WHERE rn <= 3
 """
 
+RELATIONAL["embedding_dup_groups"] = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    ), edges AS (
+      SELECT va AS src, vb AS dst FROM pairs
+      UNION ALL
+      SELECT vb, va FROM pairs
+    ), cc(vec_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.vec_id
+    )
+    SELECT vec_id, min(label) AS group_id FROM cc GROUP BY vec_id
+"""
+
+RELATIONAL["events_running_totals"] = """
+    SELECT user_id, event_id, value,
+           row_number() OVER w AS rn,
+           coalesce(lag(value) OVER w, -1.0) AS prev_value,
+           coalesce(lead(value) OVER w, -1.0) AS next_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 RELATIONAL["docs_chunks"] = """
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
                WHERE length(text) > 0),

@@ -935,6 +935,61 @@ def top_users_by_value_per_type(sf_dir: str):
     return ranked
 
 
+def embedding_dup_groups(sf_dir: str):
+    """Embedding-cosine near-duplicate CLUSTERS — the dedup family's
+    closure applied to the embedding modality: exact cosine >= 0.4 pairs
+    (brute-force matmul per batch against the one broadcast matrix) ->
+    connected components -> (vec_id, group_id = min reachable vec_id).
+    The same dup_groups propagation the text near-dup path uses, so at
+    scale the pair stage swaps to cosine_near_dup_pairs (LSH) with no
+    change downstream."""
+    from easyner_ray.ops.dedup import dup_groups
+    from easyner_ray.ops.similarity import cosine_pairs_brute
+
+    pairs = cosine_pairs_brute(
+        _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.4)
+    pairs = pairs.map_batches(
+        lambda t: t.select(["vec_id_a", "vec_id_b"])
+                   .rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    return dup_groups(pairs).map_batches(
+        lambda t: t.rename_columns(["vec_id", "group_id"]),
+        batch_format="pyarrow")
+
+
+def events_running_totals(sf_dir: str):
+    """Partitioned analytic (window) functions — the ``f(x) OVER
+    (PARTITION BY user ORDER BY ts)`` family Ray Data lacks: per-user
+    event sequence number, previous/next value, and running value total,
+    all computed in ONE bucketed pass (`ops.analytic`): one hash exchange
+    on user_id, one sort per bucket, every function a vector op off the
+    shared run-boundary index."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_analytics(
+        ev, ["user_id"], ["ts", "event_id"],
+        [("row_number", None, "rn"),
+         ("lag", "value", "prev_value"),
+         ("lead", "value", "next_value"),
+         ("cumsum", "value", "running_value")])
+
+    def tidy(t: pa.Table) -> pa.Table:
+        t = _round4(t, ["running_value"])
+        # partition-edge NULLs (first row's lag / last row's lead) are
+        # coalesced to -1.0 ONLY for the value-hash compare — NaN is never
+        # bit-equal, so a nullable float column can't hash-match. The real
+        # NULL semantics are pinned by tests/test_round4b_ops.py.
+        for c in ("prev_value", "next_value"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t.column(c).combine_chunks().fill_null(-1.0))
+        return t.select(["user_id", "event_id", "value", "rn",
+                         "prev_value", "next_value", "running_value"])
+
+    return out.map_batches(tidy, batch_format="pyarrow")
+
+
 def docs_chunks(sf_dir: str):
     """Context-window chunking: every document split into 120-char
     windows advancing 100 chars (20 overlap) — map-only explode, slices

@@ -70,3 +70,47 @@ def test_adaptive_join_paths_agree(ray_session):
         got = sorted((r["k"], r["v"], r["w"]) for r in adaptive_join(
             sl, sr, on="k", broadcast_bytes=cutoff).take_all())
         assert got == [("b", 2, 20), ("c", 3, 30)]
+
+
+def test_partitioned_analytics_kernel_and_buckets(ray_session):
+    """Window functions (row_number / lag / lead / cumsum): partition-edge
+    NULLs, an all-NULL running-sum prefix staying NULL until the first
+    valid value, NULL partition keys forming ONE group (SQL PARTITION BY),
+    non-numeric lag/lead preserving the source type, and bucket-count
+    invariance (n_buckets=1 == 8)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, None, None], pa.int64()),
+        "o": pa.array([1, 2, 3, 1, 2, 1, 2], pa.int64()),
+        "v": pa.array([None, None, 3.0, 10.0, 20.0, 5.0, 6.0], pa.float64()),
+        "s": ["a", "b", "c", "d", "e", "f", "g"],
+    })
+    specs = [("row_number", None, "rn"), ("lag", "v", "pv"),
+             ("lead", "s", "ns"), ("cumsum", "v", "rv")]
+
+    def run(n_buckets):
+        out = partitioned_analytics(_ds(t), ["k"], ["o"], specs,
+                                    n_buckets=n_buckets).take_all()
+        return sorted(((r["k"], r["o"], r["rn"], r["pv"], r["ns"], r["rv"])
+                       for r in out),
+                      key=lambda x: (x[0] is None, x[0] or 0, x[1]))
+
+    got = run(8)
+    assert got == run(1)
+    assert got == [
+        # k=1: two NULL values first -> rv stays NULL until o=3
+        (1, 1, 1, None, "b", None),
+        (1, 2, 2, None, "c", None),   # lag over a NULL value is NULL
+        (1, 3, 3, None, None, 3.0),   # last of group: lead is NULL
+        (2, 1, 1, None, "e", 10.0),
+        (2, 2, 2, 10.0, None, 30.0),
+        # NULL keys are ONE partition
+        (None, 1, 1, None, "g", 5.0),
+        (None, 2, 2, 5.0, None, 11.0),
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown analytic kind"):
+        partitioned_analytics(_ds(t), ["k"], ["o"], [("rank", None, "r")])
