@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value_per_type": q.top_users_by_value_per_type,  # agg -> rank composition
         "events_running_totals": q.events_running_totals,  # window fns: rn/lag/lead/cumsum
         "embedding_dup_groups": q.embedding_dup_groups,  # cosine near-dup clusters
+        "events_value_ranks": q.events_value_ranks,  # rank/dense_rank/ntile, tie-aware
         "docs_chunks": q.docs_chunks,  # context-window chunking
         "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
         # round-4 additions

@@ -1,6 +1,7 @@
-"""Partitioned analytic (window) functions: row_number / lag / lead /
-running sum per key, ordered — the ``f(x) OVER (PARTITION BY k ORDER BY
-o)`` family Ray Data has no operator for.
+"""Partitioned analytic (window) functions: row_number / rank /
+dense_rank / ntile / lag / lead / running sum per key, ordered — the
+``f(x) OVER (PARTITION BY k ORDER BY o)`` family Ray Data has no
+operator for.
 
 Custom-operator rule (a) (SURVEY.md §2): compose from the engine's
 standard pieces. Rows hash-bucket on the partition key (coarse buckets —
@@ -10,7 +11,9 @@ then each bucket sorts once and computes every requested function
 vectorized off a shared run-boundary index: group starts are found with
 shifted whole-column compares (Arrow C++), after which
 
-  * ``row_number`` is ``arange - run_start`` (numpy),
+  * ``row_number`` is ``arange - run_start`` (numpy); ``rank`` /
+    ``dense_rank`` reuse the same flags computed over the tie columns;
+    ``ntile`` is arithmetic on the group sizes (``np.diff`` of starts),
   * ``lag``/``lead`` are one Arrow ``take`` with a clipped index plus a
     group-boundary null mask,
   * ``cumsum`` is one global ``np.cumsum`` re-based per group
@@ -30,20 +33,39 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_KINDS = ("row_number", "lag", "lead", "cumsum")
+_KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+          "cumsum")
 
 
-def _out_type(kind: str, src: str | None, schema: pa.Schema) -> pa.DataType:
-    if kind == "row_number":
+def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
+    if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
     if kind == "cumsum":
         return pa.float64()
     return schema.field(src).type
 
 
+def _change_flags(t: pa.Table, cols: list[str], n: int,
+                  base: "np.ndarray | None" = None) -> "np.ndarray":
+    """Row-i-starts-a-new-run flags over ``cols`` via shifted whole-column
+    compares (Arrow C++). NULLs form one run (SQL semantics): adjacent
+    nulls are NOT a change, a validity flip IS."""
+    change = np.zeros(n, dtype=bool) if base is None else base.copy()
+    change[0] = True
+    for g in cols:
+        c = t.column(g).combine_chunks()
+        neq = pc.not_equal(c.slice(1), c.slice(0, n - 1))
+        change[1:] |= np.asarray(neq.fill_null(False))
+        if c.null_count:
+            va = np.asarray(pc.is_valid(c))
+            change[1:] |= va[1:] != va[:-1]
+    return change
+
+
 def _analytics_kernel(t: pa.Table, partition_by: list[str],
                       order_by: list[str],
-                      specs: list[tuple[str, str | None, str]]) -> pa.Table:
+                      specs: list[tuple[str, object, str]],
+                      rank_prefix: int | None = None) -> pa.Table:
     if "__bucket" in t.schema.names:
         t = t.drop(["__bucket"])
     n = len(t)
@@ -55,26 +77,47 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
     sort_keys = [(c, "ascending") for c in list(partition_by) + list(order_by)]
     t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
 
-    # group-change flags: shifted compares; NULL keys form ONE group
-    # (SQL PARTITION BY), so adjacent nulls are NOT a change while a
-    # validity flip IS — same convention as relational._topk_kernel.
-    change = np.zeros(n, dtype=bool)
-    change[0] = True
-    for g in partition_by:
-        c = t.column(g).combine_chunks()
-        neq = pc.not_equal(c.slice(1), c.slice(0, n - 1))
-        change[1:] |= np.asarray(neq.fill_null(False))
-        if c.null_count:
-            va = np.asarray(pc.is_valid(c))
-            change[1:] |= va[1:] != va[:-1]
+    # group-change flags (same convention as relational._topk_kernel)
+    change = _change_flags(t, partition_by, n)
     run_start = np.flatnonzero(change)
     run_id = np.cumsum(change) - 1
     start_of = run_start[run_id]              # each row -> its group's start
     rank0 = np.arange(n, dtype=np.int64) - start_of
 
+    # tie-run flags for rank/dense_rank: a new tie run starts on a new
+    # PARTITION or when the first ``rank_prefix`` order columns change —
+    # the trailing order columns only make the sort total (deterministic
+    # lag/row_number/ntile), exactly like SQL's rank() seeing only its
+    # ORDER BY list.
+    tie_cols = list(order_by if rank_prefix is None else order_by[:rank_prefix])
+    ochange = tstart = tid = None
+    if any(k in ("rank", "dense_rank") for k, _s, _n in specs):
+        ochange = _change_flags(t, tie_cols, n, base=change)
+        tstart = np.flatnonzero(ochange)
+        tid = np.cumsum(ochange) - 1
+
     for kind, src, name in specs:
         if kind == "row_number":
             t = t.append_column(name, pa.array(rank0 + 1, pa.int64()))
+        elif kind == "rank":
+            # 1 + offset of the tie run's first row within the partition
+            t = t.append_column(
+                name, pa.array(tstart[tid] - start_of + 1, pa.int64()))
+        elif kind == "dense_rank":
+            c = np.cumsum(ochange)
+            t = t.append_column(name, pa.array(c - c[start_of] + 1, pa.int64()))
+        elif kind == "ntile":
+            ntiles = int(src)
+            sizes = np.diff(run_start, append=n)[run_id]
+            q, rem = sizes // ntiles, sizes % ntiles
+            big = (q + 1) * rem               # rows covered by the big tiles
+            small_part = rank0 < big
+            tile = np.where(
+                small_part,
+                rank0 // np.maximum(q + 1, 1),
+                (rank0 - big) // np.maximum(q, 1) + rem,
+            ) + 1
+            t = t.append_column(name, pa.array(tile, pa.int64()))
         elif kind in ("lag", "lead"):
             col = t.column(src).combine_chunks()
             if kind == "lag":
@@ -110,16 +153,24 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
 
 
 def partitioned_analytics(ds, partition_by: list[str], order_by: list[str],
-                          specs: list[tuple[str, str | None, str]],
-                          *, n_buckets: int = 32):
-    """Append analytic columns to ``ds``: for each ``(kind, src_col,
-    out_name)`` in ``specs``, the value of ``kind(src_col) OVER
-    (PARTITION BY partition_by ORDER BY order_by)``.
+                          specs: list[tuple[str, object, str]],
+                          *, rank_prefix: int | None = None,
+                          n_buckets: int = 32):
+    """Append analytic columns to ``ds``: for each ``(kind, arg,
+    out_name)`` in ``specs``, the value of ``kind OVER (PARTITION BY
+    partition_by ORDER BY order_by)``. ``arg`` is the source column for
+    lag/lead/cumsum, the tile count for ntile, ignored for
+    row_number/rank/dense_rank.
 
     ``order_by`` must totally order rows within a partition (same
-    requirement as the SQL form needs for deterministic lag/row_number).
-    Row order of the OUTPUT is per-bucket sorted, globally unordered —
-    order is a property of the final consumer, not the exchange.
+    requirement as the SQL form needs for deterministic
+    lag/row_number/ntile). ``rank_prefix``: rank/dense_rank see only the
+    first that-many order columns as their ORDER BY (ties!), while the
+    full list still makes the sort total — ``order_by=["value", "id"],
+    rank_prefix=1`` is SQL ``rank() OVER (... ORDER BY value)`` plus a
+    deterministic physical order for everything else. Row order of the
+    OUTPUT is per-bucket sorted, globally unordered — order is a property
+    of the final consumer, not the exchange.
     """
     from easyner_ray.ops.relational import add_hash_bucket
 
@@ -133,6 +184,6 @@ def partitioned_analytics(ds, partition_by: list[str], order_by: list[str],
     )
     return bucketed.groupby("__bucket").map_groups(
         lambda t: _analytics_kernel(t, list(partition_by), list(order_by),
-                                    list(specs)),
+                                    list(specs), rank_prefix),
         batch_format="pyarrow",
     )

@@ -553,6 +553,15 @@ RELATIONAL["events_running_totals"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+RELATIONAL["events_value_ranks"] = """
+    SELECT event_type, event_id, value,
+           rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS drnk,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS tile
+    FROM events
+"""
+
 RELATIONAL["docs_chunks"] = """
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
                WHERE length(text) > 0),

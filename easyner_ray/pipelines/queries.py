@@ -990,6 +990,28 @@ def events_running_totals(sf_dir: str):
     return out.map_batches(tidy, batch_format="pyarrow")
 
 
+def events_value_ranks(sf_dir: str):
+    """Tie-aware ranking window functions: per event type, each event's
+    rank / dense_rank over value (2-decimal values tie often) and its
+    ntile(4) quartile over the total (value, event_id) order.
+    ``rank_prefix=1`` makes rank see ONLY value as its ORDER BY — exactly
+    SQL's ``rank() OVER (ORDER BY value)`` — while the event_id
+    tie-break keeps ntile deterministic."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    out = partitioned_analytics(
+        ev, ["event_type"], ["value", "event_id"],
+        [("rank", None, "rnk"),
+         ("dense_rank", None, "drnk"),
+         ("ntile", 4, "tile")],
+        rank_prefix=1)
+    return out.map_batches(
+        lambda t: t.select(["event_type", "event_id", "value",
+                            "rnk", "drnk", "tile"]),
+        batch_format="pyarrow")
+
+
 def docs_chunks(sf_dir: str):
     """Context-window chunking: every document split into 120-char
     windows advancing 100 chars (20 overlap) — map-only explode, slices

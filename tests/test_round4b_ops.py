@@ -113,4 +113,35 @@ def test_partitioned_analytics_kernel_and_buckets(ray_session):
     import pytest
 
     with pytest.raises(ValueError, match="unknown analytic kind"):
-        partitioned_analytics(_ds(t), ["k"], ["o"], [("rank", None, "r")])
+        partitioned_analytics(_ds(t), ["k"], ["o"], [("pct", None, "r")])
+
+
+def test_ranking_analytics_ties_and_ntile(ray_session):
+    """rank / dense_rank with ties (rank_prefix hides the tie-break
+    column from them) and ntile's equal-as-possible split, including a
+    group smaller than the tile count."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    t = pa.table({
+        "k": [1, 1, 1, 1, 1, 1, 1, 2, 2],
+        "v": [10, 10, 10, 20, 20, 30, 40, 5, 5],
+        "id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    })
+    out = partitioned_analytics(
+        _ds(t), ["k"], ["v", "id"],
+        [("rank", None, "rnk"), ("dense_rank", None, "drnk"),
+         ("ntile", 3, "tile"), ("row_number", None, "rn")],
+        rank_prefix=1).take_all()
+    got = {r["id"]: (r["rnk"], r["drnk"], r["tile"], r["rn"]) for r in out}
+    # k=1: values 10,10,10,20,20,30,40 -> SQL rank 1,1,1,4,4,6,7;
+    # dense 1,1,1,2,2,3,4; ntile(3) over 7 rows -> sizes 3,2,2
+    assert got[1] == (1, 1, 1, 1)
+    assert got[2] == (1, 1, 1, 2)
+    assert got[3] == (1, 1, 1, 3)
+    assert got[4] == (4, 2, 2, 4)
+    assert got[5] == (4, 2, 2, 5)
+    assert got[6] == (6, 3, 3, 6)
+    assert got[7] == (7, 4, 3, 7)
+    # k=2: 2 rows into 3 tiles -> one row per tile
+    assert got[8] == (1, 1, 1, 1)
+    assert got[9] == (1, 1, 2, 2)
