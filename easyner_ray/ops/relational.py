@@ -498,6 +498,43 @@ def hash_sample(ds, key: str, rate: float, batch_size: int = 65536):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def stratified_sample(ds, group_keys: list[str], n_per_group: int, *,
+                      id_col: str, n_buckets: int = 32,
+                      batch_size: int = 65536):
+    """Deterministic stratified sample: ``n_per_group`` rows per group,
+    chosen by the multiplicative hash of ``id_col`` — the class-balancing
+    primitive a training-data pipeline needs (cap every language /
+    domain / label at N examples) built as :func:`topk_per_group` over a
+    derived hash order, so it inherits the bounded-shuffle property:
+    each batch forwards at most n rows per group it sees, a hot group
+    ships n rows per batch, never its full membership.
+
+    Hash order (not ``random_sample``) for the same reason as
+    :func:`hash_sample`: no RNG state, stable under repartitioning and
+    re-runs, reproducible across engines — the oracle expresses it as
+    ``row_number() OVER (PARTITION BY g ORDER BY (id*2654435761) %% 2^32,
+    id)``. ``id_col`` must be a non-negative int column; the id itself
+    tie-breaks equal hashes."""
+    import numpy as np
+
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        k_arr = np.asarray(t.column(id_col).combine_chunks().cast(pa.int64())
+                           ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k_arr * mult) & mask32
+        return t.append_column("__h", pa.array(h.astype(np.int64), pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            batch_size=batch_size)
+    out = topk_per_group(hashed, group_keys, "__h", n_per_group,
+                         descending=False, tie_cols=[id_col],
+                         rank_name="sample_rank", n_buckets=n_buckets)
+    return out.map_batches(lambda t: t.drop(["__h"]), batch_format="pyarrow")
+
+
 def _topk_kernel(t: pa.Table, group_keys: list[str], order_col: str, k: int,
                  descending: bool, tie_cols: list[str],
                  rank_name: str | None) -> pa.Table:

@@ -553,6 +553,15 @@ RELATIONAL["events_running_totals"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+RELATIONAL["events_stratified_sample"] = """
+    SELECT event_type, event_id, value, sample_rank FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+               AS sample_rank
+      FROM events) WHERE sample_rank <= 20
+"""
+
 RELATIONAL["events_value_ranks"] = """
     SELECT event_type, event_id, value,
            rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,

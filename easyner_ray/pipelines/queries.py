@@ -1012,6 +1012,17 @@ def events_value_ranks(sf_dir: str):
         batch_format="pyarrow")
 
 
+def events_stratified_sample(sf_dir: str):
+    """Class-balanced sampling: exactly 20 events per event type, picked
+    by the deterministic multiplicative hash of event_id (no RNG state,
+    reproducible across engines and re-runs — same arithmetic as
+    orders_hash_sample, applied per group)."""
+    from easyner_ray.ops.relational import stratified_sample
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return stratified_sample(ev, ["event_type"], 20, id_col="event_id")
+
+
 def docs_chunks(sf_dir: str):
     """Context-window chunking: every document split into 120-char
     windows advancing 100 chars (20 overlap) — map-only explode, slices

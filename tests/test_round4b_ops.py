@@ -116,6 +116,31 @@ def test_partitioned_analytics_kernel_and_buckets(ray_session):
         partitioned_analytics(_ds(t), ["k"], ["o"], [("pct", None, "r")])
 
 
+def test_stratified_sample_deterministic(ray_session):
+    """Exactly n rows per group (or the whole group when smaller), the
+    SAME rows on every run, chosen by the multiplicative hash of the id
+    column — membership independent of input partitioning."""
+    from easyner_ray.ops.relational import stratified_sample
+
+    t = pa.table({
+        "g": ["a"] * 10 + ["b"] * 3,
+        "id": list(range(10)) + [100, 101, 102],
+    })
+
+    def run(ds):
+        out = stratified_sample(ds, ["g"], 5, id_col="id").take_all()
+        by_g: dict = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append((r["sample_rank"], r["id"]))
+        return {g: sorted(v) for g, v in by_g.items()}
+
+    one = run(_ds(t))
+    again = run(_ds(t).repartition(4))
+    assert one == again
+    assert len(one["a"]) == 5 and len(one["b"]) == 3  # b smaller than n
+    assert [r for r, _ in one["a"]] == [1, 2, 3, 4, 5]
+
+
 def test_ranking_analytics_ties_and_ntile(ray_session):
     """rank / dense_rank with ties (rank_prefix hides the tie-break
     column from them) and ntile's equal-as-possible split, including a
