@@ -76,6 +76,39 @@ def _step_quality_filter(ds, min_chars: int = 1,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _step_quality_percentile(ds, metric: str = "stopword_ratio",
+                             percentile: float = 0.25, keep: str = "above",
+                             text_col: str = "text", **_):
+    """Percentile-based quality gate: drop the worst ``percentile`` tail
+    of a quality metric measured over THIS corpus (the common real-world
+    form — "cut the bottom quartile" — where the threshold is a property
+    of the data, not a config constant).
+
+    Two passes by construction: the exact-quantile threshold (histogram
+    refinement, no sort — ``ops.sketch.exact_quantiles``) then a map-only
+    filter. The scored stream is materialized once because both passes
+    consume it; the threshold itself is one scalar on the driver.
+    ``keep="above"`` keeps metric >= P(percentile) (quality metrics where
+    higher is better); ``"below"`` keeps metric <= it (e.g. punct_ratio).
+    """
+    from easyner_ray.ops.sketch import exact_quantiles
+    from easyner_ray.ops.textstats import quality_score_batch
+
+    def score(t: pa.Table) -> pa.Table:
+        m = quality_score_batch(t, text_col=text_col)
+        return t.append_column("__m", m.column(metric))
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    thr = exact_quantiles(scored.select_columns(["__m"]), "__m",
+                          [percentile])[percentile]
+
+    def f(t: pa.Table) -> pa.Table:
+        cmp = pc.greater_equal if keep == "above" else pc.less_equal
+        return t.filter(cmp(t.column("__m"), thr)).drop(["__m"])
+
+    return scored.map_batches(f, batch_format="pyarrow")
+
+
 def _step_lang_filter(ds, keep: list[str], text_col: str = "text", **_):
     """Keep docs whose trigram language guess is in ``keep`` — profiles
     cached once per worker process (same pattern as ops.textstats.lang_id)."""
@@ -181,6 +214,7 @@ def _step_chunk(ds, size: int, overlap: int = 0, text_col: str = "text",
 STEPS = {
     "token_filter": _step_token_filter,
     "quality_filter": _step_quality_filter,
+    "quality_percentile": _step_quality_percentile,
     "lang_filter": _step_lang_filter,
     "dedup_exact": _step_dedup_exact,
     "near_dup_filter": _step_near_dup_filter,

@@ -553,6 +553,18 @@ RELATIONAL["events_running_totals"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+RELATIONAL["docs_quality_filtered"] = """
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '(?i)\\b(?:the|a|an|and|or|of|to|in|is|that|it|for|on|with|as|was|at|by|be|this)\\b')) * 1.0
+               / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1)
+               AS stopword_ratio
+      FROM documents
+    ), t AS (SELECT quantile_disc(stopword_ratio, 0.25) AS thr FROM s)
+    SELECT doc_id FROM s, t WHERE stopword_ratio >= thr
+"""
+
 RELATIONAL["events_stratified_sample"] = """
     SELECT event_type, event_id, value, sample_rank FROM (
       SELECT event_type, event_id, value,

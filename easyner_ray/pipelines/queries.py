@@ -1023,6 +1023,24 @@ def events_stratified_sample(sf_dir: str):
     return stratified_sample(ev, ["event_type"], 20, id_col="event_id")
 
 
+def docs_quality_filtered(sf_dir: str):
+    """Percentile-based quality gate (curate step ``quality_percentile``):
+    keep documents at or above this corpus's P25 stopword ratio — the
+    threshold is a property of the data (exact quantile, quantile_disc
+    semantics), not a config constant. Two passes: histogram-refinement
+    quantile, then a map-only filter."""
+    import os
+
+    from easyner_ray.pipelines.curate import build_curation
+
+    out = build_curation({
+        "input": {"documents": os.path.join(sf_dir, "documents.parquet")},
+        "steps": [{"op": "quality_percentile", "metric": "stopword_ratio",
+                   "percentile": 0.25, "keep": "above"}],
+    })
+    return out.select_columns(["doc_id"])
+
+
 def docs_chunks(sf_dir: str):
     """Context-window chunking: every document split into 120-char
     windows advancing 100 chars (20 overlap) — map-only explode, slices

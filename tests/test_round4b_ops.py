@@ -141,6 +141,35 @@ def test_stratified_sample_deterministic(ray_session):
     assert [r for r, _ in one["a"]] == [1, 2, 3, 4, 5]
 
 
+def test_quality_percentile_step_both_directions(ray_session):
+    """quality_percentile curate step: the threshold is the exact
+    quantile of the metric over THIS corpus; keep='above' retains
+    everything at/above it (>= 1 - percentile of rows, more with ties),
+    keep='below' the complement direction."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.curate import STEPS
+
+    # stopword-heavy docs score high, 'zzz' docs score 0
+    texts = ([f"the and of to in is that it for on doc {i}" for i in range(8)]
+             + ["zzz qqq xxx", "qqq zzz yyy"])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(10)), "text": texts,
+    }))
+    kept = STEPS["quality_percentile"](ds, metric="stopword_ratio",
+                                       percentile=0.25, keep="above").take_all()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == list(range(8))          # the two zzz docs fall below P25
+    assert all(sorted(r) == ["doc_id", "text"] for r in kept)  # __m dropped
+
+    # P20 over 10 rows = rank-2 value = the second zero-score doc, so
+    # keep='below' retains exactly the two junk docs
+    kept_low = STEPS["quality_percentile"](ds, metric="stopword_ratio",
+                                           percentile=0.2,
+                                           keep="below").take_all()
+    assert sorted(r["doc_id"] for r in kept_low) == [8, 9]
+
+
 def test_ranking_analytics_ties_and_ntile(ray_session):
     """rank / dense_rank with ties (rank_prefix hides the tie-break
     column from them) and ntile's equal-as-possible split, including a
