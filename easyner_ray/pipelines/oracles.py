@@ -553,6 +553,16 @@ RELATIONAL["events_running_totals"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+RELATIONAL["events_user_type_pivot"] = """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+"""
+
 RELATIONAL["docs_quality_filtered"] = """
     WITH s AS (
       SELECT doc_id,

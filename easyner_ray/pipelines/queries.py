@@ -1023,6 +1023,33 @@ def events_stratified_sample(sf_dir: str):
     return stratified_sample(ev, ["event_type"], 20, id_col="event_id")
 
 
+def events_user_type_pivot(sf_dir: str):
+    """Pivot (long -> wide conditional aggregation): one row per user
+    with a count column per event type. Vectorized indicator columns per
+    batch (pc.equal -> int64) feed the ordinary two-phase sum — the
+    pivot costs nothing beyond the aggregate it rides on, and the fixed
+    known-category list is what makes it scale (an open category set is
+    the long-format grouped_agg, not a pivot)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = [t.column("user_id")]
+        names = ["user_id"]
+        et = t.column("event_type")
+        for ty in types:
+            cols.append(pc.equal(et, pa.scalar(ty)).cast(pa.int64()))
+            names.append(f"n_{ty}")
+        return pa.Table.from_arrays(cols, names=names)
+
+    return grouped_agg(
+        ev.map_batches(indicators, batch_format="pyarrow"),
+        ["user_id"],
+        [(f"n_{ty}", "sum", f"n_{ty}") for ty in types])
+
+
 def docs_quality_filtered(sf_dir: str):
     """Percentile-based quality gate (curate step ``quality_percentile``):
     keep documents at or above this corpus's P25 stopword ratio — the
