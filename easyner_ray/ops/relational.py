@@ -514,15 +514,22 @@ def stratified_sample(ds, group_keys: list[str], n_per_group: int, *,
     re-runs, reproducible across engines — the oracle expresses it as
     ``row_number() OVER (PARTITION BY g ORDER BY (id*2654435761) %% 2^32,
     id)``. ``id_col`` must be a non-negative int column; the id itself
-    tie-breaks equal hashes."""
+    tie-breaks equal hashes. NULL ids are excluded from the sample (the
+    SQL form never ranks them first: NULL arithmetic sorts last), and
+    they must be dropped BEFORE numpy — an int64 array with nulls
+    converts to float64/NaN and corrupts every row's hash (the same trap
+    :func:`hash_sample` documents)."""
     import numpy as np
 
     mask32 = np.uint64(0xFFFFFFFF)
     mult = np.uint64(_KNUTH32)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        k_arr = np.asarray(t.column(id_col).combine_chunks().cast(pa.int64())
-                           ).astype(np.uint64)
+        col = t.column(id_col).combine_chunks()
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+            col = t.column(id_col).combine_chunks()
+        k_arr = np.asarray(col.cast(pa.int64())).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (k_arr * mult) & mask32
         return t.append_column("__h", pa.array(h.astype(np.int64), pa.int64()))

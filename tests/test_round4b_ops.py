@@ -140,6 +140,34 @@ def test_stratified_sample_deterministic(ray_session):
     assert len(one["a"]) == 5 and len(one["b"]) == 3  # b smaller than n
     assert [r for r, _ in one["a"]] == [1, 2, 3, 4, 5]
 
+    # NULL ids are excluded and do not corrupt the others' hashes
+    tn = pa.table({
+        "g": ["a"] * 4,
+        "id": pa.array([0, 1, None, 2], pa.int64()),
+    })
+    got = run(_ds(tn))
+    sampled_ids = {i for _, i in got["a"]}
+    assert None not in sampled_ids and len(got["a"]) == 3
+    # same membership as the no-null input restricted to valid ids
+    base = run(_ds(pa.table({"g": ["a"] * 3,
+                             "id": pa.array([0, 1, 2], pa.int64())})))
+    assert got == base
+
+
+def test_quality_percentile_empty_input(ray_session):
+    """An empty corpus flows through the percentile gate as empty (the
+    quantile of nothing is None -> all-null mask -> zero rows), not a
+    crash."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.curate import STEPS
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}))
+    out = STEPS["quality_percentile"](ds, metric="stopword_ratio",
+                                      percentile=0.25)
+    assert out.count() == 0
+
 
 def test_quality_percentile_step_both_directions(ray_session):
     """quality_percentile curate step: the threshold is the exact
