@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified_sample": q.events_stratified_sample,  # N-per-group hash sample
         "docs_quality_filtered": q.docs_quality_filtered,  # data-derived percentile gate
         "events_user_type_pivot": q.events_user_type_pivot,  # long->wide pivot
+        "docs_bm25": q.docs_bm25,  # BM25 keyword search scoring
         "docs_chunks": q.docs_chunks,  # context-window chunking
         "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
         # round-4 additions

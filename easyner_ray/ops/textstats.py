@@ -339,6 +339,102 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
 # ----------------------------------------------------------- chunking ---
 
 
+def bm25_scores(docs, query_terms: list[str], *, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.5, b: float = 0.75,
+                round_digits: int | None = 4, batch_size: int = 4096):
+    """-> (id, bm25) for every document matching >= 1 query term: Okapi
+    BM25 with the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` idf — the
+    ranking function a keyword search over the corpus needs (the
+    tf-only ``search_sentences`` surface, upgraded with df and
+    length normalization).
+
+    Scale shape: the query term set is SMALL (a user query), so the
+    whole computation is two map passes and one tiny aggregate — no
+    per-term shuffle at all. Pass 1 reduces each doc to a compact stats
+    row (dl, tf per query term — same one-kernel tokenizer as TF-IDF,
+    ``TFIDF_SPLIT_RE``), materialized once (rows ~ docs, columns ~
+    terms). The corpus constants (N, avgdl, df per term) are one
+    aggregate over it; pass 2 is a map-only score. Term contributions
+    sum in query order and every float op mirrors the SQL oracle's
+    operator order, so values are bit-stable up to the final rounding.
+    """
+    import numpy as np
+
+    terms = list(query_terms)
+    tf_names = [f"__tf{i}" for i in range(len(terms))]
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(text), TFIDF_SPLIT_RE)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = np.asarray(pc.list_parent_indices(lists))
+        nonempty = np.asarray(pc.not_equal(flat, "").fill_null(False))
+        n = len(t)
+        dl = np.bincount(parent[nonempty], minlength=n)
+        cols = [t.column(id_col), pa.array(dl.astype("int64"), pa.int64())]
+        names = [id_col, "__dl"]
+        for i, term in enumerate(terms):
+            hit = np.asarray(pc.equal(flat, term).fill_null(False))
+            tf = np.bincount(parent[hit], minlength=n)
+            cols.append(pa.array(tf.astype("int64"), pa.int64()))
+            names.append(tf_names[i])
+        return pa.Table.from_arrays(cols, names=names)
+
+    stats = docs.map_batches(doc_stats, batch_format="pyarrow",
+                             batch_size=batch_size).materialize()
+
+    # corpus constants: one partial-agg pass -> a handful of scalars
+    def partial(t: pa.Table) -> pa.Table:
+        row = {"n": [len(t)], "sum_dl": [int(pc.sum(t.column("__dl")).as_py() or 0)]}
+        for name in tf_names:
+            row[f"df_{name}"] = [
+                int(pc.sum(pc.greater(t.column(name), 0).cast(pa.int64())
+                           ).as_py() or 0)]
+        return pa.Table.from_pydict(row)
+
+    parts = stats.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = sum(p["n"] for p in parts)
+    if n_docs == 0:
+        import ray.data as rd
+
+        # an all-empty materialized dataset reports schema() = None;
+        # fall back to the (cheap: zero-row) input plan's schema
+        sch = stats.schema() or docs.schema()
+        id_type = (sch.base_schema.field(id_col).type
+                   if sch is not None else pa.int64())
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], id_type), pa.array([], pa.float64())],
+            names=[id_col, "bm25"]))
+    avgdl = sum(p["sum_dl"] for p in parts) / n_docs
+    dfs = [sum(p[f"df_{name}"] for p in parts) for name in tf_names]
+
+    import math
+
+    idfs = [math.log(((n_docs - df + 0.5) / (df + 0.5)) + 1.0) for df in dfs]
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        dl = np.asarray(t.column("__dl").combine_chunks(), dtype=np.float64)
+        total = np.zeros(len(t), dtype=np.float64)
+        any_hit = np.zeros(len(t), dtype=bool)
+        for name, idf in zip(tf_names, idfs):
+            tf = np.asarray(t.column(name).combine_chunks(), dtype=np.float64)
+            denom = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+            total = total + idf * ((tf * (k1 + 1.0)) / denom)
+            any_hit |= tf > 0
+        vals = total[any_hit]
+        if round_digits is not None:
+            vals = np.array([round(v, round_digits) for v in vals])
+        return pa.Table.from_arrays(
+            [t.column(id_col).filter(pa.array(any_hit)),
+             pa.array(vals, pa.float64())],
+            names=[id_col, "bm25"])
+
+    return stats.map_batches(score, batch_format="pyarrow")
+
+
 def chunk_documents(docs, *, size: int, overlap: int = 0,
                     id_col: str = "doc_id", text_col: str = "text",
                     batch_size: int = 4096):

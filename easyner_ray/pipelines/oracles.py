@@ -553,6 +553,37 @@ RELATIONAL["events_running_totals"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+# BM25 (k1=1.5, b=0.75, Lucene idf). Operand order mirrors
+# ops.textstats.bm25_scores exactly so values are bit-stable pre-round.
+RELATIONAL["docs_bm25"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), d AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'hash')) AS tf0,
+             len(list_filter(t, x -> x = 'join')) AS tf1,
+             len(list_filter(t, x -> x = 'window')) AS tf2
+      FROM toks
+    ), s AS (
+      SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM d
+    )
+    SELECT doc_id, round(
+        ln(((n - df0 + 0.5) / (df0 + 0.5)) + 1.0)
+          * ((tf0 * 2.5) / (tf0 + 1.5 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+      + ln(((n - df1 + 0.5) / (df1 + 0.5)) + 1.0)
+          * ((tf1 * 2.5) / (tf1 + 1.5 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+      + ln(((n - df2 + 0.5) / (df2 + 0.5)) + 1.0)
+          * ((tf2 * 2.5) / (tf2 + 1.5 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))),
+      4) AS bm25
+    FROM d, s
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+"""
+
 RELATIONAL["events_user_type_pivot"] = """
     SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -1023,6 +1023,18 @@ def events_stratified_sample(sf_dir: str):
     return stratified_sample(ev, ["event_type"], 20, id_col="event_id")
 
 
+def docs_bm25(sf_dir: str):
+    """Okapi BM25 keyword search over the documents table for the query
+    {hash, join, window}: two map passes + one tiny aggregate (no
+    per-term shuffle — the query set is user-sized). Both engines
+    evaluate the identical float expression in the identical operand
+    order, so scores hash-match after the shared round-to-4."""
+    from easyner_ray.ops.textstats import bm25_scores
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_scores(d, ["hash", "join", "window"])
+
+
 def events_user_type_pivot(sf_dir: str):
     """Pivot (long -> wide conditional aggregation): one row per user
     with a count column per event type. Vectorized indicator columns per

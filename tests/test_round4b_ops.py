@@ -198,6 +198,40 @@ def test_quality_percentile_step_both_directions(ray_session):
     assert sorted(r["doc_id"] for r in kept_low) == [8, 9]
 
 
+def test_bm25_matches_straightline(ray_session):
+    """BM25 against a straight-line recompute on a tiny corpus; docs
+    matching no term are excluded; empty corpus -> empty typed result."""
+    import math
+
+    from easyner_ray.ops.textstats import bm25_scores
+
+    texts = ["cat dog cat", "dog bird", "fish fish fish", "bird cat"]
+    ds = _ds(pa.table({"doc_id": [1, 2, 3, 4], "text": texts}))
+    out = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(ds, ["cat", "dog"]).take_all()}
+    assert sorted(out) == [1, 2, 4]   # doc 3 matches neither term
+
+    # straight-line gold
+    toks = [t.split() for t in texts]
+    n, avgdl = 4, sum(len(t) for t in toks) / 4
+    k1, b = 1.5, 0.75
+    for doc_id, t in zip([1, 2, 4], [toks[0], toks[1], toks[3]]):
+        exp = 0.0
+        for term in ["cat", "dog"]:
+            df = sum(1 for tk in toks if term in tk)
+            idf = math.log(((n - df + 0.5) / (df + 0.5)) + 1.0)
+            tf = t.count(term)
+            exp += idf * ((tf * (k1 + 1.0))
+                          / (tf + k1 * ((1.0 - b) + (b * len(t)) / avgdl)))
+        assert out[doc_id] == round(exp, 4)
+
+    empty = _ds(pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}))
+    res = bm25_scores(empty, ["cat"])
+    assert res.count() == 0
+    assert set(res.schema().base_schema.names) == {"doc_id", "bm25"}
+
+
 def test_ranking_analytics_ties_and_ntile(ray_session):
     """rank / dense_rank with ties (rank_prefix hides the tie-break
     column from them) and ntile's equal-as-possible split, including a
