@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filtered": q.docs_quality_filtered,  # data-derived percentile gate
         "events_user_type_pivot": q.events_user_type_pivot,  # long->wide pivot
         "docs_bm25": q.docs_bm25,  # BM25 keyword search scoring
+        "kg_pagerank": q.kg_pagerank,  # iterative graph algorithm (power iteration)
         "docs_chunks": q.docs_chunks,  # context-window chunking
         "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
         # round-4 additions

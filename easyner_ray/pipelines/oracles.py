@@ -655,3 +655,9 @@ RELATIONAL["docs_curated"] = """
 # so its oracle IS the full-corpus kg_edges SQL — the driver check
 # certifies the fold-in path equals a from-scratch rebuild byte for byte
 KG["kg_edges_incremental"] = KG["kg_edges"]
+
+# PageRank: deterministic by per-iteration rounding (spec in
+# sources.gold_derived.write_pagerank_gold), so the oracle is the
+# straight-line single-process recompute, like k-means/HLL.
+GPR = f"read_parquet('{SYNTH}/gold_pagerank.parquet')"
+KG["kg_pagerank"] = f"SELECT norm, rank FROM {GPR}"

@@ -389,6 +389,33 @@ def kg_edges(sf_dir: str):
     return aggregate_edges(triples, cls_of_norm=cls_of_norm_map([voc]))
 
 
+def kg_pagerank(sf_dir: str):
+    """Distributed PageRank over the sentence co-occurrence graph: the
+    full NER pipeline feeds DISTINCT directed (norm, norm) pairs into 10
+    power iterations (per iteration: one size-gated join, one grouped
+    sum, one damping map — driver holds only scalars). Oracle =
+    straight-line recompute of the same spec (gold_pagerank.parquet);
+    per-iteration rounding makes both sides bit-equal."""
+    from easyner_ray.ops.graph import pagerank
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    pairs = grouped_agg(
+        triples.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("subj"), t.column("obj")], names=["src", "dst"]),
+            batch_format="pyarrow"),
+        ["src", "dst"], [("src", "count", "__c")],
+    ).select_columns(["src", "dst"])
+    out = pagerank(pairs, iters=10)
+    return out.map_batches(lambda t: t.rename_columns(["norm", "rank"]),
+                           batch_format="pyarrow")
+
+
 def kg_entity_freq(sf_dir: str):
     from easyner_ray.stages.analysis import entity_frequency
 

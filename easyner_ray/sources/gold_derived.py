@@ -601,6 +601,53 @@ def write_kmeans_gold(corpus: str, embeddings_path: str, k: int = 6,
     return path
 
 
+def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
+                        round_digits: int = 9) -> str:
+    """Straight-line PageRank over the sentence co-occurrence pair graph
+    — the gold for the distributed ``ops.graph.pagerank`` (spec: edges =
+    DISTINCT directed (norm_a, norm_b) pairs co-mentioned in a sentence;
+    uniform init; dangling mass redistributed uniformly; every rank
+    rounded with Python ``round`` at ``round_digits`` after each
+    iteration — the same block-layout-invariance device as the k-means
+    gold)."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    pairs: set = set()
+    for norms in sent_norms.values():
+        ns = sorted(norms)
+        for a in ns:
+            for b in ns:
+                if a != b:
+                    pairs.add((a, b))
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    n = len(nodes)
+    deg = collections.Counter(a for a, _ in pairs)
+    rank = {v: round(1.0 / n, round_digits) for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if deg.get(v, 0) == 0)
+        inc: dict = collections.defaultdict(float)
+        for a, b in sorted(pairs):
+            inc[b] += rank[a] / deg[a]
+        rank = {v: round(base + damping * (inc.get(v, 0.0) + dangling / n),
+                         round_digits) for v in nodes}
+    tbl = pa.Table.from_arrays(
+        [pa.array(nodes, pa.string()),
+         pa.array([rank[v] for v in nodes], pa.float64())],
+        names=["norm", "rank"])
+    path = os.path.join(corpus, "gold_pagerank.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def _decode_media_spec(payload: bytes) -> np.ndarray:
     """Spec decode for the media fixture (duplicates StdlibCodec's
     observable behavior straight-line): WAV PCM16 -> float32 / 32768;
@@ -679,6 +726,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_kmeans_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
+        write_pagerank_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)

@@ -232,6 +232,38 @@ def test_bm25_matches_straightline(ray_session):
     assert set(res.schema().base_schema.names) == {"doc_id", "bm25"}
 
 
+def test_pagerank_directed_with_dangling(ray_session):
+    """PageRank on a small DIRECTED graph with a dangling node (c has no
+    out-edges): engine output equals the straight-line recompute of the
+    same spec, total mass stays ~1, and the dangling node's mass
+    redistributes (c still earns rank from b; d, pointed at by nobody,
+    keeps more than bare teleport because dangling mass is uniform)."""
+    from easyner_ray.ops.graph import pagerank
+
+    edges = _ds(pa.table({
+        "src": ["a", "a", "b", "d"],
+        "dst": ["b", "c", "c", "a"],
+    }))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=10).take_all()}
+
+    # straight-line recompute (same rounding spec)
+    nodes = ["a", "b", "c", "d"]
+    deg = {"a": 2, "b": 1, "d": 1}
+    n, d = 4, 0.85
+    rank = {v: round(1 / n, 9) for v in nodes}
+    for _ in range(10):
+        dangling = sum(rank[v] for v in nodes if v not in deg)
+        inc = {v: 0.0 for v in nodes}
+        for s, t2 in [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]:
+            inc[t2] += rank[s] / deg[s]
+        rank = {v: round((1 - d) / n + d * (inc[v] + dangling / n), 9)
+                for v in nodes}
+    assert got == rank
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got["c"] > got["b"] > got["d"] > 0.0375  # teleport floor
+
+
 def test_ranking_analytics_ties_and_ntile(ray_session):
     """rank / dense_rank with ties (rank_prefix hides the tie-break
     column from them) and ntile's equal-as-possible split, including a
