@@ -121,6 +121,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "cms_user_counts": q.cms_user_counts,
         "top_users_by_value_per_type": q.top_users_by_value_per_type,
         "embedding_label_centroids": q.embedding_label_centroids,
+        "events_running_totals": q.events_running_totals,
+        "docs_bm25": q.docs_bm25,
+        "kg_pagerank": q.kg_pagerank,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
