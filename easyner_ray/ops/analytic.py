@@ -174,9 +174,11 @@ def partitioned_analytics(ds, partition_by: list[str], order_by: list[str],
     """
     from easyner_ray.ops.relational import add_hash_bucket
 
-    for kind, _src, _name in specs:
+    for kind, src, _name in specs:
         if kind not in _KINDS:
             raise ValueError(f"unknown analytic kind {kind!r}")
+        if kind == "ntile" and int(src) < 1:
+            raise ValueError(f"ntile needs a positive tile count, got {src!r}")
 
     bucketed = ds.map_batches(
         lambda t: add_hash_bucket(t, list(partition_by), n_buckets),

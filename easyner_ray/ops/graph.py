@@ -25,13 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
-    i = t.schema.get_field_index(col)
-    vals = [None if v is None else round(v, digits)
-            for v in t.column(col).to_pylist()]
-    return t.set_column(i, col, pa.array(vals, pa.float64()))
-
-
 def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
              src_col: str = "src", dst_col: str = "dst",
              round_digits: int = 9):
@@ -39,13 +32,16 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
     teleport. Dangling nodes (no out-edges) redistribute their mass
     uniformly each iteration (the standard correction). ``edges`` is a
     DIRECTED pair list; parallel duplicate edges should be deduplicated
-    by the caller (each row contributes once).
+    by the caller (each row contributes once). Rows with a NULL endpoint
+    are dropped (a half-specified edge has no graph meaning and would
+    silently skew the source's out-degree).
     """
     import ray.data as rd
 
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
-    edges = edges.select_columns([src_col, dst_col]).materialize()
+    edges = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow").materialize()
 
     # out-degree per source; node set = distinct(src) U distinct(dst)
     deg = grouped_agg(edges, [src_col], [(dst_col, "count", "deg")])

@@ -360,7 +360,9 @@ def bm25_scores(docs, query_terms: list[str], *, id_col: str = "doc_id",
     """
     import numpy as np
 
-    terms = list(query_terms)
+    # tokens are lowercased, so a mixed-case query term could never
+    # match — normalize here (the SQL oracle writes lowercase literals)
+    terms = [t.lower() for t in query_terms]
     tf_names = [f"__tf{i}" for i in range(len(terms))]
 
     def doc_stats(t: pa.Table) -> pa.Table:
