@@ -1,33 +1,51 @@
 """Distributed PageRank over an edge list — the iterative-graph-algorithm
-shape (power iteration) expressed entirely in Dataset ops, the same way
+shape (power iteration) expressed Ray-Data-first, the same way
 ``ops.dedup.dup_groups`` expresses label propagation.
 
-Per iteration: one equi-join (edges x ranks on src — size-gated
-broadcast/hash via :func:`~easyner_ray.ops.relational.adaptive_join`, so
-a node table under the gate never shuffles and a corpus-scale one takes
-the hash path), one grouped sum per dst, one map applying the damping
-formula. The driver holds only scalars (node count, per-iteration
-dangling mass); rank tables are node-sized datasets, materialized once
-per iteration because each is consumed twice (join side + dangling-mass
-aggregate).
+Three adaptive execution paths, gated by MEASURED byte sizes (the same
+device as ``relational.adaptive_semi_join`` and ``dup_groups``'s driver
+union-find cutoff):
+
+* **indexed-driver** — when the integer-indexed edge list fits under
+  ``edge_driver_cutoff`` bytes, collect it ONCE and run every power
+  iteration in pure numpy on the driver: zero Ray executions in the
+  loop. Edges are indexed distributedly first (``pc.index_in`` against a
+  broadcast node array), so the driver holds two int32 columns, never
+  the string keys.
+* **indexed-broadcast** — edges too big to collect, node set under
+  ``node_gate`` bytes: the rank vector lives on the driver and is
+  ``ray.put`` each iteration; every edge block contributes a SPARSE
+  per-destination partial (``np.unique`` + ``np.bincount`` — vectorized,
+  no join), finished by one node-sized ``grouped_agg``. Per-iteration
+  cost is one map + one small aggregate — no per-iteration join, no
+  edge shuffle ever (edges are indexed once and re-read from the object
+  store).
+* **join** — open keyspace (node set exceeds the gate): the fallback
+  keeps everything as Dataset ops — one size-gated equi-join
+  (edges x ranks), one grouped sum, one damping map per iteration; the
+  driver holds only scalars.
 
 Determinism device (shared with ``ops.similarity.kmeans``): every rank is
 rounded with Python ``round`` at ``round_digits`` after each iteration,
-so float sum-order differences across block layouts (~1e-16 per term)
-never accumulate past the rounding grain — engine output is bit-equal to
-a straight-line single-process recompute of the same spec
-(``sources.gold_derived.write_pagerank_gold``).
+so float sum-order differences across block layouts / paths (~1e-16 per
+term) never accumulate past the rounding grain — all three paths are
+bit-equal to a straight-line single-process recompute of the same spec
+(``sources.gold_derived.write_pagerank_gold``), and tests force each
+path and compare exactly.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
 def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
              src_col: str = "src", dst_col: str = "dst",
-             round_digits: int = 9):
+             round_digits: int = 9,
+             edge_driver_cutoff: int = 64 << 20,
+             node_gate: int = 64 << 20):
     """-> (node, rank) after ``iters`` power iterations with uniform
     teleport. Dangling nodes (no out-edges) redistribute their mass
     uniformly each iteration (the standard correction). ``edges`` is a
@@ -35,16 +53,17 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
     by the caller (each row contributes once). Rows with a NULL endpoint
     are dropped (a half-specified edge has no graph meaning and would
     silently skew the source's out-degree).
+
+    ``edge_driver_cutoff`` / ``node_gate`` pick the execution path (see
+    module docstring); pass 0 to force the next-wider path (both 0 =
+    join path, the pure-Dataset shape).
     """
     import ray.data as rd
 
-    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+    from easyner_ray.ops.relational import grouped_agg
 
     edges = edges.select_columns([src_col, dst_col]).map_batches(
         lambda t: t.drop_null(), batch_format="pyarrow").materialize()
-
-    # out-degree per source; node set = distinct(src) U distinct(dst)
-    deg = grouped_agg(edges, [src_col], [(dst_col, "count", "deg")])
 
     def half(col, name):
         return edges.map_batches(
@@ -52,19 +71,127 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
                 [t.column(c)], names=[n]),
             batch_format="pyarrow")
 
-    nodes = grouped_agg(
+    nodes_ds = grouped_agg(
         half(src_col, "node").union(half(dst_col, "node")),
         ["node"], [("node", "count", "__c")],
-    ).select_columns(["node"])
-
-    # nodes ⟕ deg: dangling nodes carry deg NULL
-    nd = adaptive_join(nodes, deg, on="node", right_on=src_col,
-                       how="left").materialize()
-    n_nodes = nd.count()
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes_ds.count()
     if n_nodes == 0:
         return rd.from_arrow(pa.Table.from_arrays(
             [pa.array([], pa.string()), pa.array([], pa.float64())],
             names=["node", "rank"]))
+
+    if nodes_ds.size_bytes() > node_gate:
+        return _pagerank_join(edges, nodes_ds, n_nodes, damping=damping,
+                              iters=iters, src_col=src_col,
+                              dst_col=dst_col, round_digits=round_digits)
+
+    # ---- node set fits: build the integer index (sorted for a stable
+    # node->idx assignment regardless of block layout), index the edges
+    # distributedly, and never touch the string keys again.
+    import ray
+
+    node_arr = _collect_column(nodes_ds, "node")
+    node_arr = node_arr.take(pc.sort_indices(node_arr))
+    node_ref = ray.put(node_arr)
+
+    def index_edges(t: pa.Table, ref=node_ref, s=src_col, d=dst_col):
+        nodes = ray.get(ref)  # plasma-cached, zero-copy per worker
+        return pa.Table.from_arrays(
+            [pc.index_in(t.column(s), value_set=nodes).cast(pa.int64()),
+             pc.index_in(t.column(d), value_set=nodes).cast(pa.int64())],
+            names=["s", "d"])
+
+    edges_idx = edges.map_batches(index_edges,
+                                  batch_format="pyarrow").materialize()
+    base = (1.0 - damping) / n_nodes
+
+    if edges_idx.size_bytes() <= edge_driver_cutoff:
+        # indexed-driver: one collect of two int64 columns, then the
+        # whole power iteration is numpy — zero Ray executions in the loop
+        et = pa.concat_tables([ray.get(r) for r in edges_idx.to_arrow_refs()])
+        s = et.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        d = et.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        deg = np.bincount(s, minlength=n_nodes).astype(np.float64)
+        rank = np.full(n_nodes, round(1.0 / n_nodes, round_digits))
+        live = deg > 0
+        for _ in range(iters):
+            dangling = float(rank[~live].sum())
+            share = np.zeros(n_nodes)
+            share[live] = rank[live] / deg[live]
+            inc = np.bincount(d, weights=share[s], minlength=n_nodes)
+            rank = _round_vec(base + damping * (inc + dangling / n_nodes),
+                              round_digits)
+        return rd.from_arrow(pa.Table.from_arrays(
+            [node_arr, pa.array(rank, pa.float64())], names=["node", "rank"]))
+
+    # indexed-broadcast: rank vector on the driver (node-sized, under the
+    # gate), re-broadcast each iteration; per-block SPARSE bincount
+    # partials + one node-sized grouped sum — no join, no edge shuffle.
+    deg_tbl = pa.concat_tables([ray.get(r) for r in grouped_agg(
+        edges_idx, ["s"], [("d", "count", "deg")]).to_arrow_refs()])
+    deg = np.zeros(n_nodes)
+    deg[deg_tbl.column("s").combine_chunks().to_numpy(zero_copy_only=False)] = \
+        deg_tbl.column("deg").combine_chunks().to_numpy(zero_copy_only=False)
+    live = deg > 0
+
+    rank = np.full(n_nodes, round(1.0 / n_nodes, round_digits))
+    for _ in range(iters):
+        dangling = float(rank[~live].sum())
+        share = np.zeros(n_nodes)
+        share[live] = rank[live] / deg[live]
+        share_ref = ray.put(share)
+
+        def partial(t: pa.Table, ref=share_ref) -> pa.Table:
+            sh = ray.get(ref)
+            s_i = t.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+            d_i = t.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d_i, return_inverse=True)
+            return pa.Table.from_arrays(
+                [pa.array(u, pa.int64()),
+                 pa.array(np.bincount(inv, weights=sh[s_i]), pa.float64())],
+                names=["i", "inc"])
+
+        inc_tbl = pa.concat_tables([ray.get(r) for r in grouped_agg(
+            edges_idx.map_batches(partial, batch_format="pyarrow"),
+            ["i"], [("inc", "sum", "inc")]).to_arrow_refs()])
+        inc = np.zeros(n_nodes)
+        inc[inc_tbl.column("i").combine_chunks().to_numpy(zero_copy_only=False)] = \
+            inc_tbl.column("inc").combine_chunks().to_numpy(zero_copy_only=False)
+        rank = _round_vec(base + damping * (inc + dangling / n_nodes),
+                          round_digits)
+
+    return rd.from_arrow(pa.Table.from_arrays(
+        [node_arr, pa.array(rank, pa.float64())], names=["node", "rank"]))
+
+
+def _collect_column(ds, col: str) -> pa.Array:
+    """Materialized node-sized dataset -> one combined Arrow array on the
+    driver (callers gate on ``size_bytes()`` first)."""
+    import ray
+
+    tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    return tbl.column(col).combine_chunks()
+
+
+def _round_vec(vals: np.ndarray, digits: int) -> np.ndarray:
+    """Elementwise Python ``round`` (np.round is one ulp off Python's on
+    some halfway values — the gold recompute uses Python round, so the
+    engine must too for bit-equality)."""
+    return np.array([round(float(v), digits) for v in vals], dtype=np.float64)
+
+
+def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
+                   src_col, dst_col, round_digits):
+    """Open-keyspace fallback: every structure stays a Dataset; one
+    size-gated join + one grouped sum + one damping map per iteration."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    deg = grouped_agg(edges, [src_col], [(dst_col, "count", "deg")])
+
+    # nodes ⟕ deg: dangling nodes carry deg NULL
+    nd = adaptive_join(nodes_ds, deg, on="node", right_on=src_col,
+                       how="left").materialize()
 
     init = round(1.0 / n_nodes, round_digits)
     ranks = nd.map_batches(

@@ -263,6 +263,14 @@ def test_pagerank_directed_with_dangling(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     assert got["c"] > got["b"] > got["d"] > 0.0375  # teleport floor
 
+    # all three execution paths (indexed-driver / indexed-broadcast /
+    # join fallback) are bit-equal — the gates only trade performance
+    for kw in ({"edge_driver_cutoff": 0},            # indexed-broadcast
+               {"edge_driver_cutoff": 0, "node_gate": 0}):  # join path
+        alt = {r["node"]: r["rank"]
+               for r in pagerank(edges, iters=10, **kw).take_all()}
+        assert alt == rank, kw
+
 
 def test_ranking_analytics_ties_and_ntile(ray_session):
     """rank / dense_rank with ties (rank_prefix hides the tie-break
