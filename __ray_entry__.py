@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions
         "media_features": q.media_features,  # real WAV/PPM decode on actor pool
         "embeddings_kmeans": q.embeddings_kmeans,  # iterative k-means assignments
+        "kg_edges_npmi": q.kg_edges_npmi,  # NPMI association edge weights
     }
 
 

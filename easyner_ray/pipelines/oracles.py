@@ -661,3 +661,22 @@ KG["kg_edges_incremental"] = KG["kg_edges"]
 # straight-line single-process recompute, like k-means/HLL.
 GPR = f"read_parquet('{SYNTH}/gold_pagerank.parquet')"
 KG["kg_pagerank"] = f"SELECT norm, rank FROM {GPR}"
+
+KG["kg_edges_npmi"] = f"""
+    WITH sn AS (SELECT DISTINCT conv_id, turn_idx, sent_idx, norm FROM {GM}),
+    singles AS (SELECT norm, count(*) AS c FROM sn GROUP BY norm),
+    pairs AS (
+      SELECT a.norm AS norm_a, b.norm AS norm_b, count(*) AS c_ab
+      FROM sn a JOIN sn b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx AND a.norm < b.norm
+      GROUP BY a.norm, b.norm),
+    tot AS (SELECT count(*) AS n FROM {GS})
+    SELECT norm_a, norm_b, c_ab, sa.c AS c_a, sb.c AS c_b,
+           round(ln(c_ab * 1.0 * tot.n / (sa.c * 1.0 * sb.c))
+                 / ln(tot.n * 1.0 / c_ab), 4) AS npmi
+    FROM pairs
+    JOIN singles sa ON pairs.norm_a = sa.norm
+    JOIN singles sb ON pairs.norm_b = sb.norm
+    CROSS JOIN tot
+"""

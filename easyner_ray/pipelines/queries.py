@@ -416,6 +416,21 @@ def kg_pagerank(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def kg_edges_npmi(sf_dir: str):
+    """Association-normalized co-occurrence edges: NPMI over the sentence
+    graph (reference's edges stop at raw evidence counts,
+    ``analysis.py``; NPMI is the standard weighting that ranks genuinely
+    associated pairs above ubiquitous ones). Pair + single sentence
+    counts are bucketed grouped aggregates; both joins are vocab-sized
+    broadcast joins under the adaptive gate."""
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.cooc import npmi_edges
+    from easyner_ray.stages.dict_ner import tag_mentions
+
+    sents = _sentences(sf_dir).materialize()
+    return npmi_edges(tag_mentions(sents, vocabulary()), sents.count())
+
+
 def kg_entity_freq(sf_dir: str):
     from easyner_ray.stages.analysis import entity_frequency
 

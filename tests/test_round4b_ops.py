@@ -301,3 +301,47 @@ def test_ranking_analytics_ties_and_ntile(ray_session):
     # k=2: 2 rows into 3 tiles -> one row per tile
     assert got[8] == (1, 1, 1, 1)
     assert got[9] == (1, 1, 2, 2)
+
+
+def test_npmi_edges_hand_computed(ray_session):
+    """NPMI spec on a hand-computable corpus: counts are per-sentence
+    DISTINCT, N includes the mention-free sentence, and the score equals
+    ln(c_ab*N/(c_a*c_b)) / ln(N/c_ab) rounded at 4."""
+    import math
+
+    import ray.data as rd
+
+    from easyner_ray.stages.cooc import npmi_edges
+    from easyner_ray.stages.dict_ner import tag_mentions
+
+    texts = ["aspirin ibuprofen aspirin",       # distinctness: aspirin twice
+             "aspirin ibuprofen tylenol",
+             "aspirin alone",
+             "tylenol alone",
+             "no mentions at all"]
+    sents = rd.from_arrow(pa.table({
+        "conv_id": [f"c{i}" for i in range(5)],
+        "turn_idx": pa.array([0] * 5, pa.int32()),
+        "sent_idx": pa.array([0] * 5, pa.int32()),
+        "text": texts,
+        "char_start": pa.array([0] * 5, pa.int32()),
+    }))
+    terms = [("aspirin", "chemical"), ("ibuprofen", "chemical"),
+             ("tylenol", "chemical")]
+    out = {(r["norm_a"], r["norm_b"]): r
+           for r in npmi_edges(tag_mentions(sents, terms), 5).take_all()}
+
+    def expected(c_ab, c_a, c_b, n=5):
+        return round(math.log(c_ab * n / (c_a * c_b)) / math.log(n / c_ab), 4)
+
+    assert set(out) == {("aspirin", "ibuprofen"), ("aspirin", "tylenol"),
+                        ("ibuprofen", "tylenol")}
+    ai = out[("aspirin", "ibuprofen")]
+    assert (ai["c_ab"], ai["c_a"], ai["c_b"]) == (2, 3, 2)
+    assert ai["npmi"] == expected(2, 3, 2)
+    at = out[("aspirin", "tylenol")]
+    assert (at["c_ab"], at["c_a"], at["c_b"]) == (1, 3, 2)
+    assert at["npmi"] == expected(1, 3, 2)
+    it = out[("ibuprofen", "tylenol")]
+    assert (it["c_ab"], it["c_a"], it["c_b"]) == (1, 2, 2)
+    assert it["npmi"] == expected(1, 2, 2)
