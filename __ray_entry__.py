@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,  # real WAV/PPM decode on actor pool
         "embeddings_kmeans": q.embeddings_kmeans,  # iterative k-means assignments
         "kg_edges_npmi": q.kg_edges_npmi,  # NPMI association edge weights
+        "docs_decontam": q.docs_decontam,  # train/eval n-gram contamination audit
     }
 
 

@@ -660,6 +660,8 @@ KG["kg_edges_incremental"] = KG["kg_edges"]
 # sources.gold_derived.write_pagerank_gold), so the oracle is the
 # straight-line single-process recompute, like k-means/HLL.
 GPR = f"read_parquet('{SYNTH}/gold_pagerank.parquet')"
+GCT = f"read_parquet('{SYNTH}/gold_contamination.parquet')"
+RELATIONAL["docs_decontam"] = f"SELECT doc_id, n_hits FROM {GCT}"
 KG["kg_pagerank"] = f"SELECT norm, rank FROM {GPR}"
 
 KG["kg_edges_npmi"] = f"""

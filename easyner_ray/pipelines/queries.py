@@ -946,6 +946,31 @@ def events_props_extract(sf_dir: str):
     return ev.map_batches(f, batch_format="pyarrow")
 
 
+def docs_decontam(sf_dir: str):
+    """Train/eval n-gram contamination audit (the GPT-3-style overlap
+    check): documents with ``doc_id % 10 == 0`` stand in as the held-out
+    benchmark; every OTHER doc is flagged with its count of distinct
+    5-gram fingerprints shared with the benchmark. Fingerprinting is
+    map-only vectorized; the intersection is an adaptive semi join on the
+    fingerprint column (broadcast is_in at this scale, hash-shuffle at
+    corpus scale). Oracle = straight-line recompute of the same spec
+    (gold_contamination.parquet)."""
+    from easyner_ray.ops.decontam import contamination
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+
+    def mod_split(keep_bench: bool):
+        def f(t: pa.Table, kb=keep_bench) -> pa.Table:
+            v = t.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            mask = (v % 10 == 0)
+            return t.filter(pa.array(mask if kb else ~mask))
+        return _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    return contamination(mod_split(False), mod_split(True), n=5)
+
+
 def latest_event_per_user(sf_dir: str):
     """Last-writer-wins by recency (the reference's O7 doc-id dict-merge,
     relationally): each user's single latest event — topk_per_group with

@@ -702,6 +702,52 @@ def write_media_features_gold(corpus: str, dim: int = 16,
     return path
 
 
+def write_contamination_gold(corpus: str, documents_path: str, n: int = 5,
+                             modulus: int = 10) -> str:
+    """Straight-line train/eval n-gram contamination audit — the gold for
+    ``ops.decontam.contamination`` (spec: token = [a-z0-9]+ run of the
+    lowercased text; token hash = crc32; n-gram fingerprint = Horner
+    polynomial base 1099511628211 mod 2^64; benchmark = docs with
+    doc_id % modulus == 0; report = every OTHER doc with >= 1 distinct
+    fingerprint shared with the benchmark set, hit counts distinct)."""
+    import re
+
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    B, M = 1099511628211, (1 << 64) - 1
+
+    def fps(text: str) -> set:
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        out: set = set()
+        for i in range(len(toks) - n + 1):
+            h = 0
+            for k in range(n):
+                h = (h * B + zlib.crc32(toks[i + k].encode("utf-8"))) & M
+            out.add(h)
+        return out
+
+    bench: set = set()
+    for i, t in zip(ids, texts):
+        if i % modulus == 0:
+            bench |= fps(t)
+    rows = []
+    for i, t in zip(ids, texts):
+        if i % modulus == 0:
+            continue
+        hits = len(fps(t) & bench)
+        if hits:
+            rows.append((i, hits))
+    rows.sort()
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int64())],
+        names=["doc_id", "n_hits"])
+    path = os.path.join(corpus, "gold_contamination.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def ensure_derived_gold(corpus: str, documents_path: str | None = None,
                         embeddings_path: str | None = None,
                         events_path: str | None = None) -> None:
@@ -717,6 +763,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_minhash_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_langid.parquet")):
             write_langid_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_contamination.parquet")):
+            write_contamination_gold(corpus, documents_path)
     if embeddings_path and os.path.exists(embeddings_path):
         if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
             write_cosine_lsh_gold(corpus, embeddings_path)

@@ -345,3 +345,67 @@ def test_npmi_edges_hand_computed(ray_session):
     it = out[("ibuprofen", "tylenol")]
     assert (it["c_ab"], it["c_a"], it["c_b"]) == (1, 2, 2)
     assert it["npmi"] == expected(1, 2, 2)
+
+
+def test_ngram_contamination_hand_and_paths(ray_session):
+    """Contamination spec on a hand-checkable corpus: distinct-per-doc
+    counting, sub-n docs contribute nothing, clean docs are absent, and
+    the broadcast / hash-shuffle semi-join paths agree exactly with a
+    brute-force recompute."""
+    import re
+    import zlib
+
+    import ray.data as rd
+
+    from easyner_ray.ops.decontam import contamination
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "pack my box with five dozen liquor jugs"],
+    }))
+    train_tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            # two distinct 5-gram overlaps with bench doc 100
+            "I saw the quick brown fox jumps over a fence",
+            # the same 5-gram REPEATED -> still one distinct hit
+            "pack my box with five then pack my box with five",
+            "totally clean document with no shared phrases at all",
+            "quick brown fox",                  # < n tokens: no fps
+            None,                               # null text: no fps
+        ]})
+    train = rd.from_arrow(train_tbl)
+
+    def brute(n=5):
+        B, M = 1099511628211, (1 << 64) - 1
+
+        def fps(text):
+            toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+            out = set()
+            for i in range(len(toks) - n + 1):
+                h = 0
+                for k in range(n):
+                    h = (h * B + zlib.crc32(toks[i + k].encode())) & M
+                out.add(h)
+            return out
+
+        bset = fps("the quick brown fox jumps over the lazy dog") | \
+            fps("pack my box with five dozen liquor jugs")
+        exp = {}
+        for i, t in zip(train_tbl.column("doc_id").to_pylist(),
+                        train_tbl.column("text").to_pylist()):
+            hits = len(fps(t) & bset)
+            if hits:
+                exp[i] = hits
+        return exp
+
+    exp = brute()
+    assert set(exp) == {1, 2}
+    assert exp[1] >= 2 and exp[2] == 1
+
+    for bb in (64 << 20, 0):  # broadcast is_in / forced hash-shuffle semi
+        got = {r["doc_id"]: r["n_hits"]
+               for r in contamination(train, bench, n=5,
+                                      broadcast_bytes=bb).take_all()}
+        assert got == exp, bb
