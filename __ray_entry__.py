@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": q.embeddings_kmeans,  # iterative k-means assignments
         "kg_edges_npmi": q.kg_edges_npmi,  # NPMI association edge weights
         "docs_decontam": q.docs_decontam,  # train/eval n-gram contamination audit
+        "user_order_event_profile": q.user_order_event_profile,  # full outer join audit
+        "events_rollup": q.events_rollup,  # GROUP BY ROLLUP cascade
+        "events_value_histogram": q.events_value_histogram,  # fixed-width histogram
     }
 
 

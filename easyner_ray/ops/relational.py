@@ -616,3 +616,131 @@ def topk_per_group(ds, group_keys: list[str], order_col: str, k: int, *,
         batch_format="pyarrow",
     )
     return final
+
+
+def full_outer_join(left, right, *, on: str, right_on: str | None = None,
+                    num_partitions: int | None = None,
+                    approx_bytes: int | None = None):
+    """Both-side-preserving equi-join (SQL FULL OUTER JOIN) — the audit
+    shape for comparing two aggregates over partially overlapping key
+    domains (e.g. orders-per-customer vs events-per-user: who buys but
+    never clicks, who clicks but never buys).
+
+    Always Ray's native hash-shuffle join: a broadcast variant can't be
+    map-only here because right-side UNMATCHED rows need cross-batch
+    accounting. Ray coalesces the key into the LEFT key column (a
+    right-only row carries its key there), so output = left columns then
+    right value columns. Empty sides short-circuit (Ray's hash join
+    raises on them): empty right -> left + null right columns, empty
+    left -> right keys moved into the left key column + null left
+    columns."""
+    import ray.data as rd
+
+    rk = right_on or on
+    lbase = left.schema().base_schema
+    rbase = right.schema().base_schema
+    value_fields = [rbase.field(n) for n in rbase.names if n != rk]
+    out_schema = pa.schema(
+        [lbase.field(n) for n in lbase.names] + value_fields)
+
+    left = left.materialize()
+    right = right.materialize()
+    l_empty, r_empty = left.count() == 0, right.count() == 0
+
+    def pad(t: pa.Table, fields: list, after: bool) -> pa.Table:
+        cols = [pa.nulls(len(t), f.type) for f in fields]
+        names = [f.name for f in fields]
+        base_cols = [t.column(n) for n in t.schema.names]
+        all_cols = base_cols + cols if after else cols + base_cols
+        all_names = list(t.schema.names) + names if after \
+            else names + list(t.schema.names)
+        return pa.Table.from_arrays(all_cols, names=all_names) \
+            .select(out_schema.names).cast(out_schema)
+
+    if r_empty and l_empty:
+        return rd.from_arrow(out_schema.empty_table())
+    if r_empty:
+        return left.map_batches(
+            lambda t: pad(t, value_fields, after=True),
+            batch_format="pyarrow")
+    if l_empty:
+        lfields = [lbase.field(n) for n in lbase.names if n != on]
+
+        def lift(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [on if n == rk else n for n in t.schema.names])
+            return pad(t, lfields, after=False)
+
+        return right.map_batches(lift, batch_format="pyarrow")
+
+    out = hash_join(left, right, on=on, right_on=right_on,
+                    join_type="full_outer", num_partitions=num_partitions,
+                    approx_bytes=approx_bytes)
+
+    # normalize: Ray's join can emit SCHEMA-LESS empty blocks
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return t.select(out_schema.names).cast(out_schema)
+
+    return out.map_batches(norm, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+               n_buckets: int | None = 64):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the finest level plus every key
+    prefix down to the grand total, coarser levels carrying NULL in the
+    rolled-up key columns.
+
+    Scale shape: the corpus is scanned ONCE (the finest
+    :func:`grouped_agg`); every coarser level re-aggregates the PREVIOUS
+    level's keyspace-sized output (sum/count re-sum, min/max re-min/max)
+    — a cascade of shrinking aggregates, never a second pass over the
+    data. ``fn`` is limited to the re-aggregable set {sum, count, min,
+    max} (mean is not decomposable post-hoc — ask for sum+count and
+    derive it)."""
+    import ray.data as rd
+
+    for _, fn, _ in specs:
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"rollup_agg supports sum/count/min/max, got {fn!r}")
+
+    finest = grouped_agg(ds, keys, specs, n_buckets=n_buckets).materialize()
+    base = finest.schema().base_schema
+    out_names = [out for _, _, out in specs]
+    re_specs = [(out, "sum" if fn in ("sum", "count") else fn, out)
+                for _, fn, out in specs]
+
+    levels = [finest]
+    cur = finest
+    for k in range(len(keys) - 1, -1, -1):
+        if k > 0:
+            cur = grouped_agg(cur, keys[:k], re_specs,
+                              n_buckets=n_buckets).materialize()
+            lvl = cur
+        else:
+            # grand total: constant key, aggregate, drop it
+            tot = grouped_agg(
+                cur.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array([0] * len(t), pa.int8())),
+                    batch_format="pyarrow"),
+                ["__all"], re_specs, final="tree",
+            ).map_batches(lambda t: t.drop(["__all"]),
+                          batch_format="pyarrow")
+            lvl = tot
+
+        def fill(t: pa.Table, nk=k) -> pa.Table:
+            for key in keys[nk:]:
+                t = t.append_column(key, pa.nulls(len(t),
+                                                  base.field(key).type))
+            return t.select(base.names).cast(base)
+
+        levels.append(lvl.map_batches(fill, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

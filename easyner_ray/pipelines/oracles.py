@@ -662,6 +662,36 @@ KG["kg_edges_incremental"] = KG["kg_edges"]
 GPR = f"read_parquet('{SYNTH}/gold_pagerank.parquet')"
 GCT = f"read_parquet('{SYNTH}/gold_contamination.parquet')"
 RELATIONAL["docs_decontam"] = f"SELECT doc_id, n_hits FROM {GCT}"
+
+RELATIONAL["user_order_event_profile"] = """
+    WITH o AS (SELECT o_custkey AS uid, count(*) AS n_orders,
+                      sum(o_totalprice) AS total_spend
+               FROM orders GROUP BY 1),
+         e AS (SELECT user_id AS uid, count(*) AS n_events,
+                      sum(value) AS total_value
+               FROM events GROUP BY 1)
+    SELECT coalesce(o.uid, e.uid) AS uid,
+           coalesce(n_orders, 0) AS n_orders,
+           round(coalesce(total_spend, 0.0), 4) AS total_spend,
+           coalesce(n_events, 0) AS n_events,
+           round(coalesce(total_value, 0.0), 4) AS total_value
+    FROM o FULL OUTER JOIN e ON o.uid = e.uid
+"""
+
+RELATIONAL["events_rollup"] = """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(hod, -1) AS hod,
+           n, round(sum_value, 4) AS sum_value
+    FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                 count(value) AS n, sum(value) AS sum_value
+          FROM events GROUP BY ROLLUP(event_type, hod))
+"""
+
+RELATIONAL["events_value_histogram"] = """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(value) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+"""
 KG["kg_pagerank"] = f"SELECT norm, rank FROM {GPR}"
 
 KG["kg_edges_npmi"] = f"""

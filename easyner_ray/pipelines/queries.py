@@ -946,6 +946,91 @@ def events_props_extract(sf_dir: str):
     return ev.map_batches(f, batch_format="pyarrow")
 
 
+def user_order_event_profile(sf_dir: str):
+    """FULL OUTER JOIN audit across two partially-overlapping key
+    domains: orders-per-customer vs events-per-user — who buys but never
+    clicks, who clicks but never buys, both sides preserved with NULL
+    fill. The join is Ray's hash-shuffle full_outer (a broadcast variant
+    can't be map-only: right-unmatched rows need cross-batch
+    accounting)."""
+    from easyner_ray.ops.relational import full_outer_join, grouped_agg
+
+    o = grouped_agg(
+        _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        [("o_totalprice", "count", "n_orders"),
+         ("o_totalprice", "sum", "total_spend")])
+    e = grouped_agg(
+        _rp(sf_dir, "events", columns=["user_id", "value"]),
+        ["user_id"],
+        [("value", "count", "n_events"), ("value", "sum", "total_value")])
+    out = full_outer_join(o, e, on="o_custkey", right_on="user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["uid"] + list(t.schema.names)[1:])
+        # zero-fill the unmatched side: NULL counts/sums become 0 (keeps
+        # every output column NULL-free — NaN never survives a value-hash)
+        for c, zero in [("n_orders", 0), ("total_spend", 0.0),
+                        ("n_events", 0), ("total_value", 0.0)]:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.fill_null(t.column(c), zero))
+        return _round4(t, ["total_spend", "total_value"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour-of-day): one corpus scan for the
+    finest level, coarser levels re-aggregated from the previous level's
+    keyspace-sized output (rollup_agg cascade) — the multi-granularity
+    report shape without a second pass over the data."""
+    from easyner_ray.ops.relational import rollup_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hod(t: pa.Table) -> pa.Table:
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("event_type"), hod, t.column("value")],
+            names=["event_type", "hod", "value"])
+
+    out = rollup_agg(ev.map_batches(add_hod, batch_format="pyarrow"),
+                     ["event_type", "hod"],
+                     [("value", "count", "n"), ("value", "sum", "sum_value")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        # rolled-up key levels carry sentinels, not NULLs ('(all)' / -1 —
+        # NULL ints turn into NaN floats in a pandas hash and never match)
+        i = t.schema.get_field_index("event_type")
+        t = t.set_column(i, "event_type",
+                         pc.fill_null(t.column("event_type"), "(all)"))
+        i = t.schema.get_field_index("hod")
+        t = t.set_column(i, "hod", pc.fill_null(t.column("hod"), -1))
+        return _round4(t, ["sum_value"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width value histogram (bin = floor(value/25)): the
+    distribution-profiling primitive — one vectorized bucket map + a
+    grouped count/sum, no sort, no quantile state."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t.column("value"), 25.0)).cast(pa.int64())
+        return pa.Table.from_arrays([b, t.column("value")],
+                                    names=["bin", "value"])
+
+    out = grouped_agg(ev.map_batches(bucket, batch_format="pyarrow"),
+                      ["bin"],
+                      [("value", "count", "n"), ("value", "sum", "sum_value")])
+    return out.map_batches(lambda t: _round4(t, ["sum_value"]),
+                           batch_format="pyarrow")
+
+
 def docs_decontam(sf_dir: str):
     """Train/eval n-gram contamination audit (the GPT-3-style overlap
     check): documents with ``doc_id % 10 == 0`` stand in as the held-out

@@ -409,3 +409,69 @@ def test_ngram_contamination_hand_and_paths(ray_session):
                for r in contamination(train, bench, n=5,
                                       broadcast_bytes=bb).take_all()}
         assert got == exp, bb
+
+
+def test_full_outer_join_and_empties(ray_session):
+    """FULL OUTER: matched rows join, left-only rows null-fill the right
+    columns, right-only rows carry their key in the LEFT key column; an
+    empty side short-circuits with the same schema."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import full_outer_join
+
+    left = _ds(pa.table({"k": pa.array([1, 2], pa.int64()),
+                         "a": ["x", "y"]}))
+    right = _ds(pa.table({"rk": pa.array([2, 3], pa.int64()),
+                          "b": pa.array([20.0, 30.0], pa.float64())}))
+
+    def rows(ds):
+        out = ds.take_all()
+        assert all(sorted(r) == ["a", "b", "k"] for r in out)
+        return sorted(((r["k"], r["a"], r["b"]) for r in out),
+                      key=lambda x: x[0])
+
+    assert rows(full_outer_join(left, right, on="k", right_on="rk")) == \
+        [(1, "x", None), (2, "y", 20.0), (3, None, 30.0)]
+
+    empty_r = _ds(pa.table({"rk": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.float64())}))
+    assert rows(full_outer_join(left, empty_r, on="k", right_on="rk")) == \
+        [(1, "x", None), (2, "y", None)]
+
+    empty_l = _ds(pa.table({"k": pa.array([], pa.int64()),
+                            "a": pa.array([], pa.string())}))
+    assert rows(full_outer_join(empty_l, right, on="k", right_on="rk")) == \
+        [(2, None, 20.0), (3, None, 30.0)]
+    assert full_outer_join(empty_l, empty_r, on="k", right_on="rk"
+                           ).count() == 0
+
+
+def test_rollup_agg_levels(ray_session):
+    """ROLLUP cascade: finest level + each prefix + grand total, NULL in
+    rolled-up keys; sums/counts/min/max re-aggregate exactly; mean is
+    rejected (not decomposable post-hoc)."""
+    import pytest
+
+    from easyner_ray.ops.relational import rollup_agg
+
+    t = pa.table({
+        "a": ["x", "x", "x", "y"],
+        "b": pa.array([1, 1, 2, 1], pa.int64()),
+        "v": pa.array([10.0, 20.0, 5.0, 7.0], pa.float64()),
+    })
+    out = rollup_agg(_ds(t), ["a", "b"],
+                     [("v", "count", "n"), ("v", "sum", "s"),
+                      ("v", "min", "mn"), ("v", "max", "mx")]).take_all()
+    got = {(r["a"], r["b"]): (r["n"], r["s"], r["mn"], r["mx"])
+           for r in out}
+    assert got == {
+        ("x", 1): (2, 30.0, 10.0, 20.0),
+        ("x", 2): (1, 5.0, 5.0, 5.0),
+        ("y", 1): (1, 7.0, 7.0, 7.0),
+        ("x", None): (3, 35.0, 5.0, 20.0),
+        ("y", None): (1, 7.0, 7.0, 7.0),
+        (None, None): (4, 42.0, 5.0, 20.0),
+    }
+
+    with pytest.raises(ValueError, match="sum/count/min/max"):
+        rollup_agg(_ds(t), ["a"], [("v", "mean", "m")])
