@@ -410,6 +410,7 @@ def kg_pagerank(sf_dir: str):
                 [t.column("subj"), t.column("obj")], names=["src", "dst"]),
             batch_format="pyarrow"),
         ["src", "dst"], [("src", "count", "__c")],
+        final="tree",  # distinct-pair keyspace is vocab^2-bounded
     ).select_columns(["src", "dst"])
     out = pagerank(pairs, iters=10)
     return out.map_batches(lambda t: t.rename_columns(["norm", "rank"]),

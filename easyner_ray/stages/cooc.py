@@ -70,13 +70,14 @@ def npmi_edges(tagged_sentences, n_sentences: int, *,
             ).select(["subj", "obj"]),
             batch_format="pyarrow"),
         ["subj", "obj"], [("subj", "count", "c_ab")],
+        final="tree",  # pair keyspace is vocab^2-bounded
     ).map_batches(
         lambda t: t.rename_columns(["norm_a", "norm_b", "c_ab"]),
         batch_format="pyarrow")
 
     singles = grouped_agg(
         tagged.map_batches(_singles_batch, batch_format="pyarrow"),
-        ["norm"], [("norm", "count", "c")],
+        ["norm"], [("norm", "count", "c")], final="tree",
     ).materialize()  # consumed twice (both join sides)
 
     out = adaptive_join(
