@@ -744,3 +744,55 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def weighted_sample(ds, group_keys: list[str], weight_col: str, k: int, *,
+                    id_col: str, rank_name: str = "sample_rank",
+                    n_buckets: int = 32, batch_size: int = 65536):
+    """Deterministic weighted sampling WITHOUT replacement, ``k`` rows per
+    group (Efraimidis-Spirakis A-Res, with the multiplicative-hash
+    uniform of :func:`hash_sample` standing in for the RNG): each row
+    gets key ``ln(u)/w`` where ``u = ((id * 2654435761) mod 2^32 + 0.5)
+    / 2^32``; the k LARGEST keys win — inclusion probability rises with
+    weight, membership is reproducible, partitioning-independent, and
+    seedless. This is the data-mixing / importance-sampling primitive
+    (sample sources proportional to quality score, cap each domain).
+
+    The key ships as ``floor(key * 1e6)`` in an int64 column — integer
+    output is hash-stable cross-engine, where a raw float key could
+    diverge in the last ulp of ``ln``. Ties (same quantized key) break
+    by ascending id. Built on :func:`topk_per_group`, so it inherits the
+    bounded shuffle: a hot group forwards k rows per batch, never its
+    membership. ``id_col`` must be non-negative int64 (< 2^32 for
+    SQL-expressible arithmetic); weights must be strictly positive —
+    rows with NULL/non-positive weight or NULL id are dropped."""
+    import numpy as np
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids_a = t.column(id_col).combine_chunks()
+        w_a = t.column(weight_col).combine_chunks()
+        ok = pc.and_(ids_a.is_valid(),
+                     pc.and_(w_a.is_valid(),
+                             pc.greater(w_a.cast(pa.float64()), 0.0)))
+        t = t.filter(ok)
+        if len(t) == 0:
+            return t.append_column("__wkey", pa.array([], pa.int64()))
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        w = t.column(weight_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        u = ((ids * np.uint64(_KNUTH32)) % np.uint64(1 << 32)
+             ).astype(np.float64)
+        u = (u + 0.5) / float(1 << 32)
+        key = np.floor(np.log(u) / w * 1e6).astype(np.int64)
+        return t.append_column("__wkey", pa.array(key, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           batch_size=batch_size)
+    out = topk_per_group(keyed, group_keys, "__wkey", k, descending=True,
+                         tie_cols=[id_col], rank_name=rank_name,
+                         n_buckets=n_buckets, batch_size=batch_size)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["wkey" if n == "__wkey" else n for n in t.schema.names]),
+        batch_format="pyarrow")

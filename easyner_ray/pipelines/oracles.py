@@ -687,6 +687,35 @@ RELATIONAL["events_rollup"] = """
           FROM events GROUP BY ROLLUP(event_type, hod))
 """
 
+RELATIONAL["orders_weighted_sample"] = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice, wkey, sample_rank
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice, wkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY wkey DESC, o_orderkey)
+               AS sample_rank
+      FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(floor(
+                 ln((((o_orderkey * 2654435761) % 4294967296) + 0.5)
+                    / 4294967296.0)
+                 / o_totalprice * 1000000) AS BIGINT) AS wkey
+        FROM orders))
+    WHERE sample_rank <= 50
+"""
+
+RELATIONAL["docs_packed"] = """
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum,
+           CAST(floor((cum - n_tokens) * 1.0 / 2048) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
+        FROM documents))
+"""
+
 RELATIONAL["events_value_histogram"] = """
     SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(value) AS n,
            round(sum(value), 4) AS sum_value

@@ -1032,6 +1032,54 @@ def events_value_histogram(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def orders_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling (Efraimidis-Spirakis with
+    hash-derived uniforms): 50 orders per priority class, inclusion
+    probability proportional to order value — the data-mixing primitive,
+    seedless and partitioning-independent, quantized integer keys so the
+    oracle is bit-exact."""
+    from easyner_ray.ops.relational import weighted_sample
+
+    o = _rp(sf_dir, "orders",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return weighted_sample(o, ["o_orderpriority"], "o_totalprice", 50,
+                           id_col="o_orderkey")
+
+
+def docs_packed(sf_dir: str):
+    """Sequence packing for training: assign each document to a
+    fixed-token-budget pack (2048 whitespace tokens), contiguous by
+    doc_id within each source — pack_id = floor(tokens-before-this-doc /
+    budget). Runs as a per-source window cumsum (partitioned_analytics),
+    so packing streams per partition; integer columns end to end."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.textstats import WS_TOKEN_RE
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"),
+                                     WS_TOKEN_RE).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("source"), n],
+            names=["doc_id", "source", "n_tokens"])
+
+    cum = partitioned_analytics(
+        docs.map_batches(tok, batch_format="pyarrow"),
+        ["source"], ["doc_id"], [("cumsum", "n_tokens", "cum")])
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t.column("cum").cast(pa.int64())
+        start = pc.subtract(c, t.column("n_tokens"))
+        pid = pc.floor(pc.divide(start.cast(pa.float64()), 2048.0)) \
+            .cast(pa.int64())
+        i = t.schema.get_field_index("cum")
+        t = t.set_column(i, "cum", c)
+        return t.append_column("pack_id", pid)
+
+    return cum.map_batches(pack, batch_format="pyarrow")
+
+
 def docs_decontam(sf_dir: str):
     """Train/eval n-gram contamination audit (the GPT-3-style overlap
     check): documents with ``doc_id % 10 == 0`` stand in as the held-out

@@ -475,3 +475,40 @@ def test_rollup_agg_levels(ray_session):
 
     with pytest.raises(ValueError, match="sum/count/min/max"):
         rollup_agg(_ds(t), ["a"], [("v", "mean", "m")])
+
+
+def test_weighted_sample_deterministic_and_weighted(ray_session):
+    """Weighted sampling: reproducible under repartitioning, k larger
+    than the group keeps the whole group, NULL/non-positive weights and
+    NULL ids drop, and an overwhelming weight always wins the k=1 slot."""
+    from easyner_ray.ops.relational import weighted_sample
+
+    t = pa.table({
+        "g": ["a"] * 8 + ["b"] * 3,
+        "id": pa.array(list(range(8)) + [100, 101, None], pa.int64()),
+        "w": pa.array([1.0] * 8 + [2.0, None, 3.0], pa.float64()),
+    })
+
+    def run(ds, k=4):
+        out = weighted_sample(ds, ["g"], "w", k, id_col="id").take_all()
+        by_g: dict = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(
+                (r["sample_rank"], r["id"], r["wkey"]))
+        return {g: sorted(v) for g, v in by_g.items()}
+
+    one = run(_ds(t))
+    assert one == run(_ds(t).repartition(5))
+    assert len(one["a"]) == 4
+    assert [r for r, _, _ in one["a"]] == [1, 2, 3, 4]
+    # b: one NULL weight + one NULL id dropped -> single survivor
+    assert len(one["b"]) == 1 and one["b"][0][1] == 100
+    # ranks follow DESC quantized key
+    keys = {r: k for r, _, k in one["a"]}
+    assert keys[1] >= keys[2] >= keys[3] >= keys[4]
+
+    # overwhelming weight always wins k=1: ln(u)/1e9 ~ 0- beats ln(u)/1e-9
+    t2 = pa.table({"g": ["x", "x"], "id": pa.array([7, 8], pa.int64()),
+                   "w": pa.array([1e9, 1e-9], pa.float64())})
+    got = weighted_sample(_ds(t2), ["g"], "w", 1, id_col="id").take_all()
+    assert len(got) == 1 and got[0]["id"] == 7
