@@ -124,6 +124,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_running_totals": q.events_running_totals,
         "docs_bm25": q.docs_bm25,
         "kg_pagerank": q.kg_pagerank,
+        # round-4 operators
+        "kg_edges_npmi": q.kg_edges_npmi,
+        "docs_decontam": q.docs_decontam,
+        "docs_packed": q.docs_packed,
+        "orders_weighted_sample": q.orders_weighted_sample,
+        "user_order_event_profile": q.user_order_event_profile,
+        "events_rollup": q.events_rollup,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
