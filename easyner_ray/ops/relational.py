@@ -620,17 +620,24 @@ def topk_per_group(ds, group_keys: list[str], order_col: str, k: int, *,
 
 def full_outer_join(left, right, *, on: str, right_on: str | None = None,
                     num_partitions: int | None = None,
-                    approx_bytes: int | None = None):
+                    approx_bytes: int | None = None,
+                    single_task_bytes: int = 64 << 20):
     """Both-side-preserving equi-join (SQL FULL OUTER JOIN) — the audit
     shape for comparing two aggregates over partially overlapping key
     domains (e.g. orders-per-customer vs events-per-user: who buys but
     never clicks, who clicks but never buys).
 
-    Always Ray's native hash-shuffle join: a broadcast variant can't be
-    map-only here because right-side UNMATCHED rows need cross-batch
-    accounting. Ray coalesces the key into the LEFT key column (a
-    right-only row carries its key there), so output = left columns then
-    right value columns. Empty sides short-circuit (Ray's hash join
+    Ray's native hash-shuffle join when either side exceeds
+    ``single_task_bytes``: a broadcast variant can't be map-only here
+    because right-side UNMATCHED rows need cross-batch accounting. When
+    BOTH sides fit under the gate (the common case for an
+    aggregate-vs-aggregate audit: both inputs are keyspace-sized), the
+    join runs as pyarrow's C++ full outer in ONE task over the whole left
+    — one batch means right-unmatched accounting is complete, and the
+    hash join's per-execution aggregator-actor startup (~1 s+) is never
+    paid. Ray coalesces the key into the LEFT key column (a right-only
+    row carries its key there), so output = left columns then right value
+    columns on both paths. Empty sides short-circuit (Ray's hash join
     raises on them): empty right -> left + null right columns, empty
     left -> right keys moved into the left key column + null left
     columns."""
@@ -672,6 +679,23 @@ def full_outer_join(left, right, *, on: str, right_on: str | None = None,
             return pad(t, lfields, after=False)
 
         return right.map_batches(lift, batch_format="pyarrow")
+
+    if (left.size_bytes() <= single_task_bytes
+            and right.size_bytes() <= single_task_bytes):
+        small = pa.concat_tables(
+            [b for b in ray.get(right.to_arrow_refs()) if len(b)]
+        ).combine_chunks()
+        small_ref = ray.put(small)
+
+        def join_all(t: pa.Table) -> pa.Table:
+            st = ray.get(small_ref)
+            # pyarrow coalesces the key pair into the left key column
+            j = t.join(st, keys=[on], right_keys=[rk],
+                       join_type="full outer")
+            return j.select(out_schema.names).cast(out_schema)
+
+        return left.repartition(1).map_batches(
+            join_all, batch_format="pyarrow", batch_size=None)
 
     out = hash_join(left, right, on=on, right_on=right_on,
                     join_type="full_outer", num_partitions=num_partitions,

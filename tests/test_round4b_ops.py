@@ -430,8 +430,10 @@ def test_full_outer_join_and_empties(ray_session):
         return sorted(((r["k"], r["a"], r["b"]) for r in out),
                       key=lambda x: x[0])
 
-    assert rows(full_outer_join(left, right, on="k", right_on="rk")) == \
-        [(1, "x", None), (2, "y", 20.0), (3, None, 30.0)]
+    for stb in (64 << 20, 0):  # single-task pyarrow / forced hash-shuffle
+        got = rows(full_outer_join(left, right, on="k", right_on="rk",
+                                   single_task_bytes=stb))
+        assert got == [(1, "x", None), (2, "y", 20.0), (3, None, 30.0)], stb
 
     empty_r = _ds(pa.table({"rk": pa.array([], pa.int64()),
                             "b": pa.array([], pa.float64())}))
