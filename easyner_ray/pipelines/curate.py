@@ -183,6 +183,44 @@ def _step_hash_sample(ds, rate: float, key: str = "doc_id", **_):
     return hash_sample(ds, key, rate)
 
 
+def _step_decontam(ds, benchmark: str, n: int = 5, max_hits: int = 0,
+                   id_col: str = "doc_id", text_col: str = "text", **_):
+    """Drop documents contaminated against a benchmark/eval corpus
+    (``benchmark`` = path to a documents-shaped parquet): any doc sharing
+    more than ``max_hits`` distinct token n-grams with it is removed —
+    the train/eval decontamination gate (see ``ops.decontam``)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.decontam import contamination
+    from easyner_ray.ops.relational import adaptive_semi_join
+
+    # two consumers (fingerprint pass + final filter) -> checkpoint once
+    ds = ds.materialize()
+    flagged = contamination(ds, rd.read_parquet(benchmark), n=n,
+                            id_col=id_col, text_col=text_col)
+    bad = flagged.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_hits"), max_hits))
+                   .select([id_col]),
+        batch_format="pyarrow")
+    return adaptive_semi_join(ds, bad, on=id_col, anti=True)
+
+
+def _step_weighted_sample(ds, k: int, group_by: list[str] | None = None,
+                          weight: str = "n_chars", id_col: str = "doc_id",
+                          **_):
+    """Deterministic weighted data mixing: keep ``k`` docs per group
+    (default: per ``source``), inclusion probability proportional to
+    ``weight`` (see ``relational.weighted_sample``); docs with
+    non-positive weight drop. The helper columns are stripped so the
+    chain's schema is unchanged."""
+    from easyner_ray.ops.relational import weighted_sample
+
+    out = weighted_sample(ds, list(group_by or ["source"]), weight, k,
+                          id_col=id_col)
+    return out.map_batches(
+        lambda t: t.drop(["wkey", "sample_rank"]), batch_format="pyarrow")
+
+
 def _step_redact(ds, pattern: str, replacement: str,
                  text_col: str = "text", **_):
     """Regex scrub of the text column (RE2, whole-column kernel)."""
@@ -219,6 +257,8 @@ STEPS = {
     "dedup_exact": _step_dedup_exact,
     "near_dup_filter": _step_near_dup_filter,
     "hash_sample": _step_hash_sample,
+    "decontam": _step_decontam,
+    "weighted_sample": _step_weighted_sample,
     "redact": _step_redact,
     "chunk": _step_chunk,
 }

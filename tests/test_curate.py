@@ -151,3 +151,48 @@ def test_chunk_step(ray_session, docs_path):
                 for i in range(n)]
         got = g.sort_values("chunk_idx")["text"].tolist()
         assert got == gold, (did, got, gold)
+
+
+def test_decontam_step(ray_session, docs_path, tmp_path):
+    """The decontamination gate removes docs sharing any 5-gram with the
+    benchmark corpus and keeps the clean ones."""
+    from easyner_ray.pipelines.curate import build_curation
+
+    bench = pa.table({
+        "doc_id": pa.array([900], pa.int64()),
+        "text": ["something about the quick brown fox jumps over whatever"],
+    })
+    bp = str(tmp_path / "bench.parquet")
+    pq.write_table(bench, bp)
+
+    cfg = {
+        "input": {"documents": docs_path},
+        "steps": [{"op": "decontam", "benchmark": bp, "n": 5}],
+    }
+    out = build_curation(cfg).to_pandas().sort_values("doc_id")
+    # docs 0,1,2 share "the quick brown fox jumps" with the benchmark;
+    # 3 (sub-n), 4, 5 are clean
+    assert out["doc_id"].tolist() == [3, 4, 5]
+
+
+def test_weighted_sample_step(ray_session, tmp_path):
+    """Weighted mixing step: k per group, helper columns stripped, and
+    repeated runs give the same membership."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": [f"doc number {i}" for i in range(12)],
+        "source": ["web"] * 8 + ["books"] * 4,
+        "n_chars": pa.array([100 + i for i in range(12)], pa.int64()),
+    })
+    step = STEPS["weighted_sample"]
+    one = step(rd.from_arrow(t), k=3).to_pandas().sort_values("doc_id")
+    two = step(rd.from_arrow(t).repartition(4), k=3) \
+        .to_pandas().sort_values("doc_id")
+    assert list(one.columns) == ["doc_id", "text", "source", "n_chars"]
+    assert one["doc_id"].tolist() == two["doc_id"].tolist()
+    assert (one["source"] == "web").sum() == 3
+    assert (one["source"] == "books").sum() == 3
