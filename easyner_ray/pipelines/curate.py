@@ -17,6 +17,8 @@ Config::
         {"op": "near_dup_filter", "threshold": 0.8, "k": 3},   # or "method": "minhash"
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
         {"op": "hash_sample", "rate": 0.5},
+        {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
+        {"op": "weighted_sample", "k": 1000, "weight": "n_chars"},
         {"op": "chunk", "size": 2048, "overlap": 128}           # training windows
       ],
       "sink": {"num_partitions": 32}
