@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_order_event_profile": q.user_order_event_profile,  # full outer join audit
         "events_rollup": q.events_rollup,  # GROUP BY ROLLUP cascade
         "events_value_histogram": q.events_value_histogram,  # fixed-width histogram
+        "events_value_pctiles": q.events_value_pctiles,  # percent_rank / cume_dist
         "orders_weighted_sample": q.orders_weighted_sample,  # deterministic weighted sampling
         "docs_packed": q.docs_packed,  # sequence packing by token budget
     }

@@ -34,13 +34,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
-          "cumsum")
+          "cumsum", "percent_rank", "cume_dist")
 
 
 def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
     if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
-    if kind == "cumsum":
+    if kind in ("cumsum", "percent_rank", "cume_dist"):
         return pa.float64()
     return schema.field(src).type
 
@@ -91,7 +91,8 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
     # ORDER BY list.
     tie_cols = list(order_by if rank_prefix is None else order_by[:rank_prefix])
     ochange = tstart = tid = None
-    if any(k in ("rank", "dense_rank") for k, _s, _n in specs):
+    if any(k in ("rank", "dense_rank", "percent_rank", "cume_dist")
+           for k, _s, _n in specs):
         ochange = _change_flags(t, tie_cols, n, base=change)
         tstart = np.flatnonzero(ochange)
         tid = np.cumsum(ochange) - 1
@@ -118,6 +119,21 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
                 (rank0 - big) // np.maximum(q, 1) + rem,
             ) + 1
             t = t.append_column(name, pa.array(tile, pa.int64()))
+        elif kind == "percent_rank":
+            # (rank - 1) / (partition size - 1); single-row group -> 0.0.
+            # Integer operands are exactly representable and IEEE division
+            # is correctly rounded, so this is bit-equal cross-engine.
+            sizes = np.diff(run_start, append=n)[run_id]
+            r0 = (tstart[tid] - start_of).astype(np.float64)
+            t = t.append_column(
+                name, pa.array(r0 / np.maximum(sizes - 1, 1), pa.float64()))
+        elif kind == "cume_dist":
+            # rows-with-order-value <= current / partition size: the index
+            # AFTER the current tie run (tie runs never span partitions)
+            sizes = np.diff(run_start, append=n)[run_id]
+            tnext = np.append(tstart[1:], n)[tid]
+            t = t.append_column(
+                name, pa.array((tnext - start_of) / sizes, pa.float64()))
         elif kind in ("lag", "lead"):
             col = t.column(src).combine_chunks()
             if kind == "lag":

@@ -687,6 +687,15 @@ RELATIONAL["events_rollup"] = """
           FROM events GROUP BY ROLLUP(event_type, hod))
 """
 
+RELATIONAL["events_value_pctiles"] = """
+    SELECT event_type, event_id, value,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY value) AS prnk,
+           cume_dist() OVER (PARTITION BY event_type
+                             ORDER BY value) AS cdist
+    FROM events
+"""
+
 RELATIONAL["orders_weighted_sample"] = """
     SELECT o_orderkey, o_orderpriority, o_totalprice, wkey, sample_rank
     FROM (

@@ -960,11 +960,13 @@ def user_order_event_profile(sf_dir: str):
         _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
         ["o_custkey"],
         [("o_totalprice", "count", "n_orders"),
-         ("o_totalprice", "sum", "total_spend")])
+         ("o_totalprice", "sum", "total_spend")],
+        final="tree")  # customer keyspace: dimension-table-sized
     e = grouped_agg(
         _rp(sf_dir, "events", columns=["user_id", "value"]),
         ["user_id"],
-        [("value", "count", "n_events"), ("value", "sum", "total_value")])
+        [("value", "count", "n_events"), ("value", "sum", "total_value")],
+        final="tree")  # user keyspace: dimension-table-sized
     out = full_outer_join(o, e, on="o_custkey", right_on="user_id")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1030,6 +1032,24 @@ def events_value_histogram(sf_dir: str):
                       [("value", "count", "n"), ("value", "sum", "sum_value")])
     return out.map_batches(lambda t: _round4(t, ["sum_value"]),
                            batch_format="pyarrow")
+
+
+def events_value_pctiles(sf_dir: str):
+    """Distribution-position window functions: percent_rank and
+    cume_dist of each event's value within its type — tie-aware
+    (rank_prefix=1), bit-exact cross-engine because both are ratios of
+    exactly-representable integers."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    out = partitioned_analytics(
+        ev, ["event_type"], ["value", "event_id"],
+        [("percent_rank", None, "prnk"), ("cume_dist", None, "cdist")],
+        rank_prefix=1)
+    return out.map_batches(
+        lambda t: t.select(["event_type", "event_id", "value",
+                            "prnk", "cdist"]),
+        batch_format="pyarrow")
 
 
 def orders_weighted_sample(sf_dir: str):

@@ -514,3 +514,24 @@ def test_weighted_sample_deterministic_and_weighted(ray_session):
                    "w": pa.array([1e9, 1e-9], pa.float64())})
     got = weighted_sample(_ds(t2), ["g"], "w", 1, id_col="id").take_all()
     assert len(got) == 1 and got[0]["id"] == 7
+
+
+def test_percent_rank_and_cume_dist(ray_session):
+    """percent_rank = (rank-1)/(n-1) (single-row group -> 0.0) and
+    cume_dist = rows-at-or-below / n, tie-aware via rank_prefix."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    t = pa.table({
+        "k": [1, 1, 1, 1, 2],
+        "v": [10, 10, 20, 30, 5],
+        "id": [1, 2, 3, 4, 5],
+    })
+    out = partitioned_analytics(
+        _ds(t), ["k"], ["v", "id"],
+        [("percent_rank", None, "pr"), ("cume_dist", None, "cd")],
+        rank_prefix=1).take_all()
+    got = {r["id"]: (r["pr"], r["cd"]) for r in out}
+    assert got[1] == (0.0, 0.5) and got[2] == (0.0, 0.5)   # tie pair
+    assert got[3] == (2 / 3, 0.75)
+    assert got[4] == (1.0, 1.0)
+    assert got[5] == (0.0, 1.0)                             # single-row group
