@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q.events_rollup,  # GROUP BY ROLLUP cascade
         "events_value_histogram": q.events_value_histogram,  # fixed-width histogram
         "events_value_pctiles": q.events_value_pctiles,  # percent_rank / cume_dist
+        "top_parts_heavy_hitters": q.top_parts_heavy_hitters,  # Misra-Gries + exact verify
         "orders_weighted_sample": q.orders_weighted_sample,  # deterministic weighted sampling
         "docs_packed": q.docs_packed,  # sequence packing by token budget
     }

@@ -700,3 +700,77 @@ def bloom_filter_rows(ds, col: str, bloom: bytes, n_bits: int | None = None,
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------- heavy hitters ---
+
+
+def _mg_batch(t: pa.Table, col: str, m: int) -> pa.Table:
+    """Per-batch Misra-Gries candidate pass, vectorized: exact counts
+    within the batch (one Arrow group_by), keep every value whose batch
+    count exceeds batch_len/(m+1) — the MG survivor set with m counters,
+    computed directly since the batch is already in memory."""
+    a = t.column(col).combine_chunks()
+    if a.null_count:
+        a = a.drop_null()
+    n = len(a)
+    if n == 0:
+        return pa.Table.from_arrays([a[:0]], names=[col])
+    g = pa.Table.from_arrays([a], names=[col]).group_by([col]) \
+        .aggregate([(col, "count")])
+    keep = pc.greater(g.column(f"{col}_count"), n // (m + 1))
+    return g.filter(keep).select([col])
+
+
+def heavy_hitters(ds, col: str, k: int, *, m: int = 4096,
+                  batch_size: int = 65536):
+    """Top-``k`` most frequent values of ``col`` WITHOUT a full-keyspace
+    groupby — the bounded-memory frequent-items shape for columns whose
+    distinct count scales with the corpus (URLs, user ids, n-grams).
+
+    Two passes, both map-only + one small aggregate:
+
+    1. **Candidate pass** (Misra-Gries per batch): each batch forwards at
+       most ``m`` survivors — values whose batch count exceeds
+       ``len/(m+1)``. Any value with GLOBAL frequency > N/(m+1) must
+       exceed that threshold in at least one batch (pigeonhole), so the
+       candidate UNION (order-independent, hence deterministic) is a
+       superset of every such value.
+    2. **Verify pass**: exact counts for candidates only
+       (:func:`~easyner_ray.ops.relational.adaptive_semi_join` — broadcast
+       ``is_in`` while the candidate set is small, hash-shuffle semi
+       above the byte gate — then one grouped count), and top-k with
+       ties broken by value.
+
+    EXACTNESS CONTRACT: the result equals the true top-k whenever the
+    true k-th frequency exceeds N/(m+1) — size ``m`` to the skew you
+    expect (the per-batch survivor table is <= m rows, so shuffle volume
+    is <= m x #batches regardless of keyspace). A flatter distribution
+    needs a bigger m or the full :func:`~easyner_ray.ops.relational.
+    grouped_agg` + top-k.
+    """
+    from easyner_ray.ops.relational import (adaptive_semi_join, grouped_agg,
+                                            topk_per_group)
+
+    narrow = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(col).combine_chunks().drop_null()], names=[col]),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+
+    cands = grouped_agg(
+        narrow.map_batches(lambda t: _mg_batch(t, col, m),
+                           batch_format="pyarrow", batch_size=batch_size),
+        [col], [(col, "count", "__c")],
+    ).select_columns([col])
+
+    counts = grouped_agg(
+        adaptive_semi_join(narrow, cands, on=col),
+        [col], [(col, "count", "n")])
+    ranked = topk_per_group(
+        counts.map_batches(
+            lambda t: t.append_column("__g", pa.array([0] * len(t),
+                                                      pa.int8())),
+            batch_format="pyarrow"),
+        ["__g"], "n", k, descending=True, tie_cols=[col], rank_name="rnk")
+    return ranked.map_batches(lambda t: t.drop(["__g"]),
+                              batch_format="pyarrow")

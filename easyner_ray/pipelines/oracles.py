@@ -687,6 +687,13 @@ RELATIONAL["events_rollup"] = """
           FROM events GROUP BY ROLLUP(event_type, hod))
 """
 
+RELATIONAL["top_parts_heavy_hitters"] = """
+    SELECT l_partkey, n, rnk FROM (
+      SELECT l_partkey, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS rnk
+      FROM lineitem GROUP BY l_partkey) WHERE rnk <= 20
+"""
+
 RELATIONAL["events_value_pctiles"] = """
     SELECT event_type, event_id, value,
            percent_rank() OVER (PARTITION BY event_type

@@ -1034,6 +1034,19 @@ def events_value_histogram(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def top_parts_heavy_hitters(sf_dir: str):
+    """Frequent-items (heavy hitters) over a corpus-scaling keyspace:
+    top-20 part keys by line count via the Misra-Gries candidate pass +
+    exact verify (see ops.sketch.heavy_hitters) — shuffle volume bounded
+    by m x #batches, never the 20k-part keyspace. m=16384 satisfies the
+    exactness contract at both test scales (k-th frequency exceeds every
+    batch's len/(m+1) threshold)."""
+    from easyner_ray.ops.sketch import heavy_hitters
+
+    li = _rp(sf_dir, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(li, "l_partkey", 20, m=16384)
+
+
 def events_value_pctiles(sf_dir: str):
     """Distribution-position window functions: percent_rank and
     cume_dist of each event's value within its type — tie-aware

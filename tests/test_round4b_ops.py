@@ -535,3 +535,24 @@ def test_percent_rank_and_cume_dist(ray_session):
     assert got[3] == (2 / 3, 0.75)
     assert got[4] == (1.0, 1.0)
     assert got[5] == (0.0, 1.0)                             # single-row group
+
+
+def test_heavy_hitters_exact_and_rank(ray_session):
+    """Misra-Gries candidate + exact-verify top-k: equals the true top-k
+    when the k-th frequency clears the per-batch threshold; small batches
+    exercise the cross-batch candidate union; ties break by value."""
+    from easyner_ray.ops.sketch import heavy_hitters
+
+    vals = (["hot"] * 30 + ["warm"] * 20 + ["tepid"] * 20
+            + [f"cold{i}" for i in range(30)])
+    t = pa.table({"v": vals})
+    got = [(r["rnk"], r["v"], r["n"]) for r in sorted(
+        heavy_hitters(_ds(t).repartition(5), "v", 3, m=8,
+                      batch_size=16).take_all(),
+        key=lambda r: r["rnk"])]
+    # tepid/warm tie at 20 -> 'tepid' < 'warm' lexicographically
+    assert got == [(1, "hot", 30), (2, "tepid", 20), (3, "warm", 20)]
+
+    # all-null column -> empty result, no crash
+    tn = pa.table({"v": pa.array([None, None], pa.string())})
+    assert heavy_hitters(_ds(tn), "v", 3).count() == 0
