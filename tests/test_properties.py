@@ -275,3 +275,62 @@ def test_hash_sample_formula_stability(keys, rate):
         ks = np.asarray(sub, dtype=np.int64).astype(np.uint64)
         hs = (ks * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
         assert set(np.asarray(sub)[hs < thr].tolist()) == kept & set(sub)
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " 0123456789.,!",
+                        max_size=80), min_size=1, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_ngram_fingerprint_kernel_matches_brute(texts):
+    """The vectorized fingerprint kernel (dictionary-encoded crc32 +
+    numpy Horner windows) produces exactly the straight-line per-doc
+    fingerprint SET of the documented spec, for any text."""
+    import re
+    import zlib
+
+    import pyarrow as pa
+
+    from easyner_ray.ops.decontam import _fingerprint_batch
+
+    n = 3
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _fingerprint_batch(t, n=n, id_col="doc_id", text_col="text")
+    got: dict = {}
+    for i, fp in zip(out.column("doc_id").to_pylist(),
+                     out.column("fp").to_pylist()):
+        got.setdefault(i, set()).add(fp & ((1 << 64) - 1)
+                                     if fp >= 0 else fp + (1 << 64))
+
+    B, M = 1099511628211, (1 << 64) - 1
+    for i, text in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        exp = set()
+        for j in range(len(toks) - n + 1):
+            h = 0
+            for k in range(n):
+                h = (h * B + zlib.crc32(toks[j + k].encode())) & M
+            exp.add(h)
+        assert got.get(i, set()) == exp, i
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=300),
+       st.integers(1, 16))
+@settings(max_examples=100, deadline=None)
+def test_mg_batch_superset_guarantee(vals, m):
+    """Every value with count > len/(m+1) survives the per-batch
+    Misra-Gries pass (the pigeonhole the candidate union relies on),
+    and survivors are distinct."""
+    import collections
+
+    import pyarrow as pa
+
+    from easyner_ray.ops.sketch import _mg_batch
+
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    out = _mg_batch(t, "v", m).column("v").to_pylist()
+    assert len(out) == len(set(out))
+    counts = collections.Counter(vals)
+    thresh = len(vals) // (m + 1)
+    for v, c in counts.items():
+        if c > thresh:
+            assert v in out, (v, c, thresh, m)
