@@ -650,9 +650,19 @@ def full_outer_join(left, right, *, on: str, right_on: str | None = None,
     out_schema = pa.schema(
         [lbase.field(n) for n in lbase.names] + value_fields)
 
-    left = left.materialize()
+    # right is always consumed fully (gate + empty guard); left is only
+    # checkpointed when the right side is non-empty — the guard is
+    # mandatory (Ray's hash join raises ArrowInvalid when one side is all
+    # schema-less empty partitions; verified, a schema-carrying empty
+    # block unioned in does NOT fix it), and the checkpoint lives in the
+    # object store (spills at corpus scale, never driver memory).
     right = right.materialize()
-    l_empty, r_empty = left.count() == 0, right.count() == 0
+    r_empty = right.count() == 0
+    if not r_empty:
+        left = left.materialize()
+        l_empty = left.count() == 0
+    else:
+        l_empty = False
 
     def pad(t: pa.Table, fields: list, after: bool) -> pa.Table:
         cols = [pa.nulls(len(t), f.type) for f in fields]
@@ -664,12 +674,14 @@ def full_outer_join(left, right, *, on: str, right_on: str | None = None,
         return pa.Table.from_arrays(all_cols, names=all_names) \
             .select(out_schema.names).cast(out_schema)
 
-    if r_empty and l_empty:
-        return rd.from_arrow(out_schema.empty_table())
     if r_empty:
+        # union one schema-carrying empty block: if left ALSO turns out
+        # empty (never counted — left stays un-materialized here), the
+        # result still exposes the output schema
         return left.map_batches(
             lambda t: pad(t, value_fields, after=True),
-            batch_format="pyarrow")
+            batch_format="pyarrow").union(
+                rd.from_arrow(out_schema.empty_table()))
     if l_empty:
         lfields = [lbase.field(n) for n in lbase.names if n != on]
 
