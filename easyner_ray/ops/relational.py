@@ -735,7 +735,12 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     — a cascade of shrinking aggregates, never a second pass over the
     data. ``fn`` is limited to the re-aggregable set {sum, count, min,
     max} (mean is not decomposable post-hoc — ask for sum+count and
-    derive it)."""
+    derive it).
+
+    CAVEAT (same as SQL ROLLUP without GROUPING()): a key column whose
+    DATA contains genuine NULLs is indistinguishable from the rolled-up
+    marker in the output — pre-fill data NULLs with a sentinel (the
+    ``events_rollup`` query does) when the distinction matters."""
     import ray.data as rd
 
     for _, fn, _ in specs:
@@ -807,7 +812,11 @@ def weighted_sample(ds, group_keys: list[str], weight_col: str, k: int, *,
     def add_key(t: pa.Table) -> pa.Table:
         ids_a = t.column(id_col).combine_chunks()
         w_a = t.column(weight_col).combine_chunks()
-        ok = pc.and_(ids_a.is_valid(),
+        # negative ids are dropped too, not wrapped: a numpy uint64 cast
+        # would wrap them while SQL's % keeps the sign — silently
+        # diverging instead of erroring
+        ok = pc.and_(pc.and_(ids_a.is_valid(),
+                             pc.greater_equal(ids_a, 0)),
                      pc.and_(w_a.is_valid(),
                              pc.greater(w_a.cast(pa.float64()), 0.0)))
         t = t.filter(ok)
