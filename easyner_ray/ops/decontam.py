@@ -101,18 +101,51 @@ def ngram_fingerprints(docs, *, n: int = 5, id_col: str = "doc_id",
         batch_format="pyarrow", batch_size=batch_size)
 
 
-def contamination(train, benchmark, *, n: int = 5, id_col: str = "doc_id",
-                  text_col: str = "text", broadcast_bytes: int = 64 << 20):
+def build_fp_index(benchmark, path: str, *, n: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Persist the benchmark corpus' DISTINCT n-gram fingerprint set as
+    partitioned Parquet (one ``fp`` int64 column + an ``n`` marker in the
+    path) — build once, probe on every curation run (the same
+    build-once/query-many split as ``similarity.build_ivf_index``)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    fps = grouped_agg(
+        ngram_fingerprints(benchmark, n=n, id_col=id_col,
+                           text_col=text_col),
+        ["fp"], [("fp", "count", "__c")],
+    ).select_columns(["fp"])
+    fps.write_parquet(path)
+    return path
+
+
+def contamination(train, benchmark=None, *, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_bytes: int = 64 << 20,
+                  benchmark_index: str | None = None):
     """-> (id, n_hits) for every TRAIN document sharing >= 1 token n-gram
     with the benchmark corpus; ``n_hits`` counts the doc's DISTINCT
     contaminated n-grams. Drop the flagged ids from the training set (or
-    route them to review) to decontaminate."""
+    route them to review) to decontaminate.
+
+    Pass EITHER ``benchmark`` (a documents Dataset — fingerprinted
+    inline) or ``benchmark_index`` (a parquet path written by
+    :func:`build_fp_index` with the SAME ``n`` — the repeated-run path:
+    the eval set is fingerprinted once, every curation run just probes)."""
+    import ray.data as rd
+
     from easyner_ray.ops.relational import adaptive_semi_join, grouped_agg
+
+    if (benchmark is None) == (benchmark_index is None):
+        raise ValueError("pass exactly one of benchmark / benchmark_index")
 
     train_fps = ngram_fingerprints(train, n=n, id_col=id_col,
                                    text_col=text_col)
-    bench_fps = ngram_fingerprints(benchmark, n=n, id_col=id_col,
-                                   text_col=text_col).select_columns(["fp"])
+    if benchmark_index is not None:
+        bench_fps = rd.read_parquet(benchmark_index, columns=["fp"])
+    else:
+        bench_fps = ngram_fingerprints(
+            benchmark, n=n, id_col=id_col,
+            text_col=text_col).select_columns(["fp"])
     hits = adaptive_semi_join(train_fps, bench_fps, on="fp",
                               broadcast_bytes=broadcast_bytes)
     return grouped_agg(hits, [id_col], [("fp", "count", "n_hits")])

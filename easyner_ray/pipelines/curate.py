@@ -185,12 +185,15 @@ def _step_hash_sample(ds, rate: float, key: str = "doc_id", **_):
     return hash_sample(ds, key, rate)
 
 
-def _step_decontam(ds, benchmark: str, n: int = 5, max_hits: int = 0,
+def _step_decontam(ds, benchmark: str | None = None, n: int = 5,
+                   max_hits: int = 0, benchmark_index: str | None = None,
                    id_col: str = "doc_id", text_col: str = "text", **_):
-    """Drop documents contaminated against a benchmark/eval corpus
-    (``benchmark`` = path to a documents-shaped parquet): any doc sharing
-    more than ``max_hits`` distinct token n-grams with it is removed —
-    the train/eval decontamination gate (see ``ops.decontam``)."""
+    """Drop documents contaminated against a benchmark/eval corpus: any
+    doc sharing more than ``max_hits`` distinct token n-grams with it is
+    removed — the train/eval decontamination gate (see ``ops.decontam``).
+    ``benchmark`` = path to a documents-shaped parquet (fingerprinted
+    inline), or ``benchmark_index`` = a persisted ``build_fp_index``
+    parquet (fingerprint the eval set once, probe every run)."""
     import ray.data as rd
 
     from easyner_ray.ops.decontam import contamination
@@ -198,8 +201,9 @@ def _step_decontam(ds, benchmark: str, n: int = 5, max_hits: int = 0,
 
     # two consumers (fingerprint pass + final filter) -> checkpoint once
     ds = ds.materialize()
-    flagged = contamination(ds, rd.read_parquet(benchmark), n=n,
-                            id_col=id_col, text_col=text_col)
+    flagged = contamination(
+        ds, rd.read_parquet(benchmark) if benchmark else None, n=n,
+        id_col=id_col, text_col=text_col, benchmark_index=benchmark_index)
     bad = flagged.map_batches(
         lambda t: t.filter(pc.greater(t.column("n_hits"), max_hits))
                    .select([id_col]),

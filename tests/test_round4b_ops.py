@@ -556,3 +556,52 @@ def test_heavy_hitters_exact_and_rank(ray_session):
     # all-null column -> empty result, no crash
     tn = pa.table({"v": pa.array([None, None], pa.string())})
     assert heavy_hitters(_ds(tn), "v", 3).count() == 0
+
+
+def test_contamination_persisted_index(ray_session, tmp_path):
+    """build_fp_index + benchmark_index probe == inline benchmark
+    fingerprinting, exactly; passing both or neither raises."""
+    import pytest
+    import ray.data as rd
+
+    from easyner_ray.ops.decontam import build_fp_index, contamination
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog"]}))
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["I saw the quick brown fox jumps today",
+                 "completely clean text with nothing shared here at all"]}))
+
+    inline = sorted((r["doc_id"], r["n_hits"])
+                    for r in contamination(train, bench, n=5).take_all())
+    idx = build_fp_index(bench, str(tmp_path / "fpidx"), n=5)
+    indexed = sorted(
+        (r["doc_id"], r["n_hits"]) for r in contamination(
+            train, benchmark_index=idx, n=5).take_all())
+    assert inline == indexed and len(inline) == 1 and inline[0][0] == 1
+
+    with pytest.raises(ValueError, match="exactly one"):
+        contamination(train, bench, benchmark_index=idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        contamination(train)
+
+
+def test_pagerank_integer_node_ids(ray_session):
+    """All three pagerank paths accept non-string node ids (the indexed
+    paths build the node dictionary generically)."""
+    from easyner_ray.ops.graph import pagerank
+
+    edges = _ds(pa.table({
+        "src": pa.array([1, 1, 2, 4], pa.int64()),
+        "dst": pa.array([2, 3, 3, 1], pa.int64()),
+    }))
+    base = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).take_all()}
+    assert set(base) == {1, 2, 3, 4}
+    assert abs(sum(base.values()) - 1.0) < 1e-6
+    for kw in ({"edge_driver_cutoff": 0},
+               {"edge_driver_cutoff": 0, "node_gate": 0}):
+        alt = {r["node"]: r["rank"]
+               for r in pagerank(edges, iters=5, **kw).take_all()}
+        assert alt == base, kw
