@@ -605,3 +605,35 @@ def test_pagerank_integer_node_ids(ray_session):
         alt = {r["node"]: r["rank"]
                for r in pagerank(edges, iters=5, **kw).take_all()}
         assert alt == base, kw
+
+
+def test_pagerank_paths_agree_medium_graph(ray_session):
+    """The three execution paths stay bit-equal on a 500-node / ~5000-edge
+    graph with dangling nodes and skewed in-degree (not just the toy
+    fixture): indexed-driver vs indexed-broadcast vs join fallback."""
+    import numpy as np
+
+    from easyner_ray.ops.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    n_nodes, n_edges = 500, 5000
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = (src + 1 + rng.zipf(1.7, n_edges)) % n_nodes  # skewed targets
+    keep = src != dst
+    pairs = sorted({(int(s), int(d)) for s, d in zip(src[keep], dst[keep])})
+    # make ~50 nodes dangling: strip their out-edges
+    pairs = [(s, d) for s, d in pairs if s >= 50]
+    edges = pa.table({
+        "src": pa.array([f"n{s}" for s, _ in pairs], pa.string()),
+        "dst": pa.array([f"n{d}" for _, d in pairs], pa.string()),
+    })
+    runs = []
+    for kw in ({}, {"edge_driver_cutoff": 0},
+               {"edge_driver_cutoff": 0, "node_gate": 0}):
+        got = {r["node"]: r["rank"]
+               for r in pagerank(_ds(edges).repartition(8),
+                                 iters=10, **kw).take_all()}
+        runs.append(got)
+    assert runs[0] == runs[1] == runs[2]
+    assert abs(sum(runs[0].values()) - 1.0) < 1e-5
+    assert len(runs[0]) == len({s for s, _ in pairs} | {d for _, d in pairs})
