@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": q.docs_decontam,  # train/eval n-gram contamination audit
         "user_order_event_profile": q.user_order_event_profile,  # full outer join audit
         "events_rollup": q.events_rollup,  # GROUP BY ROLLUP cascade
+        "events_cube": q.events_cube,  # GROUP BY CUBE grouping sets
         "events_value_histogram": q.events_value_histogram,  # fixed-width histogram
         "events_value_pctiles": q.events_value_pctiles,  # percent_rank / cume_dist
         "top_parts_heavy_hitters": q.top_parts_heavy_hitters,  # Misra-Gries + exact verify

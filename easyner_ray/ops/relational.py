@@ -841,3 +841,73 @@ def weighted_sample(ds, group_keys: list[str], weight_col: str, k: int, *,
         lambda t: t.rename_columns(
             ["wkey" if n == "__wkey" else n for n in t.schema.names]),
         batch_format="pyarrow")
+
+
+def grouping_sets_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+                      sets: list[list[str]], n_buckets: int | None = 64):
+    """SQL ``GROUP BY GROUPING SETS``: the corpus is scanned ONCE (the
+    full-key finest aggregate); every requested set re-aggregates that
+    keyspace-sized output. Same re-aggregable ``fn`` set and NULL-marker
+    caveat as :func:`rollup_agg` (which stays the cheaper cascade for
+    pure prefix chains). Each set must be a subset of ``keys``; the
+    finest set is computed regardless and emitted only if requested."""
+    import ray.data as rd
+
+    for _, fn, _ in specs:
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"grouping_sets_agg supports sum/count/min/max, got {fn!r}")
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} is not a subset of {keys}")
+
+    finest = grouped_agg(ds, keys, specs, n_buckets=n_buckets).materialize()
+    base = finest.schema().base_schema
+    re_specs = [(out, "sum" if fn in ("sum", "count") else fn, out)
+                for _, fn, out in specs]
+
+    levels = []
+    for s in sets:
+        s = list(s)
+        if set(s) == set(keys):
+            lvl = finest
+        elif s:
+            lvl = grouped_agg(finest, s, re_specs, n_buckets=n_buckets)
+        else:
+            lvl = grouped_agg(
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array([0] * len(t), pa.int8())),
+                    batch_format="pyarrow"),
+                ["__all"], re_specs, final="tree",
+            ).map_batches(lambda t: t.drop(["__all"]),
+                          batch_format="pyarrow")
+
+        def fill(t: pa.Table, present=tuple(s)) -> pa.Table:
+            for key in keys:
+                if key not in present:
+                    t = t.append_column(
+                        key, pa.nulls(len(t), base.field(key).type))
+            return t.select(base.names).cast(base)
+
+        levels.append(lvl.map_batches(fill, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cube_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+             n_buckets: int | None = 64):
+    """SQL ``GROUP BY CUBE(keys...)``: every subset of ``keys`` (2^k
+    grouping sets — k is bounded to 6 as a sanity guard), one corpus
+    scan."""
+    if len(keys) > 6:
+        raise ValueError(f"cube over {len(keys)} keys = {2**len(keys)} "
+                         "grouping sets; use explicit grouping_sets_agg")
+    import itertools
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in itertools.combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, specs, sets, n_buckets=n_buckets)

@@ -732,6 +732,15 @@ RELATIONAL["docs_packed"] = """
         FROM documents))
 """
 
+RELATIONAL["events_cube"] = """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(hod, -1) AS hod,
+           n, round(sum_value, 4) AS sum_value
+    FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                 count(value) AS n, sum(value) AS sum_value
+          FROM events GROUP BY CUBE(event_type, hod))
+"""
+
 RELATIONAL["events_value_histogram"] = """
     SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(value) AS n,
            round(sum(value), 4) AS sum_value

@@ -1014,6 +1014,35 @@ def events_rollup(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour-of-day): all four grouping sets
+    from ONE corpus scan (cube_agg re-aggregates the finest level),
+    sentinel-filled like events_rollup so output hashes NULL-free."""
+    from easyner_ray.ops.relational import cube_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hod(t: pa.Table) -> pa.Table:
+        hod = pc.hour(t.column("ts")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("event_type"), hod, t.column("value")],
+            names=["event_type", "hod", "value"])
+
+    out = cube_agg(ev.map_batches(add_hod, batch_format="pyarrow"),
+                   ["event_type", "hod"],
+                   [("value", "count", "n"), ("value", "sum", "sum_value")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("event_type")
+        t = t.set_column(i, "event_type",
+                         pc.fill_null(t.column("event_type"), "(all)"))
+        i = t.schema.get_field_index("hod")
+        t = t.set_column(i, "hod", pc.fill_null(t.column("hod"), -1))
+        return _round4(t, ["sum_value"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def events_value_histogram(sf_dir: str):
     """Fixed-width value histogram (bin = floor(value/25)): the
     distribution-profiling primitive — one vectorized bucket map + a

@@ -637,3 +637,37 @@ def test_pagerank_paths_agree_medium_graph(ray_session):
     assert runs[0] == runs[1] == runs[2]
     assert abs(sum(runs[0].values()) - 1.0) < 1e-5
     assert len(runs[0]) == len({s for s, _ in pairs} | {d for _, d in pairs})
+
+
+def test_cube_and_grouping_sets(ray_session):
+    """CUBE emits every subset level exactly (incl. the b-only set that
+    rollup skips); grouping_sets_agg validates subsets and emits only
+    what was asked."""
+    import pytest
+
+    from easyner_ray.ops.relational import cube_agg, grouping_sets_agg
+
+    t = pa.table({
+        "a": ["x", "x", "y"],
+        "b": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([10.0, 20.0, 5.0], pa.float64()),
+    })
+    out = cube_agg(_ds(t), ["a", "b"], [("v", "sum", "s")]).take_all()
+    got = {(r["a"], r["b"]): r["s"] for r in out}
+    assert got == {
+        ("x", 1): 10.0, ("x", 2): 20.0, ("y", 1): 5.0,
+        ("x", None): 30.0, ("y", None): 5.0,
+        (None, 1): 15.0, (None, 2): 20.0,
+        (None, None): 35.0,
+    }
+
+    only = grouping_sets_agg(_ds(t), ["a", "b"], [("v", "sum", "s")],
+                             [["b"], []]).take_all()
+    got = {(r["a"], r["b"]): r["s"] for r in only}
+    assert got == {(None, 1): 15.0, (None, 2): 20.0, (None, None): 35.0}
+
+    with pytest.raises(ValueError, match="not a subset"):
+        grouping_sets_agg(_ds(t), ["a"], [("v", "sum", "s")], [["b"]])
+    with pytest.raises(ValueError, match="grouping sets"):
+        cube_agg(_ds(t), ["a", "b", "a2", "b2", "c", "d", "e"],
+                 [("v", "sum", "s")])
