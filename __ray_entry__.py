@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_order_event_profile": q.user_order_event_profile,  # full outer join audit
         "events_rollup": q.events_rollup,  # GROUP BY ROLLUP cascade
         "events_cube": q.events_cube,  # GROUP BY CUBE grouping sets
+        "users_funnel": q.users_funnel,  # funnel stage by first-occurrence order
         "events_value_histogram": q.events_value_histogram,  # fixed-width histogram
         "events_value_pctiles": q.events_value_pctiles,  # percent_rank / cume_dist
         "top_parts_heavy_hitters": q.top_parts_heavy_hitters,  # Misra-Gries + exact verify

@@ -732,6 +732,21 @@ RELATIONAL["docs_packed"] = """
         FROM documents))
 """
 
+RELATIONAL["users_funnel"] = """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(CASE WHEN v < c AND c < p THEN 3
+                     WHEN v < c THEN 2
+                     WHEN v IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM f
+"""
+
 RELATIONAL["events_cube"] = """
     SELECT coalesce(event_type, '(all)') AS event_type,
            coalesce(hod, -1) AS hod,

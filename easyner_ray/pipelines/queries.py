@@ -1014,6 +1014,46 @@ def events_rollup(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def users_funnel(sf_dir: str):
+    """Funnel analysis: per user, how deep into view -> click -> purchase
+    the FIRST occurrences progress in strict timestamp order (0 = never
+    viewed .. 3 = completed). One conditional-min grouped aggregate +
+    a vectorized stage map; integer output, no nullable timestamps in
+    the result (NaT never survives a value-hash)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def split_ts(t: pa.Table) -> pa.Table:
+        ty = t.column("event_type")
+        ts = t.column("ts")
+        cols = [t.column("user_id")]
+        for stage in ("view", "click", "purchase"):
+            cols.append(pc.if_else(pc.equal(ty, stage), ts,
+                                   pa.scalar(None, ts.type)))
+        return pa.Table.from_arrays(cols, names=["user_id", "v", "c", "p"])
+
+    firsts = grouped_agg(
+        ev.map_batches(split_ts, batch_format="pyarrow"),
+        ["user_id"],
+        [("v", "min", "v"), ("c", "min", "c"), ("p", "min", "p")],
+        final="tree")
+
+    def stage(t: pa.Table) -> pa.Table:
+        v, c, p = (t.column(x).combine_chunks() for x in ("v", "c", "p"))
+        vc = pc.fill_null(pc.less(v, c), False)
+        cp = pc.fill_null(pc.less(c, p), False)
+        s3 = pc.and_(vc, cp)
+        s1 = v.is_valid()
+        stg = pc.add(
+            pc.add(s1.cast(pa.int64()), pc.and_(s1, vc).cast(pa.int64())),
+            pc.and_(pc.and_(s1, vc), s3).cast(pa.int64()))
+        return pa.Table.from_arrays([t.column("user_id"), stg],
+                                    names=["user_id", "funnel_stage"])
+
+    return firsts.map_batches(stage, batch_format="pyarrow")
+
+
 def events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, hour-of-day): all four grouping sets
     from ONE corpus scan (cube_agg re-aggregates the finest level),
