@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q.events_rollup,  # GROUP BY ROLLUP cascade
         "events_cube": q.events_cube,  # GROUP BY CUBE grouping sets
         "users_funnel": q.users_funnel,  # funnel stage by first-occurrence order
+        "docs_unigram_logprob": q.docs_unigram_logprob,  # LM quality score (perplexity-style)
         "events_value_histogram": q.events_value_histogram,  # fixed-width histogram
         "events_value_pctiles": q.events_value_pctiles,  # percent_rank / cume_dist
         "top_parts_heavy_hitters": q.top_parts_heavy_hitters,  # Misra-Gries + exact verify

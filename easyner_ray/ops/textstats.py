@@ -336,6 +336,94 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
                           batch_size=batch_size)
 
 
+def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                    batch_size: int = 4096, round_digits: int | None = 4,
+                    broadcast_max_bytes: int = 256 << 20):
+    """Per-document mean unigram log-probability — the CCNet-style
+    language-model quality score (perplexity filtering), with the corpus
+    itself as the unigram LM: ``p(term) = corpus occurrences / total
+    tokens`` and ``score(doc) = sum(tf * ln p) / sum(tf)`` over the doc's
+    token occurrences (more negative = rarer vocabulary). Filter docs
+    whose score is an outlier on either side: gibberish scores very low,
+    boilerplate very high.
+
+    Distributed shape mirrors :func:`tfidf`: exact per-batch tf rows
+    (a doc is one row), a two-phase grouped occurrence count over the
+    term keyspace, and an ADAPTIVE count join-back — broadcast under
+    ``broadcast_max_bytes`` (measured on the materialized count table),
+    ``relational.hash_join`` on ``term`` above it; one doc-keyspace
+    grouped sum finishes. ``ln`` is evaluated once per DISTINCT count via
+    ``math.log`` (libm, matching SQL ``ln``) and mapped through a
+    dictionary take. Zero-token docs emit no row (SQL: no tokens, no
+    group). -> (id, n_tokens, logprob)."""
+    import math
+
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg, hash_join
+
+    tf = docs.map_batches(
+        lambda t: _tf_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+    tc = grouped_agg(tf.select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "cnt")]).materialize()
+    total = float(sum(
+        p["t"] for p in tc.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"t": [int(pc.sum(t.column("cnt")).as_py() or 0)]}),
+            batch_format="pyarrow").take_all()))
+
+    def contrib(joined: pa.Table) -> pa.Table:
+        if joined.num_columns == 0:  # schema-less empty join block
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=[id_col, "tf", "contrib"])
+        cnt = joined.column("cnt").combine_chunks()
+        enc = pc.dictionary_encode(cnt)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        lp_dict = pa.array([math.log(v / total) for v in
+                            enc.dictionary.to_pylist()], pa.float64())
+        lp = lp_dict.take(enc.indices)
+        c = pc.multiply(joined.column("tf").cast(pa.float64()), lp)
+        return pa.Table.from_arrays(
+            [joined.column(id_col), joined.column("tf"), c],
+            names=[id_col, "tf", "contrib"])
+
+    if tc.size_bytes() > broadcast_max_bytes:
+        joined = hash_join(tf, tc, on="term",
+                           approx_bytes=tf.size_bytes() + tc.size_bytes())
+        pairs = joined.map_batches(contrib, batch_format="pyarrow",
+                                   batch_size=batch_size)
+    else:
+        tc_tbl = pa.concat_tables(
+            [b for b in ray.get(tc.to_arrow_refs()) if len(b)])
+        ref = ray.put(tc_tbl.combine_chunks())
+
+        def score(t: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            return contrib(t.join(d, keys=["term"], join_type="inner"))
+
+        pairs = tf.map_batches(score, batch_format="pyarrow",
+                               batch_size=batch_size)
+
+    out = grouped_agg(pairs, [id_col],
+                      [("tf", "sum", "n_tokens"), ("contrib", "sum", "__s")])
+
+    def finish(t: pa.Table, rd=round_digits) -> pa.Table:
+        n = t.column("n_tokens").cast(pa.float64())
+        vals = pc.divide(t.column("__s"), n)
+        if rd is not None:
+            vals = pa.array([None if v is None else round(v, rd)
+                             for v in vals.to_pylist()], pa.float64())
+        return pa.Table.from_arrays(
+            [t.column(id_col), t.column("n_tokens").cast(pa.int64()), vals],
+            names=[id_col, "n_tokens", "logprob"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- chunking ---
 
 

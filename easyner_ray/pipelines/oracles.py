@@ -732,6 +732,20 @@ RELATIONAL["docs_packed"] = """
         FROM documents))
 """
 
+RELATIONAL["docs_unigram_logprob"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(cnt * 1.0 / tot.n)) / sum(tf), 4) AS logprob
+    FROM tf JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
 RELATIONAL["users_funnel"] = """
     WITH f AS (
       SELECT user_id,

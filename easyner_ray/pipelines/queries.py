@@ -1182,6 +1182,16 @@ def docs_packed(sf_dir: str):
     return cum.map_batches(pack, batch_format="pyarrow")
 
 
+def docs_unigram_logprob(sf_dir: str):
+    """CCNet-style LM quality score: per-doc mean unigram log-probability
+    with the corpus as its own language model (see
+    textstats.unigram_logprob) — the perplexity-filtering primitive."""
+    from easyner_ray.ops.textstats import unigram_logprob
+
+    return unigram_logprob(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def docs_decontam(sf_dir: str):
     """Train/eval n-gram contamination audit (the GPT-3-style overlap
     check): documents with ``doc_id % 10 == 0`` stand in as the held-out

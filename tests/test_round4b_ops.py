@@ -708,3 +708,25 @@ def test_users_funnel_stages(ray_session):
     got = {r["user_id"]: r["funnel_stage"]
            for r in users_funnel(d).take_all()}
     assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}
+
+
+def test_unigram_logprob_hand_and_paths(ray_session):
+    """LM quality score on a hand-computable corpus: repeated tokens
+    weight the mean, zero-token docs vanish, and the broadcast /
+    hash-join paths agree exactly."""
+    import math
+
+    from easyner_ray.ops.textstats import unigram_logprob
+
+    # corpus tokens: a a a b (total 4) -> p(a)=3/4, p(b)=1/4
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a a b", "a", "???"],   # doc3 tokenizes to nothing
+    })
+    exp1 = round((2 * math.log(3 / 4) + math.log(1 / 4)) / 3, 4)
+    exp2 = round(math.log(3 / 4), 4)
+    for bmax in (256 << 20, 0):
+        got = {r["doc_id"]: (r["n_tokens"], r["logprob"])
+               for r in unigram_logprob(_ds(t),
+                                        broadcast_max_bytes=bmax).take_all()}
+        assert got == {1: (3, exp1), 2: (1, exp2)}, bmax
