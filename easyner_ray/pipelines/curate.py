@@ -211,6 +211,35 @@ def _step_decontam(ds, benchmark: str | None = None, n: int = 5,
     return adaptive_semi_join(ds, bad, on=id_col, anti=True)
 
 
+def _step_logprob_filter(ds, low: float = 0.05, high: float = 0.95,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         **_):
+    """CCNet-style LM band filter: score every doc with the corpus-as-LM
+    unigram log-probability (``textstats.unigram_logprob``) and keep only
+    the [low, high] quantile band — gibberish falls below, boilerplate /
+    degenerate repetition rises above. Two extra passes (score + exact
+    quantiles of the doc-keyspace score table); the final filter is an
+    adaptive semi join on ids."""
+    from easyner_ray.ops.relational import adaptive_semi_join
+    from easyner_ray.ops.sketch import exact_quantiles
+    from easyner_ray.ops.textstats import unigram_logprob
+
+    ds = ds.materialize()  # consumed by the scorer and the final filter
+    scores = unigram_logprob(ds, id_col=id_col, text_col=text_col,
+                             round_digits=None).materialize()
+    thr = exact_quantiles(scores, "logprob", [low, high])
+    lo, hi = thr[low], thr[high]
+    if lo is None:  # empty corpus
+        return ds
+
+    keep = scores.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("logprob"), lo),
+            pc.less_equal(t.column("logprob"), hi))).select([id_col]),
+        batch_format="pyarrow")
+    return adaptive_semi_join(ds, keep, on=id_col)
+
+
 def _step_weighted_sample(ds, k: int, group_by: list[str] | None = None,
                           weight: str = "n_chars", id_col: str = "doc_id",
                           **_):
@@ -264,6 +293,7 @@ STEPS = {
     "near_dup_filter": _step_near_dup_filter,
     "hash_sample": _step_hash_sample,
     "decontam": _step_decontam,
+    "logprob_filter": _step_logprob_filter,
     "weighted_sample": _step_weighted_sample,
     "redact": _step_redact,
     "chunk": _step_chunk,

@@ -196,3 +196,28 @@ def test_weighted_sample_step(ray_session, tmp_path):
     assert one["doc_id"].tolist() == two["doc_id"].tolist()
     assert (one["source"] == "web").sum() == 3
     assert (one["source"] == "books").sum() == 3
+
+
+def test_logprob_filter_step(ray_session):
+    """LM band filter: the doc built from rare gibberish tokens scores
+    lowest and is dropped at low=0.2; ordinary docs survive; quantile
+    band [0,1] keeps everything."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.curate import STEPS
+
+    common = "the cat sat on the mat and the dog sat too"
+    texts = [common, common + " again", common + " once more",
+             "zqxj vvkp qqzz wwyy xxoo"]          # rare-token gibberish
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "text": texts,
+    }))
+    kept = STEPS["logprob_filter"](ds, low=0.3, high=1.0).to_pandas()
+    assert 3 not in kept["doc_id"].tolist()
+    assert len(kept) >= 2
+
+    all_kept = STEPS["logprob_filter"](rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "text": texts})), low=0.0, high=1.0).to_pandas()
+    assert sorted(all_kept["doc_id"].tolist()) == [0, 1, 2, 3]
