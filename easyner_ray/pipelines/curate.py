@@ -18,6 +18,7 @@ Config::
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
         {"op": "hash_sample", "rate": 0.5},
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
+        {"op": "logprob_filter", "low": 0.05, "high": 0.95},
         {"op": "weighted_sample", "k": 1000, "weight": "n_chars"},
         {"op": "chunk", "size": 2048, "overlap": 128}           # training windows
       ],
