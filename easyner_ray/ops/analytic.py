@@ -153,8 +153,13 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
             else:
                 vmask = np.ones(n, dtype=np.int64)
             v = np.asarray(col.fill_null(0.0), dtype=np.float64)
-            c = np.cumsum(v)
-            seg = c - c[start_of] + v[start_of]
+            # Rebase a bucket-wide prefix sum per group — in extended
+            # precision (80-bit on x86), so the cancellation error of
+            # (c - c[start_of]) is bounded by the GROUP's magnitude after
+            # the final float64 round, not the global prefix's. A plain
+            # float64 rebase drifts for late groups in very large buckets.
+            c = np.cumsum(v, dtype=np.longdouble)
+            seg = (c - c[start_of] + v[start_of]).astype(np.float64)
             out = pa.array(seg, pa.float64())
             nvalid = np.cumsum(vmask)
             nseg = nvalid - nvalid[start_of] + vmask[start_of]

@@ -26,12 +26,13 @@ union-find cutoff):
   driver holds only scalars.
 
 Determinism device (shared with ``ops.similarity.kmeans``): every rank is
-rounded with Python ``round`` at ``round_digits`` after each iteration,
-so float sum-order differences across block layouts / paths (~1e-16 per
-term) never accumulate past the rounding grain — all three paths are
-bit-equal to a straight-line single-process recompute of the same spec
-(``sources.gold_derived.write_pagerank_gold``), and tests force each
-path and compare exactly.
+rounded with the vectorized ``np.round`` kernel (:func:`_round_vec`) at
+``round_digits`` after each iteration, so float sum-order differences
+across block layouts / paths (~1e-16 per term) never accumulate past the
+rounding grain — all three paths are bit-equal to a straight-line
+single-process recompute of the same spec
+(``sources.gold_derived.write_pagerank_gold``, same kernel), and tests
+force each path and compare exactly.
 """
 
 from __future__ import annotations
@@ -113,7 +114,7 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
         s = et.column("s").combine_chunks().to_numpy(zero_copy_only=False)
         d = et.column("d").combine_chunks().to_numpy(zero_copy_only=False)
         deg = np.bincount(s, minlength=n_nodes).astype(np.float64)
-        rank = np.full(n_nodes, round(1.0 / n_nodes, round_digits))
+        rank = np.full(n_nodes, _round_scalar(1.0 / n_nodes, round_digits))
         live = deg > 0
         for _ in range(iters):
             dangling = float(rank[~live].sum())
@@ -135,7 +136,7 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
         deg_tbl.column("deg").combine_chunks().to_numpy(zero_copy_only=False)
     live = deg > 0
 
-    rank = np.full(n_nodes, round(1.0 / n_nodes, round_digits))
+    rank = np.full(n_nodes, _round_scalar(1.0 / n_nodes, round_digits))
     for _ in range(iters):
         dangling = float(rank[~live].sum())
         share = np.zeros(n_nodes)
@@ -175,10 +176,22 @@ def _collect_column(ds, col: str) -> pa.Array:
 
 
 def _round_vec(vals: np.ndarray, digits: int) -> np.ndarray:
-    """Elementwise Python ``round`` (np.round is one ulp off Python's on
-    some halfway values — the gold recompute uses Python round, so the
-    engine must too for bit-equality)."""
-    return np.array([round(float(v), digits) for v in vals], dtype=np.float64)
+    """The shared rounding grain, as a whole-column numpy kernel.
+
+    ``np.round`` (scale, rint half-even, unscale) can be one ulp off
+    Python's decimal-correct ``round`` on some halfway values — but the
+    grain is self-imposed (it only exists to absorb ~1e-16 sum-order
+    noise across block layouts), so WHICH half-even kernel is used is
+    arbitrary as long as the engine, the gold recompute
+    (``sources.gold_derived.write_pagerank_gold``) and the tests all use
+    the SAME one. numpy's is vectorized; Python's is a per-element loop
+    that dominated the join path's per-iteration map at scale."""
+    return np.round(np.asarray(vals, dtype=np.float64), digits)
+
+
+def _round_scalar(v: float, digits: int) -> float:
+    """Scalar form of :func:`_round_vec` (same kernel, bit-identical)."""
+    return float(np.round(np.float64(v), digits))
 
 
 def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
@@ -193,7 +206,7 @@ def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
     nd = adaptive_join(nodes_ds, deg, on="node", right_on=src_col,
                        how="left").materialize()
 
-    init = round(1.0 / n_nodes, round_digits)
+    init = _round_scalar(1.0 / n_nodes, round_digits)
     ranks = nd.map_batches(
         lambda t: t.append_column("rank", pa.array([init] * len(t),
                                                    pa.float64())),
@@ -223,9 +236,9 @@ def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
 
         def apply_damping(t: pa.Table, d=damping, b=base, dg=dangling,
                           n=n_nodes) -> pa.Table:
-            inc = t.column("inc").combine_chunks().fill_null(0.0)
-            vals = [round(b + d * (v + dg / n), round_digits)
-                    for v in inc.to_pylist()]
+            inc = t.column("inc").combine_chunks().fill_null(0.0).to_numpy(
+                zero_copy_only=False)
+            vals = _round_vec(b + d * (inc + dg / n), round_digits)
             i = t.schema.get_field_index("rank")
             t = t.set_column(i, "rank", pa.array(vals, pa.float64()))
             return t.drop(["inc"])

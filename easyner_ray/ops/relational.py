@@ -526,8 +526,12 @@ def stratified_sample(ds, group_keys: list[str], n_per_group: int, *,
 
     def add_hash(t: pa.Table) -> pa.Table:
         col = t.column(id_col).combine_chunks()
-        if col.null_count:
-            t = t.filter(pc.is_valid(col))
+        # Negative ids are dropped, not wrapped: the uint64 cast below
+        # would wrap them while SQL's % keeps the sign — silently
+        # diverging instead of erroring (same guard as weighted_sample).
+        ok = pc.and_kleene(col.is_valid(), pc.greater_equal(col, 0))
+        if not (pc.all(ok).as_py() if len(ok) else True):
+            t = t.filter(ok)
             col = t.column(id_col).combine_chunks()
         k_arr = np.asarray(col.cast(pa.int64())).astype(np.uint64)
         with np.errstate(over="ignore"):

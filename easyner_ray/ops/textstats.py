@@ -372,6 +372,14 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
             lambda t: pa.Table.from_pydict(
                 {"t": [int(pc.sum(t.column("cnt")).as_py() or 0)]}),
             batch_format="pyarrow").take_all()))
+    if total == 0.0:
+        # Empty corpus: no tokens, no groups (SQL parity) — and the
+        # broadcast path below would otherwise hit pa.concat_tables([])
+        # (ArrowInvalid) when every block is empty.
+        id_type = docs.schema().base_schema.field(id_col).type
+        return ray.data.from_arrow(pa.schema(
+            [(id_col, id_type), ("n_tokens", pa.int64()),
+             ("logprob", pa.float64())]).empty_table())
 
     def contrib(joined: pa.Table) -> pa.Table:
         if joined.num_columns == 0:  # schema-less empty join block

@@ -788,8 +788,9 @@ KG["kg_edges_npmi"] = f"""
       GROUP BY a.norm, b.norm),
     tot AS (SELECT count(*) AS n FROM {GS})
     SELECT norm_a, norm_b, c_ab, sa.c AS c_a, sb.c AS c_b,
-           round(ln(c_ab * 1.0 * tot.n / (sa.c * 1.0 * sb.c))
-                 / ln(tot.n * 1.0 / c_ab), 4) AS npmi
+           CASE WHEN c_ab >= tot.n THEN 1.0
+                ELSE round(ln(c_ab * 1.0 * tot.n / (sa.c * 1.0 * sb.c))
+                           / ln(tot.n * 1.0 / c_ab), 4) END AS npmi
     FROM pairs
     JOIN singles sa ON pairs.norm_a = sa.norm
     JOIN singles sb ON pairs.norm_b = sb.norm

@@ -607,10 +607,14 @@ def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
     — the gold for the distributed ``ops.graph.pagerank`` (spec: edges =
     DISTINCT directed (norm_a, norm_b) pairs co-mentioned in a sentence;
     uniform init; dangling mass redistributed uniformly; every rank
-    rounded with Python ``round`` at ``round_digits`` after each
-    iteration — the same block-layout-invariance device as the k-means
-    gold)."""
+    rounded with the SAME np.round kernel as ``ops.graph._round_vec`` at
+    ``round_digits`` after each iteration — the block-layout-invariance
+    grain; np.round is elementwise-deterministic, so scalar-at-a-time
+    here bit-matches the engine's whole-column call)."""
     import collections
+
+    def _r(x: float) -> float:
+        return float(np.round(np.float64(x), round_digits))
 
     gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
                        columns=["conv_id", "turn_idx", "sent_idx", "norm"])
@@ -630,15 +634,15 @@ def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
     nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
     n = len(nodes)
     deg = collections.Counter(a for a, _ in pairs)
-    rank = {v: round(1.0 / n, round_digits) for v in nodes}
+    rank = {v: _r(1.0 / n) for v in nodes}
     base = (1.0 - damping) / n
     for _ in range(iters):
         dangling = sum(rank[v] for v in nodes if deg.get(v, 0) == 0)
         inc: dict = collections.defaultdict(float)
         for a, b in sorted(pairs):
             inc[b] += rank[a] / deg[a]
-        rank = {v: round(base + damping * (inc.get(v, 0.0) + dangling / n),
-                         round_digits) for v in nodes}
+        rank = {v: _r(base + damping * (inc.get(v, 0.0) + dangling / n))
+                for v in nodes}
     tbl = pa.Table.from_arrays(
         [pa.array(nodes, pa.string()),
          pa.array([rank[v] for v in nodes], pa.float64())],
@@ -748,10 +752,39 @@ def write_contamination_gold(corpus: str, documents_path: str, n: int = 5,
     return path
 
 
+# Bump when any derived-gold kernel changes so cached tables regenerate.
+# v2: pagerank rounding grain moved from per-element Python round to the
+# vectorized np.round kernel (ops.graph._round_vec).
+_GOLD_V = 2
+_BASE_GOLD = {"gold_sentences.parquet", "gold_mentions.parquet"}
+
+
+def _check_gold_version(corpus: str) -> None:
+    """Delete stale derived-gold parquet (NOT the synthetic-generator
+    base golds) when the kernel version marker doesn't match."""
+    import glob
+    import json
+
+    vpath = os.path.join(corpus, "_gold_version.json")
+    try:
+        with open(vpath) as f:
+            if json.load(f).get("v") == _GOLD_V:
+                return
+    except (FileNotFoundError, ValueError):
+        pass
+    for p in glob.glob(os.path.join(corpus, "gold_*.parquet")):
+        if os.path.basename(p) not in _BASE_GOLD:
+            os.remove(p)
+    with open(vpath, "w") as f:
+        json.dump({"v": _GOLD_V}, f)
+
+
 def ensure_derived_gold(corpus: str, documents_path: str | None = None,
                         embeddings_path: str | None = None,
                         events_path: str | None = None) -> None:
-    """Idempotently write every derived gold table missing from ``corpus``."""
+    """Idempotently write every derived gold table missing from ``corpus``
+    (stale-kernel tables are invalidated first via the version marker)."""
+    _check_gold_version(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_resolved_mentions.parquet")):
         write_resolved_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_disambiguated.parquet")):

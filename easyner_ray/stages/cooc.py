@@ -98,9 +98,12 @@ def npmi_edges(tagged_sentences, n_sentences: int, *,
         pmi = np.log(c_ab * n / (c_a * c_b))
         denom = np.log(n / c_ab)
         # Python round on the final small table (np.round is one ulp off
-        # the SQL oracle's round on halfway values)
-        npmi = pa.array([round(float(p / d), rd)
-                         for p, d in zip(pmi, denom)], pa.float64())
+        # the SQL oracle's round on halfway values). c_ab == n (a pair in
+        # EVERY sentence) makes the denominator 0 — emit 1.0, the defined
+        # limit of NPMI as p(a,b) -> 1 (oracle mirrors with CASE WHEN).
+        npmi = pa.array([1.0 if ab >= n else round(float(p / d), rd)
+                         for p, d, ab in zip(pmi, denom, c_ab)],
+                        pa.float64())
         return t.append_column("npmi", npmi)
 
     return out.map_batches(score, batch_format="pyarrow")

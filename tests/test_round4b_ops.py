@@ -8,6 +8,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -247,17 +248,21 @@ def test_pagerank_directed_with_dangling(ray_session):
     got = {r["node"]: r["rank"]
            for r in pagerank(edges, iters=10).take_all()}
 
-    # straight-line recompute (same rounding spec)
+    # straight-line recompute (same rounding spec: the shared np.round
+    # kernel, ops.graph._round_vec)
+    def _r(x):
+        return float(np.round(np.float64(x), 9))
+
     nodes = ["a", "b", "c", "d"]
     deg = {"a": 2, "b": 1, "d": 1}
     n, d = 4, 0.85
-    rank = {v: round(1 / n, 9) for v in nodes}
+    rank = {v: _r(1 / n) for v in nodes}
     for _ in range(10):
         dangling = sum(rank[v] for v in nodes if v not in deg)
         inc = {v: 0.0 for v in nodes}
         for s, t2 in [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]:
             inc[t2] += rank[s] / deg[s]
-        rank = {v: round((1 - d) / n + d * (inc[v] + dangling / n), 9)
+        rank = {v: _r((1 - d) / n + d * (inc[v] + dangling / n))
                 for v in nodes}
     assert got == rank
     assert abs(sum(got.values()) - 1.0) < 1e-6

@@ -1,0 +1,105 @@
+"""Round-5 regression tests for the ADVICE findings: empty-corpus
+unigram_logprob, stratified_sample negative-id guard, NPMI degenerate
+corpus (a pair in every sentence), and cumsum precision under a large
+global prefix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_unigram_logprob_empty_corpus(ray_session):
+    """Empty input (or all-empty text) used to hit pa.concat_tables([])
+    — ArrowInvalid — on the broadcast path; must return a typed empty
+    result instead (SQL parity: no tokens, no groups)."""
+    from easyner_ray.ops.textstats import unigram_logprob
+
+    empty = _ds(pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}))
+    out = unigram_logprob(empty)
+    assert out.count() == 0
+    assert set(out.schema().base_schema.names) == {"doc_id", "n_tokens",
+                                                   "logprob"}
+    assert out.schema().base_schema.field("doc_id").type == pa.int64()
+
+    # all-whitespace docs: rows exist but the corpus has zero tokens
+    blank = _ds(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": pa.array(["   ", ""], pa.string())}))
+    assert unigram_logprob(blank).count() == 0
+
+
+def test_curate_logprob_filter_empty_upstream(ray_session):
+    """The curate logprob_filter step's empty-corpus fallback (return ds
+    unchanged) must actually be reachable — upstream steps dropping every
+    document used to crash inside unigram_logprob instead."""
+    from easyner_ray.pipelines.curate import _step_logprob_filter
+
+    empty = _ds(pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}))
+    assert _step_logprob_filter(empty).count() == 0
+
+
+def test_stratified_sample_negative_ids_dropped(ray_session):
+    """Negative ids are dropped, not wrapped by the uint64 cast (the SQL
+    oracle's % keeps the sign; wrapping silently diverges)."""
+    from easyner_ray.ops.relational import stratified_sample
+
+    t = pa.table({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "id": pa.array([1, 2, -3, 4, 5, -6, 7, None], pa.int64()),
+    })
+    rows = stratified_sample(_ds(t), ["g"], 10, id_col="id").take_all()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [1, 2, 4, 5, 7]  # negatives and NULL excluded
+
+
+def test_npmi_pair_in_every_sentence(ray_session):
+    """c_ab == n_sentences makes the NPMI denominator ln(n/c_ab) = 0;
+    the engine must emit the defined limit 1.0, not NaN."""
+    from easyner_ray import schemas
+    from easyner_ray.stages.cooc import npmi_edges
+
+    def m(norm, i):
+        return {"mention_idx": i, "surface": norm, "norm": norm,
+                "cls": "x", "start": 0, "end": 1}
+
+    tagged = pa.Table.from_pylist([
+        {"conv_id": "c0", "turn_idx": 0, "sent_idx": 0,
+         "mentions": [m("alpha", 0), m("beta", 1)]},
+        {"conv_id": "c0", "turn_idx": 1, "sent_idx": 0,
+         "mentions": [m("alpha", 0), m("beta", 1)]},
+    ], schema=schemas.SENTENCE_MENTIONS)
+    out = {(r["norm_a"], r["norm_b"]): r["npmi"]
+           for r in npmi_edges(_ds(tagged), 2).take_all()}
+    assert out[("alpha", "beta")] == 1.0
+
+
+def test_cumsum_precision_late_groups(ray_session):
+    """Per-group running sums must not inherit cancellation error from
+    the bucket-wide prefix magnitude: with many earlier groups carrying
+    huge values, a late group's cumsum must still match its own exact
+    sequential sum at float64 grain."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    n_big, vals_small = 20000, [0.1, 0.2, 0.3, 0.4]
+    t = pa.table({
+        "g": ["early"] * n_big + ["late"] * len(vals_small),
+        "ord": pa.array(list(range(n_big)) + list(range(len(vals_small))),
+                        pa.int64()),
+        "v": pa.array([1e12 + i for i in range(n_big)] + vals_small,
+                      pa.float64()),
+    })
+    out = partitioned_analytics(_ds(t), ["g"], ["ord"],
+                                [("cumsum", "v", "c")])
+    got = sorted((r["ord"], r["c"]) for r in out.take_all()
+                 if r["g"] == "late")
+    exact = np.cumsum(np.array(vals_small, dtype=np.float64))
+    for (_, c), e in zip(got, exact):
+        assert abs(c - e) < 1e-9, (c, e)
