@@ -114,15 +114,19 @@ def _step_quality_percentile(ds, metric: str = "stopword_ratio",
 
 def _step_lang_filter(ds, keep: list[str], text_col: str = "text", **_):
     """Keep docs whose trigram language guess is in ``keep`` — profiles
-    cached once per worker process (same pattern as ops.textstats.lang_id)."""
+    cached once per worker process (same pattern as ops.textstats.lang_id);
+    the whole batch is classified in one vectorized LangID.predict pass."""
+    import numpy as np
+
     from easyner_ray.ops.similarity import _cached_state
     from easyner_ray.ops.textstats import LangID
 
+    keep_arr = list(keep)
+
     def f(t: pa.Table) -> pa.Table:
         li = _cached_state(("langid_filter",), LangID)
-        preds = [li.classify(s or "")[0]
-                 for s in t.column(text_col).to_pylist()]
-        return t.filter(pa.array([p in keep for p in preds]))
+        preds, _ = li.predict(t.column(text_col))
+        return t.filter(pa.array(np.isin(preds, keep_arr)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

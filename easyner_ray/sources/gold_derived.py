@@ -373,10 +373,12 @@ _LANG_SEEDS_SPEC = {
 
 
 def _trigram_profile_spec(s: str) -> dict[str, float]:
-    """L2-normalized char-trigram counts over '  <lower(s)>  '. Insertion
-    order (= first-occurrence order in the text) is part of the spec: the
-    classifier's score accumulates in this order, so the gold's float sums
-    are bit-identical to the engine's, not merely close."""
+    """L2-normalized char-trigram counts over '  <lower(s)>  '. The
+    engine accumulates scores in sorted-trigram order (vectorized
+    kernel), this gold in first-occurrence order — both round each
+    per-language score at the shared 1e-9 np.round grain
+    (ops.textstats.LangID.ROUND_DIGITS), which absorbs the ~1e-16
+    sum-order difference, so the outputs stay bit-identical."""
     s = f"  {s.lower()}  "
     out: dict[str, float] = {}
     for i in range(len(s) - 2):
@@ -403,7 +405,8 @@ def write_langid_gold(corpus: str, documents_path: str) -> str:
         tg = _trigram_profile_spec(t[:2000])
         best_lang, best, second = "und", 0.0, 0.0
         for lang, prof in profiles.items():
-            score = sum(w * prof.get(g, 0.0) for g, w in tg.items())
+            score = float(np.round(
+                sum(w * prof.get(g, 0.0) for g, w in tg.items()), 9))
             if score > best:
                 best_lang, second, best = lang, best, score
             elif score > second:
@@ -755,7 +758,8 @@ def write_contamination_gold(corpus: str, documents_path: str, n: int = 5,
 # Bump when any derived-gold kernel changes so cached tables regenerate.
 # v2: pagerank rounding grain moved from per-element Python round to the
 # vectorized np.round kernel (ops.graph._round_vec).
-_GOLD_V = 2
+# v3: langid scores carry the 1e-9 np.round grain (vectorized classifier).
+_GOLD_V = 3
 _BASE_GOLD = {"gold_sentences.parquet", "gold_mentions.parquet"}
 
 

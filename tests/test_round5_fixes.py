@@ -81,6 +81,30 @@ def test_npmi_pair_in_every_sentence(ray_session):
     assert out[("alpha", "beta")] == 1.0
 
 
+def test_langid_fast_and_wide_paths_agree():
+    """LangID's single-key fast path (all code points < 2^11) and the
+    lexsort fallback (any wide code point in the batch) must emit
+    identical predictions and bit-identical scores for the same docs."""
+    from easyner_ray.ops.textstats import LangID
+
+    li = LangID()
+    latin = [
+        "the quick brown fox jumps over the lazy dog and this is a test",
+        "der schnelle braune fuchs springt über den faulen hund und das",
+        "le renard brun rapide saute par dessus le chien paresseux et les",
+        "", None, "   ",
+    ]
+    fast_p, fast_s = li.predict(pa.array(latin, pa.string()))
+    # adding one CJK doc pushes the WHOLE batch onto the wide path
+    wide_p, wide_s = li.predict(pa.array(latin + ["漢字のテキストです"],
+                                         pa.string()))
+    assert list(fast_p) == list(wide_p[:-1])
+    assert list(fast_s) == list(wide_s[:-1])  # bit-equal
+    assert fast_p[0] == "en" and fast_p[1] == "de" and fast_p[3] == "und"
+    assert fast_s[3] == 0.0 and fast_s[4] == 0.0
+    assert wide_p[-1] == "und"  # no Latin trigram overlap
+
+
 def test_cumsum_precision_late_groups(ray_session):
     """Per-group running sums must not inherit cancellation error from
     the bucket-wide prefix magnitude: with many earlier groups carrying
