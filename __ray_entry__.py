@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_heavy_hitters": q.top_parts_heavy_hitters,  # Misra-Gries + exact verify
         "orders_weighted_sample": q.orders_weighted_sample,  # deterministic weighted sampling
         "docs_packed": q.docs_packed,  # sequence packing by token budget
+        "docs_packed_sharded": q.docs_packed_sharded,  # shard-local packs
     }
 
 

@@ -117,8 +117,6 @@ def ngram_jaccard_pairs(
     pairs); exactness holds for every pair that shares at least one
     sub-cap shingle.
     """
-    import pandas as pd
-
     from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
 
     shingles = docs.map_batches(
@@ -126,37 +124,58 @@ def ngram_jaccard_pairs(
     )
 
     # Pair generation: shuffle on a coarse hash bucket of the shingle (every
-    # shingle's postings stay in one bucket), then inside each bucket keep
-    # only COLLIDING shingles (vectorized duplicated() filter) and emit
-    # pairs per posting list with numpy triu indices. Avoids a Python
-    # map_groups call per shingle (most postings are singletons). Each pair
+    # shingle's postings stay in one bucket), then inside each bucket one
+    # fully vectorized Arrow/numpy kernel: dictionary-encode the shingles,
+    # ONE lexsort groups the posting lists, group boundaries come from a
+    # shifted compare, and the all-intra-group upper-triangle pairs from
+    # pure repeat/arange index arithmetic (the sentence_triples device) —
+    # no Python loop over shingle groups, no pandas round trip. Each pair
     # row carries both docs' shingle-set sizes (n_a, n_b) from the posting
     # rows themselves, so the union size needs no lookup downstream.
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated("shingle", keep=False)]
-        out_a, out_b, out_na, out_nb = [], [], [], []
-        for _, grp in g.groupby("shingle", sort=False):
-            ids, first = np.unique(grp["doc_id"].to_numpy(), return_index=True)
-            if len(ids) < 2 or len(ids) > hot_cap:
-                continue
-            ns = grp["n_sh"].to_numpy()[first]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-            out_na.append(ns[ii])
-            out_nb.append(ns[jj])
-        if not out_a:
-            return pd.DataFrame({c: pd.array([], dtype="int64")
-                                 for c in ("doc_a", "doc_b", "n_a", "n_b")})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype("int64"),
-                             "doc_b": np.concatenate(out_b).astype("int64"),
-                             "n_a": np.concatenate(out_na).astype("int64"),
-                             "n_b": np.concatenate(out_nb).astype("int64")})
+    _EMPTY_POST = pa.Table.from_arrays(
+        [pa.array([], pa.int64())] * 4,
+        names=["doc_a", "doc_b", "n_a", "n_b"])
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return _EMPTY_POST
+        enc = pc.dictionary_encode(g.column("shingle").combine_chunks())
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        ids = np.asarray(g.column("doc_id").combine_chunks(), dtype=np.int64)
+        n_sh = np.asarray(g.column("n_sh").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, codes))
+        c_s, i_s, n_s = codes[order], ids[order], n_sh[order]
+        # shingle_set gives one posting per (doc, shingle); drop any stray
+        # duplicates so they can't fabricate self-pairs
+        dup = np.r_[False, (c_s[1:] == c_s[:-1]) & (i_s[1:] == i_s[:-1])]
+        if dup.any():
+            keep_rows = ~dup
+            c_s, i_s, n_s = c_s[keep_rows], i_s[keep_rows], n_s[keep_rows]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(c_s)])
+        keep = (sizes >= 2) & (sizes <= hot_cap)
+        if not keep.any():
+            return _EMPTY_POST
+        st, sz = starts[keep], sizes[keep]
+        tot_e = int(sz.sum())
+        e_local = np.arange(tot_e) - np.repeat(np.cumsum(sz) - sz, sz)
+        e_glob = np.repeat(st, sz) + e_local
+        reps = np.repeat(sz, sz) - 1 - e_local   # partners AFTER each elem
+        pair_a = np.repeat(e_glob, reps)
+        tot_p = int(reps.sum())
+        if tot_p == 0:
+            return _EMPTY_POST
+        r = np.arange(tot_p) - np.repeat(np.cumsum(reps) - reps, reps)
+        pair_b = pair_a + 1 + r                  # ids sorted in-group, so
+        return pa.Table.from_arrays(             # doc_a < doc_b holds
+            [pa.array(i_s[pair_a]), pa.array(i_s[pair_b]),
+             pa.array(n_s[pair_a]), pa.array(n_s[pair_b])],
+            names=["doc_a", "doc_b", "n_a", "n_b"])
 
     bucketed = shingles.map_batches(
         lambda t: add_hash_bucket(t, ["shingle"], 64), batch_format="pyarrow"
     )
-    pair_hits = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    pair_hits = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
 
     def count_partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["doc_a", "doc_b"]).aggregate(
@@ -418,19 +437,22 @@ def simhash64(tokens: list[str]) -> int:
 
 
 def _simhash_batch(batch: pa.Table, text_col: str) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
-    hashes = [simhash64((t or "").split()) for t in batch.column(text_col).to_pylist()]
-    o_doc, o_band, o_hash = [], [], []
-    for d, h in zip(doc_ids, hashes):
-        for bi in range(4):
-            o_doc.append(d)
-            o_band.append((bi << 16) | ((h >> (16 * bi)) & 0xFFFF))
-            o_hash.append(f"{h:016x}")
+    """4 posting rows per doc (one per 16-bit band); the full signature
+    rides along as a uint64 column for the in-bucket Hamming check."""
+    ids = batch.column("doc_id").combine_chunks().cast(pa.int64())
+    hs = np.array([simhash64((t or "").split())
+                   for t in batch.column(text_col).to_pylist()],
+                  dtype=np.uint64)
+    n = len(hs)
+    h4 = np.repeat(hs, 4)
+    bi = np.tile(np.arange(4, dtype=np.uint64), n)
+    band = (bi << np.uint64(16)) | ((h4 >> (bi * np.uint64(16)))
+                                    & np.uint64(0xFFFF))
     return pa.Table.from_arrays(
         [
-            pa.array(o_doc, pa.int64()),
-            pa.array(o_band, pa.int64()),
-            pa.array(o_hash, pa.string()),
+            ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))),
+            pa.array(band.astype(np.int64), pa.int64()),
+            pa.array(h4, pa.uint64()),
         ],
         names=["doc_id", "band_key", "simhash"],
     )
@@ -441,8 +463,6 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     """-> (doc_a, doc_b, hamming) pairs with SimHash Hamming distance <=
     ``max_hamming`` (requires max_hamming <= 3 for the 4-band blocking to be
     complete by pigeonhole)."""
-    import pandas as pd
-
     from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
 
     assert max_hamming <= 3, "4-band blocking is complete only for distance <= 3"
@@ -450,33 +470,52 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
         lambda b: _simhash_batch(b, text_col), batch_format="pyarrow", batch_size=batch_size
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated("band_key", keep=False)]
-        a_l, b_l, h_l = [], [], []
-        for _, grp in g.groupby("band_key", sort=False):
-            ids = grp["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            if len(ids) < 2 or len(ids) > hot_cap:
-                continue
-            hs = np.array([int(h, 16) for h in grp["simhash"].iloc[order]],
-                          dtype=np.uint64)
-            for i in range(len(ids) - 1):
-                x = hs[i + 1:] ^ hs[i]
-                d = _popcount64(x)
-                sel = np.nonzero(d <= max_hamming)[0]
-                for j in sel:
-                    a_l.append(int(ids[i]))
-                    b_l.append(int(ids[i + 1 + j]))
-                    h_l.append(int(d[j]))
-        return pd.DataFrame({"doc_a": pd.array(a_l, dtype="int64"),
-                             "doc_b": pd.array(b_l, dtype="int64"),
-                             "hamming": pd.array(h_l, dtype="int64")})
+    # One vectorized Arrow/numpy kernel per bucket (same shape as the
+    # jaccard kernel): lexsort on (band_key, doc_id), boundary detect,
+    # expand every band-collision group into its upper-triangle pairs via
+    # index arithmetic, then ONE batched popcount over all pairs' XOR.
+    _EMPTY_SH = pa.Table.from_arrays(
+        [pa.array([], pa.int64())] * 3,
+        names=["doc_a", "doc_b", "hamming"])
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return _EMPTY_SH
+        band = np.asarray(g.column("band_key").combine_chunks(),
+                          dtype=np.int64)
+        ids = np.asarray(g.column("doc_id").combine_chunks(), dtype=np.int64)
+        hs = np.asarray(g.column("simhash").combine_chunks(), dtype=np.uint64)
+        order = np.lexsort((ids, band))
+        b_s, i_s, h_s = band[order], ids[order], hs[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(b_s)])
+        keep = (sizes >= 2) & (sizes <= hot_cap)
+        if not keep.any():
+            return _EMPTY_SH
+        st, sz = starts[keep], sizes[keep]
+        tot_e = int(sz.sum())
+        e_local = np.arange(tot_e) - np.repeat(np.cumsum(sz) - sz, sz)
+        e_glob = np.repeat(st, sz) + e_local
+        reps = np.repeat(sz, sz) - 1 - e_local
+        pair_a = np.repeat(e_glob, reps)
+        tot_p = int(reps.sum())
+        if tot_p == 0:
+            return _EMPTY_SH
+        r = np.arange(tot_p) - np.repeat(np.cumsum(reps) - reps, reps)
+        pair_b = pair_a + 1 + r
+        d = _popcount64(h_s[pair_a] ^ h_s[pair_b])
+        sel = d <= max_hamming
+        if not sel.any():
+            return _EMPTY_SH
+        return pa.Table.from_arrays(
+            [pa.array(i_s[pair_a[sel]]), pa.array(i_s[pair_b[sel]]),
+             pa.array(d[sel])],
+            names=["doc_a", "doc_b", "hamming"])
 
     bucketed = bands.map_batches(
         lambda t: add_hash_bucket(t, ["band_key"], 64), batch_format="pyarrow"
     )
-    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    cand = bucketed.groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
     return bucketed_final(cand, ["doc_a", "doc_b"],
                           pa_aggs=[("hamming", "min")], out_names=["hamming"])
 

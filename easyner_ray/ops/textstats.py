@@ -1,10 +1,9 @@
 """Text analysis over a documents table: token counting, quality scoring,
 language-ID, document fingerprinting.
 
-All hot paths are vectorized (`pyarrow.compute` regex kernels over the whole
-batch column); nothing here iterates Python rows except the language-ID
-scorer, whose per-doc work is a handful of dict lookups over a precomputed
-trigram profile (and runs in an actor pool so profiles build once).
+All hot paths are vectorized (`pyarrow.compute` regex kernels over the
+whole batch column; the language-ID scorer classifies a batch in one
+numpy pass against profile matrices compiled once per worker).
 """
 
 from __future__ import annotations
@@ -703,3 +702,75 @@ def chunk_documents(docs, *, size: int, overlap: int = 0,
 
     return docs.map_batches(f, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+# ----------------------------------------------------- sequence packing ---
+
+
+def pack_documents(ds, budget: int, *, by: list[str] | None = None,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 64, batch_size: int = 65536):
+    """Shard-local sequence packing: assign every document to a
+    fixed-token-budget pack identified by the COMPOSITE key
+    ``(*by, bucket, pack_id)`` — the scale-safe layout for packing a
+    corpus into training sequences.
+
+    Global (or per-``by``-group) packing is inherently sequential — one
+    running token total per stream means ONE task per stream, so a
+    low-cardinality grouping column (one corpus, a handful of sources)
+    serializes its entire membership into a single sort+cumsum task.
+    Sharding first — ``bucket = (id * Knuth32) % 2^32 % n_buckets``, the
+    same deterministic multiplicative hash (and non-negative-id contract)
+    as :func:`relational.stratified_sample` — bounds every cumsum task to
+    ~corpus/n_buckets tokens while keeping pack identity deterministic
+    and engine-independent (the oracle states the same bucket in SQL).
+    Negative/NULL ids are dropped, not wrapped (uint64 wrapping would
+    silently diverge from SQL's sign-preserving ``%``).
+
+    Within a ``(*by, bucket)`` cell, docs pack contiguously by
+    ``id_col``: ``pack_id = floor(tokens_before_this_doc / budget)`` —
+    the greedy rule, so a doc straddling the boundary finishes its pack
+    (a pack exceeds ``budget`` by at most its final doc's tail) and a
+    doc longer than the budget leaves following pack ids unused.
+
+    -> ``(id_col, *by, bucket, n_tokens, cum, pack_id)``
+    """
+    import numpy as np
+
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import _KNUTH32
+
+    by = list(by or [])
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        ok = pc.and_kleene(ids.is_valid(), pc.greater_equal(ids, 0))
+        if len(ok) and not pc.all(ok).as_py():
+            t = t.filter(ok)
+            ids = t.column(id_col).combine_chunks()
+        n = pc.count_substring_regex(t.column(text_col),
+                                     WS_TOKEN_RE).cast(pa.int64())
+        k = np.asarray(ids.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((k * mult) & mask32) % np.uint64(n_buckets)
+        return pa.Table.from_arrays(
+            [ids] + [t.column(c) for c in by]
+            + [pa.array(b.astype(np.int64), pa.int64()), n],
+            names=[id_col, *by, "bucket", "n_tokens"])
+
+    cum = partitioned_analytics(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=batch_size),
+        by + ["bucket"], [id_col], [("cumsum", "n_tokens", "cum")])
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t.column("cum").cast(pa.int64())
+        start = pc.subtract(c, t.column("n_tokens"))
+        pid = pc.floor(pc.divide(start.cast(pa.float64()),
+                                 float(budget))).cast(pa.int64())
+        i = t.schema.get_field_index("cum")
+        t = t.set_column(i, "cum", c)
+        return t.append_column("pack_id", pid)
+
+    return cum.map_batches(pack, batch_format="pyarrow")

@@ -732,6 +732,21 @@ RELATIONAL["docs_packed"] = """
         FROM documents))
 """
 
+RELATIONAL["docs_packed_sharded"] = """
+    SELECT doc_id, source, bucket, n_tokens, CAST(cum AS BIGINT) AS cum,
+           CAST(floor((cum - n_tokens) * 1.0 / 2048) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, bucket
+                                 ORDER BY doc_id) AS cum
+      FROM (
+        SELECT doc_id, source,
+               CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT)
+                 AS bucket,
+               len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
+        FROM documents))
+"""
+
 RELATIONAL["docs_unigram_logprob"] = """
     WITH tok AS (
       SELECT doc_id,

@@ -1182,6 +1182,19 @@ def docs_packed(sf_dir: str):
     return cum.map_batches(pack, batch_format="pyarrow")
 
 
+def docs_packed_sharded(sf_dir: str):
+    """Shard-local sequence packing — the scale-safe layout: composite
+    pack identity ``(source, bucket, pack_id)`` where ``bucket`` is the
+    Knuth hash of doc_id mod 8, so every (source, bucket) cell cumsums
+    independently and no single task ever sorts a whole source (the
+    plain ``docs_packed`` per-source cumsum serializes one source into
+    one task — fine at bench scale, wrong at 100x)."""
+    from easyner_ray.ops.textstats import pack_documents
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return pack_documents(docs, 2048, by=["source"], n_buckets=8)
+
+
 def docs_unigram_logprob(sf_dir: str):
     """CCNet-style LM quality score: per-doc mean unigram log-probability
     with the corpus as its own language model (see

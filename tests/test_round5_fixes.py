@@ -81,6 +81,45 @@ def test_npmi_pair_in_every_sentence(ray_session):
     assert out[("alpha", "beta")] == 1.0
 
 
+def test_pack_documents_sharded_budget(ray_session):
+    """Shard-local packing: composite (bucket, pack_id) identity, every
+    doc accounted for, and within each pack everything except the final
+    straddling doc fits the budget (the greedy rule's invariant)."""
+    from easyner_ray.ops.textstats import pack_documents
+
+    rng = np.random.RandomState(3)
+    n = 400
+    texts = [" ".join(["tok"] * int(k)) for k in rng.randint(1, 300, n)]
+    docs = _ds(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    budget, n_buckets = 512, 4
+    rows = pack_documents(docs, budget, n_buckets=n_buckets).take_all()
+    assert len(rows) == n
+    assert {r["doc_id"] for r in rows} == set(range(n))
+    assert all(0 <= r["bucket"] < n_buckets for r in rows)
+
+    packs: dict = {}
+    for r in rows:
+        packs.setdefault((r["bucket"], r["pack_id"]), []).append(r)
+    assert len(packs) > n_buckets  # actually split into multiple packs
+    for members in packs.values():
+        members.sort(key=lambda r: r["doc_id"])
+        body = sum(r["n_tokens"] for r in members[:-1])
+        assert body < budget  # all but the straddler fit
+        # every doc STARTS inside its pack's window
+        for r in members:
+            start = r["cum"] - r["n_tokens"]
+            assert start // budget == r["pack_id"]
+
+    # negative ids are dropped, same contract as stratified_sample
+    bad = _ds(pa.table({"doc_id": pa.array([-1, 5], pa.int64()),
+                        "text": pa.array(["a b", "c d"], pa.string())}))
+    kept = pack_documents(bad, 8).take_all()
+    assert [r["doc_id"] for r in kept] == [5]
+
+
 def test_langid_fast_and_wide_paths_agree():
     """LangID's single-key fast path (all code points < 2^11) and the
     lexsort fallback (any wide code point in the batch) must emit
