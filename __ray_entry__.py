@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q.customers_without_orders,  # anti join
         "events_in_promo_windows": q.events_in_promo_windows,    # interval join
         "events_value_quantiles": q.events_value_quantiles,  # exact distributed quantiles
+        "events_value_quantiles_cont": q.events_value_quantiles_cont,  # percentile_cont
         "docs_tfidf": q.docs_tfidf,                          # TF-IDF scoring
         "cms_user_counts": q.cms_user_counts,  # count-min sketch: derived-gold oracle
         "events_quantiles_by_type": q.events_quantiles_by_type,  # grouped exact quantiles

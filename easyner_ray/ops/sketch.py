@@ -492,6 +492,65 @@ def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 8192,
     return {s["q"]: s["value"] for s in states}
 
 
+def exact_quantiles_cont(ds, col: str, qs: list[float], n_bins: int = 8192,
+                         collect_cap: int = 2_000_000, max_depth: int = 4):
+    """EXACT interpolated quantiles — SQL ``percentile_cont`` / DuckDB
+    ``quantile_cont`` semantics: the value at fractional position
+    ``(n-1)*q`` (0-indexed), linearly interpolated between the two
+    bracketing elements (``lo + (hi - lo) * frac``). Training-data
+    curation thresholds commonly use this form rather than the discrete
+    ``quantile_disc`` of :func:`exact_quantiles`.
+
+    Same execution shape as :func:`exact_quantiles` — the two bracketing
+    ranks of every requested q resolve through the shared histogram
+    refinement core (no sort, no shuffle, bounded driver state); the only
+    new math is the final driver-side lerp. Returns ``{q: value}``."""
+    vals = ds.select_columns([col])
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = _finite_values(t, col)
+        if len(v) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.float64()), pa.array([], pa.float64()),
+                 pa.array([], pa.int64())], names=["mn", "mx", "n"])
+        return pa.Table.from_arrays(
+            [pa.array([float(v.min())]), pa.array([float(v.max())]),
+             pa.array([len(v)], pa.int64())], names=["mn", "mx", "n"])
+
+    stat_rows = vals.map_batches(stats, batch_format="pyarrow").take_all()
+    if not stat_rows:
+        return {q: None for q in qs}
+    st = pa.Table.from_pylist(stat_rows)
+    n_total = int(pc.sum(st.column("n")).as_py() or 0)
+    if n_total == 0:
+        return {q: None for q in qs}
+    lo0 = float(pc.min(st.column("mn")).as_py())
+    hi0 = float(pc.max(st.column("mx")).as_py())
+    if lo0 == hi0:
+        return {q: lo0 for q in qs}
+
+    plan: dict[float, tuple[int, int, float]] = {}
+    need: dict[int, None] = {}  # distinct bracketing ranks, insertion order
+    for q in qs:
+        pos = np.float64(q) * (n_total - 1)
+        k_lo = int(np.floor(pos)) + 1            # 1-indexed lower bracket
+        frac = float(pos - np.floor(pos))
+        k_hi = min(k_lo + 1, n_total) if frac > 0.0 else k_lo
+        plan[q] = (k_lo, k_hi, frac)
+        need[k_lo] = None
+        need[k_hi] = None
+
+    states = [{"g": None, "q": k, "chain": [], "lo": lo0, "hi": hi0,
+               "rank": k, "count": n_total, "value": None} for k in need]
+    _refine_quantiles(vals, col, states, n_bins, collect_cap, max_depth)
+    by_rank = {s["q"]: s["value"] for s in states}  # "rank" mutates in place
+    out: dict[float, float] = {}
+    for q, (k_lo, k_hi, frac) in plan.items():
+        v_lo, v_hi = by_rank[k_lo], by_rank[k_hi]
+        out[q] = v_lo if frac == 0.0 else v_lo + (v_hi - v_lo) * frac
+    return out
+
+
 # ------------------------------------------------------ count-min sketch ---
 
 

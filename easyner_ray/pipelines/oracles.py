@@ -440,6 +440,13 @@ RELATIONAL["events_value_quantiles"] = """
     FROM events
 """
 
+RELATIONAL["events_value_quantiles_cont"] = """
+    SELECT round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+"""
+
 RELATIONAL["docs_tfidf"] = """
     WITH toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

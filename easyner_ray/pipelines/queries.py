@@ -868,6 +868,24 @@ def events_value_quantiles(sf_dir: str):
          pa.array([qs[0.99]], pa.float64())], names=["p50", "p90", "p99"])
 
 
+def events_value_quantiles_cont(sf_dir: str):
+    """Interpolated p50/p90/p99 (SQL percentile_cont / DuckDB
+    quantile_cont): both bracketing ranks of each q resolve through the
+    shared histogram-refinement core, then one driver-side lerp — the
+    quantile form curation thresholds usually want. Rounded to 4 digits
+    on both sides (the lerp is float math; the bracketing values are
+    exact elements)."""
+    from easyner_ray.ops.sketch import exact_quantiles_cont
+
+    ev = _rp(sf_dir, "events", columns=["value"])
+    qs = exact_quantiles_cont(ev, "value", [0.5, 0.9, 0.99])
+    return pa.Table.from_arrays(
+        [pa.array([round(qs[0.5], 4)], pa.float64()),
+         pa.array([round(qs[0.9], 4)], pa.float64()),
+         pa.array([round(qs[0.99], 4)], pa.float64())],
+        names=["p50", "p90", "p99"])
+
+
 def docs_tfidf(sf_dir: str):
     """Per-(doc, term) TF-IDF (tf * ln(N/df), df >= 2) — exact per-batch
     tf rows, two-phase df count, vocabulary-sized broadcast join back."""

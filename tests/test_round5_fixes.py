@@ -81,6 +81,27 @@ def test_npmi_pair_in_every_sentence(ray_session):
     assert out[("alpha", "beta")] == 1.0
 
 
+def test_exact_quantiles_cont(ray_session):
+    """percentile_cont semantics: matches numpy's linear interpolation
+    (the same (n-1)*q rule DuckDB quantile_cont uses), incl. exact-rank
+    hits, plus the constant/empty edges."""
+    from easyner_ray.ops.sketch import exact_quantiles_cont
+
+    rng = np.random.RandomState(5)
+    vals = rng.gamma(2.0, 10.0, 5001)
+    ds = _ds(pa.table({"v": pa.array(vals, pa.float64())}))
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles_cont(ds.repartition(7), "v", qs)
+    for q in qs:
+        want = float(np.quantile(vals, q))  # linear interpolation
+        assert abs(got[q] - want) < 1e-9, (q, got[q], want)
+
+    const = _ds(pa.table({"v": pa.array([3.5] * 10, pa.float64())}))
+    assert exact_quantiles_cont(const, "v", [0.5])[0.5] == 3.5
+    empty = _ds(pa.table({"v": pa.array([], pa.float64())}))
+    assert exact_quantiles_cont(empty, "v", [0.5])[0.5] is None
+
+
 def test_pack_documents_sharded_budget(ray_session):
     """Shard-local packing: composite (bucket, pack_id) identity, every
     doc accounted for, and within each pack everything except the final
