@@ -211,6 +211,106 @@ def bench_once() -> dict:
     return result
 
 
+def ensure_curate_corpus(n_docs: int = 50_000, seed: int = 11) -> str:
+    """Deterministic sf1-scale documents table (50k docs, documents.parquet
+    schema) for the curate scale probe: seeded word-salad text in the
+    testdata style, with planted exact duplicates (~8%), near-duplicates
+    (~4%), non-English docs (~25%) and digit runs so every chain step does
+    real work. Cached under /tmp with a params marker."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/easyner_curate_sf1"
+    marker = os.path.join(out_dir, "_COMPLETE.json")
+    params = {"n": n_docs, "seed": seed, "v": 2}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    en = ("the and of to in is that it for on with as was at by this have "
+          "from are be not").split()
+    de = ("der die und das ist nicht von mit den auf für ein eine zu im "
+          "sich des auch werden").split()
+    fr = ("le la les des et de un une est pas que pour dans qui sur avec "
+          "au plus par").split()
+    # content vocabulary large enough that shingles are near-unique (the
+    # real-corpus property the posting-list dedup relies on); a tiny
+    # vocab makes EVERY 3-shingle a hot key and the probe degenerates to
+    # an adversarial all-pairs stress, not a throughput measurement
+    content = [f"term{i}" for i in range(8000)]
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.rand()
+        if r < 0.08 and texts:                       # exact duplicate
+            texts.append(texts[rng.randint(0, len(texts))])
+            continue
+        if r < 0.12 and texts:                       # near duplicate
+            w = texts[rng.randint(0, len(texts))].split()
+            if len(w) > 4:
+                w[rng.randint(0, len(w))] = content[rng.randint(0, 8000)]
+            texts.append(" ".join(w))
+            continue
+        ln = int(rng.randint(3, 180))
+        if r > 0.30:                                 # English-ish doc
+            stop = rng.rand(ln) < 0.35
+            words = np.where(
+                stop,
+                np.array(en, dtype=object)[rng.randint(0, len(en), ln)],
+                np.array(content, dtype=object)[rng.randint(0, 8000, ln)])
+            words = list(words)
+        else:                                        # de/fr doc
+            vocab = de if r > 0.18 else fr
+            words = [vocab[j] for j in rng.randint(0, len(vocab), ln)]
+        if rng.rand() < 0.15:
+            words.append(str(rng.randint(0, 99999)))  # digits for redact
+        texts.append(" ".join(words))
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["und"] * n_docs, pa.string()),
+        "source": pa.array([f"src{i % 4}" for i in range(n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return out_dir
+
+
+def bench_curate_scale() -> dict:
+    """--curate-scale: the full 7-step chain over 50k synthetic docs
+    (sf1-scale) with the OBJECT STORE CAPPED AT 256 MB — the streaming
+    evidence probe: the chain must complete under the cap (spilling, not
+    failing) at 10x the default bench corpus."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False,
+                 object_store_memory=256 << 20)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    curate = run_curate(ensure_curate_corpus())
+    ray.shutdown()
+    return {
+        "metric": "curate_docs_per_sec_sf1",
+        "value": curate["curate_sec"],
+        "unit": "sec",
+        "queries": {},
+        "sf": "synthetic-sf1-50k",
+        "num_cpus": NUM_CPUS,
+        "object_store_mb": 256,
+        "curate": curate,
+    }
+
+
 def bench_curate_only() -> dict:
     """--curate: the flagship training-data path alone."""
     import ray
@@ -328,6 +428,8 @@ if __name__ == "__main__":
     try:
         if "--scaling" in sys.argv:
             out = bench_scaling()
+        elif "--curate-scale" in sys.argv:
+            out = bench_curate_scale()
         elif "--curate" in sys.argv:
             out = bench_curate_only()
         else:

@@ -377,3 +377,82 @@ def load_column_corpus(path: str) -> list[list[tuple]]:
     if cur:
         sentences.append(cur)
     return sentences
+
+
+def merge_bern2_annotations(bern_path: str, gold_text_path: str,
+                            out_path: str) -> int:
+    """Reference ``supplementary/experiment_scripts/
+    preprocess_BERN2_into_evaluation_ready_format.ipynb``: BERN2 emits
+    bare annotation blocks (blank-line separated, one block per doc, in
+    gold-corpus order); re-attach each block to its gold PubTator doc's
+    text lines so third-party-tool output becomes evaluation-ready
+    PubTator (doc text lines, then the block's annotation lines verbatim,
+    then a blank line). Driver-side — eval corpora are fixture-sized.
+    Returns the number of docs written; raises if the block count and
+    the gold doc count disagree (a silent zip would misalign every doc
+    after the first gap)."""
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    with open(bern_path, encoding="utf8") as f:
+        for line in f:
+            if line.strip():
+                cur.append(line)
+            else:
+                blocks.append(cur)
+                cur = []
+    if cur:
+        blocks.append(cur)
+
+    docs: list[list[str]] = []
+    cur = []
+    with open(gold_text_path, encoding="utf8") as f:
+        for line in f:
+            if line.strip():
+                cur.append(line)
+            else:
+                if cur:
+                    docs.append(cur)
+                cur = []
+    if cur:
+        docs.append(cur)
+
+    if len(blocks) != len(docs):
+        raise ValueError(
+            f"BERN2 block count {len(blocks)} != gold doc count {len(docs)}")
+    with open(out_path, "w", encoding="utf8") as f:
+        for block, doc in zip(blocks, docs):
+            for line in doc:
+                f.write(line if line.endswith("\n") else line + "\n")
+            for line in block:
+                f.write(line if line.endswith("\n") else line + "\n")
+            f.write("\n")
+    return len(docs)
+
+
+def strip_biored_relations(in_path: str, out_path: str) -> int:
+    """Reference ``supplementary/experiment_scripts/
+    remove_NEL_from_biored.ipynb``: BioRED PubTator carries relation /
+    NEL lines after the mention annotations; strip them so the file
+    becomes plain NER gold. Keep text lines (``^\\d+|[ta]|``-shaped),
+    blank separators, and annotation lines whose SECOND whitespace token
+    is a digit (a mention's start offset — relation lines carry a type
+    string there). Returns the number of lines written."""
+    import re
+
+    pat = re.compile(r"^\d+\|[a-zA-Z]\|")
+    n = 0
+    with open(in_path, encoding="utf8") as f, \
+            open(out_path, "w", encoding="utf8") as of:
+        for line in f:
+            if pat.match(line):
+                of.write(line)
+                n += 1
+                continue
+            parts = line.split()
+            if not parts:          # blank separator
+                of.write(line)
+                n += 1
+            elif len(parts) > 1 and parts[1].isdigit():
+                of.write(line)
+                n += 1
+    return n

@@ -81,6 +81,91 @@ def test_npmi_pair_in_every_sentence(ray_session):
     assert out[("alpha", "beta")] == 1.0
 
 
+def test_merge_bern2_annotations(tmp_path):
+    """BERN2 bare annotation blocks re-attach to gold PubTator text docs
+    in order (reference preprocess_BERN2_into_evaluation_ready_format
+    notebook); count mismatch raises instead of silently misaligning."""
+    from easyner_ray.sources.loaders import merge_bern2_annotations
+
+    gold = tmp_path / "gold.txt"
+    gold.write_text("1|t|Title one.\n1|a|Abstract one.\n\n"
+                    "2|t|Title two.\n2|a|Abstract two.\n\n",
+                    encoding="utf8")
+    bern = tmp_path / "bern.txt"
+    bern.write_text("1\t0\t5\tTitle\tgene\tG1\n\n"
+                    "2\t3\t8\ttwo\tchemical\tC7\n2\t9\t12\tfoo\tgene\tG9\n\n",
+                    encoding="utf8")
+    out = tmp_path / "merged.txt"
+    assert merge_bern2_annotations(str(bern), str(gold), str(out)) == 2
+    got = out.read_text(encoding="utf8")
+    assert got == ("1|t|Title one.\n1|a|Abstract one.\n"
+                   "1\t0\t5\tTitle\tgene\tG1\n\n"
+                   "2|t|Title two.\n2|a|Abstract two.\n"
+                   "2\t3\t8\ttwo\tchemical\tC7\n2\t9\t12\tfoo\tgene\tG9\n\n")
+
+    import pytest
+
+    short = tmp_path / "short.txt"
+    short.write_text("1\t0\t5\tT\tgene\tG1\n\n", encoding="utf8")
+    with pytest.raises(ValueError, match="block count"):
+        merge_bern2_annotations(str(short), str(gold), str(out))
+
+
+def test_strip_biored_relations(tmp_path):
+    """Relation/NEL lines (non-numeric second field) drop; text lines,
+    blank separators and mention lines survive (reference
+    remove_NEL_from_biored notebook)."""
+    from easyner_ray.sources.loaders import strip_biored_relations
+
+    src = tmp_path / "biored.txt"
+    src.write_text(
+        "10|t|A title.\n"
+        "10|a|An abstract.\n"
+        "10\t2\t7\ttitle\tGeneOrGeneProduct\t1017\n"
+        "10\tPositive_Correlation\tD007980\tD012964\tNo\n"  # relation: drop
+        "10\tAssociation\t1017\tD012964\tNo\n"              # relation: drop
+        "\n",
+        encoding="utf8")
+    out = tmp_path / "clean.txt"
+    assert strip_biored_relations(str(src), str(out)) == 4
+    assert out.read_text(encoding="utf8") == (
+        "10|t|A title.\n10|a|An abstract.\n"
+        "10\t2\t7\ttitle\tGeneOrGeneProduct\t1017\n\n")
+
+
+def test_model_ner_gpu_wiring():
+    """The N1 actor-pool spec must forward num_gpus / num_cpus /
+    concurrency / batch_size to map_batches verbatim — asserted against a
+    recording stub so the GPU path can't silently rot in this CPU-only
+    sandbox (map_batches with num_gpus=1/k + concurrency=k is the
+    documented per-node GPU sizing)."""
+    from easyner_ray.stages.model_ner import StubModelNER, tag_mentions_model
+
+    class RecordingDS:
+        def __init__(self):
+            self.calls = []
+
+        def map_batches(self, fn, **kw):
+            self.calls.append((fn, kw))
+            return "sentinel"
+
+    ds = RecordingDS()
+    out = tag_mentions_model(ds, model="stub", terms={"gene": ["tp53"]},
+                             concurrency=4, batch_size=128,
+                             num_cpus=0.5, num_gpus=0.25)
+    assert out == "sentinel"
+    fn, kw = ds.calls[0]
+    assert fn is StubModelNER
+    assert kw["num_gpus"] == 0.25 and kw["num_cpus"] == 0.5
+    assert kw["concurrency"] == 4 and kw["batch_size"] == 128
+    assert kw["batch_format"] == "pyarrow"
+
+    # CPU-only default: num_gpus must be 0, not absent-and-defaulted-weird
+    ds2 = RecordingDS()
+    tag_mentions_model(ds2, model="stub", terms={})
+    assert ds2.calls[0][1]["num_gpus"] == 0
+
+
 def test_exact_quantiles_cont(ray_session):
     """percentile_cont semantics: matches numpy's linear interpolation
     (the same (n-1)*q rule DuckDB quantile_cont uses), incl. exact-rank
