@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_promo_windows": q.events_in_promo_windows,    # interval join
         "events_value_quantiles": q.events_value_quantiles,  # exact distributed quantiles
         "events_value_quantiles_cont": q.events_value_quantiles_cont,  # percentile_cont
+        "events_quantiles_by_type_cont": q.events_quantiles_by_type_cont,  # per-class cont
+        "docs_vocab_top": q.docs_vocab_top,          # vocabulary builder
         "docs_tfidf": q.docs_tfidf,                          # TF-IDF scoring
         "cms_user_counts": q.cms_user_counts,  # count-min sketch: derived-gold oracle
         "events_quantiles_by_type": q.events_quantiles_by_type,  # grouped exact quantiles

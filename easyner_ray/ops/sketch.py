@@ -610,31 +610,17 @@ def cms_counts(ds, col: str, query_keys: list[int], width: int = 2048,
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
-def grouped_quantiles(ds, col: str, qs: list[float], by: str,
-                      n_bins: int = 8192, collect_cap: int = 2_000_000,
-                      max_depth: int = 4) -> pa.Table:
-    """Per-group EXACT discrete quantiles (quantile_disc semantics) for a
-    SMALL group keyspace (class labels, event types, languages) — the
-    grouped form of :func:`exact_quantiles`: same shared refinement core
-    (:func:`_refine_quantiles`) with one candidate-range state per
-    (group, q). Returns a driver-side ``pa.Table`` (by, q, value) —
-    #groups x #qs rows. A group whose values are all null/NaN keeps its
-    rows with value=NULL (SQL semantics), it does not vanish.
-
-    The per-pass state is #groups x #qs x n_bins int64 counts — for open
-    group keyspaces use a bucketed shuffle per group instead (the
-    windows.user_sessions contract); this operator's contract is the
-    quality-threshold-per-language / score-per-class shape where groups
-    number in the dozens."""
-    vals = ds.select_columns([by, col])
+def _grouped_minmax(vals, by: str, col: str):
+    """Per-group (min, max, finite count) partials merged on the driver —
+    the stats pass shared by :func:`grouped_quantiles` and
+    :func:`grouped_quantiles_cont`. NaN values become null so
+    min/max/count (null-skipping) exclude exactly the set the refinement
+    core excludes — but the group KEY row survives, so a group whose
+    values are ALL null/NaN still reports (n=0) instead of vanishing
+    (SQL GROUP BY keeps the group; quantile over the empty set is NULL).
+    A NULL group KEY also stays: Arrow group_by gives it its own group."""
 
     def stats(t: pa.Table) -> pa.Table:
-        # NaN values become null so min/max/count (null-skipping) exclude
-        # exactly the set the refinement core excludes — but the group
-        # KEY row survives, so a group whose values are ALL null/NaN
-        # still reports (n=0) instead of vanishing (SQL GROUP BY keeps
-        # the group; quantile over the empty set is NULL). A NULL group
-        # KEY also stays: Arrow group_by gives it its own group
         a = t.column(col).combine_chunks().cast(pa.float64())
         nan = pc.is_nan(a)
         if len(a) and (pc.any(nan).as_py() or False):
@@ -657,6 +643,27 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
             agg[k] = (min(mn, r["mn"]), max(mx, r["mx"]), n + r["n"])
         else:
             agg[k] = (mn, mx, n)
+    return rows, agg
+
+
+def grouped_quantiles(ds, col: str, qs: list[float], by: str,
+                      n_bins: int = 8192, collect_cap: int = 2_000_000,
+                      max_depth: int = 4) -> pa.Table:
+    """Per-group EXACT discrete quantiles (quantile_disc semantics) for a
+    SMALL group keyspace (class labels, event types, languages) — the
+    grouped form of :func:`exact_quantiles`: same shared refinement core
+    (:func:`_refine_quantiles`) with one candidate-range state per
+    (group, q). Returns a driver-side ``pa.Table`` (by, q, value) —
+    #groups x #qs rows. A group whose values are all null/NaN keeps its
+    rows with value=NULL (SQL semantics), it does not vanish.
+
+    The per-pass state is #groups x #qs x n_bins int64 counts — for open
+    group keyspaces use a bucketed shuffle per group instead (the
+    windows.user_sessions contract); this operator's contract is the
+    quality-threshold-per-language / score-per-class shape where groups
+    number in the dozens."""
+    vals = ds.select_columns([by, col])
+    rows, agg = _grouped_minmax(vals, by, col)
 
     states = []
     for gk in sorted(agg, key=lambda x: (x is None, x)):  # NULL group last
@@ -675,6 +682,67 @@ def grouped_quantiles(ds, col: str, qs: list[float], by: str,
         [pa.array([s["g"] for s in states], by_type),
          pa.array([s["q"] for s in states], pa.float64()),
          pa.array([s["value"] for s in states], pa.float64())],
+        names=[by, "q", "value"])
+
+
+def grouped_quantiles_cont(ds, col: str, qs: list[float], by: str,
+                           n_bins: int = 8192,
+                           collect_cap: int = 2_000_000,
+                           max_depth: int = 4) -> pa.Table:
+    """Per-group INTERPOLATED quantiles — ``percentile_cont`` /
+    ``quantile_cont`` BY group, the per-class-curation-threshold shape
+    (quality band per language, score cut per source). Grouped form of
+    :func:`exact_quantiles_cont`: one refinement state per (group,
+    bracketing rank), resolved through the shared core, then a driver
+    lerp per (group, q). Same small-group-keyspace contract as
+    :func:`grouped_quantiles`. Returns a driver-side ``pa.Table``
+    (by, q, value); empty/all-null groups keep value=NULL."""
+    vals = ds.select_columns([by, col])
+    rows, agg = _grouped_minmax(vals, by, col)
+
+    states = []
+    plan: dict = {}     # (group, q) -> (k_lo, k_hi, frac) | None
+    by_rank: dict = {}  # (group, rank) -> state
+    for gk in sorted(agg, key=lambda x: (x is None, x)):  # NULL group last
+        mn, mx, n = agg[gk]
+        for q in qs:
+            if n == 0:
+                plan[(gk, q)] = None
+                continue
+            pos = np.float64(q) * (n - 1)
+            k_lo = int(np.floor(pos)) + 1
+            frac = float(pos - np.floor(pos))
+            k_hi = min(k_lo + 1, n) if frac > 0.0 else k_lo
+            plan[(gk, q)] = (k_lo, k_hi, frac)
+            for k in (k_lo, k_hi):
+                if (gk, k) not in by_rank:
+                    s = {"g": gk, "q": q, "chain": [], "lo": mn, "hi": mx,
+                         "rank": k, "count": n,
+                         "value": mn if mn == mx else None}
+                    by_rank[(gk, k)] = s
+                    states.append(s)
+    _refine_quantiles(vals, col, states, n_bins, collect_cap, max_depth,
+                      group_col=by)
+
+    out_g, out_q, out_v = [], [], []
+    for gk in sorted(agg, key=lambda x: (x is None, x)):
+        for q in qs:
+            p = plan[(gk, q)]
+            if p is None:
+                v = None
+            else:
+                k_lo, k_hi, frac = p
+                v_lo = by_rank[(gk, k_lo)]["value"]
+                v_hi = by_rank[(gk, k_hi)]["value"]
+                v = v_lo if frac == 0.0 else v_lo + (v_hi - v_lo) * frac
+            out_g.append(gk)
+            out_q.append(q)
+            out_v.append(v)
+    by_type = pa.Table.from_pylist(rows).schema.field(by).type if rows \
+        else pa.string()
+    return pa.Table.from_arrays(
+        [pa.array(out_g, by_type), pa.array(out_q, pa.float64()),
+         pa.array(out_v, pa.float64())],
         names=[by, "q", "value"])
 
 

@@ -486,6 +486,16 @@ RELATIONAL["events_quantiles_by_type"] = """
     FROM events GROUP BY event_type
 """
 
+RELATIONAL["events_quantiles_by_type_cont"] = """
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+           round(quantile_cont(value, 0.5), 4) AS value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+           round(quantile_cont(value, 0.9), 4) AS value
+    FROM events GROUP BY event_type
+"""
+
 RELATIONAL["orders_bloom_semi"] = """
     SELECT o_orderkey, o_custkey FROM orders
     WHERE EXISTS (SELECT 1 FROM customer
@@ -752,6 +762,13 @@ RELATIONAL["docs_packed_sharded"] = """
                  AS bucket,
                len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
         FROM documents))
+"""
+
+RELATIONAL["docs_vocab_top"] = """
+    SELECT term, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents)
+    GROUP BY term ORDER BY cnt DESC, term LIMIT 100
 """
 
 RELATIONAL["docs_unigram_logprob"] = """

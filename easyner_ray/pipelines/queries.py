@@ -914,6 +914,18 @@ def events_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, "value", [0.5, 0.9], by="event_type")
 
 
+def events_quantiles_by_type_cont(sf_dir: str):
+    """Per-group INTERPOLATED quantiles (percentile_cont by class): p50/
+    p90 of value per event_type — the per-class curation-threshold shape.
+    Bracketing ranks resolve through the shared refinement core; one
+    driver lerp per (group, q). Rounded to 4 digits both sides."""
+    from easyner_ray.ops.sketch import grouped_quantiles_cont
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "value"])
+    t = grouped_quantiles_cont(ev, "value", [0.5, 0.9], by="event_type")
+    return _round4(t, ["value"])
+
+
 def orders_bloom_semi(sf_dir: str):
     """Bloom-prefiltered semi join: orders of negative-balance customers.
     The bloom (built distributed, OR-merged, broadcast once) drops the
@@ -1211,6 +1223,24 @@ def docs_packed_sharded(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
     return pack_documents(docs, 2048, by=["source"], n_buckets=8)
+
+
+def docs_vocab_top(sf_dir: str):
+    """Corpus vocabulary builder: top-100 terms by total occurrences —
+    the tokenizer-training primitive (seed vocab / frequency cutoff
+    tables). Exact per-batch tf partials (one row per (doc, term),
+    ops.textstats._tf_partial) -> two-phase grouped sum over the term
+    keyspace -> global top-k (count desc, term asc) over the
+    vocab-sized aggregate."""
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.ops.textstats import _tf_partial
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = d.map_batches(lambda t: _tf_partial(t, "doc_id", "text"),
+                       batch_format="pyarrow")
+    tc = grouped_agg(tf.select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "cnt")])
+    return tc.sort(["cnt", "term"], descending=[True, False]).limit(100)
 
 
 def docs_unigram_logprob(sf_dir: str):

@@ -187,6 +187,29 @@ def test_exact_quantiles_cont(ray_session):
     assert exact_quantiles_cont(empty, "v", [0.5])[0.5] is None
 
 
+def test_grouped_quantiles_cont(ray_session):
+    """Per-group percentile_cont matches numpy per group; empty/all-null
+    groups keep value=NULL; constant group short-circuits."""
+    from easyner_ray.ops.sketch import grouped_quantiles_cont
+
+    rng = np.random.RandomState(9)
+    a, b = rng.rand(501) * 10, rng.rand(260) * 3 + 50
+    t = pa.table({
+        "g": ["a"] * 501 + ["b"] * 260 + ["null_grp"] * 3 + ["const"] * 5,
+        "v": pa.array(list(a) + list(b) + [None, None, float("nan")]
+                      + [7.0] * 5, pa.float64()),
+    })
+    out = grouped_quantiles_cont(_ds(t).repartition(5), "v", [0.5, 0.9],
+                                 by="g")
+    got = {(r["g"], r["q"]): r["value"] for r in out.to_pylist()}
+    for g, vals in (("a", a), ("b", b)):
+        for q in (0.5, 0.9):
+            assert abs(got[(g, q)] - float(np.quantile(vals, q))) < 1e-9
+    assert got[("null_grp", 0.5)] is None
+    assert got[("const", 0.9)] == 7.0
+    assert len(got) == 8
+
+
 def test_pack_documents_sharded_budget(ray_session):
     """Shard-local packing: composite (bucket, pack_id) identity, every
     doc accounted for, and within each pack everything except the final
