@@ -20,7 +20,8 @@ Config::
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
         {"op": "logprob_filter", "low": 0.05, "high": 0.95},
         {"op": "weighted_sample", "k": 1000, "weight": "n_chars"},
-        {"op": "chunk", "size": 2048, "overlap": 128}           # training windows
+        {"op": "chunk", "size": 2048, "overlap": 128},          # training windows
+        {"op": "pack", "budget": 2048, "by": ["source"]}        # sequence packs
       ],
       "sink": {"num_partitions": 32}
     }
@@ -289,8 +290,30 @@ def _step_chunk(ds, size: int, overlap: int = 0, text_col: str = "text",
         batch_format="pyarrow")
 
 
+def _step_pack(ds, budget: int = 2048, by: list[str] | None = None,
+               n_buckets: int = 64, id_col: str = "doc_id",
+               text_col: str = "text", **_):
+    """Assign every surviving doc a shard-local pack id (composite
+    ``(*by, bucket, pack_id)`` — ops.textstats.pack_documents), the
+    final layout step before writing training sequences. Pack columns
+    join back onto the FULL doc rows (adaptive broadcast/hash by
+    measured bytes), so downstream steps and the sink still see the
+    text."""
+    from easyner_ray.ops.relational import adaptive_join
+    from easyner_ray.ops.textstats import pack_documents
+
+    ds = ds.materialize()  # two consumers: the packer and the join left
+    packs = pack_documents(ds, budget, by=by, id_col=id_col,
+                           text_col=text_col, n_buckets=n_buckets)
+    keep = [id_col, "bucket", "pack_id", "n_tokens"]
+    packs = packs.map_batches(lambda t, k=keep: t.select(k),
+                              batch_format="pyarrow")
+    return adaptive_join(ds, packs, on=id_col)
+
+
 STEPS = {
     "token_filter": _step_token_filter,
+    "pack": _step_pack,
     "quality_filter": _step_quality_filter,
     "quality_percentile": _step_quality_percentile,
     "lang_filter": _step_lang_filter,

@@ -221,3 +221,24 @@ def test_logprob_filter_step(ray_session):
         "doc_id": pa.array(list(range(4)), pa.int64()),
         "text": texts})), low=0.0, high=1.0).to_pandas()
     assert sorted(all_kept["doc_id"].tolist()) == [0, 1, 2, 3]
+
+
+def test_pack_step(ray_session, docs_path):
+    """pack joins shard-local (bucket, pack_id, n_tokens) back onto the
+    full doc rows: every survivor keeps its text, token counts match a
+    straight-line whitespace count, and each doc starts inside its pack's
+    budget window."""
+    from easyner_ray.pipelines.curate import build_curation
+
+    cfg = {"input": {"documents": docs_path},
+           "steps": [{"op": "token_filter", "min_tokens": 5},
+                     {"op": "pack", "budget": 16, "n_buckets": 2}]}
+    out = build_curation(cfg).to_pandas().sort_values("doc_id")
+    assert {"doc_id", "text", "bucket", "pack_id", "n_tokens"} <= set(
+        out.columns)
+    src = pq.read_table(docs_path).to_pandas().set_index("doc_id")["text"]
+    survivors = [d for d, t in src.items() if len(t.split()) >= 5]
+    assert out["doc_id"].tolist() == survivors
+    for _, r in out.iterrows():
+        assert r["n_tokens"] == len(src[r["doc_id"]].split())
+        assert 0 <= r["bucket"] < 2 and r["pack_id"] >= 0
