@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": q.revenue_by_priority,    # big-big hash join
         # training-data ops: dedup / text analysis / similarity
         "dedup_exact_docs": q.dedup_exact_docs,
+        "dedup_exact_incremental": q.dedup_exact_incremental,  # vs digest snapshot
         "doc_stats": q.doc_stats_q,
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only

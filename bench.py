@@ -128,6 +128,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_edges_npmi": q.kg_edges_npmi,
         "docs_decontam": q.docs_decontam,
         "docs_packed": q.docs_packed,
+        "docs_packed_sharded": q.docs_packed_sharded,
+        "dedup_exact_incremental": q.dedup_exact_incremental,
+        "events_value_quantiles_cont": q.events_value_quantiles_cont,
+        "docs_vocab_top": q.docs_vocab_top,
         "orders_weighted_sample": q.orders_weighted_sample,
         "user_order_event_profile": q.user_order_event_profile,
         "events_rollup": q.events_rollup,

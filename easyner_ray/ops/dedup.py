@@ -71,6 +71,57 @@ def exact_dedup(docs, text_col: str = "text", batch_size: int = 8192):
     return agg.select_columns(["doc_id", "n_copies"])
 
 
+def build_digest_index(docs, path: str, *, text_col: str = "text",
+                       batch_size: int = 8192) -> str:
+    """Persist the corpus' DISTINCT text digests as parquet — the
+    snapshot side of incremental exact dedup: dedup every new crawl /
+    shard against everything already kept WITHOUT rereading the kept
+    corpus (the same build-once/probe-many split as
+    ``decontam.build_fp_index``). One string column (digest)."""
+    from easyner_ray.ops.relational import bucketed_final
+
+    partial = docs.map_batches(
+        lambda b: _partial_exact(b, text_col), batch_format="pyarrow",
+        batch_size=batch_size)
+    distinct = bucketed_final(partial, ["digest"], pa_aggs=[("n", "sum")],
+                              out_names=["__n"]).select_columns(["digest"])
+    distinct.write_parquet(path)
+    # an empty corpus writes zero files; leave a typed empty shard so
+    # read_parquet on the probe side still resolves schema + path
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        pq.write_table(pa.schema([("digest", pa.string())]).empty_table(),
+                       os.path.join(path, "empty-0.parquet"))
+    return path
+
+
+def exact_dedup_incremental(docs, index_path: str, *,
+                            text_col: str = "text",
+                            batch_size: int = 8192):
+    """Exact dedup of a NEW shard against a persisted digest snapshot
+    (:func:`build_digest_index`): collapse the shard to per-digest
+    representatives exactly like :func:`exact_dedup`, then drop every
+    text already in the snapshot via an adaptive ANTI join on the digest
+    (index broadcast under the byte gate, hash-shuffle above it).
+    -> (doc_id, n_copies) for texts the snapshot has never seen."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_semi_join, bucketed_final
+
+    partial = docs.map_batches(
+        lambda b: _partial_exact(b, text_col), batch_format="pyarrow",
+        batch_size=batch_size)
+    agg = bucketed_final(partial, ["digest"],
+                         pa_aggs=[("doc_id_min", "min"), ("n", "sum")],
+                         out_names=["doc_id", "n_copies"])
+    fresh = adaptive_semi_join(agg, rd.read_parquet(index_path),
+                               on="digest", anti=True)
+    return fresh.select_columns(["doc_id", "n_copies"])
+
+
 # ------------------------------------------------------------- shingles ----
 
 

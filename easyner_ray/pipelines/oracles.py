@@ -75,6 +75,13 @@ RELATIONAL = {
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
     """,
+    "dedup_exact_incremental": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents d WHERE doc_id % 2 <> 0
+        GROUP BY text
+        HAVING NOT EXISTS (SELECT 1 FROM documents o
+                           WHERE o.doc_id % 2 = 0 AND o.text = d.text)
+    """,
     "doc_stats": """
         SELECT doc_id,
                length(text) AS n_chars,

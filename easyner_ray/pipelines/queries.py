@@ -211,6 +211,39 @@ def dedup_exact_docs(sf_dir: str):
     return exact_dedup(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def dedup_exact_incremental(sf_dir: str):
+    """§2.11 incremental exact dedup, end to end: persist the DISTINCT
+    text-digest snapshot of HALF the corpus (doc_id % 2 == 0), then
+    dedup the other half against it with
+    ``ops.dedup.exact_dedup_incremental`` — the 100 TB practice of
+    deduping each new crawl against everything already kept without
+    rereading the kept corpus. Oracle = per-text min-id/count over the
+    new half with a NOT EXISTS against the snapshot half's texts."""
+    import shutil
+    import tempfile
+
+    from easyner_ray.ops.dedup import (build_digest_index,
+                                       exact_dedup_incremental)
+
+    def mod_split(keep_old: bool):
+        def f(t: pa.Table, ko=keep_old) -> pa.Table:
+            v = t.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            mask = (v % 2 == 0)
+            return t.filter(pa.array(mask if ko else ~mask))
+        return _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    root = tempfile.mkdtemp(prefix="digest_idx_")
+    try:
+        build_digest_index(mod_split(True), root)
+        # materialize: the snapshot dir is deleted below, so the returned
+        # Dataset must not read from it lazily
+        return exact_dedup_incremental(mod_split(False), root).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def doc_stats_q(sf_dir: str):
     from easyner_ray.ops.textstats import doc_stats
 

@@ -187,6 +187,44 @@ def test_exact_quantiles_cont(ray_session):
     assert exact_quantiles_cont(empty, "v", [0.5])[0.5] is None
 
 
+def test_exact_dedup_incremental(ray_session, tmp_path):
+    """Snapshot-side digest index + anti-join probe: a new shard keeps
+    only texts the snapshot never saw, with exact_dedup's (min-id rep,
+    n_copies) semantics inside the shard."""
+    from easyner_ray.ops.dedup import (build_digest_index, exact_dedup,
+                                       exact_dedup_incremental)
+
+    old = _ds(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha text", "beta text", "gamma text"],
+    }))
+    idx = str(tmp_path / "digest_idx")
+    build_digest_index(old, idx)
+
+    new = _ds(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": ["alpha text",      # already in snapshot -> dropped
+                 "delta text",      # fresh
+                 "delta text",      # in-shard dup of 11
+                 "beta text",       # already in snapshot -> dropped
+                 "epsilon text"],   # fresh
+    }))
+    got = sorted((r["doc_id"], r["n_copies"])
+                 for r in exact_dedup_incremental(new, idx).take_all())
+    assert got == [(11, 2), (14, 1)]
+
+    # empty snapshot == plain exact_dedup
+    empty_idx = str(tmp_path / "empty_idx")
+    build_digest_index(_ds(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())})), empty_idx)
+    inc = sorted((r["doc_id"], r["n_copies"])
+                 for r in exact_dedup_incremental(new, empty_idx).take_all())
+    plain = sorted((r["doc_id"], r["n_copies"])
+                   for r in exact_dedup(new).take_all())
+    assert inc == plain
+
+
 def test_grouped_quantiles_cont(ray_session):
     """Per-group percentile_cont matches numpy per group; empty/all-null
     groups keep value=NULL; constant group short-circuits."""
