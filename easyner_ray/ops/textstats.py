@@ -311,6 +311,159 @@ def rolling_fingerprints(docs, batch_size: int = 4096):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
+# --------------------------------------- repetition signals (Gopher) ---
+
+# Gopher-style per-document repetition features (Rae et al. 2021,
+# "Scaling Language Models", Table A1 repetition filters; same family
+# as RedPajama-v2 / Dolma quality signals). Fixed spec, mirrored
+# bit-for-bit by sources.gold_derived.write_repetition_gold:
+#   tokens  = maximal non-whitespace runs (ASCII corpus assumption:
+#             utf8_split_whitespace == str.split for parity)
+#   lines   = non-empty '\n'-split segments (raw, unstripped)
+#   dup_line_frac       = (n_lines - n_distinct_lines) / n_lines
+#   dup_line_char_frac  = sum((cnt-1)*len(line)) / sum(cnt*len(line))
+#   top_{2,3}gram_char_frac = over consecutive token n-grams: with
+#       m = max occurrence count (0.0 if m < 2), the max over grams
+#       with count == m of count * gram_token_chars, / total token
+#       chars (gram_token_chars excludes separators; max over the
+#       tied set makes the tie-break order-free)
+#   dup_5gram_char_frac = token chars covered by >= 1 occurrence of a
+#       5-gram that occurs >= 2 times in the doc (coverage UNION — a
+#       char counts once however many duplicated grams span it),
+#       / total token chars
+# All fractions rounded to 6 decimals; empty docs / degenerate
+# denominators yield 0.0.
+
+_REP_MULT = np.uint64(0x100000001B3)  # FNV-1a prime; uint64 wraparound
+                                      # intended (collision odds ~n^2/2^64)
+
+REPETITION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("dup_line_frac", pa.float64()),
+    ("dup_line_char_frac", pa.float64()),
+    ("top_2gram_char_frac", pa.float64()),
+    ("top_3gram_char_frac", pa.float64()),
+    ("dup_5gram_char_frac", pa.float64()),
+])
+
+
+def _flatten_nonempty(list_arr, ndocs: int):
+    """(doc_of, lens, codes, per-doc counts) for the non-empty elements
+    of a ListArray<string> — the shared explode for tokens and lines.
+    codes are per-batch dictionary indices (int64)."""
+    flat = pc.list_flatten(list_arr)
+    per_doc = pc.list_value_length(list_arr).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), per_doc)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = lens > 0
+    flat = flat.filter(pa.array(keep))
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return doc_of[keep], lens[keep], codes
+
+
+def _group_runs(doc_of: np.ndarray, key: np.ndarray):
+    """Sort (doc, key) pairs; return (order, group-id per sorted item,
+    per-group count, group doc, first-sorted-index per group)."""
+    order = np.lexsort((key, doc_of))
+    d, k = doc_of[order], key[order]
+    new = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    gid = np.cumsum(new) - 1
+    first = np.flatnonzero(new)
+    cnt = np.diff(np.append(first, len(order)))
+    return order, gid, cnt, d[first], first
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One whole-batch pass: dictionary-encoded tokens/lines, uint64
+    rolling-hash n-grams, lexsort run-length counting, bincount segment
+    sums — no Python loop over docs."""
+    text = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    ndocs = len(text)
+    if ndocs == 0:
+        return REPETITION_SCHEMA.empty_table()
+    out = {c: np.zeros(ndocs) for c in REPETITION_SCHEMA.names[1:]}
+
+    # ---------------- lines
+    ldoc, llen, lcode = _flatten_nonempty(pc.split_pattern(text, "\n"), ndocs)
+    if len(ldoc):
+        order, gid, cnt, gdoc, first = _group_runs(ldoc, lcode)
+        n_lines = np.bincount(ldoc, minlength=ndocs).astype(np.float64)
+        n_groups = np.bincount(gdoc, minlength=ndocs).astype(np.float64)
+        glen = llen[order][first].astype(np.float64)  # chars of the line
+        dup_chars = np.bincount(gdoc, weights=(cnt - 1) * glen, minlength=ndocs)
+        all_chars = np.bincount(gdoc, weights=cnt * glen, minlength=ndocs)
+        nz = n_lines > 0
+        out["dup_line_frac"][nz] = (n_lines[nz] - n_groups[nz]) / n_lines[nz]
+        cz = all_chars > 0
+        out["dup_line_char_frac"][cz] = dup_chars[cz] / all_chars[cz]
+
+    # ---------------- token n-grams
+    tdoc, tlen, tcode = _flatten_nonempty(pc.utf8_split_whitespace(text), ndocs)
+    ntok = len(tdoc)
+    tok_chars = np.bincount(tdoc, weights=tlen, minlength=ndocs)
+    safe_chars = np.maximum(tok_chars, 1.0)
+    cum = np.concatenate([[0], np.cumsum(tlen)])
+    h64 = tcode.astype(np.uint64)
+
+    for n, col in ((2, "top_2gram_char_frac"), (3, "top_3gram_char_frac"),
+                   (5, "dup_5gram_char_frac")):
+        if ntok < n:
+            continue
+        m = ntok - n + 1
+        valid = tdoc[:m] == tdoc[n - 1:]          # gram fully inside one doc
+        H = h64[:m].copy()
+        for j in range(1, n):
+            H = H * _REP_MULT + h64[j:m + j]
+        pos = np.flatnonzero(valid)
+        if not len(pos):
+            continue
+        H, gc = H[valid], (cum[n:] - cum[:-n])[valid]   # gram token chars
+        gdoc_all = tdoc[pos]
+        order, gid, cnt, gdoc, first = _group_runs(gdoc_all, H)
+        if col.startswith("top_"):
+            # per-doc max count, then max(count*chars) among the tied set
+            dnew = np.ones(len(gdoc), dtype=bool)
+            dnew[1:] = gdoc[1:] != gdoc[:-1]
+            dstart = np.flatnonzero(dnew)
+            maxc = np.maximum.reduceat(cnt, dstart)
+            val = np.where(cnt == np.repeat(maxc, np.diff(
+                np.append(dstart, len(gdoc)))),
+                cnt * gc[order][first], 0)
+            top = np.maximum.reduceat(val, dstart)
+            docs_here = gdoc[dstart]
+            sel = maxc >= 2
+            out[col][docs_here[sel]] = top[sel] / safe_chars[docs_here[sel]]
+        else:
+            # coverage union of [p, p+n) for occurrences of grams with cnt>=2
+            dup_pos = pos[order[cnt[gid] >= 2]]
+            if len(dup_pos):
+                diff = np.zeros(ntok + n, dtype=np.int64)
+                np.add.at(diff, dup_pos, 1)
+                np.add.at(diff, dup_pos + n, -1)
+                covered = np.cumsum(diff[:ntok]) > 0
+                cov_chars = np.bincount(tdoc, weights=tlen * covered,
+                                        minlength=ndocs)
+                out[col] = cov_chars / safe_chars
+
+    return pa.Table.from_arrays(
+        [batch.column("doc_id")] +
+        [pa.array(np.round(out[c], 6), pa.float64())
+         for c in REPETITION_SCHEMA.names[1:]],
+        names=list(REPETITION_SCHEMA.names))
+
+
+def repetition_stats(docs, batch_size: int = 4096):
+    """Per-doc Gopher repetition signals — map-only, zero shuffle."""
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 # ------------------------------------------------------------- TF-IDF ---
 
 # token = maximal [a-z0-9]+ run of the lowercased text; realized as a

@@ -12,6 +12,7 @@ Config::
       "steps": [
         {"op": "token_filter", "min_tokens": 5},
         {"op": "quality_filter", "max_punct_ratio": 0.3},
+        {"op": "repetition_filter", "max_dup_5gram_char_frac": 0.3},
         {"op": "lang_filter", "keep": ["en"]},
         {"op": "dedup_exact"},
         {"op": "near_dup_filter", "threshold": 0.8, "k": 3},   # or "method": "minhash"
@@ -35,6 +36,7 @@ run skips finished partitions on retry.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -75,6 +77,35 @@ def _step_quality_filter(ds, min_chars: int = 1,
         if min_stopword_ratio is not None:
             keep = pc.and_(keep, pc.greater_equal(m.column("stopword_ratio"),
                                                   min_stopword_ratio))
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_repetition_filter(ds, max_dup_line_frac: float | None = None,
+                            max_dup_line_char_frac: float | None = None,
+                            max_top_2gram_char_frac: float | None = None,
+                            max_top_3gram_char_frac: float | None = None,
+                            max_dup_5gram_char_frac: float | None = None,
+                            text_col: str = "text", **_):
+    """Gopher-style repetition gate (Rae et al. 2021 Table A1): drop docs
+    whose duplicate-line / top-n-gram / duplicated-5-gram char fractions
+    exceed the given caps. Signals recomputed inline per batch
+    (map-only, no join, no shuffle) — ops.textstats.repetition_stats_batch."""
+    from easyner_ray.ops.textstats import repetition_stats_batch
+
+    caps = [("dup_line_frac", max_dup_line_frac),
+            ("dup_line_char_frac", max_dup_line_char_frac),
+            ("top_2gram_char_frac", max_top_2gram_char_frac),
+            ("top_3gram_char_frac", max_top_3gram_char_frac),
+            ("dup_5gram_char_frac", max_dup_5gram_char_frac)]
+
+    def f(t: pa.Table) -> pa.Table:
+        m = repetition_stats_batch(t, text_col=text_col)
+        keep = pa.array(np.ones(len(t), dtype=bool))
+        for col, cap in caps:
+            if cap is not None:
+                keep = pc.and_(keep, pc.less_equal(m.column(col), cap))
         return t.filter(keep)
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -315,6 +346,7 @@ STEPS = {
     "token_filter": _step_token_filter,
     "pack": _step_pack,
     "quality_filter": _step_quality_filter,
+    "repetition_filter": _step_repetition_filter,
     "quality_percentile": _step_quality_percentile,
     "lang_filter": _step_lang_filter,
     "dedup_exact": _step_dedup_exact,

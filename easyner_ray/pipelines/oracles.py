@@ -311,6 +311,11 @@ GLI = f"read_parquet('{SYNTH}/gold_langid.parquet')"
 GKI = f"read_parquet('{SYNTH}/gold_knn_ivf.parquet')"
 
 RELATIONAL["lang_id"] = f"SELECT doc_id, lang_pred, lang_score FROM {GLI}"
+
+GRP = f"read_parquet('{SYNTH}/gold_repetition.parquet')"
+RELATIONAL["docs_repetition"] = (
+    "SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,"
+    f" top_3gram_char_frac, dup_5gram_char_frac FROM {GRP}")
 RELATIONAL["knn_ivf"] = f"SELECT query_id, rank, vec_id FROM {GKI}"
 
 # HLL approx-distinct: deterministic (splitmix64 + fixed estimator), so the

@@ -262,6 +262,18 @@ def lang_id_q(sf_dir: str):
     return lang_id(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals (dup-line fractions,
+    top-2/3-gram char fraction, duplicated-5-gram char coverage) — the
+    repetition-filter quality features of large-scale curation. Map-only
+    vectorized batch kernel; oracle = straight-line per-doc recompute
+    (gold_repetition.parquet)."""
+    from easyner_ray.ops.textstats import repetition_stats
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    return repetition_stats(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def rolling_fp_q(sf_dir: str):
     from easyner_ray.ops.textstats import rolling_fingerprints
 

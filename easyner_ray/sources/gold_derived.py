@@ -759,6 +759,59 @@ def write_contamination_gold(corpus: str, documents_path: str, n: int = 5,
 # v2: pagerank rounding grain moved from per-element Python round to the
 # vectorized np.round kernel (ops.graph._round_vec).
 # v3: langid scores carry the 1e-9 np.round grain (vectorized classifier).
+def write_repetition_gold(corpus: str, documents_path: str) -> str:
+    """Straight-line per-doc recompute of the Gopher repetition signals
+    (spec in ops.textstats.repetition_stats_batch — tokens = str.split,
+    lines = non-empty '\\n' segments, exact tuple n-grams instead of the
+    engine's rolling hash, coverage union for dup-5grams, round 6)."""
+    from collections import Counter
+
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        text = text or ""
+        toks = text.split()
+        tc = sum(len(t) for t in toks) or 1
+        out = {"doc_id": doc_id, "dup_line_frac": 0.0,
+               "dup_line_char_frac": 0.0, "top_2gram_char_frac": 0.0,
+               "top_3gram_char_frac": 0.0, "dup_5gram_char_frac": 0.0}
+        lines = [s for s in text.split("\n") if s]
+        if lines:
+            c = Counter(lines)
+            out["dup_line_frac"] = (len(lines) - len(c)) / len(lines)
+            den = sum(v * len(k) for k, v in c.items())
+            if den:
+                out["dup_line_char_frac"] = \
+                    sum((v - 1) * len(k) for k, v in c.items()) / den
+        for n, col in ((2, "top_2gram_char_frac"), (3, "top_3gram_char_frac")):
+            grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                m = max(c.values())
+                if m >= 2:
+                    out[col] = max(v * sum(len(t) for t in k)
+                                   for k, v in c.items() if v == m) / tc
+        grams = [tuple(toks[i:i + 5]) for i in range(len(toks) - 4)]
+        if grams:
+            c = Counter(grams)
+            cov = np.zeros(len(toks), bool)
+            for i, g in enumerate(grams):
+                if c[g] >= 2:
+                    cov[i:i + 5] = True
+            out["dup_5gram_char_frac"] = \
+                sum(len(t) for t, v in zip(toks, cov) if v) / tc
+        rows.append({k: (round(v, 6) if k != "doc_id" else v)
+                     for k, v in out.items()})
+
+    from easyner_ray.ops.textstats import REPETITION_SCHEMA
+    cols = [pa.array([r[f.name] for r in rows], f.type)
+            for f in REPETITION_SCHEMA]
+    path = os.path.join(corpus, "gold_repetition.parquet")
+    pq.write_table(pa.Table.from_arrays(cols, schema=REPETITION_SCHEMA), path)
+    return path
+
+
 _GOLD_V = 3
 _BASE_GOLD = {"gold_sentences.parquet", "gold_mentions.parquet"}
 
@@ -802,6 +855,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_langid_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_contamination.parquet")):
             write_contamination_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_repetition.parquet")):
+            write_repetition_gold(corpus, documents_path)
     if embeddings_path and os.path.exists(embeddings_path):
         if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
             write_cosine_lsh_gold(corpus, embeddings_path)

@@ -333,3 +333,48 @@ def test_cumsum_precision_late_groups(ray_session):
     exact = np.cumsum(np.array(vals_small, dtype=np.float64))
     for (_, c), e in zip(got, exact):
         assert abs(c - e) < 1e-9, (c, e)
+
+
+def test_repetition_stats_kernel(ray_session):
+    """Gopher repetition signals: hand-checked fixtures covering line
+    dups, top-n-gram tie-break (max count*chars over the tied set),
+    5-gram coverage union, and degenerate docs (empty/null/one-token)."""
+    from easyner_ray.ops.textstats import repetition_stats
+
+    docs = ["a b a b a b c d e f g h",          # top-2gram 'a b' x3
+            "one line\nsame line\nsame line\nother",
+            "x y z x y z x y z",                # dup 5grams cover all
+            "", "   ", None,
+            "unique words only here nothing repeats at all"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = {r["doc_id"]: r for r in repetition_stats(_ds(t)).take_all()}
+
+    # doc 0: 12 tokens, 12 chars; 'a b' count 3, chars 2 -> 6/12
+    assert got[0]["top_2gram_char_frac"] == 0.5
+    # 'a b a' count 2 chars 3 vs 'b a b' count 2 chars 3 -> 6/12
+    assert got[0]["top_3gram_char_frac"] == 0.5
+    assert got[0]["dup_line_frac"] == 0.0
+    # doc 1: 4 lines, 3 distinct -> 1/4; dup chars 9 of 8+9+9+5=31
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[1]["dup_line_char_frac"] == round(9 / 31, 6)
+    # doc 2: 'x y z x y' dups at 0/3 (covers [0,8)) and 'y z x y z' at
+    # 1/4 (covers [1,9)) -> union is every token
+    assert got[2]["dup_5gram_char_frac"] == 1.0
+    for d in (3, 4, 5):
+        assert all(got[d][c] == 0.0 for c in got[d] if c != "doc_id")
+    assert all(got[6][c] == 0.0 for c in got[6] if c != "doc_id")
+
+
+def test_curate_repetition_filter(ray_session):
+    """repetition_filter drops the repetitive doc and keeps the clean
+    one; no-cap config is a no-op."""
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["spam spam spam spam spam spam",
+                           "a perfectly ordinary sentence with variety"]})
+    out = STEPS["repetition_filter"](_ds(t), max_top_2gram_char_frac=0.5)
+    assert [r["doc_id"] for r in out.take_all()] == [2]
+    noop = STEPS["repetition_filter"](_ds(t))
+    assert noop.count() == 2
