@@ -464,6 +464,149 @@ def minhash_lsh_pairs(
                           pa_aggs=[("est_jaccard", "max")], out_names=["est_jaccard"])
 
 
+# ------------------------------------------------ incremental MinHash ----
+
+
+def _sig_matrix(sig_arr: pa.Array) -> np.ndarray:
+    """(n, n_perm) uint64 view of a fixed-size-binary signature column."""
+    if isinstance(sig_arr, pa.ChunkedArray):
+        sig_arr = sig_arr.combine_chunks()
+    n_perm = sig_arr.type.byte_width // 8
+    flat = np.frombuffer(sig_arr.buffers()[1], dtype=np.uint64)
+    return flat[sig_arr.offset * n_perm
+                : (sig_arr.offset + len(sig_arr)) * n_perm] \
+        .reshape(len(sig_arr), n_perm)
+
+
+def _minhash_band_rows(docs, *, n_perm, n_bands, k, text_col, n_buckets,
+                       batch_size):
+    """docs -> (doc_id, band_key, sig, bucket) rows: the MinHasher's
+    per-band output plus the splitmix64 band-key bucket used as the
+    index's storage partition / the probe's shuffle key."""
+    from easyner_ray.ops.sketch import splitmix64
+    from easyner_ray.ops.similarity import _cached_state
+
+    mh_key = ("minhash", n_perm, n_bands, k, text_col)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _cached_state(
+            mh_key, lambda: MinHasher(n_perm=n_perm, n_bands=n_bands, k=k,
+                                      text_col=text_col))(batch)
+        if len(t) == 0:
+            return t.append_column("bucket", pa.array([], pa.int32()))
+        bk = np.asarray(t.column("band_key").combine_chunks()).view(np.uint64)
+        b = (splitmix64(bk) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def build_minhash_index(docs, out_dir: str, *, n_perm: int = 64,
+                        n_bands: int = 16, k: int = 3,
+                        text_col: str = "text", n_buckets: int = 64,
+                        batch_size: int = 1024) -> str:
+    """Persist the kept corpus' MinHash band rows as BUCKET-PARTITIONED
+    Parquet (``out_dir/bucket=<b>/``) plus a params manifest — the
+    near-dup analog of :func:`build_digest_index` / the IVF index: sign
+    the kept corpus ONCE, then every new crawl probes only the bucket
+    partitions its own band keys land in (pruning at the read; the kept
+    corpus is never re-signed and never shuffled again)."""
+    import json
+    import os
+
+    rows = _minhash_band_rows(docs, n_perm=n_perm, n_bands=n_bands, k=k,
+                              text_col=text_col, n_buckets=n_buckets,
+                              batch_size=batch_size)
+    os.makedirs(out_dir, exist_ok=True)
+    rows.write_parquet(out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, "minhash_meta.json"), "w") as f:
+        json.dump({"n_perm": n_perm, "n_bands": n_bands, "k": k,
+                   "n_buckets": n_buckets}, f)
+    return out_dir
+
+
+def minhash_lsh_incremental(new_docs, index_dir: str, *,
+                            threshold: float = 0.5, hot_cap: int = 500,
+                            text_col: str = "text", batch_size: int = 1024):
+    """Near-dup candidates of a NEW shard against a
+    :func:`build_minhash_index` snapshot -> (doc_new, doc_old,
+    est_jaccard), est >= threshold, max-deduped across bands.
+
+    Only the new shard is signed and shuffled (groupby its band-key
+    bucket); each group task reads exactly its own ``bucket=<b>``
+    partition of the index and matches band keys by binary search, with
+    the signature-agreement compare one vectorized gather. Snapshot
+    posting lists longer than ``hot_cap`` within a band bucket are
+    dropped (same stopword-shingle contract as
+    :func:`minhash_lsh_pairs`)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from easyner_ray.ops.relational import bucketed_final
+
+    with open(os.path.join(index_dir, "minhash_meta.json")) as f:
+        meta = json.load(f)
+
+    rows = _minhash_band_rows(
+        new_docs, n_perm=meta["n_perm"], n_bands=meta["n_bands"],
+        k=meta["k"], text_col=text_col, n_buckets=meta["n_buckets"],
+        batch_size=batch_size)
+
+    _EMPTY = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.float64())],
+        names=["doc_new", "doc_old", "est_jaccard"])
+
+    def probe_bucket(g: pa.Table) -> pa.Table:
+        b = g.column("bucket")[0].as_py()
+        files = sorted(glob.glob(os.path.join(index_dir, f"bucket={b}",
+                                              "*.parquet")))
+        if not files:
+            return _EMPTY
+        old = pa.concat_tables([pq_mod.read_table(
+            p, columns=["doc_id", "band_key", "sig"]) for p in files])
+        if len(old) == 0:
+            return _EMPTY
+        old_bk = np.asarray(old.column("band_key").combine_chunks())
+        o = np.argsort(old_bk, kind="stable")
+        old_bk = old_bk[o]
+        old_ids = np.asarray(old.column("doc_id").combine_chunks())[o]
+        old_sig = _sig_matrix(old.column("sig"))[o]
+
+        new_bk = np.asarray(g.column("band_key").combine_chunks())
+        new_ids = np.asarray(g.column("doc_id").combine_chunks())
+        new_sig = _sig_matrix(g.column("sig"))
+        lo = np.searchsorted(old_bk, new_bk, side="left")
+        hi = np.searchsorted(old_bk, new_bk, side="right")
+        cnt = hi - lo
+        cnt[cnt > hot_cap] = 0                      # hot-posting guard
+        total = int(cnt.sum())
+        if total == 0:
+            return _EMPTY
+        new_idx = np.repeat(np.arange(len(new_bk)), cnt)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        old_idx = (np.arange(total) - np.repeat(starts, cnt)
+                   + np.repeat(lo, cnt))
+        est = (new_sig[new_idx] == old_sig[old_idx]).mean(axis=1)
+        sel = est >= threshold
+        if not sel.any():
+            return _EMPTY
+        return pa.Table.from_arrays(
+            [pa.array(new_ids[new_idx[sel]].astype(np.int64)),
+             pa.array(old_ids[old_idx[sel]].astype(np.int64)),
+             pa.array(est[sel].astype(np.float64))],
+            names=["doc_new", "doc_old", "est_jaccard"])
+
+    cand = rows.groupby("bucket").map_groups(probe_bucket,
+                                             batch_format="pyarrow")
+    return bucketed_final(cand, ["doc_new", "doc_old"],
+                          pa_aggs=[("est_jaccard", "max")],
+                          out_names=["est_jaccard"])
+
+
 # -------------------------------------------------------------- simhash ----
 
 # 8-bit popcount LUT: vectorized Hamming distance over uint64 arrays by

@@ -305,6 +305,9 @@ GMH = f"read_parquet('{SYNTH}/gold_minhash_pairs.parquet')"
 GCL = f"read_parquet('{SYNTH}/gold_cosine_lsh_pairs.parquet')"
 
 RELATIONAL["minhash_lsh_pairs"] = f"SELECT doc_a, doc_b, est_jaccard FROM {GMH}"
+GMI = f"read_parquet('{SYNTH}/gold_minhash_incremental.parquet')"
+RELATIONAL["minhash_incremental"] = \
+    f"SELECT doc_new, doc_old, est_jaccard FROM {GMI}"
 RELATIONAL["cosine_lsh_pairs"] = f"SELECT vec_id_a, vec_id_b FROM {GCL}"
 
 GLI = f"read_parquet('{SYNTH}/gold_langid.parquet')"

@@ -296,6 +296,39 @@ def minhash_lsh_q(sf_dir: str):
     )
 
 
+def minhash_incremental_q(sf_dir: str):
+    """§2.11 incremental NEAR-dup, end to end: sign the even-doc_id half
+    of the corpus once into a bucket-partitioned MinHash band index, then
+    probe the odd half against it — each probe task reads only its own
+    bucket partition; the snapshot is never re-signed or shuffled.
+    Oracle = straight-line recompute of the same split + probe spec
+    (gold_minhash_incremental.parquet)."""
+    import shutil
+    import tempfile
+
+    from easyner_ray.ops.dedup import (build_minhash_index,
+                                       minhash_lsh_incremental)
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+
+    def mod_split(keep_old: bool):
+        def f(t: pa.Table, ko=keep_old) -> pa.Table:
+            v = t.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            mask = (v % 2 == 0)
+            return t.filter(pa.array(mask if ko else ~mask))
+        return _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    root = tempfile.mkdtemp(prefix="minhash_idx_")
+    try:
+        build_minhash_index(mod_split(True), root)
+        return minhash_lsh_incremental(mod_split(False), root,
+                                       threshold=0.2).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def simhash_q(sf_dir: str):
     from easyner_ray.ops.dedup import simhash_pairs
 

@@ -292,6 +292,70 @@ def write_minhash_gold(corpus: str, documents_path: str, threshold: float = 0.2,
     return path
 
 
+def write_minhash_incremental_gold(corpus: str, documents_path: str,
+                                   threshold: float = 0.2, n_perm: int = 64,
+                                   n_bands: int = 16, k: int = 3,
+                                   seed: int = 17, hot_cap: int = 500) -> str:
+    """Straight-line recompute of the INCREMENTAL MinHash probe: docs with
+    even doc_id are the persisted snapshot, odd ones the new shard; a
+    (new, old) candidate exists when they share a band bucket whose OLD
+    posting is <= hot_cap (spec of ops.dedup.minhash_lsh_incremental).
+    Output: (doc_new, doc_old, est_jaccard), max-deduped."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    rows = n_perm // n_bands
+
+    def shingles(text: str) -> list[str]:
+        toks = text.split()
+        if len(toks) < k:
+            return [" ".join(toks)] if toks else []
+        return sorted({" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)})
+
+    sigs: list[np.ndarray] = []
+    buckets: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        sh = shingles(t or "")
+        if not sh:
+            sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            h = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+            sig = ((h[:, None] * a[None, :] + b[None, :]) % _MINHASH_MERSENNE).min(axis=0)
+        sigs.append(sig)
+        for bi in range(n_bands):
+            chunk = sig[bi * rows: (bi + 1) * rows].tobytes()
+            buckets.setdefault(f"{bi}:{zlib.crc32(chunk):08x}", []).append(i)
+
+    best: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        old = [i for i in members if ids[i] % 2 == 0]
+        new = [i for i in members if ids[i] % 2 != 0]
+        if not old or not new or len(old) > hot_cap:
+            continue
+        for i in new:
+            for j in old:
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    key = (ids[i], ids[j])
+                    if est > best.get(key, -1.0):
+                        best[key] = est
+
+    keys = sorted(best)
+    tbl = pa.Table.from_arrays(
+        [pa.array([x for x, _ in keys], pa.int64()),
+         pa.array([y for _, y in keys], pa.int64()),
+         pa.array([best[kk] for kk in keys], pa.float64())],
+        names=["doc_new", "doc_old", "est_jaccard"],
+    )
+    path = os.path.join(corpus, "gold_minhash_incremental.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 # --------------------------------------------------------- cosine-LSH gold --
 
 
@@ -857,6 +921,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_contamination_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_repetition.parquet")):
             write_repetition_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_minhash_incremental.parquet")):
+            write_minhash_incremental_gold(corpus, documents_path)
     if embeddings_path and os.path.exists(embeddings_path):
         if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
             write_cosine_lsh_gold(corpus, embeddings_path)

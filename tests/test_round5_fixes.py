@@ -378,3 +378,30 @@ def test_curate_repetition_filter(ray_session):
     assert [r["doc_id"] for r in out.take_all()] == [2]
     noop = STEPS["repetition_filter"](_ds(t))
     assert noop.count() == 2
+
+
+def test_minhash_lsh_incremental(ray_session, tmp_path):
+    """Bucket-partitioned MinHash snapshot + probe: a new shard's
+    near/exact dups of snapshot docs are found; unrelated text is not;
+    pairs never point old->old or new->new."""
+    from easyner_ray.ops.dedup import build_minhash_index, minhash_lsh_incremental
+
+    old = _ds(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog again and again",
+                 "a completely different document about data pipelines",
+                 "sorting hashing joining grouping windowing all day long"]}))
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(old, idx)
+
+    new = _ds(pa.table({
+        "doc_id": pa.array([11, 12, 13], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog again and again today",
+                 "unrelated fresh text with novel content entirely",
+                 "a completely different document about data pipelines"]}))
+    got = {(r["doc_new"], r["doc_old"]): r["est_jaccard"]
+           for r in minhash_lsh_incremental(new, idx, threshold=0.3).take_all()}
+    assert got[(13, 2)] == 1.0           # exact dup -> full agreement
+    assert got[(11, 1)] >= 0.3           # near dup passes the gate
+    assert all(n in (11, 12, 13) and o in (1, 2, 3) for n, o in got)
+    assert (12, 1) not in got and (12, 2) not in got and (12, 3) not in got
