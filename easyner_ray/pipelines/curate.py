@@ -15,7 +15,9 @@ Config::
         {"op": "repetition_filter", "max_dup_5gram_char_frac": 0.3},
         {"op": "lang_filter", "keep": ["en"]},
         {"op": "dedup_exact"},
+        {"op": "dedup_incremental", "index": "/idx/digests"},   # vs kept corpus
         {"op": "near_dup_filter", "threshold": 0.8, "k": 3},   # or "method": "minhash"
+        {"op": "near_dup_incremental", "index": "/idx/minhash", "threshold": 0.8},
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
         {"op": "hash_sample", "rate": 0.5},
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
@@ -186,6 +188,47 @@ def _step_dedup_exact(ds, text_col: str = "text", **_):
                               approx_bytes=ds.size_bytes())
 
 
+def _step_dedup_incremental(ds, index: str, id_col: str = "doc_id",
+                            text_col: str = "text", **_):
+    """Incremental exact dedup: collapse THIS shard to per-text
+    representatives AND drop every text the persisted digest snapshot
+    (``ops.dedup.build_digest_index``) has already kept — the per-crawl
+    pass of a continuously-ingesting corpus. Work ~ |new shard| +
+    |snapshot|; the kept corpus itself is never reread."""
+    from easyner_ray.ops.dedup import exact_dedup_incremental
+    from easyner_ray.ops.relational import adaptive_semi_join
+
+    ds = ds.materialize()  # two consumers — same checkpoint rationale as
+    # _step_dedup_exact (digest pass + join left side)
+    fresh = exact_dedup_incremental(ds, index, text_col=text_col) \
+        .select_columns([id_col])
+    return adaptive_semi_join(ds, fresh, on=id_col,
+                              approx_bytes=ds.size_bytes())
+
+
+def _step_near_dup_incremental(ds, index: str, threshold: float = 0.8,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", **_):
+    """Drop docs that near-duplicate the KEPT corpus: probe this shard
+    against a persisted :func:`ops.dedup.build_minhash_index` snapshot
+    and anti-join the flagged doc ids away. Only the shard is signed and
+    shuffled; each probe task reads just its own bucket partition."""
+    from easyner_ray.ops.dedup import minhash_lsh_incremental
+    from easyner_ray.ops.relational import adaptive_semi_join
+
+    ds = ds.materialize()  # two consumers — probe side + join left side
+    hits = minhash_lsh_incremental(ds, index, threshold=threshold,
+                                   text_col=text_col) \
+        .select_columns(["doc_new"])
+
+    def rename(t: pa.Table, col=id_col) -> pa.Table:
+        return t.rename_columns([col])
+
+    hits = hits.map_batches(rename, batch_format="pyarrow")
+    return adaptive_semi_join(ds, hits, on=id_col, anti=True,
+                              approx_bytes=ds.size_bytes())
+
+
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
                           text_col: str = "text", method: str = "jaccard",
                           **_):
@@ -350,7 +393,9 @@ STEPS = {
     "quality_percentile": _step_quality_percentile,
     "lang_filter": _step_lang_filter,
     "dedup_exact": _step_dedup_exact,
+    "dedup_incremental": _step_dedup_incremental,
     "near_dup_filter": _step_near_dup_filter,
+    "near_dup_incremental": _step_near_dup_incremental,
     "hash_sample": _step_hash_sample,
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,

@@ -405,3 +405,34 @@ def test_minhash_lsh_incremental(ray_session, tmp_path):
     assert got[(11, 1)] >= 0.3           # near dup passes the gate
     assert all(n in (11, 12, 13) and o in (1, 2, 3) for n, o in got)
     assert (12, 1) not in got and (12, 2) not in got and (12, 3) not in got
+
+
+def test_curate_incremental_steps(ray_session, tmp_path):
+    """dedup_incremental keeps one fresh representative per unseen text;
+    near_dup_incremental drops docs that near-dup the snapshot corpus."""
+    from easyner_ray.ops.dedup import build_digest_index, build_minhash_index
+    from easyner_ray.pipelines.curate import STEPS
+
+    old = _ds(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog again and again",
+                 "sorting hashing joining grouping windowing all day long"]}))
+    didx = str(tmp_path / "digests")
+    midx = str(tmp_path / "minhash")
+    build_digest_index(old, didx)
+    build_minhash_index(old, midx)
+
+    new = _ds(pa.table({
+        "doc_id": pa.array([11, 12, 13, 14], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog again and again",
+                 "fresh novel text one with plenty of unusual words inside",
+                 "fresh novel text one with plenty of unusual words inside",
+                 "the quick brown fox jumps over the lazy dog again and again today"]}))
+
+    got = sorted(r["doc_id"] for r in
+                 STEPS["dedup_incremental"](new, index=didx).take_all())
+    assert got == [12, 14]  # 11 known to snapshot; 13 in-shard dup of 12
+
+    got2 = sorted(r["doc_id"] for r in STEPS["near_dup_incremental"](
+        new, index=midx, threshold=0.3).take_all())
+    assert got2 == [12, 13]  # 11 exact and 14 near dup of snapshot doc 1
