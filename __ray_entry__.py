@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.simhash_q,                # derived-gold oracle
         "knn_brute": q.knn_brute_q,
         "knn_ivf": q.knn_ivf_q,                      # approximate: rows-only
+        "knn_self": q.knn_self_q,                    # ANN self-join, derived gold
         "cosine_pairs_brute": q.cosine_pairs_q,
         "cosine_lsh_pairs": q.cosine_lsh_q,          # derived-gold oracle
         # KG construction (north rule; gold-parquet oracles)

@@ -583,6 +583,60 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
     return _tree_merge_topk(partials, k)
 
 
+def knn_self_join(embeddings, k: int = 5, n_centroids: int = 16,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  batch_size: int = 4096, chunk: int = 1024):
+    """Every vector's approximate top-k cosine neighbors — the ANN
+    SELF-join behind SemDeDup-style semantic dedup and corpus
+    clustering. -> (vec_id, rank, neighbor_id), rank 1..k.
+
+    IVF cell-local search: coarse centroids from a driver-side sample
+    (:func:`train_centroids`), one shuffle keyed on the nearest-centroid
+    bucket, then an exact cosine top-k INSIDE each cell (queries only
+    probe their own cell — the nprobe=1 recall/flops trade FAISS calls
+    IVF-Flat). Per-cell cost is O(m^2 d) gemm flops with memory bounded
+    by ``chunk`` query rows at a time; at scale pick
+    ``n_centroids ~ n / 4096`` so cells stay gemm-sized, and salt a cell
+    that exceeds the skew cap upstream. Ties break (-score, neighbor_id)
+    — same contract (and same dropped-float-score rationale) as
+    ``sources.gold_derived.write_knn_ivf_gold``."""
+    _EMPTY = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.int64())],
+        names=["vec_id", "rank", "neighbor_id"])
+
+    def cell_topk(g: pa.Table) -> pa.Table:
+        m = len(g)
+        if m < 2:
+            return _EMPTY
+        ids = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = _normalize(_as_matrix(g.column(vec_col)))
+        o = np.argsort(ids, kind="stable")   # id-asc members: stable sort
+        ids, x = ids[o], x[o]                # on -score == (-score, id) ties
+        kk = min(k, m - 1)
+        out_q, out_r, out_n = [], [], []
+        for st in range(0, m, chunk):
+            en = min(st + chunk, m)
+            s = x[st:en] @ x.T                       # (c, m)
+            s[np.arange(en - st), np.arange(st, en)] = -np.inf  # no self
+            top = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            out_q.append(np.repeat(ids[st:en], kk))
+            out_r.append(np.tile(np.arange(1, kk + 1), en - st))
+            out_n.append(ids[top].reshape(-1))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)),
+             pa.array(np.concatenate(out_r)),
+             pa.array(np.concatenate(out_n))],
+            names=["vec_id", "rank", "neighbor_id"])
+
+    cent = train_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    bucketed = assign_ivf_buckets(embeddings, cent, vec_col=vec_col,
+                                  batch_size=batch_size)
+    return bucketed.groupby("bucket").map_groups(cell_topk,
+                                                 batch_format="pyarrow")
+
+
 def label_centroids(embeddings, label_col: str = "label",
                     vec_col: str = "embedding", round_digits: int = 4):
     """Per-label mean embedding (class prototypes / cluster seeds) ->

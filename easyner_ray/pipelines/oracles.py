@@ -320,6 +320,8 @@ RELATIONAL["docs_repetition"] = (
     "SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,"
     f" top_3gram_char_frac, dup_5gram_char_frac FROM {GRP}")
 RELATIONAL["knn_ivf"] = f"SELECT query_id, rank, vec_id FROM {GKI}"
+GKS = f"read_parquet('{SYNTH}/gold_knn_self.parquet')"
+RELATIONAL["knn_self"] = f"SELECT vec_id, rank, neighbor_id FROM {GKS}"
 
 # HLL approx-distinct: deterministic (splitmix64 + fixed estimator), so the
 # oracle is the straight-line single-process recompute in gold_derived.

@@ -358,6 +358,17 @@ def knn_ivf_q(sf_dir: str):
                    _query_vectors(sf_dir), k=10).select_columns(["query_id", "rank", "vec_id"])
 
 
+def knn_self_q(sf_dir: str):
+    """ANN self-join: every embedding's top-5 cosine neighbors inside its
+    IVF cell (SemDeDup / clustering primitive). Oracle = straight-line
+    recompute of the same cell-local spec (gold_knn_self.parquet)."""
+    from easyner_ray.ops.similarity import knn_self_join
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    return knn_self_join(
+        _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=5)
+
+
 def cosine_pairs_q(sf_dir: str):
     from easyner_ray.ops.similarity import cosine_pairs_brute
 

@@ -555,6 +555,66 @@ def write_knn_ivf_gold(corpus: str, embeddings_path: str, k: int = 10,
     return path
 
 
+def write_knn_self_gold(corpus: str, embeddings_path: str, k: int = 5,
+                        n_centroids: int = 16, sample_size: int = 4096,
+                        iters: int = 8, seed: int = 13) -> str:
+    """Straight-line ANN self-join recompute (spec:
+    ops.similarity.knn_self_join — IVF cell-local exact top-k, queries
+    probe only their own cell, (-score, neighbor_id) tie-break, float
+    score dropped for the same ulp rationale as write_knn_ivf_gold).
+    Output: (vec_id, rank, neighbor_id)."""
+    emb = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])
+
+    def norm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    vecs = norm(mat)
+    x = vecs[:sample_size]
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+        cent = norm(cent)
+
+    buckets = (vecs @ cent.T).argmax(axis=1)
+    o_v: list[int] = []
+    o_r: list[int] = []
+    o_n: list[int] = []
+    for b in np.unique(buckets):
+        members = np.flatnonzero(buckets == b)
+        if len(members) < 2:
+            continue
+        mids = ids[members]
+        order = np.argsort(mids, kind="stable")
+        mids, mx = mids[order], vecs[members][order]
+        kk = min(k, len(mids) - 1)
+        s = mx @ mx.T
+        np.fill_diagonal(s, -np.inf)
+        top = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+        for qi in range(len(mids)):
+            for rank, j in enumerate(top[qi], start=1):
+                o_v.append(int(mids[qi]))
+                o_r.append(rank)
+                o_n.append(int(mids[j]))
+    tbl = pa.Table.from_arrays(
+        [pa.array(o_v, pa.int64()), pa.array(o_r, pa.int64()),
+         pa.array(o_n, pa.int64())],
+        names=["vec_id", "rank", "neighbor_id"],
+    )
+    path = os.path.join(corpus, "gold_knn_self.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 # --------------------------------------------------- approx-distinct gold --
 
 _SM1, _SM2, _SM3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
@@ -928,6 +988,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_cosine_lsh_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_knn_ivf.parquet")):
             write_knn_ivf_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_knn_self.parquet")):
+            write_knn_self_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_kmeans_assign.parquet")):
             write_kmeans_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):

@@ -436,3 +436,23 @@ def test_curate_incremental_steps(ray_session, tmp_path):
     got2 = sorted(r["doc_id"] for r in STEPS["near_dup_incremental"](
         new, index=midx, threshold=0.3).take_all())
     assert got2 == [12, 13]  # 11 exact and 14 near dup of snapshot doc 1
+
+
+def test_knn_self_join(ray_session):
+    """ANN self-join sanity: an exact duplicate vector is its twin's
+    rank-1 neighbor (tie-broken by id); every row has rank<=k, no
+    self-neighbors; neighbors stay within the vector's own IVF cell."""
+    from easyner_ray.ops.similarity import knn_self_join
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(40, 8))
+    vecs[7] = vecs[3]  # exact twin pair (3, 7)
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array(list(map(list, vecs)))})
+    rows = knn_self_join(_ds(t), k=3, n_centroids=4).take_all()
+    by_q = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+        by_q.setdefault(r["vec_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert by_q[3][1] == 7 and by_q[7][1] == 3  # twins find each other
