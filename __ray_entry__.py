@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_q,
         "minhash_lsh_pairs": q.minhash_lsh_q,        # derived-gold oracle
         "minhash_incremental": q.minhash_incremental_q,  # vs persisted band index
+        "docs_dup_span_removal": q.docs_dup_span_removal,  # substring-level dedup
         "simhash_pairs": q.simhash_q,                # derived-gold oracle
         "knn_brute": q.knn_brute_q,
         "knn_ivf": q.knn_ivf_q,                      # approximate: rows-only

@@ -133,6 +133,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_repetition": q.docs_repetition,
         "minhash_incremental": q.minhash_incremental_q,
         "knn_self": q.knn_self_q,
+        "docs_dup_span_removal": q.docs_dup_span_removal,
         "events_value_quantiles_cont": q.events_value_quantiles_cont,
         "docs_vocab_top": q.docs_vocab_top,
         "orders_weighted_sample": q.orders_weighted_sample,

@@ -464,6 +464,169 @@ def minhash_lsh_pairs(
                           pa_aggs=[("est_jaccard", "max")], out_names=["est_jaccard"])
 
 
+# ----------------------------------------- duplicated-span removal ----
+
+# Exact substring-level dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): instead of dropping whole
+# documents, REMOVE every token covered by a length-``window`` token
+# span that occurs >= 2 times anywhere in the corpus. Spec (mirrored
+# straight-line by sources.gold_derived.write_dup_span_gold):
+#   tokens    = maximal non-whitespace runs (original case kept);
+#   token hash = zlib.crc32(token utf8);
+#   window fp = Horner polynomial over the ``window`` hashes, base the
+#               FNV-1a prime, mod 2^64 (signed-int64 reinterpreted);
+#   duplicated = fp occurs >= 2 times corpus-wide (same-doc repeats
+#               count);
+#   output text = tokens not covered by any duplicated window, joined
+#               by a single space (whitespace is normalized for ALL
+#               docs — the rewrite is deterministic, not best-effort).
+
+_SPAN_BASE = np.uint64(1099511628211)
+
+
+def _window_fp_batch(t: pa.Table, *, window: int, id_col: str,
+                     text_col: str) -> pa.Table:
+    """-> (id, pos, fp): one row per token window, pos doc-local."""
+    schema = pa.schema([t.schema.field(id_col), ("pos", pa.int64()),
+                        ("fp", pa.int64())])
+    ids = t.column(id_col).combine_chunks()
+    lists = pc.utf8_split_whitespace(
+        pc.coalesce(t.column(text_col).combine_chunks(), ""))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return schema.empty_table()
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    n = len(parent)
+    if n < window:
+        return schema.empty_table()
+
+    counts = np.bincount(parent, minlength=len(ids))
+    docstart = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n, dtype=np.int64) - docstart[parent]
+
+    enc = flat.dictionary_encode()
+    uniq_h = np.array([zlib.crc32(u.encode("utf-8"))
+                       for u in enc.dictionary.to_pylist()], dtype=np.uint64)
+    tok_h = uniq_h[enc.indices.to_numpy(zero_copy_only=False)]
+
+    m = n - window + 1
+    starts = np.nonzero(parent[:m] == parent[window - 1:])[0]
+    if len(starts) == 0:
+        return schema.empty_table()
+    h = np.zeros(len(starts), dtype=np.uint64)
+    for k in range(window):
+        h = h * _SPAN_BASE + tok_h[starts + k]
+    return pa.Table.from_arrays(
+        [ids.take(pa.array(parent[starts])),
+         pa.array(pos[starts], pa.int64()),
+         pa.array(h.view(np.int64), pa.int64())],
+        names=[id_col, "pos", "fp"]).cast(schema)
+
+
+def dup_span_removal(docs, window: int = 25, *, id_col: str = "doc_id",
+                     text_col: str = "text", batch_size: int = 4096):
+    """-> (id, text_clean, n_removed): corpus with every duplicated
+    ``window``-token span cut out of every document.
+
+    Shape at scale: fingerprinting is map-only vectorized (two passes,
+    one for the count, one riding the semi join); the duplicated-fp set
+    comes from a two-phase bucketed count (partial per batch, bucketed
+    Arrow final — fp cardinality ~ corpus token count); the hit lookup
+    is an adaptive semi join (duplicated spans are the rare case, so the
+    dup set usually broadcasts); the rewrite is one whole-batch numpy
+    coverage pass + ``pc.binary_join``. The docs stream is materialized
+    once (two consumers: fingerprint pass and join left side)."""
+    from easyner_ray.ops.relational import (adaptive_join,
+                                            adaptive_semi_join,
+                                            bucketed_final)
+
+    docs = docs.materialize()
+    wins = docs.map_batches(
+        lambda t: _window_fp_batch(t, window=window, id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        g = t.group_by(["fp"]).aggregate([("fp", "count")])
+        return g.rename_columns(["fp", "c"])
+
+    cnt = bucketed_final(
+        wins.select_columns(["fp"]).map_batches(partial_count,
+                                                batch_format="pyarrow"),
+        ["fp"], pa_aggs=[("c", "sum")], out_names=["c"])
+    dup = cnt.filter(expr="c >= 2").select_columns(["fp"])
+
+    hits = adaptive_semi_join(wins, dup, on="fp") \
+        .select_columns([id_col, "pos"])
+
+    def collect_positions(g: pa.Table) -> pa.Table:
+        # comma-joined string, not list<int64>: pyarrow's hash join
+        # (both adaptive_join paths) rejects nested payload columns
+        p = np.sort(g.column("pos").combine_chunks().to_numpy(
+            zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [g.column(id_col).slice(0, 1),
+             pa.array([",".join(map(str, p))], pa.string())],
+            names=[id_col, "__dup_pos"])
+
+    pos_lists = hits.groupby(id_col).map_groups(collect_positions,
+                                                batch_format="pyarrow")
+    joined = adaptive_join(docs, pos_lists, on=id_col, how="left")
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        ndocs = len(ids)
+        lists = pc.utf8_split_whitespace(
+            pc.coalesce(t.column(text_col).combine_chunks(), ""))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        n = len(parent)
+        counts = np.bincount(parent, minlength=ndocs)
+        docstart = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+        pos_col = pc.split_pattern(
+            pc.coalesce(t.column("__dup_pos").combine_chunks(), ""), ",")
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        pflat_s = pc.list_flatten(pos_col)
+        pparent = pc.list_parent_indices(pos_col).to_numpy(
+            zero_copy_only=False)
+        nonempty = pc.not_equal(pflat_s, "").to_numpy(zero_copy_only=False)
+        pflat = pc.cast(pflat_s.filter(pa.array(nonempty)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        pparent = pparent[nonempty]
+        covered = np.zeros(n, dtype=bool)
+        if len(pflat):
+            diff = np.zeros(n + window + 1, dtype=np.int64)
+            gstart = docstart[pparent] + pflat
+            np.add.at(diff, gstart, 1)
+            np.add.at(diff, gstart + window, -1)
+            covered = np.cumsum(diff[:n]) > 0
+        kept = flat.filter(pa.array(~covered))
+        kept_counts = np.bincount(parent[~covered], minlength=ndocs)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]) \
+            .astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(pa.array(offsets,
+                                                       pa.int32()), kept)
+        clean = pc.binary_join(kept_lists, " ")
+        removed = np.bincount(parent[covered], minlength=ndocs) \
+            if covered.any() else np.zeros(ndocs, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [ids, clean, pa.array(removed.astype(np.int64), pa.int64())],
+            names=[id_col, "text_clean", "n_removed"])
+
+    return joined.map_batches(rewrite, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
 # ------------------------------------------------ incremental MinHash ----
 
 

@@ -18,6 +18,7 @@ Config::
         {"op": "dedup_incremental", "index": "/idx/digests"},   # vs kept corpus
         {"op": "near_dup_filter", "threshold": 0.8, "k": 3},   # or "method": "minhash"
         {"op": "near_dup_incremental", "index": "/idx/minhash", "threshold": 0.8},
+        {"op": "dup_span_removal", "window": 25},              # substring dedup
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
         {"op": "hash_sample", "rate": 0.5},
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
@@ -229,6 +230,29 @@ def _step_near_dup_incremental(ds, index: str, threshold: float = 0.8,
                               approx_bytes=ds.size_bytes())
 
 
+def _step_dup_span_removal(ds, window: int = 25, id_col: str = "doc_id",
+                           text_col: str = "text", min_tokens: int = 1, **_):
+    """Substring-level exact dedup (Lee et al. 2021): rewrite every doc
+    with its duplicated ``window``-token spans cut out, then drop docs
+    left with fewer than ``min_tokens`` tokens. The rewritten text
+    replaces ``text_col`` via a hash join on the id (both sides are
+    corpus-scale)."""
+    from easyner_ray.ops.dedup import dup_span_removal
+    from easyner_ray.ops.relational import adaptive_join
+
+    ds = ds.materialize()  # two consumers — rewrite source + join left
+    cleaned = dup_span_removal(ds, window, id_col=id_col, text_col=text_col)
+
+    def strip(t: pa.Table) -> pa.Table:
+        kept = pc.greater_equal(pc.count_substring_regex(
+            t.column("text_clean"), r"\S+"), min_tokens)
+        t = t.filter(kept).drop_columns(["n_removed"])
+        return t.rename_columns([id_col, text_col])
+
+    cleaned = cleaned.map_batches(strip, batch_format="pyarrow")
+    return adaptive_join(ds.drop_columns([text_col]), cleaned, on=id_col)
+
+
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
                           text_col: str = "text", method: str = "jaccard",
                           **_):
@@ -396,6 +420,7 @@ STEPS = {
     "dedup_incremental": _step_dedup_incremental,
     "near_dup_filter": _step_near_dup_filter,
     "near_dup_incremental": _step_near_dup_incremental,
+    "dup_span_removal": _step_dup_span_removal,
     "hash_sample": _step_hash_sample,
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,

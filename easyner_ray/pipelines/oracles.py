@@ -305,6 +305,9 @@ GMH = f"read_parquet('{SYNTH}/gold_minhash_pairs.parquet')"
 GCL = f"read_parquet('{SYNTH}/gold_cosine_lsh_pairs.parquet')"
 
 RELATIONAL["minhash_lsh_pairs"] = f"SELECT doc_a, doc_b, est_jaccard FROM {GMH}"
+GDS = f"read_parquet('{SYNTH}/gold_dup_span.parquet')"
+RELATIONAL["docs_dup_span_removal"] = \
+    f"SELECT doc_id, text_clean, n_removed FROM {GDS}"
 GMI = f"read_parquet('{SYNTH}/gold_minhash_incremental.parquet')"
 RELATIONAL["minhash_incremental"] = \
     f"SELECT doc_new, doc_old, est_jaccard FROM {GMI}"

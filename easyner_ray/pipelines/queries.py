@@ -296,6 +296,19 @@ def minhash_lsh_q(sf_dir: str):
     )
 
 
+def docs_dup_span_removal(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. 2021): cut every 8-token
+    span occurring >= 2 times corpus-wide out of every document.
+    Two-phase bucketed fp count + adaptive semi join + one vectorized
+    coverage/rewrite pass. Oracle = straight-line recompute over window
+    tuples (gold_dup_span.parquet)."""
+    from easyner_ray.ops.dedup import dup_span_removal
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    return dup_span_removal(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
+
+
 def minhash_incremental_q(sf_dir: str):
     """§2.11 incremental NEAR-dup, end to end: sign the even-doc_id half
     of the corpus once into a bucket-partitioned MinHash band index, then

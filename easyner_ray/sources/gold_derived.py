@@ -292,6 +292,42 @@ def write_minhash_gold(corpus: str, documents_path: str, threshold: float = 0.2,
     return path
 
 
+def write_dup_span_gold(corpus: str, documents_path: str,
+                        window: int = 8) -> str:
+    """Straight-line duplicated-span removal recompute (spec:
+    ops.dedup.dup_span_removal — tokens = str.split, a window TUPLE
+    occurring >= 2 times corpus-wide marks its tokens for removal,
+    output = surviving tokens space-joined). Tuples here vs the engine's
+    64-bit Horner fingerprints: identical modulo 2^-64 collisions."""
+    from collections import Counter
+
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    toks = [(t or "").split() for t in docs.column("text").to_pylist()]
+
+    cnt: Counter = Counter()
+    for tk in toks:
+        for i in range(len(tk) - window + 1):
+            cnt[tuple(tk[i: i + window])] += 1
+
+    o_txt, o_rm = [], []
+    for tk in toks:
+        cov = np.zeros(len(tk), dtype=bool)
+        for i in range(len(tk) - window + 1):
+            if cnt[tuple(tk[i: i + window])] >= 2:
+                cov[i: i + window] = True
+        o_txt.append(" ".join(t for t, c in zip(tk, cov) if not c))
+        o_rm.append(int(cov.sum()))
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(o_txt, pa.string()),
+         pa.array(o_rm, pa.int64())],
+        names=["doc_id", "text_clean", "n_removed"],
+    )
+    path = os.path.join(corpus, "gold_dup_span.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_minhash_incremental_gold(corpus: str, documents_path: str,
                                    threshold: float = 0.2, n_perm: int = 64,
                                    n_bands: int = 16, k: int = 3,
@@ -983,6 +1019,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_repetition_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_minhash_incremental.parquet")):
             write_minhash_incremental_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_dup_span.parquet")):
+            write_dup_span_gold(corpus, documents_path)
     if embeddings_path and os.path.exists(embeddings_path):
         if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
             write_cosine_lsh_gold(corpus, embeddings_path)

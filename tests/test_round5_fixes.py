@@ -456,3 +456,43 @@ def test_knn_self_join(ray_session):
         assert 1 <= r["rank"] <= 3
         by_q.setdefault(r["vec_id"], {})[r["rank"]] = r["neighbor_id"]
     assert by_q[3][1] == 7 and by_q[7][1] == 3  # twins find each other
+
+
+def test_dup_span_removal(ray_session):
+    """Duplicated ``window``-token spans are cut from every doc (both
+    cross-doc and self-repeats); clean docs keep all tokens (whitespace
+    normalized); removal counts match coverage."""
+    from easyner_ray.ops.dedup import dup_span_removal
+
+    docs = ["alpha beta gamma delta epsilon zeta eta theta",
+            "XX alpha beta gamma delta epsilon YY ZZ",
+            "totally unique content nothing shared here at all",
+            "rep rep rep rep rep rep rep",
+            "short one"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": docs})
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in dup_span_removal(_ds(t), window=5).take_all()}
+    assert got[0] == ("zeta eta theta", 5)
+    assert got[1] == ("XX YY ZZ", 5)
+    assert got[2] == ("totally unique content nothing shared here at all", 0)
+    assert got[3] == ("", 7)       # self-repeating spans wipe the doc
+    assert got[4] == ("short one", 0)
+
+
+def test_curate_dup_span_step(ray_session):
+    """The curate step swaps rewritten text in (other columns survive)
+    and drops docs left under min_tokens."""
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": ["s1", "s2", "s3"],
+                  "text": ["one two three four five six seven",
+                           "one two three four five six eight",
+                           "rep rep rep rep rep rep"]})
+    out = {r["doc_id"]: r for r in STEPS["dup_span_removal"](
+        _ds(t), window=5, min_tokens=1).take_all()}
+    assert set(out) == {1, 2}                      # doc 3 fully wiped
+    # both (one..five) and (two..six) duplicate across docs 1/2, so
+    # coverage reaches token six; only the tail token survives
+    assert out[1]["text"] == "seven" and out[1]["source"] == "s1"
+    assert out[2]["text"] == "eight" and out[2]["source"] == "s2"
