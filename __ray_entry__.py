@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_incremental": q.dedup_exact_incremental,  # vs digest snapshot
         "doc_stats": q.doc_stats_q,
         "docs_repetition": q.docs_repetition,        # Gopher repetition signals
+        "docs_mixture_sample": q.docs_mixture_sample,  # per-source Bernoulli mix
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only
         "rolling_fingerprints": q.rolling_fp_q,      # derived-gold oracle

@@ -498,6 +498,50 @@ def hash_sample(ds, key: str, rate: float, batch_size: int = 65536):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def mixture_sample(ds, key: str, rates: dict[str, float], *,
+                   group_col: str, default_rate: float = 0.0,
+                   batch_size: int = 65536):
+    """Deterministic PER-GROUP Bernoulli sample — the source-mixture
+    primitive of training-data assembly (Pile/Dolma-style "x% of web,
+    y% of code, z% of books"): keep a row iff
+    ``(key * 2654435761) mod 2^32 < rates[group] * 2^32``.
+
+    Same map-only / no-RNG / repartition-stable contract as
+    :func:`hash_sample`, so the oracle is a plain SQL CASE over the
+    group column. Groups absent from ``rates`` use ``default_rate``
+    (0.0 = drop, the explicit-mixture reading). Thresholds resolve per
+    batch through the group column's dictionary encoding — a
+    vocabulary-sized lookup, not a per-row Python branch. NULL keys and
+    NULL groups are excluded (SQL: NULL comparisons are never true)."""
+    import numpy as np
+
+    thr_map = {g: np.uint64(int(r * (1 << 32))) for g, r in rates.items()}
+    default_thr = np.uint64(int(default_rate * (1 << 32)))
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        col = t.column(key).combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        col = col.fill_null(0)
+        k = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult) & mask32
+        g = t.column(group_col).combine_chunks().dictionary_encode()
+        uniq = g.dictionary.to_pylist()
+        thr_by_code = np.array(
+            [default_thr if u is None else thr_map.get(u, default_thr)
+             for u in uniq], dtype=np.uint64)
+        codes = g.indices.fill_null(0).to_numpy(zero_copy_only=False)
+        gvalid = np.asarray(pc.is_valid(g.indices))
+        keep = (h < thr_by_code[codes]) & valid & gvalid
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 def stratified_sample(ds, group_keys: list[str], n_per_group: int, *,
                       id_col: str, n_buckets: int = 32,
                       batch_size: int = 65536):

@@ -75,6 +75,15 @@ RELATIONAL = {
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
     """,
+    "docs_mixture_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE source
+                WHEN 'src0' THEN CAST(0.8 * 4294967296 AS BIGINT)
+                WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                WHEN 'src2' THEN CAST(0.1 * 4294967296 AS BIGINT)
+                ELSE 0 END
+    """,
     "dedup_exact_incremental": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents d WHERE doc_id % 2 <> 0

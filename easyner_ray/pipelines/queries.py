@@ -262,6 +262,19 @@ def lang_id_q(sf_dir: str):
     return lang_id(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_mixture_sample(sf_dir: str):
+    """Deterministic source-mixture sampling (Pile/Dolma-style): keep
+    80% of src0, 50% of src1, 10% of src2, drop everything else — all
+    via the Knuth-hash Bernoulli gate, so the oracle is one SQL CASE."""
+    from easyner_ray.ops.relational import mixture_sample
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = mixture_sample(d, "doc_id",
+                         {"src0": 0.8, "src1": 0.5, "src2": 0.1},
+                         group_col="source")
+    return out.select_columns(["doc_id", "source"])
+
+
 def docs_repetition(sf_dir: str):
     """Gopher-style per-doc repetition signals (dup-line fractions,
     top-2/3-gram char fraction, duplicated-5-gram char coverage) — the

@@ -496,3 +496,29 @@ def test_curate_dup_span_step(ray_session):
     # coverage reaches token six; only the tail token survives
     assert out[1]["text"] == "seven" and out[1]["source"] == "s1"
     assert out[2]["text"] == "eight" and out[2]["source"] == "s2"
+
+
+def test_mixture_sample_per_group_rates(ray_session):
+    """mixture_sample applies the Knuth-hash Bernoulli gate with a
+    PER-GROUP threshold: rate 1.0 keeps everything, 0.0 / missing
+    groups drop everything, fractional rates match the hash_sample
+    formula; null keys and null groups are excluded."""
+    from easyner_ray.ops.relational import mixture_sample
+
+    n = 2000
+    ids = pa.array(list(range(n)) + [None], pa.int64())
+    grp = pa.array([("a", "b", "c", None)[i % 4] for i in range(n)] + ["a"])
+    t = pa.table({"k": ids, "g": grp})
+    out = mixture_sample(_ds(t), "k", {"a": 1.0, "b": 0.5},
+                         group_col="g").to_pandas()
+    # group a: rate 1.0 keeps every non-null-key row
+    assert (out["g"] == "a").sum() == n // 4
+    # group c (absent) and null group: default 0.0 drops all
+    assert not (out["g"] == "c").any() and out["g"].notna().all()
+    # group b: exact formula parity
+    mask32 = np.uint64(0xFFFFFFFF)
+    ks = np.arange(n, dtype=np.uint64)
+    h = (ks * np.uint64(2654435761)) & mask32
+    want_b = {int(k) for k in ks[(ks % 4 == 1)
+                                 & (h < np.uint64(int(0.5 * 2**32)))]}
+    assert set(out.loc[out["g"] == "b", "k"]) == want_b
