@@ -122,6 +122,75 @@ def exact_dedup_incremental(docs, index_path: str, *,
     return fresh.select_columns(["doc_id", "n_copies"])
 
 
+def _keep_best_kernel(t: pa.Table, score_col: str, descending: bool,
+                      count_col: str | None) -> pa.Table:
+    """One vectorized pass over a (digest, doc_id, score[, n]) table:
+    sort so each digest's best copy comes first, take run heads, and sum
+    the run's copy counts (``count_col`` when re-combining partials, else
+    the run length itself). No per-group Python."""
+    if len(t) == 0:
+        return pa.Table.from_arrays(
+            [t.column("digest"), t.column("doc_id"), t.column(score_col),
+             pa.array([], pa.int64())],
+            names=["digest", "doc_id", score_col, "n"])
+    order = "descending" if descending else "ascending"
+    t = t.take(pc.sort_indices(t, sort_keys=[
+        ("digest", "ascending"), (score_col, order), ("doc_id", "ascending")]))
+    d = t.column("digest").combine_chunks()
+    n = len(t)
+    change = np.ones(n, dtype=bool)
+    change[1:] = ~np.asarray(
+        pc.equal(d.slice(1), d.slice(0, n - 1)).fill_null(False))
+    run_start = np.flatnonzero(change)
+    counts = (np.asarray(t.column(count_col)) if count_col
+              else np.ones(n, dtype=np.int64))
+    run_n = np.add.reduceat(counts, run_start)
+    head = t.take(pa.array(run_start))
+    return pa.Table.from_arrays(
+        [head.column("digest"), head.column("doc_id"),
+         head.column(score_col), pa.array(run_n, pa.int64())],
+        names=["digest", "doc_id", score_col, "n"])
+
+
+def dedup_keep_best(docs, score_col: str, *, text_col: str = "text",
+                    descending: bool = True, n_buckets: int = 32,
+                    batch_size: int = 8192):
+    """Quality-aware exact dedup (the Dolma/FineWeb refinement of "keep
+    min id"): one representative per distinct text — the copy with the
+    BEST ``score_col`` (ties: min doc_id) — plus the copy count.
+    -> (doc_id, <score_col>, n_copies).
+
+    Same two-phase shape as :func:`exact_dedup` (shuffle moves one row
+    per (digest, batch), hot texts bounded by batch count); the final is
+    a digest-hash-bucketed re-run of the same argmax kernel, because the
+    representative is an ARGMAX — not expressible as independent min/max
+    aggregates over separate columns."""
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        digest = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() if s is not None else ""
+             for s in b.column(text_col).to_pylist()], pa.string())
+        t = pa.Table.from_arrays(
+            [digest, b.column("doc_id"), b.column(score_col)],
+            names=["digest", "doc_id", score_col])
+        return _keep_best_kernel(t, score_col, descending, None)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                batch_size=batch_size)
+    bucketed = partials.map_batches(
+        lambda t: add_hash_bucket(t, ["digest"], n_buckets),
+        batch_format="pyarrow")
+    final = bucketed.groupby("__bucket").map_groups(
+        lambda t: _keep_best_kernel(t.drop(["__bucket"]), score_col,
+                                    descending, "n"),
+        batch_format="pyarrow")
+    return final.map_batches(
+        lambda t: t.drop(["digest"]).rename_columns(
+            ["doc_id", score_col, "n_copies"]),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- shingles ----
 
 

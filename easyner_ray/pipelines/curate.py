@@ -189,6 +189,25 @@ def _step_dedup_exact(ds, text_col: str = "text", **_):
                               approx_bytes=ds.size_bytes())
 
 
+def _step_dedup_keep_best(ds, score_col: str = "n_chars",
+                          descending: bool = True,
+                          text_col: str = "text", **_):
+    """Exact dedup keeping the BEST copy per distinct text by
+    ``score_col`` (ties: min doc_id) instead of the min-id default —
+    quality-aware canonicalization (keep the longest / highest-quality
+    variant of a boilerplate page). Same materialize + semi-join shape
+    as :func:`_step_dedup_exact`."""
+    from easyner_ray.ops.dedup import dedup_keep_best
+    from easyner_ray.ops.relational import adaptive_semi_join
+
+    ds = ds.materialize()  # two consumers — digest pass + join left side
+    reps = dedup_keep_best(ds, score_col, text_col=text_col,
+                           descending=descending) \
+        .select_columns(["doc_id"])
+    return adaptive_semi_join(ds, reps, on="doc_id",
+                              approx_bytes=ds.size_bytes())
+
+
 def _step_dedup_incremental(ds, index: str, id_col: str = "doc_id",
                             text_col: str = "text", **_):
     """Incremental exact dedup: collapse THIS shard to per-text
@@ -417,6 +436,7 @@ STEPS = {
     "quality_percentile": _step_quality_percentile,
     "lang_filter": _step_lang_filter,
     "dedup_exact": _step_dedup_exact,
+    "dedup_keep_best": _step_dedup_keep_best,
     "dedup_incremental": _step_dedup_incremental,
     "near_dup_filter": _step_near_dup_filter,
     "near_dup_incremental": _step_near_dup_incremental,

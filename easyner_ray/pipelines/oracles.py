@@ -75,6 +75,18 @@ RELATIONAL = {
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
     """,
+    "docs_dedup_keep_best": """
+        WITH scored AS (
+            SELECT doc_id, text,
+                   (doc_id * 2654435761) % 4294967296 AS score
+            FROM documents)
+        SELECT doc_id, score, n_copies FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (PARTITION BY text
+                                      ORDER BY score DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY text) AS n_copies
+            FROM scored) WHERE rn = 1
+    """,
     "docs_mixture_sample": """
         SELECT doc_id, source FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 <

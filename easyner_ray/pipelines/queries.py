@@ -275,6 +275,29 @@ def docs_mixture_sample(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def docs_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup: per distinct text keep the copy with
+    the highest score (ties: min doc_id). The score here is the Knuth
+    hash of doc_id — it varies BETWEEN copies of the same text (unlike
+    n_chars, identical across copies by construction), so the argmax
+    path is genuinely exercised and stays SQL-expressible."""
+    import numpy as np
+
+    from easyner_ray.ops.dedup import dedup_keep_best
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_score(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("doc_id")).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return t.append_column("score", pa.array(h.astype(np.int64),
+                                                 pa.int64()))
+
+    scored = d.map_batches(add_score, batch_format="pyarrow")
+    return dedup_keep_best(scored, "score")
+
+
 def docs_repetition(sf_dir: str):
     """Gopher-style per-doc repetition signals (dup-line fractions,
     top-2/3-gram char fraction, duplicated-5-gram char coverage) — the

@@ -522,3 +522,38 @@ def test_mixture_sample_per_group_rates(ray_session):
     want_b = {int(k) for k in ks[(ks % 4 == 1)
                                  & (h < np.uint64(int(0.5 * 2**32)))]}
     assert set(out.loc[out["g"] == "b", "k"]) == want_b
+
+
+def test_dedup_keep_best_argmax(ray_session):
+    """Per distinct text: the highest-score copy survives (ties broken
+    by min doc_id), n_copies counts the group; unique texts keep
+    themselves with n_copies=1."""
+    from easyner_ray.ops.dedup import dedup_keep_best
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": ["aa", "aa", "aa", "bb", "bb", "cc"],
+        "score": pa.array([5, 9, 9, 1, 1, 7], pa.int64()),
+    })
+    got = {r["doc_id"]: (r["score"], r["n_copies"])
+           for r in dedup_keep_best(_ds(t), "score").take_all()}
+    assert got == {2: (9, 3),   # max score 9, tie 2<3
+                   4: (1, 2),   # tie -> min id
+                   6: (7, 1)}
+    # ascending: worst copy instead
+    lo = {r["doc_id"] for r in dedup_keep_best(
+        _ds(t), "score", descending=False).take_all()}
+    assert lo == {1, 4, 6}
+
+
+def test_curate_dedup_keep_best_step(ray_session):
+    """The step keeps whole rows of the best-scoring representative."""
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": ["s1", "s2", "s3"],
+                  "n_chars": pa.array([10, 30, 20], pa.int64()),
+                  "text": ["same", "same", "other"]})
+    out = {r["doc_id"]: r["source"]
+           for r in STEPS["dedup_keep_best"](_ds(t)).take_all()}
+    assert out == {2: "s2", 3: "s3"}
