@@ -542,6 +542,49 @@ def mixture_sample(ds, key: str, rates: dict[str, float], *,
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+_XXH32_P2 = 2246822519  # xxhash32 prime 2 — independent of _KNUTH32
+
+
+def export_shards(ds, key: str, n_shards: int, *, batch_size: int = 65536):
+    """Deterministic global shuffle + shard assignment — the map-only
+    training-export primitive (shuffle the corpus, cut it into N shards,
+    fix the within-shard order) that replaces ``random_shuffle``'s
+    all-to-all with pure arithmetic:
+
+        shard    = (key * 2654435761) mod 2^32 mod n_shards
+        sort_key = (key * 2246822519) mod 2^32
+
+    Two independent multiplicative hashes (Knuth / xxhash prime 2): the
+    shard cut and the within-shard order are uncorrelated, so shard 0 is
+    not "the smallest keys" and the order inside a shard is not key
+    order. No RNG state, stable under repartitioning, SQL-expressible —
+    and re-running on a grown corpus moves no previously-assigned row
+    (incremental export). NULL keys are dropped (they have no stable
+    identity to shuffle on)."""
+    import numpy as np
+
+    mask32 = np.uint64(0xFFFFFFFF)
+    m1, m2 = np.uint64(_KNUTH32), np.uint64(_XXH32_P2)
+    nsh = np.uint64(n_shards)
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("shard", pa.array([], pa.int64())) \
+                    .append_column("sort_key", pa.array([], pa.int64()))
+        col = t.column(key).combine_chunks()
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+            col = t.column(key).combine_chunks()
+        k = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            shard = ((k * m1) & mask32) % nsh
+            order = (k * m2) & mask32
+        return t.append_column("shard", pa.array(shard.astype(np.int64))) \
+                .append_column("sort_key", pa.array(order.astype(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 def stratified_sample(ds, group_keys: list[str], n_per_group: int, *,
                       id_col: str, n_buckets: int = 32,
                       batch_size: int = 65536):

@@ -75,6 +75,12 @@ RELATIONAL = {
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
     """,
+    "docs_export_shards": """
+        SELECT doc_id,
+               ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+               (doc_id * 2246822519) % 4294967296 AS sort_key
+        FROM documents
+    """,
     "docs_dedup_keep_best": """
         WITH scored AS (
             SELECT doc_id, text,

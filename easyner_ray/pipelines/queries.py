@@ -275,6 +275,19 @@ def docs_mixture_sample(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def docs_export_shards(sf_dir: str):
+    """Deterministic training-export shuffle: every doc gets a shard
+    (independent hash mod 8) and a within-shard order key — map-only,
+    no RNG, no all-to-all. The file-writing side of this op
+    (state.sink.write_training_shards) is exercised by unit tests; the
+    oracle checks the assignment arithmetic."""
+    from easyner_ray.ops.relational import export_shards
+
+    d = _rp(sf_dir, "documents", columns=["doc_id"])
+    return export_shards(d, "doc_id", 8) \
+        .select_columns(["doc_id", "shard", "sort_key"])
+
+
 def docs_dedup_keep_best(sf_dir: str):
     """Quality-aware exact dedup: per distinct text keep the copy with
     the highest score (ties: min doc_id). The score here is the Knuth

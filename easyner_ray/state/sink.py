@@ -229,3 +229,64 @@ def verify_manifests(root: str) -> bool:
             if meta.num_rows != e["rows"]:
                 raise ValueError(f"partition {part}: row drift in {e['file']}")
     return True
+
+
+def write_training_shards(ds, root: str, *, key: str = "doc_id",
+                          n_shards: int = 32, resume: bool = True) -> dict:
+    """Training-export sink: deterministic global shuffle
+    (:func:`easyner_ray.ops.relational.export_shards`) cut into exactly
+    ONE parquet file per shard, rows inside each file in ``sort_key``
+    order — the layout a tokenizer/loader consumes sequentially.
+
+    Each shard is sorted and written inside its own ``map_groups`` task
+    (one shard ≈ one training file; pick ``n_shards`` so a shard fits a
+    task — thousands of shards at 100 TB, exactly how real exports size
+    files). The write is atomic per shard (tmp + ``os.replace``) and the
+    file's existence is its completion marker, so a rerun after a crash
+    re-shuffles but rewrites only missing shards; ``resume=False`` wipes
+    first. Returns {root, new_shards, resumed_shards, rows_written}.
+    """
+    from easyner_ray.ops.relational import export_shards
+
+    os.makedirs(root, exist_ok=True)
+    name = lambda s: os.path.join(root, f"shard-{s:05d}.parquet")  # noqa: E731
+    existing = {int(f.split("-")[1].split(".")[0])
+                for f in os.listdir(root)
+                if f.startswith("shard-") and f.endswith(".parquet")}
+    if not resume:
+        for s in existing:
+            os.remove(name(s))
+        existing = set()
+
+    assigned = export_shards(ds, key, n_shards)
+    if existing:
+        done = pa.array(sorted(existing), pa.int64())
+
+        def prune(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.invert(pc.is_in(t.column("shard"),
+                                               value_set=done)))
+
+        assigned = assigned.map_batches(prune, batch_format="pyarrow")
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.column("shard")[0].as_py()
+        t = t.take(pc.sort_indices(t, sort_keys=[("sort_key", "ascending"),
+                                                 (key, "ascending")]))
+        tmp = name(s) + ".tmp"
+        pq.write_table(t.drop(["shard"]), tmp)
+        os.replace(tmp, name(s))
+        return pa.table({"shard": pa.array([s], pa.int64()),
+                         "rows": pa.array([len(t)], pa.int64())})
+
+    summary = assigned.groupby("shard").map_groups(
+        write_shard, batch_format="pyarrow").take_all()
+    with open(os.path.join(root, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    return {"root": root,
+            "new_shards": sorted(r["shard"] for r in summary),
+            "resumed_shards": sorted(existing),
+            "rows_written": int(sum(r["rows"] for r in summary))}

@@ -9,10 +9,11 @@ import numpy as np
 import pyarrow as pa
 
 
-def _ds(tbl: pa.Table):
+def _ds(tbl: pa.Table, blocks: int = 1):
     import ray.data as rd
 
-    return rd.from_arrow(tbl)
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(blocks) if blocks > 1 else ds
 
 
 def test_unigram_logprob_empty_corpus(ray_session):
@@ -557,3 +558,39 @@ def test_curate_dedup_keep_best_step(ray_session):
     out = {r["doc_id"]: r["source"]
            for r in STEPS["dedup_keep_best"](_ds(t)).take_all()}
     assert out == {2: "s2", 3: "s3"}
+
+
+def test_write_training_shards_sorted_and_resumable(ray_session, tmp_path):
+    """One file per shard, rows inside each file in sort_key order,
+    atomic + resumable: a rerun rewrites only missing shards."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from easyner_ray.state.sink import write_training_shards
+
+    n = 500
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": [f"doc {i}" for i in range(n)]})
+    root = str(tmp_path / "shards")
+    s1 = write_training_shards(_ds(t, 7), root, n_shards=4)
+    assert s1["new_shards"] == [0, 1, 2, 3] and s1["rows_written"] == n
+    mask32 = np.uint64(0xFFFFFFFF)
+    ids = np.arange(n, dtype=np.uint64)
+    shard = ((ids * np.uint64(2654435761)) & mask32) % np.uint64(4)
+    order = (ids * np.uint64(2246822519)) & mask32
+    total = 0
+    for s in range(4):
+        f = pq.read_table(os.path.join(root, f"shard-{s:05d}.parquet"))
+        got = np.asarray(f.column("sort_key"))
+        assert (np.diff(got) >= 0).all()            # within-shard order
+        want = np.sort(order[shard == s].astype(np.int64))
+        assert (got == want).all()                  # exact membership
+        total += len(f)
+    assert total == n
+    # resume: delete one shard, rerun -> only that shard rewritten
+    os.remove(os.path.join(root, "shard-00002.parquet"))
+    s2 = write_training_shards(_ds(t, 7), root, n_shards=4)
+    assert s2["new_shards"] == [2] and sorted(s2["resumed_shards"]) == [0, 1, 3]
+    assert len(pq.read_table(os.path.join(root, "shard-00002.parquet"))) == \
+        int((shard == 2).sum())
