@@ -700,6 +700,51 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def logprob_buckets(docs, *, qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                    labels: tuple[str, str, str] = ("tail", "middle", "head"),
+                    id_col: str = "doc_id", text_col: str = "text",
+                    batch_size: int = 4096):
+    """CCNet's head/middle/tail split: label every document by which
+    corpus-level band its LM quality score (:func:`unigram_logprob`)
+    falls in — ``head`` = most probable text (lowest perplexity),
+    ``tail`` = least. CCNet trains different models per band and mixes
+    them by quality; this is the labeling pass.
+
+    Two-pass, no sort: score once (checkpointed — the score table feeds
+    both the threshold probe and the labeling map), resolve the two band
+    edges with the histogram-refinement quantile core (DuckDB
+    ``quantile_disc`` semantics, so the SQL oracle reproduces the exact
+    edge values over the shared 1e-4-rounded score column), then one
+    vectorized comparison per batch. -> (id, n_tokens, logprob, bucket).
+    """
+    from easyner_ray.ops.sketch import exact_quantiles
+
+    lp = unigram_logprob(docs, id_col=id_col, text_col=text_col,
+                         batch_size=batch_size).materialize()
+    th = exact_quantiles(lp, "logprob", [qs[0], qs[1]])
+    t1, t2 = th[qs[0]], th[qs[1]]
+    if t1 is None:  # empty corpus: typed empty result, stable schema
+        import ray.data as rd
+
+        base = lp.schema().base_schema
+        return rd.from_arrow(pa.schema(
+            list(zip(base.names, base.types))
+            + [("bucket", pa.string())]).empty_table())
+
+    def label(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(
+                "bucket", pa.array([], pa.string()))
+        v = t.column("logprob")
+        b = pc.if_else(pc.greater_equal(v, t2), labels[2],
+                       pc.if_else(pc.greater_equal(v, t1), labels[1],
+                                  labels[0]))
+        return t.append_column("bucket", b.cast(pa.string()))
+
+    return lp.map_batches(label, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 # ----------------------------------------------------------- chunking ---
 
 

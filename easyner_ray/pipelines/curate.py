@@ -363,6 +363,26 @@ def _step_logprob_filter(ds, low: float = 0.05, high: float = 0.95,
     return adaptive_semi_join(ds, keep, on=id_col)
 
 
+def _step_ppl_bucket(ds, keep: list[str] | None = None,
+                     id_col: str = "doc_id", text_col: str = "text", **_):
+    """CCNet band gate: label every doc head/middle/tail by corpus
+    logprob terciles (ops.textstats.logprob_buckets) and keep only the
+    requested bands (default: drop the tail). The label table is
+    id+bucket-sized; docs re-join it with an adaptive semi join."""
+    from easyner_ray.ops.relational import adaptive_semi_join
+    from easyner_ray.ops.textstats import logprob_buckets
+
+    wanted = keep or ["head", "middle"]
+    ds = ds.materialize()  # two consumers — score pass + join left side
+    lab = logprob_buckets(ds, id_col=id_col, text_col=text_col)
+    ids = lab.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"),
+                                    value_set=pa.array(wanted))),
+        batch_format="pyarrow").select_columns([id_col])
+    return adaptive_semi_join(ds, ids, on=id_col,
+                              approx_bytes=ds.size_bytes())
+
+
 def _step_weighted_sample(ds, k: int, group_by: list[str] | None = None,
                           weight: str = "n_chars", id_col: str = "doc_id",
                           **_):
@@ -444,6 +464,7 @@ STEPS = {
     "hash_sample": _step_hash_sample,
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,
+    "ppl_bucket": _step_ppl_bucket,
     "weighted_sample": _step_weighted_sample,
     "redact": _step_redact,
     "chunk": _step_chunk,

@@ -818,6 +818,28 @@ RELATIONAL["docs_vocab_top"] = """
     GROUP BY term ORDER BY cnt DESC, term LIMIT 100
 """
 
+RELATIONAL["docs_ppl_buckets"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM tok),
+    lp AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(sum(tf * ln(cnt * 1.0 / tot.n)) / sum(tf), 4) AS logprob
+      FROM tf JOIN tc USING (term) CROSS JOIN tot
+      GROUP BY doc_id),
+    th AS (SELECT quantile_disc(logprob, 1.0/3) AS t1,
+                  quantile_disc(logprob, 2.0/3) AS t2 FROM lp)
+    SELECT doc_id, n_tokens, logprob,
+           CASE WHEN logprob >= t2 THEN 'head'
+                WHEN logprob >= t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lp CROSS JOIN th
+"""
+
 RELATIONAL["docs_unigram_logprob"] = """
     WITH tok AS (
       SELECT doc_id,

@@ -1404,6 +1404,15 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail labeling: tercile bands of the unigram-LM
+    quality score over the whole corpus."""
+    from easyner_ray.ops.textstats import logprob_buckets
+
+    return logprob_buckets(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def docs_decontam(sf_dir: str):
     """Train/eval n-gram contamination audit (the GPT-3-style overlap
     check): documents with ``doc_id % 10 == 0`` stand in as the held-out

@@ -594,3 +594,52 @@ def test_write_training_shards_sorted_and_resumable(ray_session, tmp_path):
     assert s2["new_shards"] == [2] and sorted(s2["resumed_shards"]) == [0, 1, 3]
     assert len(pq.read_table(os.path.join(root, "shard-00002.parquet"))) == \
         int((shard == 2).sum())
+
+
+def test_logprob_buckets_terciles(ray_session):
+    """Tercile labels: scores >= the 2/3-quantile element are head,
+    >= 1/3 middle, rest tail; empty corpus yields a typed empty set."""
+    from easyner_ray.ops.textstats import logprob_buckets
+
+    # 9 docs on a smooth quality gradient: doc i mixes i rare tokens
+    # into (9 - i) common ones -> 9 distinct logprobs, descending in i
+    texts = [" ".join(["common"] * (9 - i) + [f"rare{i}_{j}" for j in range(i)])
+             for i in range(9)]
+    t = pa.table({"doc_id": pa.array(range(9), pa.int64()), "text": texts})
+    out = logprob_buckets(_ds(t, 3)).to_pandas()
+    by = dict(zip(out["doc_id"], out["bucket"]))
+    # expected via the same quantile_disc rank rule over the scores
+    lp = out.set_index("doc_id")["logprob"]
+    srt = np.sort(lp.values)
+    t1, t2 = srt[int(np.ceil(9 / 3)) - 1], srt[int(np.ceil(18 / 3)) - 1]
+    want = {i: ("head" if lp[i] >= t2 else "middle" if lp[i] >= t1 else "tail")
+            for i in range(9)}
+    assert by == want
+    # the gradient makes the split non-degenerate: all three bands occur
+    assert {"head", "middle", "tail"} == set(by.values())
+
+    empty = _ds(pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}))
+    got = logprob_buckets(empty)
+    assert got.count() == 0
+    assert "bucket" in got.schema().base_schema.names
+
+
+def test_curate_ppl_bucket_step(ray_session):
+    """Default keep=[head, middle] drops the tail band, rows survive
+    with all their columns."""
+    from easyner_ray.pipelines.curate import STEPS
+
+    from easyner_ray.ops.textstats import logprob_buckets
+
+    texts = [" ".join(["common"] * (9 - i) + [f"rare{i}_{j}" for j in range(i)])
+             for i in range(9)]
+    t = pa.table({"doc_id": pa.array(range(9), pa.int64()),
+                  "source": [f"s{i}" for i in range(9)],
+                  "text": texts})
+    out = STEPS["ppl_bucket"](_ds(t, 2)).to_pandas()
+    lab = logprob_buckets(_ds(t)).to_pandas()
+    want = sorted(lab.loc[lab["bucket"] != "tail", "doc_id"])
+    assert 0 < len(want) < 9              # non-degenerate split
+    assert sorted(out["doc_id"]) == want
+    assert set(out.columns) == {"doc_id", "source", "text"}
