@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep_best": q.docs_dedup_keep_best,  # argmax-quality dedup
         "docs_export_shards": q.docs_export_shards,  # deterministic shuffle+shard
         "docs_ppl_buckets": q.docs_ppl_buckets,      # CCNet head/middle/tail
+        "docs_token_budget": q.docs_token_budget,    # per-source token budget
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only
         "rolling_fingerprints": q.rolling_fp_q,      # derived-gold oracle

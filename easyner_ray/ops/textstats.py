@@ -905,6 +905,186 @@ def chunk_documents(docs, *, size: int, overlap: int = 0,
 # ----------------------------------------------------- sequence packing ---
 
 
+def token_budget_subset(ds, budget: int, *, group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_bins: int = 4096, max_depth: int = 4,
+                        collect_cap: int = 2_000_000,
+                        batch_size: int = 65536):
+    """Per-source token-budget subset — the Pile/DoReMi assembly rule
+    "take the first N tokens of each source along the shuffled order":
+    keep a doc iff its running token total (ordered by the deterministic
+    export-shuffle hash ``h = (id * 2246822519) mod 2^32``, ties by id,
+    within its source) is <= ``budget``. Exactly SQL's
+    ``sum(n_tokens) OVER (PARTITION BY source ORDER BY h, id) <= budget``
+    — but WITHOUT the per-source global sort that window rule implies
+    (one source = one task at 100 TB).
+
+    Instead, the cut point is resolved the way
+    :func:`easyner_ray.ops.sketch.exact_quantiles` resolves a rank —
+    histogram refinement, generalized to WEIGHTED prefix sums: each pass
+    streams the compact (group, h, tokens) table once, histograms every
+    active source's candidate h-range (token-weighted + row counts),
+    and the bin where the cumulative crosses the remaining budget
+    narrows ``n_bins``-fold. When a source's boundary range holds under
+    ``collect_cap`` rows (or h can't split further — total h-tie), ONE
+    bounded collect sorts just that range by (h, id) and cuts exactly.
+    Docs below the final range are kept wholesale; above, dropped; the
+    driver never holds more than histograms and the boundary rows.
+
+    Negative / NULL ids and NULL groups are dropped (same identity
+    contract as :func:`pack_documents`). A source whose total fits the
+    budget is kept whole (no boundary work at all).
+    -> input columns + ``n_tokens``, filtered.
+    """
+    import ray
+
+    from easyner_ray.ops.relational import _XXH32_P2, grouped_agg
+
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_XXH32_P2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        ok = pc.and_kleene(
+            pc.and_kleene(ids.is_valid(), pc.greater_equal(ids, 0)),
+            t.column(group_col).combine_chunks().is_valid())
+        if len(ok) and not pc.all(ok).as_py():
+            t = t.filter(ok)
+            ids = t.column(id_col).combine_chunks()
+        w = pc.count_substring_regex(t.column(text_col),
+                                     WS_TOKEN_RE).cast(pa.int64())
+        k = np.asarray(ids.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult) & mask32
+        return pa.Table.from_arrays(
+            [ids, t.column(group_col),
+             pa.array(h.astype(np.int64), pa.int64()), w],
+            names=[id_col, group_col, "__h", "n_tokens"])
+
+    compact = ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=batch_size).materialize()
+
+    totals = {r[group_col]: r["tok"] for r in grouped_agg(
+        compact.select_columns([group_col, "n_tokens"]), [group_col],
+        [("n_tokens", "sum", "tok")]).take_all()}
+
+    # per-group state: candidate range [lo, hi) holding the cut, tokens
+    # still spendable inside it, and the row count of the range
+    states = {g: {"lo": 0, "hi": 1 << 32, "need": int(budget), "rows": None}
+              for g, tot in totals.items() if tot > budget >= 0}
+    keep_all = {g for g, tot in totals.items() if tot <= budget}
+
+    def _hist(t: pa.Table, spec: list[tuple]) -> pa.Table:
+        g = t.column(group_col).combine_chunks()
+        h = np.asarray(t.column("__h")).astype(np.uint64)
+        w = np.asarray(t.column("n_tokens"))
+        rows = []
+        for si, (gv, lo, hi) in enumerate(spec):
+            m = np.asarray(pc.equal(g, gv).fill_null(False))
+            m &= (h >= np.uint64(lo)) & (h < np.uint64(hi))
+            if not m.any():
+                continue
+            hh, ww = h[m], w[m]
+            b = ((hh - np.uint64(lo)) * np.uint64(n_bins)
+                 // np.uint64(hi - lo)).astype(np.int64)
+            rows.append({"si": si,
+                         "wsum": np.bincount(b, weights=ww,
+                                             minlength=n_bins
+                                             ).astype(np.int64).tobytes(),
+                         "cnt": np.bincount(b, minlength=n_bins
+                                            ).astype(np.int64).tobytes()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("si", pa.int64()),
+                                    ("wsum", pa.binary()),
+                                    ("cnt", pa.binary())]))
+
+    for _ in range(max_depth):
+        active = [(g, s["lo"], s["hi"]) for g, s in states.items()
+                  if (s["rows"] is None or s["rows"] > collect_cap)
+                  and s["hi"] - s["lo"] > 1]
+        if not active:
+            break
+        spec = active
+        parts = compact.map_batches(
+            lambda t, sp=spec: _hist(t, sp), batch_format="pyarrow",
+            batch_size=batch_size).take_all()
+        wsum = np.zeros((len(spec), n_bins), dtype=np.int64)
+        cnt = np.zeros((len(spec), n_bins), dtype=np.int64)
+        for r in parts:
+            wsum[r["si"]] += np.frombuffer(r["wsum"], dtype=np.int64)
+            cnt[r["si"]] += np.frombuffer(r["cnt"], dtype=np.int64)
+        for si, (gv, lo, hi) in enumerate(spec):
+            s = states[gv]
+            prefix = np.cumsum(wsum[si])
+            b = int(np.searchsorted(prefix, s["need"], side="right"))
+            # bin b is where the cumulative first EXCEEDS need
+            s["need"] -= int(prefix[b - 1]) if b else 0
+            span = hi - lo
+            s["lo"] = lo + (b * span + n_bins - 1) // n_bins
+            s["hi"] = lo + ((b + 1) * span + n_bins - 1) // n_bins
+            s["rows"] = int(cnt[si][b])
+
+    # bounded collect of every boundary range -> exact (h, id)-order cut
+    kept_boundary: list[np.ndarray] = []
+    if states:
+        spec = [(g, s["lo"], s["hi"]) for g, s in states.items()]
+
+        def boundary(t: pa.Table, sp=spec) -> pa.Table:
+            g = t.column(group_col).combine_chunks()
+            h = np.asarray(t.column("__h")).astype(np.uint64)
+            m = np.zeros(len(t), dtype=bool)
+            for gv, lo, hi in sp:
+                gm = np.asarray(pc.equal(g, gv).fill_null(False))
+                m |= gm & (h >= np.uint64(lo)) & (h < np.uint64(hi))
+            return t.filter(pa.array(m))
+
+        rows = compact.map_batches(boundary, batch_format="pyarrow",
+                                   batch_size=batch_size).take_all()
+        if rows:
+            bt = pa.Table.from_pylist(rows)
+            bt = bt.take(pc.sort_indices(bt, sort_keys=[
+                (group_col, "ascending"), ("__h", "ascending"),
+                (id_col, "ascending")]))
+            gv = bt.column(group_col).to_pylist()
+            ids = np.asarray(bt.column(id_col))
+            ws = np.asarray(bt.column("n_tokens"))
+            run_need, cur = 0, None
+            keep_ids = []
+            for i in range(len(bt)):
+                if gv[i] != cur:
+                    cur, run_need = gv[i], states[gv[i]]["need"]
+                run_need -= int(ws[i])
+                if run_need >= 0:
+                    keep_ids.append(int(ids[i]))
+            kept_boundary.append(np.array(sorted(keep_ids), dtype=np.int64))
+    kept_ids = (kept_boundary[0] if kept_boundary
+                else np.array([], dtype=np.int64))
+    cuts = {g: s["lo"] for g, s in states.items()}
+    kept_ref = ray.put(kept_ids)
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        g = t.column(group_col).combine_chunks().dictionary_encode()
+        uniq = g.dictionary.to_pylist()
+        cut_by_code = np.array(
+            [(1 << 32) if u in keep_all else cuts.get(u, 0) for u in uniq],
+            dtype=np.uint64)
+        codes = g.indices.fill_null(0).to_numpy(zero_copy_only=False)
+        h = np.asarray(t.column("__h")).astype(np.uint64)
+        keep = h < cut_by_code[codes]
+        kb = ray.get(kept_ref)
+        if len(kb):
+            ids = np.asarray(t.column(id_col))
+            pos = np.searchsorted(kb, ids)
+            pos[pos == len(kb)] = 0
+            keep |= kb[pos] == ids
+        return t.filter(pa.array(keep)).drop(["__h"])
+
+    return compact.map_batches(final_filter, batch_format="pyarrow",
+                               batch_size=batch_size)
+
+
 def pack_documents(ds, budget: int, *, by: list[str] | None = None,
                    id_col: str = "doc_id", text_col: str = "text",
                    n_buckets: int = 64, batch_size: int = 65536):

@@ -81,6 +81,19 @@ RELATIONAL = {
                (doc_id * 2246822519) % 4294967296 AS sort_key
         FROM documents
     """,
+    "docs_token_budget": """
+        WITH w AS (
+          SELECT doc_id, source,
+                 (doc_id * 2246822519) % 4294967296 AS h,
+                 len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY h, doc_id) AS cum
+              FROM w)
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM c WHERE cum <= 800
+    """,
     "docs_dedup_keep_best": """
         WITH scored AS (
             SELECT doc_id, text,

@@ -1404,6 +1404,18 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_token_budget(sf_dir: str):
+    """Per-source token-budget subset (Pile/DoReMi assembly): the first
+    800 tokens of every source along the deterministic export-shuffle
+    order — resolved by weighted histogram refinement, not a per-source
+    sort."""
+    from easyner_ray.ops.textstats import token_budget_subset
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return token_budget_subset(d, 800) \
+        .select_columns(["doc_id", "source", "n_tokens"])
+
+
 def docs_ppl_buckets(sf_dir: str):
     """CCNet head/middle/tail labeling: tercile bands of the unigram-LM
     quality score over the whole corpus."""

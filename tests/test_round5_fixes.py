@@ -643,3 +643,41 @@ def test_curate_ppl_bucket_step(ray_session):
     assert 0 < len(want) < 9              # non-degenerate split
     assert sorted(out["doc_id"]) == want
     assert set(out.columns) == {"doc_id", "source", "text"}
+
+
+def test_token_budget_subset_matches_window_spec(ray_session):
+    """Weighted-refinement cut == the brute window rule (cumsum along
+    (h, id) within source <= budget), forced through MULTIPLE histogram
+    depths (tiny bins + collect cap) and the boundary-collect tie path;
+    keep-all and zero-budget sources behave."""
+    from easyner_ray.ops.textstats import token_budget_subset
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    src = np.array(["a", "b", "c"])[ids % 3]
+    toks = rng.randint(1, 40, n)
+    texts = [" ".join(["t"] * k) for k in toks]
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src),
+                  "text": pa.array(texts)})
+
+    def brute(budget):
+        h = (ids.astype(np.uint64) * np.uint64(2246822519)) \
+            & np.uint64(0xFFFFFFFF)
+        keep = set()
+        for g in ("a", "b", "c"):
+            m = np.flatnonzero(src == g)
+            order = m[np.lexsort((ids[m], h[m]))]
+            cum = np.cumsum(toks[order])
+            keep |= set(ids[order[cum <= budget]].tolist())
+        return keep
+
+    for budget in (0, 500, 7000, 10**9):
+        got = {r["doc_id"] for r in token_budget_subset(
+            _ds(t, 13), budget, n_bins=4, max_depth=12,
+            collect_cap=16).take_all()}
+        assert got == brute(budget), budget
+
+    # n_tokens rides along on survivors
+    out = token_budget_subset(_ds(t, 5), 500).take_all()
+    assert all(r["n_tokens"] == toks[r["doc_id"]] for r in out)
