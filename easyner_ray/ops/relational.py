@@ -542,6 +542,57 @@ def mixture_sample(ds, key: str, rates: dict[str, float], *,
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def snapshot_diff(old, new, *, key: str = "doc_id",
+                  fingerprint_col: str = "fingerprint"):
+    """Corpus version audit: what changed between two snapshots of the
+    same table — the validation step before promoting a re-crawled /
+    re-curated corpus. Inputs are (key, fingerprint) projections of each
+    version; output is ``(key, status)`` with status in
+    ``added`` (key only in new) / ``removed`` (only in old) /
+    ``changed`` (both, different fingerprint); unchanged rows are
+    dropped, so the result is diff-sized, not corpus-sized.
+
+    Rides :func:`full_outer_join` (hash-shuffle above the byte gate,
+    single-task Arrow below), then one vectorized status map — the
+    audit never materializes either corpus on the driver."""
+    import ray.data as rd
+
+    def project(src, new_name: str):
+        # rename per batch, and union one typed zero-row block: a fully
+        # empty snapshot otherwise loses its schema through map_batches
+        # (and Dataset.rename_columns doesn't re-project a zero-row
+        # dataset's reported schema), which would break full_outer_join's
+        # empty-side short-circuits
+        base = src.schema().base_schema
+        anchor = pa.schema([(key, base.field(key).type),
+                            (new_name, base.field(fingerprint_col).type)])
+        proj = src.select_columns([key, fingerprint_col]).map_batches(
+            lambda t: t.rename_columns([key, new_name]),
+            batch_format="pyarrow")
+        return proj.union(rd.from_arrow(anchor.empty_table()))
+
+    o = project(old, "__fp_old")
+    n = project(new, "__fp_new")
+    joined = full_outer_join(o, n, on=key)
+
+    def status(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=[key, "status"])
+        fo, fn = t.column("__fp_old"), t.column("__fp_new")
+        st = pc.if_else(pc.is_null(fo), "added",
+                        pc.if_else(pc.is_null(fn), "removed", "changed"))
+        keep = pc.or_kleene(
+            pc.or_kleene(pc.is_null(fo), pc.is_null(fn)),
+            pc.not_equal(fo, fn)).fill_null(False)
+        out = pa.Table.from_arrays([t.column(key), st.cast(pa.string())],
+                                   names=[key, "status"])
+        return out.filter(keep)
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
 _XXH32_P2 = 2246822519  # xxhash32 prime 2 — independent of _KNUTH32
 
 

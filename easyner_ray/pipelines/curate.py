@@ -23,6 +23,9 @@ Config::
         {"op": "hash_sample", "rate": 0.5},
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
         {"op": "logprob_filter", "low": 0.05, "high": 0.95},
+        {"op": "ppl_bucket", "keep": ["head", "middle"]},       # CCNet bands
+        {"op": "dedup_keep_best", "score_col": "n_chars"},      # argmax copy
+        {"op": "token_budget", "budget": 1000000},              # per-source cut
         {"op": "weighted_sample", "k": 1000, "weight": "n_chars"},
         {"op": "chunk", "size": 2048, "overlap": 128},          # training windows
         {"op": "pack", "budget": 2048, "by": ["source"]}        # sequence packs
@@ -383,6 +386,23 @@ def _step_ppl_bucket(ds, keep: list[str] | None = None,
                               approx_bytes=ds.size_bytes())
 
 
+def _step_token_budget(ds, budget: int, group_col: str = "source",
+                       id_col: str = "doc_id", text_col: str = "text", **_):
+    """Per-source token-budget cut (ops.textstats.token_budget_subset):
+    keep each source's first ``budget`` tokens along the deterministic
+    export-shuffle order — the mixture-assembly step that follows
+    quality filtering. Survivor ids re-join the full rows adaptively."""
+    from easyner_ray.ops.relational import adaptive_semi_join
+    from easyner_ray.ops.textstats import token_budget_subset
+
+    ds = ds.materialize()  # two consumers — budget probe + join left side
+    ids = token_budget_subset(ds, budget, group_col=group_col,
+                              id_col=id_col, text_col=text_col) \
+        .select_columns([id_col])
+    return adaptive_semi_join(ds, ids, on=id_col,
+                              approx_bytes=ds.size_bytes())
+
+
 def _step_weighted_sample(ds, k: int, group_by: list[str] | None = None,
                           weight: str = "n_chars", id_col: str = "doc_id",
                           **_):
@@ -465,6 +485,7 @@ STEPS = {
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,
     "ppl_bucket": _step_ppl_bucket,
+    "token_budget": _step_token_budget,
     "weighted_sample": _step_weighted_sample,
     "redact": _step_redact,
     "chunk": _step_chunk,

@@ -81,6 +81,23 @@ RELATIONAL = {
                (doc_id * 2246822519) % 4294967296 AS sort_key
         FROM documents
     """,
+    "docs_snapshot_diff": """
+        WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN md5(text || ' v2')
+                      ELSE md5(text) END AS fp
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, md5(text || ' new')
+          FROM documents WHERE doc_id % 17 = 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
     "docs_token_budget": """
         WITH w AS (
           SELECT doc_id, source,

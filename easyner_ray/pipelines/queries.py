@@ -1404,6 +1404,52 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_snapshot_diff(sf_dir: str):
+    """Corpus version audit: diff the documents table against a
+    deterministically mutated v2 (drop doc_id%11, rewrite doc_id%13,
+    add doc_id%17 under shifted ids) -> (doc_id, status) for every
+    added / removed / changed doc. Fingerprints are md5 of the text,
+    the same content hash doc_stats exposes."""
+    import hashlib
+
+    from easyner_ray.ops.relational import snapshot_diff
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def fp(t: pa.Table, suffix: str = "") -> pa.Table:
+        h = pa.array([hashlib.md5((s + suffix).encode()).hexdigest()
+                      for s in t.column("text").to_pylist()], pa.string())
+        return pa.Table.from_arrays([t.column("doc_id"), h],
+                                    names=["doc_id", "fingerprint"])
+
+    old = d.map_batches(fp, batch_format="pyarrow")
+
+    import numpy as np
+
+    def new_kept(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"))
+        t = t.filter(pa.array(ids % 11 != 0))
+        ids = np.asarray(t.column("doc_id"))
+        changed = ids % 13 == 0
+        h = pa.array(
+            [hashlib.md5((s + (" v2" if c else "")).encode()).hexdigest()
+             for s, c in zip(t.column("text").to_pylist(), changed)],
+            pa.string())
+        return pa.Table.from_arrays([t.column("doc_id"), h],
+                                    names=["doc_id", "fingerprint"])
+
+    def new_added(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"))
+        t = t.filter(pa.array(ids % 17 == 0))
+        out = fp(t, " new")
+        return out.set_column(0, "doc_id",
+                              pc.add(out.column("doc_id"), 1000000))
+
+    new = d.map_batches(new_kept, batch_format="pyarrow").union(
+        d.map_batches(new_added, batch_format="pyarrow"))
+    return snapshot_diff(old, new)
+
+
 def docs_token_budget(sf_dir: str):
     """Per-source token-budget subset (Pile/DoReMi assembly): the first
     800 tokens of every source along the deterministic export-shuffle

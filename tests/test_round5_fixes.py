@@ -681,3 +681,40 @@ def test_token_budget_subset_matches_window_spec(ray_session):
     # n_tokens rides along on survivors
     out = token_budget_subset(_ds(t, 5), 500).take_all()
     assert all(r["n_tokens"] == toks[r["doc_id"]] for r in out)
+
+
+def test_snapshot_diff_statuses(ray_session):
+    """added / removed / changed classified; unchanged rows dropped;
+    empty-new and empty-old edges survive the full_outer short-circuits."""
+    from easyner_ray.ops.relational import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "fingerprint": ["a", "b", "c", "d"]})
+    new = pa.table({"doc_id": pa.array([2, 3, 4, 9], pa.int64()),
+                    "fingerprint": ["b", "CHANGED", "d", "z"]})
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(_ds(old, 2), _ds(new, 2)).take_all()}
+    assert got == {1: "removed", 3: "changed", 9: "added"}
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "fingerprint": pa.array([], pa.string())})
+    assert {r["status"] for r in
+            snapshot_diff(_ds(old), _ds(empty)).take_all()} == {"removed"}
+    assert {r["status"] for r in
+            snapshot_diff(_ds(empty), _ds(new)).take_all()} == {"added"}
+
+
+def test_curate_token_budget_step(ray_session):
+    """The step keeps full rows of each source's budget-window docs."""
+    from easyner_ray.pipelines.curate import STEPS
+    from easyner_ray.ops.textstats import token_budget_subset
+
+    ids = np.arange(60, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "source": np.array(["a", "b"])[ids % 2].tolist(),
+                  "text": [" ".join(["w"] * (3 + int(i) % 5)) for i in ids]})
+    out = STEPS["token_budget"](_ds(t, 3), budget=40).to_pandas()
+    want = sorted(r["doc_id"] for r in
+                  token_budget_subset(_ds(t), 40).take_all())
+    assert sorted(out["doc_id"]) == want and 0 < len(want) < 60
+    assert set(out.columns) == {"doc_id", "source", "text"}
