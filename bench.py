@@ -139,6 +139,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_weighted_sample": q.orders_weighted_sample,
         "user_order_event_profile": q.user_order_event_profile,
         "events_rollup": q.events_rollup,
+        # round-5 operators
+        "docs_mixture_sample": q.docs_mixture_sample,
+        "docs_dedup_keep_best": q.docs_dedup_keep_best,
+        "docs_export_shards": q.docs_export_shards,
+        "docs_ppl_buckets": q.docs_ppl_buckets,
+        "docs_token_budget": q.docs_token_budget,
+        "docs_snapshot_diff": q.docs_snapshot_diff,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -81,6 +81,13 @@ RELATIONAL = {
                (doc_id * 2246822519) % 4294967296 AS sort_key
         FROM documents
     """,
+    "docs_source_report": """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '[^\\s]+')))
+                    AS BIGINT) AS n_tokens,
+               count(DISTINCT md5(text)) AS n_distinct
+        FROM documents GROUP BY source
+    """,
     "docs_snapshot_diff": """
         WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
         new AS (

@@ -1404,6 +1404,47 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_source_report(sf_dir: str):
+    """Per-source corpus report card — docs, tokens, distinct texts
+    (the dedup-rate denominator): the summary a mixture-planning pass
+    reads before assigning source weights. Exact grouped distinct via
+    the classic two-phase shape: collapse to (source, digest) first
+    (shuffle moves one row per distinct text per batch), then a
+    source-keyspace rollup."""
+    import hashlib
+
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.ops.textstats import WS_TOKEN_RE
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dig = pa.array([hashlib.md5(s.encode()).hexdigest()
+                        for s in t.column("text").to_pylist()], pa.string())
+        tok = pc.count_substring_regex(t.column("text"),
+                                       WS_TOKEN_RE).cast(pa.int64())
+        g = pa.Table.from_arrays(
+            [t.column("source"), dig, tok,
+             pa.array(np.ones(len(t), dtype=np.int64))],
+            names=["source", "digest", "tok", "n"])
+        return g.group_by(["source", "digest"]).aggregate(
+            [("tok", "sum"), ("n", "sum")]).rename_columns(
+            ["source", "digest", "tok", "n"])
+
+    per_text = grouped_agg(
+        d.map_batches(partial, batch_format="pyarrow"),
+        ["source", "digest"], [("tok", "sum", "tok"), ("n", "sum", "n")])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("one",
+                               pa.array(np.ones(len(t), dtype=np.int64)))
+
+    return grouped_agg(
+        per_text.map_batches(ones, batch_format="pyarrow"),
+        ["source"], [("n", "sum", "n_docs"), ("tok", "sum", "n_tokens"),
+                     ("one", "sum", "n_distinct")])
+
+
 def docs_snapshot_diff(sf_dir: str):
     """Corpus version audit: diff the documents table against a
     deterministically mutated v2 (drop doc_id%11, rewrite doc_id%13,
