@@ -642,6 +642,39 @@ RELATIONAL["embedding_dup_groups"] = """
     SELECT vec_id, min(label) AS group_id FROM cc GROUP BY vec_id
 """
 
+RELATIONAL["docs_near_dup_keep_best"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), cc(doc_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.doc_id
+    ), labels AS (
+      SELECT doc_id, min(label) AS group_id FROM cc GROUP BY doc_id
+    ), scored AS (
+      SELECT COALESCE(l.group_id, d.doc_id) AS group_id, d.doc_id,
+             (d.doc_id * 2654435761) % 4294967296 AS score
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT group_id, doc_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY group_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn = 1
+"""
+
 RELATIONAL["events_running_totals"] = """
     SELECT user_id, event_id, value,
            row_number() OVER w AS rn,

@@ -1404,6 +1404,43 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_near_dup_keep_best(sf_dir: str):
+    """Cluster-level quality-aware near-dedup: exact n-gram Jaccard
+    pairs (>= 0.2) -> connected components -> keep the BEST-scoring
+    member of every cluster (score = Knuth hash of doc_id, ties min id);
+    docs in no pair are their own cluster and survive. The refinement
+    FineWeb applies after near-dup clustering — keep the best variant,
+    not the smallest id. -> (group_id, doc_id, score)."""
+    import numpy as np
+
+    from easyner_ray.ops.dedup import dup_groups, ngram_jaccard_pairs
+    from easyner_ray.ops.relational import adaptive_join, topk_per_group
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .materialize()  # two consumers: pair generation + member base
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, k=3)
+    labels = dup_groups(pairs)  # (doc_id, group_id), paired docs only
+
+    members = adaptive_join(
+        docs.select_columns(["doc_id"]), labels, on="doc_id", how="left")
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        gid = pc.coalesce(t.column("group_id"), ids)  # singleton = own id
+        k = np.asarray(ids).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return pa.Table.from_arrays(
+            [gid, ids, pa.array(h.astype(np.int64), pa.int64())],
+            names=["group_id", "doc_id", "score"])
+
+    scored = members.map_batches(score, batch_format="pyarrow")
+    best = topk_per_group(scored, ["group_id"], "score", 1,
+                          descending=True, tie_cols=["doc_id"])
+    return best.map_batches(lambda t: t.drop(["rn"]),
+                            batch_format="pyarrow")
+
+
 def docs_source_report(sf_dir: str):
     """Per-source corpus report card — docs, tokens, distinct texts
     (the dedup-rate denominator): the summary a mixture-planning pass
