@@ -700,6 +700,93 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(docs, *, text_col: str = "text",
+                   batch_size: int = 4096):
+    """The Gopher rule-set signals (Rae et al. 2021, Table A1) that
+    :func:`repetition_signals` doesn't cover — the structural /
+    lexical side of the filter: word count, mean word length,
+    symbol-to-word ratio ('#', '…'), bullet-started and
+    ellipsis-ended line fractions, fraction of words containing an
+    alphabetic character, and how many of Gopher's 8 stopwords appear.
+
+    Map-only, one pass, every signal a whole-column RE2 kernel
+    (``pyarrow.compute.count_substring_regex`` with ``(?m)`` for the
+    line-level ones — no line explode, no Python per row). Ratios are
+    small-int/small-int IEEE divisions, bit-stable across engines
+    unrounded (same contract as :func:`quality_scores`). Zero
+    denominators yield 0.0.
+    -> (doc_id, n_words, mean_word_len, symbol_word_ratio,
+        bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        n_stop_hits)."""
+    return docs.map_batches(
+        lambda t: gopher_signals_batch(t, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def gopher_signals_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """One-batch kernel behind :func:`gopher_signals`; also reused
+    in-place by the curate ``gopher_filter`` step (signals + gate in one
+    map, nothing joins back).
+
+    Line-level signals go through an explicit ``split_pattern`` +
+    flattened anchored matches (same explode as the repetition module):
+    ``count_substring_regex`` restarts its scan after every match and
+    treats the resume point as text start, so ``(?m)^``-anchored COUNTS
+    over-count — anchored ``match_substring_regex`` on the exploded
+    lines is exact. Lines = raw ``\n`` splits; a line is counted when
+    it has a non-blank character."""
+    text = t.column(text_col)
+    n_words = pc.count_substring_regex(
+        text, WS_TOKEN_RE).cast(pa.float64())
+    nonws = pc.count_substring_regex(text, r"\S").cast(pa.float64())
+    symbols = pc.count_substring_regex(text, "[#…]").cast(pa.float64())
+    alpha = pc.count_substring_regex(
+        text, r"[^\s]*[A-Za-z][^\s]*").cast(pa.float64())
+
+    lines = pc.split_pattern(text.combine_chunks()
+                             if isinstance(text, pa.ChunkedArray) else text,
+                             "\n")
+    flat = pc.list_flatten(lines)
+    per_doc = pc.list_value_length(lines).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
+
+    def line_count(pattern: str) -> np.ndarray:
+        m = pc.match_substring_regex(flat, pattern).fill_null(False)
+        return np.bincount(doc_of[np.asarray(m)], minlength=len(t)) \
+            .astype(np.float64)
+
+    n_lines = line_count(r"[^ \t]")            # non-blank lines
+    bullets = line_count(r"^[ \t]*[-*•]")
+    ellipsis = line_count("(\\.\\.\\.|…)[ \t]*$")
+
+    hits = None
+    for w in _GOPHER_STOPS:
+        h = pc.match_substring_regex(text, rf"\b{w}\b").cast(pa.int64())
+        hits = h if hits is None else pc.add(hits, h)
+
+    def ratio(num, den):
+        num = np.asarray(num, dtype=np.float64)
+        den = np.asarray(den, dtype=np.float64)
+        out = np.zeros(len(den))
+        nz = den > 0
+        out[nz] = num[nz] / den[nz]
+        return pa.array(out, pa.float64())
+
+    return pa.Table.from_arrays(
+        [t.column("doc_id"), n_words.cast(pa.int64()),
+         ratio(nonws, n_words), ratio(symbols, n_words),
+         ratio(bullets, n_lines), ratio(ellipsis, n_lines),
+         ratio(alpha, n_words), hits],
+        names=["doc_id", "n_words", "mean_word_len",
+               "symbol_word_ratio", "bullet_line_frac",
+               "ellipsis_line_frac", "alpha_word_frac",
+               "n_stop_hits"])
+
+
 def logprob_buckets(docs, *, qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
                     labels: tuple[str, str, str] = ("tail", "middle", "head"),
                     id_col: str = "doc_id", text_col: str = "text",

@@ -13,6 +13,7 @@ Config::
         {"op": "token_filter", "min_tokens": 5},
         {"op": "quality_filter", "max_punct_ratio": 0.3},
         {"op": "repetition_filter", "max_dup_5gram_char_frac": 0.3},
+        {"op": "gopher_filter", "min_words": 50},              # Gopher A1
         {"op": "lang_filter", "keep": ["en"]},
         {"op": "dedup_exact"},
         {"op": "dedup_incremental", "index": "/idx/digests"},   # vs kept corpus
@@ -148,6 +149,46 @@ def _step_quality_percentile(ds, metric: str = "stopword_ratio",
         return t.filter(cmp(t.column("__m"), thr)).drop(["__m"])
 
     return scored.map_batches(f, batch_format="pyarrow")
+
+
+def _step_gopher_filter(ds, min_words: int = 50, max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_word_ratio: float = 0.1,
+                        max_bullet_line_frac: float = 0.9,
+                        max_ellipsis_line_frac: float = 0.3,
+                        min_alpha_word_frac: float = 0.8,
+                        min_stop_hits: int = 2,
+                        text_col: str = "text", **_):
+    """The canonical Gopher rule set (Rae et al. 2021 Table A1
+    defaults) over :func:`ops.textstats.gopher_signals_batch` —
+    map-only: signals and gate run inside ONE batch kernel, nothing
+    joins back. Repetition thresholds live in ``repetition_filter``;
+    chain both for the full Gopher pass."""
+    import numpy as np
+
+    from easyner_ray.ops.textstats import gopher_signals_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        s = gopher_signals_batch(t, text_col)
+        nw = np.asarray(s.column("n_words"))
+        mwl = np.asarray(s.column("mean_word_len"))
+        keep = ((nw >= min_words) & (nw <= max_words)
+                & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+                & (np.asarray(s.column("symbol_word_ratio"))
+                   <= max_symbol_word_ratio)
+                & (np.asarray(s.column("bullet_line_frac"))
+                   <= max_bullet_line_frac)
+                & (np.asarray(s.column("ellipsis_line_frac"))
+                   <= max_ellipsis_line_frac)
+                & (np.asarray(s.column("alpha_word_frac"))
+                   >= min_alpha_word_frac)
+                & (np.asarray(s.column("n_stop_hits")) >= min_stop_hits))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _step_lang_filter(ds, keep: list[str], text_col: str = "text", **_):
@@ -484,6 +525,7 @@ STEPS = {
     "hash_sample": _step_hash_sample,
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,
+    "gopher_filter": _step_gopher_filter,
     "ppl_bucket": _step_ppl_bucket,
     "token_budget": _step_token_budget,
     "weighted_sample": _step_weighted_sample,

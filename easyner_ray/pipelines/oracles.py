@@ -642,6 +642,44 @@ RELATIONAL["embedding_dup_groups"] = """
     SELECT vec_id, min(label) AS group_id FROM cc GROUP BY vec_id
 """
 
+RELATIONAL["docs_gopher_signals"] = """
+    WITH c AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[^\\s]+')) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+        len(regexp_extract_all(text, '[#…]')) AS symbols,
+        len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '[^ \\t]'))) AS n_lines,
+        len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '^[ \\t]*[-*•]'))) AS bullets,
+        len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '(\\.\\.\\.|…)[ \\t]*$'))) AS ellipsis,
+        len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) AS alpha,
+        (CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\bbe\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\bto\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\bof\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\band\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\bthat\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\bhave\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(text, '\\bwith\\b') THEN 1 ELSE 0 END)
+          AS n_stop_hits
+      FROM documents)
+    SELECT doc_id, n_words,
+      CASE WHEN n_words > 0 THEN nonws * 1.0 / n_words ELSE 0.0 END
+        AS mean_word_len,
+      CASE WHEN n_words > 0 THEN symbols * 1.0 / n_words ELSE 0.0 END
+        AS symbol_word_ratio,
+      CASE WHEN n_lines > 0 THEN bullets * 1.0 / n_lines ELSE 0.0 END
+        AS bullet_line_frac,
+      CASE WHEN n_lines > 0 THEN ellipsis * 1.0 / n_lines ELSE 0.0 END
+        AS ellipsis_line_frac,
+      CASE WHEN n_words > 0 THEN alpha * 1.0 / n_words ELSE 0.0 END
+        AS alpha_word_frac,
+      CAST(n_stop_hits AS BIGINT) AS n_stop_hits
+    FROM c
+"""
+
 RELATIONAL["docs_near_dup_keep_best"] = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t FROM documents

@@ -1404,6 +1404,15 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_gopher_signals(sf_dir: str):
+    """Gopher Table-A1 structural/lexical quality signals, one RE2
+    kernel per signal (repetition signals live in docs_repetition)."""
+    from easyner_ray.ops.textstats import gopher_signals
+
+    return gopher_signals(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def docs_near_dup_keep_best(sf_dir: str):
     """Cluster-level quality-aware near-dedup: exact n-gram Jaccard
     pairs (>= 0.2) -> connected components -> keep the BEST-scoring

@@ -718,3 +718,34 @@ def test_curate_token_budget_step(ray_session):
                   token_budget_subset(_ds(t), 40).take_all())
     assert sorted(out["doc_id"]) == want and 0 < len(want) < 60
     assert set(out.columns) == {"doc_id", "source", "text"}
+
+
+def test_gopher_signals_and_filter(ray_session):
+    """Each Gopher signal fires on a crafted doc; the filter step drops
+    exactly the rule violators and keeps a clean doc."""
+    from easyner_ray.ops.textstats import gopher_signals
+    from easyner_ray.pipelines.curate import STEPS
+
+    clean = ("the quick brown fox jumps over that lazy dog and then "
+             "keeps running with steady pace to be sure of it all " * 2)
+    docs = {
+        0: clean,                                    # passes everything
+        1: "short of the and",                       # < min_words
+        2: "- one\n- two\n- three\n- four",          # bullet lines
+        3: "so… …\nmore …\nlines …",                 # ellipsis-ended
+        4: "# # # # # the of and " * 10,             # symbol ratio
+        5: "1 2 3 4 5 6 7 8 9 10 " * 10,             # alpha fraction
+        6: "lorem ipsum dolor sit amet " * 20,       # < 2 stopword hits
+    }
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": [docs[i] for i in sorted(docs)]})
+    sig = {r["doc_id"]: r for r in gopher_signals(_ds(t, 2)).take_all()}
+    assert sig[0]["n_words"] == 44 and sig[0]["n_stop_hits"] >= 2
+    assert sig[2]["bullet_line_frac"] == 1.0
+    assert sig[3]["ellipsis_line_frac"] == 1.0
+    assert sig[4]["symbol_word_ratio"] > 0.1
+    assert sig[5]["alpha_word_frac"] == 0.0
+    assert sig[6]["n_stop_hits"] < 2
+
+    out = STEPS["gopher_filter"](_ds(t, 2), min_words=30).take_all()
+    assert [r["doc_id"] for r in out] == [0]
