@@ -1107,3 +1107,193 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
             names=["doc_id", "group_id"]),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------- corpus dup-line removal ----
+
+
+def _split_lines(t: pa.Table, text_col: str):
+    """(list_array of lines, flat lines, per-doc counts, doc_of,
+    blank mask) — '\\n' split, a line is blank when it has no
+    non-space/tab character."""
+    text = t.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(text, "\n")
+    flat = pc.list_flatten(lines)
+    per_doc = pc.list_value_length(lines).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
+    blank = ~np.asarray(
+        pc.match_substring_regex(flat, r"[^ \t]").fill_null(True))
+    return lines, flat, per_doc, doc_of, blank
+
+
+def _rebuild(t: pa.Table, text_col: str, keep_flat: np.ndarray,
+             flat: pa.Array, per_doc: np.ndarray,
+             doc_of: np.ndarray) -> pa.Table:
+    """Batch rewrite: filter the flattened lines with ``keep_flat``,
+    regroup per doc (offsets from kept counts) and join with '\\n' —
+    all Arrow kernels, no per-line Python."""
+    kept = np.bincount(doc_of[keep_flat], minlength=len(t)) \
+        if len(doc_of) else np.zeros(len(t), dtype=np.int64)
+    offsets = np.zeros(len(t) + 1, dtype=np.int32)
+    np.cumsum(kept, out=offsets[1:])
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                  flat.filter(pa.array(keep_flat)))
+    clean = pc.binary_join(la, "\n")
+    removed = pa.array((per_doc - kept).astype(np.int64), pa.int64())
+    return pa.Table.from_arrays(
+        [t.column("doc_id"), clean, removed],
+        names=["doc_id", "text_clean", "n_removed"])
+
+
+def dup_line_removal(docs, *, min_count: int = 2, text_col: str = "text",
+                     batch_size: int = 4096,
+                     broadcast_max_bytes: int = 256 << 20):
+    """CORPUS-level duplicate-line (paragraph) removal — the Dolma-style
+    boilerplate cut: delete every non-blank line whose exact text occurs
+    in >= ``min_count`` documents' lines ANYWHERE in the corpus (nav
+    bars, cookie banners, license footers), keep blank lines and the
+    rest in order. -> (doc_id, text_clean, n_removed); a doc whose every
+    line is boilerplate comes back as "" (within-doc repeats are
+    :func:`dup_span_removal`'s job).
+
+    Phase 1 counts lines two-phase (per-batch group first — a banner
+    repeated a million times ships one row per batch, not per
+    occurrence). Phase 2 is ADAPTIVE on the measured dup-line table:
+    under ``broadcast_max_bytes`` it's one ``ray.put`` + a map-only
+    batch rewrite (split -> is_in -> regroup -> ``binary_join``, all
+    Arrow); above the gate, docs carrying >= 1 dup line are flagged by a
+    hash semi join on their exploded lines, only THOSE docs shuffle
+    through an anti-join + doc-bucketed reassembly, and untouched docs
+    pass through map-only (the common case: boilerplate is a tiny
+    fraction of distinct lines, but the fallback keeps the op total)."""
+    import ray
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import (add_hash_bucket,
+                                            adaptive_semi_join,
+                                            bucketed_final)
+
+    docs = docs.materialize()  # feeds the count pass + the rewrite pass
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, flat, _, _, blank = _split_lines(t, text_col)
+        nb = flat.filter(pa.array(~blank))
+        g = pa.Table.from_arrays(
+            [nb, pa.array(np.ones(len(nb), dtype=np.int64))],
+            names=["line", "n"])
+        return g.group_by("line").aggregate([("n", "sum")]) \
+            .rename_columns(["line", "n"])
+
+    counts = bucketed_final(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         batch_size=batch_size),
+        ["line"], pa_aggs=[("n", "sum")], out_names=["n"])
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_count))
+                   .select(["line"]),
+        batch_format="pyarrow").materialize()
+
+    if dup.size_bytes() <= broadcast_max_bytes:
+        dup_tbl = pa.concat_tables(
+            [b for b in ray.get(dup.to_arrow_refs()) if len(b)]) \
+            if dup.count() else None
+        ref = ray.put(dup_tbl.column("line").combine_chunks()
+                      if dup_tbl is not None else None)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            _, flat, per_doc, doc_of, blank = _split_lines(t, text_col)
+            dup_set = ray.get(ref)
+            is_dup = (np.asarray(pc.is_in(flat, value_set=dup_set))
+                      & ~blank) if dup_set is not None \
+                else np.zeros(len(flat), dtype=bool)
+            return _rebuild(t, text_col, ~is_dup, flat, per_doc, doc_of)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+    # ---- shuffle path: rewrite only the affected docs ----
+    def explode(t: pa.Table) -> pa.Table:
+        _, flat, per_doc, doc_of, blank = _split_lines(t, text_col)
+        ids = np.asarray(t.column("doc_id"))
+        return pa.Table.from_arrays(
+            [pa.array(ids[doc_of], pa.int64()),
+             pa.array(np.arange(len(flat), dtype=np.int64)
+                      - np.repeat(np.cumsum(per_doc) - per_doc, per_doc),
+                      pa.int64()),
+             flat, pa.array(blank),
+             pa.array(per_doc[doc_of], pa.int64())],
+            names=["doc_id", "idx", "line", "blank", "total"])
+
+    ex = docs.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    hit_ids = adaptive_semi_join(
+        ex.map_batches(lambda t: t.filter(
+            pc.invert(t.column("blank"))).select(["doc_id", "line"]),
+            batch_format="pyarrow"),
+        dup, on="line").select_columns(["doc_id"])
+    hit_ids = bucketed_final(
+        hit_ids.map_batches(
+            lambda t: t.append_column(
+                "n", pa.array(np.ones(len(t), dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["doc_id"], pa_aggs=[("n", "sum")], out_names=["__n"]) \
+        .select_columns(["doc_id"]).materialize()
+
+    untouched = adaptive_semi_join(docs, hit_ids, on="doc_id", anti=True) \
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("doc_id"), t.column(text_col).cast(pa.string()),
+                 pa.array(np.zeros(len(t), dtype=np.int64))],
+                names=["doc_id", "text_clean", "n_removed"]),
+            batch_format="pyarrow")
+
+    aff_lines = adaptive_semi_join(ex, hit_ids, on="doc_id")
+    # keep = blank lines + non-blank lines NOT in the dup set; a
+    # sentinel row (idx = -1) per affected doc keeps fully-wiped docs
+    # present in the groupby
+    kept_nb = adaptive_semi_join(
+        aff_lines.map_batches(
+            lambda t: t.filter(pc.invert(t.column("blank"))),
+            batch_format="pyarrow"),
+        dup, on="line", anti=True)
+    kept_blank = aff_lines.map_batches(
+        lambda t: t.filter(t.column("blank")), batch_format="pyarrow")
+    sentinel = aff_lines.map_batches(
+        lambda t: t.filter(pc.equal(t.column("idx"), 0)).set_column(
+            t.schema.get_field_index("idx"), "idx",
+            pa.array(np.full(len(t.filter(pc.equal(t.column("idx"), 0))),
+                             -1, dtype=np.int64))),
+        batch_format="pyarrow")
+    all_rows = kept_nb.union(kept_blank).union(sentinel)
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        t = t.drop(["__bucket"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                                 ("idx", "ascending")]))
+        ids = np.asarray(t.column("doc_id"))
+        idx = np.asarray(t.column("idx"))
+        total = np.asarray(t.column("total"))
+        change = np.ones(len(t), dtype=bool)
+        change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        real = idx >= 0
+        kept_per = np.add.reduceat(real.astype(np.int64), starts)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(kept_per, out=offsets[1:])
+        flat = t.column("line").combine_chunks().filter(pa.array(real))
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        clean = pc.binary_join(la, "\n")
+        removed = total[starts] - kept_per
+        return pa.Table.from_arrays(
+            [pa.array(ids[starts], pa.int64()), clean,
+             pa.array(removed.astype(np.int64), pa.int64())],
+            names=["doc_id", "text_clean", "n_removed"])
+
+    bucketed = all_rows.map_batches(
+        lambda t: add_hash_bucket(t, ["doc_id"], 64), batch_format="pyarrow")
+    rewritten = bucketed.groupby("__bucket").map_groups(
+        reassemble, batch_format="pyarrow")
+    return untouched.union(rewritten)

@@ -20,6 +20,7 @@ Config::
         {"op": "near_dup_filter", "threshold": 0.8, "k": 3},   # or "method": "minhash"
         {"op": "near_dup_incremental", "index": "/idx/minhash", "threshold": 0.8},
         {"op": "dup_span_removal", "window": 25},              # substring dedup
+        {"op": "dup_line_removal", "min_count": 2},            # boilerplate lines
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
         {"op": "hash_sample", "rate": 0.5},
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
@@ -316,6 +317,28 @@ def _step_dup_span_removal(ds, window: int = 25, id_col: str = "doc_id",
     return adaptive_join(ds.drop_columns([text_col]), cleaned, on=id_col)
 
 
+def _step_dup_line_removal(ds, min_count: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text", min_tokens: int = 1, **_):
+    """Corpus-level boilerplate-line removal (Dolma paragraph dedup):
+    cut every non-blank line occurring >= ``min_count`` times across the
+    corpus, then drop docs left under ``min_tokens``. Same rewrite-and-
+    rejoin shape as :func:`_step_dup_span_removal`."""
+    from easyner_ray.ops.dedup import dup_line_removal
+    from easyner_ray.ops.relational import adaptive_join
+
+    ds = ds.materialize()  # two consumers — rewrite source + join left
+    cleaned = dup_line_removal(ds, min_count=min_count, text_col=text_col)
+
+    def strip(t: pa.Table) -> pa.Table:
+        kept = pc.greater_equal(pc.count_substring_regex(
+            t.column("text_clean"), r"\S+"), min_tokens)
+        t = t.filter(kept).drop_columns(["n_removed"])
+        return t.rename_columns([id_col, text_col])
+
+    cleaned = cleaned.map_batches(strip, batch_format="pyarrow")
+    return adaptive_join(ds.drop_columns([text_col]), cleaned, on=id_col)
+
+
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
                           text_col: str = "text", method: str = "jaccard",
                           **_):
@@ -522,6 +545,7 @@ STEPS = {
     "near_dup_filter": _step_near_dup_filter,
     "near_dup_incremental": _step_near_dup_incremental,
     "dup_span_removal": _step_dup_span_removal,
+    "dup_line_removal": _step_dup_line_removal,
     "hash_sample": _step_hash_sample,
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,

@@ -642,6 +642,26 @@ RELATIONAL["embedding_dup_groups"] = """
     SELECT vec_id, min(label) AS group_id FROM cc GROUP BY vec_id
 """
 
+RELATIONAL["docs_dup_line_removal"] = """
+    WITH ln AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM documents),
+    ex AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS idx,
+                  unnest(l) AS line FROM ln),
+    cnt AS (SELECT line, count(*) AS c FROM ex
+            WHERE regexp_matches(line, '[^ \\t]') GROUP BY line),
+    kept AS (
+      SELECT e.doc_id,
+             string_agg(e.line, chr(10) ORDER BY e.idx) AS text_clean,
+             count(*) AS n_kept
+      FROM ex e LEFT JOIN cnt c ON e.line = c.line
+      WHERE c.c IS NULL OR c.c < 2
+      GROUP BY e.doc_id)
+    SELECT ln.doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           CAST(len(ln.l) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM ln LEFT JOIN kept k ON ln.doc_id = k.doc_id
+"""
+
 RELATIONAL["docs_gopher_signals"] = """
     WITH c AS (
       SELECT doc_id,

@@ -1404,6 +1404,15 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_dup_line_removal(sf_dir: str):
+    """Corpus-level duplicate-line (boilerplate) removal: every exact
+    line occurring >= 2 times across the corpus is cut from all docs."""
+    from easyner_ray.ops.dedup import dup_line_removal
+
+    return dup_line_removal(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def docs_gopher_signals(sf_dir: str):
     """Gopher Table-A1 structural/lexical quality signals, one RE2
     kernel per signal (repetition signals live in docs_repetition)."""

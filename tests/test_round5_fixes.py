@@ -749,3 +749,51 @@ def test_gopher_signals_and_filter(ray_session):
 
     out = STEPS["gopher_filter"](_ds(t, 2), min_words=30).take_all()
     assert [r["doc_id"] for r in out] == [0]
+
+
+def test_dup_line_removal_both_paths(ray_session):
+    """Corpus-duplicated lines are cut in every doc, blank lines and
+    unique lines survive in order, a fully-boilerplate doc comes back
+    empty — identical output on the broadcast path and the forced
+    shuffle (semi-join + bucketed reassembly) path."""
+    from easyner_ray.ops.dedup import dup_line_removal
+
+    banner = "COOKIE BANNER ACCEPT ALL"
+    footer = "(c) example corp all rights reserved"
+    docs = {
+        0: f"{banner}\nunique zero content\n\n{footer}",
+        1: f"{banner}\nsomething else entirely\n{footer}",
+        2: "totally original\n\nno boilerplate here",
+        3: f"{banner}\n{footer}",                  # fully wiped
+        4: "   \n\t\n",                            # all blank: untouched
+    }
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": [docs[i] for i in sorted(docs)]})
+    want = {
+        0: ("unique zero content\n", 2),
+        1: ("something else entirely", 2),
+        2: ("totally original\n\nno boilerplate here", 0),
+        3: ("", 2),
+        4: ("   \n\t\n", 0),
+    }
+    for force in (256 << 20, 0):
+        got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+               for r in dup_line_removal(
+                   _ds(t, 3), broadcast_max_bytes=force).take_all()}
+        assert got == want, force
+
+
+def test_curate_dup_line_step(ray_session):
+    """The step swaps cleaned text in, keeps other columns, drops docs
+    emptied below min_tokens."""
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": ["s1", "s2", "s3"],
+                  "text": ["BANNER\nreal content one",
+                           "BANNER\nreal content two",
+                           "BANNER"]})
+    out = {r["doc_id"]: r for r in STEPS["dup_line_removal"](_ds(t)).take_all()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "real content one" and out[1]["source"] == "s1"
+    assert out[2]["text"] == "real content two"
