@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dup_keep_best": q.docs_near_dup_keep_best,  # cluster argmax
         "docs_gopher_signals": q.docs_gopher_signals,  # Gopher A1 rule signals
         "docs_dup_line_removal": q.docs_dup_line_removal,  # boilerplate lines
+        "embeddings_semdedup": q.embeddings_semdedup,  # SemDeDup (derived gold)
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only
         "rolling_fingerprints": q.rolling_fp_q,      # derived-gold oracle

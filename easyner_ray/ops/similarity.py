@@ -790,3 +790,76 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, vec_col: str = "embedding",
     out = embeddings.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow")
     return cents, out
+
+
+# ------------------------------------------------------------ SemDeDup ----
+
+
+def semdedup(embeddings, *, k: int = 8, iters: int = 4,
+             threshold: float = 0.95, vec_col: str = "embedding",
+             id_col: str = "vec_id", round_digits: int = 9):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that only compares vectors INSIDE the same k-means
+    cluster — the clustering replaces all-pairs with k dense
+    within-cluster blocks. -> (id, cluster, rep_id): ``rep_id`` is the
+    smallest id reachable through within-cluster cosine >= ``threshold``
+    links; keep rows with ``rep_id == id``, drop the rest.
+
+    Shape: the proven :func:`kmeans` (broadcast centroids, partial-sum
+    merges) learns the centroids; one extra map re-assigns each batch
+    WITH its vectors along (Arrow joins can't carry list payloads, and
+    a broadcast matmul is cheaper than any join anyway); each cluster
+    then dedups in ONE ``map_groups`` task —
+    members sorted by id, one normalized Gram matmul, cosines rounded at
+    ``round_digits`` (the same layout-invariance grain as the centroid
+    update, so a straight-line gold recompute is bit-equal), union-find
+    min-label over the >= threshold pairs. Partitioning assumption: one
+    cluster fits a task — SemDeDup's own regime (k scales with the
+    corpus; the paper uses ~100k clusters for LAION-scale)."""
+    import ray
+
+    cents, _ = kmeans(embeddings, k=k, iters=iters, vec_col=vec_col,
+                      id_col=id_col, round_digits=round_digits)
+    cref = ray.put(cents)
+
+    def assign_with_vec(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _as_matrix(t.column(vec_col))
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(1)[None, :]
+        return t.append_column(
+            "cluster", pa.array(np.argmin(d2, axis=1), pa.int64()))
+
+    joined = embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign_with_vec, batch_format="pyarrow")
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")]))
+        ids = np.asarray(t.column(id_col))
+        m = _as_matrix(t.column(vec_col))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        s = np.round(mn @ mn.T, round_digits)
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ii, jj = np.nonzero(np.triu(s >= threshold, 1))
+        for a, b in zip(ii, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rep = np.array([ids[find(i)] for i in range(n)], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t.column(id_col), t.column("cluster"),
+             pa.array(rep, pa.int64())],
+            names=[id_col, "cluster", "rep_id"])
+
+    return joined.groupby("cluster").map_groups(dedup_cluster,
+                                                batch_format="pyarrow")

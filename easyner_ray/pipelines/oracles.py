@@ -555,6 +555,9 @@ RELATIONAL["cms_user_counts"] = f"SELECT user_id, est_count FROM {GCMS}"
 GKM = f"read_parquet('{SYNTH}/gold_kmeans_assign.parquet')"
 RELATIONAL["embeddings_kmeans"] = f"SELECT vec_id, cluster FROM {GKM}"
 
+GSD = f"read_parquet('{SYNTH}/gold_semdedup.parquet')"
+RELATIONAL["embeddings_semdedup"] = f"SELECT vec_id, cluster, rep_id FROM {GSD}"
+
 GMF = f"read_parquet('{SYNTH}/gold_media_features.parquet')"
 RELATIONAL["media_features"] = (
     f"SELECT item_id, kind, feat_mean, feat_l2 FROM {GMF}"

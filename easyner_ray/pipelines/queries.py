@@ -1646,6 +1646,18 @@ def embedding_dup_groups(sf_dir: str):
         batch_format="pyarrow")
 
 
+def embeddings_semdedup(sf_dir: str):
+    """SemDeDup: k-means clusters bound the comparison space, then
+    within-cluster cosine >= 0.5 components collapse to their min-id
+    representative. Oracle = straight-line recompute of the same spec
+    (gold_semdedup.parquet)."""
+    from easyner_ray.ops.similarity import semdedup
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    em = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(em, k=6, iters=4, threshold=0.5)
+
+
 def events_running_totals(sf_dir: str):
     """Partitioned analytic (window) functions — the ``f(x) OVER
     (PARTITION BY user ORDER BY ts)`` family Ray Data lacks: per-user

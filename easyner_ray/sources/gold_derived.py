@@ -764,6 +764,73 @@ def write_kmeans_gold(corpus: str, embeddings_path: str, k: int = 6,
     return path
 
 
+def write_semdedup_gold(corpus: str, embeddings_path: str, k: int = 6,
+                        iters: int = 4, threshold: float = 0.5,
+                        round_digits: int = 9) -> str:
+    """Straight-line SemDeDup over the embeddings table — the gold for
+    ``ops.similarity.semdedup`` (spec: the write_kmeans_gold assignment
+    recompute, then per cluster: members sorted by vec_id, rows
+    L2-normalized, cosines = one Gram matmul rounded at ``round_digits``
+    (the shared layout-invariance grain), union-find min-label over the
+    >= threshold pairs; rep_id = component min vec_id — duplicated here
+    on purpose, straight-line)."""
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").combine_chunks())
+    m = np.array(t.column("embedding").combine_chunks().to_pylist(),
+                 dtype=np.float64)
+    order = np.argsort(vid, kind="stable")
+    cents = m[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = m[a == c].mean(axis=0)
+        cents = np.array([[round(float(x), round_digits) for x in row]
+                          for row in cents])
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = np.argmin(d2, axis=1)
+
+    out_id, out_cl, out_rep = [], [], []
+    for c in range(k):
+        mask = assign == c
+        if not mask.any():
+            continue
+        ids = vid[mask]
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        mm = m[mask][o]
+        norms = np.linalg.norm(mm, axis=1)
+        norms[norms == 0] = 1.0
+        mn = mm / norms[:, None]
+        sim = np.round(mn @ mn.T, round_digits)
+        n = len(ids)
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ii, jj = np.nonzero(np.triu(sim >= threshold, 1))
+        for a_, b_ in zip(ii, jj):
+            ra, rb = find(int(a_)), find(int(b_))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for i in range(n):
+            out_id.append(int(ids[i]))
+            out_cl.append(c)
+            out_rep.append(int(ids[find(i)]))
+    tbl = pa.Table.from_arrays(
+        [pa.array(out_id, pa.int64()), pa.array(out_cl, pa.int64()),
+         pa.array(out_rep, pa.int64())],
+        names=["vec_id", "cluster", "rep_id"])
+    path = os.path.join(corpus, "gold_semdedup.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
                         round_digits: int = 9) -> str:
     """Straight-line PageRank over the sentence co-occurrence pair graph
@@ -1030,6 +1097,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_knn_self_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_kmeans_assign.parquet")):
             write_kmeans_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_semdedup.parquet")):
+            write_semdedup_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):

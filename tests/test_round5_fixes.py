@@ -797,3 +797,32 @@ def test_curate_dup_line_step(ray_session):
     assert set(out) == {1, 2}
     assert out[1]["text"] == "real content one" and out[1]["source"] == "s1"
     assert out[2]["text"] == "real content two"
+
+
+def test_semdedup_within_cluster_components(ray_session):
+    """Near-identical vectors collapse to the min-id rep; orthogonal
+    vectors keep themselves; representatives are transitive within a
+    cluster (a~b, b~c => one rep)."""
+    from easyner_ray.ops.similarity import semdedup
+
+    base = np.eye(4)
+    vecs = [base[0], base[0] * 1.01,              # same direction: dup
+            base[0] * 0.99 + base[1] * 0.14,      # chains to the above
+            base[1], base[2], base[3]]
+    t = pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    # k=1: one cluster, so the test isolates the within-cluster
+    # component logic (cosine chain + min-id rep) from the clustering
+    out = {r["vec_id"]: r["rep_id"]
+           for r in semdedup(_ds(t, 2), k=1, iters=1,
+                             threshold=0.95).take_all()}
+    # vecs 0/1/2 chain above threshold (0~1 exact, 2 at cos ~0.990)
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    # orthogonal vectors keep themselves
+    assert out[3] == 3 and out[4] == 4 and out[5] == 5
+    # k=4 splits the space: reps never cross cluster boundaries
+    by_cl = {}
+    for r in semdedup(_ds(t, 2), k=4, iters=2, threshold=0.95).take_all():
+        by_cl.setdefault(r["cluster"], set()).add(r["rep_id"])
+        assert r["rep_id"] <= r["vec_id"]
