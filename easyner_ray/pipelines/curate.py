@@ -22,6 +22,7 @@ Config::
         {"op": "dup_span_removal", "window": 25},              # substring dedup
         {"op": "dup_line_removal", "min_count": 2},            # boilerplate lines
         {"op": "redact", "pattern": "\\\\d+", "replacement": "<NUM>"},
+        {"op": "pii_redact", "kinds": ["email", "phone"]},  # PII scrub
         {"op": "hash_sample", "rate": 0.5},
         {"op": "decontam", "benchmark": "/path/eval.parquet", "n": 5},
         {"op": "logprob_filter", "low": 0.05, "high": 0.95},
@@ -496,6 +497,36 @@ def _step_redact(ds, pattern: str, replacement: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# Dolma/BigScience-style PII presets (RE2-safe: no lookaround). Order
+# matters: emails before phones so an address's digits aren't half-eaten.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d\-\(\) ]{7,}\d", "<PHONE>"),
+]
+
+
+def _step_pii_redact(ds, kinds: list[str] | None = None,
+                     text_col: str = "text", **_):
+    """Built-in PII scrub — the standard pre-training privacy pass
+    (emails, IPv4s, SSNs, phone-like digit runs -> typed placeholders),
+    each a whole-column RE2 replace in ONE map (patterns chain inside
+    the kernel, the corpus streams once). ``kinds`` selects a subset."""
+    wanted = set(kinds) if kinds else {k for k, _, _ in PII_PATTERNS}
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        for name, pat, repl in PII_PATTERNS:
+            if name in wanted:
+                col = pc.replace_substring_regex(col, pat, repl)
+        return t.set_column(t.schema.get_field_index(text_col),
+                            text_col, col)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _step_chunk(ds, size: int, overlap: int = 0, text_col: str = "text",
                 id_col: str = "doc_id", **_):
     """Explode documents into fixed-size overlapping character windows —
@@ -554,6 +585,7 @@ STEPS = {
     "token_budget": _step_token_budget,
     "weighted_sample": _step_weighted_sample,
     "redact": _step_redact,
+    "pii_redact": _step_pii_redact,
     "chunk": _step_chunk,
 }
 

@@ -645,6 +645,17 @@ RELATIONAL["embedding_dup_groups"] = """
     SELECT vec_id, min(label) AS group_id FROM cc GROUP BY vec_id
 """
 
+RELATIONAL["docs_pii_redact"] = """
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+        '<EMAIL>', 'g'),
+        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+        '\\+?\\d[\\d\\-\\(\\) ]{7,}\\d', '<PHONE>', 'g') AS text_redacted
+    FROM documents
+"""
+
 RELATIONAL["docs_dup_line_removal"] = """
     WITH ln AS (SELECT doc_id, string_split(text, chr(10)) AS l
                 FROM documents),

@@ -1404,6 +1404,19 @@ def docs_unigram_logprob(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_pii_redact(sf_dir: str):
+    """Built-in PII scrub over the documents table: emails, IPv4s, SSNs
+    and phone-like digit runs become typed placeholders (the curate
+    ``pii_redact`` step's kernel, surfaced as a query)."""
+    from easyner_ray.pipelines.curate import _step_pii_redact
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = _step_pii_redact(d)
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "text_redacted"]),
+        batch_format="pyarrow")
+
+
 def docs_dup_line_removal(sf_dir: str):
     """Corpus-level duplicate-line (boilerplate) removal: every exact
     line occurring >= 2 times across the corpus is cut from all docs."""

@@ -826,3 +826,28 @@ def test_semdedup_within_cluster_components(ray_session):
     for r in semdedup(_ds(t, 2), k=4, iters=2, threshold=0.95).take_all():
         by_cl.setdefault(r["cluster"], set()).add(r["rep_id"])
         assert r["rep_id"] <= r["vec_id"]
+
+
+def test_pii_redact_patterns(ray_session):
+    """Each PII class becomes its typed placeholder; clean text is
+    untouched; kinds subsets apply only the selected patterns."""
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": ["mail me at jane.doe+x@example.co.uk today",
+                           "server at 192.168.1.255 port 80",
+                           "ssn 123-45-6789 on file",
+                           "call +1 (555) 123-4567 now",
+                           "no pii in this sentence"]})
+    out = {r["doc_id"]: r["text"]
+           for r in STEPS["pii_redact"](_ds(t, 2)).take_all()}
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server at <IP> port 80"
+    assert out[2] == "ssn <SSN> on file"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "no pii in this sentence"
+
+    only_email = {r["doc_id"]: r["text"] for r in STEPS["pii_redact"](
+        _ds(t), kinds=["email"]).take_all()}
+    assert only_email[0] == "mail me at <EMAIL> today"
+    assert only_email[2] == "ssn 123-45-6789 on file"
