@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_line_removal": q.docs_dup_line_removal,  # boilerplate lines
         "embeddings_semdedup": q.embeddings_semdedup,  # SemDeDup (derived gold)
         "docs_pii_redact": q.docs_pii_redact,       # typed PII placeholders
+        "docs_curated_v2": q.docs_curated_v2,       # round-5 chain end-to-end
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only
         "rolling_fingerprints": q.rolling_fp_q,      # derived-gold oracle

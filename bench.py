@@ -146,6 +146,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_ppl_buckets": q.docs_ppl_buckets,
         "docs_token_budget": q.docs_token_budget,
         "docs_snapshot_diff": q.docs_snapshot_diff,
+        "docs_source_report": q.docs_source_report,
+        "docs_gopher_signals": q.docs_gopher_signals,
+        "docs_dup_line_removal": q.docs_dup_line_removal,
+        "embeddings_semdedup": q.embeddings_semdedup,
+        "docs_pii_redact": q.docs_pii_redact,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

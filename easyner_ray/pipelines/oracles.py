@@ -645,6 +645,59 @@ RELATIONAL["embedding_dup_groups"] = """
     SELECT vec_id, min(label) AS group_id FROM cc GROUP BY vec_id
 """
 
+RELATIONAL["docs_curated_v2"] = """
+    WITH sig AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\\s]+')) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+        len(regexp_extract_all(text, '[#…]')) AS symbols,
+        len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '[^ \\t]'))) AS n_lines,
+        len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '^[ \\t]*[-*•]'))) AS bullets,
+        len(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(x, '(\\.\\.\\.|…)[ \\t]*$'))) AS ellipsis,
+        len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) AS alpha
+      FROM documents),
+    g AS (
+      SELECT doc_id, text FROM sig
+      WHERE n_words BETWEEN 25 AND 100000
+        AND (CASE WHEN n_words > 0 THEN nonws * 1.0 / n_words
+                  ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        AND (CASE WHEN n_words > 0 THEN symbols * 1.0 / n_words
+                  ELSE 0.0 END) <= 0.1
+        AND (CASE WHEN n_lines > 0 THEN bullets * 1.0 / n_lines
+                  ELSE 0.0 END) <= 0.9
+        AND (CASE WHEN n_lines > 0 THEN ellipsis * 1.0 / n_lines
+                  ELSE 0.0 END) <= 0.3
+        AND (CASE WHEN n_words > 0 THEN alpha * 1.0 / n_words
+                  ELSE 0.0 END) >= 0.8),
+    ln AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM g),
+    ex AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS idx,
+                  unnest(l) AS line FROM ln),
+    cnt AS (SELECT line, count(*) AS c FROM ex
+            WHERE regexp_matches(line, '[^ \\t]') GROUP BY line),
+    kept AS (
+      SELECT e.doc_id,
+             string_agg(e.line, chr(10) ORDER BY e.idx) AS text
+      FROM ex e LEFT JOIN cnt c ON e.line = c.line
+      WHERE c.c IS NULL OR c.c < 2 GROUP BY e.doc_id),
+    tf AS (SELECT doc_id, text FROM kept
+           WHERE len(regexp_extract_all(text, '[^\\s]+')) >= 5),
+    red AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g'),
+          '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+          '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+          '\\+?\\d[\\d\\-\\(\\) ]{7,}\\d', '<PHONE>', 'g') AS text
+      FROM tf)
+    SELECT doc_id, text FROM red
+    WHERE (doc_id * 2654435761) % 4294967296 <
+          CAST(0.5 * 4294967296 AS BIGINT)
+"""
+
 RELATIONAL["docs_pii_redact"] = """
     SELECT doc_id,
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,

@@ -1824,6 +1824,27 @@ def docs_curated(sf_dir: str):
     }).select_columns(["doc_id", "text"])
 
 
+def docs_curated_v2(sf_dir: str):
+    """The round-5 curation steps as ONE oracle-checked chain:
+    Gopher structural gate -> corpus dup-line removal (+ min-token
+    strip) -> PII scrub -> deterministic 50% hash sample. The SQL
+    oracle recomputes every step in order (step ordering is load-
+    bearing: line counts are measured over the post-Gopher corpus)."""
+    import os
+
+    from easyner_ray.pipelines.curate import build_curation
+
+    return build_curation({
+        "input": {"documents": os.path.join(sf_dir, "documents.parquet")},
+        "steps": [
+            {"op": "gopher_filter", "min_words": 25, "min_stop_hits": 0},
+            {"op": "dup_line_removal", "min_count": 2, "min_tokens": 5},
+            {"op": "pii_redact"},
+            {"op": "hash_sample", "rate": 0.5, "key": "doc_id"},
+        ],
+    }).select_columns(["doc_id", "text"])
+
+
 def media_features(sf_dir: str):
     """Multimodal feature extraction through the REAL codec boundary:
     the shared WAV/PPM fixture (sources.media_fixture) decoded by
