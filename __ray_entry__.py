@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_signals": q.docs_gopher_signals,  # Gopher A1 rule signals
         "docs_dup_line_removal": q.docs_dup_line_removal,  # boilerplate lines
         "embeddings_semdedup": q.embeddings_semdedup,  # SemDeDup (derived gold)
+        "embeddings_outlier_filter": q.embeddings_outlier_filter,  # radius cut
         "docs_pii_redact": q.docs_pii_redact,       # typed PII placeholders
         "docs_curated_v2": q.docs_curated_v2,       # round-5 chain end-to-end
         "quality_scores": q.quality_scores_q,

@@ -863,3 +863,60 @@ def semdedup(embeddings, *, k: int = 8, iters: int = 4,
 
     return joined.groupby("cluster").map_groups(dedup_cluster,
                                                 batch_format="pyarrow")
+
+
+def embedding_outlier_filter(embeddings, *, k: int = 8, iters: int = 4,
+                             q: float = 0.9, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             round_digits: int = 9):
+    """Embedding-space outlier removal (the DataComp-style quality gate
+    applied cluster-locally): drop every vector whose squared distance
+    to its own k-means centroid exceeds that CLUSTER's ``q``-quantile —
+    a per-mode radius cut, so a tight cluster and a diffuse cluster each
+    keep their own core instead of sharing one global radius.
+    -> kept rows (id, cluster, dist).
+
+    Three streaming passes, no sort: centroids via :func:`kmeans`; one
+    map assigns (cluster, dist = round(d2, 9) — the shared
+    layout-invariance grain); per-cluster thresholds via the
+    histogram-refinement grouped quantile (quantile_disc rank rule, so
+    the straight-line gold recompute lands on the same element); one
+    vectorized threshold map. Cluster count is small by construction
+    (kmeans k), so the threshold table broadcasts as a plain dict."""
+    import ray
+
+    cents, _ = kmeans(embeddings, k=k, iters=iters, vec_col=vec_col,
+                      id_col=id_col, round_digits=round_digits)
+    cref = ray.put(cents)
+
+    def assign_dist(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _as_matrix(t.column(vec_col))
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        dist = np.round(d2[np.arange(len(a)), a], round_digits)
+        return pa.Table.from_arrays(
+            [t.column(id_col), pa.array(a, pa.int64()),
+             pa.array(dist, pa.float64())],
+            names=[id_col, "cluster", "dist"])
+
+    scored = embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign_dist, batch_format="pyarrow").materialize()
+
+    from easyner_ray.ops.sketch import grouped_quantiles
+
+    th = grouped_quantiles(scored, "dist", [q], by="cluster")
+    thr = {r["cluster"]: r["value"] for r in th.to_pylist()}
+
+    def gate(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        cl = np.asarray(t.column("cluster"))
+        cut = np.array([thr.get(int(c), np.inf) for c in
+                        np.arange(int(cl.max()) + 1)]) \
+            if len(cl) else np.array([])
+        keep = np.asarray(t.column("dist")) <= cut[cl]
+        return t.filter(pa.array(keep))
+
+    return scored.map_batches(gate, batch_format="pyarrow")

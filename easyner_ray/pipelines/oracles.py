@@ -558,6 +558,9 @@ RELATIONAL["embeddings_kmeans"] = f"SELECT vec_id, cluster FROM {GKM}"
 GSD = f"read_parquet('{SYNTH}/gold_semdedup.parquet')"
 RELATIONAL["embeddings_semdedup"] = f"SELECT vec_id, cluster, rep_id FROM {GSD}"
 
+GOF = f"read_parquet('{SYNTH}/gold_outlier_filter.parquet')"
+RELATIONAL["embeddings_outlier_filter"] = f"SELECT vec_id, cluster, dist FROM {GOF}"
+
 GMF = f"read_parquet('{SYNTH}/gold_media_features.parquet')"
 RELATIONAL["media_features"] = (
     f"SELECT item_id, kind, feat_mean, feat_l2 FROM {GMF}"

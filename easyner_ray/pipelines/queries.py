@@ -1659,6 +1659,17 @@ def embedding_dup_groups(sf_dir: str):
         batch_format="pyarrow")
 
 
+def embeddings_outlier_filter(sf_dir: str):
+    """Embedding-space outlier removal: per-cluster 0.9-quantile radius
+    cut. Oracle = straight-line recompute of the same spec
+    (gold_outlier_filter.parquet)."""
+    from easyner_ray.ops.similarity import embedding_outlier_filter
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    em = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_outlier_filter(em, k=6, iters=4, q=0.9)
+
+
 def embeddings_semdedup(sf_dir: str):
     """SemDeDup: k-means clusters bound the comparison space, then
     within-cluster cosine >= 0.5 components collapse to their min-id

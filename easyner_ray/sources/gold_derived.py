@@ -831,6 +831,53 @@ def write_semdedup_gold(corpus: str, embeddings_path: str, k: int = 6,
     return path
 
 
+def write_outlier_gold(corpus: str, embeddings_path: str, k: int = 6,
+                       iters: int = 4, q: float = 0.9,
+                       round_digits: int = 9) -> str:
+    """Straight-line embedding outlier filter — the gold for
+    ``ops.similarity.embedding_outlier_filter`` (spec: the
+    write_kmeans_gold assignment recompute; dist = squared distance to
+    own centroid rounded at ``round_digits``; per-cluster threshold =
+    quantile_disc(dist, q) (rank ceil(q*n), 1-indexed ascending); keep
+    dist <= threshold)."""
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").combine_chunks())
+    m = np.array(t.column("embedding").combine_chunks().to_pylist(),
+                 dtype=np.float64)
+    order = np.argsort(vid, kind="stable")
+    cents = m[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = m[a == c].mean(axis=0)
+        cents = np.array([[round(float(x), round_digits) for x in row]
+                          for row in cents])
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = np.argmin(d2, axis=1)
+    dist = np.round(d2[np.arange(len(assign)), assign], round_digits)
+
+    out_id, out_cl, out_d = [], [], []
+    for c in range(k):
+        mask = assign == c
+        if not mask.any():
+            continue
+        dd = np.sort(dist[mask])
+        thr = dd[int(np.ceil(q * len(dd))) - 1]
+        keep = mask & (dist <= thr)
+        out_id.extend(int(x) for x in vid[keep])
+        out_cl.extend([c] * int(keep.sum()))
+        out_d.extend(float(x) for x in dist[keep])
+    tbl = pa.Table.from_arrays(
+        [pa.array(out_id, pa.int64()), pa.array(out_cl, pa.int64()),
+         pa.array(out_d, pa.float64())],
+        names=["vec_id", "cluster", "dist"])
+    path = os.path.join(corpus, "gold_outlier_filter.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
                         round_digits: int = 9) -> str:
     """Straight-line PageRank over the sentence co-occurrence pair graph
@@ -1099,6 +1146,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_kmeans_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_semdedup.parquet")):
             write_semdedup_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_outlier_filter.parquet")):
+            write_outlier_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):

@@ -851,3 +851,25 @@ def test_pii_redact_patterns(ray_session):
         _ds(t), kinds=["email"]).take_all()}
     assert only_email[0] == "mail me at <EMAIL> today"
     assert only_email[2] == "ssn 123-45-6789 on file"
+
+
+def test_embedding_outlier_filter_per_cluster_radius(ray_session):
+    """Each cluster keeps its own q-quantile core: a tight cluster's
+    outlier is dropped even though its absolute distance is smaller
+    than a diffuse cluster's kept members."""
+    from easyner_ray.ops.similarity import embedding_outlier_filter
+
+    rng = np.random.RandomState(3)
+    tight = np.array([10.0, 0.0]) + rng.normal(0, 0.01, (20, 2))
+    tight[0] = [10.5, 0.0]                     # tight-cluster outlier
+    diffuse = np.array([-10.0, 0.0]) + rng.normal(0, 2.0, (20, 2))
+    vecs = np.vstack([tight, diffuse])
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float64()))})
+    kept = {r["vec_id"] for r in embedding_outlier_filter(
+        _ds(t, 4), k=2, iters=3, q=0.9).take_all()}
+    assert 0 not in kept                      # the planted outlier
+    # q=0.9 keeps rank ceil(0.9*20)=18 of each 20-member cluster
+    assert len([i for i in kept if i < 20]) == 18
+    assert len([i for i in kept if i >= 20]) == 18
