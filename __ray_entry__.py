@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q.latest_event_per_user,  # LWW by recency (top-1)
         "top_users_by_value_per_type": q.top_users_by_value_per_type,  # agg -> rank composition
         "events_running_totals": q.events_running_totals,  # window fns: rn/lag/lead/cumsum
+        "users_retention_cohorts": q.users_retention_cohorts,  # cohort matrix
         "embedding_dup_groups": q.embedding_dup_groups,  # cosine near-dup clusters
         "events_value_ranks": q.events_value_ranks,  # rank/dense_rank/ntile, tie-aware
         "events_stratified_sample": q.events_stratified_sample,  # N-per-group hash sample

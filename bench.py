@@ -150,7 +150,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_gopher_signals": q.docs_gopher_signals,
         "docs_dup_line_removal": q.docs_dup_line_removal,
         "embeddings_semdedup": q.embeddings_semdedup,
+        "embeddings_outlier_filter": q.embeddings_outlier_filter,
         "docs_pii_redact": q.docs_pii_redact,
+        "docs_curated_v2": q.docs_curated_v2,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -803,6 +803,17 @@ RELATIONAL["docs_near_dup_keep_best"] = """
       FROM scored) WHERE rn = 1
 """
 
+RELATIONAL["users_retention_cohorts"] = """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+      FROM events),
+    c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
+    SELECT c.cohort_week, a.week, count(*) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY c.cohort_week, a.week
+"""
+
 RELATIONAL["events_running_totals"] = """
     SELECT user_id, event_id, value,
            row_number() OVER w AS rn,

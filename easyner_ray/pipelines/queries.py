@@ -1682,6 +1682,47 @@ def embeddings_semdedup(sf_dir: str):
     return semdedup(em, k=6, iters=4, threshold=0.5)
 
 
+def users_retention_cohorts(sf_dir: str):
+    """Retention cohort analysis — the canonical product-analytics
+    matrix (users cohorted by first-activity week x weeks they came
+    back): distinct (user, week) activity pairs via the two-phase
+    grouped collapse, per-user cohort week via a user-keyspace min,
+    one adaptive join, one grouped count. No window functions, no
+    sort; every exchange is keyspace-sized."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    WEEK_US = 7 * 86_400 * 1_000_000
+
+    def weeks(t: pa.Table) -> pa.Table:
+        us = np.asarray(t.column("ts").cast(pa.int64()))
+        g = pa.Table.from_arrays(
+            [t.column("user_id"), pa.array(us // WEEK_US, pa.int64()),
+             pa.array(np.ones(len(t), dtype=np.int64))],
+            names=["user_id", "week", "n"])
+        return g.group_by(["user_id", "week"]).aggregate(
+            [("n", "sum")]).rename_columns(["user_id", "week", "n"])
+
+    pairs = grouped_agg(
+        ev.map_batches(weeks, batch_format="pyarrow"),
+        ["user_id", "week"], [("n", "sum", "__n")]) \
+        .select_columns(["user_id", "week"]).materialize()
+    cohort = grouped_agg(pairs, ["user_id"], [("week", "min", "cohort_week")])
+    joined = adaptive_join(pairs, cohort, on="user_id")
+
+    def ones(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("one",
+                               pa.array(np.ones(len(t), dtype=np.int64)))
+
+    return grouped_agg(
+        joined.map_batches(ones, batch_format="pyarrow"),
+        ["cohort_week", "week"], [("one", "sum", "n_users")])
+
+
 def events_running_totals(sf_dir: str):
     """Partitioned analytic (window) functions — the ``f(x) OVER
     (PARTITION BY user ORDER BY ts)`` family Ray Data lacks: per-user
