@@ -81,6 +81,15 @@ RELATIONAL = {
                (doc_id * 2246822519) % 4294967296 AS sort_key
         FROM documents
     """,
+    "docs_cap_per_source": """
+        SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2246822519) % 4294967296, doc_id)
+                   AS rn
+          FROM documents) WHERE rn <= 10
+    """,
     "docs_source_report": """
         SELECT source, count(*) AS n_docs,
                CAST(sum(len(regexp_extract_all(text, '[^\\s]+')))

@@ -1472,6 +1472,30 @@ def docs_near_dup_keep_best(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def docs_cap_per_source(sf_dir: str):
+    """Per-source document cap (crawl balancing: at most N docs per
+    domain, chosen deterministically along the export-shuffle hash
+    order, ties by id): topk_per_group over the shuffle hash — phase-1
+    bounds the exchange to N rows per (source, batch)."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import _XXH32_P2, topk_per_group
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("doc_id")).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * np.uint64(_XXH32_P2)) & np.uint64(0xFFFFFFFF)
+        return t.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
+
+    capped = topk_per_group(
+        d.map_batches(add_h, batch_format="pyarrow"),
+        ["source"], "h", 10, descending=False, tie_cols=["doc_id"],
+        rank_name="rn")
+    return capped.select_columns(["source", "doc_id", "rn"])
+
+
 def docs_source_report(sf_dir: str):
     """Per-source corpus report card — docs, tokens, distinct texts
     (the dedup-rate denominator): the summary a mixture-planning pass
