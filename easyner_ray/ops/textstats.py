@@ -1239,3 +1239,128 @@ def pack_documents(ds, budget: int, *, by: list[str] | None = None,
         return t.append_column("pack_id", pid)
 
     return cum.map_batches(pack, batch_format="pyarrow")
+
+
+def _bigram_tf_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc, bigram, w1, tf) rows for one batch — same whole-column
+    tokenizer as :func:`_tf_partial`, consecutive pairs via shifted
+    views (a pair exists where position i and i+1 share a doc),
+    ``binary_join_element_wise`` builds the bigram strings in C."""
+    import numpy as np
+
+    text = t.column(text_col).combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), TFIDF_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    toks = flat.filter(keep)
+    doc_idx = np.asarray(parent.filter(keep))
+    empty = pa.Table.from_arrays(
+        [pa.array([], t.column(id_col).type), pa.array([], pa.string()),
+         pa.array([], pa.string()), pa.array([], pa.int64())],
+        names=[id_col, "b", "w1", "tf"])
+    if len(toks) < 2:
+        return empty
+    same = doc_idx[1:] == doc_idx[:-1]
+    if not same.any():
+        return empty
+    w1 = toks.slice(0, len(toks) - 1).filter(pa.array(same))
+    w2 = toks.slice(1).filter(pa.array(same))
+    b = pc.binary_join_element_wise(w1, w2, " ")
+    ids = t.column(id_col).combine_chunks() \
+        .take(pa.array(doc_idx[:-1][same]))
+    pairs = pa.Table.from_arrays([ids, b, w1], names=[id_col, "b", "w1"])
+    g = pairs.group_by([id_col, "b", "w1"]).aggregate([("b", "count")])
+    return pa.Table.from_arrays(
+        [g.column(id_col), g.column("b"), g.column("w1"),
+         g.column("b_count").cast(pa.int64())],
+        names=[id_col, "b", "w1", "tf"])
+
+
+def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                   batch_size: int = 4096, round_digits: int | None = 4):
+    """Per-document mean BIGRAM log-probability with Laplace smoothing —
+    the next LM order up from :func:`unigram_logprob` (CCNet filters on
+    an n-gram LM; this is the n=2 member with the corpus as its own
+    model): ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`` where ``c`` are
+    corpus occurrence counts and ``V`` the distinct-token count, and
+    ``score(doc) = sum(tf * ln p) / sum(tf)`` over the doc's bigrams.
+    Docs with < 2 tokens emit no row (SQL: no bigrams, no group).
+
+    Distributed shape: exact per-batch (doc, bigram, w1, tf) rows (a doc
+    completes in its batch), two-phase grouped occurrence counts for
+    bigrams and unigrams, then TWO adaptive joins (broadcast under the
+    byte gate, hash-shuffle above — :func:`relational.adaptive_join`),
+    a per-row vectorized ``ln(c12+1) - ln(c1+V)`` with ``math.log``
+    evaluated once per DISTINCT count (libm, matching SQL ``ln``), one
+    doc-keyspace grouped sum. -> (id, n_bigrams, logprob)."""
+    import math
+
+    import ray
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    tf = docs.map_batches(
+        lambda t: _bigram_tf_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+    uni = docs.map_batches(
+        lambda t: _tf_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    uc = grouped_agg(uni.select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "c1")]).materialize()
+    v_total = uc.count()
+    if v_total == 0 or tf.count() == 0:
+        id_type = docs.schema().base_schema.field(id_col).type
+        return ray.data.from_arrow(pa.schema(
+            [(id_col, id_type), ("n_bigrams", pa.int64()),
+             ("logprob", pa.float64())]).empty_table())
+    bc = grouped_agg(tf.select_columns(["b", "tf"]), ["b"],
+                     [("tf", "sum", "c12")])
+
+    j1 = adaptive_join(tf, bc, on="b")
+    uc_w1 = uc.map_batches(lambda t: t.rename_columns(["w1", "c1"]),
+                           batch_format="pyarrow")
+    j2 = adaptive_join(j1, uc_w1, on="w1")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=[id_col, "tf", "contrib"])
+
+        def ln_of(col, shift: float) -> pa.Array:
+            enc = pc.dictionary_encode(col.combine_chunks())
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            lp = pa.array([math.log(x + shift)
+                           for x in enc.dictionary.to_pylist()],
+                          pa.float64())
+            return lp.take(enc.indices)
+
+        lp = pc.subtract(ln_of(t.column("c12"), 1.0),
+                         ln_of(t.column("c1"), float(v_total)))
+        c = pc.multiply(t.column("tf").cast(pa.float64()), lp)
+        return pa.Table.from_arrays(
+            [t.column(id_col), t.column("tf"), c],
+            names=[id_col, "tf", "contrib"])
+
+    pairs = j2.map_batches(contrib, batch_format="pyarrow",
+                           batch_size=batch_size)
+    out = grouped_agg(pairs, [id_col],
+                      [("tf", "sum", "n_bigrams"), ("contrib", "sum", "__s")])
+
+    def finish(t: pa.Table, rd=round_digits) -> pa.Table:
+        vals = pc.divide(t.column("__s"),
+                         t.column("n_bigrams").cast(pa.float64()))
+        if rd is not None:
+            vals = pa.array([None if v is None else round(v, rd)
+                             for v in vals.to_pylist()], pa.float64())
+        return pa.Table.from_arrays(
+            [t.column(id_col), t.column("n_bigrams").cast(pa.int64()),
+             vals],
+            names=[id_col, "n_bigrams", "logprob"])
+
+    return out.map_batches(finish, batch_format="pyarrow")

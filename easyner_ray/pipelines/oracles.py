@@ -1058,6 +1058,30 @@ RELATIONAL["docs_ppl_buckets"] = """
     FROM lp CROSS JOIN th
 """
 
+RELATIONAL["docs_bigram_logprob"] = """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM tok),
+    uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT count(*) AS v FROM uc),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS b,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i])) AS w1
+      FROM tok WHERE len(t) >= 2),
+    tf AS (SELECT doc_id, b, w1, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    bc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf * (ln(c12 + 1.0) - ln(c1 + v.v))) / sum(tf), 4)
+             AS logprob
+    FROM tf JOIN bc USING (b) JOIN uc ON tf.w1 = uc.w CROSS JOIN v
+    GROUP BY doc_id
+"""
+
 RELATIONAL["docs_unigram_logprob"] = """
     WITH tok AS (
       SELECT doc_id,

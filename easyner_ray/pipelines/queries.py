@@ -1472,6 +1472,15 @@ def docs_near_dup_keep_best(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def docs_bigram_logprob(sf_dir: str):
+    """CCNet-style LM quality score, bigram order: per-doc mean
+    Laplace-smoothed ln p(w2|w1) with the corpus as its own model."""
+    from easyner_ray.ops.textstats import bigram_logprob
+
+    return bigram_logprob(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def docs_cap_per_source(sf_dir: str):
     """Per-source document cap (crawl balancing: at most N docs per
     domain, chosen deterministically along the export-shuffle hash

@@ -873,3 +873,34 @@ def test_embedding_outlier_filter_per_cluster_radius(ray_session):
     # q=0.9 keeps rank ceil(0.9*20)=18 of each 20-member cluster
     assert len([i for i in kept if i < 20]) == 18
     assert len([i for i in kept if i >= 20]) == 18
+
+
+def test_bigram_logprob_spec(ray_session):
+    """Matches a straight-line recompute of the Laplace bigram spec;
+    one-token and empty docs emit no row; empty corpus is typed-empty."""
+    import math
+
+    from easyner_ray.ops.textstats import bigram_logprob
+
+    texts = ["the cat sat", "the cat ran", "the", ""]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    got = {r["doc_id"]: (r["n_bigrams"], r["logprob"])
+           for r in bigram_logprob(_ds(t, 2)).take_all()}
+    # corpus: tokens the(2) cat(2) sat(1) ran(1) + "the"(1) -> the:3
+    # V = 4 distinct; bigrams: "the cat" x2, "cat sat", "cat ran"
+    c1 = {"the": 3, "cat": 2}
+    c12 = {"the cat": 2, "cat sat": 1, "cat ran": 1}
+    V = 4
+
+    def lp(b, w1):
+        return math.log(c12[b] + 1.0) - math.log(c1[w1] + float(V))
+
+    want0 = round((lp("the cat", "the") + lp("cat sat", "cat")) / 2, 4)
+    want1 = round((lp("the cat", "the") + lp("cat ran", "cat")) / 2, 4)
+    assert got == {0: (2, want0), 1: (2, want1)}
+
+    empty = _ds(pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}))
+    out = bigram_logprob(empty)
+    assert out.count() == 0
+    assert "logprob" in out.schema().base_schema.names
