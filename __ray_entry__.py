@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q.doc_stats_q,
         "docs_repetition": q.docs_repetition,        # Gopher repetition signals
         "docs_mixture_sample": q.docs_mixture_sample,  # per-source Bernoulli mix
+        "docs_epoch_mix": q.docs_epoch_mix,          # fractional-epoch mixing
         "docs_dedup_keep_best": q.docs_dedup_keep_best,  # argmax-quality dedup
         "docs_export_shards": q.docs_export_shards,  # deterministic shuffle+shard
         "docs_ppl_buckets": q.docs_ppl_buckets,      # CCNet head/middle/tail

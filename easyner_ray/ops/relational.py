@@ -636,6 +636,59 @@ def export_shards(ds, key: str, n_shards: int, *, batch_size: int = 65536):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def epoch_upsample(ds, key: str, epochs: dict[str, float], *,
+                   group_col: str, default_epochs: float = 0.0,
+                   batch_size: int = 65536):
+    """Fractional-epoch corpus assembly (the Llama/Pile mixing rule
+    "source X is seen 2.4 times per training epoch"): every row is
+    emitted ``floor(e)`` times, plus once more iff its Knuth-hash
+    Bernoulli draw is under ``frac(e)`` — so EXACTLY the right rows are
+    upsampled, deterministically, with no RNG state and no shuffle
+    (map-only row expansion; ``e < 1`` downsamples, the
+    :func:`mixture_sample` special case). Appends ``epoch_idx``
+    (0..k-1) so a training loader can interleave epochs. Groups absent
+    from ``epochs`` get ``default_epochs``; NULL keys/groups drop."""
+    import numpy as np
+
+    floor_map = {g: int(np.floor(e)) for g, e in epochs.items()}
+    frac_map = {g: np.uint64(int((e - np.floor(e)) * (1 << 32)))
+                for g, e in epochs.items()}
+    d_floor = int(np.floor(default_epochs))
+    d_frac = np.uint64(int((default_epochs - np.floor(default_epochs))
+                           * (1 << 32)))
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("epoch_idx", pa.array([], pa.int64()))
+        col = t.column(key).combine_chunks()
+        g = t.column(group_col).combine_chunks()
+        ok = pc.and_kleene(col.is_valid(), g.is_valid())
+        if len(ok) and not pc.all(ok).as_py():
+            t = t.filter(ok)
+            col = t.column(key).combine_chunks()
+            g = t.column(group_col).combine_chunks()
+        k = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult) & mask32
+        enc = g.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        fl = np.array([floor_map.get(u, d_floor) for u in uniq],
+                      dtype=np.int64)
+        fr = np.array([frac_map.get(u, d_frac) for u in uniq],
+                      dtype=np.uint64)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        reps = fl[codes] + (h < fr[codes]).astype(np.int64)
+        out = t.take(pa.array(np.repeat(np.arange(len(t)), reps)))
+        ends = np.cumsum(reps)
+        idx = np.arange(int(ends[-1]) if len(ends) else 0,
+                        dtype=np.int64) - np.repeat(ends - reps, reps)
+        return out.append_column("epoch_idx", pa.array(idx, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 def stratified_sample(ds, group_keys: list[str], n_per_group: int, *,
                       id_col: str, n_buckets: int = 32,
                       batch_size: int = 65536):

@@ -139,6 +139,26 @@ RELATIONAL = {
                    count(*) OVER (PARTITION BY text) AS n_copies
             FROM scored) WHERE rn = 1
     """,
+    "docs_epoch_mix": """
+        WITH e AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2.4
+                             WHEN 'src1' THEN 1.0
+                             WHEN 'src2' THEN 0.5
+                             ELSE 0.0 END AS ep,
+                 (doc_id * 2654435761) % 4294967296 AS h
+          FROM documents),
+        n AS (
+          SELECT doc_id, source,
+                 CAST(floor(ep) AS BIGINT)
+                 + CASE WHEN h < CAST((ep - floor(ep)) * 4294967296
+                                      AS BIGINT)
+                        THEN 1 ELSE 0 END AS reps
+          FROM e)
+        SELECT doc_id, source, unnest(generate_series(0, reps - 1))
+                 AS epoch_idx
+        FROM n WHERE reps > 0
+    """,
     "docs_mixture_sample": """
         SELECT doc_id, source FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 <

@@ -262,6 +262,19 @@ def lang_id_q(sf_dir: str):
     return lang_id(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_epoch_mix(sf_dir: str):
+    """Fractional-epoch mixing: src0 seen 2.4x, src1 1.0x, src2 0.5x,
+    everything else dropped — exact deterministic up/down-sampling with
+    an epoch_idx column for loader interleaving."""
+    from easyner_ray.ops.relational import epoch_upsample
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return epoch_upsample(d, "doc_id",
+                          {"src0": 2.4, "src1": 1.0, "src2": 0.5},
+                          group_col="source") \
+        .select_columns(["doc_id", "source", "epoch_idx"])
+
+
 def docs_mixture_sample(sf_dir: str):
     """Deterministic source-mixture sampling (Pile/Dolma-style): keep
     80% of src0, 50% of src1, 10% of src2, drop everything else — all

@@ -904,3 +904,31 @@ def test_bigram_logprob_spec(ray_session):
     out = bigram_logprob(empty)
     assert out.count() == 0
     assert "logprob" in out.schema().base_schema.names
+
+
+def test_epoch_upsample_fractional(ray_session):
+    """floor(e) copies for everyone + one extra for the hash-selected
+    fraction; e=1 copies once; e<1 downsamples; missing groups drop;
+    epoch_idx is 0..reps-1 per row."""
+    from easyner_ray.ops.relational import epoch_upsample
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.array(["a", "b", "c", "d"])[ids % 4]
+    t = pa.table({"doc_id": pa.array(ids), "g": pa.array(grp)})
+    out = epoch_upsample(_ds(t, 5), "doc_id",
+                         {"a": 2.4, "b": 1.0, "c": 0.5},
+                         group_col="g").to_pandas()
+    mask32 = np.uint64(0xFFFFFFFF)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) & mask32
+    frac = {"a": 0.4, "b": 0.0, "c": 0.5}
+    base = {"a": 2, "b": 1, "c": 0}
+    for g in ("a", "b", "c"):
+        m = grp == g
+        want = base[g] * int(m.sum()) + int(
+            (h[m] < np.uint64(int(frac[g] * 2**32))).sum())
+        got = (out["g"] == g).sum()
+        assert got == want, (g, got, want)
+    assert not (out["g"] == "d").any()
+    reps = out.groupby("doc_id")["epoch_idx"].agg(["count", "max"])
+    assert (reps["max"] == reps["count"] - 1).all()
