@@ -1364,3 +1364,81 @@ def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
             names=[id_col, "n_bigrams", "logprob"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _bpe_merge_loop(word_counts: dict[str, int], n_merges: int
+                    ) -> list[tuple[int, str, str, int]]:
+    """The deterministic BPE merge loop over a word-frequency table
+    (rank, left, right, pair_count): highest pair count wins, ties to
+    the lexicographically smallest (left, right); a pair's count is the
+    SUM of its words' frequencies counting non-overlapping left-to-right
+    occurrences (the standard BPE convention). Pure driver/task code —
+    BPE training operates on the DISTINCT-word table (vocab-sized), not
+    the corpus; that is what makes it cheap after the distributed word
+    count."""
+    words = {w: list(w) for w in word_counts}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            i = 0
+            while i < len(syms) - 1:
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                # non-overlapping: "aaa" counts ("a","a") once... advance
+                # past the pair only when both halves are identical
+                i += 2 if syms[i] == syms[i + 1] else 1
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((rank, l, r, cnt))
+        joined = l + r
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def bpe_merges(docs, n_merges: int = 20, *, text_col: str = "text",
+               min_count: int = 1, batch_size: int = 4096) -> pa.Table:
+    """Learn a BPE merge table from the corpus — tokenizer training as a
+    pipeline stage. -> pa.Table (rank, left, right, pair_count).
+
+    The distributed work is exactly a word count (the same two-phase
+    grouped collapse every dedup op uses: per-batch tf rows, keyspace
+    grouped sum); the merge loop then runs over the DISTINCT-word
+    frequency table, which is vocab-sized — at 100 TB, prune its long
+    tail with ``min_count`` (a word seen < min_count times cannot change
+    the top merges until the counts get that small; the standard
+    trainer knob). Deterministic end to end: exact counts, fixed
+    tie-break, no sampling."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    tf = docs.map_batches(
+        lambda t: _tf_partial(t, "doc_id", text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    wc_ds = grouped_agg(tf.select_columns(["term", "tf"]), ["term"],
+                        [("tf", "sum", "cnt")])
+    if min_count > 1:
+        wc_ds = wc_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("cnt"),
+                                                min_count)),
+            batch_format="pyarrow")
+    wc = {r["term"]: r["cnt"] for r in wc_ds.take_all()}
+    merges = _bpe_merge_loop(wc, n_merges)
+    return pa.Table.from_arrays(
+        [pa.array([m[0] for m in merges], pa.int64()),
+         pa.array([m[1] for m in merges], pa.string()),
+         pa.array([m[2] for m in merges], pa.string()),
+         pa.array([m[3] for m in merges], pa.int64())],
+        names=["rank", "left", "right", "pair_count"])

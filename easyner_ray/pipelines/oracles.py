@@ -584,6 +584,9 @@ RELATIONAL["cms_user_counts"] = f"SELECT user_id, est_count FROM {GCMS}"
 GKM = f"read_parquet('{SYNTH}/gold_kmeans_assign.parquet')"
 RELATIONAL["embeddings_kmeans"] = f"SELECT vec_id, cluster FROM {GKM}"
 
+GBP = f"read_parquet('{SYNTH}/gold_bpe_merges.parquet')"
+RELATIONAL["docs_bpe_merges"] = f'SELECT "rank", "left", "right", pair_count FROM {GBP}'
+
 GSD = f"read_parquet('{SYNTH}/gold_semdedup.parquet')"
 RELATIONAL["embeddings_semdedup"] = f"SELECT vec_id, cluster, rep_id FROM {GSD}"
 

@@ -1485,6 +1485,18 @@ def docs_near_dup_keep_best(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def docs_bpe_merges(sf_dir: str):
+    """Tokenizer training as a pipeline stage: the first 20 BPE merges
+    learned from the corpus (distributed word count -> vocab-sized
+    deterministic merge loop). Oracle = straight-line recompute
+    (gold_bpe_merges.parquet)."""
+    from easyner_ray.ops.textstats import bpe_merges
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    return bpe_merges(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=20)
+
+
 def docs_bigram_logprob(sf_dir: str):
     """CCNet-style LM quality score, bigram order: per-doc mean
     Laplace-smoothed ln p(w2|w1) with the corpus as its own model."""

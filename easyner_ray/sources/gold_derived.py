@@ -878,6 +878,56 @@ def write_outlier_gold(corpus: str, embeddings_path: str, k: int = 6,
     return path
 
 
+def write_bpe_gold(corpus: str, documents_path: str, n_merges: int = 20
+                   ) -> str:
+    """Straight-line BPE merge table over the documents corpus — the
+    gold for ``ops.textstats.bpe_merges`` (spec: [a-z0-9]+ lowercase
+    word counts; per merge round, pair counts weighted by word frequency
+    with non-overlapping left-to-right occurrences; max count wins, ties
+    to the lexicographically smallest pair — duplicated straight-line
+    on purpose, independent of the engine loop)."""
+    import re
+
+    t = pq.read_table(documents_path, columns=["text"])
+    wc: dict[str, int] = {}
+    for txt in t.column("text").to_pylist():
+        for w in re.findall(r"[a-z0-9]+", (txt or "").lower()):
+            wc[w] = wc.get(w, 0) + 1
+    words = {w: list(w) for w in wc}
+    rows = []
+    for rank in range(n_merges):
+        pc_: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = wc[w]
+            i = 0
+            while i < len(syms) - 1:
+                p = (syms[i], syms[i + 1])
+                pc_[p] = pc_.get(p, 0) + c
+                i += 2 if syms[i] == syms[i + 1] else 1
+        if not pc_:
+            break
+        (l, r), cnt = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append({"rank": rank, "left": l, "right": r,
+                     "pair_count": cnt})
+        joined = l + r
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("rank", pa.int64()), ("left", pa.string()),
+         ("right", pa.string()), ("pair_count", pa.int64())]))
+    path = os.path.join(corpus, "gold_bpe_merges.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
                         round_digits: int = 9) -> str:
     """Straight-line PageRank over the sentence co-occurrence pair graph
@@ -1135,6 +1185,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_minhash_incremental_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_dup_span.parquet")):
             write_dup_span_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_bpe_merges.parquet")):
+            write_bpe_gold(corpus, documents_path)
     if embeddings_path and os.path.exists(embeddings_path):
         if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
             write_cosine_lsh_gold(corpus, embeddings_path)

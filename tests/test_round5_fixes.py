@@ -932,3 +932,22 @@ def test_epoch_upsample_fractional(ray_session):
     assert not (out["g"] == "d").any()
     reps = out.groupby("doc_id")["epoch_idx"].agg(["count", "max"])
     assert (reps["max"] == reps["count"] - 1).all()
+
+
+def test_bpe_merges_spec(ray_session):
+    """Merge table matches a hand-computed trace: counts weighted by
+    word frequency, non-overlapping pair occurrences, lexicographic
+    tie-break, merges compose across ranks."""
+    from easyner_ray.ops.textstats import bpe_merges
+
+    # "low" x5, "lower" x2, "lowest" x1  ->  "lo" dominates (8), then
+    # "lo"+"w" (8), then "low" is a unit and "loe"? no: "lower" = low,e,r
+    t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": ["low"] * 5 + ["lower"] * 2 + ["lowest"]})
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_merges(_ds(t, 3), n_merges=3).to_pylist()]
+    assert got[0] == (0, "l", "o", 8)
+    assert got[1] == (1, "lo", "w", 8)
+    # after "low": "lower"=low,e,r (2x) "lowest"=low,e,s,t (1x)
+    # pairs: (low,e)=3, (e,r)=2, (e,s)=1, (s,t)=1 -> (low,e)
+    assert got[2] == (2, "low", "e", 3)
