@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cap_per_source": q.docs_cap_per_source,  # crawl balancing cap
         "docs_bigram_logprob": q.docs_bigram_logprob,  # bigram LM quality
         "docs_bpe_merges": q.docs_bpe_merges,        # tokenizer training (gold)
+        "docs_bpe_tokenize": q.docs_bpe_tokenize,    # train->apply loop (gold)
         "docs_near_dup_keep_best": q.docs_near_dup_keep_best,  # cluster argmax
         "docs_gopher_signals": q.docs_gopher_signals,  # Gopher A1 rule signals
         "docs_dup_line_removal": q.docs_dup_line_removal,  # boilerplate lines

@@ -1442,3 +1442,68 @@ def bpe_merges(docs, n_merges: int = 20, *, text_col: str = "text",
          pa.array([m[2] for m in merges], pa.string()),
          pa.array([m[3] for m in merges], pa.int64())],
         names=["rank", "left", "right", "pair_count"])
+
+
+def bpe_apply(docs, merges: list[tuple[str, str]], *,
+              id_col: str = "doc_id", text_col: str = "text",
+              batch_size: int = 4096):
+    """Apply a learned BPE merge table (:func:`bpe_merges` order) and
+    count the resulting pieces per document -> (id, n_pieces, n_words).
+    The train->apply tokenizer loop, closed.
+
+    Per batch, merges run once per DISTINCT word (dictionary-encode the
+    exploded words, apply the rank-ordered merges to the unique set,
+    scatter piece counts back through the indices) — on natural text the
+    distinct-word count per batch is a small fraction of the token
+    count, so the Python merge loop runs on the vocabulary, not the
+    corpus. Words never seen at train time still tokenize (to
+    characters, minus whatever learned merges apply)."""
+    import numpy as np
+
+    ranked = list(merges)
+
+    def apply_word(w: str) -> int:
+        syms = list(w)
+        for l, r in ranked:
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return len(syms)
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(text), TFIDF_SPLIT_RE)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        toks = flat.filter(keep)
+        doc_idx = np.asarray(parent.filter(keep))
+        enc = pc.dictionary_encode(toks)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        pieces_per_uniq = np.array(
+            [apply_word(w) for w in enc.dictionary.to_pylist()],
+            dtype=np.int64)
+        per_tok = pieces_per_uniq[np.asarray(enc.indices)] \
+            if len(toks) else np.array([], dtype=np.int64)
+        n_pieces = np.zeros(len(t), dtype=np.int64)
+        n_words = np.zeros(len(t), dtype=np.int64)
+        if len(doc_idx):
+            np.add.at(n_pieces, doc_idx, per_tok)
+            np.add.at(n_words, doc_idx, 1)
+        return pa.Table.from_arrays(
+            [t.column(id_col), pa.array(n_pieces), pa.array(n_words)],
+            names=[id_col, "n_pieces", "n_words"])
+
+    return docs.map_batches(f, batch_format="pyarrow",
+                            batch_size=batch_size)

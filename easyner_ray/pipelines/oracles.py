@@ -585,6 +585,8 @@ GKM = f"read_parquet('{SYNTH}/gold_kmeans_assign.parquet')"
 RELATIONAL["embeddings_kmeans"] = f"SELECT vec_id, cluster FROM {GKM}"
 
 GBP = f"read_parquet('{SYNTH}/gold_bpe_merges.parquet')"
+GBA = f"read_parquet('{SYNTH}/gold_bpe_pieces.parquet')"
+RELATIONAL["docs_bpe_tokenize"] = f"SELECT doc_id, n_pieces, n_words FROM {GBA}"
 RELATIONAL["docs_bpe_merges"] = f'SELECT "rank", "left", "right", pair_count FROM {GBP}'
 
 GSD = f"read_parquet('{SYNTH}/gold_semdedup.parquet')"

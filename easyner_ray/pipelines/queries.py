@@ -1497,6 +1497,20 @@ def docs_bpe_merges(sf_dir: str):
         _rp(sf_dir, "documents", columns=["doc_id", "text"]), n_merges=20)
 
 
+def docs_bpe_tokenize(sf_dir: str):
+    """The tokenizer loop closed: learn 20 BPE merges from the corpus,
+    apply them back, count pieces per doc. Oracle = straight-line
+    recompute over the shared gold merge table (gold_bpe_pieces)."""
+    from easyner_ray.ops.textstats import bpe_apply, bpe_merges
+
+    _corpus(sf_dir)  # gold tables keyed to this sf_dir
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    mt = bpe_merges(d, n_merges=20)
+    ranked = list(zip(mt.column("left").to_pylist(),
+                      mt.column("right").to_pylist()))
+    return bpe_apply(d, ranked)
+
+
 def docs_bigram_logprob(sf_dir: str):
     """CCNet-style LM quality score, bigram order: per-doc mean
     Laplace-smoothed ln p(w2|w1) with the corpus as its own model."""

@@ -928,6 +928,57 @@ def write_bpe_gold(corpus: str, documents_path: str, n_merges: int = 20
     return path
 
 
+def write_bpe_apply_gold(corpus: str, documents_path: str,
+                         n_merges: int = 20) -> str:
+    """Straight-line BPE apply — gold for ``ops.textstats.bpe_apply``
+    over the merges of :func:`write_bpe_gold` (read back from its
+    parquet so the two golds share one merge table): per doc, lowercase
+    [a-z0-9]+ words, rank-ordered merges per word, piece/word counts."""
+    merges_path = os.path.join(corpus, "gold_bpe_merges.parquet")
+    if not os.path.exists(merges_path):
+        write_bpe_gold(corpus, documents_path, n_merges)
+    mt = pq.read_table(merges_path)
+    ranked = list(zip(mt.column("left").to_pylist(),
+                      mt.column("right").to_pylist()))
+    import re
+
+    def apply_word(w):
+        syms = list(w)
+        for l, r in ranked:
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    t = pq.read_table(documents_path, columns=["doc_id", "text"])
+    out_rows = []
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        words = re.findall(r"[a-z0-9]+", (txt or "").lower())
+        n_p = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = apply_word(w)
+            n_p += cache[w]
+        out_rows.append({"doc_id": did, "n_pieces": n_p,
+                         "n_words": len(words)})
+    tbl = pa.Table.from_pylist(out_rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("n_pieces", pa.int64()),
+         ("n_words", pa.int64())]))
+    path = os.path.join(corpus, "gold_bpe_pieces.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
                         round_digits: int = 9) -> str:
     """Straight-line PageRank over the sentence co-occurrence pair graph
@@ -1187,6 +1238,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_dup_span_gold(corpus, documents_path)
         if not os.path.exists(os.path.join(corpus, "gold_bpe_merges.parquet")):
             write_bpe_gold(corpus, documents_path)
+        if not os.path.exists(os.path.join(corpus, "gold_bpe_pieces.parquet")):
+            write_bpe_apply_gold(corpus, documents_path)
     if embeddings_path and os.path.exists(embeddings_path):
         if not os.path.exists(os.path.join(corpus, "gold_cosine_lsh_pairs.parquet")):
             write_cosine_lsh_gold(corpus, embeddings_path)

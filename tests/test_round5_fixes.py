@@ -951,3 +951,20 @@ def test_bpe_merges_spec(ray_session):
     # after "low": "lower"=low,e,r (2x) "lowest"=low,e,s,t (1x)
     # pairs: (low,e)=3, (e,r)=2, (e,s)=1, (s,t)=1 -> (low,e)
     assert got[2] == (2, "low", "e", 3)
+
+
+def test_bpe_apply_counts(ray_session):
+    """Pieces per doc after applying learned merges: fully-merged train
+    words collapse to 1 piece; unseen words fall back to characters
+    minus applicable merges."""
+    from easyner_ray.ops.textstats import bpe_apply
+
+    # merges: l+o -> lo, lo+w -> low
+    merges = [("l", "o"), ("lo", "w")]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["low low", "lot", "xyz"]})
+    got = {r["doc_id"]: (r["n_pieces"], r["n_words"])
+           for r in bpe_apply(_ds(t, 2), merges).take_all()}
+    assert got[0] == (2, 2)      # "low" -> 1 piece, twice
+    assert got[1] == (2, 1)      # "lot" -> lo + t
+    assert got[2] == (3, 1)      # no merge applies
