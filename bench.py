@@ -153,6 +153,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_outlier_filter": q.embeddings_outlier_filter,
         "docs_pii_redact": q.docs_pii_redact,
         "docs_curated_v2": q.docs_curated_v2,
+        "docs_epoch_mix": q.docs_epoch_mix,
+        "docs_bpe_tokenize": q.docs_bpe_tokenize,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
