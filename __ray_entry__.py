@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q.docs_repetition,        # Gopher repetition signals
         "docs_mixture_sample": q.docs_mixture_sample,  # per-source Bernoulli mix
         "docs_epoch_mix": q.docs_epoch_mix,          # fractional-epoch mixing
+        "docs_split_assign": q.docs_split_assign,    # train/val/test holdout
+        "docs_rebalance_sources": q.docs_rebalance_sources,  # target mixture
+        "docs_oov": q.docs_oov,                      # vocab-coverage counts
         "docs_dedup_keep_best": q.docs_dedup_keep_best,  # argmax-quality dedup
         "docs_export_shards": q.docs_export_shards,  # deterministic shuffle+shard
         "docs_ppl_buckets": q.docs_ppl_buckets,      # CCNet head/middle/tail

@@ -155,6 +155,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_curated_v2": q.docs_curated_v2,
         "docs_epoch_mix": q.docs_epoch_mix,
         "docs_bpe_tokenize": q.docs_bpe_tokenize,
+        "docs_split_assign": q.docs_split_assign,
+        "docs_rebalance_sources": q.docs_rebalance_sources,
+        "docs_oov": q.docs_oov,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -542,6 +542,90 @@ def mixture_sample(ds, key: str, rates: dict[str, float], *,
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def split_assign(ds, key: str, fractions: list[tuple[str, float]], *,
+                 out_col: str = "split", batch_size: int = 65536):
+    """Deterministic train/val/test split assignment — the eval-holdout
+    primitive of a training-data pipeline: label each row by where its
+    Knuth hash ``(key * 2654435761) mod 2^32`` falls among the cumulative
+    fraction thresholds. Map-only (no shuffle, no RNG, no seed
+    coordination), stable under repartitioning and re-runs, and — unlike
+    a random_shuffle + limit split — a row keeps its split when the
+    corpus around it grows, so yesterday's val set never leaks into
+    tomorrow's train set.
+
+    ``fractions`` is ordered ``[(label, frac), ...]``; the LAST label is
+    the residual (SQL CASE ... ELSE), catching hashes past the last
+    cumulative threshold and NULL keys (SQL: a NULL comparison is never
+    true, so NULLs fall to ELSE). Thresholds accumulate as
+    ``int(frac * 2**32)`` per label — mirror the resulting integer
+    literals in an oracle rather than re-deriving them in decimal
+    arithmetic (DuckDB CAST rounds where Python int() truncates)."""
+    import numpy as np
+
+    labels = [lab for lab, _ in fractions]
+    cum, acc = [], 0
+    for _, frac in fractions[:-1]:
+        acc += int(frac * (1 << 32))
+        cum.append(acc)
+    cum_thr = np.array(cum, dtype=np.uint64)
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+    last = len(labels) - 1
+    label_dict = pa.array(labels, type=pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_col, pa.array([], type=pa.string()))
+        col = t.column(key).combine_chunks()
+        invalid = None
+        if col.null_count:
+            invalid = ~np.asarray(pc.is_valid(col))
+            col = col.fill_null(0)
+        k = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * mult) & mask32
+        idx = np.searchsorted(cum_thr, h, side="right")
+        if invalid is not None:
+            idx[invalid] = last
+        out = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), label_dict)
+        return t.append_column(out_col, out.cast(pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def rebalance_sources(ds, targets: dict[str, float], *, key: str,
+                      group_col: str, batch_size: int = 65536):
+    """Rebalance a corpus to a TARGET mixture distribution — the
+    crawl-balancing primitive ("the training set should be 50% web /
+    30% code / 20% books" when the raw crawl is nothing like that).
+    Scales every target share to the bottleneck source
+    (``m = min(n_g / share_g)``, the largest feasible total), derives a
+    per-group acceptance rate ``share_g * m / n_g`` (= 1.0 for the
+    bottleneck, < 1 elsewhere, 0 for groups absent from ``targets``),
+    then applies the deterministic Knuth-hash Bernoulli gate of
+    :func:`mixture_sample`.
+
+    Two passes: a grouped count over the group keyspace (tiny — one row
+    per source, never corpus-sized), then the map-only gate. Rates are
+    computed in double precision exactly as an ANSI-SQL oracle would
+    (``share * m / n`` left-to-right, threshold = floor(rate * 2^32)),
+    so the kept row set is engine-independent."""
+    counts = grouped_agg(ds.select_columns([group_col]), [group_col],
+                         [(group_col, "count", "n")],
+                         final="tree").take_all()
+    n_by_g = {r[group_col]: r["n"] for r in counts}
+    feasible = [n_by_g[g] / s for g, s in targets.items()
+                if s > 0 and n_by_g.get(g)]
+    if not feasible:
+        return ds.filter(lambda _: False)
+    m = min(feasible)
+    rates = {g: (s * m / n_by_g[g]) for g, s in targets.items()
+             if s > 0 and n_by_g.get(g)}
+    return mixture_sample(ds, key, rates, group_col=group_col,
+                          batch_size=batch_size)
+
+
 def snapshot_diff(old, new, *, key: str = "doc_id",
                   fingerprint_col: str = "fingerprint"):
     """Corpus version audit: what changed between two snapshots of the

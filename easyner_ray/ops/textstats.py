@@ -604,6 +604,65 @@ def tfidf(docs, *, id_col: str = "doc_id", text_col: str = "text",
                           batch_size=batch_size)
 
 
+def oov_counts(docs, *, vocab_size: int = 1000, id_col: str = "doc_id",
+               text_col: str = "text", batch_size: int = 4096):
+    """Per-document out-of-vocabulary counts against a corpus-derived
+    top-``vocab_size`` vocabulary — the tokenizer-coverage signal of a
+    training-data pipeline (how much of each document a fixed vocab
+    would shatter into unknowns). Output: one ``(id, n_tokens, n_oov)``
+    row per document with at least one token; both counts are exact
+    integers, so the result is bit-identical across engines (the OOV
+    RATE is the caller's division — no float grain to negotiate).
+
+    Distributed shape: pass 1 builds the vocabulary exactly like the
+    corpus-vocab query (per-batch tf partials -> two-phase grouped sum
+    over the term keyspace -> global top-k, count desc / term asc — the
+    tie order both engines share); the resulting term list is
+    vocabulary-sized, broadcast once via ``ray.put``. Pass 2 is map-only:
+    per batch, tf partials (a document lives on one row, so its counts
+    complete inside its batch), one vectorized ``pc.is_in`` against the
+    broadcast vocab, one batch-local Arrow group_by back to doc grain.
+    No corpus-sized shuffle anywhere; the only exchange is the
+    vocab-keyspace grouped sum."""
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    tf = docs.map_batches(
+        lambda t: _tf_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    tc = grouped_agg(tf.select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "cnt")])
+    top = tc.sort(["cnt", "term"], descending=[True, False]
+                  ).limit(vocab_size).take_all()
+    vocab_ref = ray.put(pa.array([r["term"] for r in top],
+                                 type=pa.string()))
+
+    def score(t: pa.Table) -> pa.Table:
+        pairs = _tf_partial(t, id_col, text_col)
+        if len(pairs) == 0:
+            return pa.schema([pa.field(id_col, t.schema.field(id_col).type),
+                              pa.field("n_tokens", pa.int64()),
+                              pa.field("n_oov", pa.int64())]).empty_table()
+        in_vocab = pc.is_in(pairs.column("term"),
+                            value_set=ray.get(vocab_ref))
+        tf_col = pairs.column("tf")
+        oov_tf = pc.if_else(in_vocab, pa.scalar(0, pa.int64()), tf_col)
+        per = pa.Table.from_arrays(
+            [pairs.column(id_col), tf_col, oov_tf],
+            names=[id_col, "n_tokens", "n_oov"]
+        ).group_by([id_col]).aggregate([("n_tokens", "sum"),
+                                        ("n_oov", "sum")])
+        return pa.Table.from_arrays(
+            [per.column(id_col),
+             per.column("n_tokens_sum").cast(pa.int64()),
+             per.column("n_oov_sum").cast(pa.int64())],
+            names=[id_col, "n_tokens", "n_oov"])
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
                     batch_size: int = 4096, round_digits: int | None = 4,
                     broadcast_max_bytes: int = 256 << 20):

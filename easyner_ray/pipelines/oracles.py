@@ -1171,3 +1171,46 @@ KG["kg_edges_npmi"] = f"""
     JOIN singles sb ON pairs.norm_b = sb.norm
     CROSS JOIN tot
 """
+
+RELATIONAL["docs_split_assign"] = """
+    SELECT doc_id, source,
+           CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                  THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 < 3865470565
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+RELATIONAL["docs_rebalance_sources"] = """
+    WITH cnt AS (SELECT source, count(source) AS n
+                 FROM documents GROUP BY source),
+         sh AS (SELECT source, n,
+                       CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                                   WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                                   WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                                   ELSE NULL END AS share
+                FROM cnt),
+         mm AS (SELECT min(n / share) AS m FROM sh WHERE share IS NOT NULL)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN sh USING (source) CROSS JOIN mm
+    WHERE sh.share IS NOT NULL
+      AND (d.doc_id * 2654435761) % 4294967296 <
+          CAST(floor(sh.share * mm.m / sh.n * 4294967296) AS BIGINT)
+"""
+
+RELATIONAL["docs_oov"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 20))
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM toks LEFT JOIN vocab v ON toks.term = v.term
+    GROUP BY doc_id
+"""

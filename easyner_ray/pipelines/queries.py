@@ -288,6 +288,41 @@ def docs_mixture_sample(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def docs_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10 by the Knuth hash of
+    doc_id) — the eval-holdout primitive. Map-only; the oracle is one
+    SQL CASE over the same integer thresholds (3435973836 / 3865470565,
+    the cumulative int(frac * 2^32) values split_assign accumulates)."""
+    from easyner_ray.ops.relational import split_assign
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return split_assign(d, "doc_id",
+                        [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+
+def docs_rebalance_sources(sf_dir: str):
+    """Rebalance the documents table to a 50/30/20 target mixture over
+    src0/src1/src2 (everything else dropped): per-source counts scale
+    the shares to the bottleneck source, then the deterministic
+    Knuth-hash gate keeps each source's slice."""
+    from easyner_ray.ops.relational import rebalance_sources
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return rebalance_sources(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        key="doc_id", group_col="source")
+
+
+def docs_oov(sf_dir: str):
+    """Per-document out-of-vocabulary counts against the corpus's own
+    top-20 vocabulary — tokenizer-coverage signal (integer counts only;
+    the rate is the caller's division, so no float grain)."""
+    from easyner_ray.ops.textstats import oov_counts
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return oov_counts(d, vocab_size=20)
+
+
 def docs_export_shards(sf_dir: str):
     """Deterministic training-export shuffle: every doc gets a shard
     (independent hash mod 8) and a within-shard order key — map-only,
