@@ -30,6 +30,10 @@ Config::
         {"op": "dedup_keep_best", "score_col": "n_chars"},      # argmax copy
         {"op": "token_budget", "budget": 1000000},              # per-source cut
         {"op": "weighted_sample", "k": 1000, "weight": "n_chars"},
+        {"op": "split_keep", "fractions": [["train", 0.9], ["heldout", 0.1]],
+         "keep": "train"},                                      # eval holdout
+        {"op": "mixture_sample", "rates": {"web": 0.5, "code": 1.0}},
+        {"op": "rebalance", "targets": {"web": 0.5, "code": 0.3, "books": 0.2}},
         {"op": "chunk", "size": 2048, "overlap": 128},          # training windows
         {"op": "pack", "budget": 2048, "by": ["source"]}        # sequence packs
       ],
@@ -376,6 +380,38 @@ def _step_hash_sample(ds, rate: float, key: str = "doc_id", **_):
     return hash_sample(ds, key, rate)
 
 
+def _step_mixture_sample(ds, rates: dict[str, float],
+                         group_col: str = "source",
+                         key: str = "doc_id", default_rate: float = 0.0, **_):
+    """Per-source Bernoulli mixture (explicit rates per group)."""
+    from easyner_ray.ops.relational import mixture_sample
+
+    return mixture_sample(ds, key, rates, group_col=group_col,
+                          default_rate=default_rate)
+
+
+def _step_rebalance(ds, targets: dict[str, float],
+                    group_col: str = "source", key: str = "doc_id", **_):
+    """Rebalance to a TARGET mixture distribution (shares scaled to the
+    bottleneck source — ops.relational.rebalance_sources)."""
+    from easyner_ray.ops.relational import rebalance_sources
+
+    return rebalance_sources(ds, targets, key=key, group_col=group_col)
+
+
+def _step_split_keep(ds, fractions: list, keep: str = "train",
+                     key: str = "doc_id", **_):
+    """Assign the deterministic hash split and keep ONE side — the
+    eval-holdout gate of a curation chain (e.g. fractions
+    [["train", 0.9], ["heldout", 0.1]], keep "train"). The split column
+    itself is dropped so downstream steps see the input schema."""
+    from easyner_ray.ops.relational import split_assign
+
+    fr = [(str(lab), float(f)) for lab, f in fractions]
+    out = split_assign(ds, key, fr, out_col="__split")
+    return out.filter(expr=f"__split == '{keep}'").drop_columns(["__split"])
+
+
 def _step_decontam(ds, benchmark: str | None = None, n: int = 5,
                    max_hits: int = 0, benchmark_index: str | None = None,
                    id_col: str = "doc_id", text_col: str = "text", **_):
@@ -578,6 +614,9 @@ STEPS = {
     "dup_span_removal": _step_dup_span_removal,
     "dup_line_removal": _step_dup_line_removal,
     "hash_sample": _step_hash_sample,
+    "mixture_sample": _step_mixture_sample,
+    "rebalance": _step_rebalance,
+    "split_keep": _step_split_keep,
     "decontam": _step_decontam,
     "logprob_filter": _step_logprob_filter,
     "gopher_filter": _step_gopher_filter,

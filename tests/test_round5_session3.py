@@ -133,3 +133,42 @@ def test_oov_counts_vocab_tiebreak(ray_session):
     out = oov_counts(_ds(docs), vocab_size=2).to_pandas()
     # vocab = {alpha, beta}; gamma is the one OOV token
     assert out.loc[0, "n_tokens"] == 3 and out.loc[0, "n_oov"] == 1
+
+
+def test_curate_steps_split_rebalance_mixture(ray_session, tmp_path):
+    """The three sampling steps run inside the config-driven chain:
+    split_keep drops the helper column and keeps one side; rebalance
+    and mixture_sample gate per source."""
+    import pyarrow.parquet as pq
+
+    from easyner_ray.pipelines.curate import build_curation
+
+    n = 200
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"src{i % 2}" for i in range(n)]),
+        "text": pa.array([f"doc number {i} with some filler words here"
+                          for i in range(n)]),
+    })
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(t, p)
+
+    cfg = {"input": {"documents": p},
+           "steps": [
+               {"op": "split_keep",
+                "fractions": [["train", 0.9], ["heldout", 0.1]],
+                "keep": "train"},
+               {"op": "rebalance", "targets": {"src0": 0.7, "src1": 0.3}},
+               {"op": "mixture_sample", "rates": {"src0": 1.0, "src1": 1.0}},
+           ]}
+    out = build_curation(cfg).to_pandas()
+    assert set(out.columns) == {"doc_id", "source", "text"}  # helper dropped
+    assert 0 < len(out) < n
+
+    # split_keep keeps exactly the formula's train side
+    ks = np.arange(n, dtype=np.uint64)
+    h = (ks * _MULT) & _MASK32
+    train = set(ks[h < np.uint64(int(0.9 * 2**32))].tolist())
+    assert set(out["doc_id"]).issubset(train)
+    # rebalance: src1 (30% target of a 50/50 corpus) is cut harder
+    assert (out["source"] == "src0").sum() > (out["source"] == "src1").sum()
