@@ -76,6 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semdedup": q.embeddings_semdedup,  # SemDeDup (derived gold)
         "embeddings_outlier_filter": q.embeddings_outlier_filter,  # radius cut
         "docs_pii_redact": q.docs_pii_redact,       # typed PII placeholders
+        "docs_normalize": q.docs_normalize,         # NFC+ws canonicalization
+        "docs_truncate": q.docs_truncate,           # context-window cut
+        "docs_dsir": q.docs_dsir,                   # DSIR importance weights
+        "embedding_decontam": q.embedding_decontam_q,  # semantic eval leak
+        "lineitem_profile": q.lineitem_profile,     # column profiler
+        "events_zscore": q.events_zscore,           # grouped standardization
         "docs_curated_v2": q.docs_curated_v2,       # round-5 chain end-to-end
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only

@@ -149,3 +149,59 @@ def contamination(train, benchmark=None, *, n: int = 5,
     hits = adaptive_semi_join(train_fps, bench_fps, on="fp",
                               broadcast_bytes=broadcast_bytes)
     return grouped_agg(hits, [id_col], [("fp", "count", "n_hits")])
+
+
+def embedding_decontam(corpus, eval_ds, *, threshold: float = 0.5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       batch_size: int = 2048,
+                       round_digits: int | None = 4):
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram audit above: drop corpus vectors whose MAX cosine similarity
+    to ANY held-out eval vector reaches ``threshold`` (paraphrased eval
+    leakage that token n-grams miss; see e.g. the semantic-dedup /
+    contamination discussion in SemDeDup, arXiv:2303.09540).
+
+    Scale shape: the eval side is the SMALL side by construction — its
+    (ids, L2-normalized matrix) pair is assembled once inside a Ray task
+    from the dataset's own block refs (never on the driver) and broadcast
+    via the object store; the corpus then streams map-only, each batch
+    one ``(b, n_eval)`` numpy matmul + row max. No shuffle at all. Output:
+    the SURVIVORS ``(id, max_eval_cos)`` with the max rounded for the
+    cross-engine hash (Python round, oracle convention).
+    """
+    import ray
+
+    from easyner_ray.ops.similarity import (_as_matrix, _assemble_matrix,
+                                            _normalize)
+
+    ev = eval_ds.select_columns([id_col, vec_col]).materialize()
+    if ev.count() == 0:
+        # zero-row Ray blocks are schema-less — short-circuit instead of
+        # assembling an empty matrix: nothing can be contaminated.
+        def passthrough(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column(id_col).combine_chunks(),
+                 pa.array([0.0] * len(t), pa.float64())],
+                names=[id_col, "max_eval_cos"])
+        return corpus.map_batches(passthrough, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    # _assemble_matrix keys on "vec_id"; rename-free reuse requires the
+    # same id column, which both callers in this repo use.
+    _ids_ref, mat_ref = _assemble_matrix.remote(vec_col, *ev.to_arrow_refs())
+
+    def score(t: pa.Table) -> pa.Table:
+        mat = ray.get(mat_ref)
+        vecs = _normalize(_as_matrix(t.column(vec_col)))
+        mx = (vecs @ mat.T).max(axis=1) if len(mat) else \
+            np.zeros(len(t), dtype=np.float64)
+        keep = mx < threshold
+        ids = t.column(id_col).combine_chunks().filter(pa.array(keep))
+        vals = mx[keep].tolist()
+        if round_digits is not None:
+            vals = [round(v, round_digits) for v in vals]
+        return pa.Table.from_arrays(
+            [ids, pa.array(vals, pa.float64())],
+            names=[id_col, "max_eval_cos"])
+
+    return corpus.map_batches(score, batch_format="pyarrow",
+                              batch_size=batch_size)

@@ -1190,3 +1190,90 @@ def cube_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in itertools.combinations(keys, r)]
     return grouping_sets_agg(ds, keys, specs, sets, n_buckets=n_buckets)
+
+
+def profile_columns(ds, cols: list[str], *, batch_size: int = 65536):
+    """Numeric column profiler (the data-quality report card every
+    ingestion pipeline runs first): one row per column with ``(n, n_null,
+    n_distinct, min_val, max_val, avg_val)``, avg rounded to the oracle
+    grain.
+
+    Scale shape: basics (count / nulls / sum / min / max) are
+    tree-mergeable per-batch partials — one streaming pass, the final
+    aggregate is #cols rows. The EXACT distinct count pays the inherent
+    per-column value exchange: batch-local ``pc.unique`` first (so only
+    each batch's distinct values leave the task), then one grouped
+    distinct over ``(column, value)``, then a #cols-row count. At 100 TB
+    swap the exact count for the HLL sketch (`ops.sketch.hll_distinct`)
+    — same output schema, no value exchange. Returns a pyarrow Table
+    (#cols rows).
+    """
+    import numpy as np
+
+    src = ds.select_columns(cols).materialize()  # consumed by TWO passes
+
+    def part(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [], "s": [],
+                "mn": [], "mx": []}
+        for c in cols:
+            col = t.column(c).cast(pa.float64())
+            rows["column"].append(c)
+            rows["n"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            rows["s"].append(pc.sum(col).as_py() or 0.0)
+            rows["mn"].append(pc.min(col).as_py())
+            rows["mx"].append(pc.max(col).as_py())
+        return pa.table(rows)
+
+    basics = grouped_agg(
+        src.map_batches(part, batch_format="pyarrow",
+                        batch_size=batch_size),
+        ["column"],
+        [("n", "sum", "n"), ("n_null", "sum", "n_null"),
+         ("s", "sum", "s"), ("mn", "min", "min_val"),
+         ("mx", "max", "max_val")],
+        final="tree").take_all()
+
+    def uniq(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            u = pc.unique(t.column(c).cast(pa.float64()).combine_chunks()
+                          .drop_null())
+            parts.append(pa.table({"column": pa.array([c] * len(u)),
+                                   "val": u}))
+        return pa.concat_tables(parts)
+
+    dist = grouped_agg(
+        src.map_batches(uniq, batch_format="pyarrow",
+                        batch_size=batch_size),
+        ["column", "val"], [("val", "count", "k")])
+    nd = grouped_agg(dist.select_columns(["column"]).map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(len(t), dtype=np.int64))), batch_format="pyarrow"),
+        ["column"], [("one", "sum", "n_distinct")], final="tree").take_all()
+
+    ndmap = {r["column"]: r["n_distinct"] for r in nd}
+    out = sorted(basics, key=lambda r: r["column"])
+
+    def round_away(x: float, d: int = 4) -> float:
+        # averages of integer-grained columns land EXACTLY on .00005
+        # ties (e.g. avg(l_quantity) = 25.40225), where Python's
+        # correctly-rounded round() and SQL's scaled half-away round
+        # disagree; mirror the SQL semantics (round(x*10^d) away from
+        # zero) so the profiler is hash-stable cross-engine.
+        import math
+        y = x * (10.0 ** d)
+        return math.copysign(math.floor(abs(y) + 0.5), y) / (10.0 ** d)
+    return pa.table({
+        "column": [r["column"] for r in out],
+        "n": pa.array([r["n"] for r in out], pa.int64()),
+        "n_null": pa.array([r["n_null"] for r in out], pa.int64()),
+        "n_distinct": pa.array([ndmap.get(r["column"], 0) for r in out],
+                               pa.int64()),
+        "min_val": pa.array([r["min_val"] for r in out], pa.float64()),
+        "max_val": pa.array([r["max_val"] for r in out], pa.float64()),
+        "avg_val": pa.array(
+            [None if r["n"] == r["n_null"]
+             else round_away(r["s"] / (r["n"] - r["n_null"]), 4)
+             for r in out], pa.float64()),
+    })

@@ -1566,3 +1566,199 @@ def bpe_apply(docs, merges: list[tuple[str, str]], *,
 
     return docs.map_batches(f, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+# ------------------------------------------------------- normalization ---
+
+# NFC + whitespace/control canonicalization: any run of whitespace or
+# C0/DEL control characters collapses to ONE space (controls ARE junk in
+# training text: \x00 from broken decoders, \x0b/\x0c from PDF extracts).
+_NORM_JUNK_RE = r"[\s\x00-\x1f\x7f]+"
+
+
+def normalize_text_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode/whitespace canonicalization of one batch — the standard
+    first step of a crawl-curation chain (ftfy-lite): NFC normalize,
+    collapse whitespace+control runs to single spaces, trim. Entirely
+    Arrow kernels (``utf8_normalize`` / ``replace_substring_regex``), no
+    per-row Python. Emits the normalized text plus ``n_chars`` (codepoint
+    length) and a ``changed`` audit flag."""
+    raw = t.column(text_col).combine_chunks()
+    # NFC: pyarrow's utf8_normalize (utf8proc, <=16.x) decomposes and
+    # reorders but does NOT compose, so 'e'+U+0301 stays two codepoints
+    # while SQL nfc_normalize yields one. ASCII rows are NFC by
+    # definition — one vectorized string_is_ascii gate skips them (the
+    # overwhelming majority of a crawl corpus); only the non-ASCII
+    # minority pays the per-row unicodedata.normalize (a C routine).
+    ascii_mask = np.asarray(pc.string_is_ascii(raw))
+    if bool(ascii_mask.all()):
+        x = raw
+    else:
+        import unicodedata
+
+        idx = np.flatnonzero(~ascii_mask)
+        vals = raw.take(pa.array(idx, pa.int64())).to_pylist()
+        obj = raw.to_numpy(zero_copy_only=False)
+        obj[idx] = [None if v is None else unicodedata.normalize("NFC", v)
+                    for v in vals]
+        x = pa.array(obj, pa.string())
+    x = pc.replace_substring_regex(x, _NORM_JUNK_RE, " ")
+    x = pc.utf8_trim(x, " ")
+    out = t.set_column(t.schema.get_field_index(text_col), text_col, x)
+    out = out.append_column("n_chars", pc.utf8_length(x).cast(pa.int64()))
+    return out.append_column("changed", pc.not_equal(x, raw))
+
+
+def normalize_text(docs, *, text_col: str = "text",
+                   batch_size: int = 4096):
+    """Map-only; see :func:`normalize_text_batch`. Reference analog: the
+    newline normalizer (M7, ``stages/rebase.py``) generalized to full
+    unicode+control canonicalization."""
+    return docs.map_batches(
+        lambda t: normalize_text_batch(t, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def truncate_tokens_batch(t: pa.Table, max_tokens: int,
+                          text_col: str = "text") -> pa.Table:
+    """Keep the first ``max_tokens`` whitespace tokens of each document —
+    the context-window truncation step of a training-data pipeline.
+    Vectorized: one regex split per batch column, numpy segment slicing
+    (repeat/arange index construction), one ``binary_join`` back. Emits
+    truncated text, the ORIGINAL ``n_tokens`` and a ``truncated`` flag."""
+    text = t.column(text_col).combine_chunks()
+    lists = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")  # split artifacts at string edges
+    flat = flat.filter(keep)
+    doc_of = np.asarray(parent.filter(keep)).astype(np.int64)
+    n = len(t)
+    counts = np.bincount(doc_of, minlength=n)
+    k = np.minimum(counts, max_tokens)
+    tot = int(k.sum())
+    if tot:
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        seg = np.concatenate(([0], np.cumsum(k)))[:-1]
+        idx = np.repeat(starts, k) + (np.arange(tot) - np.repeat(seg, k))
+        vals = flat.take(pa.array(idx, pa.int64()))
+    else:
+        vals = pa.array([], pa.string())
+    offsets = pa.array(np.concatenate(([0], np.cumsum(k))), pa.int32())
+    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, vals), " ")
+    out = t.set_column(t.schema.get_field_index(text_col), text_col, joined)
+    out = out.append_column("n_tokens", pa.array(counts, pa.int64()))
+    return out.append_column("truncated",
+                             pa.array(counts > max_tokens, pa.bool_()))
+
+
+def truncate_tokens(docs, max_tokens: int, *, text_col: str = "text",
+                    batch_size: int = 4096):
+    """Map-only; see :func:`truncate_tokens_batch`."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    return docs.map_batches(
+        lambda t: truncate_tokens_batch(t, max_tokens, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+# ------------------------------------------------------------------ DSIR ---
+
+
+def dsir_weights(docs, target, *, vocab_size: int = 256,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 batch_size: int = 4096, round_digits: int | None = 4):
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) over explicit vocabulary features: per-document
+    importance weight ``log p_target(doc) - log p_raw(doc)`` under two
+    add-one-smoothed unigram LMs — the target distribution estimated from
+    ``target`` (the small high-quality corpus you want more of), the raw
+    distribution from ``docs`` itself. Select raw docs with the highest
+    weights to shift the training mixture toward the target domain.
+
+    Features are the top-``vocab_size`` terms by combined occurrence
+    count (count desc / term asc — the shared cross-engine tie order);
+    out-of-vocabulary terms contribute 0, exactly the hashed-feature
+    model with V explicit buckets. Per-term ``delta = ln((ct+1)/(Tt+V))
+    - ln((cr+1)/(Tr+V))`` is evaluated ONCE per vocab term with
+    ``math.log`` (libm, matching DuckDB ``ln``) on exactly-representable
+    integer ratios, so both engines see identical doubles; only the
+    per-doc sum is order-sensitive, hence the round.
+
+    Distributed shape (mirrors :func:`oov_counts`): two tf-partial
+    streams -> one vocab-keyspace grouped sum -> global top-V (vocab-sized
+    sort) -> ONE broadcast of the V-entry delta map -> map-only scoring
+    pass (per-batch tf partials, per-DISTINCT-term dict lookup mapped back
+    through dictionary indices, one weighted bincount to doc grain). No
+    corpus-sized shuffle; the only exchange is the term-count aggregate.
+    """
+    import math
+
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    def tf_of(ds):
+        return ds.map_batches(
+            lambda t: _tf_partial(t, id_col, text_col),
+            batch_format="pyarrow", batch_size=batch_size)
+
+    def tag(ct_val: int):
+        def f(t: pa.Table, cv=ct_val) -> pa.Table:
+            cr = t.column("cnt") if cv == 0 else \
+                pa.nulls(len(t), pa.int64()).fill_null(0)
+            ct = t.column("cnt") if cv == 1 else \
+                pa.nulls(len(t), pa.int64()).fill_null(0)
+            return pa.Table.from_arrays(
+                [t.column("term"), cr, ct], names=["term", "cr", "ct"])
+        return f
+
+    cr = grouped_agg(tf_of(docs).select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "cnt")])
+    ct = grouped_agg(tf_of(target).select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "cnt")])
+    comb = grouped_agg(
+        cr.map_batches(tag(0), batch_format="pyarrow").union(
+            ct.map_batches(tag(1), batch_format="pyarrow")),
+        ["term"], [("cr", "sum", "cr"), ("ct", "sum", "ct")])
+
+    def rank_key(t: pa.Table) -> pa.Table:
+        return t.append_column("rk", pc.add(t.column("cr"), t.column("ct")))
+
+    top = comb.map_batches(rank_key, batch_format="pyarrow") \
+        .sort(["rk", "term"], descending=[True, False]) \
+        .limit(vocab_size).take_all()
+    v = len(top)
+    tt = sum(r["ct"] for r in top) + v
+    tr = sum(r["cr"] for r in top) + v
+    dmap = {r["term"]: math.log((r["ct"] + 1) / tt)
+            - math.log((r["cr"] + 1) / tr) for r in top}
+    dmap_ref = ray.put(dmap)
+
+    def score(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        pairs = _tf_partial(t, id_col, text_col)
+        if len(pairs) == 0:
+            return pa.schema([pa.field(id_col, id_type),
+                              pa.field("dsir_weight", pa.float64())]
+                             ).empty_table()
+        dm = ray.get(dmap_ref)
+        enc = pc.dictionary_encode(pairs.column("term").combine_chunks())
+        ddict = np.array([dm.get(w, 0.0)
+                          for w in enc.dictionary.to_pylist()],
+                         dtype=np.float64)
+        contrib = ddict[np.asarray(enc.indices)] * np.asarray(
+            pairs.column("tf").combine_chunks(), dtype=np.float64)
+        ienc = pc.dictionary_encode(pairs.column(id_col).combine_chunks())
+        w = np.bincount(np.asarray(ienc.indices), weights=contrib,
+                        minlength=len(ienc.dictionary))
+        if round_digits is not None:
+            w = [round(x, round_digits) for x in w.tolist()]
+        return pa.Table.from_arrays(
+            [ienc.dictionary, pa.array(w, pa.float64())],
+            names=[id_col, "dsir_weight"])
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=batch_size)

@@ -1214,3 +1214,89 @@ RELATIONAL["docs_oov"] = """
     FROM toks LEFT JOIN vocab v ON toks.term = v.term
     GROUP BY doc_id
 """
+
+RELATIONAL["docs_normalize"] = """
+    SELECT doc_id, ntext AS text,
+           CAST(length(ntext) AS BIGINT) AS n_chars,
+           ntext <> orig AS changed
+    FROM (SELECT doc_id, text AS orig,
+                 trim(regexp_replace(nfc_normalize(text),
+                      '[\\s\\x00-\\x1f\\x7f]+', ' ', 'g')) AS ntext
+          FROM documents)
+"""
+
+RELATIONAL["docs_truncate"] = """
+    SELECT doc_id, array_to_string(tl[1:50], ' ') AS text,
+           CAST(len(tl) AS BIGINT) AS n_tokens,
+           len(tl) > 50 AS truncated
+    FROM (SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tl
+          FROM documents)
+"""
+
+RELATIONAL["docs_dsir"] = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    cr AS (SELECT term, count(*) AS cr FROM toks GROUP BY term),
+    ctt AS (SELECT term, count(*) AS ct FROM toks WHERE source = 'src0'
+            GROUP BY term),
+    vocab AS (
+      SELECT cr.term, cr.cr, coalesce(ctt.ct, 0) AS ct
+      FROM cr LEFT JOIN ctt USING (term)
+      ORDER BY cr.cr + coalesce(ctt.ct, 0) DESC, cr.term LIMIT 256),
+    tot AS (SELECT sum(ct) AS st, sum(cr) AS sr, count(*) AS v FROM vocab),
+    delta AS (
+      SELECT term,
+             ln((ct + 1.0) / (st + v)) - ln((cr + 1.0) / (sr + v)) AS d
+      FROM vocab, tot)
+    SELECT tf.doc_id, round(sum(tf.tf * coalesce(d.d, 0.0)), 4)
+             AS dsir_weight
+    FROM tf LEFT JOIN delta d USING (term) GROUP BY tf.doc_id
+"""
+
+RELATIONAL["embedding_decontam"] = """
+    WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                WHERE vec_id % 10 = 0),
+    mx AS (
+      SELECT c.vec_id,
+             max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ev.e))
+               AS m
+      FROM embeddings c CROSS JOIN ev WHERE c.vec_id % 10 <> 0
+      GROUP BY c.vec_id)
+    SELECT vec_id, round(m, 4) AS max_eval_cos FROM mx WHERE m < 0.5
+"""
+
+RELATIONAL["lineitem_profile"] = """
+    SELECT 'l_discount' AS "column", count(*) AS n,
+           count(*) - count(l_discount) AS n_null,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+           CAST(min(l_discount) AS DOUBLE) AS min_val,
+           CAST(max(l_discount) AS DOUBLE) AS max_val,
+           round(avg(l_discount), 4) AS avg_val FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE),
+           round(avg(l_extendedprice), 4) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+           CAST(max(l_quantity) AS DOUBLE), round(avg(l_quantity), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           count(DISTINCT l_tax), CAST(min(l_tax) AS DOUBLE),
+           CAST(max(l_tax) AS DOUBLE), round(avg(l_tax), 4) FROM lineitem
+"""
+
+RELATIONAL["events_zscore"] = """
+    SELECT event_id, event_type, value,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4)
+             AS z
+    FROM events
+"""

@@ -2048,3 +2048,121 @@ def embeddings_kmeans(sf_dir: str):
     em = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     _, assign = kmeans(em, k=6, iters=4)
     return assign
+
+
+def docs_normalize(sf_dir: str):
+    """Unicode/whitespace canonicalization (NFC + control/whitespace-run
+    collapse + trim) — the crawl-curation chain's first step, entirely
+    Arrow kernels. Reference analog: M7 newline normalizer generalized."""
+    from easyner_ray.ops.textstats import normalize_text
+
+    return normalize_text(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def docs_truncate(sf_dir: str):
+    """Context-window truncation: first 50 whitespace tokens of each
+    document, numpy segment slicing + one binary_join — no Python rows."""
+    from easyner_ray.ops.textstats import truncate_tokens
+
+    return truncate_tokens(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), 50)
+
+
+def docs_dsir(sf_dir: str):
+    """DSIR importance weights (arXiv:2302.03169): log p_target - log
+    p_raw per document under add-one-smoothed unigram LMs over the
+    top-256 combined vocabulary, target = the 'src0' slice (stand-in for
+    the high-quality domain you want more of). materialize() before the
+    fan-out: docs feeds BOTH the raw-count pass and the scoring pass
+    (Ray plans are trees — an unmaterialized fan-out re-executes the
+    read per consumer)."""
+    from easyner_ray.ops.textstats import dsir_weights
+
+    docs = _rp(sf_dir, "documents",
+               columns=["doc_id", "source", "text"]).materialize()
+
+    def only_src0(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("source"), "src0"))
+
+    target = docs.map_batches(only_src0, batch_format="pyarrow")
+    return dsir_weights(docs, target, vocab_size=256)
+
+
+def embedding_decontam_q(sf_dir: str):
+    """Embedding-space decontamination: corpus vectors (vec_id % 10 != 0)
+    that survive a max-cosine < 0.5 gate against the held-out eval slice
+    (vec_id % 10 == 0). The eval matrix is assembled in a Ray task and
+    broadcast once; the corpus streams map-only — no shuffle."""
+    from easyner_ray.ops.decontam import embedding_decontam
+
+    def mod_split(keep_eval: bool):
+        def f(t: pa.Table, ke=keep_eval) -> pa.Table:
+            v = t.column("vec_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            mask = (v % 10 == 0)
+            return t.filter(pa.array(mask if ke else ~mask))
+        return _rp(sf_dir, "embeddings",
+                   columns=["vec_id", "embedding"]).map_batches(
+            f, batch_format="pyarrow")
+
+    return embedding_decontam(mod_split(False), mod_split(True),
+                              threshold=0.5)
+
+
+def lineitem_profile(sf_dir: str):
+    """Numeric column profiler over the widest table: per-column count /
+    nulls / exact distinct / min / max / avg in two streaming passes
+    (basics are tree-merged partials; distinct pays the inherent
+    per-column value exchange, HLL is the documented 100 TB swap)."""
+    from easyner_ray.ops.relational import profile_columns
+
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    return profile_columns(_rp(sf_dir, "lineitem", columns=cols), cols)
+
+
+def events_zscore(sf_dir: str):
+    """Grouped standardization (feature normalization for training
+    data): z = (value - mean_type) / stddev_samp_type per event. Two
+    phases: one grouped (n, sum, sum-of-squares) aggregate over the
+    5-key type space (tree final — no keyed shuffle), then a map-only
+    broadcast-assign pass. Rounded to the oracle grain per row (Python
+    round, _round4 convention)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks().cast(pa.float64())
+        return t.append_column("value2", pc.multiply(v, v))
+
+    stats = grouped_agg(
+        ev.map_batches(add_sq, batch_format="pyarrow"), ["event_type"],
+        [("value", "sum", "s"), ("value2", "sum", "s2"),
+         ("value", "count", "n")], final="tree").take_all()
+    import math
+    ms = {r["event_type"]:
+          (r["s"] / r["n"],
+           math.sqrt(max((r["s2"] - r["s"] * r["s"] / r["n"])
+                         / (r["n"] - 1), 0.0)))
+          for r in stats if r["n"] > 1}
+
+    def assign(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        import numpy as np
+        mean_d = np.array([ms.get(k, (0.0, 0.0))[0]
+                           for k in enc.dictionary.to_pylist()])
+        sd_d = np.array([ms.get(k, (0.0, 1.0))[1]
+                         for k in enc.dictionary.to_pylist()])
+        ix = np.asarray(enc.indices)
+        v = t.column("value").combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        z = (v - mean_d[ix]) / sd_d[ix]
+        t = t.append_column(
+            "z", pa.array([round(x, 4) for x in z.tolist()], pa.float64()))
+        return t.select(["event_id", "event_type", "value", "z"])
+
+    return ev.map_batches(assign, batch_format="pyarrow")

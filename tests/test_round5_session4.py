@@ -1,0 +1,184 @@
+"""Round-5 session-4 operators: unicode normalization, token
+truncation, DSIR importance weights, embedding-space decontamination,
+and the numeric column profiler."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table, blocks: int = 1):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+# ------------------------------------------------------- normalization ---
+
+
+def test_normalize_text_nfc_controls_whitespace(ray_session):
+    from easyner_ray.ops.textstats import normalize_text
+
+    decomposed = "café"  # e + combining acute -> NFC 'café'
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["  a\t\n b\x00c ", decomposed, "", "clean text"],
+    })
+    out = {r["doc_id"]: r for r in normalize_text(_ds(t, 2)).take_all()}
+    assert out[1]["text"] == "a b c"
+    assert out[1]["changed"] is True
+    assert out[2]["text"] == "café"
+    assert out[2]["n_chars"] == 4          # codepoints AFTER composition
+    assert out[2]["changed"] is True
+    assert out[3]["text"] == "" and out[3]["changed"] is False
+    assert out[4]["text"] == "clean text" and out[4]["changed"] is False
+
+
+def test_normalize_collapses_vertical_tab_and_del(ray_session):
+    from easyner_ray.ops.textstats import normalize_text
+
+    t = pa.table({"doc_id": [1], "text": ["a\x0b\x0c\x7fb"]})
+    (row,) = normalize_text(_ds(t)).take_all()
+    assert row["text"] == "a b"
+
+
+# ----------------------------------------------------------- truncation ---
+
+
+def test_truncate_tokens_slices_and_flags(ray_session):
+    from easyner_ray.ops.textstats import truncate_tokens
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one two three four", "a b", "", "  x   y  z  "],
+    })
+    out = {r["doc_id"]: r
+           for r in truncate_tokens(_ds(t, 2), 3).take_all()}
+    assert out[1]["text"] == "one two three"
+    assert out[1]["n_tokens"] == 4 and out[1]["truncated"] is True
+    assert out[2]["text"] == "a b"
+    assert out[2]["n_tokens"] == 2 and out[2]["truncated"] is False
+    assert out[3]["text"] == "" and out[3]["n_tokens"] == 0
+    assert out[4]["text"] == "x y z"      # split artifacts dropped
+
+
+def test_truncate_tokens_rejects_bad_max(ray_session):
+    import pytest
+
+    from easyner_ray.ops.textstats import truncate_tokens
+
+    with pytest.raises(ValueError):
+        truncate_tokens(_ds(pa.table({"text": ["x"]})), 0)
+
+
+# ----------------------------------------------------------------- DSIR ---
+
+
+def test_dsir_weights_formula_and_direction(ray_session):
+    """Hand-check the add-one-smoothed log-ratio on a 3-term universe;
+    target-like docs must score above raw-like docs."""
+    from easyner_ray.ops.textstats import dsir_weights
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["good good", "bad bad", "good bad"],
+    })
+    target = pa.table({"doc_id": [10], "text": ["good good good"]})
+    out = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir_weights(_ds(docs, 2).materialize(),
+                                 _ds(target)).take_all()}
+    # vocab = {good (cr=3), bad (cr=3)}; ct: good=3, bad=0; V=2
+    # Tt = 3 + 2 = 5; Tr = 6 + 2 = 8
+    d_good = math.log(4 / 5) - math.log(4 / 8)
+    d_bad = math.log(1 / 5) - math.log(4 / 8)
+    assert out[1] == round(2 * d_good, 4)
+    assert out[2] == round(2 * d_bad, 4)
+    assert out[3] == round(d_good + d_bad, 4)
+    assert out[1] > out[3] > out[2]
+
+
+def test_dsir_oov_terms_contribute_zero(ray_session):
+    from easyner_ray.ops.textstats import dsir_weights
+
+    docs = pa.table({
+        "doc_id": [1, 2],
+        "text": ["alpha alpha beta", "zzz qqq"],   # doc 2 all-OOV at V=2
+    })
+    target = pa.table({"doc_id": [9], "text": ["alpha"]})
+    out = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir_weights(_ds(docs).materialize(), _ds(target),
+                                 vocab_size=2).take_all()}
+    assert out[2] == 0.0                  # present, but zero weight
+
+
+# ------------------------------------------------- embedding decontam ---
+
+
+def test_embedding_decontam_drops_near_eval(ray_session):
+    from easyner_ray.ops.decontam import embedding_decontam
+
+    corpus = pa.table({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]],
+    })
+    ev = pa.table({"vec_id": [100], "embedding": [[1.0, 0.0]]})
+    out = {r["vec_id"]: r["max_eval_cos"]
+           for r in embedding_decontam(_ds(corpus, 2), _ds(ev),
+                                       threshold=0.9).take_all()}
+    assert 1 not in out                    # cos = 1.0 -> contaminated
+    assert out[2] == 0.0
+    assert out[3] == round(0.7 / math.sqrt(0.98), 4)
+
+
+def test_embedding_decontam_empty_eval_keeps_all(ray_session):
+    from easyner_ray.ops.decontam import embedding_decontam
+
+    corpus = pa.table({"vec_id": [1, 2],
+                       "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    ev = pa.table({"vec_id": pa.array([], pa.int64()),
+                   "embedding": pa.array([], pa.list_(pa.float64()))})
+    out = embedding_decontam(_ds(corpus), _ds(ev)).take_all()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
+    assert all(r["max_eval_cos"] == 0.0 for r in out)
+
+
+# --------------------------------------------------------------- profiler ---
+
+
+def test_profile_columns_nulls_distinct_and_avg(ray_session):
+    from easyner_ray.ops.relational import profile_columns
+
+    t = pa.table({
+        "a": pa.array([1.0, 2.0, 2.0, None], pa.float64()),
+        "b": pa.array([5, 5, 5, 5], pa.int64()),
+    })
+    out = profile_columns(_ds(t, 2), ["a", "b"]).to_pylist()
+    rows = {r["column"]: r for r in out}
+    assert rows["a"]["n"] == 4 and rows["a"]["n_null"] == 1
+    assert rows["a"]["n_distinct"] == 2
+    assert rows["a"]["min_val"] == 1.0 and rows["a"]["max_val"] == 2.0
+    assert rows["a"]["avg_val"] == round(5.0 / 3, 4)
+    assert rows["b"]["n_distinct"] == 1 and rows["b"]["avg_val"] == 5.0
+
+
+def test_profile_columns_all_null_column(ray_session):
+    from easyner_ray.ops.relational import profile_columns
+
+    t = pa.table({"a": pa.array([None, None], pa.float64())})
+    (row,) = profile_columns(_ds(t), ["a"]).to_pylist()
+    assert row["n"] == 2 and row["n_null"] == 2
+    assert row["n_distinct"] == 0 and row["avg_val"] is None
+
+
+def test_profile_round_matches_sql_half_away_tie(ray_session):
+    """avg exactly on a .00005 tie must follow SQL's half-away round
+    (the l_quantity trap: 25.40225 -> 25.4023, not Python's 25.4022)."""
+    from easyner_ray.ops.relational import profile_columns
+
+    t = pa.table({"q": pa.array([25.40225], pa.float64())})
+    (row,) = profile_columns(_ds(t), ["q"]).to_pylist()
+    assert round(25.40225, 4) == 25.4022   # the divergence being pinned
+    assert row["avg_val"] == 25.4023
