@@ -158,6 +158,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_split_assign": q.docs_split_assign,
         "docs_rebalance_sources": q.docs_rebalance_sources,
         "docs_oov": q.docs_oov,
+        "docs_normalize": q.docs_normalize,
+        "docs_dsir": q.docs_dsir,
+        "embedding_decontam": q.embedding_decontam_q,
+        "lineitem_profile": q.lineitem_profile,
+        "events_zscore": q.events_zscore,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

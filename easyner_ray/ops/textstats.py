@@ -1576,6 +1576,14 @@ def bpe_apply(docs, merges: list[tuple[str, str]], *,
 _NORM_JUNK_RE = r"[\s\x00-\x1f\x7f]+"
 
 
+def _put_col(t: pa.Table, name: str, arr) -> pa.Table:
+    """Replace-or-append: input tables may already carry the audit column
+    (e.g. the testdata documents table ships n_chars) — appending a
+    duplicate field name makes the schema unselectable by name."""
+    i = t.schema.get_field_index(name)
+    return t.set_column(i, name, arr) if i >= 0 else t.append_column(name, arr)
+
+
 def normalize_text_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Unicode/whitespace canonicalization of one batch — the standard
     first step of a crawl-curation chain (ftfy-lite): NFC normalize,
@@ -1605,8 +1613,8 @@ def normalize_text_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     x = pc.replace_substring_regex(x, _NORM_JUNK_RE, " ")
     x = pc.utf8_trim(x, " ")
     out = t.set_column(t.schema.get_field_index(text_col), text_col, x)
-    out = out.append_column("n_chars", pc.utf8_length(x).cast(pa.int64()))
-    return out.append_column("changed", pc.not_equal(x, raw))
+    out = _put_col(out, "n_chars", pc.utf8_length(x).cast(pa.int64()))
+    return _put_col(out, "changed", pc.not_equal(x, raw))
 
 
 def normalize_text(docs, *, text_col: str = "text",
@@ -1649,9 +1657,9 @@ def truncate_tokens_batch(t: pa.Table, max_tokens: int,
     offsets = pa.array(np.concatenate(([0], np.cumsum(k))), pa.int32())
     joined = pc.binary_join(pa.ListArray.from_arrays(offsets, vals), " ")
     out = t.set_column(t.schema.get_field_index(text_col), text_col, joined)
-    out = out.append_column("n_tokens", pa.array(counts, pa.int64()))
-    return out.append_column("truncated",
-                             pa.array(counts > max_tokens, pa.bool_()))
+    out = _put_col(out, "n_tokens", pa.array(counts, pa.int64()))
+    return _put_col(out, "truncated",
+                    pa.array(counts > max_tokens, pa.bool_()))
 
 
 def truncate_tokens(docs, max_tokens: int, *, text_col: str = "text",

@@ -563,6 +563,59 @@ def _step_pii_redact(ds, kinds: list[str] | None = None,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _step_normalize(ds, text_col: str = "text", **_):
+    """NFC + whitespace/control canonicalization in place — the chain's
+    schema is unchanged (the op's n_chars/changed audit columns are for
+    the standalone query; a chain step keeps documents-shaped rows)."""
+    from easyner_ray.ops.textstats import normalize_text_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        return normalize_text_batch(t, text_col).select(t.schema.names)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_truncate(ds, max_tokens: int = 2048, text_col: str = "text", **_):
+    """Cut every document to its first ``max_tokens`` whitespace tokens
+    (context-window cap), schema unchanged."""
+    from easyner_ray.ops.textstats import truncate_tokens_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        return truncate_tokens_batch(t, max_tokens, text_col) \
+            .select(t.schema.names)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_dsir_select(ds, target_source: str, min_weight: float = 0.0,
+                      vocab_size: int = 256, source_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text", **_):
+    """Keep documents whose DSIR importance weight (log p_target - log
+    p_raw, target = the ``target_source`` slice of the INCOMING stream)
+    reaches ``min_weight`` — the importance-resampling mixture shift as a
+    chain step. materialize() at entry: the stream fans out three ways
+    (raw counts, scoring pass, semi-join left side)."""
+    from easyner_ray.ops.relational import adaptive_semi_join
+    from easyner_ray.ops.textstats import dsir_weights
+
+    ds = ds.materialize()
+
+    def tgt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column(source_col), target_source))
+
+    w = dsir_weights(ds, ds.map_batches(tgt, batch_format="pyarrow"),
+                     vocab_size=vocab_size, id_col=id_col,
+                     text_col=text_col)
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("dsir_weight"),
+                                         min_weight))
+
+    keep = w.map_batches(above, batch_format="pyarrow") \
+        .select_columns([id_col])
+    return adaptive_semi_join(ds, keep, on=id_col)
+
+
 def _step_chunk(ds, size: int, overlap: int = 0, text_col: str = "text",
                 id_col: str = "doc_id", **_):
     """Explode documents into fixed-size overlapping character windows —
@@ -626,6 +679,9 @@ STEPS = {
     "redact": _step_redact,
     "pii_redact": _step_pii_redact,
     "chunk": _step_chunk,
+    "normalize": _step_normalize,
+    "truncate": _step_truncate,
+    "dsir_select": _step_dsir_select,
 }
 
 

@@ -182,3 +182,40 @@ def test_profile_round_matches_sql_half_away_tie(ray_session):
     (row,) = profile_columns(_ds(t), ["q"]).to_pylist()
     assert round(25.40225, 4) == 25.4022   # the divergence being pinned
     assert row["avg_val"] == 25.4023
+
+
+# ----------------------------------------------------------- curate steps ---
+
+
+def test_curate_normalize_and_truncate_steps_keep_schema(ray_session):
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({
+        "doc_id": [1, 2],
+        "source": ["a", "b"],
+        "text": ["  x \t y  ", "one two three four"],
+    })
+    out = STEPS["normalize"](_ds(t, 2)).take_all()
+    assert sorted(out[0].keys()) == ["doc_id", "source", "text"]
+    assert {r["doc_id"]: r["text"] for r in out}[1] == "x y"
+
+    out2 = {r["doc_id"]: r["text"]
+            for r in STEPS["truncate"](_ds(t), max_tokens=2).take_all()}
+    assert out2[2] == "one two"
+
+
+def test_curate_dsir_select_step_filters_by_weight(ray_session):
+    from easyner_ray.pipelines.curate import STEPS
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "source": ["tgt", "raw", "raw"],
+        "text": ["good words here", "good words here", "junk junk junk"],
+    })
+    out = STEPS["dsir_select"](_ds(t, 2), target_source="tgt",
+                               min_weight=0.0).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    # target-like docs (1, 2) have non-negative weights; the junk doc's
+    # terms never occur in the target -> strictly negative weight
+    assert 3 not in ids and ids == [1, 2]
+    assert sorted(out[0].keys()) == ["doc_id", "source", "text"]
