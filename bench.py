@@ -163,6 +163,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_decontam": q.embedding_decontam_q,
         "lineitem_profile": q.lineitem_profile,
         "events_zscore": q.events_zscore,
+        "docs_c4_signals": q.docs_c4_signals,
+        "docs_source_kl": q.docs_source_kl,
+        "events_winsorize": q.events_winsorize,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -1770,3 +1770,141 @@ def dsir_weights(docs, target, *, vocab_size: int = 256,
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+# ----------------------------------------------------------- C4 heuristics ---
+
+
+def c4_signals(docs, *, id_col: str = "doc_id", text_col: str = "text",
+               min_words_per_line: int = 5, batch_size: int = 4096):
+    """C4-style line-level quality signals (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2): per document, the line count, the fraction
+    of lines ending in terminal punctuation, the fraction of lines with
+    at least ``min_words_per_line`` words, plus the document-level
+    boilerplate flags (lorem ipsum / curly brace / 'javascript'). The
+    caller filters on these — signals and gate are separate so the same
+    pass feeds reporting AND filtering.
+
+    Map-only and vectorized: one split per batch column, per-LINE regex
+    kernels over the flattened lines, two bincounts back to doc grain.
+    Fractions are int/int doubles (exact operands, correctly-rounded
+    IEEE division) — bit-stable cross-engine with no rounding grain.
+    Lines are trimmed with the explicit ``' \\t\\r'`` set (mirrors SQL
+    ``trim(line, ...)``; utf8_trim_whitespace would diverge on unicode
+    spaces)."""
+    punct_re = r"""[.!?"']$"""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column(text_col).combine_chunks()
+        lower = pc.utf8_lower(text)
+        lists = pc.split_pattern(text, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = np.asarray(pc.list_parent_indices(lists))
+        n = len(t)
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        trimmed = pc.utf8_trim(flat, " \t\r")
+        ep = np.asarray(pc.match_substring_regex(trimmed, punct_re))
+        w5 = np.asarray(pc.greater_equal(
+            pc.count_substring_regex(flat, WS_TOKEN_RE),
+            min_words_per_line))
+        ep_n = np.bincount(parent, weights=ep.astype(np.float64),
+                           minlength=n).astype(np.int64)
+        w5_n = np.bincount(parent, weights=w5.astype(np.float64),
+                           minlength=n).astype(np.int64)
+        safe = np.maximum(n_lines, 1)   # split always yields >=1 segment
+        return pa.Table.from_arrays(
+            [t.column(id_col),
+             pa.array(n_lines, pa.int64()),
+             pa.array(ep_n / safe, pa.float64()),
+             pa.array(w5_n / safe, pa.float64()),
+             pc.match_substring(lower, "lorem ipsum"),
+             pc.match_substring(text, "{"),
+             pc.match_substring(lower, "javascript")],
+            names=[id_col, "n_lines", "frac_lines_end_punct",
+                   "frac_lines_min_words", "has_lorem_ipsum",
+                   "has_brace", "has_javascript"])
+
+    return docs.map_batches(f, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
+# ------------------------------------------------- mixture diagnostics ---
+
+
+def source_kl(docs, *, group_col: str = "source", id_col: str = "doc_id",
+              text_col: str = "text", batch_size: int = 4096,
+              round_digits: int | None = 4):
+    """Per-source KL divergence from the corpus unigram distribution —
+    the mixture diagnostic of a multi-source training set: KL(p_s || q)
+    = sum_t p_s(t) ln(p_s(t)/q(t)) with p_s the source's term
+    distribution and q the whole corpus'. A source with high KL is
+    lexically idiosyncratic (needs its own curation thresholds); near 0
+    means it is interchangeable with the mixture.
+
+    Distributed shape: per-batch (source, term) count partials (a doc
+    lives on one row) -> ONE grouped sum over the source x vocab
+    keyspace, materialized (it feeds three consumers: per-source totals,
+    per-term corpus counts, and the contribution pass) -> contributions
+    computed vocab-side with exact-operand arithmetic (``(c*T)/(T_s*c_t)``
+    is int*int / int*int, correctly-rounded once; ``math.log`` = libm =
+    SQL ``ln``) -> #sources-row tree final. Only the per-doc... per-SOURCE
+    sum is order-sensitive, hence the round."""
+    import math
+
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        p = _tf_partial(t, group_col, text_col)
+        return pa.Table.from_arrays(
+            [p.column(group_col), p.column("term"), p.column("tf")],
+            names=[group_col, "term", "c"])
+
+    st = grouped_agg(
+        docs.select_columns([group_col, text_col]).map_batches(
+            st_partial, batch_format="pyarrow", batch_size=batch_size),
+        [group_col, "term"], [("c", "sum", "c")]).materialize()
+
+    ts = {r[group_col]: r["t_s"] for r in grouped_agg(
+        st, [group_col], [("c", "sum", "t_s")], final="tree").take_all()}
+    total = sum(ts.values())
+    ct_tbl = grouped_agg(st.select_columns(["term", "c"]), ["term"],
+                         [("c", "sum", "ct")]).take_all()
+    ct_ref = ray.put({r["term"]: r["ct"] for r in ct_tbl})
+    ts_ref = ray.put(ts)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        ct = ray.get(ct_ref)
+        tsd = ray.get(ts_ref)
+        srcs = t.column(group_col).to_pylist()
+        terms = t.column("term").to_pylist()
+        cs = t.column("c").to_pylist()
+        # vocab-sized table (sources x terms), not corpus-sized: the
+        # Python loop here is the oracle-parity kernel (libm log on
+        # exact-operand ratios), bounded by vocabulary size.
+        out = [(c / tsd[s]) * math.log((c * total) / (tsd[s] * ct[w]))
+               for s, w, c in zip(srcs, terms, cs)]
+        return pa.Table.from_arrays(
+            [t.column(group_col), pa.array(out, pa.float64())],
+            names=[group_col, "kl_part"])
+
+    kl = grouped_agg(
+        st.map_batches(contrib, batch_format="pyarrow"),
+        [group_col], [("kl_part", "sum", "kl")], final="tree")
+
+    def finish(t: pa.Table) -> pa.Table:
+        tsd = ts
+        srcs = t.column(group_col).to_pylist()
+        ks = t.column("kl").to_pylist()
+        if round_digits is not None:
+            ks = [round(k, round_digits) for k in ks]
+        return pa.Table.from_arrays(
+            [t.column(group_col),
+             pa.array([tsd[s] for s in srcs], pa.int64()),
+             pa.array(ks, pa.float64())],
+            names=[group_col, "n_tokens", "kl"])
+
+    return kl.map_batches(finish, batch_format="pyarrow")

@@ -1300,3 +1300,52 @@ RELATIONAL["events_zscore"] = """
              AS z
     FROM events
 """
+
+RELATIONAL["docs_c4_signals"] = """
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents),
+    agg AS (
+      SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN regexp_matches(
+                   trim(line, ' ' || chr(9) || chr(13)), '[.!?"'']$')
+                 THEN 1 ELSE 0 END) AS ep,
+             sum(CASE WHEN len(regexp_extract_all(line, '[^\\s]+')) >= 5
+                 THEN 1 ELSE 0 END) AS w5
+      FROM l GROUP BY doc_id)
+    SELECT d.doc_id, CAST(a.n_lines AS BIGINT) AS n_lines,
+           a.ep * 1.0 / a.n_lines AS frac_lines_end_punct,
+           a.w5 * 1.0 / a.n_lines AS frac_lines_min_words,
+           contains(lower(d.text), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(d.text, '{') AS has_brace,
+           contains(lower(d.text), 'javascript') AS has_javascript
+    FROM documents d JOIN agg a USING (doc_id)
+"""
+
+RELATIONAL["docs_source_kl"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    st AS (SELECT source, term, count(*) AS c FROM toks
+           GROUP BY source, term),
+    ts AS (SELECT source, sum(c) AS t_s FROM st GROUP BY source),
+    ct AS (SELECT term, sum(c) AS ct FROM st GROUP BY term),
+    tot AS (SELECT sum(c) AS t FROM st)
+    SELECT st.source, CAST(ts.t_s AS BIGINT) AS n_tokens,
+           round(sum((st.c * 1.0 / ts.t_s)
+                     * ln((st.c * tot.t * 1.0) / (ts.t_s * ct.ct))), 4)
+             AS kl
+    FROM st JOIN ts USING (source) JOIN ct USING (term), tot
+    GROUP BY st.source, ts.t_s
+"""
+
+RELATIONAL["events_winsorize"] = """
+    WITH b AS (SELECT round(quantile_cont(value, 0.05), 4) AS lo,
+                      round(quantile_cont(value, 0.95), 4) AS hi
+               FROM events)
+    SELECT event_id, value,
+           CASE WHEN value < lo THEN lo
+                WHEN value > hi THEN hi ELSE value END AS value_w
+    FROM events, b
+"""

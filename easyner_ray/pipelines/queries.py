@@ -2166,3 +2166,43 @@ def events_zscore(sf_dir: str):
         return t.select(["event_id", "event_type", "value", "z"])
 
     return ev.map_batches(assign, batch_format="pyarrow")
+
+
+def docs_c4_signals(sf_dir: str):
+    """C4 line-level quality signals + boilerplate flags per document
+    (arXiv:1910.10683 §2.2) — map-only vectorized; fractions are exact
+    int/int doubles so the compare needs no rounding grain."""
+    from easyner_ray.ops.textstats import c4_signals
+
+    return c4_signals(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def docs_source_kl(sf_dir: str):
+    """Per-source KL divergence from the corpus unigram distribution —
+    mixture diagnostics for a multi-source training set. One grouped sum
+    over the source x vocab keyspace; everything after is vocab-sized."""
+    from easyner_ray.ops.textstats import source_kl
+
+    return source_kl(_rp(sf_dir, "documents", columns=["source", "text"]))
+
+
+def events_winsorize(sf_dir: str):
+    """Winsorization (outlier clipping for feature columns): clamp value
+    to the interpolated [p05, p95] band. The bounds come from the shared
+    histogram-refinement quantile core and are rounded to the oracle
+    grain BEFORE clipping — so clamped rows carry the identical double in
+    both engines and pass-through rows are untouched originals: the
+    whole output is bit-exact with no per-row rounding."""
+    from easyner_ray.ops.sketch import exact_quantiles_cont
+
+    ev = _rp(sf_dir, "events",
+             columns=["event_id", "value"]).materialize()  # 2 consumers
+    qs = exact_quantiles_cont(ev, "value", [0.05, 0.95])
+    lo, hi = round(qs[0.05], 4), round(qs[0.95], 4)
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t.column("value").combine_chunks().cast(pa.float64())
+        w = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        return t.append_column("value_w", w)
+
+    return ev.map_batches(clip, batch_format="pyarrow")

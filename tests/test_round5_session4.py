@@ -219,3 +219,78 @@ def test_curate_dsir_select_step_filters_by_weight(ray_session):
     # terms never occur in the target -> strictly negative weight
     assert 3 not in ids and ids == [1, 2]
     assert sorted(out[0].keys()) == ["doc_id", "source", "text"]
+
+
+# ------------------------------------------------------------ C4 signals ---
+
+
+def test_c4_signals_line_fractions_and_flags(ray_session):
+    from easyner_ray.ops.textstats import c4_signals
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "This line is long enough to count.\nshort\nAnother full "
+            "sentence here today!",
+            "Lorem Ipsum dolor { var x = 1; } javascript",
+            "",
+        ],
+    })
+    out = {r["doc_id"]: r for r in c4_signals(_ds(t, 2)).take_all()}
+    assert out[1]["n_lines"] == 3
+    assert out[1]["frac_lines_end_punct"] == 2 / 3   # 'short' has none
+    assert out[1]["frac_lines_min_words"] == 2 / 3
+    assert out[1]["has_lorem_ipsum"] is False
+    assert out[2]["has_lorem_ipsum"] is True
+    assert out[2]["has_brace"] is True
+    assert out[2]["has_javascript"] is True
+    assert out[3]["n_lines"] == 1                     # '' -> one segment
+    assert out[3]["frac_lines_end_punct"] == 0.0
+
+
+def test_c4_signals_trims_tabs_before_punct_check(ray_session):
+    from easyner_ray.ops.textstats import c4_signals
+
+    t = pa.table({"doc_id": [1], "text": ["ends well.\t\r"]})
+    (row,) = c4_signals(_ds(t)).take_all()
+    assert row["frac_lines_end_punct"] == 1.0
+
+
+# ---------------------------------------------------------- source KL ---
+
+
+def test_source_kl_identical_sources_zero_distinct_positive(ray_session):
+    import math
+
+    from easyner_ray.ops.textstats import source_kl
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "source": ["a", "b", "c"],
+        "text": ["x y", "x y", "z z"],   # a == b == mixture-ish; c apart
+    })
+    out = {r["source"]: r for r in source_kl(_ds(t, 2)).take_all()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["kl"] == out["b"]["kl"]
+    assert out["c"]["kl"] > out["a"]["kl"] >= 0.0
+    # hand-check c: p(z)=1, q(z)=2/6 -> KL = ln(3)
+    assert out["c"]["kl"] == round(math.log(3), 4)
+    assert out["c"]["n_tokens"] == 2
+
+
+# ----------------------------------------------------------- winsorize ---
+
+
+def test_events_winsorize_clamps_to_rounded_band(ray_session):
+    import os
+
+    from easyner_ray.pipelines.queries import events_winsorize
+
+    out = events_winsorize("/root/testdata/sf0.001").take_all()
+    vals = [r["value"] for r in out]
+    ws = [r["value_w"] for r in out]
+    lo, hi = min(ws), max(ws)
+    assert lo > min(vals) and hi < max(vals)          # tails clipped
+    n_clip = sum(1 for v, w in zip(vals, ws) if v != w)
+    assert 0 < n_clip < len(out) * 0.2                # ~10% clamped
+    assert all(lo <= w <= hi for w in ws)
