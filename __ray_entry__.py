@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_signals": q.docs_c4_signals,       # C4 line heuristics
         "docs_source_kl": q.docs_source_kl,         # mixture diagnostics
         "events_winsorize": q.events_winsorize,     # p05/p95 clipping
+        "docs_concat_blocks": q.docs_concat_blocks,  # GPT block layout
         "docs_curated_v2": q.docs_curated_v2,       # round-5 chain end-to-end
         "quality_scores": q.quality_scores_q,
         "lang_id": q.lang_id_q,                      # heuristic: rows-only

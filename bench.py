@@ -166,6 +166,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_c4_signals": q.docs_c4_signals,
         "docs_source_kl": q.docs_source_kl,
         "events_winsorize": q.events_winsorize,
+        "docs_concat_blocks": q.docs_concat_blocks,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -1908,3 +1908,79 @@ def source_kl(docs, *, group_col: str = "source", id_col: str = "doc_id",
             names=[group_col, "n_tokens", "kl"])
 
     return kl.map_batches(finish, batch_format="pyarrow")
+
+
+def concat_blocks(ds, block_tokens: int, *, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 16,
+                  batch_size: int = 65536):
+    """GPT-style training-block layout: concatenate documents and slice
+    the token stream into FIXED ``block_tokens``-token blocks that cross
+    document boundaries (the complement of :func:`pack_documents`, which
+    keeps docs whole). The reference layout of decoder pretraining:
+    concat everything, cut every B tokens, the tail block is short.
+
+    Scale shape mirrors pack_documents: a global concat is one sequential
+    stream, so shard FIRST — ``bucket = (id * Knuth32) % 2^32 %
+    n_buckets`` (non-negative-id contract; negative/NULL dropped, not
+    wrapped) — then each bucket concatenates ITS docs in ``id_col``
+    order and slices locally: one groupby exchange, each task bounded by
+    ~corpus/n_buckets tokens, block identity ``(bucket, block_id)``
+    deterministic and engine-independent.
+
+    -> ``(bucket, block_id, n_tokens, text)``
+    """
+    import numpy as np
+
+    from easyner_ray.ops.relational import _KNUTH32
+
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        ok = pc.and_kleene(ids.is_valid(), pc.greater_equal(ids, 0))
+        if len(ok) and not pc.all(ok).as_py():
+            t = t.filter(ok)
+            ids = t.column(id_col).combine_chunks()
+        k = np.asarray(ids.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((k * mult) & mask32) % np.uint64(n_buckets)
+        return pa.Table.from_arrays(
+            [ids, t.column(text_col),
+             pa.array(b.astype(np.int64), pa.int64())],
+            names=[id_col, text_col, "bucket"])
+
+    def slice_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "block_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        order = pc.sort_indices(g.column(id_col))
+        text = g.column(text_col).combine_chunks().take(order)
+        lists = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        n = len(flat)
+        nb = -(-n // block_tokens) if n else 0
+        sizes = np.full(nb, block_tokens, dtype=np.int64)
+        if n % block_tokens:
+            sizes[-1] = n % block_tokens
+        offsets = pa.array(np.concatenate(([0], np.cumsum(sizes))),
+                           pa.int32())
+        blocks = pc.binary_join(pa.ListArray.from_arrays(offsets, flat),
+                                " ")
+        bucket = g.column("bucket")[0].as_py()
+        return pa.table({
+            "bucket": pa.array([bucket] * nb, pa.int64()),
+            "block_id": pa.array(np.arange(nb), pa.int64()),
+            "n_tokens": pa.array(sizes, pa.int64()),
+            "text": blocks})
+
+    return ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=batch_size) \
+        .groupby("bucket").map_groups(slice_bucket, batch_format="pyarrow")

@@ -1349,3 +1349,24 @@ RELATIONAL["events_winsorize"] = """
                 WHEN value > hi THEN hi ELSE value END AS value_w
     FROM events, b
 """
+
+RELATIONAL["docs_concat_blocks"] = """
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tl,
+             CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT)
+               AS bucket
+      FROM documents WHERE doc_id >= 0),
+    toks AS (
+      SELECT bucket, doc_id, unnest(tl) AS tok,
+             unnest(range(1, len(tl) + 1)) AS pos
+      FROM d),
+    seq AS (
+      SELECT bucket, tok,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY doc_id, pos) AS rn
+      FROM toks)
+    SELECT bucket, CAST((rn - 1) // 128 AS BIGINT) AS block_id,
+           count(*) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY rn) AS text
+    FROM seq GROUP BY bucket, (rn - 1) // 128
+"""

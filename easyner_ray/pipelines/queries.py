@@ -2206,3 +2206,14 @@ def events_winsorize(sf_dir: str):
         return t.append_column("value_w", w)
 
     return ev.map_batches(clip, batch_format="pyarrow")
+
+
+def docs_concat_blocks(sf_dir: str):
+    """GPT-style concat-then-slice training blocks: shard by the Knuth
+    doc-id hash, concatenate each shard's docs in id order, cut every
+    128 tokens (blocks cross doc boundaries; the tail block is short)."""
+    from easyner_ray.ops.textstats import concat_blocks
+
+    return concat_blocks(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]),
+        128, n_buckets=16)

@@ -456,3 +456,23 @@ def strip_biored_relations(in_path: str, out_path: str) -> int:
                 of.write(line)
                 n += 1
     return n
+
+
+def read_jsonl(paths, **read_kwargs):
+    """Line-delimited JSON source (the LLM-training interchange format) —
+    Ray's native JSON datasource parses ``.jsonl`` / ``.jsonl.gz`` files
+    in parallel tasks into Arrow blocks; this wrapper exists so every
+    pipeline format has one named entry point next to the CSV / PubTator
+    / free-text loaders."""
+    import ray.data as rd
+
+    return rd.read_json(paths, **read_kwargs)
+
+
+def write_jsonl(ds, out_dir: str, **write_kwargs):
+    """Line-delimited JSON sink: one ``.json`` file of newline-separated
+    objects per block (Ray's native writer) — pair with
+    ``ds.repartition`` or the export-shard assignment when downstream
+    tooling expects a specific shard count."""
+    ds.write_json(out_dir, **write_kwargs)
+    return out_dir

@@ -294,3 +294,50 @@ def test_events_winsorize_clamps_to_rounded_band(ray_session):
     n_clip = sum(1 for v, w in zip(vals, ws) if v != w)
     assert 0 < n_clip < len(out) * 0.2                # ~10% clamped
     assert all(lo <= w <= hi for w in ws)
+
+
+# --------------------------------------------------------- concat blocks ---
+
+
+def test_concat_blocks_crosses_doc_boundaries(ray_session):
+    from easyner_ray.ops.textstats import concat_blocks
+
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c", "d e", "f g h i"],
+    })
+    # one bucket -> one stream: 9 tokens at B=4 -> blocks of 4,4,1
+    out = sorted(concat_blocks(_ds(t, 2), 4, n_buckets=1).take_all(),
+                 key=lambda r: r["block_id"])
+    assert [r["n_tokens"] for r in out] == [4, 4, 1]
+    assert out[0]["text"] == "a b c d"          # crosses doc 0 -> 1
+    assert out[1]["text"] == "e f g h"
+    assert out[2]["text"] == "i"
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_concat_blocks_drops_negative_ids_and_validates(ray_session):
+    import pytest
+
+    from easyner_ray.ops.textstats import concat_blocks
+
+    t = pa.table({"doc_id": [-1, 5], "text": ["dropme", "x y"]})
+    out = concat_blocks(_ds(t), 2, n_buckets=1).take_all()
+    assert len(out) == 1 and out[0]["text"] == "x y"
+    with pytest.raises(ValueError):
+        concat_blocks(_ds(t), 0)
+
+
+# ---------------------------------------------------------------- JSONL ---
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    from easyner_ray.sources.loaders import read_jsonl, write_jsonl
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["alpha", "beta", 'with "quotes"']})
+    out_dir = str(tmp_path / "jl")
+    write_jsonl(_ds(t), out_dir)
+    back = read_jsonl(out_dir).take_all()
+    assert sorted((r["doc_id"], r["text"]) for r in back) == \
+        [(1, "alpha"), (2, "beta"), (3, 'with "quotes"')]
