@@ -172,6 +172,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weighted_sample": q.orders_weighted_sample,  # deterministic weighted sampling
         "docs_packed": q.docs_packed,  # sequence packing by token budget
         "docs_packed_sharded": q.docs_packed_sharded,  # shard-local packs
+        # round-5 conversation-granularity transcript ops (ops/conversations.py)
+        "conv_stats": q.conv_stats_q,            # per-conv profile
+        "conv_role_patterns": q.conv_role_patterns,  # shape census / structural dedup
+        "conv_tool_report": q.conv_tool_report,  # per-tool usage report
+        "conv_reply_pairs": q.conv_reply_pairs,  # SFT prompt->response extraction
+        "conv_last_turns": q.conv_last_turns,    # context-tail windowing
+        "conv_turn_gaps": q.conv_turn_gaps,      # turn-latency profile
+        "conv_schema_valid": q.conv_schema_valid,  # role-schema gate
     }
 
 

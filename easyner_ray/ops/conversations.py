@@ -1,0 +1,357 @@
+"""Conversation-granularity operators over transcript tables.
+
+The engine's payload is multi-turn conversation / agent transcripts
+``(conv_id, turn_idx, role, text, tool, ts)``. The reference pipeline
+treats a conversation only as a container of turns (its "document" is
+one turn — EasyNER ``splitter.py``/``analysis.py`` never aggregate above
+the article level); a transcript-curation user additionally needs
+CONVERSATION-level operators: per-conversation profiles, role-schema
+validation, conversation-shape grouping, tool-usage reporting,
+prompt->response pair extraction (SFT prep) and context-tail windowing.
+
+Everything here reuses the engine's existing exchanges — at most one
+coarse hash-bucket shuffle on ``conv_id`` (the same exchange the KG
+build and ``reassemble_turns`` already pay), otherwise vectorized
+map-only passes + the two-phase ``grouped_agg``. No per-row Python in
+any hot path; per-conversation keyspaces always go through the bucketed
+final (open keyspace — #convs scales with the corpus).
+
+Scale notes (100 TB):
+  * ``conv_stats`` / ``tool_report`` / ``schema_valid_conversations``
+    stream: partial aggregation inside ``map_batches``, bucketed final.
+  * ``role_patterns`` needs per-conversation ORDER — it rides the same
+    fragment trick as ``stages.splitter.reassemble_turns``: per-batch
+    ordered partial join, then one bucket shuffle joins the 1-2
+    fragments per conversation (requires the input's row order to keep
+    each conversation's turns contiguous-and-ordered per block, which
+    Parquet transcript shards written conversation-at-a-time satisfy).
+  * ``reply_pairs`` / ``turn_gaps`` ride ``partitioned_analytics``
+    (bucketed lead/lag) — one exchange, vectorized kernel.
+  * ``last_turns`` joins a per-conv max back through ``adaptive_join``:
+    broadcast under the 64 MB gate, hash-shuffle above it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "conv_stats",
+    "role_patterns",
+    "tool_report",
+    "reply_pairs",
+    "last_turns",
+    "turn_gaps",
+    "schema_valid_conversations",
+]
+
+_F64 = pa.float64()
+
+
+def _chars(t: pa.Table, col: str = "text") -> pa.ChunkedArray:
+    return pc.utf8_length(pc.coalesce(t.column(col), "")).cast(pa.int64())
+
+
+def conv_stats(transcripts):
+    """Per-conversation profile: turn counts by role, tool-call count,
+    char totals, assistant char share, wall-clock duration.
+
+    Output: (conv_id, n_turns, n_user, n_assistant, n_tool,
+    n_tool_calls, total_chars, assistant_chars, assistant_share,
+    duration_s). ``assistant_share`` is an exact int/int double (NULL
+    when the conversation has zero characters); ``duration_s`` is exact
+    integer seconds — no rounding grain needed anywhere.
+    """
+    from easyner_ray.ops.relational import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        chars = _chars(t)
+        role = t.column("role")
+        is_a = pc.equal(role, "assistant").cast(pa.int64())
+        cols = [
+            t.column("conv_id"),
+            t.column("turn_idx"),
+            pc.equal(role, "user").cast(pa.int64()),
+            is_a,
+            pc.equal(role, "tool").cast(pa.int64()),
+            pc.is_valid(t.column("tool")).cast(pa.int64()),
+            chars,
+            pc.multiply(chars, is_a),
+            t.column("ts").cast(pa.int64()),  # timestamp[us] -> micros
+        ]
+        names = ["conv_id", "turn_idx", "is_user", "is_assistant",
+                 "is_tool", "tool_call", "chars", "a_chars", "ts_us"]
+        return pa.Table.from_arrays(cols, names=names)
+
+    agg = grouped_agg(
+        transcripts.map_batches(prep, batch_format="pyarrow"),
+        ["conv_id"],
+        [
+            ("turn_idx", "count", "n_turns"),
+            ("is_user", "sum", "n_user"),
+            ("is_assistant", "sum", "n_assistant"),
+            ("is_tool", "sum", "n_tool"),
+            ("tool_call", "sum", "n_tool_calls"),
+            ("chars", "sum", "total_chars"),
+            ("a_chars", "sum", "assistant_chars"),
+            ("ts_us", "min", "__t0"),
+            ("ts_us", "max", "__t1"),
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        tot = t.column("total_chars")
+        share = pc.if_else(
+            pc.greater(tot, 0),
+            pc.divide(t.column("assistant_chars").cast(_F64), tot.cast(_F64)),
+            pa.scalar(None, _F64),
+        )
+        dur = pc.divide(
+            pc.subtract(t.column("__t1"), t.column("__t0")), 1_000_000)
+        t = t.append_column("assistant_share", share)
+        t = t.append_column("duration_s", dur)
+        return t.drop(["__t0", "__t1"])
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def role_patterns(transcripts, sep: str = ","):
+    """Group conversations by their full ordered role sequence — the
+    conversation "shape" census (e.g. how many transcripts follow
+    ``user,assistant,tool,...``), which doubles as conversation-level
+    structural dedup: identical shapes collapse to one representative.
+
+    Output: (pattern, n_convs, conv_id) with ``conv_id`` the minimum
+    representative. Same two-phase fragment exchange as
+    ``stages.splitter.reassemble_turns`` (one bucket shuffle); the final
+    group-by-pattern is the bucketed two-phase aggregate.
+    """
+    import pandas as pd
+
+    from easyner_ray.ops.relational import add_hash_bucket, grouped_agg
+
+    def fragments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(pattern=("role", sep.join),
+                    first_turn=("turn_idx", "min")).reset_index()
+        out["first_turn"] = out["first_turn"].astype("int32")
+        return out[["conv_id", "first_turn", "pattern"]]
+
+    frag = transcripts.map_batches(fragments, batch_format="pandas")
+    bucketed = frag.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id"], 64),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "first_turn"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        return g.agg(pattern=("pattern", sep.join)).reset_index()
+
+    per_conv = bucketed.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
+    return grouped_agg(
+        per_conv,
+        ["pattern"],
+        [("conv_id", "count", "n_convs"), ("conv_id", "min", "conv_id")],
+    )
+
+
+def tool_report(transcripts):
+    """Tool-usage report over agent transcripts: per tool, how many
+    calls, how many DISTINCT conversations used it, and the average
+    tool-output length.
+
+    Output: (tool, n_calls, n_convs, avg_chars[4dp]). Distinct-conv
+    counting is the two-phase grouped-distinct (collapse to
+    (tool, conv_id) first — bucketed, corpus-scale keyspace — then a
+    tree final over the tool-sized stream)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("tool")))
+        return pa.Table.from_arrays(
+            [t.column("tool"), t.column("conv_id"), _chars(t)],
+            names=["tool", "conv_id", "chars"],
+        )
+
+    per_tc = grouped_agg(
+        transcripts.map_batches(prep, batch_format="pyarrow"),
+        ["tool", "conv_id"],
+        [("conv_id", "count", "n_calls"), ("chars", "sum", "chars")],
+    )
+    agg = grouped_agg(
+        per_tc,
+        ["tool"],
+        [
+            ("conv_id", "count", "n_convs"),
+            ("n_calls", "sum", "n_calls"),
+            ("chars", "sum", "__chars"),
+        ],
+        final="tree",  # tool vocabulary is tiny
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        # final table is tool-sized: Python round() keeps the 4dp grain
+        # bit-equal with DuckDB (pc.round is one ulp off half-even SQL)
+        chars = t.column("__chars").to_pylist()
+        calls = t.column("n_calls").to_pylist()
+        avg = pa.array([round(c / n, 4) for c, n in zip(chars, calls)], _F64)
+        return t.drop(["__chars"]).append_column("avg_chars", avg)
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def reply_pairs(transcripts):
+    """SFT prompt->response pair extraction: every (user turn, directly
+    following assistant turn) pair, with char lengths.
+
+    Output: (conv_id, turn_idx, prompt, response, prompt_chars,
+    response_chars) where ``turn_idx`` is the USER turn's index. One
+    bucketed lead() exchange (``partitioned_analytics``), then a
+    map-only filter+project."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    led = partitioned_analytics(
+        transcripts.map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+            batch_format="pyarrow"),
+        ["conv_id"], ["turn_idx"],
+        [("lead", "role", "__nrole"), ("lead", "text", "__ntext")],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t.column("role"), "user"),
+                       pc.equal(t.column("__nrole"), "assistant"))
+        t = t.filter(pc.fill_null(mask, False))
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                t.column("turn_idx"),
+                t.column("text"),
+                t.column("__ntext"),
+                _chars(t, "text"),
+                _chars(t, "__ntext"),
+            ],
+            names=["conv_id", "turn_idx", "prompt", "response",
+                   "prompt_chars", "response_chars"],
+        )
+
+    return led.map_batches(project, batch_format="pyarrow")
+
+
+def last_turns(transcripts, n: int = 3):
+    """Context-tail windowing: keep each conversation's LAST ``n`` turns
+    (fine-tuning on recent context; the conversation-level analog of the
+    per-document ``truncate_tokens``).
+
+    Output: (conv_id, turn_idx, role, text). Per-conv max(turn_idx) is a
+    bucketed two-phase aggregate joined back through ``adaptive_join``
+    (broadcast under the 64 MB gate, hash-shuffle above — the #convs
+    side scales with the corpus)."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    turns = transcripts.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers: max pass + join left side
+    maxima = grouped_agg(
+        turns, ["conv_id"], [("turn_idx", "max", "__mx")])
+    joined = adaptive_join(turns, maxima, on="conv_id")
+
+    def cut(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            t.column("turn_idx"), pc.subtract(t.column("__mx"), n))
+        return t.filter(keep).drop(["__mx"])
+
+    return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def turn_gaps(transcripts):
+    """Per-conversation turn-latency profile: seconds between
+    consecutive turns (by ``ts``), aggregated to count / mean / max.
+
+    Output: (conv_id, n_gaps, avg_gap_s, max_gap_s). Gap seconds are
+    exact (microsecond int deltas / 1e6: one correctly-rounded IEEE op
+    in both engines), so avg/max need no rounding grain. One lag()
+    exchange + bucketed grouped final."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    led = partitioned_analytics(
+        transcripts.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("conv_id"), t.column("turn_idx"),
+                 t.column("ts").cast(pa.int64())],
+                names=["conv_id", "turn_idx", "ts_us"]),
+            batch_format="pyarrow"),
+        ["conv_id"], ["turn_idx"],
+        [("lag", "ts_us", "__prev_us")],
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        g = pc.divide(
+            pc.subtract(t.column("ts_us"), t.column("__prev_us"))
+            .cast(_F64),
+            pa.scalar(1_000_000.0),
+        )
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), g], names=["conv_id", "gap_s"])
+
+    gaps = led.map_batches(gap, batch_format="pyarrow")
+    return grouped_agg(
+        gaps,
+        ["conv_id"],
+        [
+            ("gap_s", "count", "n_gaps"),
+            ("gap_s", "mean", "avg_gap_s"),
+            ("gap_s", "max", "max_gap_s"),
+        ],
+    )
+
+
+def schema_valid_conversations(transcripts,
+                               schema: tuple[str, ...] = (
+                                   "user", "assistant", "tool")):
+    """Role-schema validation for agent transcripts: keep only
+    conversations whose role sequence follows the cyclic ``schema``
+    (turn i must carry ``schema[i % len(schema)]``) — the
+    structural-integrity gate a transcript-training pipeline runs before
+    pair extraction.
+
+    Output: the surviving turns (conv_id, turn_idx, role, text). The
+    validity bit is computed vectorized per batch; per-conv all()
+    reduces through the bucketed grouped min; survivors filter back via
+    ``adaptive_semi_join`` (broadcast under the gate, shuffle above)."""
+    from easyner_ray.ops.relational import adaptive_semi_join, grouped_agg
+
+    expected = pa.array(list(schema), pa.string())
+    k = len(schema)
+
+    turns = transcripts.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers: validity pass + filter left side
+
+    def validity(t: pa.Table) -> pa.Table:
+        idx = t.column("turn_idx").to_numpy(zero_copy_only=False) % k
+        exp = expected.take(pa.array(idx, pa.int64()))
+        ok = pc.fill_null(
+            pc.equal(t.column("role").combine_chunks(), exp), False
+        ).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), ok], names=["conv_id", "ok"])
+
+    per_conv = grouped_agg(
+        turns.map_batches(validity, batch_format="pyarrow"),
+        ["conv_id"], [("ok", "min", "all_ok")],
+    )
+    valid = per_conv.map_batches(
+        lambda t: t.filter(pc.equal(t.column("all_ok"), 1))
+        .select(["conv_id"]),
+        batch_format="pyarrow",
+    )
+    return adaptive_semi_join(turns, valid, on="conv_id")

@@ -1370,3 +1370,79 @@ RELATIONAL["docs_concat_blocks"] = """
            string_agg(tok, ' ' ORDER BY rn) AS text
     FROM seq GROUP BY bucket, (rn - 1) // 128
 """
+
+# --- conversation-granularity transcript operators (ops/conversations) ---
+
+KG["conv_stats"] = f"""
+    SELECT conv_id,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant,
+           CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool,
+           CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_calls,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+                AS BIGINT) AS assistant_chars,
+           CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(sum(length(text)), 0) AS assistant_share,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+    FROM {TR} GROUP BY conv_id
+"""
+
+KG["conv_role_patterns"] = f"""
+    SELECT pattern, count(*) AS n_convs, min(conv_id) AS conv_id
+    FROM (SELECT conv_id, string_agg(role, ',' ORDER BY turn_idx) AS pattern
+          FROM {TR} GROUP BY conv_id)
+    GROUP BY pattern
+"""
+
+KG["conv_tool_report"] = f"""
+    SELECT tool, count(DISTINCT conv_id) AS n_convs, count(*) AS n_calls,
+           round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM {TR} WHERE tool IS NOT NULL GROUP BY tool
+"""
+
+KG["conv_reply_pairs"] = f"""
+    SELECT conv_id, turn_idx, text AS prompt, ntext AS response,
+           length(text) AS prompt_chars, length(ntext) AS response_chars
+    FROM (SELECT conv_id, turn_idx, role, text,
+                 lead(role) OVER w AS nrole, lead(text) OVER w AS ntext
+          FROM {TR}
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    WHERE role = 'user' AND nrole = 'assistant'
+"""
+
+KG["conv_last_turns"] = f"""
+    SELECT conv_id, turn_idx, role, text
+    FROM (SELECT conv_id, turn_idx, role, text,
+                 max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+          FROM {TR})
+    WHERE turn_idx > mx - 3
+"""
+
+KG["conv_turn_gaps"] = f"""
+    SELECT conv_id, count(gap_s) AS n_gaps, avg(gap_s) AS avg_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM (SELECT conv_id,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000
+                   AS gap_s
+          FROM {TR})
+    GROUP BY conv_id
+"""
+
+KG["conv_schema_valid"] = f"""
+    SELECT conv_id, turn_idx, role, text FROM {TR}
+    WHERE conv_id IN (
+      SELECT conv_id FROM {TR}
+      GROUP BY conv_id
+      HAVING bool_and(role = CASE turn_idx % 3
+                               WHEN 0 THEN 'user'
+                               WHEN 1 THEN 'assistant'
+                               ELSE 'tool' END))
+"""

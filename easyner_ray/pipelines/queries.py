@@ -2208,6 +2208,71 @@ def events_winsorize(sf_dir: str):
     return ev.map_batches(clip, batch_format="pyarrow")
 
 
+def _transcripts_cols(sf_dir: str, columns):
+    from easyner_ray.pipelines.kg import read_transcripts
+
+    return read_transcripts(
+        os.path.join(_corpus(sf_dir), "transcripts.parquet"), columns=columns)
+
+
+def conv_stats_q(sf_dir: str):
+    """Per-conversation profile (role mix, tool calls, char totals,
+    assistant share, duration) — the transcript analog of doc_stats."""
+    from easyner_ray.ops.conversations import conv_stats
+
+    return conv_stats(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+
+
+def conv_role_patterns(sf_dir: str):
+    """Conversation-shape census: group convs by ordered role sequence."""
+    from easyner_ray.ops.conversations import role_patterns
+
+    return role_patterns(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "role"]))
+
+
+def conv_tool_report(sf_dir: str):
+    """Per-tool usage report (calls, distinct convs, avg output chars)."""
+    from easyner_ray.ops.conversations import tool_report
+
+    return tool_report(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "role", "text", "tool"]))
+
+
+def conv_reply_pairs(sf_dir: str):
+    """SFT prompt->response pairs: (user turn, next assistant turn)."""
+    from easyner_ray.ops.conversations import reply_pairs
+
+    return reply_pairs(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "role", "text"]))
+
+
+def conv_last_turns(sf_dir: str):
+    """Context-tail windowing: each conversation's last 3 turns."""
+    from easyner_ray.ops.conversations import last_turns
+
+    return last_turns(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "role", "text"]), n=3)
+
+
+def conv_turn_gaps(sf_dir: str):
+    """Per-conversation turn-latency profile over ``ts``."""
+    from easyner_ray.ops.conversations import turn_gaps
+
+    return turn_gaps(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "ts"]))
+
+
+def conv_schema_valid(sf_dir: str):
+    """Role-schema gate: keep convs whose roles follow the
+    user/assistant/tool cycle."""
+    from easyner_ray.ops.conversations import schema_valid_conversations
+
+    return schema_valid_conversations(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "role", "text"]))
+
+
 def docs_concat_blocks(sf_dir: str):
     """GPT-style concat-then-slice training blocks: shard by the Knuth
     doc-id hash, concatenate each shard's docs in id order, cut every

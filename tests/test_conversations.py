@@ -1,0 +1,135 @@
+"""Conversation-granularity transcript operators (ops/conversations.py):
+hand-computed gold over a tiny multi-conversation table covering role
+mixes, tool calls, empty turns, schema violations, and duplicate shapes.
+The sf0.01 oracle gate (scripts/check_correctness.py) covers the same
+ops against DuckDB SQL; these tests pin the row-level semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+
+T0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+
+def _ts(s: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _transcripts() -> pa.Table:
+    rows = [
+        # conv A: canonical schema, one tool call, one empty turn
+        ("A", 0, "user", "Hello there.", None, 0),
+        ("A", 1, "assistant", "Hi.", None, 5),
+        ("A", 2, "tool", '{"ok":1}', "search", 9),
+        ("A", 3, "user", "", None, 30),
+        # conv B: breaks the user/assistant/tool cycle (assistant first)
+        ("B", 0, "assistant", "I speak first.", None, 0),
+        ("B", 1, "user", "ok", None, 7),
+        # conv C: same role shape as A
+        ("C", 0, "user", "Question?", None, 0),
+        ("C", 1, "assistant", "Answer.", None, 2),
+        ("C", 2, "tool", "result", "calc", 3),
+        ("C", 3, "user", "thanks", None, 4),
+    ]
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([r[4] for r in rows], pa.string()),
+        "ts": pa.array([_ts(r[5]) for r in rows], pa.timestamp("us")),
+    })
+
+
+def _ds(blocks: int = 2):
+    import ray.data as rd
+
+    return rd.from_arrow(_transcripts()).repartition(blocks)
+
+
+def test_conv_stats(ray_session):
+    from easyner_ray.ops.conversations import conv_stats
+
+    out = {r["conv_id"]: r for r in conv_stats(_ds()).take_all()}
+    a = out["A"]
+    assert a["n_turns"] == 4 and a["n_user"] == 2
+    assert a["n_assistant"] == 1 and a["n_tool"] == 1
+    assert a["n_tool_calls"] == 1
+    assert a["total_chars"] == 12 + 3 + 8 + 0
+    assert a["assistant_chars"] == 3
+    assert a["assistant_share"] == 3 / 23
+    assert a["duration_s"] == 30
+    b = out["B"]
+    assert b["n_turns"] == 2 and b["n_tool_calls"] == 0
+    assert b["duration_s"] == 7
+    assert b["assistant_share"] == 14 / 16
+
+
+def test_role_patterns_groups_identical_shapes(ray_session):
+    from easyner_ray.ops.conversations import role_patterns
+
+    out = {r["pattern"]: r for r in role_patterns(_ds()).take_all()}
+    assert len(out) == 2
+    dup = out["user,assistant,tool,user"]
+    assert dup["n_convs"] == 2 and dup["conv_id"] == "A"
+    assert out["assistant,user"]["n_convs"] == 1
+
+
+def test_tool_report(ray_session):
+    from easyner_ray.ops.conversations import tool_report
+
+    out = {r["tool"]: r for r in tool_report(_ds()).take_all()}
+    assert set(out) == {"search", "calc"}
+    assert out["search"]["n_calls"] == 1 and out["search"]["n_convs"] == 1
+    assert out["search"]["avg_chars"] == 8.0
+    assert out["calc"]["avg_chars"] == 6.0
+
+
+def test_reply_pairs(ray_session):
+    from easyner_ray.ops.conversations import reply_pairs
+
+    rows = sorted(reply_pairs(_ds()).take_all(),
+                  key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("A", 0), ("C", 0)]
+    assert rows[0]["prompt"] == "Hello there."
+    assert rows[0]["response"] == "Hi."
+    assert rows[0]["prompt_chars"] == 12 and rows[0]["response_chars"] == 3
+
+
+def test_last_turns(ray_session):
+    from easyner_ray.ops.conversations import last_turns
+
+    rows = last_turns(_ds(), n=3).take_all()
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    assert got == [("A", 1), ("A", 2), ("A", 3),
+                   ("B", 0), ("B", 1),
+                   ("C", 1), ("C", 2), ("C", 3)]
+
+
+def test_turn_gaps(ray_session):
+    from easyner_ray.ops.conversations import turn_gaps
+
+    out = {r["conv_id"]: r for r in turn_gaps(_ds()).take_all()}
+    a = out["A"]
+    assert a["n_gaps"] == 3
+    assert a["avg_gap_s"] == 10.0 and a["max_gap_s"] == 21.0
+    assert out["B"]["n_gaps"] == 1 and out["B"]["avg_gap_s"] == 7.0
+
+
+def test_schema_valid_drops_violating_conversation(ray_session):
+    from easyner_ray.ops.conversations import schema_valid_conversations
+
+    rows = schema_valid_conversations(_ds()).take_all()
+    convs = {r["conv_id"] for r in rows}
+    assert convs == {"A", "C"}
+    assert len(rows) == 8  # every turn of the surviving conversations
+
+
+def test_schema_valid_custom_cycle(ray_session):
+    from easyner_ray.ops.conversations import schema_valid_conversations
+
+    rows = schema_valid_conversations(
+        _ds(), schema=("assistant", "user")).take_all()
+    assert {r["conv_id"] for r in rows} == {"B"}
