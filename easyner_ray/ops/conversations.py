@@ -45,6 +45,7 @@ __all__ = [
     "last_turns",
     "turn_gaps",
     "schema_valid_conversations",
+    "sft_pairs",
 ]
 
 _F64 = pa.float64()
@@ -355,3 +356,52 @@ def schema_valid_conversations(transcripts,
         batch_format="pyarrow",
     )
     return adaptive_semi_join(turns, valid, on="conv_id")
+
+
+def sft_pairs(transcripts, *, min_prompt_chars: int = 1,
+              min_response_chars: int = 1,
+              schema: tuple[str, ...] = ("user", "assistant", "tool")):
+    """End-to-end SFT training-pair preparation chain:
+
+      1. role-schema gate (:func:`schema_valid_conversations`),
+      2. prompt->response extraction (:func:`reply_pairs`),
+      3. length-based quality filter (map-only),
+      4. exact pair dedup keyed on (prompt, response) with the
+         lexicographically-smallest ``conv_id#turn_idx`` representative.
+
+    Output: (pair_id, prompt, response, prompt_chars, response_chars,
+    n_copies). Exchanges: the schema gate's grouped min + semi join, the
+    lead() bucket shuffle, and the dedup's bucketed grouped final — all
+    existing corpus-scale shapes; the quality filter fuses into the pair
+    projection."""
+    pairs = reply_pairs(schema_valid_conversations(transcripts, schema))
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("prompt_chars"), min_prompt_chars),
+            pc.greater_equal(t.column("response_chars"), min_response_chars),
+        )
+        t = t.filter(keep)
+        pad = pc.utf8_lpad(
+            t.column("turn_idx").cast(pa.string()), 8, padding="0")
+        pair_key = pc.binary_join_element_wise(
+            t.column("conv_id").combine_chunks().cast(pa.string()), pad, "#")
+        return pa.Table.from_arrays(
+            [pair_key, t.column("prompt"), t.column("response"),
+             t.column("prompt_chars"), t.column("response_chars")],
+            names=["pair_key", "prompt", "response",
+                   "prompt_chars", "response_chars"],
+        )
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    return grouped_agg(
+        pairs.map_batches(qfilter, batch_format="pyarrow"),
+        ["prompt", "response"],
+        [
+            ("pair_key", "min", "pair_id"),
+            ("pair_key", "count", "n_copies"),
+            ("prompt_chars", "min", "prompt_chars"),
+            ("response_chars", "min", "response_chars"),
+        ],
+    )

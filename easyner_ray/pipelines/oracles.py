@@ -1446,3 +1446,33 @@ KG["conv_schema_valid"] = f"""
                                WHEN 1 THEN 'assistant'
                                ELSE 'tool' END))
 """
+
+KG["conv_sft_pairs"] = f"""
+    WITH valid AS (
+      SELECT conv_id, turn_idx, role, text FROM {TR}
+      WHERE conv_id IN (
+        SELECT conv_id FROM {TR}
+        GROUP BY conv_id
+        HAVING bool_and(role = CASE turn_idx % 3
+                                 WHEN 0 THEN 'user'
+                                 WHEN 1 THEN 'assistant'
+                                 ELSE 'tool' END))),
+    led AS (
+      SELECT conv_id, turn_idx, role, text,
+             lead(role) OVER w AS nrole, lead(text) OVER w AS ntext
+      FROM valid WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    pairs AS (
+      SELECT conv_id, turn_idx, text AS prompt, ntext AS response,
+             length(text) AS prompt_chars, length(ntext) AS response_chars
+      FROM led WHERE role = 'user' AND nrole = 'assistant'),
+    q AS (
+      SELECT * FROM pairs
+      WHERE prompt_chars >= 40 AND response_chars >= 40)
+    SELECT min(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 8, '0'))
+             AS pair_id,
+           prompt, response,
+           min(prompt_chars) AS prompt_chars,
+           min(response_chars) AS response_chars,
+           count(*) AS n_copies
+    FROM q GROUP BY prompt, response
+"""

@@ -2273,6 +2273,16 @@ def conv_schema_valid(sf_dir: str):
         sf_dir, ["conv_id", "turn_idx", "role", "text"]))
 
 
+def conv_sft_pairs(sf_dir: str):
+    """End-to-end SFT-pair prep chain: role-schema gate -> prompt/response
+    extraction -> length quality filter -> exact pair dedup."""
+    from easyner_ray.ops.conversations import sft_pairs
+
+    return sft_pairs(
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        min_prompt_chars=40, min_response_chars=40)
+
+
 def docs_concat_blocks(sf_dir: str):
     """GPT-style concat-then-slice training blocks: shard by the Knuth
     doc-id hash, concatenate each shard's docs in id order, cut every

@@ -127,6 +127,34 @@ def test_schema_valid_drops_violating_conversation(ray_session):
     assert len(rows) == 8  # every turn of the surviving conversations
 
 
+def test_sft_pairs_chain_filters_and_dedups(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import sft_pairs
+
+    base = _transcripts()
+    # conv D: schema-valid, duplicates conv C's (prompt, response) pair
+    dup = pa.table({
+        "conv_id": pa.array(["D", "D"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant"], pa.string()),
+        "text": pa.array(["Question?", "Answer."], pa.string()),
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([_ts(0), _ts(1)], pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(pa.concat_tables([base, dup])).repartition(3)
+    # min_response_chars=4 drops conv A's pair (response "Hi." = 3 chars);
+    # B is schema-invalid; C and D collapse to one deduped pair
+    rows = sft_pairs(ds, min_prompt_chars=1,
+                     min_response_chars=4).take_all()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["prompt"] == "Question?" and r["response"] == "Answer."
+    assert r["n_copies"] == 2
+    assert r["pair_id"] == "C#00000000"  # lexicographic min representative
+    assert r["prompt_chars"] == 9 and r["response_chars"] == 7
+
+
 def test_schema_valid_custom_cycle(ray_session):
     from easyner_ray.ops.conversations import schema_valid_conversations
 
