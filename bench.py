@@ -167,6 +167,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_source_kl": q.docs_source_kl,
         "events_winsorize": q.events_winsorize,
         "docs_concat_blocks": q.docs_concat_blocks,
+        # round-5 conversation-granularity transcript ops
+        "conv_stats": q.conv_stats_q,
+        "conv_reply_pairs": q.conv_reply_pairs,
+        "conv_sft_pairs": q.conv_sft_pairs,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
