@@ -46,6 +46,7 @@ __all__ = [
     "turn_gaps",
     "schema_valid_conversations",
     "sft_pairs",
+    "context_windows",
 ]
 
 _F64 = pa.float64()
@@ -405,3 +406,72 @@ def sft_pairs(transcripts, *, min_prompt_chars: int = 1,
             ("response_chars", "min", "response_chars"),
         ],
     )
+
+
+def context_windows(transcripts, k: int = 3, *, sep: str = "\n",
+                    target_role: str = "assistant"):
+    """Multi-turn context-window assembly: for every ``target_role``
+    turn, emit the concatenation of the up-to-``k`` preceding turns in
+    the same conversation as training ``context`` and the turn's own
+    text as ``target`` — the standard multi-turn SFT example layout.
+
+    Output: (conv_id, turn_idx, context, target); conversation-opening
+    targets with no preceding turn carry an empty context. One bucketed
+    exchange on ``conv_id`` (same shape as ``partitioned_analytics``);
+    the kernel folds ``k`` shifted text columns with element-wise Arrow
+    kernels (concat_ws semantics) — no per-row Python."""
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    bucketed = transcripts.map_batches(
+        lambda t: add_hash_bucket(
+            t.select(["conv_id", "turn_idx", "role", "text"]),
+            ["conv_id"], 64),
+        batch_format="pyarrow",
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if "__bucket" in t.schema.names:
+            t = t.drop(["__bucket"])
+        n = len(t)
+        out_schema = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("context", pa.string()), ("target", pa.string()),
+        ])
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+        conv = t.column("conv_id").combine_chunks()
+        text = t.column("text").combine_chunks()
+        # shift-by-d text columns, nulled where the shifted row crosses a
+        # conversation boundary, folded left-to-right with concat_ws(sep)
+        # semantics: null elements are skipped, empty strings kept.
+        # (binary_join_element_wise(null_handling="skip") cannot be used
+        # here: it DROPS rows whose inputs are all null, changing length.)
+        idx = np.arange(n, dtype=np.int64)
+        ctx = pa.array([""] * n, pa.string())
+        started = pa.array(np.zeros(n, dtype=bool))
+        for d in range(k, 0, -1):
+            src = np.maximum(idx - d, 0)
+            prev_conv = conv.take(pa.array(src))
+            in_conv = pc.and_(
+                pc.equal(prev_conv, conv), pa.array(idx - d >= 0))
+            s = pc.if_else(in_conv, text.take(pa.array(src)),
+                           pa.scalar(None, pa.string()))
+            sv = pc.is_valid(s)
+            sf = pc.fill_null(s, "")
+            joined = pc.binary_join_element_wise(ctx, sf, sep)
+            ctx = pc.if_else(sv, pc.if_else(started, joined, sf), ctx)
+            started = pc.or_(started, sv)
+        keep = pc.equal(t.column("role"), target_role)
+        return pa.Table.from_arrays(
+            [conv, t.column("turn_idx").combine_chunks().cast(pa.int32()),
+             ctx, text],
+            names=["conv_id", "turn_idx", "context", "target"],
+        ).filter(keep)
+
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")

@@ -1476,3 +1476,15 @@ KG["conv_sft_pairs"] = f"""
            count(*) AS n_copies
     FROM q GROUP BY prompt, response
 """
+
+KG["conv_context_windows"] = f"""
+    SELECT conv_id, turn_idx,
+           concat_ws(chr(10), l3, l2, l1) AS context, text AS target
+    FROM (SELECT conv_id, turn_idx, role, text,
+                 lag(text, 3) OVER w AS l3,
+                 lag(text, 2) OVER w AS l2,
+                 lag(text, 1) OVER w AS l1
+          FROM {TR}
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    WHERE role = 'assistant'
+"""

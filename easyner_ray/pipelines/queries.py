@@ -2283,6 +2283,16 @@ def conv_sft_pairs(sf_dir: str):
         min_prompt_chars=40, min_response_chars=40)
 
 
+def conv_context_windows(sf_dir: str):
+    """Multi-turn SFT context assembly: each assistant turn with the
+    concatenation of its up-to-3 preceding turns."""
+    from easyner_ray.ops.conversations import context_windows
+
+    return context_windows(
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        k=3)
+
+
 def docs_concat_blocks(sf_dir: str):
     """GPT-style concat-then-slice training blocks: shard by the Knuth
     doc-id hash, concatenate each shard's docs in id order, cut every

@@ -155,6 +155,46 @@ def test_sft_pairs_chain_filters_and_dedups(ray_session):
     assert r["prompt_chars"] == 9 and r["response_chars"] == 7
 
 
+def test_context_windows(ray_session):
+    from easyner_ray.ops.conversations import context_windows
+
+    rows = sorted(context_windows(_ds(), k=3).take_all(),
+                  key=lambda r: (r["conv_id"], r["turn_idx"]))
+    # assistant turns: A#1, B#0 (conversation-opening), C#1
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+        ("A", 1), ("B", 0), ("C", 1)]
+    assert rows[0]["context"] == "Hello there." and rows[0]["target"] == "Hi."
+    assert rows[1]["context"] == ""  # no preceding turn
+    assert rows[1]["target"] == "I speak first."
+    assert rows[2]["context"] == "Question?" and rows[2]["target"] == "Answer."
+
+
+def test_context_windows_k1_and_empty_turn(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import context_windows
+
+    # empty-string turn must be KEPT in the window (concat_ws semantics:
+    # only NULLs are skipped), and the window must not cross conv bounds
+    t = pa.table({
+        "conv_id": pa.array(["X"] * 4 + ["Y"], pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+        "role": pa.array(
+            ["user", "tool", "user", "assistant", "assistant"], pa.string()),
+        "text": pa.array(["q1", "", "q2", "a1", "solo"], pa.string()),
+        "tool": pa.array([None, "t", None, None, None], pa.string()),
+        "ts": pa.array([_ts(i) for i in range(5)], pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    rows = {(r["conv_id"], r["turn_idx"]): r
+            for r in context_windows(ds, k=3).take_all()}
+    assert rows[("X", 3)]["context"] == "q1\n\nq2"  # empty turn preserved
+    assert rows[("Y", 0)]["context"] == ""          # no cross-conv leak
+    one = {(r["conv_id"], r["turn_idx"]): r
+           for r in context_windows(ds, k=1).take_all()}
+    assert one[("X", 3)]["context"] == "q2"
+
+
 def test_schema_valid_custom_cycle(ray_session):
     from easyner_ray.ops.conversations import schema_valid_conversations
 
