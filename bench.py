@@ -172,6 +172,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_reply_pairs": q.conv_reply_pairs,
         "conv_sft_pairs": q.conv_sft_pairs,
         "conv_context_windows": q.conv_context_windows,
+        "kg_pattern_triples": q.kg_pattern_triples,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

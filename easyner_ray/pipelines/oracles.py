@@ -1488,3 +1488,33 @@ KG["conv_context_windows"] = f"""
           WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
     WHERE role = 'assistant'
 """
+
+# pattern-predicate triples: adjacent mention pairs; the 1-3 lowercased
+# gap tokens between the spans form the predicate, else co_occurs_with
+KG["kg_pattern_triples"] = f"""
+    WITH pairs AS (
+      SELECT a.conv_id, a.turn_idx, a.sent_idx,
+             a.norm AS subj, b.norm AS obj, a."end" AS ae,
+             greatest(b.start, a."end") AS bs
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx AND b.mention_idx = a.mention_idx + 1
+      WHERE a.norm <> b.norm),
+    g AS (
+      SELECT p.conv_id, p.turn_idx, p.sent_idx, p.subj, p.obj,
+             lower(substr(s.text, p.ae + 1, p.bs - p.ae)) AS gap
+      FROM pairs p JOIN {GS} s
+        ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx
+       AND p.sent_idx = s.sent_idx),
+    t AS (
+      SELECT *, len(regexp_extract_all(gap, '[a-z]+')) AS ntok,
+             regexp_replace(
+               regexp_replace(gap, '^[^a-z]+|[^a-z]+$', '', 'g'),
+               '[^a-z]+', '_', 'g') AS predc
+      FROM g)
+    SELECT subj,
+           CASE WHEN ntok BETWEEN 1 AND 3 THEN predc
+                ELSE 'co_occurs_with' END AS pred,
+           obj, conv_id, turn_idx, sent_idx
+    FROM t
+"""

@@ -631,6 +631,18 @@ def kg_edges_npmi(sf_dir: str):
     return npmi_edges(tag_mentions(sents, vocabulary()), sents.count())
 
 
+def kg_pattern_triples(sf_dir: str):
+    """Textual-pattern relation extraction: adjacent mention pairs with
+    the 1-3 lowercased gap tokens as the predicate (OpenIE-style surface
+    heuristic; deterministic stand-in for dependency-pattern RE)."""
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import pattern_triples
+
+    return pattern_triples(
+        tag_mentions(_sentences(sf_dir), vocabulary(), keep_text=True))
+
+
 def kg_entity_freq(sf_dir: str):
     from easyner_ray.stages.analysis import entity_frequency
 

@@ -208,3 +208,114 @@ def window_triples(mentions, window: int = 2):
         lambda t: schemas.ensure_schema(t, schemas.TRIPLES, "window_triples"),
         batch_format="pyarrow",
     )
+
+
+PRED_PATTERN_FALLBACK = PRED_SENTENCE
+
+
+def _gather_substrings(texts, row, lo, hi):
+    """Per-element substring extraction as one byte-range gather from the
+    Arrow string array's flat UTF-8 buffer — valid only when byte offsets
+    equal codepoint offsets (ASCII batch; the caller gates on that)."""
+    import numpy as np
+
+    off_buf = np.frombuffer(texts.buffers()[1], dtype=np.int32)
+    voff = off_buf[texts.offset: texts.offset + len(texts) + 1].astype(np.int64)
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    gs = voff[row] + lo
+    lens = hi - lo
+    out_off = np.zeros(len(row) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    idx = np.repeat(gs - out_off[:-1], lens) + np.arange(out_off[-1])
+    return pa.StringArray.from_buffers(
+        len(row),
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(data[idx].tobytes()))
+
+
+def pattern_triples_batch(batch: pa.Table) -> pa.Table:
+    """Textual-pattern relation extraction over nested sentence-mentions
+    rows WITH the sentence text (``tag_mentions(keep_text=True)``): for
+    every mention_idx-adjacent pair of distinct entities in a sentence,
+    the lowercased word tokens BETWEEN the two spans become the predicate
+    (joined with ``_``) when there are 1-3 of them; longer / empty /
+    overlapping gaps fall back to ``co_occurs_with``. This is the
+    engine's deterministic stand-in for the north rule's
+    dependency-pattern relation extraction (no parser in this
+    environment; the pattern grammar is the classic OpenIE-style surface
+    heuristic).
+
+    Row-local and vectorized end-to-end: adjacency from
+    ``list_parent_indices``, gap substrings via one byte-range gather
+    (ASCII fast path — falls back to a per-row slice for batches with
+    multi-byte text), predicate shaping via two RE2 kernels.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def empty() -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in schemas.TRIPLES],
+            schema=schemas.TRIPLES)
+
+    ments = batch.column("mentions").combine_chunks()
+    flat = pc.list_flatten(ments)
+    if len(flat) == 0:
+        return empty()
+    parent = pc.list_parent_indices(ments).to_numpy()
+    adj = np.flatnonzero(parent[:-1] == parent[1:])
+    if adj.size == 0:
+        return empty()
+    norm = flat.field("norm")
+    distinct = pc.fill_null(
+        pc.invert(pc.equal(norm.take(pa.array(adj)),
+                           norm.take(pa.array(adj + 1)))), False)
+    i = adj[np.flatnonzero(np.asarray(distinct))]
+    if i.size == 0:
+        return empty()
+    subj = norm.take(pa.array(i))
+    obj = norm.take(pa.array(i + 1))
+    ae = flat.field("end").to_numpy()[i].astype(np.int64)
+    bs = flat.field("start").to_numpy()[i + 1].astype(np.int64)
+    hi = np.maximum(bs, ae)  # overlapping spans -> empty gap
+    p = parent[i]
+
+    texts = batch.column("text").combine_chunks()
+    ascii_only = pc.all(
+        pc.equal(pc.binary_length(texts), pc.utf8_length(texts))).as_py()
+    if ascii_only is True:
+        gaps = _gather_substrings(texts, p, ae, hi)
+    else:  # rare multi-byte batch: correct per-row slice
+        py = texts.to_pylist()
+        gaps = pa.array(
+            [py[pp][a:b] for pp, a, b in zip(p.tolist(), ae.tolist(),
+                                             hi.tolist())], pa.string())
+
+    g = pc.utf8_lower(gaps)
+    ntok = pc.count_substring_regex(g, "[a-z]+")
+    predc = pc.replace_substring_regex(
+        pc.replace_substring_regex(g, "^[^a-z]+|[^a-z]+$", ""),
+        "[^a-z]+", "_")
+    in_band = pc.and_(pc.greater_equal(ntok, 1), pc.less_equal(ntok, 3))
+    pred = pc.if_else(in_band, predc,
+                      pa.scalar(PRED_PATTERN_FALLBACK, pa.string()))
+
+    sent_row = pa.array(p)
+    return pa.Table.from_arrays(
+        [
+            subj,
+            pred,
+            obj,
+            batch.column("conv_id").take(sent_row),
+            batch.column("turn_idx").take(sent_row),
+            batch.column("sent_idx").take(sent_row),
+        ],
+        schema=schemas.TRIPLES,
+    )
+
+
+def pattern_triples(sentence_mentions, batch_size: int = 4096):
+    """Nested sentence-mentions (with text) -> pattern-predicate triples."""
+    return sentence_mentions.map_batches(
+        pattern_triples_batch, batch_format="pyarrow", batch_size=batch_size
+    )

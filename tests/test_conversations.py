@@ -201,3 +201,82 @@ def test_schema_valid_custom_cycle(ray_session):
     rows = schema_valid_conversations(
         _ds(), schema=("assistant", "user")).take_all()
     assert {r["conv_id"] for r in rows} == {"B"}
+
+
+# --------------------------- pattern-predicate triples (stages/triples) ---
+
+
+def _sent_mentions_batch(texts, mentions_per_sent):
+    from easyner_ray import schemas
+
+    ments = pa.array(mentions_per_sent, pa.list_(schemas.MENTION_STRUCT))
+    return pa.table({
+        "conv_id": pa.array(["c"] * len(texts), pa.string()),
+        "turn_idx": pa.array([0] * len(texts), pa.int32()),
+        "sent_idx": pa.array(list(range(len(texts))), pa.int32()),
+        "text": pa.array(texts, pa.string()),
+        "mentions": ments,
+    })
+
+
+def _m(idx, surface, norm, start, end):
+    return {"mention_idx": idx, "surface": surface, "norm": norm,
+            "cls": "X", "start": start, "end": end}
+
+
+def test_pattern_triples_gap_predicates():
+    from easyner_ray.stages.triples import pattern_triples_batch
+
+    #        0123456789012345678901234567890
+    texts = ["aspirin strongly binds to cox2.",
+             "aspirin a b c d e f cox2 here.",
+             "aspirin, cox2 overlap."]
+    batch = _sent_mentions_batch(texts, [
+        [_m(0, "aspirin", "aspirin", 0, 7), _m(1, "cox2", "cox2", 26, 30)],
+        [_m(0, "aspirin", "aspirin", 0, 7), _m(1, "cox2", "cox2", 20, 24)],
+        [_m(0, "aspirin", "aspirin", 0, 7), _m(1, "cox2", "cox2", 9, 13)],
+    ])
+    out = pattern_triples_batch(batch).to_pylist()
+    preds = {r["sent_idx"]: r["pred"] for r in out}
+    assert preds[0] == "strongly_binds_to"
+    assert preds[1] == "co_occurs_with"   # 6 gap tokens > 3
+    assert preds[2] == "co_occurs_with"   # punctuation-only gap
+    assert all(r["subj"] == "aspirin" and r["obj"] == "cox2" for r in out)
+
+
+def test_pattern_triples_skips_same_norm_and_single_mention():
+    from easyner_ray.stages.triples import pattern_triples_batch
+
+    batch = _sent_mentions_batch(
+        ["aspirin and aspirin.", "only cox2 here."],
+        [
+            [_m(0, "aspirin", "aspirin", 0, 7),
+             _m(1, "aspirin", "aspirin", 12, 19)],
+            [_m(0, "cox2", "cox2", 5, 9)],
+        ])
+    assert len(pattern_triples_batch(batch)) == 0
+
+
+def test_pattern_triples_multibyte_fallback_matches_ascii_semantics():
+    from easyner_ray.stages.triples import pattern_triples_batch
+
+    # é forces the per-row slice path; spans are codepoint offsets
+    #        0123456789012345678
+    text = "azéx binds to cox2."
+    batch = _sent_mentions_batch([text], [
+        [_m(0, "azéx", "azex", 0, 4), _m(1, "cox2", "cox2", 14, 18)],
+    ])
+    (row,) = pattern_triples_batch(batch).to_pylist()
+    assert row["pred"] == "binds_to"
+
+
+def test_pattern_triples_dataset(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.stages.triples import pattern_triples
+
+    batch = _sent_mentions_batch(
+        ["aspirin inhibits cox2."],
+        [[_m(0, "aspirin", "aspirin", 0, 7), _m(1, "cox2", "cox2", 17, 21)]])
+    rows = pattern_triples(rd.from_arrow(batch)).take_all()
+    assert rows[0]["pred"] == "inhibits"
