@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_sft_pairs": q.conv_sft_pairs,      # SFT prep chain end-to-end
         "conv_context_windows": q.conv_context_windows,  # multi-turn context assembly
         "kg_pattern_triples": q.kg_pattern_triples,  # surface-pattern relation extraction
+        # graph analytics over the materialized KG (ops/graph_analytics.py)
+        "kg_degree_stats": q.kg_degree_stats,
+        "kg_two_hop": q.kg_two_hop,
+        "kg_triangles": q.kg_triangles,
+        "kg_components": q.kg_components,
+        "kg_temporal_edges": q.kg_temporal_edges,
     }
 
 

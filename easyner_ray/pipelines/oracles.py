@@ -1518,3 +1518,91 @@ KG["kg_pattern_triples"] = f"""
            obj, conv_id, turn_idx, sent_idx
     FROM t
 """
+
+# ---- graph analytics over the materialized KG (ops/graph_analytics.py).
+# All five recompute the graph kernels relationally over the same
+# distinct sentence-level pair CTE the kg_edges oracle uses (recursive
+# CTE for components).
+
+KG["kg_degree_stats"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    edges AS (SELECT subj, obj, count(*) AS weight
+              FROM triples GROUP BY subj, obj)
+    -- DuckDB sum(BIGINT) widens to HUGEINT -> pandas float64; cast back
+    SELECT subj AS norm, count(*) AS degree,
+           CAST(sum(weight) AS BIGINT) AS strength,
+           max(weight) AS max_edge_weight
+    FROM edges GROUP BY subj
+"""
+
+KG["kg_two_hop"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    reach AS (
+      SELECT p1.s AS a, p2.o AS c FROM p p1 JOIN p p2 ON p1.o = p2.s
+      WHERE p1.s <> p2.o
+      UNION
+      SELECT s, o FROM p)
+    SELECT a AS norm, count(*) AS n_within_2 FROM reach GROUP BY a
+"""
+
+KG["kg_triangles"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    e AS (SELECT s AS lo, o AS hi FROM p WHERE s < o),
+    t AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    x AS (SELECT a AS norm FROM t UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+    SELECT norm, count(*) AS n_triangles FROM x GROUP BY norm
+"""
+
+KG["kg_components"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    reach(node, comp) AS (
+      SELECT s, s FROM p
+      UNION
+      SELECT p.o, r.comp FROM reach r JOIN p ON p.s = r.node)
+    SELECT node AS norm, min(comp) AS component FROM reach GROUP BY node
+"""
+
+KG["kg_temporal_edges"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS na, b.norm AS nb,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    j AS (
+      SELECT p.na AS norm_a, p.nb AS norm_b, t.ts
+      FROM triples p JOIN {TR} t
+        ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+      WHERE p.na < p.nb)
+    SELECT norm_a, norm_b, count(*) AS n_cooc,
+           min(ts) AS first_seen, max(ts) AS last_seen,
+           date_diff('microsecond', min(ts), max(ts)) / 1000000.0
+             AS active_span_s
+    FROM j GROUP BY norm_a, norm_b
+"""

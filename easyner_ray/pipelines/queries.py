@@ -2314,3 +2314,68 @@ def docs_concat_blocks(sf_dir: str):
     return concat_blocks(
         _rp(sf_dir, "documents", columns=["doc_id", "text"]),
         128, n_buckets=16)
+
+
+def _kg_edge_pairs(sf_dir: str):
+    """Shared upstream for the graph-analytics family: the aggregated
+    co-occurrence edge table (both orientations, grouped, weighted) —
+    exactly :func:`kg_edges` minus the node-id columns the graph kernels
+    do not consume."""
+    return kg_edges(sf_dir).select_columns(["subj", "obj", "weight"])
+
+
+def kg_degree_stats(sf_dir: str):
+    """Per-entity degree profile over the KG edge table: distinct
+    neighbors, summed edge weight (strength), max single-edge weight.
+    One vocab-bounded two-phase grouped aggregate downstream of the
+    NER -> triples -> edges build (the reference's analysis stops at
+    entity frequencies, ``analysis.py``; degree/strength is the first
+    graph-side question a KG consumer asks)."""
+    from easyner_ray.ops.graph_analytics import degree_stats
+
+    return degree_stats(_kg_edge_pairs(sf_dir))
+
+
+def kg_two_hop(sf_dir: str):
+    """Distinct nodes reachable within two hops per entity (self
+    excluded): size-gated self-join of the distinct-pair edge list on
+    the middle node, union direct edges, two-phase distinct + count."""
+    from easyner_ray.ops.graph_analytics import two_hop_counts
+
+    return two_hop_counts(_kg_edge_pairs(sf_dir))
+
+
+def kg_triangles(sf_dir: str):
+    """Per-entity triangle participation over the co-occurrence graph:
+    degree-ordered oriented wedge enumeration (arboricity-bounded), all
+    numpy inside the distributed wedge tasks."""
+    from easyner_ray.ops.graph_analytics import triangle_counts
+
+    return triangle_counts(_kg_edge_pairs(sf_dir))
+
+
+def kg_components(sf_dir: str):
+    """Connected components of the KG with the lexicographically
+    smallest member as the deterministic component label (union-find
+    under the counted-edge cutoff; distributed min-label propagation
+    above it — both paths tested equal)."""
+    from easyner_ray.ops.graph_analytics import components
+
+    return components(_kg_edge_pairs(sf_dir))
+
+
+def kg_temporal_edges(sf_dir: str):
+    """Temporally annotated undirected co-occurrence edges: evidence
+    count plus first/last observed transcript timestamp and the active
+    span in seconds — the edge-stream shape a temporal-KG consumer
+    ingests. Triples join the PRUNED (conv_id, turn_idx, ts) transcript
+    read on the composite turn key (size-gated adaptive join), then
+    collapse to the vocab^2-bounded pair keyspace."""
+    from easyner_ray.ops.graph_analytics import temporal_edges
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return temporal_edges(
+        triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
