@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": q.kg_triangles,
         "kg_components": q.kg_components,
         "kg_temporal_edges": q.kg_temporal_edges,
+        "kg_clustering": q.kg_clustering,
+        "kg_alias_candidates": q.kg_alias_candidates,
+        "kg_bfs_hops": q.kg_bfs_hops,
+        "kg_edge_activity": q.kg_edge_activity,
     }
 
 

@@ -173,6 +173,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_sft_pairs": q.conv_sft_pairs,
         "conv_context_windows": q.conv_context_windows,
         "kg_pattern_triples": q.kg_pattern_triples,
+        # round-5 graph analytics over the materialized KG
+        "kg_degree_stats": q.kg_degree_stats,
+        "kg_triangles": q.kg_triangles,
+        "kg_components": q.kg_components,
+        "kg_alias_candidates": q.kg_alias_candidates,
+        "kg_edge_activity": q.kg_edge_activity,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

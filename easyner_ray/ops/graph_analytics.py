@@ -30,11 +30,28 @@ __all__ = [
     "degree_stats",
     "two_hop_counts",
     "triangle_counts",
+    "clustering_coeff",
+    "neighbor_jaccard",
     "components",
+    "bfs_hops",
     "temporal_edges",
+    "edge_activity",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
+
+
+def _round_away(vals, digits: int = 4):
+    """Vectorized round-half-AWAY-from-zero — DuckDB's ``round(x, d)``
+    semantics (``std::round(x * 10^d) / 10^d``), which Python's
+    decimal-correct half-even ``round`` diverges from on binary-exact
+    halfway ratios (1/32 -> .0312 vs SQL .0313). Ratio columns here are
+    small-integer quotients, so exact halves actually occur."""
+    import numpy as np
+
+    s = 10.0 ** digits
+    y = np.asarray(vals, dtype=np.float64) * s
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / s
 
 
 def degree_stats(edges, *, src: str = "subj", dst: str = "obj",
@@ -141,6 +158,34 @@ def _oriented(edges, src: str, dst: str):
                      "b": pa.array(b, pa.string())})
 
 
+def _pair_chunks(k: int, pair_budget: int):
+    """Yield ``(i_rep, j_rep)`` int64 index arrays covering every pair
+    ``i < j`` over ``range(k)``, chunked over the FIRST index so no chunk
+    materializes more than ~``pair_budget`` pairs at once — the hub guard
+    shared by the wedge kernels (:func:`triangle_counts`,
+    :func:`neighbor_jaccard`): a hub root never allocates O(k^2) scratch
+    in one shot."""
+    import numpy as np
+
+    if k < 2:
+        return
+    lens = (k - 1) - np.arange(k - 1, dtype=np.int64)
+    cum = np.cumsum(lens)
+    i0 = 0
+    while i0 < k - 1:
+        base = cum[i0 - 1] if i0 else 0
+        i1 = int(np.searchsorted(cum, base + pair_budget)) + 1
+        i1 = min(max(i1, i0 + 1), k - 1)
+        ii = np.arange(i0, i1, dtype=np.int64)
+        reps = lens[i0:i1]
+        i_rep = np.repeat(ii, reps)
+        row_start = np.repeat(np.cumsum(reps) - reps, reps)
+        j_rep = (np.arange(len(i_rep), dtype=np.int64)
+                 - row_start + i_rep + 1)
+        yield i_rep, j_rep
+        i0 = i1
+
+
 def triangle_counts(edges, *, src: str = "subj", dst: str = "obj",
                     pair_budget: int = 1 << 22):
     """Per-node triangle participation count: -> (norm, n_triangles).
@@ -201,21 +246,7 @@ def triangle_counts(edges, *, src: str = "subj", dst: str = "obj",
             k = len(nbrs)
             if k < 2:
                 continue
-            # wedge pairs (i<j) in pair-budget chunks over the FIRST
-            # index, so hub roots never allocate O(k^2) at once
-            lens = (k - 1) - np.arange(k - 1, dtype=np.int64)
-            cum = np.cumsum(lens)
-            i0 = 0
-            while i0 < k - 1:
-                base = cum[i0 - 1] if i0 else 0
-                i1 = int(np.searchsorted(cum, base + pair_budget)) + 1
-                i1 = min(max(i1, i0 + 1), k - 1)
-                ii = np.arange(i0, i1, dtype=np.int64)
-                reps = lens[i0:i1]
-                i_rep = np.repeat(ii, reps)
-                row_start = np.repeat(np.cumsum(reps) - reps, reps)
-                j_rep = (np.arange(len(i_rep), dtype=np.int64)
-                         - row_start + i_rep + 1)
+            for i_rep, j_rep in _pair_chunks(k, pair_budget):
                 bi, cj = nbrs[i_rep], nbrs[j_rep]
                 wk = ((np.minimum(bi, cj).astype(np.uint64)
                        << np.uint64(32))
@@ -228,7 +259,6 @@ def triangle_counts(edges, *, src: str = "subj", dst: str = "obj",
                     counts[a_col[s]] += n_hit
                     counts += np.bincount(bi[hit], minlength=n_vocab)
                     counts += np.bincount(cj[hit], minlength=n_vocab)
-                i0 = i1
         nz = np.flatnonzero(counts)
         return pa.table({
             "norm": vocab.take(pa.array(nz, pa.int64())),
@@ -244,6 +274,190 @@ def triangle_counts(edges, *, src: str = "subj", dst: str = "obj",
     return grouped_agg(partials, ["norm"],
                        [("n_triangles", "sum", "n_triangles")],
                        final="tree")
+
+
+def clustering_coeff(edges, *, src: str = "subj", dst: str = "obj",
+                     round_digits: int = 4, pair_budget: int = 1 << 22):
+    """Local clustering coefficient per node over the co-occurrence
+    graph: -> (norm, degree, n_triangles, clustering) with
+    ``clustering = 2T / (d * (d - 1))`` (0.0 when d < 2) — the standard
+    "how clique-like is this entity's neighborhood" signal; in a KG it
+    separates topical hub entities (low cc, star-shaped) from members of
+    tight co-mention clusters (high cc).
+
+    Pure composition: :func:`degree_stats` (the edge table carries both
+    orientations, so its per-``src`` row count IS the undirected distinct
+    degree) left-joined with :func:`triangle_counts` (nodes in no
+    triangle fill 0). Both inputs are vocab-bounded, so the join rides
+    :func:`adaptive_join`'s broadcast path and the ratio computes in one
+    whole-column kernel; the round grain is :func:`_round_away` (SQL
+    half-away semantics — small-integer ratio columns DO land on exact
+    binary halves, where half-even rounding diverges)."""
+    from easyner_ray.ops.relational import adaptive_join
+
+    deg = degree_stats(edges, src=src, dst=dst) \
+        .select_columns(["norm", "degree"])
+    tri = triangle_counts(edges, src=src, dst=dst,
+                          pair_budget=pair_budget).map_batches(
+        lambda t: t.rename_columns(["norm", "__t"]), batch_format="pyarrow")
+    joined = adaptive_join(deg, tri, on="norm", how="left")
+
+    def score(t: pa.Table, rd_=round_digits) -> pa.Table:
+        import numpy as np
+
+        d = t.column("degree").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("float64")
+        tr = t.column("__t").combine_chunks().fill_null(0)
+        trn = tr.to_numpy(zero_copy_only=False).astype("float64")
+        safe = np.maximum(d * (d - 1.0), 1.0)
+        cc = pa.array(np.where(d < 2, 0.0,
+                               _round_away(2.0 * trn / safe, rd_)),
+                      pa.float64())
+        return pa.Table.from_arrays(
+            [t.column("norm"), t.column("degree"), tr.cast(pa.int64()),
+             cc],
+            names=["norm", "degree", "n_triangles", "clustering"])
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def neighbor_jaccard(edges, *, src: str = "subj", dst: str = "obj",
+                     min_shared: int = 2, round_digits: int = 4,
+                     pair_budget: int = 1 << 22,
+                     max_middle_degree: int | None = None):
+    """Neighborhood-Jaccard similarity between entity pairs:
+    -> (norm_a, norm_b, n_shared, jaccard) for pairs (a < b) sharing at
+    least ``min_shared`` neighbors, where
+    ``jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|``.
+
+    THE alias-candidate generator for canonicalization: two surface forms
+    of one real-world entity co-occur with the same third entities even
+    when their strings never match — high neighborhood Jaccard surfaces
+    exactly those merge candidates (the string-free complement of
+    ``stages/canonicalize.py``'s normalized-surface merge).
+
+    Kernel: intersection counts come from wedge enumeration — every
+    middle node m contributes one count to each pair of its neighbors —
+    over the int-coded, node-sorted distinct pair table (vocab-bounded,
+    broadcast once via ``ray.put``), distributed over middle-node ranges.
+    Each task packs neighbor pairs into uint64 keys in
+    :func:`_pair_chunks` budget chunks and sort-compresses its
+    accumulator whenever it outgrows the budget, so per-task scratch
+    stays O(pair_budget) even through hub middles. Per-pair partials then
+    take one vocab^2-bounded grouped sum. Unlike triangles, wedge work
+    here cannot be degree-orientation-bounded (ALL wedges count);
+    ``max_middle_degree`` is the documented 100 TB escape hatch — skip
+    super-hub middles (their shared-neighbor signal is uninformative:
+    everything co-occurs with a stopword-like hub) at the cost of exact
+    oracle parity, so it defaults OFF."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    empty = pa.table({"norm_a": pa.array([], pa.string()),
+                      "norm_b": pa.array([], pa.string()),
+                      "n_shared": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    enc = pa.concat_arrays([t.column(src).combine_chunks(),
+                            t.column(dst).combine_chunks()]) \
+        .dictionary_encode()
+    # remap dictionary codes to LEXICOGRAPHIC ranks so packed-key order
+    # (a < b by code) matches the string order the pair contract promises
+    sort_idx = pc.sort_indices(enc.dictionary)
+    vocab = enc.dictionary.take(sort_idx)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[np.asarray(sort_idx)] = np.arange(len(vocab))
+    codes = rank[np.asarray(enc.indices, dtype=np.int64)]
+    n = len(t)
+    node_c, nbr_c = codes[:n], codes[n:]
+    deg = np.bincount(node_c, minlength=len(vocab)).astype(np.int64)
+    order = np.lexsort((nbr_c, node_c))
+    node_c, nbr_c = node_c[order], nbr_c[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], node_c[1:] != node_c[:-1]]))
+    bounds = np.append(starts, n)
+    state_ref = ray.put((nbr_c, bounds, deg, vocab))
+    n_tasks = min(32, len(starts)) or 1
+
+    def wedge_task(batch: pa.Table) -> pa.Table:
+        nbrs_all, bnd, _deg, _vocab = ray.get(state_ref)
+        acc_k: list = []
+        acc_c: list = []
+        acc_n = 0
+
+        def compress() -> int:
+            k = np.concatenate(acc_k)
+            c = np.concatenate(acc_c)
+            o = np.argsort(k, kind="stable")
+            k, c = k[o], c[o]
+            firsts = np.flatnonzero(np.concatenate(
+                [[True], k[1:] != k[:-1]]))
+            acc_k[:] = [k[firsts]]
+            acc_c[:] = [np.add.reduceat(c, firsts)]
+            return len(acc_k[0])
+
+        for gi in batch.column("gi").to_numpy():
+            s, e = int(bnd[gi]), int(bnd[gi + 1])
+            nbrs = nbrs_all[s:e]          # sorted ascending by lexsort
+            k = len(nbrs)
+            if max_middle_degree is not None and k > max_middle_degree:
+                continue
+            for i_rep, j_rep in _pair_chunks(k, pair_budget):
+                # nbrs sorted -> a < b without a min/max pass
+                wk = ((nbrs[i_rep].astype(np.uint64) << np.uint64(32))
+                      | nbrs[j_rep].astype(np.uint64))
+                acc_k.append(wk)
+                acc_c.append(np.ones(len(wk), dtype=np.int64))
+                acc_n += len(wk)
+                if acc_n > 2 * pair_budget:
+                    acc_n = compress()
+        if not acc_k:
+            return pa.table({"__pk": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        compress()
+        return pa.table({
+            "__pk": pa.array(acc_k[0].astype(np.int64), pa.int64()),
+            "__n": pa.array(acc_c[0], pa.int64())})
+
+    group_ids = rd.from_arrow(pa.table(
+        {"gi": pa.array(np.arange(len(starts)), pa.int64())}))
+    partials = group_ids.map_batches(
+        wedge_task, batch_format="pyarrow",
+        batch_size=max(1, (len(starts) + n_tasks - 1) // n_tasks))
+    shared = grouped_agg(partials, ["__pk"], [("__n", "sum", "n_shared")])
+
+    def score(tbl: pa.Table, rd_=round_digits, lo=min_shared) -> pa.Table:
+        _nbrs, _bnd, deg_arr, voc = ray.get(state_ref)
+        tbl = tbl.filter(pc.greater_equal(tbl.column("n_shared"), lo))
+        pk = tbl.column("__pk").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        a = (pk >> np.uint64(32)).astype(np.int64)
+        b = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        ns = tbl.column("n_shared").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        union = (deg_arr[a] + deg_arr[b] - ns).astype("float64")
+        jac = pa.array(_round_away(ns.astype("float64") / union, rd_),
+                       pa.float64())
+        return pa.Table.from_arrays(
+            [voc.take(pa.array(a, pa.int64())),
+             voc.take(pa.array(b, pa.int64())),
+             tbl.column("n_shared"), jac],
+            names=["norm_a", "norm_b", "n_shared", "jaccard"])
+
+    return shared.map_batches(score, batch_format="pyarrow")
 
 
 def components(edges, *, src: str = "subj", dst: str = "obj",
@@ -352,6 +566,76 @@ def components(edges, *, src: str = "subj", dst: str = "obj",
         batch_format="pyarrow")
 
 
+def bfs_hops(edges, seeds, *, src: str = "subj", dst: str = "obj",
+             max_hops: int = 3):
+    """Minimum hop distance from a seed entity set, bounded by
+    ``max_hops``: -> (norm, hop) for every node reachable within the
+    bound (seeds themselves at hop 0; seeds absent from the graph are
+    dropped). The bounded-neighborhood query a KG consumer runs around a
+    watchlist — "everything within 3 hops of these drugs".
+
+    Frontier-expansion BFS as ``max_hops`` rounds of
+    :func:`adaptive_join` against the symmetric edge list (vocab-bounded
+    -> broadcast path; hash-shuffle above the gate at open keyspace),
+    each followed by a grouped min — the same exchange shape as
+    :func:`components` but with a hop counter instead of a label, and it
+    terminates early when a frontier comes back empty. Per round the
+    JOIN side is only the current frontier, not all labels, so the work
+    is output-sensitive (sum of frontier adjacency), not
+    rounds x graph."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "hop": pa.array([], pa.int64())})
+    seed_set = sorted(set(seeds))
+    if not seed_set:
+        return rd.from_arrow(empty)
+
+    sym = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(src).combine_chunks(), t.column(dst).combine_chunks()],
+            names=["node", "nbr"]),
+        batch_format="pyarrow").materialize()
+
+    labels = sym.map_batches(
+        lambda t: (lambda f: pa.table(
+            {"node": f.column("node"),
+             "hop": pa.array([0] * len(f), pa.int64())}))(
+                 t.filter(pc.is_in(t.column("node"),
+                                   value_set=pa.array(seed_set)))),
+        batch_format="pyarrow")
+    labels = grouped_agg(labels, ["node"], [("hop", "min", "hop")]) \
+        .materialize()
+    if labels.count() == 0:
+        return rd.from_arrow(empty)
+
+    frontier = labels
+    for h in range(1, max_hops + 1):
+        reached = adaptive_join(
+            sym,
+            frontier.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "__f": t.column("hop")}),
+                batch_format="pyarrow"),
+            on="node").map_batches(
+                lambda t, hh=h: pa.table(
+                    {"node": t.column("nbr"),
+                     "hop": pa.array([hh] * len(t), pa.int64())}),
+                batch_format="pyarrow")
+        new_labels = grouped_agg(reached.union(labels), ["node"],
+                                 [("hop", "min", "hop")]).materialize()
+        frontier = new_labels.filter(
+            lambda r, hh=h: r["hop"] == hh).materialize()
+        labels = new_labels
+        if frontier.count() == 0:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["norm", "hop"]),
+        batch_format="pyarrow")
+
+
 def temporal_edges(triples, transcripts, *, broadcast_bytes: int = 64 << 20):
     """Temporally annotated co-occurrence edges: undirected pairs
     (norm_a < norm_b) with co-occurrence count and FIRST/LAST observed
@@ -406,3 +690,59 @@ def temporal_edges(triples, transcripts, *, broadcast_bytes: int = 64 << 20):
             pc.divide(pc.cast(us, pa.float64()), 1_000_000.0))
 
     return agg.map_batches(span, batch_format="pyarrow")
+
+
+def edge_activity(triples, transcripts, *, unit: str = "hour",
+                  broadcast_bytes: int = 64 << 20):
+    """Windowed temporal edge activity: per undirected entity pair and
+    time bucket, the co-occurrence count and the number of DISTINCT
+    conversations contributing -> (norm_a, norm_b, bucket_ts, n_cooc,
+    n_convs). The edge-burst stream of a temporal KG — "this drug/disease
+    pair spiked in this hour, across how many independent transcripts".
+
+    Same join shape as :func:`temporal_edges` (sentence-level distinct
+    pairs x pruned 3-column transcript read on the composite turn key,
+    adaptive), then a two-level rollup: level 1 groups on (pair, bucket,
+    conv_id) — collapsing the per-conversation repeat mass BEFORE the
+    distinct count, so a hot conversation ships one row per pair-bucket
+    it touches — level 2 sums the co-occurrence counts and counts the
+    level-1 rows as the distinct-conversation count. Bucketing is
+    ``pc.floor_temporal`` (whole-column kernel); bucket keys hash as
+    strings through the bucketed final like every other grouped key."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("subj"), t.column("obj")))
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays(
+            [t.column("subj"), t.column("obj"), t.column("conv_id"), k],
+            names=["norm_a", "norm_b", "conv_id", "__k"])
+
+    left = triples.map_batches(pair_key, batch_format="pyarrow")
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays([k, t.column("ts")],
+                                    names=["__k", "ts"])
+
+    right = transcripts.map_batches(turn_key, batch_format="pyarrow")
+    joined = adaptive_join(left, right, on="__k",
+                           broadcast_bytes=broadcast_bytes)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(t.column("ts"), unit=unit)
+        return pa.Table.from_arrays(
+            [t.column("norm_a"), t.column("norm_b"), b, t.column("conv_id")],
+            names=["norm_a", "norm_b", "bucket_ts", "conv_id"])
+
+    per_conv = grouped_agg(
+        joined.map_batches(bucket, batch_format="pyarrow"),
+        ["norm_a", "norm_b", "bucket_ts", "conv_id"],
+        [("conv_id", "count", "__c")])
+    return grouped_agg(per_conv, ["norm_a", "norm_b", "bucket_ts"],
+                       [("__c", "sum", "n_cooc"),
+                        ("conv_id", "count", "n_convs")])

@@ -1606,3 +1606,83 @@ KG["kg_temporal_edges"] = f"""
              AS active_span_s
     FROM j GROUP BY norm_a, norm_b
 """
+
+KG["kg_clustering"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    e AS (SELECT s AS lo, o AS hi FROM p WHERE s < o),
+    t AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    x AS (SELECT a AS norm FROM t UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t),
+    tri AS (SELECT norm, count(*) AS n_tri FROM x GROUP BY norm),
+    deg AS (SELECT s AS norm, count(*) AS d FROM p GROUP BY s)
+    SELECT deg.norm, d AS degree,
+           coalesce(n_tri, 0) AS n_triangles,
+           CASE WHEN d < 2 THEN 0.0
+                ELSE round(2.0 * coalesce(n_tri, 0) / (d * (d - 1)), 4)
+           END AS clustering
+    FROM deg LEFT JOIN tri ON tri.norm = deg.norm
+"""
+
+KG["kg_alias_candidates"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    w AS (
+      SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+      FROM p p1 JOIN p p2 ON p1.o = p2.o AND p1.s < p2.s
+      GROUP BY p1.s, p2.s),
+    deg AS (SELECT s AS n, count(*) AS d FROM p GROUP BY s)
+    SELECT a AS norm_a, b AS norm_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / (da.d + db.d - n_shared), 4) AS jaccard
+    FROM w JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+    WHERE n_shared >= 3
+"""
+
+KG["kg_bfs_hops"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    r(node, hop) AS (
+      SELECT DISTINCT s, 0 FROM p
+      WHERE s IN ('zetamycin', 'actozine', 'arvel syndrome')
+      UNION
+      SELECT p.o, r.hop + 1 FROM r JOIN p ON p.s = r.node
+      WHERE r.hop < 3)
+    SELECT node AS norm, CAST(min(hop) AS BIGINT) AS hop
+    FROM r GROUP BY node
+"""
+
+KG["kg_edge_activity"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS na, b.norm AS nb,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    j AS (
+      SELECT p.na AS norm_a, p.nb AS norm_b, p.conv_id,
+             date_trunc('hour', t.ts) AS bucket_ts
+      FROM triples p JOIN {TR} t
+        ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+      WHERE p.na < p.nb)
+    SELECT norm_a, norm_b, bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_cooc,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM j GROUP BY norm_a, norm_b, bucket_ts
+"""

@@ -2379,3 +2379,49 @@ def kg_temporal_edges(sf_dir: str):
     triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
     return temporal_edges(
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
+
+
+def kg_clustering(sf_dir: str):
+    """Local clustering coefficient per entity (2T / d(d-1), 0.0 below
+    degree 2): separates star-shaped topical hubs from members of tight
+    co-mention cliques. Composition of the degree and oriented-wedge
+    triangle kernels over the vocab-bounded edge table."""
+    from easyner_ray.ops.graph_analytics import clustering_coeff
+
+    return clustering_coeff(_kg_edge_pairs(sf_dir))
+
+
+def kg_alias_candidates(sf_dir: str):
+    """Alias-candidate pairs for canonicalization by neighborhood
+    Jaccard: entity pairs sharing >= 3 co-occurrence neighbors, scored
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the string-free complement of the
+    normalized-surface merge in ``stages/canonicalize.py``."""
+    from easyner_ray.ops.graph_analytics import neighbor_jaccard
+
+    return neighbor_jaccard(_kg_edge_pairs(sf_dir), min_shared=3)
+
+
+def kg_bfs_hops(sf_dir: str):
+    """Minimum hop distance from the watchlist seed entities, bounded at
+    3 hops: frontier-expansion BFS (adaptive join per round + grouped
+    min, early exit on an empty frontier) over the KG edge table."""
+    from easyner_ray.ops.graph_analytics import bfs_hops
+
+    return bfs_hops(_kg_edge_pairs(sf_dir), WATCHLIST, max_hops=3)
+
+
+def kg_edge_activity(sf_dir: str):
+    """Hourly temporal edge activity: per undirected entity pair and
+    hour bucket, co-occurrence count + distinct contributing
+    conversations — the edge-burst stream of a temporal KG. Two-level
+    rollup so a hot conversation ships one row per pair-bucket, not its
+    full repeat mass."""
+    from easyner_ray.ops.graph_analytics import edge_activity
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return edge_activity(
+        triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]),
+        unit="hour")

@@ -149,3 +149,134 @@ def test_temporal_edges(ray_session):
     assert (r["norm_a"], r["norm_b"]) == ("x", "y")
     assert r["n_cooc"] == 3  # one per kept (subj<obj) evidence row
     assert r["active_span_s"] == 120.0
+
+
+def test_clustering_coeff_toy(ray_session):
+    from easyner_ray.ops.graph_analytics import clustering_coeff
+
+    out = {r["norm"]: r for r in
+           clustering_coeff(_edges_ds(_TOY)).take_all()}
+    assert out["a"]["clustering"] == 1.0 and out["a"]["n_triangles"] == 1
+    assert out["b"]["clustering"] == 1.0
+    assert out["c"]["clustering"] == 0.3333  # 2*1/(3*2), half-away grain
+    # degree-<2 and triangle-free nodes pin to 0.0 with n_triangles 0
+    for n_ in ("d", "e", "f"):
+        assert out[n_]["clustering"] == 0.0
+        assert out[n_]["n_triangles"] == 0
+    assert len(out) == 6
+
+
+def test_round_away_halfway():
+    from easyner_ray.ops.graph_analytics import _round_away
+
+    # 1/32 = .03125 is binary-exact halfway at 4 digits: SQL rounds away
+    # (.0313), Python's round half-even gives .0312 — the divergence this
+    # kernel exists to absorb
+    assert _round_away([1 / 32], 4)[0] == 0.0313
+    assert _round_away([-1 / 32], 4)[0] == -0.0313
+    assert round(1 / 32, 4) == 0.0312  # the trap, pinned
+
+
+def test_neighbor_jaccard_toy(ray_session):
+    from easyner_ray.ops.graph_analytics import neighbor_jaccard
+
+    out = {(r["norm_a"], r["norm_b"]): r for r in
+           neighbor_jaccard(_edges_ds(_TOY), min_shared=1).take_all()}
+    # wedge middles: a->(b,c), b->(a,c), c->(a,b),(a,d),(b,d)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c"),
+                        ("a", "d"), ("b", "d")}
+    assert out[("a", "b")]["n_shared"] == 1
+    assert out[("a", "b")]["jaccard"] == 0.3333   # 1/(2+2-1)
+    assert out[("a", "d")]["jaccard"] == 0.5      # 1/(2+1-1)
+    assert out[("a", "c")]["jaccard"] == 0.25     # 1/(2+3-1)
+    for a, b in out:
+        assert a < b  # lexicographic pair contract
+
+
+def test_neighbor_jaccard_random_vs_brute_and_chunked(ray_session):
+    from easyner_ray.ops.graph_analytics import neighbor_jaccard
+
+    nodes, und = _rand_graph(seed=3, n=25, m=80)
+    adj: dict[int, set] = {i: set() for i in range(len(nodes))}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    gold = {}
+    for a, b in itertools.combinations(range(len(nodes)), 2):
+        sh = len(adj[a] & adj[b])
+        if sh >= 2:
+            na, nb = sorted((nodes[a], nodes[b]))
+            un = len(adj[a]) + len(adj[b]) - sh
+            gold[(na, nb)] = sh
+
+    ds = _edges_ds([(nodes[a], nodes[b], 1) for a, b in und], blocks=3)
+    for pb in (1 << 22, 3):  # default + forced hub-chunk/compress path
+        got = {(r["norm_a"], r["norm_b"]): r["n_shared"] for r in
+               neighbor_jaccard(ds, min_shared=2, pair_budget=pb).take_all()}
+        assert got == gold, f"pair_budget={pb}"
+
+
+def test_neighbor_jaccard_middle_cap(ray_session):
+    from easyner_ray.ops.graph_analytics import neighbor_jaccard
+
+    # star: hub h adjacent to x0..x4 plus one side edge x0-x1.
+    star = [("h", f"x{i}", 1) for i in range(5)] + [("x0", "x1", 1)]
+    full = {(r["norm_a"], r["norm_b"]): r["n_shared"] for r in
+            neighbor_jaccard(_edges_ds(star), min_shared=1).take_all()}
+    assert full[("x0", "x1")] == 1  # shared neighbor: h
+    # capping out the degree-5 hub middle removes every pair it mediated
+    capped = {(r["norm_a"], r["norm_b"]): r["n_shared"] for r in
+              neighbor_jaccard(_edges_ds(star), min_shared=1,
+                               max_middle_degree=4).take_all()}
+    assert ("x0", "x1") not in capped
+    assert capped == {("h", "x1"): 1, ("h", "x0"): 1}  # middles x0/x1 remain
+
+
+def test_bfs_hops_toy(ray_session):
+    from easyner_ray.ops.graph_analytics import bfs_hops
+
+    ds = _edges_ds(_TOY)
+    out = {r["norm"]: r["hop"] for r in
+           bfs_hops(ds, ["a"], max_hops=3).take_all()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}  # e/f unreachable
+    # hop bound truncates the frontier
+    out1 = {r["norm"]: r["hop"] for r in
+            bfs_hops(ds, ["a"], max_hops=1).take_all()}
+    assert out1 == {"a": 0, "b": 1, "c": 1}
+    # multi-seed min + absent seed dropped
+    out2 = {r["norm"]: r["hop"] for r in
+            bfs_hops(ds, ["d", "e", "nope"], max_hops=2).take_all()}
+    assert out2 == {"d": 0, "e": 0, "c": 1, "f": 1, "a": 2, "b": 2}
+    assert bfs_hops(ds, [], max_hops=2).take_all() == []
+    assert bfs_hops(ds, ["nope"], max_hops=2).take_all() == []
+
+
+def test_edge_activity(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import edge_activity
+
+    h = 3_600_000_000  # one hour in us
+    transcripts = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "ts": pa.array([10, h + 20, 30], pa.timestamp("us")),
+    }))
+    triples = rd.from_arrow(pa.table({
+        "subj": ["x", "y", "x", "x"],
+        "obj": ["y", "x", "y", "y"],
+        "conv_id": ["c1", "c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 0, 1, 0], pa.int32()),
+        "sent_idx": pa.array([0, 0, 0, 0], pa.int32()),
+    }))
+    out = {r["bucket_ts"]: r for r in
+           edge_activity(triples, transcripts, unit="hour").take_all()}
+    assert len(out) == 2  # hour 0 (c1/t0 + c2/t0) and hour 1 (c1/t1)
+    import datetime as dt
+
+    h0 = dt.datetime(1970, 1, 1, 0)
+    h1 = dt.datetime(1970, 1, 1, 1)
+    assert out[h0]["n_cooc"] == 2 and out[h0]["n_convs"] == 2
+    assert out[h1]["n_cooc"] == 1 and out[h1]["n_convs"] == 1
+    for r in out.values():
+        assert (r["norm_a"], r["norm_b"]) == ("x", "y")
