@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_candidates": q.kg_alias_candidates,
         "kg_bfs_hops": q.kg_bfs_hops,
         "kg_edge_activity": q.kg_edge_activity,
+        "kg_edge_evidence": q.kg_edge_evidence,
+        "kg_kcore": q.kg_kcore,            # derived-gold oracle (peel)
     }
 
 

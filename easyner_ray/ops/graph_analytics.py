@@ -36,6 +36,8 @@ __all__ = [
     "bfs_hops",
     "temporal_edges",
     "edge_activity",
+    "edge_evidence",
+    "kcore",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -746,3 +748,88 @@ def edge_activity(triples, transcripts, *, unit: str = "hour",
     return grouped_agg(per_conv, ["norm_a", "norm_b", "bucket_ts"],
                        [("__c", "sum", "n_cooc"),
                         ("conv_id", "count", "n_convs")])
+
+
+def edge_evidence(triples, k: int = 3):
+    """Per-edge provenance: for each undirected entity pair, the FIRST
+    ``k`` evidence sentences in (conv_id, turn_idx, sent_idx) order ->
+    (norm_a, norm_b, conv_id, turn_idx, sent_idx, evidence_rank). The
+    audit-lineage row a KG consumer follows from an edge back into the
+    transcripts — the per-edge analog of the sink's per-partition
+    manifests.
+
+    Pure :func:`easyner_ray.ops.relational.topk_per_group` over the
+    sentence-level pair stream, so the exchange is bounded: every input
+    batch forwards at most ``k`` rows per pair it sees — a hot pair with
+    a million co-occurrences ships k rows per batch, never its full
+    evidence mass."""
+    from easyner_ray.ops.relational import topk_per_group
+
+    pairs = triples.map_batches(
+        lambda t: t.filter(pc.less(t.column("subj"), t.column("obj")))
+                   .select(["subj", "obj", "conv_id", "turn_idx",
+                            "sent_idx"])
+                   .rename_columns(["norm_a", "norm_b", "conv_id",
+                                    "turn_idx", "sent_idx"]),
+        batch_format="pyarrow")
+    return topk_per_group(pairs, ["norm_a", "norm_b"], "conv_id", k,
+                          descending=False,
+                          tie_cols=["turn_idx", "sent_idx"],
+                          rank_name="evidence_rank")
+
+
+def kcore(edges, k: int = 3, *, src: str = "subj", dst: str = "obj",
+          max_iters: int = 200):
+    """k-core decomposition membership: the maximal subgraph in which
+    every node keeps >= ``k`` distinct neighbors -> (norm, core_degree)
+    with the node's degree INSIDE the core. The standard "dense backbone
+    vs. peripheral fringe" cut on a KG — hubs survive, one-off
+    co-mentions peel away.
+
+    Iterative peeling, each round one degree aggregate
+    (:func:`grouped_agg`) + two :func:`adaptive_semi_join` passes
+    restricting the symmetric distinct-pair list to surviving endpoints;
+    terminates when no node drops (monotone, so <= |V| rounds, in
+    practice O(peel depth)). The surviving-node set is vocab-bounded and
+    rides the semi-join broadcast path; above the gate each round is a
+    hash semi-join — the 100 TB path. The pair list re-materializes per
+    round so the next round's joins don't recompute the whole prefix
+    chain."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_semi_join, grouped_agg
+
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "core_degree": pa.array([], pa.int64())})
+    pairs = grouped_agg(
+        edges.map_batches(
+            lambda t: (lambda f: pa.Table.from_arrays(
+                [f.column(src), f.column(dst)], names=["s", "o"]))(
+                    t.filter(pc.invert(pc.equal(t.column(src),
+                                                t.column(dst))))),
+            batch_format="pyarrow"),
+        ["s", "o"], [("o", "count", "__c")]) \
+        .select_columns(["s", "o"]).materialize()
+
+    deg = None
+    for _ in range(max_iters):
+        deg = grouped_agg(pairs, ["s"], [("o", "count", "core_degree")]) \
+            .materialize()
+        n_all = deg.count()
+        if n_all == 0:
+            return rd.from_arrow(empty)
+        keep = deg.filter(lambda r, kk=k: r["core_degree"] >= kk) \
+            .select_columns(["s"]).materialize()
+        n_keep = keep.count()
+        if n_keep == n_all:
+            break
+        if n_keep == 0:
+            return rd.from_arrow(empty)
+        pairs = adaptive_semi_join(pairs, keep, on="s")
+        pairs = adaptive_semi_join(
+            pairs, keep.map_batches(lambda t: t.rename_columns(["o"]),
+                                    batch_format="pyarrow"),
+            on="o").materialize()
+    return deg.map_batches(
+        lambda t: t.rename_columns(["norm", "core_degree"]),
+        batch_format="pyarrow")

@@ -1686,3 +1686,25 @@ KG["kg_edge_activity"] = f"""
            CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
     FROM j GROUP BY norm_a, norm_b, bucket_ts
 """
+
+KG["kg_edge_evidence"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS na, b.norm AS nb,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    t AS (
+      SELECT na AS norm_a, nb AS norm_b, conv_id, turn_idx, sent_idx,
+             row_number() OVER (PARTITION BY na, nb
+                                ORDER BY conv_id, turn_idx, sent_idx)
+               AS evidence_rank
+      FROM triples WHERE na < nb)
+    SELECT * FROM t WHERE evidence_rank <= 3
+"""
+
+KG["kg_kcore"] = (
+    f"SELECT norm, core_degree "
+    f"FROM read_parquet('{SYNTH}/gold_kcore.parquet')"
+)

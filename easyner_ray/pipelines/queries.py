@@ -2425,3 +2425,29 @@ def kg_edge_activity(sf_dir: str):
     return edge_activity(
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]),
         unit="hour")
+
+
+def kg_edge_evidence(sf_dir: str):
+    """Per-edge provenance: first 3 evidence sentences per undirected
+    entity pair in (conv_id, turn_idx, sent_idx) order — the audit
+    lineage from an edge back into the transcripts. Bounded exchange:
+    each batch forwards at most k rows per pair it sees
+    (``topk_per_group``), never a hot pair's full evidence mass."""
+    from easyner_ray.ops.graph_analytics import edge_evidence
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return edge_evidence(triples, k=3)
+
+
+def kg_kcore(sf_dir: str):
+    """3-core of the KG: nodes of the maximal subgraph where everyone
+    keeps >= 3 distinct neighbors, with the in-core degree. Iterative
+    peeling — one degree aggregate + two adaptive semi-joins per round.
+    Oracle: derived gold (straight-line peel over the gold pair graph,
+    ``sources/gold_derived.write_kcore_gold``)."""
+    from easyner_ray.ops.graph_analytics import kcore
+
+    return kcore(_kg_edge_pairs(sf_dir), k=3)

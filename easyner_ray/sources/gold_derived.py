@@ -1030,6 +1030,47 @@ def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
     return path
 
 
+def write_kcore_gold(corpus: str, k: int = 3) -> str:
+    """Straight-line k-core peel over the sentence co-occurrence pair
+    graph (same pair spec as :func:`write_pagerank_gold`): repeatedly
+    drop nodes with fewer than ``k`` distinct neighbors until stable;
+    emit survivors with their in-core degree — the gold for the
+    distributed ``ops.graph_analytics.kcore``."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    adj: dict = collections.defaultdict(set)
+    for norms in sent_norms.values():
+        ns = sorted(norms)
+        for a in ns:
+            for b in ns:
+                if a != b:
+                    adj[a].add(b)
+    while True:
+        drop = [v for v, nb in adj.items() if len(nb) < k]
+        if not drop:
+            break
+        for v in drop:
+            for nb in adj[v]:
+                adj[nb].discard(v)
+            del adj[v]
+    nodes = sorted(adj)
+    tbl = pa.Table.from_arrays(
+        [pa.array(nodes, pa.string()),
+         pa.array([len(adj[v]) for v in nodes], pa.int64())],
+        names=["norm", "core_degree"])
+    path = os.path.join(corpus, "gold_kcore.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def _decode_media_spec(payload: bytes) -> np.ndarray:
     """Spec decode for the media fixture (duplicates StdlibCodec's
     observable behavior straight-line): WAV PCM16 -> float32 / 32768;
@@ -1257,6 +1298,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
         write_pagerank_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_kcore.parquet")):
+        write_kcore_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)

@@ -280,3 +280,70 @@ def test_edge_activity(ray_session):
     assert out[h1]["n_cooc"] == 1 and out[h1]["n_convs"] == 1
     for r in out.values():
         assert (r["norm_a"], r["norm_b"]) == ("x", "y")
+
+
+def test_kcore_peel_cascade(ray_session):
+    from easyner_ray.ops.graph_analytics import kcore
+
+    # triangle abc + tail c-d-e: k=2 peels e (deg 1), which exposes d
+    chain = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1),
+             ("c", "d", 1), ("d", "e", 1)]
+    out = {r["norm"]: r["core_degree"] for r in
+           kcore(_edges_ds(chain), k=2).take_all()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # k above the max degree empties the core
+    assert kcore(_edges_ds(chain), k=4).take_all() == []
+    # k=1 keeps everything (all degrees >= 1) at original degrees
+    out1 = {r["norm"]: r["core_degree"] for r in
+            kcore(_edges_ds(chain), k=1).take_all()}
+    assert out1 == {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+
+
+def test_kcore_random_vs_brute(ray_session):
+    from easyner_ray.ops.graph_analytics import kcore
+
+    nodes, und = _rand_graph(seed=5, n=30, m=60)
+    adj = {i: set() for i in range(len(nodes))}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    adj = {v: nb for v, nb in adj.items() if nb}
+    k = 3
+    while True:
+        drop = [v for v, nb in adj.items() if len(nb) < k]
+        if not drop:
+            break
+        for v in drop:
+            for nb in adj[v]:
+                adj[nb].discard(v)
+            del adj[v]
+    gold = {nodes[v]: len(nb) for v, nb in adj.items()}
+
+    ds = _edges_ds([(nodes[a], nodes[b], 1) for a, b in und], blocks=3)
+    got = {r["norm"]: r["core_degree"] for r in kcore(ds, k=k).take_all()}
+    assert got == gold
+    assert 0 < len(gold) < len({n for e in und for n in e})  # real peel
+
+
+def test_edge_evidence(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import edge_evidence
+
+    # (x,y) co-occur in 4 sentences across 2 convs; both orientations in
+    # the stream; k=2 keeps the first two in (conv, turn, sent) order
+    triples = rd.from_arrow(pa.table({
+        "subj": ["x", "y", "x", "x", "x"],
+        "obj": ["y", "x", "y", "y", "y"],
+        "conv_id": ["c2", "c2", "c1", "c1", "c1"],
+        "turn_idx": pa.array([0, 0, 5, 1, 1], pa.int32()),
+        "sent_idx": pa.array([0, 0, 0, 1, 0], pa.int32()),
+    })).repartition(2)
+    out = sorted(edge_evidence(triples, k=2).take_all(),
+                 key=lambda r: r["evidence_rank"])
+    assert len(out) == 2
+    assert [(r["conv_id"], r["turn_idx"], r["sent_idx"],
+             r["evidence_rank"]) for r in out] == \
+        [("c1", 1, 0, 1), ("c1", 1, 1, 2)]
+    for r in out:
+        assert (r["norm_a"], r["norm_b"]) == ("x", "y")
