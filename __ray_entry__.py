@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_activity": q.kg_edge_activity,
         "kg_edge_evidence": q.kg_edge_evidence,
         "kg_kcore": q.kg_kcore,            # derived-gold oracle (peel)
+        "kg_canonical_map": q.kg_canonical_map,
+        "kg_edges_canonical": q.kg_edges_canonical,
     }
 
 

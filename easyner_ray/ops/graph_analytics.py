@@ -38,6 +38,8 @@ __all__ = [
     "edge_activity",
     "edge_evidence",
     "kcore",
+    "canonical_map",
+    "rewrite_edges",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -833,3 +835,75 @@ def kcore(edges, k: int = 3, *, src: str = "subj", dst: str = "obj",
     return deg.map_batches(
         lambda t: t.rename_columns(["norm", "core_degree"]),
         batch_format="pyarrow")
+
+
+def canonical_map(edges, *, jaccard_threshold: float = 0.5,
+                  min_shared: int = 3, src: str = "subj",
+                  dst: str = "obj"):
+    """Graph-aware canonicalization map: -> (norm, canonical) for every
+    entity that belongs to an alias group — two surface forms whose
+    co-occurrence neighborhoods overlap at Jaccard >=
+    ``jaccard_threshold`` merge under the lexicographically smallest
+    member of their alias component.
+
+    This is the string-free second pass of node canonicalization the
+    north star asks for: ``stages/canonicalize.py`` merges by normalized
+    surface form; this merges forms the normalizer can NEVER unify
+    (abbreviations, brand/generic names) because the graph says they
+    live in the same contexts. Composition: :func:`neighbor_jaccard`
+    (thresholded) -> :func:`components` over the alias pairs — both
+    vocab-bounded stages."""
+    ap = neighbor_jaccard(edges, src=src, dst=dst,
+                          min_shared=min_shared).map_batches(
+        lambda t, thr=jaccard_threshold: (lambda f: pa.Table.from_arrays(
+            [f.column("norm_a"), f.column("norm_b"),
+             pa.array([1] * len(f), pa.int64())],
+            names=["subj", "obj", "weight"]))(
+                t.filter(pc.greater_equal(t.column("jaccard"), thr))),
+        batch_format="pyarrow")
+    return components(ap).map_batches(
+        lambda t: t.rename_columns(["norm", "canonical"]),
+        batch_format="pyarrow")
+
+
+def rewrite_edges(edges, mapping, *, src: str = "subj", dst: str = "obj",
+                  weight: str = "weight"):
+    """Rewrite the weighted edge table through a canonicalization map
+    (-> same (subj, obj, weight) schema): endpoints absent from the map
+    keep their own name, merged pairs re-aggregate their weights, and
+    edges that COLLAPSE onto one canonical node (alias <-> alias) drop
+    as self-loops.
+
+    Two :func:`adaptive_join` left joins against the vocab-bounded map
+    (broadcast path; hash-shuffle above the gate on an open keyspace) +
+    one grouped sum on the canonical pair keyspace."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    m = mapping.materialize()
+    if m.count() == 0:  # identity rewrite; also: an empty mapped
+        # dataset has no inferable schema for the join to consume
+        return grouped_agg(
+            edges.map_batches(lambda t: t.select([src, dst, weight]),
+                              batch_format="pyarrow"),
+            [src, dst], [(weight, "sum", weight)])
+    j1 = adaptive_join(
+        edges.map_batches(lambda t: t.select([src, dst, weight]),
+                          batch_format="pyarrow"),
+        m.map_batches(lambda t: t.rename_columns([src, "__cs"]),
+                      batch_format="pyarrow"),
+        on=src, how="left")
+    j2 = adaptive_join(
+        j1, m.map_batches(lambda t: t.rename_columns([dst, "__co"]),
+                          batch_format="pyarrow"),
+        on=dst, how="left")
+
+    def relabel(t: pa.Table) -> pa.Table:
+        s = pc.coalesce(t.column("__cs"), t.column(src))
+        o = pc.coalesce(t.column("__co"), t.column(dst))
+        out = pa.Table.from_arrays([s, o, t.column(weight)],
+                                   names=[src, dst, weight])
+        return out.filter(pc.invert(pc.equal(out.column(src),
+                                             out.column(dst))))
+
+    return grouped_agg(j2.map_batches(relabel, batch_format="pyarrow"),
+                       [src, dst], [(weight, "sum", weight)])

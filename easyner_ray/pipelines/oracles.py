@@ -1708,3 +1708,54 @@ KG["kg_kcore"] = (
     f"SELECT norm, core_degree "
     f"FROM read_parquet('{SYNTH}/gold_kcore.parquet')"
 )
+
+# Shared CTE prefix for the graph-aware canonicalization chain: distinct
+# sentence pairs -> thresholded neighborhood-Jaccard alias pairs ->
+# recursive min-label alias components.
+_CANON_CTES = f"""
+    p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    w AS (
+      SELECT p1.s AS a, p2.s AS b, count(*) AS n_shared
+      FROM p p1 JOIN p p2 ON p1.o = p2.o AND p1.s < p2.s
+      GROUP BY p1.s, p2.s),
+    deg AS (SELECT s AS n, count(*) AS d FROM p GROUP BY s),
+    al AS (
+      SELECT a, b FROM w JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+      WHERE n_shared >= 3
+        AND round(n_shared * 1.0 / (da.d + db.d - n_shared), 4) >= 0.5),
+    sym AS (SELECT a AS s, b AS o FROM al
+            UNION ALL SELECT b, a FROM al),
+    reach(node, comp) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT sym.o, r.comp FROM reach r JOIN sym ON sym.s = r.node),
+    cmap AS (SELECT node, min(comp) AS canonical FROM reach GROUP BY node)
+"""
+
+KG["kg_canonical_map"] = f"""
+    WITH RECURSIVE {_CANON_CTES}
+    SELECT node AS norm, canonical FROM cmap
+"""
+
+KG["kg_edges_canonical"] = f"""
+    WITH RECURSIVE {_CANON_CTES},
+    e AS (SELECT s AS subj, o AS obj, count(*) AS weight
+          FROM (SELECT DISTINCT a.norm AS s, b.norm AS o,
+                       a.conv_id, a.turn_idx, a.sent_idx
+                FROM {GM} a JOIN {GM} b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.sent_idx = b.sent_idx
+                WHERE a.norm <> b.norm)
+          GROUP BY s, o),
+    r AS (SELECT coalesce(ms.canonical, e.subj) AS subj,
+                 coalesce(mo.canonical, e.obj) AS obj, e.weight
+          FROM e LEFT JOIN cmap ms ON ms.node = e.subj
+                 LEFT JOIN cmap mo ON mo.node = e.obj)
+    SELECT subj, obj, CAST(sum(weight) AS BIGINT) AS weight
+    FROM r WHERE subj <> obj GROUP BY subj, obj
+"""

@@ -2451,3 +2451,26 @@ def kg_kcore(sf_dir: str):
     from easyner_ray.ops.graph_analytics import kcore
 
     return kcore(_kg_edge_pairs(sf_dir), k=3)
+
+
+def kg_canonical_map(sf_dir: str):
+    """Graph-aware alias merge map: entities whose co-occurrence
+    neighborhoods overlap at Jaccard >= 0.5 (over >= 3 shared neighbors)
+    collapse under the lexicographically smallest member of their alias
+    component — the string-free second canonicalization pass after the
+    normalized-surface merge."""
+    from easyner_ray.ops.graph_analytics import canonical_map
+
+    return canonical_map(_kg_edge_pairs(sf_dir), jaccard_threshold=0.5,
+                         min_shared=3)
+
+
+def kg_edges_canonical(sf_dir: str):
+    """The KG edge table rewritten through the graph-aware alias map:
+    merged endpoints re-aggregate weights, alias<->alias edges drop as
+    self-loops, unmapped entities keep their own name."""
+    from easyner_ray.ops.graph_analytics import canonical_map, rewrite_edges
+
+    edges = _kg_edge_pairs(sf_dir).materialize()  # feeds map + rewrite
+    mapping = canonical_map(edges, jaccard_threshold=0.5, min_shared=3)
+    return rewrite_edges(edges, mapping)

@@ -347,3 +347,76 @@ def test_edge_evidence(ray_session):
         [("c1", 1, 0, 1), ("c1", 1, 1, 2)]
     for r in out:
         assert (r["norm_a"], r["norm_b"]) == ("x", "y")
+
+
+def test_canonical_map_and_rewrite(ray_session):
+    from easyner_ray.ops.graph_analytics import canonical_map, rewrite_edges
+
+    # x1/x2 share the full neighborhood {m1,m2,m3} -> jaccard 1.0 alias
+    # pair; the middles share only 2 neighbors (< min_shared=3) so they
+    # do NOT merge
+    und = [("x1", m, 1) for m in ("m1", "m2", "m3")] + \
+          [("x2", m, 1) for m in ("m1", "m2", "m3")]
+    ds = _edges_ds(und)
+    cmap = {r["norm"]: r["canonical"] for r in
+            canonical_map(ds, jaccard_threshold=0.5,
+                          min_shared=3).take_all()}
+    assert cmap == {"x1": "x1", "x2": "x1"}
+
+    out = {(r["subj"], r["obj"]): r["weight"] for r in
+           rewrite_edges(ds, canonical_map(ds, jaccard_threshold=0.5,
+                                           min_shared=3)).take_all()}
+    # x2's edges fold into x1: weight 2 per (x1, m) direction, no
+    # self-loops, middles keep their names
+    assert out == {("x1", m): 2 for m in ("m1", "m2", "m3")} | \
+           {(m, "x1"): 2 for m in ("m1", "m2", "m3")}
+
+
+def test_rewrite_edges_collapse_drops_self_loops(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import rewrite_edges
+
+    ds = _edges_ds([("a", "b", 2), ("a", "c", 1), ("b", "c", 3)])
+    mapping = rd.from_arrow(pa.table(
+        {"norm": ["b"], "canonical": ["a"]}))
+    out = {(r["subj"], r["obj"]): r["weight"] for r in
+           rewrite_edges(ds, mapping).take_all()}
+    # a<->b collapses to a self-loop and drops; b's c-edges fold into a
+    assert out == {("a", "c"): 4, ("c", "a"): 4}
+    # empty map = identity modulo grouping
+    ident = {(r["subj"], r["obj"]): r["weight"] for r in
+             rewrite_edges(ds, rd.from_arrow(pa.table(
+                 {"norm": pa.array([], pa.string()),
+                  "canonical": pa.array([], pa.string())}))).take_all()}
+    assert ident[("a", "b")] == 2 and ident[("b", "c")] == 3
+    assert len(ident) == 6
+
+
+def test_hub_skew_wedge_kernels(ray_session):
+    """Hub-skew stress: an 800-leaf star + ring forces the pair-budget
+    chunker through ~80 chunks on the hub; closed-form counts pin
+    correctness of triangles and shared-neighbor counts under chunking
+    (SURVEY §4's skew promise for the wedge kernels)."""
+    from easyner_ray.ops.graph_analytics import (neighbor_jaccard,
+                                                 triangle_counts)
+
+    n = 800
+    leaves = [f"x{i:04d}" for i in range(n)]
+    und = [("hub", lf, 1) for lf in leaves]
+    und += [(leaves[i], leaves[(i + 1) % n], 1) for i in range(n)]
+    ds = _edges_ds(und, blocks=4)
+
+    tri = {r["norm"]: r["n_triangles"] for r in
+           triangle_counts(ds, pair_budget=4096).take_all()}
+    assert tri["hub"] == n
+    assert all(tri[lf] == 2 for lf in leaves)
+
+    nj = {(r["norm_a"], r["norm_b"]): r["n_shared"] for r in
+          neighbor_jaccard(ds, min_shared=2, pair_budget=4096).take_all()}
+    # shared>=2 pairs: (hub, leaf) share the leaf's two ring neighbors;
+    # distance-2 ring pairs share {hub, midpoint}
+    assert len(nj) == 2 * n
+    assert all(v == 2 for v in nj.values())
+    assert nj[tuple(sorted(("hub", leaves[0])))] == 2
+    assert nj[(leaves[0], leaves[2])] == 2
