@@ -12,13 +12,17 @@ Scale model: every function here consumes the EDGE table, not the
 corpus. The edge keyspace is bounded by vocab^2 (and in practice by the
 observed co-occurrence sparsity), so it is orders of magnitude smaller
 than the mention stream that produced it — the expensive work (NER +
-pair aggregation) already happened upstream. Joins therefore ride
-:func:`easyner_ray.ops.relational.adaptive_join`: broadcast under the
-64 MB gate, hash-shuffle partitioned above it. The one structural skew
-risk — hub nodes fanning out in the wedge/2-hop joins — is the classic
-one; the triangle kernel applies the standard degree-ordered orientation
-so every wedge is rooted at its LOWEST-degree vertex, which bounds wedge
-count by sum(min-degree per edge) instead of sum(degree^2).
+pair aggregation) already happened upstream. Relational-shaped steps
+ride :func:`easyner_ray.ops.relational.adaptive_join` (broadcast under
+the 64 MB gate, hash-shuffle partitioned above it); the neighborhood
+kernels (triangles, 2-hop, Jaccard) instead int-code the adjacency once
+on the driver, broadcast it via ``ray.put``, and fan tasks over root
+ranges with pure-numpy per-root work — turning what a join would pay as
+a Σdeg²-row exchange into zero exchange. The structural skew risk — hub
+nodes fanning out in wedge/2-hop enumeration — is handled per kernel:
+triangles orient every wedge at its LOWEST-degree vertex (arboricity
+bound), Jaccard/2-hop chunk hub fan-out at a pair/index budget so no
+task materializes a hub's full quadratic scratch at once.
 """
 
 from __future__ import annotations
@@ -84,41 +88,101 @@ def degree_stats(edges, *, src: str = "subj", dst: str = "obj",
 
 
 def two_hop_counts(edges, *, src: str = "subj", dst: str = "obj",
-                   broadcast_bytes: int = 64 << 20):
+                   chunk: int = 1 << 22):
     """Per-node count of DISTINCT nodes reachable in at most two hops
     (self excluded): -> (norm, n_within_2).
 
-    Distinct pairs join distinct pairs on the middle node
-    (:func:`adaptive_join`: broadcast under the gate, hash-shuffle
-    above), union the direct edges, then a two-phase distinct + count.
-    Hub middles fan out quadratically — on an open keyspace cap or
-    sample hub adjacency before calling (the edge table here is
-    vocab-bounded, which bounds the blowup by construction)."""
-    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+    Same kernel family as :func:`triangle_counts` /
+    :func:`neighbor_jaccard`: the distinct pair table int-codes once on
+    the driver (vocab-bounded by the edge-table contract) and broadcasts
+    via ``ray.put``; tasks over root ranges compute each root's reach
+    set — N(a) ∪ N(N(a)) minus self — with one vectorized ranges->index
+    gather + sorted-unique per root, chunked at ``chunk`` gathered
+    indices so a hub root (reach work = Σ deg(m) over its neighbors)
+    never materializes its full two-hop multiset at once. Output is one
+    (root, count) row per node — no exchange at all beyond the final
+    concat (a first cut joined pairs-on-middle and paid a
+    Σdeg²-row DISTINCT shuffle; 30 s vs <1 s at sf0.1)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
 
-    pairs = edges.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [t.column(src), t.column(dst)], names=["a", "mid"]),
-        batch_format="pyarrow").materialize()  # two consumers below
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "n_within_2": pa.array([], pa.int64())})
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    enc = pa.concat_arrays([t.column(src).combine_chunks(),
+                            t.column(dst).combine_chunks()]) \
+        .dictionary_encode()
+    vocab = enc.dictionary
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    n = len(t)
+    node_c, nbr_c = codes[:n], codes[n:]
+    order = np.lexsort((nbr_c, node_c))
+    node_c, nbr_c = node_c[order], nbr_c[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], node_c[1:] != node_c[:-1]]))
+    roots = node_c[starts]
+    bounds = np.append(starts, n)
+    # root code -> position in bounds (the symmetric table gives every
+    # node a run, but look up defensively)
+    root_pos = np.full(len(vocab), -1, dtype=np.int64)
+    root_pos[roots] = np.arange(len(roots))
+    state_ref = ray.put((nbr_c, bounds, roots, root_pos, vocab))
+    n_tasks = min(32, len(roots)) or 1
 
-    right = pairs.map_batches(
-        lambda t: t.rename_columns(["mid", "c"]), batch_format="pyarrow")
-    hop2 = adaptive_join(pairs, right, on="mid",
-                         broadcast_bytes=broadcast_bytes)
-    hop2 = hop2.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t.column("a"),
-                                              t.column("c"))))
-                   .select(["a", "c"]),
-        batch_format="pyarrow")
-    direct = pairs.map_batches(
-        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
-    reach = hop2.union(direct)
-    distinct = grouped_agg(reach, ["a", "c"], [("c", "count", "__n")]) \
-        .select_columns(["a", "c"])
-    counted = grouped_agg(distinct, ["a"], [("c", "count", "n_within_2")])
-    return counted.map_batches(
-        lambda t: t.rename_columns(["norm", "n_within_2"]),
-        batch_format="pyarrow")
+    def reach_task(batch: pa.Table) -> pa.Table:
+        nbrs_all, bnd, roots_, rpos, voc = ray.get(state_ref)
+        out_root, out_cnt = [], []
+        for gi in batch.column("gi").to_numpy():
+            a = roots_[gi]
+            s, e = int(bnd[gi]), int(bnd[gi + 1])
+            nbrs = nbrs_all[s:e]
+            pos_idx = rpos[nbrs]
+            pos_idx = pos_idx[pos_idx >= 0]
+            seg_start = bnd[pos_idx]
+            seg_len = bnd[pos_idx + 1] - seg_start
+            reach = np.unique(nbrs)  # direct hop
+            # gather 2-hop segments, segment-aligned chunks of ~`chunk`
+            # gathered indices (one segment = one neighbor's adjacency
+            # run; a single over-budget segment is gathered whole — it
+            # is already a contiguous view of the broadcast array)
+            csum = np.cumsum(seg_len)
+            n_seg = len(seg_len)
+            i0 = 0
+            while i0 < n_seg:
+                base = int(csum[i0 - 1]) if i0 else 0
+                i1 = int(np.searchsorted(csum, base + chunk,
+                                         side="right"))
+                i1 = max(i1, i0 + 1)
+                st, ln = seg_start[i0:i1], seg_len[i0:i1]
+                flat = np.arange(int(ln.sum()), dtype=np.int64)
+                idx = (flat - np.repeat(np.cumsum(ln) - ln, ln)
+                       + np.repeat(st, ln))
+                reach = np.union1d(reach, nbrs_all[idx])
+                i0 = i1
+            p = int(np.searchsorted(reach, a))
+            cnt = len(reach) - int(p < len(reach) and reach[p] == a)
+            out_root.append(a)
+            out_cnt.append(cnt)
+        return pa.table({
+            "norm": voc.take(pa.array(out_root, pa.int64())),
+            "n_within_2": pa.array(out_cnt, pa.int64())})
+
+    group_ids = rd.from_arrow(pa.table(
+        {"gi": pa.array(np.arange(len(roots)), pa.int64())}))
+    return group_ids.map_batches(
+        reach_task, batch_format="pyarrow",
+        batch_size=max(1, (len(roots) + n_tasks - 1) // n_tasks))
 
 
 def _oriented(edges, src: str, dst: str):

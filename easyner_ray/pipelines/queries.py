@@ -2320,8 +2320,13 @@ def _kg_edge_pairs(sf_dir: str):
     """Shared upstream for the graph-analytics family: the aggregated
     co-occurrence edge table (both orientations, grouped, weighted) —
     exactly :func:`kg_edges` minus the node-id columns the graph kernels
-    do not consume."""
-    return kg_edges(sf_dir).select_columns(["subj", "obj", "weight"])
+    do not consume. MATERIALIZED: several graph kernels consume the edge
+    stream twice (degree + triangles, map + rewrite), and without the
+    checkpoint each consumer re-runs the full corpus-sized NER -> triples
+    -> edges build; the edge table itself is vocab^2-bounded (~5 MB at
+    sf0.1), so the checkpoint is the cheap side of that trade."""
+    return kg_edges(sf_dir).select_columns(
+        ["subj", "obj", "weight"]).materialize()
 
 
 def kg_degree_stats(sf_dir: str):
