@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q.kg_kcore,            # derived-gold oracle (peel)
         "kg_canonical_map": q.kg_canonical_map,
         "kg_edges_canonical": q.kg_edges_canonical,
+        "kg_entity_trends": q.kg_entity_trends,
     }
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "kcore",
     "canonical_map",
     "rewrite_edges",
+    "entity_trends",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -971,3 +972,85 @@ def rewrite_edges(edges, mapping, *, src: str = "subj", dst: str = "obj",
 
     return grouped_agg(j2.map_batches(relabel, batch_format="pyarrow"),
                        [src, dst], [(weight, "sum", weight)])
+
+
+def entity_trends(mentions, transcripts, *, unit: str = "hour",
+                  spike_z: float = 2.0, round_digits: int = 4,
+                  broadcast_bytes: int = 64 << 20):
+    """Per-entity temporal activity with spike detection: -> (norm,
+    bucket_ts, n, z, spike) — mention count per entity per time bucket,
+    standardized against THAT entity's own bucket distribution
+    (sample stddev over its observed buckets), ``spike`` flagging
+    |z| >= ``spike_z`` on the ROUNDED z (parity-deterministic threshold:
+    the oracle applies the same round-then-compare). Entities observed
+    in fewer than 2 buckets (or with zero variance) pin z to 0.0 — no
+    baseline, no spike.
+
+    Node-level twin of :func:`edge_activity`: the corpus-sized work is
+    one adaptive turn-key join + one grouped count; the per-entity
+    baseline is a second aggregate over the (vocab x buckets)-bounded
+    count table, brought back as a driver-held broadcast map."""
+    import math
+
+    import numpy as np
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays([k, t.column("ts")],
+                                    names=["__k", "ts"])
+
+    def mention_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays([t.column("norm"), k],
+                                    names=["norm", "__k"])
+
+    joined = adaptive_join(
+        mentions.map_batches(mention_key, batch_format="pyarrow"),
+        transcripts.map_batches(turn_key, batch_format="pyarrow"),
+        on="__k", broadcast_bytes=broadcast_bytes)
+    counts = grouped_agg(
+        joined.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("norm"),
+                 pc.floor_temporal(t.column("ts"), unit=unit)],
+                names=["norm", "bucket_ts"]),
+            batch_format="pyarrow"),
+        ["norm", "bucket_ts"], [("bucket_ts", "count", "n")]).materialize()
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("n"), pa.float64())
+        return pa.Table.from_arrays(
+            [t.column("norm"), v, pc.multiply(v, v)],
+            names=["norm", "v", "v2"])
+
+    stats = grouped_agg(
+        counts.map_batches(add_sq, batch_format="pyarrow"), ["norm"],
+        [("v", "sum", "s"), ("v2", "sum", "s2"), ("v", "count", "nb")],
+        final="tree").take_all()
+    ms = {r["norm"]: (r["s"] / r["nb"],
+                      math.sqrt(max((r["s2"] - r["s"] * r["s"] / r["nb"])
+                                    / (r["nb"] - 1), 0.0)))
+          for r in stats if r["nb"] > 1}
+
+    def score(t: pa.Table, rd_=round_digits, thr=spike_z) -> pa.Table:
+        norms = t.column("norm").to_pylist()
+        n = t.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mean = np.array([ms.get(x, (0.0, 0.0))[0] for x in norms])
+        sd = np.array([ms.get(x, (0.0, 0.0))[1] for x in norms])
+        ok = sd > 0
+        z = np.where(ok, _round_away(
+            (n - mean) / np.where(ok, sd, 1.0), rd_), 0.0)
+        return pa.Table.from_arrays(
+            [t.column("norm"), t.column("bucket_ts"), t.column("n"),
+             pa.array(z, pa.float64()),
+             pa.array(np.abs(z) >= thr, pa.bool_())],
+            names=["norm", "bucket_ts", "n", "z", "spike"])
+
+    return counts.map_batches(score, batch_format="pyarrow")

@@ -1759,3 +1759,22 @@ KG["kg_edges_canonical"] = f"""
     SELECT subj, obj, CAST(sum(weight) AS BIGINT) AS weight
     FROM r WHERE subj <> obj GROUP BY subj, obj
 """
+
+KG["kg_entity_trends"] = f"""
+    WITH m AS (
+      SELECT g.norm, date_trunc('hour', t.ts) AS bucket_ts,
+             count(*) AS n
+      FROM {GM} g JOIN {TR} t
+        ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
+      GROUP BY g.norm, date_trunc('hour', t.ts)),
+    s AS (SELECT norm, count(*) AS nb, avg(n) AS am,
+                 stddev_samp(n) AS sd
+          FROM m GROUP BY norm)
+    SELECT m.norm, m.bucket_ts, CAST(m.n AS BIGINT) AS n,
+           CASE WHEN s.nb < 2 OR s.sd = 0 THEN 0.0
+                ELSE round((m.n - s.am) / s.sd, 4) END AS z,
+           CASE WHEN s.nb < 2 OR s.sd = 0 THEN FALSE
+                ELSE abs(round((m.n - s.am) / s.sd, 4)) >= 2.0
+           END AS spike
+    FROM m JOIN s ON s.norm = m.norm
+"""

@@ -2479,3 +2479,16 @@ def kg_edges_canonical(sf_dir: str):
     edges = _kg_edge_pairs(sf_dir).materialize()  # feeds map + rewrite
     mapping = canonical_map(edges, jaccard_threshold=0.5, min_shared=3)
     return rewrite_edges(edges, mapping)
+
+
+def kg_entity_trends(sf_dir: str):
+    """Per-entity hourly mention activity with spike flags: counts per
+    (entity, hour bucket), z-scored against the entity's own bucket
+    distribution (sample stddev over observed buckets), spike = |z| >= 2
+    on the rounded score. The node-level burst detector next to
+    ``kg_edge_activity``'s edge bursts."""
+    from easyner_ray.ops.graph_analytics import entity_trends
+
+    return entity_trends(
+        _mentions(sf_dir),
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))

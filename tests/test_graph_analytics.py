@@ -420,3 +420,41 @@ def test_hub_skew_wedge_kernels(ray_session):
     assert all(v == 2 for v in nj.values())
     assert nj[tuple(sorted(("hub", leaves[0])))] == 2
     assert nj[(leaves[0], leaves[2])] == 2
+
+
+def test_entity_trends(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import entity_trends
+
+    h = 3_600_000_000  # hour in us
+    # conv c1: turns at hours 0,0,1,2 — entity "a" mentioned 3x in h0,
+    # 1x in h1, 1x in h2 -> mean 5/3, sd samp ~1.1547 -> z(h0)=+1.1547
+    transcripts = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c1", "c1"],
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+        "ts": pa.array([0, 10, h + 5, 2 * h + 5], pa.timestamp("us")),
+    }))
+    rows = {"norm": [], "conv_id": [], "turn_idx": []}
+    for turn, cnt in ((0, 2), (1, 1), (2, 1), (3, 1)):
+        for _ in range(cnt):
+            rows["norm"].append("a")
+            rows["conv_id"].append("c1")
+            rows["turn_idx"].append(turn)
+    rows["norm"].append("b")  # single-bucket entity -> z 0, no spike
+    rows["conv_id"].append("c1")
+    rows["turn_idx"].append(0)
+    mentions = rd.from_arrow(pa.table({
+        "norm": pa.array(rows["norm"], pa.string()),
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+    }))
+    out = {(r["norm"], r["bucket_ts"].hour): r for r in
+           entity_trends(mentions, transcripts).take_all()}
+    a0 = out[("a", 0)]
+    assert a0["n"] == 3
+    assert abs(a0["z"] - 1.1547) < 1e-9 and not a0["spike"]
+    assert out[("a", 1)]["n"] == 1 and out[("a", 2)]["n"] == 1
+    b0 = out[("b", 0)]
+    assert b0["n"] == 1 and b0["z"] == 0.0 and not b0["spike"]
+    assert len(out) == 4
