@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_map": q.kg_canonical_map,
         "kg_edges_canonical": q.kg_edges_canonical,
         "kg_entity_trends": q.kg_entity_trends,
+        "kg_edges_diff": q.kg_edges_diff,
     }
 
 

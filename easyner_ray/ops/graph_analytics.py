@@ -45,6 +45,7 @@ __all__ = [
     "canonical_map",
     "rewrite_edges",
     "entity_trends",
+    "edges_diff",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -1054,3 +1055,52 @@ def entity_trends(mentions, transcripts, *, unit: str = "hour",
             names=["norm", "bucket_ts", "n", "z", "spike"])
 
     return counts.map_batches(score, batch_format="pyarrow")
+
+
+def edges_diff(old_edges, new_edges, *, src: str = "subj",
+               dst: str = "obj", weight: str = "weight"):
+    """KG snapshot audit: diff two weighted edge tables -> (subj, obj,
+    weight_old, weight_new, status) for every edge that is ``added``,
+    ``removed``, or ``changed`` between snapshots (absent weights read
+    as 0; identical edges are omitted — the diff is the change set). The
+    graph-side analog of ``ops.relational.snapshot_diff``: what an
+    incremental ingest (``pipelines/incremental.update_graph``) actually
+    changed, as an auditable stream.
+
+    Both sides key-pack (subj SEP obj) and meet in
+    :func:`easyner_ray.ops.relational.full_outer_join` — single-task
+    pyarrow full outer when both snapshots are keyspace-sized (the
+    aggregate-vs-aggregate audit case), Ray's hash-shuffle join above
+    the gate."""
+    from easyner_ray.ops.relational import full_outer_join
+
+    def keyed(t: pa.Table, out: str) -> pa.Table:
+        k = pc.binary_join_element_wise(t.column(src), t.column(dst),
+                                        _SEP)
+        return pa.Table.from_arrays([k, t.column(weight)],
+                                    names=["__k", out])
+
+    o = old_edges.map_batches(lambda t: keyed(t, "weight_old"),
+                              batch_format="pyarrow")
+    n = new_edges.map_batches(lambda t: keyed(t, "weight_new"),
+                              batch_format="pyarrow")
+    j = full_outer_join(o, n, on="__k")
+
+    def score(t: pa.Table) -> pa.Table:
+        wo = t.column("weight_old").combine_chunks()
+        wn = t.column("weight_new").combine_chunks()
+        status = pc.if_else(
+            pc.is_null(wo), pa.scalar("added"),
+            pc.if_else(pc.is_null(wn), pa.scalar("removed"),
+                       pa.scalar("changed")))
+        wo = wo.fill_null(0).cast(pa.int64())
+        wn = wn.fill_null(0).cast(pa.int64())
+        parts = pc.split_pattern(t.column("__k").combine_chunks(), _SEP)
+        out = pa.Table.from_arrays(
+            [pc.list_element(parts, 0), pc.list_element(parts, 1),
+             wo, wn, status],
+            names=[src, dst, "weight_old", "weight_new", "status"])
+        return out.filter(pc.invert(pc.equal(out.column("weight_old"),
+                                             out.column("weight_new"))))
+
+    return j.map_batches(score, batch_format="pyarrow")

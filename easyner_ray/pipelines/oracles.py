@@ -1778,3 +1778,38 @@ KG["kg_entity_trends"] = f"""
            END AS spike
     FROM m JOIN s ON s.norm = m.norm
 """
+
+KG["kg_edges_diff"] = f"""
+    WITH new_t AS (
+      SELECT subj, obj, count(*) AS weight FROM (
+        SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+               a.conv_id, a.turn_idx, a.sent_idx
+        FROM {GM} a JOIN {GM} b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+         AND a.sent_idx = b.sent_idx
+        WHERE a.norm <> b.norm)
+      GROUP BY subj, obj),
+    old_t AS (
+      SELECT subj, obj, count(*) AS weight FROM (
+        SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+               a.conv_id, a.turn_idx, a.sent_idx
+        FROM {GM} a JOIN {GM} b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+         AND a.sent_idx = b.sent_idx
+        WHERE a.norm <> b.norm
+          AND CAST(substr(a.conv_id, 5) AS BIGINT) % 2 = 0)
+      GROUP BY subj, obj),
+    j AS (
+      SELECT coalesce(o.subj, n.subj) AS subj,
+             coalesce(o.obj, n.obj) AS obj,
+             o.weight AS wo, n.weight AS wn
+      FROM old_t o FULL OUTER JOIN new_t n
+        ON n.subj = o.subj AND n.obj = o.obj)
+    SELECT subj, obj,
+           CAST(coalesce(wo, 0) AS BIGINT) AS weight_old,
+           CAST(coalesce(wn, 0) AS BIGINT) AS weight_new,
+           CASE WHEN wo IS NULL THEN 'added'
+                WHEN wn IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM j WHERE coalesce(wo, 0) <> coalesce(wn, 0)
+"""

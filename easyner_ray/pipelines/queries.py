@@ -2492,3 +2492,33 @@ def kg_entity_trends(sf_dir: str):
     return entity_trends(
         _mentions(sf_dir),
         _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
+
+
+def kg_edges_diff(sf_dir: str):
+    """KG snapshot audit: diff the edge table built from the EVEN-
+    numbered conversations (the "yesterday" snapshot) against the
+    full-corpus edges — every added / changed co-occurrence pair with
+    both weights. Additive construction means no 'removed' rows here;
+    the operator emits them when snapshots genuinely diverge."""
+    from easyner_ray.ops.graph_analytics import edges_diff
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.canonicalize import aggregate_edges, cls_of_norm_map
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.splitter import split_sentences
+    from easyner_ray.stages.triples import sentence_triples
+    from easyner_ray.pipelines.kg import drop_empty_turns
+
+    def even_convs(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 4),
+                      pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(num, 1), 0))
+
+    voc = vocabulary()
+    old_sent = split_sentences(drop_empty_turns(
+        _transcripts(sf_dir).map_batches(even_convs,
+                                         batch_format="pyarrow")))
+    old = aggregate_edges(
+        sentence_triples(tag_mentions(old_sent, voc)),
+        cls_of_norm=cls_of_norm_map([voc])) \
+        .select_columns(["subj", "obj", "weight"])
+    return edges_diff(old, _kg_edge_pairs(sf_dir))

@@ -458,3 +458,28 @@ def test_entity_trends(ray_session):
     b0 = out[("b", 0)]
     assert b0["n"] == 1 and b0["z"] == 0.0 and not b0["spike"]
     assert len(out) == 4
+
+
+def test_edges_diff(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import edges_diff
+
+    old = rd.from_arrow(pa.table({
+        "subj": ["a", "a", "b"], "obj": ["b", "c", "a"],
+        "weight": pa.array([2, 1, 2], pa.int64())}))
+    new = rd.from_arrow(pa.table({
+        "subj": ["a", "a", "x"], "obj": ["b", "c", "y"],
+        "weight": pa.array([5, 1, 7], pa.int64())}))
+    out = {(r["subj"], r["obj"]): r for r in
+           edges_diff(old, new).take_all()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("x", "y")}
+    assert out[("a", "b")]["status"] == "changed"
+    assert (out[("a", "b")]["weight_old"],
+            out[("a", "b")]["weight_new"]) == (2, 5)
+    assert out[("b", "a")]["status"] == "removed"
+    assert out[("b", "a")]["weight_new"] == 0
+    assert out[("x", "y")]["status"] == "added"
+    assert out[("x", "y")]["weight_old"] == 0
+    # identical snapshots -> empty diff
+    assert edges_diff(old, old).take_all() == []
