@@ -2316,6 +2316,9 @@ def docs_concat_blocks(sf_dir: str):
         128, n_buckets=16)
 
 
+_EDGE_PAIRS_CACHE: dict = {}
+
+
 def _kg_edge_pairs(sf_dir: str):
     """Shared upstream for the graph-analytics family: the aggregated
     co-occurrence edge table (both orientations, grouped, weighted) —
@@ -2324,9 +2327,32 @@ def _kg_edge_pairs(sf_dir: str):
     stream twice (degree + triangles, map + rewrite), and without the
     checkpoint each consumer re-runs the full corpus-sized NER -> triples
     -> edges build; the edge table itself is vocab^2-bounded (~5 MB at
-    sf0.1), so the checkpoint is the cheap side of that trade."""
-    return kg_edges(sf_dir).select_columns(
-        ["subj", "obj", "weight"]).materialize()
+    sf0.1), so the checkpoint is the cheap side of that trade.
+
+    MEMOIZED per process: a driver session runs 15+ graph queries over
+    the SAME corpus back to back, and each would otherwise re-run the
+    identical corpus-sized upstream. The key pins the corpus identity
+    (resolved transcripts path + mtime + size) AND the Ray job id — a
+    materialized Dataset holds object-store refs that die with the Ray
+    session, so a fresh ``ray.init`` in the same process misses cleanly.
+    Cache payload is the vocab^2-bounded edge table only (~5 MB)."""
+    import ray
+
+    corpus = _corpus(sf_dir)
+    path = os.path.join(corpus, "transcripts.parquet")
+    st = os.stat(path)
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (path, st.st_mtime_ns, st.st_size, job)
+    hit = _EDGE_PAIRS_CACHE.get(key)
+    if hit is None:
+        hit = kg_edges(sf_dir).select_columns(
+            ["subj", "obj", "weight"]).materialize()
+        _EDGE_PAIRS_CACHE.clear()  # one corpus at a time; bound the refs
+        _EDGE_PAIRS_CACHE[key] = hit
+    return hit
 
 
 def kg_degree_stats(sf_dir: str):
