@@ -228,6 +228,35 @@ def _oriented(edges, src: str, dst: str):
                      "b": pa.array(b, pa.string())})
 
 
+def _coded_neighbors(t, src: str, dst: str):
+    """Int-code the distinct directed pair table with LEXICOGRAPHIC
+    codes (so packed-key order matches the string order the pair
+    contracts promise) and sort by (node, neighbor).
+    -> ``(node_c, nbr_c, bounds, starts, deg, vocab)``: per-node
+    neighbor segments for the wedge kernels (``nbr_c[bounds[i]:
+    bounds[i+1]]`` is the sorted neighbor list of the i-th node with
+    any neighbors; ``deg`` is indexed by code)."""
+    import numpy as np
+
+    enc = pa.concat_arrays([t.column(src).combine_chunks(),
+                            t.column(dst).combine_chunks()]) \
+        .dictionary_encode()
+    sort_idx = pc.sort_indices(enc.dictionary)
+    vocab = enc.dictionary.take(sort_idx)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[np.asarray(sort_idx)] = np.arange(len(vocab))
+    codes = rank[np.asarray(enc.indices, dtype=np.int64)]
+    n = len(t)
+    node_c, nbr_c = codes[:n], codes[n:]
+    deg = np.bincount(node_c, minlength=len(vocab)).astype(np.int64)
+    order = np.lexsort((nbr_c, node_c))
+    node_c, nbr_c = node_c[order], nbr_c[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], node_c[1:] != node_c[:-1]]))
+    bounds = np.append(starts, n)
+    return node_c, nbr_c, bounds, starts, deg, vocab
+
+
 def _pair_chunks(k: int, pair_budget: int):
     """Yield ``(i_rep, j_rep)`` int64 index arrays covering every pair
     ``i < j`` over ``range(k)``, chunked over the FIRST index so no chunk
@@ -441,24 +470,9 @@ def neighbor_jaccard(edges, *, src: str = "subj", dst: str = "obj",
     t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
     if len(t) == 0:
         return rd.from_arrow(empty)
-    enc = pa.concat_arrays([t.column(src).combine_chunks(),
-                            t.column(dst).combine_chunks()]) \
-        .dictionary_encode()
-    # remap dictionary codes to LEXICOGRAPHIC ranks so packed-key order
-    # (a < b by code) matches the string order the pair contract promises
-    sort_idx = pc.sort_indices(enc.dictionary)
-    vocab = enc.dictionary.take(sort_idx)
-    rank = np.empty(len(vocab), dtype=np.int64)
-    rank[np.asarray(sort_idx)] = np.arange(len(vocab))
-    codes = rank[np.asarray(enc.indices, dtype=np.int64)]
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
     n = len(t)
-    node_c, nbr_c = codes[:n], codes[n:]
-    deg = np.bincount(node_c, minlength=len(vocab)).astype(np.int64)
-    order = np.lexsort((nbr_c, node_c))
-    node_c, nbr_c = node_c[order], nbr_c[order]
-    starts = np.flatnonzero(np.concatenate(
-        [[True], node_c[1:] != node_c[:-1]]))
-    bounds = np.append(starts, n)
     state_ref = ray.put((nbr_c, bounds, deg, vocab))
     n_tasks = min(32, len(starts)) or 1
 
@@ -526,6 +540,144 @@ def neighbor_jaccard(edges, *, src: str = "subj", dst: str = "obj",
              voc.take(pa.array(b, pa.int64())),
              tbl.column("n_shared"), jac],
             names=["norm_a", "norm_b", "n_shared", "jaccard"])
+
+    return shared.map_batches(score, batch_format="pyarrow")
+
+
+def link_predict(edges, *, src: str = "subj", dst: str = "obj",
+                 min_common: int = 3, round_digits: int = 4,
+                 pair_budget: int = 1 << 22,
+                 max_middle_degree: int | None = None):
+    """Link prediction over the co-occurrence graph: for every
+    NON-ADJACENT candidate pair (a < b) sharing at least ``min_common``
+    neighbors -> ``(norm_a, norm_b, n_common, adamic_adar,
+    pref_attach)`` where ``adamic_adar = Σ_z 1/ln(|N(z)|)`` over shared
+    neighbors z and ``pref_attach = |N(a)|·|N(b)|`` (Liben-Nowell &
+    Kleinberg 2003). The missing-edge complement of
+    :func:`neighbor_jaccard`: alias candidates score pairs that SHOULD
+    merge; link prediction scores pairs that should probably CONNECT —
+    the KG-completion shape (which entity pairs does the corpus imply
+    but never state in one sentence?).
+
+    Kernel: same wedge enumeration as :func:`neighbor_jaccard` (middle
+    node z of degree k contributes weight 1/ln(k) to each of its
+    neighbor pairs; k >= 2 for any wedge middle so ln(k) > 0), with a
+    float weight accumulator beside the count, sort-compressed under
+    the same ``pair_budget`` hub guard. Direct edges are excluded by
+    packed-key membership against the sorted distinct-edge array
+    (broadcast once; vocab^2-bounded). ``max_middle_degree`` is the
+    same documented 100 TB hub escape hatch, default OFF (exact)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    empty = pa.table({"norm_a": pa.array([], pa.string()),
+                      "norm_b": pa.array([], pa.string()),
+                      "n_common": pa.array([], pa.int64()),
+                      "adamic_adar": pa.array([], pa.float64()),
+                      "pref_attach": pa.array([], pa.int64())})
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
+    up = node_c < nbr_c           # each undirected edge once, a < b
+    direct = np.unique((node_c[up].astype(np.uint64) << np.uint64(32))
+                       | nbr_c[up].astype(np.uint64))
+    state_ref = ray.put((nbr_c, bounds, deg, vocab, direct))
+    n_tasks = min(32, len(starts)) or 1
+
+    def wedge_task(batch: pa.Table) -> pa.Table:
+        nbrs_all, bnd, _deg, _vocab, _direct = ray.get(state_ref)
+        acc_k: list = []
+        acc_c: list = []
+        acc_w: list = []
+        acc_n = 0
+
+        def compress() -> int:
+            k = np.concatenate(acc_k)
+            c = np.concatenate(acc_c)
+            w = np.concatenate(acc_w)
+            o = np.argsort(k, kind="stable")
+            k, c, w = k[o], c[o], w[o]
+            firsts = np.flatnonzero(np.concatenate(
+                [[True], k[1:] != k[:-1]]))
+            acc_k[:] = [k[firsts]]
+            acc_c[:] = [np.add.reduceat(c, firsts)]
+            acc_w[:] = [np.add.reduceat(w, firsts)]
+            return len(acc_k[0])
+
+        for gi in batch.column("gi").to_numpy():
+            s, e = int(bnd[gi]), int(bnd[gi + 1])
+            nbrs = nbrs_all[s:e]          # sorted ascending
+            k = len(nbrs)
+            if max_middle_degree is not None and k > max_middle_degree:
+                continue
+            if k < 2:
+                continue
+            wt = 1.0 / np.log(k)
+            for i_rep, j_rep in _pair_chunks(k, pair_budget):
+                wk = ((nbrs[i_rep].astype(np.uint64) << np.uint64(32))
+                      | nbrs[j_rep].astype(np.uint64))
+                acc_k.append(wk)
+                acc_c.append(np.ones(len(wk), dtype=np.int64))
+                acc_w.append(np.full(len(wk), wt, dtype=np.float64))
+                acc_n += len(wk)
+                if acc_n > 2 * pair_budget:
+                    acc_n = compress()
+        if not acc_k:
+            return pa.table({"__pk": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64()),
+                             "__aa": pa.array([], pa.float64())})
+        compress()
+        return pa.table({
+            "__pk": pa.array(acc_k[0].astype(np.int64), pa.int64()),
+            "__n": pa.array(acc_c[0], pa.int64()),
+            "__aa": pa.array(acc_w[0], pa.float64())})
+
+    group_ids = rd.from_arrow(pa.table(
+        {"gi": pa.array(np.arange(len(starts)), pa.int64())}))
+    partials = group_ids.map_batches(
+        wedge_task, batch_format="pyarrow",
+        batch_size=max(1, (len(starts) + n_tasks - 1) // n_tasks))
+    shared = grouped_agg(partials, ["__pk"],
+                         [("__n", "sum", "n_common"),
+                          ("__aa", "sum", "adamic_adar")])
+
+    def score(tbl: pa.Table, rd_=round_digits, lo=min_common) -> pa.Table:
+        _nbrs, _bnd, deg_arr, voc, direct_arr = ray.get(state_ref)
+        tbl = tbl.filter(pc.greater_equal(tbl.column("n_common"), lo))
+        pk = tbl.column("__pk").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        # keep only MISSING edges: drop pairs in the direct-edge set
+        pos = np.searchsorted(direct_arr, pk)
+        pos[pos >= len(direct_arr)] = max(len(direct_arr) - 1, 0)
+        is_direct = (len(direct_arr) > 0) & (direct_arr[pos] == pk)
+        keep = ~is_direct
+        pk = pk[keep]
+        a = (pk >> np.uint64(32)).astype(np.int64)
+        b = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        aa = tbl.column("adamic_adar").combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.Table.from_arrays(
+            [voc.take(pa.array(a, pa.int64())),
+             voc.take(pa.array(b, pa.int64())),
+             tbl.column("n_common").take(pa.array(
+                 np.flatnonzero(keep), pa.int64())),
+             pa.array(_round_away(aa, rd_), pa.float64()),
+             pa.array(deg_arr[a] * deg_arr[b], pa.int64())],
+            names=["norm_a", "norm_b", "n_common", "adamic_adar",
+                   "pref_attach"])
 
     return shared.map_batches(score, batch_format="pyarrow")
 

@@ -1650,6 +1650,29 @@ KG["kg_alias_candidates"] = f"""
     WHERE n_shared >= 3
 """
 
+KG["kg_link_predict"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    deg AS (SELECT s AS n, count(*) AS d FROM p GROUP BY s),
+    w AS (
+      SELECT p1.s AS a, p2.s AS b, count(*) AS n_common,
+             sum(1.0 / ln(dz.d)) AS aa
+      FROM p p1 JOIN p p2 ON p1.o = p2.o AND p1.s < p2.s
+      JOIN deg dz ON dz.n = p1.o
+      GROUP BY p1.s, p2.s)
+    SELECT a AS norm_a, b AS norm_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(aa, 4) AS adamic_adar,
+           CAST(da.d * db.d AS BIGINT) AS pref_attach
+    FROM w JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+    WHERE n_common >= 3
+      AND NOT EXISTS (SELECT 1 FROM p WHERE p.s = a AND p.o = b)
+"""
+
 KG["kg_bfs_hops"] = f"""
     WITH RECURSIVE p AS (
       SELECT DISTINCT a.norm AS s, b.norm AS o

@@ -2432,6 +2432,16 @@ def kg_alias_candidates(sf_dir: str):
     return neighbor_jaccard(_kg_edge_pairs(sf_dir), min_shared=3)
 
 
+def kg_link_predict(sf_dir: str):
+    """Link prediction over the KG: non-adjacent entity pairs sharing
+    >= 3 co-occurrence neighbors, scored by common-neighbor count,
+    Adamic-Adar, and preferential attachment — KG completion (which
+    edges does the corpus imply but never state in one sentence?)."""
+    from easyner_ray.ops.graph_analytics import link_predict
+
+    return link_predict(_kg_edge_pairs(sf_dir), min_common=3)
+
+
 def kg_bfs_hops(sf_dir: str):
     """Minimum hop distance from the watchlist seed entities, bounded at
     3 hops: frontier-expansion BFS (adaptive join per round + grouped

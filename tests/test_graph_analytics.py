@@ -483,3 +483,59 @@ def test_edges_diff(ray_session):
     assert out[("x", "y")]["weight_old"] == 0
     # identical snapshots -> empty diff
     assert edges_diff(old, old).take_all() == []
+
+
+def test_link_predict_toy(ray_session):
+    from easyner_ray.ops.graph_analytics import link_predict
+
+    # square a-b-c-d-a: diagonals (a,c) and (b,d) are the two missing
+    # edges, each with 2 common neighbors of degree 2 -> AA = 2/ln(2).
+    square = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1)]
+    out = {(r["norm_a"], r["norm_b"]): r for r in
+           link_predict(_edges_ds(square), min_common=2).take_all()}
+    assert set(out) == {("a", "c"), ("b", "d")}
+    aa = round(2.0 / np.log(2), 4)
+    for pair in out.values():
+        assert pair["n_common"] == 2
+        assert abs(pair["adamic_adar"] - aa) < 1e-9
+        assert pair["pref_attach"] == 4
+    # direct edges never appear even when they'd meet the bar:
+    # triangle + shared neighbor -> (a,b) adjacent AND sharing c.
+    tri = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+           ("a", "d", 1), ("b", "d", 1)]
+    got = {(r["norm_a"], r["norm_b"]) for r in
+           link_predict(_edges_ds(tri), min_common=1).take_all()}
+    assert ("a", "b") not in got
+    assert ("c", "d") in got  # non-adjacent, shares a and b
+
+
+def test_link_predict_random_vs_brute_and_chunked(ray_session):
+    from easyner_ray.ops.graph_analytics import link_predict
+
+    nodes, und = _rand_graph(seed=11, n=25, m=80)
+    adj: dict[int, set] = {i: set() for i in range(len(nodes))}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    gold = {}
+    for a, b in itertools.combinations(range(len(nodes)), 2):
+        if b in adj[a]:
+            continue
+        common = adj[a] & adj[b]
+        if len(common) >= 2:
+            na, nb = sorted((nodes[a], nodes[b]))
+            aa = sum(1.0 / np.log(len(adj[z])) for z in common)
+            gold[(na, nb)] = (len(common), round(aa, 4),
+                              len(adj[a]) * len(adj[b]))
+
+    ds = _edges_ds([(nodes[a], nodes[b], 1) for a, b in und], blocks=3)
+    for pb in (1 << 22, 3):  # default + forced hub-chunk/compress path
+        got = {(r["norm_a"], r["norm_b"]):
+               (r["n_common"], r["adamic_adar"], r["pref_attach"])
+               for r in link_predict(ds, min_common=2,
+                                     pair_budget=pb).take_all()}
+        assert set(got) == set(gold), f"pair_budget={pb}"
+        for k, (nc, aa, pref) in gold.items():
+            gnc, gaa, gpref = got[k]
+            assert gnc == nc and gpref == pref
+            assert abs(gaa - aa) <= 1e-4, (k, gaa, aa)
