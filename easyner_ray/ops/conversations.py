@@ -47,7 +47,25 @@ __all__ = [
     "schema_valid_conversations",
     "sft_pairs",
     "context_windows",
+    "refusal_scan",
+    "REFUSAL_PHRASES",
 ]
+
+# Canned-response / refusal markers an SFT-curation pass screens
+# assistant turns for (public folk knowledge: every open instruct-data
+# cleanup — e.g. the ShareGPT "unfiltered" scrubbers — greps a list of
+# exactly this shape). Case-insensitive substring semantics.
+REFUSAL_PHRASES = (
+    "i cannot",
+    "i can't",
+    "i'm sorry",
+    "i am sorry",
+    "i apologize",
+    "as an ai",
+    "as a language model",
+    "i am not able to",
+    "i'm unable",
+)
 
 _F64 = pa.float64()
 
@@ -115,6 +133,52 @@ def conv_stats(transcripts):
         t = t.append_column("assistant_share", share)
         t = t.append_column("duration_s", dur)
         return t.drop(["__t0", "__t1"])
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def refusal_scan(transcripts, phrases=REFUSAL_PHRASES, *,
+                 role: str = "assistant", round_digits: int = 4):
+    """Phrase-flag scan for SFT curation: per conversation, how many
+    ``role`` turns contain any watchlist phrase (case-insensitive
+    substring), and the flagged share — the decision unit for dropping
+    whole conversations whose assistant turns are refusals / canned
+    boilerplate (default watchlist :data:`REFUSAL_PHRASES`; pass a
+    domain list for hedge/boilerplate audits).
+
+    Output: ``(conv_id, n_role_turns, n_flagged, flagged_share)``.
+    Map-only per-batch matching (one ``match_substring`` kernel per
+    phrase over the lowercased column — len(phrases) vectorized passes,
+    no per-row Python) into the two-phase bucketed ``grouped_agg``;
+    the only exchange is the per-conversation final. ``flagged_share``
+    is int/int then one round — no float-order sensitivity."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    pats = [p.lower() for p in phrases]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("role"), role))
+        low = pc.utf8_lower(pc.coalesce(t.column("text"), ""))
+        hit = pa.array(np.zeros(len(t), dtype=bool))
+        for p in pats:
+            hit = pc.or_(hit, pc.match_substring(low, p))
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), hit.cast(pa.int64()),
+             pa.array(np.ones(len(t), dtype=np.int64))],
+            names=["conv_id", "flagged", "one"])
+
+    agg = grouped_agg(
+        transcripts.map_batches(prep, batch_format="pyarrow"),
+        ["conv_id"],
+        [("one", "sum", "n_role_turns"),
+         ("flagged", "sum", "n_flagged")])
+
+    def derive(t: pa.Table, rd_=round_digits) -> pa.Table:
+        share = pc.round(
+            pc.divide(t.column("n_flagged").cast(_F64),
+                      t.column("n_role_turns").cast(_F64)),
+            ndigits=rd_, round_mode="half_towards_infinity")
+        return t.append_column("flagged_share", share)
 
     return agg.map_batches(derive, batch_format="pyarrow")
 

@@ -1394,6 +1394,21 @@ KG["conv_stats"] = f"""
     FROM {TR} GROUP BY conv_id
 """
 
+KG["conv_refusal_scan"] = f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_role_turns,
+           CAST(sum(CASE WHEN position('pending' IN lower(text)) > 0
+                      OR position('draft' IN lower(text)) > 0
+                      OR position('sample' IN lower(text)) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN position('pending' IN lower(text)) > 0
+                      OR position('draft' IN lower(text)) > 0
+                      OR position('sample' IN lower(text)) > 0
+                    THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS flagged_share
+    FROM {TR} WHERE role = 'assistant' GROUP BY conv_id
+"""
+
 KG["conv_role_patterns"] = f"""
     SELECT pattern, count(*) AS n_convs, min(conv_id) AS conv_id
     FROM (SELECT conv_id, string_agg(role, ',' ORDER BY turn_idx) AS pattern

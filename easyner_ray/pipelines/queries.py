@@ -2276,6 +2276,21 @@ def conv_turn_gaps(sf_dir: str):
         sf_dir, ["conv_id", "turn_idx", "ts"]))
 
 
+def conv_refusal_scan(sf_dir: str):
+    """Phrase-flag scan over assistant turns: per-conversation count +
+    share of turns matching a watchlist — the drop-the-whole-conversation
+    decision unit for refusal / canned-boilerplate SFT curation. The
+    default watchlist is the standard refusal preset
+    (:data:`~easyner_ray.ops.conversations.REFUSAL_PHRASES`); the
+    synthetic clinical corpus never refuses, so this query audits its
+    hedge vocabulary instead — same kernel, corpus-meaningful matches."""
+    from easyner_ray.ops.conversations import refusal_scan
+
+    return refusal_scan(
+        _transcripts_cols(sf_dir, ["conv_id", "role", "text"]),
+        phrases=("pending", "draft", "sample"))
+
+
 def conv_schema_valid(sf_dir: str):
     """Role-schema gate: keep convs whose roles follow the
     user/assistant/tool cycle."""

@@ -280,3 +280,32 @@ def test_pattern_triples_dataset(ray_session):
         [[_m(0, "aspirin", "aspirin", 0, 7), _m(1, "cox2", "cox2", 17, 21)]])
     rows = pattern_triples(rd.from_arrow(batch)).take_all()
     assert rows[0]["pred"] == "inhibits"
+
+
+def test_refusal_scan_preset(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import refusal_scan
+
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3"],
+        "role": ["user", "assistant", "assistant",
+                 "assistant", "assistant", "user"],
+        "text": ["please do X",
+                 "I CANNOT help with that.",        # case-insensitive hit
+                 "Here is the answer.",
+                 "As a language model, I apologize.",  # two phrases, 1 turn
+                 "Sure thing.",
+                 "I cannot either"],               # user turn: ignored
+    })
+    out = {r["conv_id"]: r for r in
+           refusal_scan(rd.from_arrow(t).repartition(2)).take_all()}
+    assert set(out) == {"c1", "c2"}  # c3 has no assistant turns
+    assert out["c1"]["n_role_turns"] == 2 and out["c1"]["n_flagged"] == 1
+    assert out["c1"]["flagged_share"] == 0.5
+    assert out["c2"]["n_flagged"] == 1  # multi-phrase turn counts once
+    # custom watchlist + role override
+    out2 = {r["conv_id"]: r for r in
+            refusal_scan(rd.from_arrow(t), phrases=("please",),
+                         role="user").take_all()}
+    assert out2["c1"]["n_flagged"] == 1 and out2["c3"]["n_flagged"] == 0
