@@ -250,3 +250,188 @@ def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
         ).map_batches(apply_damping, batch_format="pyarrow").materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+def eigencentrality(edges, *, weight_col: str | None = None,
+                    iters: int = 20, src_col: str = "src",
+                    dst_col: str = "dst", round_digits: int = 9,
+                    edge_driver_cutoff: int = 64 << 20,
+                    node_gate: int = 64 << 20):
+    """Eigenvector centrality by shifted power iteration:
+    ``x <- (A + I) x / ||(A + I) x||_2`` for ``iters`` rounds from the
+    uniform unit vector -> ``(node, score)``. The identity shift keeps
+    the eigenvectors of ``A`` while making the dominant eigenvalue
+    strictly largest in magnitude, so bipartite graphs (eigenvalues
+    ±λ) converge instead of oscillating with period 2 — the standard
+    power-iteration regularization. ``edges`` is a directed pair list
+    (pass both orientations for an undirected graph — the KG edge table
+    already is); an optional ``weight_col`` weights the adjacency
+    (Bonacich 1972 / weighted Newman form); the shift itself is always
+    unit. Rows with a NULL endpoint are dropped.
+
+    Same three adaptive execution paths and byte gates as
+    :func:`pagerank` (module docstring), and the same determinism
+    device: every score is re-rounded with :func:`_round_vec` after each
+    normalize, so ~1e-16 sum-order noise (including the join path's
+    block-ordered norm reduce) never accumulates past the grain — all
+    paths bit-equal to the straight-line gold recompute
+    (``sources.gold_derived.write_eigencentrality_gold``)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    keep = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(keep).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow").materialize()
+
+    def half(col, name):
+        return edges.map_batches(
+            lambda t, c=col, n=name: pa.Table.from_arrays(
+                [t.column(c)], names=[n]),
+            batch_format="pyarrow")
+
+    nodes_ds = grouped_agg(
+        half(src_col, "node").union(half(dst_col, "node")),
+        ["node"], [("node", "count", "__c")],
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes_ds.count()
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.float64())],
+        names=["node", "score"])
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+
+    if nodes_ds.size_bytes() > node_gate:
+        return _eigencentrality_join(
+            edges, nodes_ds, n_nodes, weight_col=weight_col, iters=iters,
+            src_col=src_col, dst_col=dst_col, round_digits=round_digits)
+
+    import ray
+
+    node_arr = _collect_column(nodes_ds, "node")
+    node_arr = node_arr.take(pc.sort_indices(node_arr))
+    node_ref = ray.put(node_arr)
+
+    def index_edges(t: pa.Table, ref=node_ref, s=src_col, d=dst_col,
+                    w=weight_col):
+        nodes = ray.get(ref)
+        cols = [pc.index_in(t.column(s), value_set=nodes).cast(pa.int64()),
+                pc.index_in(t.column(d), value_set=nodes).cast(pa.int64())]
+        cols.append(t.column(w).cast(pa.float64()) if w else
+                    pa.array(np.ones(len(t)), pa.float64()))
+        return pa.Table.from_arrays(cols, names=["s", "d", "w"])
+
+    edges_idx = edges.map_batches(index_edges,
+                                  batch_format="pyarrow").materialize()
+    x = np.full(n_nodes, _round_scalar(1.0 / np.sqrt(n_nodes),
+                                       round_digits))
+
+    if edges_idx.size_bytes() <= edge_driver_cutoff:
+        # indexed-driver: numpy loop, zero Ray executions per iteration
+        et = pa.concat_tables([ray.get(r) for r in edges_idx.to_arrow_refs()])
+        s = et.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        d = et.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        w = et.column("w").combine_chunks().to_numpy(zero_copy_only=False)
+        for _ in range(iters):
+            inc = np.bincount(d, weights=w * x[s], minlength=n_nodes) + x
+            nrm = float(np.sqrt(np.sum(inc * inc)))
+            if nrm == 0.0:
+                break
+            x = _round_vec(inc / nrm, round_digits)
+        return rd.from_arrow(pa.Table.from_arrays(
+            [node_arr, pa.array(x, pa.float64())], names=["node", "score"]))
+
+    # indexed-broadcast: x on the driver, re-broadcast per iteration;
+    # sparse per-block bincount partials + one node-sized grouped sum.
+    for _ in range(iters):
+        x_ref = ray.put(x)
+
+        def partial(t: pa.Table, ref=x_ref) -> pa.Table:
+            xv = ray.get(ref)
+            s_i = t.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+            d_i = t.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+            w_i = t.column("w").combine_chunks().to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d_i, return_inverse=True)
+            return pa.Table.from_arrays(
+                [pa.array(u, pa.int64()),
+                 pa.array(np.bincount(inv, weights=w_i * xv[s_i]),
+                          pa.float64())],
+                names=["i", "inc"])
+
+        inc_tbl = pa.concat_tables([ray.get(r) for r in grouped_agg(
+            edges_idx.map_batches(partial, batch_format="pyarrow"),
+            ["i"], [("inc", "sum", "inc")]).to_arrow_refs()])
+        inc = np.zeros(n_nodes)
+        inc[inc_tbl.column("i").combine_chunks().to_numpy(
+            zero_copy_only=False)] = \
+            inc_tbl.column("inc").combine_chunks().to_numpy(
+                zero_copy_only=False)
+        inc += x  # identity shift
+        nrm = float(np.sqrt(np.sum(inc * inc)))
+        if nrm == 0.0:
+            break
+        x = _round_vec(inc / nrm, round_digits)
+
+    return rd.from_arrow(pa.Table.from_arrays(
+        [node_arr, pa.array(x, pa.float64())], names=["node", "score"]))
+
+
+def _eigencentrality_join(edges, nodes_ds, n_nodes, *, weight_col, iters,
+                          src_col, dst_col, round_digits):
+    """Open-keyspace fallback: one size-gated join + one grouped sum +
+    one normalize map per iteration; the driver holds only the norm
+    scalar (block-ordered reduce — differences vs the dense paths are
+    ~1e-16 relative and absorbed by the rounding grain)."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    init = _round_scalar(1.0 / np.sqrt(n_nodes), round_digits)
+    xs = nodes_ds.map_batches(
+        lambda t: t.append_column("score", pa.array([init] * len(t),
+                                                    pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        def contrib(t: pa.Table, w=weight_col) -> pa.Table:
+            val = t.column("score")
+            if w:
+                val = pc.multiply(val, t.column(w).cast(pa.float64()))
+            return pa.Table.from_arrays([t.column(dst_col), val],
+                                        names=["node", "val"])
+
+        incoming = grouped_agg(
+            adaptive_join(edges, xs, on=src_col, right_on="node")
+            .map_batches(contrib, batch_format="pyarrow"),
+            ["node"], [("val", "sum", "inc")])
+
+        def shift(t: pa.Table) -> pa.Table:
+            # identity shift: y = (A x)[node] + x[node], nodes with no
+            # inbound contribution carry the shift term alone
+            inc = pc.coalesce(t.column("inc"), 0.0)
+            y = pc.add(inc, t.column("score"))
+            return pa.Table.from_arrays([t.column("node"), y],
+                                        names=["node", "y"])
+
+        ys = adaptive_join(
+            xs.select_columns(["node", "score"]), incoming,
+            on="node", how="left",
+        ).map_batches(shift, batch_format="pyarrow").materialize()
+
+        sq_parts = ys.map_batches(
+            lambda t: pa.Table.from_pydict({"m": [float(pc.sum(
+                pc.multiply(t.column("y"), t.column("y"))
+            ).as_py() or 0.0)]}),
+            batch_format="pyarrow").take_all()
+        nrm = float(np.sqrt(sum(p["m"] for p in sq_parts)))
+        if nrm == 0.0:
+            break
+
+        def normalize(t: pa.Table, nv=nrm) -> pa.Table:
+            vals = _round_vec(t.column("y").combine_chunks().to_numpy(
+                zero_copy_only=False) / nv, round_digits)
+            return pa.Table.from_arrays(
+                [t.column("node"), pa.array(vals, pa.float64())],
+                names=["node", "score"])
+
+        xs = ys.map_batches(normalize, batch_format="pyarrow").materialize()
+
+    return xs.select_columns(["node", "score"])

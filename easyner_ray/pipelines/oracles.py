@@ -967,6 +967,8 @@ KG["kg_edges_incremental"] = KG["kg_edges"]
 # sources.gold_derived.write_pagerank_gold), so the oracle is the
 # straight-line single-process recompute, like k-means/HLL.
 GPR = f"read_parquet('{SYNTH}/gold_pagerank.parquet')"
+GEC = f"read_parquet('{SYNTH}/gold_eigencentrality.parquet')"
+KG["kg_eigencentrality"] = f"SELECT norm, score FROM {GEC}"
 GCT = f"read_parquet('{SYNTH}/gold_contamination.parquet')"
 RELATIONAL["docs_decontam"] = f"SELECT doc_id, n_hits FROM {GCT}"
 

@@ -2447,6 +2447,22 @@ def kg_alias_candidates(sf_dir: str):
     return neighbor_jaccard(_kg_edge_pairs(sf_dir), min_shared=3)
 
 
+def kg_eigencentrality(sf_dir: str):
+    """Weighted eigenvector centrality over the KG edge table (20 power
+    iterations, L2-normalized, per-iteration rounding grain). The
+    influence complement of kg_pagerank: PageRank rewards being linked
+    FROM many places; eigenvector centrality rewards being linked from
+    IMPORTANT places, weighted by co-occurrence counts. Oracle =
+    straight-line recompute of the same spec
+    (gold_eigencentrality.parquet)."""
+    from easyner_ray.ops.graph import eigencentrality
+
+    out = eigencentrality(_kg_edge_pairs(sf_dir), weight_col="weight",
+                          src_col="subj", dst_col="obj", iters=20)
+    return out.map_batches(lambda t: t.rename_columns(["norm", "score"]),
+                           batch_format="pyarrow")
+
+
 def kg_link_predict(sf_dir: str):
     """Link prediction over the KG: non-adjacent entity pairs sharing
     >= 3 co-occurrence neighbors, scored by common-neighbor count,

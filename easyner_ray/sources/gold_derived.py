@@ -1030,6 +1030,56 @@ def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
     return path
 
 
+def write_eigencentrality_gold(corpus: str, iters: int = 20,
+                               round_digits: int = 9) -> str:
+    """Straight-line eigenvector centrality over the WEIGHTED sentence
+    co-occurrence graph — the gold for the distributed
+    ``ops.graph.eigencentrality`` (spec: edges = directed (norm_a,
+    norm_b) pairs with weight = number of sentences co-mentioning them;
+    x0 = uniform unit vector; per iteration the IDENTITY-SHIFTED step
+    x <- (A + I) x / ||(A + I) x||_2 — same eigenvectors, kills
+    bipartite period-2 oscillation — every score re-rounded with the
+    same np.round kernel as ``ops.graph._round_vec`` — the
+    block-layout-invariance grain)."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    cnt: dict = collections.Counter()
+    for norms in sent_norms.values():
+        ns = sorted(norms)
+        for a in ns:
+            for b in ns:
+                if a != b:
+                    cnt[(a, b)] += 1
+    nodes = sorted({a for a, _ in cnt} | {b for _, b in cnt})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    s = np.array([idx[a] for a, _ in sorted(cnt)], dtype=np.int64)
+    d = np.array([idx[b] for _, b in sorted(cnt)], dtype=np.int64)
+    w = np.array([cnt[p] for p in sorted(cnt)], dtype=np.float64)
+    x = np.full(n, float(np.round(np.float64(1.0 / np.sqrt(n)),
+                                  round_digits)))
+    for _ in range(iters):
+        inc = np.bincount(d, weights=w * x[s], minlength=n) + x
+        nrm = float(np.sqrt(np.sum(inc * inc)))
+        if nrm == 0.0:
+            break
+        x = np.round(inc / nrm, round_digits)
+    tbl = pa.Table.from_arrays(
+        [pa.array(nodes, pa.string()), pa.array(x, pa.float64())],
+        names=["norm", "score"])
+    path = os.path.join(corpus, "gold_eigencentrality.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_kcore_gold(corpus: str, k: int = 3) -> str:
     """Straight-line k-core peel over the sentence co-occurrence pair
     graph (same pair spec as :func:`write_pagerank_gold`): repeatedly
@@ -1300,6 +1350,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_pagerank_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_kcore.parquet")):
         write_kcore_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_eigencentrality.parquet")):
+        write_eigencentrality_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)

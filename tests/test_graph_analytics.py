@@ -539,3 +539,51 @@ def test_link_predict_random_vs_brute_and_chunked(ray_session):
             gnc, gaa, gpref = got[k]
             assert gnc == nc and gpref == pref
             assert abs(gaa - aa) <= 1e-4, (k, gaa, aa)
+
+
+def test_eigencentrality_star_and_paths(ray_session):
+    """Star graph: closed-form principal eigenvector — hub gets
+    1/sqrt(2), each of the k leaves 1/sqrt(2k). All three execution
+    paths bit-equal; weighted run shifts mass toward the heavy edge."""
+    import ray.data as rd
+
+    from easyner_ray.ops.graph import eigencentrality
+
+    k = 4
+    und = [("hub", f"l{i}", 1) for i in range(k)]
+    ds = _edges_ds(und)
+    got = {r["node"]: r["score"]
+           for r in eigencentrality(ds, src_col="subj", dst_col="obj",
+                                    iters=30).take_all()}
+    assert abs(got["hub"] - 1 / np.sqrt(2)) < 1e-6
+    for i in range(k):
+        assert abs(got[f"l{i}"] - 1 / np.sqrt(2 * k)) < 1e-6
+
+    for kw in ({"edge_driver_cutoff": 0},            # indexed-broadcast
+               {"edge_driver_cutoff": 0, "node_gate": 0}):  # join path
+        alt = {r["node"]: r["score"]
+               for r in eigencentrality(ds, src_col="subj", dst_col="obj",
+                                        iters=30, **kw).take_all()}
+        assert alt == got, kw
+
+    # weight support: a dominant edge pulls the eigenvector onto its
+    # endpoints (path graph a-b-c with w(ab) >> w(bc))
+    wds = _edges_ds([("a", "b", 100), ("b", "c", 1)])
+    w = {r["node"]: r["score"]
+         for r in eigencentrality(wds, src_col="subj", dst_col="obj",
+                                  weight_col="weight", iters=40).take_all()}
+    assert w["a"] > w["c"]
+    assert abs(w["a"]**2 + w["b"]**2 + w["c"]**2 - 1.0) < 1e-6
+    # unweighted on the same shape is symmetric in a/c
+    u = {r["node"]: r["score"]
+         for r in eigencentrality(wds, src_col="subj", dst_col="obj",
+                                  iters=40).take_all()}
+    assert abs(u["a"] - u["c"]) < 1e-9
+
+    # empty input -> typed empty result
+    empty = rd.from_arrow(pa.table(
+        {"subj": pa.array([], pa.string()),
+         "obj": pa.array([], pa.string()),
+         "weight": pa.array([], pa.int64())}))
+    assert eigencentrality(empty, src_col="subj",
+                           dst_col="obj").take_all() == []
