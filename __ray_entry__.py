@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_candidates": q.kg_alias_candidates,
         "kg_link_predict": q.kg_link_predict,  # Adamic-Adar KG completion
         "kg_eigencentrality": q.kg_eigencentrality,  # weighted power iteration
+        "kg_ppr": q.kg_ppr,  # personalized pagerank from watchlist seeds
         "kg_bfs_hops": q.kg_bfs_hops,
         "kg_edge_activity": q.kg_edge_activity,
         "kg_edge_evidence": q.kg_edge_evidence,

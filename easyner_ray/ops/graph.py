@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 
 def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
              src_col: str = "src", dst_col: str = "dst",
-             round_digits: int = 9,
+             round_digits: int = 9, seeds=None,
              edge_driver_cutoff: int = 64 << 20,
              node_gate: int = 64 << 20):
     """-> (node, rank) after ``iters`` power iterations with uniform
@@ -54,6 +54,13 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
     by the caller (each row contributes once). Rows with a NULL endpoint
     are dropped (a half-specified edge has no graph meaning and would
     silently skew the source's out-degree).
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002):
+    teleport and dangling mass land uniformly on the seed set instead of
+    all nodes — relevance ranking AROUND a watchlist rather than global
+    importance. Seeds absent from the graph are ignored; raises
+    ``ValueError`` if none remain (an empty teleport distribution has no
+    meaning).
 
     ``edge_driver_cutoff`` / ``node_gate`` pick the execution path (see
     module docstring); pass 0 to force the next-wider path (both 0 =
@@ -85,7 +92,8 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
     if nodes_ds.size_bytes() > node_gate:
         return _pagerank_join(edges, nodes_ds, n_nodes, damping=damping,
                               iters=iters, src_col=src_col,
-                              dst_col=dst_col, round_digits=round_digits)
+                              dst_col=dst_col, round_digits=round_digits,
+                              seeds=seeds)
 
     # ---- node set fits: build the integer index (sorted for a stable
     # node->idx assignment regardless of block layout), index the edges
@@ -95,6 +103,14 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
     node_arr = _collect_column(nodes_ds, "node")
     node_arr = node_arr.take(pc.sort_indices(node_arr))
     node_ref = ray.put(node_arr)
+
+    tele = None  # dense teleport vector (seeded runs only)
+    if seeds is not None:
+        mask = pc.is_in(node_arr, value_set=pa.array(
+            sorted(set(seeds)), pa.string())).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            raise ValueError("personalized pagerank: no seed is in the graph")
+        tele = mask.astype(np.float64) / float(mask.sum())
 
     def index_edges(t: pa.Table, ref=node_ref, s=src_col, d=dst_col):
         nodes = ray.get(ref)  # plasma-cached, zero-copy per worker
@@ -114,15 +130,21 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
         s = et.column("s").combine_chunks().to_numpy(zero_copy_only=False)
         d = et.column("d").combine_chunks().to_numpy(zero_copy_only=False)
         deg = np.bincount(s, minlength=n_nodes).astype(np.float64)
-        rank = np.full(n_nodes, _round_scalar(1.0 / n_nodes, round_digits))
+        rank = (np.full(n_nodes, _round_scalar(1.0 / n_nodes, round_digits))
+                if tele is None else _round_vec(tele, round_digits))
         live = deg > 0
         for _ in range(iters):
             dangling = float(rank[~live].sum())
             share = np.zeros(n_nodes)
             share[live] = rank[live] / deg[live]
             inc = np.bincount(d, weights=share[s], minlength=n_nodes)
-            rank = _round_vec(base + damping * (inc + dangling / n_nodes),
-                              round_digits)
+            if tele is None:
+                rank = _round_vec(base + damping * (inc + dangling / n_nodes),
+                                  round_digits)
+            else:
+                rank = _round_vec((1.0 - damping) * tele
+                                  + damping * (inc + dangling * tele),
+                                  round_digits)
         return rd.from_arrow(pa.Table.from_arrays(
             [node_arr, pa.array(rank, pa.float64())], names=["node", "rank"]))
 
@@ -136,7 +158,8 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
         deg_tbl.column("deg").combine_chunks().to_numpy(zero_copy_only=False)
     live = deg > 0
 
-    rank = np.full(n_nodes, _round_scalar(1.0 / n_nodes, round_digits))
+    rank = (np.full(n_nodes, _round_scalar(1.0 / n_nodes, round_digits))
+            if tele is None else _round_vec(tele, round_digits))
     for _ in range(iters):
         dangling = float(rank[~live].sum())
         share = np.zeros(n_nodes)
@@ -159,8 +182,13 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 10,
         inc = np.zeros(n_nodes)
         inc[inc_tbl.column("i").combine_chunks().to_numpy(zero_copy_only=False)] = \
             inc_tbl.column("inc").combine_chunks().to_numpy(zero_copy_only=False)
-        rank = _round_vec(base + damping * (inc + dangling / n_nodes),
-                          round_digits)
+        if tele is None:
+            rank = _round_vec(base + damping * (inc + dangling / n_nodes),
+                              round_digits)
+        else:
+            rank = _round_vec((1.0 - damping) * tele
+                              + damping * (inc + dangling * tele),
+                              round_digits)
 
     return rd.from_arrow(pa.Table.from_arrays(
         [node_arr, pa.array(rank, pa.float64())], names=["node", "rank"]))
@@ -195,9 +223,11 @@ def _round_scalar(v: float, digits: int) -> float:
 
 
 def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
-                   src_col, dst_col, round_digits):
+                   src_col, dst_col, round_digits, seeds=None):
     """Open-keyspace fallback: every structure stays a Dataset; one
-    size-gated join + one grouped sum + one damping map per iteration."""
+    size-gated join + one grouped sum + one damping map per iteration.
+    Seeded (personalized) runs carry a per-node ``__tele`` column —
+    is_seed/n_seeds — instead of a dense driver-held vector."""
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
     deg = grouped_agg(edges, [src_col], [(dst_col, "count", "deg")])
@@ -206,11 +236,38 @@ def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
     nd = adaptive_join(nodes_ds, deg, on="node", right_on=src_col,
                        how="left").materialize()
 
-    init = _round_scalar(1.0 / n_nodes, round_digits)
-    ranks = nd.map_batches(
-        lambda t: t.append_column("rank", pa.array([init] * len(t),
-                                                   pa.float64())),
-        batch_format="pyarrow").materialize()
+    if seeds is not None:
+        seed_arr = pa.array(sorted(set(seeds)), pa.string())
+        nd = nd.map_batches(
+            lambda t: t.append_column(
+                "__seed", pc.is_in(t.column("node"), value_set=seed_arr)
+                .cast(pa.int64())),
+            batch_format="pyarrow").materialize()
+        n_seeds = sum(p["m"] for p in nd.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"m": [int(pc.sum(t.column("__seed")).as_py() or 0)]}),
+            batch_format="pyarrow").take_all())
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank: no seed is in the graph")
+
+        def init_tele(t: pa.Table) -> pa.Table:
+            tele = pc.divide(t.column("__seed").cast(pa.float64()),
+                             float(n_seeds))
+            t = t.append_column("__tele", tele)
+            return t.append_column("rank", pa.array(_round_vec(
+                tele.combine_chunks().to_numpy(zero_copy_only=False),
+                round_digits), pa.float64())).drop(["__seed"])
+
+        ranks = nd.map_batches(init_tele,
+                               batch_format="pyarrow").materialize()
+        carry = ["node", "deg", "__tele", "rank"]
+    else:
+        init = _round_scalar(1.0 / n_nodes, round_digits)
+        ranks = nd.map_batches(
+            lambda t: t.append_column("rank", pa.array([init] * len(t),
+                                                       pa.float64())),
+            batch_format="pyarrow").materialize()
+        carry = ["node", "deg", "rank"]
 
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
@@ -238,14 +295,20 @@ def _pagerank_join(edges, nodes_ds, n_nodes, *, damping, iters,
                           n=n_nodes) -> pa.Table:
             inc = t.column("inc").combine_chunks().fill_null(0.0).to_numpy(
                 zero_copy_only=False)
-            vals = _round_vec(b + d * (inc + dg / n), round_digits)
+            if seeds is None:
+                vals = _round_vec(b + d * (inc + dg / n), round_digits)
+            else:
+                tv = t.column("__tele").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                vals = _round_vec((1.0 - d) * tv + d * (inc + dg * tv),
+                                  round_digits)
             i = t.schema.get_field_index("rank")
             t = t.set_column(i, "rank", pa.array(vals, pa.float64()))
             return t.drop(["inc"])
 
         # nodes with no inbound edges keep only teleport + dangling share
         ranks = adaptive_join(
-            ranks.select_columns(["node", "deg", "rank"]), incoming,
+            ranks.select_columns(carry), incoming,
             on="node", how="left",
         ).map_batches(apply_damping, batch_format="pyarrow").materialize()
 

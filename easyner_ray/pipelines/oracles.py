@@ -969,6 +969,8 @@ KG["kg_edges_incremental"] = KG["kg_edges"]
 GPR = f"read_parquet('{SYNTH}/gold_pagerank.parquet')"
 GEC = f"read_parquet('{SYNTH}/gold_eigencentrality.parquet')"
 KG["kg_eigencentrality"] = f"SELECT norm, score FROM {GEC}"
+GPPR = f"read_parquet('{SYNTH}/gold_ppr.parquet')"
+KG["kg_ppr"] = f"SELECT norm, rank FROM {GPPR}"
 GCT = f"read_parquet('{SYNTH}/gold_contamination.parquet')"
 RELATIONAL["docs_decontam"] = f"SELECT doc_id, n_hits FROM {GCT}"
 

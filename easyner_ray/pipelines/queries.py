@@ -588,6 +588,26 @@ def kg_edges(sf_dir: str):
     return aggregate_edges(triples, cls_of_norm=cls_of_norm_map([voc]))
 
 
+def _kg_distinct_pairs(sf_dir: str):
+    """Shared upstream for the PageRank family: DISTINCT directed
+    (norm, norm) co-occurrence pairs from the full NER pipeline."""
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return grouped_agg(
+        triples.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("subj"), t.column("obj")], names=["src", "dst"]),
+            batch_format="pyarrow"),
+        ["src", "dst"], [("src", "count", "__c")],
+        final="tree",  # distinct-pair keyspace is vocab^2-bounded
+    ).select_columns(["src", "dst"])
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the sentence co-occurrence graph: the
     full NER pipeline feeds DISTINCT directed (norm, norm) pairs into 10
@@ -596,22 +616,22 @@ def kg_pagerank(sf_dir: str):
     straight-line recompute of the same spec (gold_pagerank.parquet);
     per-iteration rounding makes both sides bit-equal."""
     from easyner_ray.ops.graph import pagerank
-    from easyner_ray.ops.relational import grouped_agg
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
 
-    _corpus(sf_dir)  # gold table keyed to this sf_dir
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
-    pairs = grouped_agg(
-        triples.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t.column("subj"), t.column("obj")], names=["src", "dst"]),
-            batch_format="pyarrow"),
-        ["src", "dst"], [("src", "count", "__c")],
-        final="tree",  # distinct-pair keyspace is vocab^2-bounded
-    ).select_columns(["src", "dst"])
-    out = pagerank(pairs, iters=10)
+    out = pagerank(_kg_distinct_pairs(sf_dir), iters=10)
+    return out.map_batches(lambda t: t.rename_columns(["norm", "rank"]),
+                           batch_format="pyarrow")
+
+
+def kg_ppr(sf_dir: str):
+    """Personalized PageRank from the watchlist seeds: teleport and
+    dangling mass land uniformly on the seed set — relevance ranking
+    AROUND the watchlist entities instead of global importance (the
+    ranking complement of kg_bfs_hops' hop distances). Oracle =
+    straight-line recompute of the same seeded spec
+    (gold_ppr.parquet)."""
+    from easyner_ray.ops.graph import pagerank
+
+    out = pagerank(_kg_distinct_pairs(sf_dir), iters=10, seeds=WATCHLIST)
     return out.map_batches(lambda t: t.rename_columns(["norm", "rank"]),
                            batch_format="pyarrow")
 

@@ -1030,6 +1030,59 @@ def write_pagerank_gold(corpus: str, damping: float = 0.85, iters: int = 10,
     return path
 
 
+def write_ppr_gold(corpus: str, seeds=("zetamycin", "actozine",
+                                       "arvel syndrome"),
+                   damping: float = 0.85, iters: int = 10,
+                   round_digits: int = 9) -> str:
+    """Straight-line PERSONALIZED PageRank over the sentence
+    co-occurrence pair graph — the gold for seeded
+    ``ops.graph.pagerank``: teleport and dangling mass land uniformly on
+    the seed set (Haveliwala 2002); same pair spec, init = the teleport
+    vector, same np.round-per-iteration grain as the uniform gold."""
+    import collections
+
+    def _r(x: float) -> float:
+        return float(np.round(np.float64(x), round_digits))
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    pairs: set = set()
+    for norms in sent_norms.values():
+        ns = sorted(norms)
+        for a in ns:
+            for b in ns:
+                if a != b:
+                    pairs.add((a, b))
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    seedset = set(seeds) & set(nodes)
+    n_seeds = len(seedset)
+    deg = collections.Counter(a for a, _ in pairs)
+    tele = {v: (1.0 / n_seeds if v in seedset else 0.0) for v in nodes}
+    rank = {v: _r(tele[v]) for v in nodes}
+    d = damping
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if deg.get(v, 0) == 0)
+        inc: dict = collections.defaultdict(float)
+        for a, b in sorted(pairs):
+            inc[b] += rank[a] / deg[a]
+        rank = {v: _r((1.0 - d) * tele[v]
+                      + d * (inc.get(v, 0.0) + dangling * tele[v]))
+                for v in nodes}
+    tbl = pa.Table.from_arrays(
+        [pa.array(nodes, pa.string()),
+         pa.array([rank[v] for v in nodes], pa.float64())],
+        names=["norm", "rank"])
+    path = os.path.join(corpus, "gold_ppr.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_eigencentrality_gold(corpus: str, iters: int = 20,
                                round_digits: int = 9) -> str:
     """Straight-line eigenvector centrality over the WEIGHTED sentence
@@ -1352,6 +1405,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_kcore_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_eigencentrality.parquet")):
         write_eigencentrality_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_ppr.parquet")):
+        write_ppr_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)

@@ -587,3 +587,44 @@ def test_eigencentrality_star_and_paths(ray_session):
          "weight": pa.array([], pa.int64())}))
     assert eigencentrality(empty, src_col="subj",
                            dst_col="obj").take_all() == []
+
+
+def test_personalized_pagerank_paths_and_semantics(ray_session):
+    """Seeded teleport concentrates mass around the seed; nodes
+    unreachable from the seed get exactly 0; all three execution paths
+    bit-equal; uniform runs are untouched by the feature flag."""
+    import ray.data as rd
+
+    import pytest
+
+    from easyner_ray.ops.graph import pagerank
+
+    # two components: a->b->c cycle-ish + isolated pair x->y
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "x"],
+        "dst": ["b", "c", "a", "y"],
+    })).repartition(2)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=15, seeds=["a"]).take_all()}
+    # teleport only to a; x/y are unreachable from a -> exactly zero
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > got["b"] > 0 and got["c"] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    for kw in ({"edge_driver_cutoff": 0},
+               {"edge_driver_cutoff": 0, "node_gate": 0}):
+        alt = {r["node"]: r["rank"]
+               for r in pagerank(edges, iters=15, seeds=["a"],
+                                 **kw).take_all()}
+        assert alt == got, kw
+
+    # multi-seed: teleport splits across seeds; missing seeds ignored
+    multi = {r["node"]: r["rank"]
+             for r in pagerank(edges, iters=15,
+                               seeds=["a", "x", "ghost"]).take_all()}
+    assert multi["y"] > 0  # reachable from seed x now
+    # no seed present in the graph -> hard error on every path
+    for kw in ({}, {"edge_driver_cutoff": 0},
+               {"edge_driver_cutoff": 0, "node_gate": 0}):
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank(edges, seeds=["ghost"], **kw)
