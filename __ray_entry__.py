@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": q.kg_triangles,
         "kg_components": q.kg_components,
         "kg_temporal_edges": q.kg_temporal_edges,
+        "kg_edges_decayed": q.kg_edges_decayed,  # recency half-life weights
         "kg_clustering": q.kg_clustering,
         "kg_alias_candidates": q.kg_alias_candidates,
         "kg_link_predict": q.kg_link_predict,  # Adamic-Adar KG completion

@@ -914,6 +914,78 @@ def temporal_edges(triples, transcripts, *, broadcast_bytes: int = 64 << 20):
     return agg.map_batches(span, batch_format="pyarrow")
 
 
+def decayed_edges(triples, transcripts, *, half_life_s: float,
+                  t_ref=None, round_digits: int = 4,
+                  broadcast_bytes: int = 64 << 20):
+    """Recency-weighted co-occurrence edges: undirected pairs
+    (norm_a < norm_b) with evidence count and an exponentially decayed
+    weight ``Σ 2^(-age/half_life)`` over their evidence timestamps ->
+    ``(norm_a, norm_b, n_cooc, decayed_weight)``.
+
+    The temporal-KG freshness shape: an edge seen 50× last year and
+    never since should rank below one seen 5× this week. ``t_ref``
+    anchors the age (default: the corpus max timestamp, one pruned
+    scalar aggregate); ``half_life_s`` is the decay half-life in
+    seconds. Same single adaptive turn-key join as
+    :func:`temporal_edges` (hash-shuffle at scale, broadcast under the
+    gate), decay applied vectorized per evidence row, then one
+    vocab^2-bounded grouped sum; the 4-digit grain absorbs sum-order
+    and exp2-vs-pow kernel noise vs the SQL oracle."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    if t_ref is None:
+        t_ref = transcripts.map_batches(
+            lambda t: t.select(["ts"]), batch_format="pyarrow").max("ts")
+    ref_us = pa.scalar(t_ref, pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("subj"), t.column("obj")))
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays(
+            [t.column("subj"), t.column("obj"), k],
+            names=["norm_a", "norm_b", "__k"])
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays([k, t.column("ts")],
+                                    names=["__k", "ts"])
+
+    joined = adaptive_join(
+        triples.map_batches(pair_key, batch_format="pyarrow"),
+        transcripts.map_batches(turn_key, batch_format="pyarrow"),
+        on="__k", broadcast_bytes=broadcast_bytes)
+
+    def decay(t: pa.Table, ref=ref_us, hl=float(half_life_s)) -> pa.Table:
+        ts_us = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        age_s = (ref - ts_us) / 1_000_000.0
+        w = np.exp2(-age_s / hl)
+        return pa.Table.from_arrays(
+            [t.column("norm_a"), t.column("norm_b"),
+             pa.array(w, pa.float64())],
+            names=["norm_a", "norm_b", "w"])
+
+    agg = grouped_agg(
+        joined.map_batches(decay, batch_format="pyarrow"),
+        ["norm_a", "norm_b"],
+        [("w", "count", "n_cooc"), ("w", "sum", "decayed_weight")])
+
+    def fin(t: pa.Table, rd_=round_digits) -> pa.Table:
+        w = t.column("decayed_weight").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        i = t.schema.get_field_index("decayed_weight")
+        return t.set_column(i, "decayed_weight",
+                            pa.array(_round_away(w, rd_), pa.float64()))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def edge_activity(triples, transcripts, *, unit: str = "hour",
                   broadcast_bytes: int = 64 << 20):
     """Windowed temporal edge activity: per undirected entity pair and

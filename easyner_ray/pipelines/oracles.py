@@ -1626,6 +1626,27 @@ KG["kg_temporal_edges"] = f"""
     FROM j GROUP BY norm_a, norm_b
 """
 
+KG["kg_edges_decayed"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS na, b.norm AS nb,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    ref AS (SELECT max(ts) AS t FROM {TR}),
+    j AS (
+      SELECT p.na AS norm_a, p.nb AS norm_b,
+             (epoch_us((SELECT t FROM ref)) - epoch_us(t.ts))
+               / 1000000.0 AS age_s
+      FROM triples p JOIN {TR} t
+        ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+      WHERE p.na < p.nb)
+    SELECT norm_a, norm_b, CAST(count(*) AS BIGINT) AS n_cooc,
+           round(sum(pow(2.0, -age_s / 604800.0)), 4) AS decayed_weight
+    FROM j GROUP BY norm_a, norm_b
+"""
+
 KG["kg_clustering"] = f"""
     WITH p AS (
       SELECT DISTINCT a.norm AS s, b.norm AS o

@@ -2447,6 +2447,23 @@ def kg_temporal_edges(sf_dir: str):
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
 
 
+def kg_edges_decayed(sf_dir: str):
+    """Recency-weighted KG edges: per undirected pair, evidence count
+    plus the exponentially decayed weight sum(2^(-age/half_life)) with a
+    7-day half-life anchored at the corpus max timestamp — the
+    freshness-ranked edge stream a temporal-KG consumer feeds a
+    decaying index from."""
+    from easyner_ray.ops.graph_analytics import decayed_edges
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return decayed_edges(
+        triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]),
+        half_life_s=7 * 86400.0)
+
+
 def kg_clustering(sf_dir: str):
     """Local clustering coefficient per entity (2T / d(d-1), 0.0 below
     degree 2): separates star-shaped topical hubs from members of tight

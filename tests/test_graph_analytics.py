@@ -628,3 +628,40 @@ def test_personalized_pagerank_paths_and_semantics(ray_session):
                {"edge_driver_cutoff": 0, "node_gate": 0}):
         with pytest.raises(ValueError, match="no seed"):
             pagerank(edges, seeds=["ghost"], **kw)
+
+
+def test_decayed_edges_closed_form(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import decayed_edges
+
+    # pair (a,b) seen at t_ref and one half-life earlier -> 1 + 0.5;
+    # pair (a,c) seen only at the old timestamp -> 0.5
+    hl = 3600.0
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    t1 = np.datetime64("2026-01-01T01:00:00", "us")  # t0 + hl
+    transcripts = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([t0, t1], pa.timestamp("us")),
+    }))
+    triples = rd.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c1", "c1"],
+        "turn_idx": pa.array([0, 0, 1, 0], pa.int64()),
+        # both orientations present, as sentence_triples emits them
+        "subj": ["a", "b", "a", "a"],
+        "obj": ["b", "a", "b", "c"],
+    }))
+    out = {(r["norm_a"], r["norm_b"]): r for r in
+           decayed_edges(triples, transcripts,
+                         half_life_s=hl).take_all()}
+    assert out[("a", "b")]["n_cooc"] == 2
+    assert out[("a", "b")]["decayed_weight"] == 1.5
+    assert out[("a", "c")]["decayed_weight"] == 0.5
+    # explicit t_ref moves the anchor: one more half-life of age halves
+    # everything
+    out2 = {(r["norm_a"], r["norm_b"]): r["decayed_weight"] for r in
+            decayed_edges(triples, transcripts, half_life_s=hl,
+                          t_ref=t1 + np.timedelta64(3600, "s")
+                          ).take_all()}
+    assert out2[("a", "b")] == 0.75 and out2[("a", "c")] == 0.25
