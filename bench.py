@@ -179,6 +179,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_components": q.kg_components,
         "kg_alias_candidates": q.kg_alias_candidates,
         "kg_edge_activity": q.kg_edge_activity,
+        "kg_link_predict": q.kg_link_predict,
+        "kg_eigencentrality": q.kg_eigencentrality,
+        "kg_ppr": q.kg_ppr,
+        "kg_edges_decayed": q.kg_edges_decayed,
+        "conv_refusal_scan": q.conv_refusal_scan,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
