@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_sft_pairs": q.conv_sft_pairs,      # SFT prep chain end-to-end
         "conv_context_windows": q.conv_context_windows,  # multi-turn context assembly
         "kg_pattern_triples": q.kg_pattern_triples,  # surface-pattern relation extraction
+        "kg_typed_edges": q.kg_typed_edges,  # predicate-labeled edge aggregation
         # graph analytics over the materialized KG (ops/graph_analytics.py)
         "kg_degree_stats": q.kg_degree_stats,
         "kg_two_hop": q.kg_two_hop,
@@ -197,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eigencentrality": q.kg_eigencentrality,  # weighted power iteration
         "kg_ppr": q.kg_ppr,  # personalized pagerank from watchlist seeds
         "kg_bfs_hops": q.kg_bfs_hops,
+        "kg_weighted_hops": q.kg_weighted_hops,  # bounded Bellman-Ford distances
         "kg_edge_activity": q.kg_edge_activity,
         "kg_edge_evidence": q.kg_edge_evidence,
         "kg_kcore": q.kg_kcore,            # derived-gold oracle (peel)

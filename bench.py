@@ -184,6 +184,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_ppr": q.kg_ppr,
         "kg_edges_decayed": q.kg_edges_decayed,
         "conv_refusal_scan": q.conv_refusal_scan,
+        "kg_typed_edges": q.kg_typed_edges,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

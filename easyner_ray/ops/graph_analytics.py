@@ -858,6 +858,92 @@ def bfs_hops(edges, seeds, *, src: str = "subj", dst: str = "obj",
         batch_format="pyarrow")
 
 
+def weighted_hops(edges, seeds, *, src: str = "subj", dst: str = "obj",
+                  weight_col: str = "weight", max_hops: int = 3):
+    """Minimum WEIGHTED distance from a seed set over paths of at most
+    ``max_hops`` edges, with per-edge cost ``1/weight`` (strong edges
+    are short) -> ``(norm, dist)`` for every node reachable within the
+    bound; seeds at 0.0. The strength-aware complement of
+    :func:`bfs_hops`: two entities three weak hops apart can be
+    "farther" than one strong direct edge.
+
+    Bounded Bellman-Ford as ``max_hops`` relaxation rounds: per round
+    one :func:`adaptive_join` of the improvement frontier against the
+    symmetric cost edge list, a grouped min over the union with current
+    labels, and one node-sized labels-vs-labels join to detect
+    improvements (the next frontier; early exit when none). Extending
+    only improved nodes proposes every <=h-edge path no later than full
+    Bellman-Ford would, so labels after round h are exactly the
+    <=h-edge optimum. Costs accumulate left-to-right along each path —
+    bit-identical to a recursive-CTE oracle that sums the same way, so
+    no rounding grain is needed."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "dist": pa.array([], pa.float64())})
+    seed_set = sorted(set(seeds))
+    if not seed_set:
+        return rd.from_arrow(empty)
+
+    sym = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(src).combine_chunks(),
+             t.column(dst).combine_chunks(),
+             pc.divide(1.0, pc.cast(t.column(weight_col), pa.float64()))],
+            names=["node", "nbr", "cost"]),
+        batch_format="pyarrow").materialize()
+
+    labels = sym.map_batches(
+        lambda t: (lambda f: pa.table(
+            {"node": f.column("node"),
+             "dist": pa.array([0.0] * len(f), pa.float64())}))(
+                 t.filter(pc.is_in(t.column("node"),
+                                   value_set=pa.array(seed_set)))),
+        batch_format="pyarrow")
+    labels = grouped_agg(labels, ["node"], [("dist", "min", "dist")]) \
+        .materialize()
+    if labels.count() == 0:
+        return rd.from_arrow(empty)
+
+    frontier = labels
+    for _ in range(max_hops):
+        cand = adaptive_join(
+            sym,
+            frontier.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "__d": t.column("dist")}),
+                batch_format="pyarrow"),
+            on="node").map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("nbr"),
+                     "dist": pc.add(t.column("__d"), t.column("cost"))}),
+                batch_format="pyarrow")
+        new_labels = grouped_agg(cand.union(labels), ["node"],
+                                 [("dist", "min", "dist")]).materialize()
+        improved = adaptive_join(
+            new_labels,
+            labels.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "__old": t.column("dist")}),
+                batch_format="pyarrow"),
+            on="node", how="left",
+        ).map_batches(
+            lambda t: t.filter(pc.or_kleene(
+                pc.is_null(t.column("__old")),
+                pc.less(t.column("dist"), t.column("__old"))))
+            .select(["node", "dist"]),
+            batch_format="pyarrow").materialize()
+        labels = new_labels
+        frontier = improved
+        if frontier.count() == 0:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["norm", "dist"]),
+        batch_format="pyarrow")
+
+
 def temporal_edges(triples, transcripts, *, broadcast_bytes: int = 64 << 20):
     """Temporally annotated co-occurrence edges: undirected pairs
     (norm_a < norm_b) with co-occurrence count and FIRST/LAST observed

@@ -1538,6 +1538,34 @@ KG["kg_pattern_triples"] = f"""
     FROM t
 """
 
+KG["kg_typed_edges"] = f"""
+    WITH pairs AS (
+      SELECT a.conv_id, a.turn_idx, a.sent_idx,
+             a.norm AS subj, b.norm AS obj, a."end" AS ae,
+             greatest(b.start, a."end") AS bs
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx AND b.mention_idx = a.mention_idx + 1
+      WHERE a.norm <> b.norm),
+    g AS (
+      SELECT p.subj, p.obj,
+             lower(substr(s.text, p.ae + 1, p.bs - p.ae)) AS gap
+      FROM pairs p JOIN {GS} s
+        ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx
+       AND p.sent_idx = s.sent_idx),
+    t AS (
+      SELECT subj, obj, len(regexp_extract_all(gap, '[a-z]+')) AS ntok,
+             regexp_replace(
+               regexp_replace(gap, '^[^a-z]+|[^a-z]+$', '', 'g'),
+               '[^a-z]+', '_', 'g') AS predc
+      FROM g)
+    SELECT subj,
+           CASE WHEN ntok BETWEEN 1 AND 3 THEN predc
+                ELSE 'co_occurs_with' END AS pred,
+           obj, CAST(count(*) AS BIGINT) AS weight
+    FROM t GROUP BY 1, 2, 3
+"""
+
 # ---- graph analytics over the materialized KG (ops/graph_analytics.py).
 # All five recompute the graph kernels relationally over the same
 # distinct sentence-level pair CTE the kg_edges oracle uses (recursive
@@ -1728,6 +1756,25 @@ KG["kg_bfs_hops"] = f"""
       WHERE r.hop < 3)
     SELECT node AS norm, CAST(min(hop) AS BIGINT) AS hop
     FROM r GROUP BY node
+"""
+
+KG["kg_weighted_hops"] = f"""
+    WITH RECURSIVE triples AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    e AS (SELECT subj, obj, CAST(1.0 AS DOUBLE) / count(*) AS cost
+          FROM triples GROUP BY subj, obj),
+    r(node, dist, hops) AS (
+      SELECT DISTINCT subj, CAST(0.0 AS DOUBLE), 0 FROM e
+      WHERE subj IN ('zetamycin', 'actozine', 'arvel syndrome')
+      UNION ALL
+      SELECT e.obj, r.dist + e.cost, r.hops + 1
+      FROM r JOIN e ON e.subj = r.node WHERE r.hops < 3)
+    SELECT node AS norm, min(dist) AS dist FROM r GROUP BY node
 """
 
 KG["kg_edge_activity"] = f"""

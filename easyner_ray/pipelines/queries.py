@@ -663,6 +663,27 @@ def kg_pattern_triples(sf_dir: str):
         tag_mentions(_sentences(sf_dir), vocabulary(), keep_text=True))
 
 
+def kg_typed_edges(sf_dir: str):
+    """Predicate-labeled aggregated KG edges: surface-pattern triples
+    grouped into (subj, pred, obj, weight) — the TYPED edge table a
+    relation-aware KG consumer ingests (the reference's graph carries
+    only co_occurs_with; this aggregates the extracted predicates into
+    first-class typed edges). One vocab^2 x predicate-bounded two-phase
+    grouped count downstream of the pattern extraction."""
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import pattern_triples
+
+    trip = pattern_triples(
+        tag_mentions(_sentences(sf_dir), vocabulary(), keep_text=True))
+    return grouped_agg(
+        trip.map_batches(
+            lambda t: t.select(["subj", "pred", "obj"]),
+            batch_format="pyarrow"),
+        ["subj", "pred", "obj"], [("pred", "count", "weight")])
+
+
 def kg_entity_freq(sf_dir: str):
     from easyner_ray.stages.analysis import entity_frequency
 
@@ -2517,6 +2538,16 @@ def kg_bfs_hops(sf_dir: str):
     from easyner_ray.ops.graph_analytics import bfs_hops
 
     return bfs_hops(_kg_edge_pairs(sf_dir), WATCHLIST, max_hops=3)
+
+
+def kg_weighted_hops(sf_dir: str):
+    """Minimum weighted distance (cost = 1/co-occurrence weight) from
+    the watchlist seeds over paths of <= 3 edges: bounded Bellman-Ford
+    rounds over the KG edge table — strength-aware proximity, the
+    weighted complement of kg_bfs_hops."""
+    from easyner_ray.ops.graph_analytics import weighted_hops
+
+    return weighted_hops(_kg_edge_pairs(sf_dir), WATCHLIST, max_hops=3)
 
 
 def kg_edge_activity(sf_dir: str):

@@ -665,3 +665,26 @@ def test_decayed_edges_closed_form(ray_session):
                           t_ref=t1 + np.timedelta64(3600, "s")
                           ).take_all()}
     assert out2[("a", "b")] == 0.75 and out2[("a", "c")] == 0.25
+
+
+def test_weighted_hops_prefers_strong_paths(ray_session):
+    from easyner_ray.ops.graph_analytics import weighted_hops
+
+    # s-a direct weak edge (w=1, cost 1.0) vs s-b-a strong two-hop
+    # (w=4 each, cost 0.25+0.25) -> a's best distance is the 2-hop path.
+    g = [("s", "a", 1), ("s", "b", 4), ("b", "a", 4), ("x", "y", 2)]
+    out = {r["norm"]: r["dist"] for r in
+           weighted_hops(_edges_ds(g), ["s"], max_hops=3).take_all()}
+    assert out["s"] == 0.0
+    assert out["b"] == 0.25
+    assert out["a"] == 0.5          # NOT the direct 1.0
+    assert "x" not in out and "y" not in out  # unreachable component
+    # hop bound binds: with max_hops=1 only direct edges count
+    out1 = {r["norm"]: r["dist"] for r in
+            weighted_hops(_edges_ds(g), ["s"], max_hops=1).take_all()}
+    assert out1["a"] == 1.0 and out1["b"] == 0.25
+    # missing seeds -> empty; multi-seed takes the per-node min
+    assert weighted_hops(_edges_ds(g), ["ghost"]).take_all() == []
+    multi = {r["norm"]: r["dist"] for r in
+             weighted_hops(_edges_ds(g), ["s", "y"], max_hops=2).take_all()}
+    assert multi["x"] == 0.5 and multi["y"] == 0.0
