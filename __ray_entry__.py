@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_gaps": q.conv_turn_gaps,      # turn-latency profile
         "conv_schema_valid": q.conv_schema_valid,  # role-schema gate
         "conv_refusal_scan": q.conv_refusal_scan,  # refusal/boilerplate gate
+        "conv_fingerprints": q.conv_fingerprints,  # conversation-level dedup key
         "conv_sft_pairs": q.conv_sft_pairs,      # SFT prep chain end-to-end
         "conv_context_windows": q.conv_context_windows,  # multi-turn context assembly
         "kg_pattern_triples": q.kg_pattern_triples,  # surface-pattern relation extraction

@@ -48,6 +48,7 @@ __all__ = [
     "sft_pairs",
     "context_windows",
     "refusal_scan",
+    "conv_fingerprint",
     "REFUSAL_PHRASES",
 ]
 
@@ -224,6 +225,55 @@ def role_patterns(transcripts, sep: str = ","):
         ["pattern"],
         [("conv_id", "count", "n_convs"), ("conv_id", "min", "conv_id")],
     )
+
+
+def conv_fingerprint(transcripts, sep: str = "\n"):
+    """Content fingerprint per conversation: the md5 of the full ordered
+    turn-text concatenation plus the turn count — the conversation-level
+    EXACT-dedup key (two transcripts with identical ordered content
+    collapse to one fingerprint; group on ``text_md5`` and keep the min
+    ``conv_id`` to dedup an SFT set at conversation granularity, the
+    whole-dialog analog of ``ops.dedup.dedup_exact``).
+
+    Output: (conv_id, n_turns, text_md5). Same two-phase fragment
+    exchange as :func:`role_patterns` (ordered per-batch partials, one
+    bucket shuffle joins the 1-2 fragments per conversation — same
+    contiguous-per-block input contract); the md5 runs once per
+    conversation on the joined text (string-kernel cost, same class as
+    the sha256 id fallback in ``sources.loaders``)."""
+    import hashlib
+
+    import pandas as pd
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    def fragments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(text=("text", sep.join),
+                    n_turns=("turn_idx", "size"),
+                    first_turn=("turn_idx", "min")).reset_index()
+        out["first_turn"] = out["first_turn"].astype("int32")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out[["conv_id", "first_turn", "n_turns", "text"]]
+
+    frag = transcripts.map_batches(fragments, batch_format="pandas")
+    bucketed = frag.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id"], 64),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "first_turn"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(text=("text", sep.join),
+                    n_turns=("n_turns", "sum")).reset_index()
+        out["text_md5"] = [hashlib.md5(t.encode()).hexdigest()
+                           for t in out["text"]]
+        return out[["conv_id", "n_turns", "text_md5"]]
+
+    return bucketed.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
 
 
 def tool_report(transcripts):

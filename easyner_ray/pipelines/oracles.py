@@ -1398,6 +1398,12 @@ KG["conv_stats"] = f"""
     FROM {TR} GROUP BY conv_id
 """
 
+KG["conv_fingerprints"] = f"""
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5
+    FROM {TR} GROUP BY conv_id
+"""
+
 KG["conv_refusal_scan"] = f"""
     SELECT conv_id,
            CAST(count(*) AS BIGINT) AS n_role_turns,

@@ -2317,6 +2317,17 @@ def conv_turn_gaps(sf_dir: str):
         sf_dir, ["conv_id", "turn_idx", "ts"]))
 
 
+def conv_fingerprints(sf_dir: str):
+    """Conversation content fingerprints: md5 of the full ordered
+    turn-text concatenation + turn count per conversation — the
+    conversation-level exact-dedup key (group on text_md5, keep min
+    conv_id)."""
+    from easyner_ray.ops.conversations import conv_fingerprint
+
+    return conv_fingerprint(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "text"]))
+
+
 def conv_refusal_scan(sf_dir: str):
     """Phrase-flag scan over assistant turns: per-conversation count +
     share of turns matching a watchlist — the drop-the-whole-conversation

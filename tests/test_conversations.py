@@ -309,3 +309,34 @@ def test_refusal_scan_preset(ray_session):
             refusal_scan(rd.from_arrow(t), phrases=("please",),
                          role="user").take_all()}
     assert out2["c1"]["n_flagged"] == 1 and out2["c3"]["n_flagged"] == 0
+
+
+def test_conv_fingerprint_dedup_key(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import conv_fingerprint
+
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c2", "c2", "c3"],
+        "turn_idx": pa.array([0, 1, 0, 1, 0], pa.int64()),
+        "text": ["hello", "world", "hello", "world", "other"],
+    })
+    out = {r["conv_id"]: r for r in
+           conv_fingerprint(rd.from_arrow(t).repartition(2)).take_all()}
+    # identical ordered content -> identical fingerprint (the dedup key)
+    assert out["c1"]["text_md5"] == out["c2"]["text_md5"]
+    assert out["c3"]["text_md5"] != out["c1"]["text_md5"]
+    assert out["c1"]["n_turns"] == 2 and out["c3"]["n_turns"] == 1
+    # fingerprint IS the md5 of the sep-joined ordered text
+    assert out["c1"]["text_md5"] == hashlib.md5(
+        b"hello\nworld").hexdigest()
+    # order matters: swapping turns changes the key
+    swapped = pa.table({
+        "conv_id": ["c4", "c4"],
+        "turn_idx": pa.array([0, 1], pa.int64()),
+        "text": ["world", "hello"],
+    })
+    (r4,) = conv_fingerprint(rd.from_arrow(swapped)).take_all()
+    assert r4["text_md5"] != out["c1"]["text_md5"]
