@@ -588,24 +588,46 @@ def kg_edges(sf_dir: str):
     return aggregate_edges(triples, cls_of_norm=cls_of_norm_map([voc]))
 
 
+_DISTINCT_PAIRS_CACHE: dict = {}
+
+
 def _kg_distinct_pairs(sf_dir: str):
     """Shared upstream for the PageRank family: DISTINCT directed
-    (norm, norm) co-occurrence pairs from the full NER pipeline."""
+    (norm, norm) co-occurrence pairs from the full NER pipeline.
+    MEMOIZED per process like :func:`_kg_edge_pairs` (same key: corpus
+    identity + Ray job id; payload is the vocab^2-bounded pair table)
+    — kg_pagerank and kg_ppr otherwise each re-run the corpus-sized
+    upstream back to back in a driver session."""
+    import ray
+
     from easyner_ray.ops.relational import grouped_agg
     from easyner_ray.sources.vocab import vocabulary
     from easyner_ray.stages.dict_ner import tag_mentions
     from easyner_ray.stages.triples import sentence_triples
 
-    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    corpus = _corpus(sf_dir)  # gold table keyed to this sf_dir
+    path = os.path.join(corpus, "transcripts.parquet")
+    st = os.stat(path)
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (path, st.st_mtime_ns, st.st_size, job)
+    hit = _DISTINCT_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
-    return grouped_agg(
+    pairs = grouped_agg(
         triples.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("subj"), t.column("obj")], names=["src", "dst"]),
             batch_format="pyarrow"),
         ["src", "dst"], [("src", "count", "__c")],
         final="tree",  # distinct-pair keyspace is vocab^2-bounded
-    ).select_columns(["src", "dst"])
+    ).select_columns(["src", "dst"]).materialize()
+    _DISTINCT_PAIRS_CACHE.clear()
+    _DISTINCT_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def kg_pagerank(sf_dir: str):
