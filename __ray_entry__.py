@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_canonical": q.kg_edges_canonical,
         "kg_entity_trends": q.kg_entity_trends,
         "kg_edges_diff": q.kg_edges_diff,
+        "kg_export_ntriples": q.kg_export_ntriples,  # RDF interchange stream
+        "kg_harmonic": q.kg_harmonic,  # per-seed 3-hop harmonic centrality
+        "conv_templates": q.conv_templates,  # cross-conv boilerplate census
     }
 
 

@@ -589,3 +589,55 @@ def context_windows(transcripts, k: int = 3, *, sep: str = "\n",
 
     return bucketed.groupby("__bucket").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def template_turns(transcripts, *, min_convs: int = 3):
+    """Cross-conversation boilerplate census: normalized turn texts
+    (lower + whitespace-trim, empties dropped) that appear in at least
+    ``min_convs`` DISTINCT conversations.
+
+    Output: ``(role, text_norm, n_convs, n_turns)`` — the template
+    blocklist an SFT curation pass subtracts (canned greetings, repeated
+    tool payloads), the transcript-granularity analog of corpus
+    duplicate-line removal (``ops.textstats.duplicate_lines``).
+
+    Shuffle discipline: turns first collapse to DISTINCT
+    ``(role, digest, conv)`` triples with per-conversation repeat counts
+    (md5 of the normalized text — fixed-width keys, so the wide exchange
+    never ships the text bodies more than once per (text, conv) pair),
+    then a digest-keyed count-distinct; the exemplar text rides along as
+    ``min`` (equal to the unique preimage absent md5 collisions)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    def norm(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.utf8_lower(t.column("text").fill_null("")))
+        t = pa.table({"role": t.column("role"),
+                      "text_norm": txt,
+                      "conv_id": t.column("conv_id")})
+        t = t.filter(pc.not_equal(t.column("text_norm"), ""))
+        import hashlib
+
+        dig = pa.array(
+            [hashlib.md5(s.encode()).hexdigest()
+             for s in t.column("text_norm").to_pylist()], pa.string())
+        return t.append_column("digest", dig)
+
+    per_conv = grouped_agg(
+        transcripts.select_columns(["conv_id", "role", "text"])
+        .map_batches(norm, batch_format="pyarrow"),
+        ["role", "digest", "conv_id"],
+        [("text_norm", "min", "text_norm"),
+         ("text_norm", "count", "n_in_conv")],
+    )
+    out = grouped_agg(
+        per_conv,
+        ["role", "digest"],
+        [("text_norm", "min", "text_norm"),
+         ("conv_id", "count", "n_convs"),
+         ("n_in_conv", "sum", "n_turns")],
+    ).map_batches(
+        lambda t, m=int(min_convs): t.filter(
+            pc.greater_equal(t.column("n_convs"), m)),
+        batch_format="pyarrow")
+    return out.select_columns(["role", "text_norm", "n_convs", "n_turns"])

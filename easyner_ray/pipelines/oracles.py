@@ -1929,3 +1929,79 @@ KG["kg_edges_diff"] = f"""
                 ELSE 'changed' END AS status
     FROM j WHERE coalesce(wo, 0) <> coalesce(wn, 0)
 """
+
+KG["kg_export_ntriples"] = f"""
+    WITH nodes AS (
+      SELECT substr(md5(cls || '|' || norm), 1, 16) AS node_id, norm, cls
+      FROM {GM} GROUP BY norm, cls),
+    triples AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    clsmap AS (SELECT norm, min(cls) AS cls FROM {GM} GROUP BY norm),
+    edges AS (
+      SELECT substr(md5(cs.cls || '|' || subj), 1, 16) AS subj_id,
+             substr(md5(co.cls || '|' || obj), 1, 16) AS obj_id,
+             count(*) AS weight
+      FROM triples t
+      JOIN clsmap cs ON t.subj = cs.norm
+      JOIN clsmap co ON t.obj = co.norm
+      GROUP BY subj, obj, cs.cls, co.cls)
+    SELECT '<urn:kg:n:' || node_id
+           || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+           || replace(replace(norm, '\', '\\'), '"', '\"') || '" .' AS line
+    FROM nodes
+    UNION ALL
+    SELECT '<urn:kg:n:' || node_id
+           || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:kg:c:'
+           || replace(cls, ' ', '_') || '> .'
+    FROM nodes
+    UNION ALL
+    SELECT '<urn:kg:n:' || subj_id || '> <urn:kg:p:co_occurs_with> <urn:kg:n:'
+           || obj_id || '> .'
+    FROM edges
+    UNION ALL
+    SELECT '<urn:kg:s:' || subj_id || '-' || obj_id
+           || '> <urn:kg:p:weight> "' || CAST(weight AS VARCHAR)
+           || '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+    FROM edges
+"""
+
+KG["kg_harmonic"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    r(root, node, hop) AS (
+      SELECT s, s, 0 FROM (SELECT DISTINCT s FROM p
+        WHERE s IN ('zetamycin', 'actozine', 'arvel syndrome')) seeds(s)
+      UNION
+      SELECT r.root, p.o, r.hop + 1 FROM r JOIN p ON p.s = r.node
+      WHERE r.hop < 3),
+    m AS (SELECT root, node, min(hop) AS hop FROM r GROUP BY root, node)
+    SELECT root,
+           CAST(count(*) FILTER (WHERE hop > 0) AS BIGINT) AS n_reached,
+           round(sum(CASE WHEN hop > 0 THEN 1.0 / hop ELSE 0 END), 4)
+             AS harmonic
+    FROM m GROUP BY root
+"""
+
+KG["conv_templates"] = f"""
+    WITH n AS (
+      SELECT role,
+             regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                            '^\\s+', ''), '\\s+$', '') AS text_norm,
+             conv_id
+      FROM {TR})
+    SELECT role, text_norm,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM n WHERE text_norm <> ''
+    GROUP BY role, text_norm
+    HAVING count(DISTINCT conv_id) >= 3
+"""

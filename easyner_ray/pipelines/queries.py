@@ -2690,3 +2690,63 @@ def kg_edges_diff(sf_dir: str):
         cls_of_norm=cls_of_norm_map([voc])) \
         .select_columns(["subj", "obj", "weight"])
     return edges_diff(old, _kg_edge_pairs(sf_dir))
+
+
+def kg_export_ntriples(sf_dir: str):
+    """RDF N-Triples materialization of the full KG (nodes + typed class
+    tags + edges + reified weights) — the standard interchange stream a
+    triple store bulk-loads. Pure vectorized map over the nodes and
+    edges tables, no shuffle (``sources/rdf_export.py``); the reference
+    has no graph export beyond its JSON/TSV artifacts."""
+    from easyner_ray.sources.rdf_export import ntriples_lines
+    from easyner_ray.stages.canonicalize import canonical_nodes
+
+    return ntriples_lines(canonical_nodes(_mentions(sf_dir)),
+                          kg_edges(sf_dir))
+
+
+def kg_harmonic(sf_dir: str):
+    """Harmonic centrality of each watchlist seed within 3 hops:
+    per-root bounded BFS over the KG edge table, then
+    ``sum(1/hop)`` over reached nodes (hop 0 excluded) plus the reach
+    count — "how central is this watchlist entity in its 3-hop
+    neighborhood". Root count is the watchlist size, so the per-root
+    BFS loop is bounded by the query, not the corpus; each BFS is the
+    frontier-expansion kernel (output-sensitive work)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import bfs_hops
+
+    import numpy as np
+
+    edges = _kg_edge_pairs(sf_dir)
+    parts = []
+    for seed in WATCHLIST:
+        rows = bfs_hops(edges, [seed], max_hops=3).take_all()  # vocab-bounded
+        if not rows:
+            continue
+        h = np.array([r["hop"] for r in rows], dtype=np.int64)
+        reached = h[h > 0]
+        parts.append({"root": seed,
+                      "n_reached": int(reached.size),
+                      "harmonic": float(np.round(
+                          np.sum(1.0 / reached) if reached.size else 0.0, 4))})
+    return rd.from_arrow(pa.Table.from_pylist(parts)) if parts else \
+        rd.from_arrow(pa.table({"root": pa.array([], pa.string()),
+                                "n_reached": pa.array([], pa.int64()),
+                                "harmonic": pa.array([], pa.float64())}))
+
+
+def conv_templates(sf_dir: str):
+    """Cross-conversation boilerplate detection: normalized turn texts
+    (lower + trim) appearing in >= 3 DISTINCT conversations, with the
+    conversation and turn counts — the transcript-level analog of
+    corpus duplicate-line removal (templated greetings / canned tool
+    payloads that would otherwise flood an SFT set). Two-level grouped
+    aggregate: (digest, conv) partials collapse each conversation's
+    repeats locally, then a digest-keyed count — the full text never
+    shuffles more than once per (text, conv) pair."""
+    from easyner_ray.ops.conversations import template_turns
+
+    return template_turns(
+        _transcripts_cols(sf_dir, ["conv_id", "role", "text"]), min_convs=3)
