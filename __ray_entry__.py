@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_export_ntriples": q.kg_export_ntriples,  # RDF interchange stream
         "kg_harmonic": q.kg_harmonic,  # per-seed 3-hop harmonic centrality
         "conv_templates": q.conv_templates,  # cross-conv boilerplate census
+        "kg_component_stats": q.kg_component_stats,  # per-component audit
+        "kg_communities": q.kg_communities,  # deterministic weighted LPA
     }
 
 

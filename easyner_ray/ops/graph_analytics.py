@@ -46,6 +46,10 @@ __all__ = [
     "rewrite_edges",
     "entity_trends",
     "edges_diff",
+    "component_stats",
+    "label_propagation",
+    "negative_samples",
+    "betweenness",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -1414,3 +1418,125 @@ def edges_diff(old_edges, new_edges, *, src: str = "subj",
                                              out.column("weight_new"))))
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+def component_stats(edges, *, src: str = "subj", dst: str = "obj",
+                    weight: str = "weight", round_digits: int = 4):
+    """Per-component KG summary: -> (component, n_nodes, n_edges,
+    total_weight, density) — the graph-audit table a KG consumer reads
+    before anything else (is the graph one giant hairball or many tight
+    clusters? which component holds the watchlist?). ``density`` is
+    2E / N(N-1) on the undirected edge count, rounded half-away (SQL
+    ``round`` grain).
+
+    Consumes the grouped both-orientations edge table (the
+    ``aggregate_edges`` contract). The component labels come from
+    :func:`components` (vocab-bounded); the only other work is one
+    lo<hi orientation filter, one :func:`adaptive_join` of the
+    undirected edges against the broadcast label table, and two grouped
+    aggregates on the component keyspace — no corpus-sized exchange."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    comp = components(edges, src=src, dst=dst).materialize()
+    if comp.count() == 0:
+        return rd.from_arrow(pa.table(
+            {"component": pa.array([], pa.string()),
+             "n_nodes": pa.array([], pa.int64()),
+             "n_edges": pa.array([], pa.int64()),
+             "total_weight": pa.array([], pa.int64()),
+             "density": pa.array([], pa.float64())}))
+    node_counts = grouped_agg(comp, ["component"],
+                              [("norm", "count", "n_nodes")], final="tree")
+    und = edges.map_batches(
+        lambda t: t.filter(pc.less(t.column(src), t.column(dst)))
+                   .select([src, dst, weight]),
+        batch_format="pyarrow")
+    lab = comp.map_batches(lambda t: t.rename_columns([src, "component"]),
+                           batch_format="pyarrow")
+    edge_stats = grouped_agg(
+        adaptive_join(und, lab, on=src).map_batches(
+            lambda t: t.select(["component", weight]),
+            batch_format="pyarrow"),
+        ["component"],
+        [(weight, "count", "n_edges"), (weight, "sum", "total_weight")],
+        final="tree")
+    out = adaptive_join(node_counts, edge_stats, on="component")
+
+    def score(t: pa.Table, rd_=round_digits) -> pa.Table:
+        import numpy as np
+
+        n = t.column("n_nodes").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        e = t.column("n_edges").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dens = _round_away(
+            np.where(n > 1, 2.0 * e / np.where(n > 1, n * (n - 1), 1.0),
+                     0.0), rd_)
+        return t.append_column("density", pa.array(dens, pa.float64()))
+
+    return out.map_batches(score, batch_format="pyarrow")
+
+
+def label_propagation(edges, *, src: str = "subj", dst: str = "obj",
+                      weight: str = "weight", iters: int = 4):
+    """Deterministic synchronous weighted label propagation
+    (Raghavan et al. 2007, made order-free): -> (norm, community).
+
+    Every node starts labeled with itself; each of the ``iters``
+    synchronous rounds relabels node v with the neighbor label carrying
+    the LARGEST total incident edge weight, ties broken by the
+    lexicographically smallest label. Unlike classic LPA's
+    random-order asynchronous update, the synchronous + lexicographic
+    rule is fully deterministic and exactly reproducible in SQL — the
+    community assignment is a parity-checkable artifact, not a sample.
+
+    Expects the grouped both-orientations edge table (the
+    ``aggregate_edges`` contract), so a node's in-rows ARE its
+    undirected neighborhood. Per round: one :func:`adaptive_join` of the
+    edge table against the vocab-bounded label table (broadcast under
+    the gate, hash-shuffle above) + three grouped aggregates on the
+    (node x label)-bounded keyspace — no corpus-sized exchange, driver
+    holds nothing but the loop counter."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    e3 = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(src), t.column(dst),
+             pc.cast(t.column(weight), pa.int64())],
+            names=["node", "nbr", "__w"]),
+        batch_format="pyarrow").materialize()
+    if e3.count() == 0:
+        return rd.from_arrow(pa.table(
+            {"norm": pa.array([], pa.string()),
+             "community": pa.array([], pa.string())}))
+    labels = grouped_agg(
+        e3.map_batches(lambda t: t.select(["node"]),
+                       batch_format="pyarrow"),
+        ["node"], [("node", "count", "__c")]) \
+        .map_batches(lambda t: pa.Table.from_arrays(
+            [t.column("node"), t.column("node")],
+            names=["nbr", "lbl"]), batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        # total incident weight per (node, neighbor label)
+        lw = grouped_agg(
+            adaptive_join(e3, labels, on="nbr").map_batches(
+                lambda t: t.select(["node", "lbl", "__w"]),
+                batch_format="pyarrow"),
+            ["node", "lbl"], [("__w", "sum", "w")]).materialize()
+        mx = grouped_agg(lw, ["node"], [("w", "max", "__mw")])
+        labels = grouped_agg(
+            adaptive_join(lw, mx, on="node").map_batches(
+                lambda t: t.filter(pc.equal(t.column("w"),
+                                            t.column("__mw")))
+                           .select(["node", "lbl"]),
+                batch_format="pyarrow"),
+            ["node"], [("lbl", "min", "lbl")]).map_batches(
+                lambda t: t.rename_columns(["nbr", "lbl"]),
+                batch_format="pyarrow").materialize()
+    return labels.map_batches(
+        lambda t: t.rename_columns(["norm", "community"]),
+        batch_format="pyarrow")

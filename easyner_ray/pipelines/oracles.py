@@ -2005,3 +2005,56 @@ KG["conv_templates"] = f"""
     GROUP BY role, text_norm
     HAVING count(DISTINCT conv_id) >= 3
 """
+
+KG["kg_component_stats"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    pd AS (SELECT DISTINCT s, o FROM p),
+    reach(node, comp) AS (
+      SELECT s, s FROM pd
+      UNION
+      SELECT pd.o, r.comp FROM reach r JOIN pd ON pd.s = r.node),
+    lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    e AS (SELECT s, o, count(*) AS weight FROM p WHERE s < o
+          GROUP BY s, o),
+    ec AS (SELECT l.component, count(*) AS n_edges,
+                  CAST(sum(e.weight) AS BIGINT) AS total_weight
+           FROM e JOIN lab l ON l.node = e.s GROUP BY 1),
+    nc AS (SELECT component, count(*) AS n_nodes FROM lab GROUP BY 1)
+    SELECT nc.component, nc.n_nodes, ec.n_edges, ec.total_weight,
+           round(2.0 * ec.n_edges / (nc.n_nodes * (nc.n_nodes - 1)), 4)
+             AS density
+    FROM nc JOIN ec ON ec.component = nc.component
+"""
+
+# deterministic synchronous weighted LPA, 4 unrolled rounds: per round,
+# sum incident edge weight per (node, neighbor label), keep the max-weight
+# label(s), break ties lexicographically. Mirrors
+# ops/graph_analytics.label_propagation exactly.
+_LPA_STEP = """
+    s{i} AS (
+      SELECT e.s AS node, l.lbl, sum(e.w) AS w
+      FROM esym e JOIN it{j} l ON l.node = e.o GROUP BY 1, 2),
+    it{i} AS (
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT node, lbl, w, max(w) OVER (PARTITION BY node) AS mw
+        FROM s{i}) WHERE w = mw GROUP BY node)"""
+
+KG["kg_communities"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    esym AS (SELECT s, o, count(*) AS w FROM p GROUP BY s, o),
+    it0 AS (SELECT DISTINCT s AS node, s AS lbl FROM esym),
+    {",".join(_LPA_STEP.format(i=i, j=i - 1) for i in range(1, 5))}
+    SELECT node AS norm, lbl AS community FROM it4
+"""

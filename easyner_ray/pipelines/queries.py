@@ -2750,3 +2750,25 @@ def conv_templates(sf_dir: str):
 
     return template_turns(
         _transcripts_cols(sf_dir, ["conv_id", "role", "text"]), min_convs=3)
+
+
+def kg_component_stats(sf_dir: str):
+    """Per-component KG audit table: node count, undirected edge count,
+    total evidence weight, and density per connected component — the
+    first graph-shape question a KG consumer asks of a fresh build
+    (hairball vs clusters). Component labels + two component-keyspace
+    aggregates over the memoized vocab^2-bounded edge table."""
+    from easyner_ray.ops.graph_analytics import component_stats
+
+    return component_stats(_kg_edge_pairs(sf_dir))
+
+
+def kg_communities(sf_dir: str):
+    """Deterministic weighted label-propagation communities (4
+    synchronous rounds, max-incident-weight label, lexicographic tie
+    break) over the KG co-occurrence graph — finer-than-component
+    cluster structure for topic grouping, exactly reproducible in SQL
+    (the assignment is parity-checked, not sampled)."""
+    from easyner_ray.ops.graph_analytics import label_propagation
+
+    return label_propagation(_kg_edge_pairs(sf_dir), iters=4)

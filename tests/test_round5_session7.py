@@ -1,0 +1,121 @@
+"""Round-5 session-7 operators: per-component KG summary stats and
+deterministic weighted label-propagation communities
+(``ops/graph_analytics.component_stats`` / ``label_propagation``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _edges_ds(und, blocks: int = 2):
+    """Undirected weighted edge list -> both-orientation Dataset with the
+    ``aggregate_edges`` (subj, obj, weight) contract."""
+    import ray.data as rd
+
+    rows = {"subj": [], "obj": [], "weight": []}
+    for s, o, w in und:
+        for x, y in ((s, o), (o, s)):
+            rows["subj"].append(x)
+            rows["obj"].append(y)
+            rows["weight"].append(w)
+    return rd.from_arrow(pa.table(rows)).repartition(blocks)
+
+
+# two components: a 4-node near-clique (a,b,c,d: 5 of 6 possible edges)
+# and a 2-node pair (e,f)
+_TOY = [("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "d", 1),
+        ("b", "d", 4), ("e", "f", 5)]
+
+
+def test_component_stats_two_components(ray_session):
+    from easyner_ray.ops.graph_analytics import component_stats
+
+    out = {r["component"]: r for r in
+           component_stats(_edges_ds(_TOY)).take_all()}
+    assert set(out) == {"a", "e"}
+    big = out["a"]
+    assert big["n_nodes"] == 4 and big["n_edges"] == 5
+    assert big["total_weight"] == 2 + 1 + 3 + 1 + 4
+    assert big["density"] == round(2 * 5 / (4 * 3), 4)
+    pair = out["e"]
+    assert pair["n_nodes"] == 2 and pair["n_edges"] == 1
+    assert pair["total_weight"] == 5 and pair["density"] == 1.0
+
+
+def test_component_stats_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import component_stats
+
+    empty = rd.from_arrow(pa.table(
+        {"subj": pa.array([], pa.string()),
+         "obj": pa.array([], pa.string()),
+         "weight": pa.array([], pa.int64())}))
+    out = component_stats(empty).take_all()
+    assert out == []
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Two tight triangles joined by one weak bridge: LPA must give each
+    triangle its lexicographically-smallest member as community label
+    and must NOT merge them across the weight-1 bridge."""
+    from easyner_ray.ops.graph_analytics import label_propagation
+
+    und = [("a", "b", 5), ("a", "c", 5), ("b", "c", 5),
+           ("x", "y", 5), ("x", "z", 5), ("y", "z", 5),
+           ("c", "x", 1)]
+    out = {r["norm"]: r["community"] for r in
+           label_propagation(_edges_ds(und), iters=4).take_all()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == out["z"] == "x"
+
+
+def test_label_propagation_tie_breaks_lexicographic(ray_session):
+    """Equal-weight star: every leaf adopts the hub's label via the
+    max-weight rule; the hub sees all leaf labels at equal weight and
+    takes the lexicographically smallest."""
+    from easyner_ray.ops.graph_analytics import label_propagation
+
+    und = [("m", leaf, 2) for leaf in ("p", "q", "r")]
+    out = {r["norm"]: r["community"] for r in
+           label_propagation(_edges_ds(und), iters=1).take_all()}
+    # one synchronous round: leaves see only m; m sees {p,q,r} all at 2
+    assert out["p"] == out["q"] == out["r"] == "m"
+    assert out["m"] == "p"
+
+
+def test_label_propagation_matches_reference_loop(ray_session):
+    """Distributed LPA equals a straight-line single-process recompute of
+    the same spec on a random graph."""
+    import numpy as np
+
+    from easyner_ray.ops.graph_analytics import label_propagation
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    und = set()
+    for _ in range(60):
+        a, b = rng.choice(24, 2, replace=False)
+        und.add((min(int(a), int(b)), max(int(a), int(b))))
+    edges = [(nodes[a], nodes[b], int(rng.integers(1, 6)))
+             for a, b in sorted(und)]
+
+    # reference loop (synchronous, min-lex tie break)
+    nbrs: dict[str, list[tuple[str, int]]] = {}
+    for s, o, w in edges:
+        nbrs.setdefault(s, []).append((o, w))
+        nbrs.setdefault(o, []).append((s, w))
+    lab = {v: v for v in nbrs}
+    for _ in range(4):
+        new = {}
+        for v, ns in nbrs.items():
+            acc: dict[str, int] = {}
+            for o, w in ns:
+                acc[lab[o]] = acc.get(lab[o], 0) + w
+            mx = max(acc.values())
+            new[v] = min(l for l, w in acc.items() if w == mx)
+        lab = new
+
+    out = {r["norm"]: r["community"] for r in
+           label_propagation(_edges_ds(edges, blocks=3), iters=4).take_all()}
+    assert out == lab
