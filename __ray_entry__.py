@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_templates": q.conv_templates,  # cross-conv boilerplate census
         "kg_component_stats": q.kg_component_stats,  # per-component audit
         "kg_communities": q.kg_communities,  # deterministic weighted LPA
+        "kg_meta_paths": q.kg_meta_paths,  # typed predicate-chain census
+        "kg_node_attributes": q.kg_node_attributes,  # enriched node table
     }
 
 

@@ -2058,3 +2058,76 @@ KG["kg_communities"] = f"""
     {",".join(_LPA_STEP.format(i=i, j=i - 1) for i in range(1, 5))}
     SELECT node AS norm, lbl AS community FROM it4
 """
+
+KG["kg_meta_paths"] = f"""
+    WITH pairs AS (
+      SELECT a.conv_id, a.turn_idx, a.sent_idx,
+             a.norm AS subj, b.norm AS obj, a."end" AS ae,
+             greatest(b.start, a."end") AS bs
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx AND b.mention_idx = a.mention_idx + 1
+      WHERE a.norm <> b.norm),
+    g AS (
+      SELECT p.subj, p.obj,
+             lower(substr(s.text, p.ae + 1, p.bs - p.ae)) AS gap
+      FROM pairs p JOIN {GS} s
+        ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx
+       AND p.sent_idx = s.sent_idx),
+    t AS (
+      SELECT subj, obj, len(regexp_extract_all(gap, '[a-z]+')) AS ntok,
+             regexp_replace(
+               regexp_replace(gap, '^[^a-z]+|[^a-z]+$', '', 'g'),
+               '[^a-z]+', '_', 'g') AS predc
+      FROM g),
+    te AS (
+      SELECT subj,
+             CASE WHEN ntok BETWEEN 1 AND 3 THEN predc
+                  ELSE 'co_occurs_with' END AS pred,
+             obj, count(*) AS weight
+      FROM t GROUP BY 1, 2, 3)
+    SELECT e1.pred AS pred_a, e2.pred AS pred_b,
+           count(*) AS n_paths,
+           CAST(sum(e1.weight * e2.weight) AS BIGINT) AS path_weight
+    FROM te e1 JOIN te e2 ON e2.subj = e1.obj
+    WHERE e1.subj <> e2.obj
+    GROUP BY 1, 2
+"""
+
+KG["kg_node_attributes"] = f"""
+    WITH RECURSIVE base AS (
+      SELECT norm, count(*) AS n_mentions,
+             count(DISTINCT conv_id) AS n_convs
+      FROM {GM} GROUP BY norm),
+    p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    e AS (SELECT s, o, count(*) AS weight FROM p GROUP BY s, o),
+    deg AS (SELECT s AS norm, count(*) AS degree,
+                   CAST(sum(weight) AS BIGINT) AS strength
+            FROM e GROUP BY s),
+    pd AS (SELECT DISTINCT s, o FROM p),
+    reach(node, comp) AS (
+      SELECT s, s FROM pd
+      UNION
+      SELECT pd.o, r.comp FROM reach r JOIN pd ON pd.s = r.node),
+    lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    tv AS (
+      SELECT g.norm, min(t.ts) AS first_seen, max(t.ts) AS last_seen
+      FROM {GM} g JOIN {TR} t
+        ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
+      GROUP BY g.norm)
+    SELECT b.norm, b.n_mentions,
+           coalesce(d.degree, 0) AS degree,
+           coalesce(d.strength, 0) AS strength,
+           coalesce(l.component, b.norm) AS component,
+           b.n_convs, tv.first_seen, tv.last_seen
+    FROM base b
+    LEFT JOIN deg d ON d.norm = b.norm
+    LEFT JOIN lab l ON l.node = b.norm
+    JOIN tv ON tv.norm = b.norm
+"""

@@ -2772,3 +2772,117 @@ def kg_communities(sf_dir: str):
     from easyner_ray.ops.graph_analytics import label_propagation
 
     return label_propagation(_kg_edge_pairs(sf_dir), iters=4)
+
+
+def kg_meta_paths(sf_dir: str):
+    """Predicate meta-path census over the TYPED edge table: for every
+    ordered predicate pair (pred_a, pred_b), how many 2-hop typed paths
+    a -pred_a-> b -pred_b-> c exist (a != c) and their total evidence
+    weight — the schema-induction signal (which relation chains the
+    corpus actually supports) a KG consumer reads before writing
+    meta-path queries. The typed edge table is vocab^2 x predicate
+    bounded (predicates are open-vocabulary gap strings, so not small
+    in general); the self-join is one :func:`adaptive_join` —
+    broadcast under the 64 MB gate, Ray hash-shuffle join above it —
+    and the corpus-sized work happened once upstream in the pattern
+    extraction."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    typed = kg_typed_edges(sf_dir).materialize()
+    left = typed.map_batches(
+        lambda t: t.rename_columns(["__a", "pred_a", "__mid", "__wa"]),
+        batch_format="pyarrow")
+    right = typed.map_batches(
+        lambda t: t.rename_columns(["__mid", "pred_b", "__c", "__wb"]),
+        batch_format="pyarrow")
+    j = adaptive_join(left, right, on="__mid")
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("__a"), t.column("__c"))))
+        w = pc.multiply(pc.cast(t.column("__wa"), pa.int64()),
+                        pc.cast(t.column("__wb"), pa.int64()))
+        return pa.Table.from_arrays(
+            [t.column("pred_a"), t.column("pred_b"), w],
+            names=["pred_a", "pred_b", "__w"])
+
+    return grouped_agg(
+        j.map_batches(project, batch_format="pyarrow"),
+        ["pred_a", "pred_b"],
+        [("__w", "count", "n_paths"), ("__w", "sum", "path_weight")])
+
+
+def kg_node_attributes(sf_dir: str):
+    """The enriched KG NODE table a downstream consumer actually loads:
+    per canonical entity — mention count, graph degree + strength
+    (0 for isolated nodes), connected-component label (self for
+    isolated nodes), distinct conversations, and first/last observed
+    transcript timestamp. One corpus-sized mention scan + one adaptive
+    turn-key join against the pruned (conv_id, turn_idx, ts) transcript
+    read; everything downstream is node-keyspace-bounded joins of the
+    degree, component, and temporal aggregates."""
+    from easyner_ray.ops.graph_analytics import _SEP, components, degree_stats
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    ments = _mentions(sf_dir)
+    edges = _kg_edge_pairs(sf_dir)
+
+    base = grouped_agg(
+        ments.map_batches(lambda t: t.select(["norm"]),
+                          batch_format="pyarrow"),
+        ["norm"], [("norm", "count", "n_mentions")])
+
+    deg = degree_stats(edges).map_batches(
+        lambda t: t.select(["norm", "degree", "strength"])
+                   .rename_columns(["norm", "__deg", "__str"]),
+        batch_format="pyarrow")
+    comp = components(edges).map_batches(
+        lambda t: t.rename_columns(["norm", "__comp"]),
+        batch_format="pyarrow")
+
+    # distinct conversations per entity: two-phase (norm, conv) distinct
+    nconv = grouped_agg(
+        grouped_agg(
+            ments.map_batches(lambda t: t.select(["norm", "conv_id"]),
+                              batch_format="pyarrow"),
+            ["norm", "conv_id"], [("conv_id", "count", "__c")]),
+        ["norm"], [("conv_id", "count", "n_convs")])
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
+            _SEP)
+        return pa.Table.from_arrays([k, t.column("ts")], names=["__k", "ts"])
+
+    def mention_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
+            _SEP)
+        return pa.Table.from_arrays([t.column("norm"), k],
+                                    names=["norm", "__k"])
+
+    temporal = grouped_agg(
+        adaptive_join(
+            ments.map_batches(mention_key, batch_format="pyarrow"),
+            _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"])
+                .map_batches(turn_key, batch_format="pyarrow"),
+            on="__k").map_batches(
+                lambda t: t.select(["norm", "ts"]), batch_format="pyarrow"),
+        ["norm"], [("ts", "min", "first_seen"), ("ts", "max", "last_seen")])
+
+    out = adaptive_join(base, nconv, on="norm")
+    out = adaptive_join(out, temporal, on="norm")
+    out = adaptive_join(out, deg, on="norm", how="left")
+    out = adaptive_join(out, comp, on="norm", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("norm"), t.column("n_mentions"),
+             pc.coalesce(t.column("__deg"), pa.scalar(0, pa.int64())),
+             pc.coalesce(t.column("__str"), pa.scalar(0, pa.int64())),
+             pc.coalesce(t.column("__comp"), t.column("norm")),
+             t.column("n_convs"), t.column("first_seen"),
+             t.column("last_seen")],
+            names=["norm", "n_mentions", "degree", "strength", "component",
+                   "n_convs", "first_seen", "last_seen"])
+
+    return out.map_batches(finish, batch_format="pyarrow")

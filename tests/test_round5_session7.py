@@ -119,3 +119,78 @@ def test_label_propagation_matches_reference_loop(ray_session):
     out = {r["norm"]: r["community"] for r in
            label_propagation(_edges_ds(edges, blocks=3), iters=4).take_all()}
     assert out == lab
+
+
+def test_meta_paths_small(ray_session):
+    """Meta-path census over a hand-built typed edge table equals the
+    brute-force pair enumeration (checked through the same join +
+    aggregate ops the query composes)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+    import pyarrow.compute as pc
+
+    typed = pa.table({
+        "subj": ["a", "b", "b", "c"],
+        "pred": ["treats", "causes", "treats", "causes"],
+        "obj": ["b", "c", "a", "a"],
+        "weight": [2, 3, 1, 4]})
+    ds = rd.from_arrow(typed)
+    left = ds.map_batches(
+        lambda t: t.rename_columns(["__a", "pred_a", "__mid", "__wa"]),
+        batch_format="pyarrow")
+    right = ds.map_batches(
+        lambda t: t.rename_columns(["__mid", "pred_b", "__c", "__wb"]),
+        batch_format="pyarrow")
+    j = adaptive_join(left, right, on="__mid")
+
+    def project(t):
+        t = t.filter(pc.invert(pc.equal(t.column("__a"), t.column("__c"))))
+        w = pc.multiply(pc.cast(t.column("__wa"), pa.int64()),
+                        pc.cast(t.column("__wb"), pa.int64()))
+        return pa.Table.from_arrays(
+            [t.column("pred_a"), t.column("pred_b"), w],
+            names=["pred_a", "pred_b", "__w"])
+
+    out = {(r["pred_a"], r["pred_b"]): (r["n_paths"], r["path_weight"])
+           for r in grouped_agg(
+               j.map_batches(project, batch_format="pyarrow"),
+               ["pred_a", "pred_b"],
+               [("__w", "count", "n_paths"),
+                ("__w", "sum", "path_weight")]).take_all()}
+
+    # brute force
+    rows = typed.to_pylist()
+    expect: dict = {}
+    for e1 in rows:
+        for e2 in rows:
+            if e1["obj"] == e2["subj"] and e1["subj"] != e2["obj"]:
+                k = (e1["pred"], e2["pred"])
+                n, w = expect.get(k, (0, 0))
+                expect[k] = (n + 1, w + e1["weight"] * e2["weight"])
+    assert out == expect
+
+
+def test_node_attributes_invariants(ray_session):
+    """Structural invariants of the enriched node table on the synthetic
+    corpus: every node has >= 1 mention and conversation, degree-0 nodes
+    label their own component, first_seen <= last_seen, and the node set
+    equals the distinct mention surface forms."""
+    from easyner_ray.pipelines.queries import _mentions, kg_node_attributes
+
+    sf = "/root/testdata/sf0.001"
+    rows = kg_node_attributes(sf).take_all()
+    assert rows
+    norms = {r["norm"] for r in rows}
+    ment_norms = set(
+        _mentions(sf).select_columns(["norm"]).unique("norm"))
+    if ment_norms and isinstance(next(iter(ment_norms)), dict):
+        ment_norms = {d["norm"] for d in ment_norms}
+    assert norms == ment_norms
+    for r in rows:
+        assert r["n_mentions"] >= 1 and r["n_convs"] >= 1
+        assert r["first_seen"] <= r["last_seen"]
+        if r["degree"] == 0:
+            assert r["component"] == r["norm"] and r["strength"] == 0
+        else:
+            assert r["strength"] >= r["degree"]
