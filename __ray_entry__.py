@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": q.kg_communities,  # deterministic weighted LPA
         "kg_meta_paths": q.kg_meta_paths,  # typed predicate-chain census
         "kg_node_attributes": q.kg_node_attributes,  # enriched node table
+        "kg_betweenness": q.kg_betweenness,  # exact Brandes (gold oracle)
+        "kg_negative_samples": q.kg_negative_samples,  # KG training negs
     }
 
 

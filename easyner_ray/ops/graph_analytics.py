@@ -1540,3 +1540,198 @@ def label_propagation(edges, *, src: str = "subj", dst: str = "obj",
     return labels.map_batches(
         lambda t: t.rename_columns(["norm", "community"]),
         batch_format="pyarrow")
+
+
+def negative_samples(edges, *, src: str = "subj", dst: str = "obj",
+                     k: int = 2):
+    """Hash-deterministic NEGATIVE pairs for link-prediction training:
+    for every undirected positive edge (s < o), corrupt the object into
+    ``k`` candidate non-edges -> (subj, neg_obj, slot). The candidate
+    for slot j is the node at lexicographic rank
+    ``((r_s * 2654435761 + r_o * 40503 + j * 97) mod 2^32) mod n``
+    (1-based ranks over the sorted node vocabulary — SQL
+    ``row_number() OVER (ORDER BY node)`` parity); candidates that hit
+    the subject itself or an existing edge (either orientation) are
+    DROPPED, not resampled, so the output is a pure function of the
+    graph. Knuth-hash corruption is the standard KG-embedding
+    negative-sampling scheme (Bordes et al. 2013) made reproducible.
+
+    The node vocabulary and the packed sorted edge-key array broadcast
+    once via ``ray.put`` (vocab / vocab^2-bounded by the edge-table
+    contract); generation is one vectorized numpy pass per edge batch —
+    no exchange at all. Contract: vocabulary size < 2^32."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"subj": pa.array([], pa.string()),
+                      "neg_obj": pa.array([], pa.string()),
+                      "slot": pa.array([], pa.int64())})
+    und = edges.map_batches(
+        lambda t: t.filter(pc.less(t.column(src), t.column(dst)))
+                   .select([src, dst]),
+        batch_format="pyarrow").materialize()
+    blocks = [b for b in ray.get(und.to_arrow_refs()) if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    vocab = np.unique(np.concatenate(
+        [t.column(src).to_numpy(zero_copy_only=False),
+         t.column(dst).to_numpy(zero_copy_only=False)]))
+    a_c = np.searchsorted(vocab, t.column(src).to_numpy(
+        zero_copy_only=False)).astype(np.uint64)
+    b_c = np.searchsorted(vocab, t.column(dst).to_numpy(
+        zero_copy_only=False)).astype(np.uint64)
+    direct = np.unique((a_c << np.uint64(32)) | b_c)  # a < b by contract
+    n = len(vocab)
+    state_ref = ray.put((vocab, direct))
+
+    def gen(batch: pa.Table, k_=int(k), n_=int(n)) -> pa.Table:
+        voc, direct_ = ray.get(state_ref)
+        s = batch.column(src).to_numpy(zero_copy_only=False)
+        o = batch.column(dst).to_numpy(zero_copy_only=False)
+        cs = np.searchsorted(voc, s).astype(np.uint64)
+        co = np.searchsorted(voc, o).astype(np.uint64)
+        outs, outo, outj = [], [], []
+        for j in range(1, k_ + 1):
+            h = ((cs + np.uint64(1)) * np.uint64(2654435761)
+                 + (co + np.uint64(1)) * np.uint64(40503)
+                 + np.uint64(j * 97)) % np.uint64(1 << 32)
+            idx = h % np.uint64(n_)
+            lo = np.minimum(cs, idx)
+            hi = np.maximum(cs, idx)
+            key = (lo << np.uint64(32)) | hi
+            pos = np.searchsorted(direct_, key)
+            pos_c = np.minimum(pos, len(direct_) - 1)
+            keep = (idx != cs) & ~(direct_[pos_c] == key)
+            outs.append(s[keep])
+            outo.append(voc[idx[keep].astype(np.int64)])
+            outj.append(np.full(int(keep.sum()), j, dtype=np.int64))
+        return pa.table({
+            "subj": pa.array(np.concatenate(outs), pa.string()),
+            "neg_obj": pa.array(np.concatenate(outo), pa.string()),
+            "slot": pa.array(np.concatenate(outj), pa.int64())})
+
+    return und.map_batches(gen, batch_format="pyarrow")
+
+
+def betweenness(edges, *, src: str = "subj", dst: str = "obj",
+                round_digits: int = 4, n_tasks: int = 32):
+    """EXACT betweenness centrality (Brandes 2001) over the unweighted
+    co-occurrence graph -> (norm, betweenness): for every node v, the
+    sum over ordered pairs (s, t), s != v != t, of the fraction of
+    shortest s->t paths passing through v. The symmetric edge-table
+    contract makes this the undirected betweenness x2 (each unordered
+    pair counted in both directions) — the convention is pinned so the
+    derived gold and the engine agree exactly. Scores are rounded
+    half-away at ``round_digits`` (tiny cross-task float reordering sits
+    ~1e-12 below the grain).
+
+    Kernel: the int-coded CSR adjacency broadcasts once via ``ray.put``
+    (vocab-bounded); tasks over root ranges each run Brandes'
+    single-source BFS + reverse dependency accumulation in numpy-indexed
+    arrays and emit ONE per-task partial score vector, merged by a
+    grouped sum on the node keyspace — per-task output is O(vocab), not
+    O(roots x vocab), and there is no other exchange."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "betweenness": pa.array([], pa.float64())})
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
+    nv = len(vocab)
+    # CSR indptr by code: the symmetric contract gives every code a
+    # segment, so cumsum(deg) is exactly the segment bounds
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    state_ref = ray.put((indptr, nbr_c))
+    n_tasks = min(n_tasks, nv) or 1
+
+    def brandes_task(batch: pa.Table) -> pa.Table:
+        # level-synchronous Brandes, fully vectorized per level: expand
+        # the whole frontier with one ranges->index gather (the two_hop
+        # kernel's trick), accumulate path counts / dependencies with
+        # np.add.at over the level's edge set — no per-node Python loop
+        indptr_, adj = ray.get(state_ref)
+        nv_ = len(indptr_) - 1
+        score = np.zeros(nv_, dtype=np.float64)
+        for root in batch.column("gi").to_numpy():
+            dist = np.full(nv_, -1, dtype=np.int64)
+            sigma = np.zeros(nv_, dtype=np.float64)
+            dist[root] = 0
+            sigma[root] = 1.0
+            frontier = np.array([root], dtype=np.int64)
+            level_edges = []  # per depth: (v at d, w at d+1) DAG edges
+            d = 0
+            while len(frontier):
+                st = indptr_[frontier]
+                ln = indptr_[frontier + 1] - st
+                tot = int(ln.sum())
+                if tot == 0:
+                    break
+                flat = np.arange(tot, dtype=np.int64)
+                idx = (flat - np.repeat(np.cumsum(ln) - ln, ln)
+                       + np.repeat(st, ln))
+                w = adj[idx]
+                v_rep = np.repeat(frontier, ln)
+                new_nodes = np.unique(w[dist[w] < 0])
+                dist[new_nodes] = d + 1
+                sel = dist[w] == d + 1
+                vs, ws = v_rep[sel], w[sel]
+                if len(vs):
+                    np.add.at(sigma, ws, sigma[vs])
+                    level_edges.append((vs, ws))
+                frontier = new_nodes
+                d += 1
+            delta = np.zeros(nv_, dtype=np.float64)
+            for vs, ws in reversed(level_edges):
+                np.add.at(delta, vs,
+                          sigma[vs] * (1.0 + delta[ws]) / sigma[ws])
+            mask = dist >= 0
+            mask[root] = False
+            score[mask] += delta[mask]
+        nz = np.flatnonzero(score)
+        return pa.table({"__c": pa.array(nz, pa.int64()),
+                         "__s": pa.array(score[nz], pa.float64())})
+
+    group_ids = rd.from_arrow(pa.table(
+        {"gi": pa.array(np.arange(nv), pa.int64())}))
+    partials = group_ids.map_batches(
+        brandes_task, batch_format="pyarrow",
+        batch_size=max(1, (nv + n_tasks - 1) // n_tasks))
+    summed = grouped_agg(partials, ["__c"], [("__s", "sum", "__s")])
+
+    def fin(tbl: pa.Table, rd_=round_digits) -> pa.Table:
+        names = vocab.take(tbl.column("__c").combine_chunks())
+        vals = _round_away(tbl.column("__s").combine_chunks().to_numpy(
+            zero_copy_only=False), rd_)
+        return pa.table({"norm": names,
+                         "betweenness": pa.array(vals, pa.float64())})
+
+    # nodes with zero betweenness (leaves) still belong in the output
+    out = summed.map_batches(fin, batch_format="pyarrow")
+    from easyner_ray.ops.relational import adaptive_join
+
+    all_nodes = rd.from_arrow(pa.table({"norm": vocab}))
+    j = adaptive_join(all_nodes, out, on="norm", how="left")
+    return j.map_batches(
+        lambda tb: pa.table(
+            {"norm": tb.column("norm"),
+             "betweenness": pc.coalesce(tb.column("betweenness"),
+                                        pa.scalar(0.0, pa.float64()))}),
+        batch_format="pyarrow")

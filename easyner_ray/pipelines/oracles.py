@@ -2131,3 +2131,39 @@ KG["kg_node_attributes"] = f"""
     LEFT JOIN lab l ON l.node = b.norm
     JOIN tv ON tv.norm = b.norm
 """
+
+KG["kg_betweenness"] = (
+    f"SELECT norm, betweenness "
+    f"FROM read_parquet('{SYNTH}/gold_betweenness.parquet')")
+
+KG["kg_negative_samples"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    e AS (SELECT DISTINCT s, o FROM p WHERE s < o),
+    nodes AS (
+      SELECT node, row_number() OVER (ORDER BY node) AS r
+      FROM (SELECT DISTINCT s AS node FROM p)),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    cand AS (
+      SELECT e.s AS subj, e.o AS pos_obj, j.slot,
+             ((ns.r * 2654435761 + no.r * 40503 + j.slot * 97)
+               % 4294967296) % (SELECT cnt FROM n) + 1 AS ri
+      FROM e
+      JOIN nodes ns ON ns.node = e.s
+      JOIN nodes no ON no.node = e.o
+      CROSS JOIN (VALUES (1), (2)) AS j(slot)),
+    neg AS (
+      SELECT c.subj, nn.node AS neg_obj, CAST(c.slot AS BIGINT) AS slot
+      FROM cand c JOIN nodes nn ON nn.r = c.ri
+      WHERE nn.node <> c.subj)
+    SELECT subj, neg_obj, slot FROM neg
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e
+      WHERE e.s = least(neg.subj, neg.neg_obj)
+        AND e.o = greatest(neg.subj, neg.neg_obj))
+"""

@@ -2886,3 +2886,26 @@ def kg_node_attributes(sf_dir: str):
                    "n_convs", "first_seen", "last_seen"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def kg_betweenness(sf_dir: str):
+    """Exact Brandes betweenness centrality over the KG co-occurrence
+    graph (symmetric-pair convention = undirected x2): the
+    bridge-detection complement of PageRank/eigenvector — which
+    entities sit ON the shortest paths between topic clusters. Oracle =
+    straight-line textbook Brandes recompute
+    (gold_betweenness.parquet)."""
+    from easyner_ray.ops.graph_analytics import betweenness
+
+    return betweenness(_kg_edge_pairs(sf_dir))
+
+
+def kg_negative_samples(sf_dir: str):
+    """Hash-deterministic corrupted-pair negatives for link-prediction
+    training over the KG edge table: per undirected positive edge, two
+    candidate non-edges by Knuth-hash object corruption
+    (self/existing-edge collisions dropped, not resampled — a pure
+    function of the graph, reproducible in SQL)."""
+    from easyner_ray.ops.graph_analytics import negative_samples
+
+    return negative_samples(_kg_edge_pairs(sf_dir), k=2)

@@ -1407,8 +1407,74 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_eigencentrality_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_ppr.parquet")):
         write_ppr_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_betweenness.parquet")):
+        write_betweenness_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)
         if not os.path.exists(os.path.join(corpus, "gold_cms_counts.parquet")):
             write_cms_gold(corpus, events_path)
+
+
+def write_betweenness_gold(corpus: str, round_digits: int = 4) -> str:
+    """Straight-line textbook Brandes (2001) betweenness over the
+    sentence co-occurrence pair graph — the gold for the distributed
+    ``ops.graph_analytics.betweenness`` (spec: edges = DISTINCT directed
+    (norm_a, norm_b) pairs co-mentioned in a sentence — the symmetric
+    set, so scores are undirected betweenness x2; scores rounded
+    half-away at ``round_digits`` with the same formula as the engine's
+    ``_round_away``). Deliberately the queue-and-stack scalar loop, not
+    the engine's level-vectorized kernel."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    adj: dict = collections.defaultdict(set)
+    for norms in sent_norms.values():
+        ns = sorted(norms)
+        for a in ns:
+            for b in ns:
+                if a != b:
+                    adj[a].add(b)
+    nodes = sorted(adj)
+    score = {v: 0.0 for v in nodes}
+    for root in nodes:
+        stack = []
+        preds: dict = {v: [] for v in nodes}
+        sigma = {v: 0.0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        sigma[root] = 1.0
+        dist[root] = 0
+        queue = collections.deque([root])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in sorted(adj[v]):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != root:
+                score[w] += delta[w]
+    s = 10.0 ** round_digits
+    vals = [float(np.copysign(np.floor(abs(score[v] * s) + 0.5),
+                              score[v]) / s) for v in nodes]
+    tbl = pa.Table.from_arrays(
+        [pa.array(nodes, pa.string()), pa.array(vals, pa.float64())],
+        names=["norm", "betweenness"])
+    path = os.path.join(corpus, "gold_betweenness.parquet")
+    pq.write_table(tbl, path)
+    return path

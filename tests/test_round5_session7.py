@@ -194,3 +194,87 @@ def test_node_attributes_invariants(ray_session):
             assert r["component"] == r["norm"] and r["strength"] == 0
         else:
             assert r["strength"] >= r["degree"]
+
+
+def test_betweenness_closed_forms(ray_session):
+    from easyner_ray.ops.graph_analytics import betweenness
+
+    # path a-b-c-d: ordered pairs through b = (a,c),(c,a),(a,d),(d,a)
+    out = {r["norm"]: r["betweenness"] for r in betweenness(
+        _edges_ds([("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])).take_all()}
+    assert out == {"a": 0.0, "b": 4.0, "c": 4.0, "d": 0.0}
+    # star with 4 leaves: hub = 4*3 ordered leaf pairs
+    out = {r["norm"]: r["betweenness"] for r in betweenness(
+        _edges_ds([("m", x, 1) for x in "pqrs"])).take_all()}
+    assert out["m"] == 12.0
+    assert all(out[x] == 0.0 for x in "pqrs")
+
+
+def test_betweenness_matches_textbook_brandes(ray_session):
+    """Distributed level-vectorized kernel == textbook scalar Brandes on
+    a random graph, including fractional path splits."""
+    import collections
+
+    import numpy as np
+
+    from easyner_ray.ops.graph_analytics import betweenness
+
+    rng = np.random.default_rng(5)
+    names = [f"n{i:02d}" for i in range(30)]
+    und = set()
+    for _ in range(70):
+        a, b = rng.choice(30, 2, replace=False)
+        und.add((min(int(a), int(b)), max(int(a), int(b))))
+    edges = [(names[a], names[b], 1) for a, b in sorted(und)]
+
+    adj = collections.defaultdict(set)
+    for s, o, _ in edges:
+        adj[s].add(o)
+        adj[o].add(s)
+    nodes = sorted(adj)
+    score = {v: 0.0 for v in nodes}
+    for root in nodes:
+        stack, preds = [], {v: [] for v in nodes}
+        sigma = {v: 0.0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        sigma[root], dist[root] = 1.0, 0
+        q = collections.deque([root])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in sorted(adj[v]):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != root:
+                score[w] += delta[w]
+
+    out = {r["norm"]: r["betweenness"] for r in
+           betweenness(_edges_ds(edges, blocks=3), n_tasks=5).take_all()}
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert abs(out[v] - score[v]) <= 1e-4 + 1e-9, (v, out[v], score[v])
+
+
+def test_negative_samples_deterministic_and_clean(ray_session):
+    from easyner_ray.ops.graph_analytics import negative_samples
+
+    und = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 1),
+           ("b", "e", 1)]
+    edge_set = {tuple(sorted((s, o))) for s, o, _ in und}
+    r1 = sorted((r["subj"], r["neg_obj"], r["slot"]) for r in
+                negative_samples(_edges_ds(und), k=3).take_all())
+    r2 = sorted((r["subj"], r["neg_obj"], r["slot"]) for r in
+                negative_samples(_edges_ds(und, blocks=4), k=3).take_all())
+    assert r1 == r2 and r1  # block-layout invariant, non-empty
+    for s, o, slot in r1:
+        assert s != o and tuple(sorted((s, o))) not in edge_set
+        assert 1 <= slot <= 3
