@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_attributes": q.kg_node_attributes,  # enriched node table
         "kg_betweenness": q.kg_betweenness,  # exact Brandes (gold oracle)
         "kg_negative_samples": q.kg_negative_samples,  # KG training negs
+        "conv_dialog_acts": q.conv_dialog_acts,  # SFT-mix act profile
     }
 
 

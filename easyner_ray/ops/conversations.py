@@ -49,7 +49,9 @@ __all__ = [
     "context_windows",
     "refusal_scan",
     "conv_fingerprint",
+    "dialog_acts",
     "REFUSAL_PHRASES",
+    "COMMAND_VERBS",
 ]
 
 # Canned-response / refusal markers an SFT-curation pass screens
@@ -641,3 +643,57 @@ def template_turns(transcripts, *, min_convs: int = 3):
             pc.greater_equal(t.column("n_convs"), m)),
         batch_format="pyarrow")
     return out.select_columns(["role", "text_norm", "n_convs", "n_turns"])
+
+
+# Imperative openers for the dialogue-act heuristic: a turn whose first
+# word is one of these (and that doesn't end in '?') reads as a command /
+# instruction. Public folk knowledge — the rule-based act taggers used to
+# profile instruct data all key on an opener list of this shape.
+COMMAND_VERBS = (
+    "add", "check", "create", "describe", "explain", "find", "fix",
+    "generate", "give", "help", "list", "make", "please", "remove",
+    "run", "show", "summarize", "tell", "update", "write",
+)
+
+_WS = " \t\n\r"
+
+
+def dialog_acts(transcripts, *, commands=COMMAND_VERBS):
+    """Rule-based dialogue-act profile per conversation: each turn is
+    tagged ``question`` (trimmed text ends with '?'), ``command``
+    (first word is an imperative opener from ``commands``), ``empty``
+    (no text), else ``statement`` -> one ``(conv_id, act, n_turns)``
+    row per observed act — the shape an SFT-mix designer reads to
+    balance instruction-following vs Q&A vs chitchat conversations.
+
+    Map-only tagging with whole-column kernels (trim / ends_with /
+    one anchored ``extract_regex`` for the first word / set
+    membership); the only exchange is the two-phase grouped count on
+    the (conversation x 4-act) keyspace."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    cmd_set = pa.array(sorted(set(commands)), pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim(pc.coalesce(t.column("text"), ""), _WS)
+        low = pc.utf8_lower(txt)
+        first = pc.struct_field(
+            pc.extract_regex(low, r"^(?P<w>[a-z]+)"), "w")
+        is_cmd = pc.coalesce(pc.is_in(first, value_set=cmd_set),
+                             pa.scalar(False))
+        act = pc.if_else(
+            pc.equal(txt, ""), pa.scalar("empty"),
+            pc.if_else(
+                pc.ends_with(txt, pattern="?"), pa.scalar("question"),
+                pc.if_else(is_cmd, pa.scalar("command"),
+                           pa.scalar("statement"))))
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), act,
+             pa.array(np.ones(len(t), dtype=np.int64))],
+            names=["conv_id", "act", "one"])
+
+    return grouped_agg(
+        transcripts.map_batches(tag, batch_format="pyarrow"),
+        ["conv_id", "act"], [("one", "sum", "n_turns")])

@@ -2167,3 +2167,22 @@ KG["kg_negative_samples"] = f"""
       WHERE e.s = least(neg.subj, neg.neg_obj)
         AND e.o = greatest(neg.subj, neg.neg_obj))
 """
+
+
+KG["conv_dialog_acts"] = f"""
+    WITH t AS (
+      SELECT conv_id,
+             trim(coalesce(text, ''),
+                  ' ' || chr(9) || chr(10) || chr(13)) AS txt
+      FROM {TR}),
+    a AS (
+      SELECT conv_id,
+             CASE WHEN txt = '' THEN 'empty'
+                  WHEN txt LIKE '%?' THEN 'question'
+                  WHEN regexp_extract(lower(txt), '^([a-z]+)', 1)
+                    IN ('add', 'check', 'create', 'describe', 'explain', 'find', 'fix', 'generate', 'give', 'help', 'list', 'make', 'please', 'remove', 'run', 'show', 'summarize', 'tell', 'update', 'write') THEN 'command'
+                  ELSE 'statement' END AS act
+      FROM t)
+    SELECT conv_id, act, CAST(count(*) AS BIGINT) AS n_turns
+    FROM a GROUP BY 1, 2
+"""

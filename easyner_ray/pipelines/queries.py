@@ -2909,3 +2909,11 @@ def kg_negative_samples(sf_dir: str):
     from easyner_ray.ops.graph_analytics import negative_samples
 
     return negative_samples(_kg_edge_pairs(sf_dir), k=2)
+
+
+def conv_dialog_acts(sf_dir: str):
+    """Rule-based dialogue-act mix per conversation (question / command
+    / statement / empty turn counts) — the SFT-mix balance profile."""
+    from easyner_ray.ops.conversations import dialog_acts
+
+    return dialog_acts(_transcripts_cols(sf_dir, ["conv_id", "text"]))

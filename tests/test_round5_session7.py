@@ -278,3 +278,40 @@ def test_negative_samples_deterministic_and_clean(ray_session):
     for s, o, slot in r1:
         assert s != o and tuple(sorted((s, o))) not in edge_set
         assert 1 <= slot <= 3
+
+
+def test_dialog_acts_rules(ray_session):
+    """Each tagging rule fires on a crafted turn; counts group per
+    conversation."""
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import dialog_acts
+
+    t = pa.table({
+        "conv_id": ["c1"] * 6 + ["c2"] * 2,
+        "text": ["What is this?",          # question
+                 "  Is it done?\n",        # question (trailing ws)
+                 "Run the tests now.",     # command (opener 'run')
+                 "Please summarize it",    # command ('please')
+                 "The sky is blue.",       # statement
+                 "",                       # empty
+                 None,                     # empty (null text)
+                 "explain the diff"],      # command
+    })
+    out = {(r["conv_id"], r["act"]): r["n_turns"] for r in
+           dialog_acts(rd.from_arrow(t).repartition(2)).take_all()}
+    assert out == {("c1", "question"): 2, ("c1", "command"): 2,
+                   ("c1", "statement"): 1, ("c1", "empty"): 1,
+                   ("c2", "empty"): 1, ("c2", "command"): 1}
+
+
+def test_dialog_acts_question_beats_command(ray_session):
+    """A turn that both opens with a command verb and ends in '?' is a
+    question — rule order is pinned."""
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import dialog_acts
+
+    t = pa.table({"conv_id": ["c"], "text": ["run it, ok?"]})
+    out = dialog_acts(rd.from_arrow(t)).take_all()
+    assert out[0]["act"] == "question"
