@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_betweenness": q.kg_betweenness,  # exact Brandes (gold oracle)
         "kg_negative_samples": q.kg_negative_samples,  # KG training negs
         "conv_dialog_acts": q.conv_dialog_acts,  # SFT-mix act profile
+        "kg_eccentricity": q.kg_eccentricity,  # radius/diameter profile
+        "kg_type_pairs": q.kg_type_pairs,  # class-level schema census
     }
 
 

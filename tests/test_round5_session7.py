@@ -315,3 +315,56 @@ def test_dialog_acts_question_beats_command(ray_session):
     t = pa.table({"conv_id": ["c"], "text": ["run it, ok?"]})
     out = dialog_acts(rd.from_arrow(t)).take_all()
     assert out[0]["act"] == "question"
+
+
+def test_eccentricity_closed_forms(ray_session):
+    from easyner_ray.ops.graph_analytics import eccentricity
+
+    # path a-b-c-d plus isolated pair e-f
+    und = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("e", "f", 1)]
+    out = {r["norm"]: (r["eccentricity"], r["n_reachable"]) for r in
+           eccentricity(_edges_ds(und)).take_all()}
+    assert out["a"] == (3, 3) and out["d"] == (3, 3)
+    assert out["b"] == (2, 3) and out["c"] == (2, 3)
+    assert out["e"] == (1, 1) and out["f"] == (1, 1)
+
+
+def test_type_pairs_census(ray_session):
+    """Class-pair census through the same join+aggregate chain the query
+    composes, on a hand-built edge table + class map."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import broadcast_join, grouped_agg
+    import pyarrow.compute as pc
+
+    cls = {"aspirin": "drug", "ibuprofen": "drug",
+           "flu": "disease", "cough": "symptom"}
+    und = [("aspirin", "flu", 3), ("aspirin", "ibuprofen", 2),
+           ("cough", "flu", 5), ("flu", "ibuprofen", 1)]
+    # build both orientations then reduce exactly as kg_type_pairs does
+    edges = _edges_ds(und)
+    cls_tbl = pa.table({"__n": list(cls), "__cls": list(cls.values())})
+    undirected = edges.map_batches(
+        lambda t: t.filter(pc.less(t.column("subj"), t.column("obj"))),
+        batch_format="pyarrow")
+    j = broadcast_join(undirected, cls_tbl.rename_columns(["__n", "__ca"]),
+                       on="subj", right_key="__n", value_cols=["__ca"])
+    j = broadcast_join(j, cls_tbl.rename_columns(["__n", "__cb"]),
+                       on="obj", right_key="__n", value_cols=["__cb"])
+
+    def pairkey(t):
+        lo = pc.min_element_wise(t.column("__ca"), t.column("__cb"))
+        hi = pc.max_element_wise(t.column("__ca"), t.column("__cb"))
+        return pa.Table.from_arrays(
+            [lo, hi, pc.cast(t.column("weight"), pa.int64())],
+            names=["cls_a", "cls_b", "weight"])
+
+    out = {(r["cls_a"], r["cls_b"]): (r["n_edges"], r["total_weight"])
+           for r in grouped_agg(
+               j.map_batches(pairkey, batch_format="pyarrow"),
+               ["cls_a", "cls_b"],
+               [("weight", "count", "n_edges"),
+                ("weight", "sum", "total_weight")], final="tree").take_all()}
+    assert out == {("disease", "drug"): (2, 4),
+                   ("drug", "drug"): (1, 2),
+                   ("disease", "symptom"): (1, 5)}
