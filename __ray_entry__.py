@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dialog_acts": q.conv_dialog_acts,  # SFT-mix act profile
         "kg_eccentricity": q.kg_eccentricity,  # radius/diameter profile
         "kg_type_pairs": q.kg_type_pairs,  # class-level schema census
+        "conv_topics": q.conv_topics,  # conversation -> dominant entity
+        "kg_growth": q.kg_growth,  # first-seen edges per day (build audit)
     }
 
 

@@ -2229,3 +2229,39 @@ KG["kg_type_pairs"] = f"""
            JOIN cm cb ON cb.norm = e.o
     GROUP BY 1, 2
 """
+
+KG["conv_topics"] = f"""
+    WITH c AS (
+      SELECT conv_id, norm, count(*) AS n
+      FROM {GM} GROUP BY conv_id, norm),
+    s AS (
+      SELECT conv_id, norm, n,
+             max(n) OVER (PARTITION BY conv_id) AS mx,
+             count(*) OVER (PARTITION BY conv_id)
+               AS n_distinct_entities
+      FROM c)
+    SELECT conv_id, min(norm) AS top_entity,
+           CAST(min(n) AS BIGINT) AS n_mentions_top,
+           CAST(min(n_distinct_entities) AS BIGINT)
+             AS n_distinct_entities
+    FROM s WHERE n = mx GROUP BY conv_id
+"""
+
+KG["kg_growth"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS na, b.norm AS nb,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    fs AS (
+      SELECT p.na, p.nb, min(t.ts) AS first_seen
+      FROM triples p JOIN {TR} t
+        ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+      WHERE p.na < p.nb
+      GROUP BY p.na, p.nb)
+    SELECT date_trunc('day', first_seen) AS day,
+           count(*) AS n_new_edges
+    FROM fs GROUP BY 1
+"""

@@ -2964,3 +2964,65 @@ def kg_type_pairs(sf_dir: str):
         ["cls_a", "cls_b"],
         [("weight", "count", "n_edges"), ("weight", "sum", "total_weight")],
         final="tree")
+
+
+def conv_topics(sf_dir: str):
+    """Conversation -> dominant KG entity assignment: per conversation,
+    the most-mentioned entity (ties broken lexicographically), its
+    mention count, and the conversation's distinct-entity breadth — the
+    link a KG consumer uses to route conversations to graph
+    neighborhoods. Two-phase (conv, entity) count, then the same
+    max-weight + lexicographic argmax exchange the LPA kernel uses
+    (all on the conv x observed-entity keyspace, never corpus text)."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    counts = grouped_agg(
+        _mentions(sf_dir).map_batches(
+            lambda t: t.select(["conv_id", "norm"]),
+            batch_format="pyarrow"),
+        ["conv_id", "norm"], [("norm", "count", "n")]).materialize()
+    stats = grouped_agg(
+        counts, ["conv_id"],
+        [("n", "max", "__mx"), ("norm", "count", "n_distinct_entities")])
+    j = adaptive_join(counts, stats, on="conv_id")
+
+    def argmax(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("n"), t.column("__mx")))
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), t.column("norm"), t.column("n"),
+             t.column("n_distinct_entities")],
+            names=["conv_id", "top_entity", "n_mentions_top",
+                   "n_distinct_entities"])
+
+    out = grouped_agg(
+        j.map_batches(argmax, batch_format="pyarrow"),
+        ["conv_id"],
+        [("top_entity", "min", "top_entity"),
+         ("n_mentions_top", "min", "n_mentions_top"),
+         ("n_distinct_entities", "min", "n_distinct_entities")])
+    return out
+
+
+def kg_growth(sf_dir: str):
+    """KG growth curve: per day, how many undirected co-occurrence
+    edges were observed for the FIRST time — the build-audit series
+    that tells a KG operator whether the graph is still discovering
+    structure or has saturated. Rides :func:`kg_temporal_edges`'
+    corpus-sized turn-key join once, then collapses to the
+    pair-keyspace first-seen aggregate and one day-bucket count."""
+    from easyner_ray.ops.graph_analytics import temporal_edges
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    te = temporal_edges(
+        triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
+    daily = te.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.floor_temporal(t.column("first_seen"), unit="day")],
+            names=["day"]),
+        batch_format="pyarrow")
+    return grouped_agg(daily, ["day"], [("day", "count", "n_new_edges")],
+                       final="tree")

@@ -368,3 +368,26 @@ def test_type_pairs_census(ray_session):
     assert out == {("disease", "drug"): (2, 4),
                    ("drug", "drug"): (1, 2),
                    ("disease", "symptom"): (1, 5)}
+
+
+def test_conv_topics_argmax_and_ties(ray_session):
+    """The dominant-entity assignment picks the max-count entity per
+    conversation and breaks count ties lexicographically, mirroring the
+    SQL window argmax."""
+    import collections
+
+    from easyner_ray.pipelines.queries import _mentions, conv_topics
+
+    sf = "/root/testdata/sf0.001"
+    counts: dict = collections.defaultdict(collections.Counter)
+    for r in _mentions(sf).select_columns(["conv_id", "norm"]).take_all():
+        counts[r["conv_id"]][r["norm"]] += 1
+    expect = {}
+    for conv, ctr in counts.items():
+        mx = max(ctr.values())
+        expect[conv] = (min(n for n, c in ctr.items() if c == mx), mx,
+                        len(ctr))
+    out = {r["conv_id"]: (r["top_entity"], r["n_mentions_top"],
+                          r["n_distinct_entities"])
+           for r in conv_topics(sf).take_all()}
+    assert out == expect
