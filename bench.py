@@ -185,6 +185,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_edges_decayed": q.kg_edges_decayed,
         "conv_refusal_scan": q.conv_refusal_scan,
         "kg_typed_edges": q.kg_typed_edges,
+        # round-5 session-7 operators (graph kernels share the memoized
+        # edge upstream within the process, so these legs measure the
+        # kernels, not a rebuilt NER chain)
+        "kg_component_stats": q.kg_component_stats,
+        "kg_communities": q.kg_communities,
+        "kg_betweenness": q.kg_betweenness,
+        "kg_node_attributes": q.kg_node_attributes,
+        "conv_dialog_acts": q.conv_dialog_acts,
+        "conv_topics": q.conv_topics,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
