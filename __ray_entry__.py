@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_pairs": q.kg_type_pairs,  # class-level schema census
         "conv_topics": q.conv_topics,  # conversation -> dominant entity
         "kg_growth": q.kg_growth,  # first-seen edges per day (build audit)
+        "kg_integrity": q.kg_integrity,  # artifact-level referential gate
+        "kg_mention_yield": q.kg_mention_yield,  # per-role NER yield
     }
 
 

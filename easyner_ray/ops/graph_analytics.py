@@ -51,6 +51,7 @@ __all__ = [
     "negative_samples",
     "betweenness",
     "eccentricity",
+    "integrity_report",
 ]
 
 _SEP = "\x1f"  # key joiner; never appears in normalized entity surface forms
@@ -1816,3 +1817,66 @@ def eccentricity(edges, *, src: str = "subj", dst: str = "obj",
     return group_ids.map_batches(
         bfs_task, batch_format="pyarrow",
         batch_size=max(1, (nv + n_tasks - 1) // n_tasks))
+
+
+def integrity_report(nodes, edges):
+    """Referential-integrity gate over a materialized KG -> ONE row
+    ``(n_nodes, n_edges, n_dangling_subj, n_dangling_obj, n_self_loops,
+    n_bad_weight)``: edge endpoints whose ``subj_id``/``obj_id`` miss
+    the node table, self-loop edges, and non-positive weights — all
+    zero on a healthy build (the CI-gate twin of ``stages/metrics``'
+    P/R gates, run against the artifact instead of the predictions).
+
+    Two :func:`adaptive_join` left probes of the edge stream against
+    the node-id projection (broadcast under the gate, hash-shuffle on
+    an open node keyspace) + one streaming per-batch count partial
+    folded by ``Dataset.sum`` — no materialization of either table."""
+    import numpy as np
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join
+
+    ids_s = nodes.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node_id"),
+             pa.array(np.ones(len(t), dtype=np.int8))],
+            names=["subj_id", "__s_ok"]),
+        batch_format="pyarrow")
+    ids_o = nodes.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node_id"),
+             pa.array(np.ones(len(t), dtype=np.int8))],
+            names=["obj_id", "__o_ok"]),
+        batch_format="pyarrow")
+    j = adaptive_join(
+        edges.map_batches(
+            lambda t: t.select(["subj_id", "subj", "obj_id", "obj",
+                                "weight"]),
+            batch_format="pyarrow"),
+        ids_s, on="subj_id", how="left")
+    j = adaptive_join(j, ids_o, on="obj_id", how="left")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_edges": pa.array([len(t)], pa.int64()),
+            "n_dangling_subj": pa.array(
+                [t.column("__s_ok").null_count], pa.int64()),
+            "n_dangling_obj": pa.array(
+                [t.column("__o_ok").null_count], pa.int64()),
+            "n_self_loops": pa.array(
+                [pc.sum(pc.cast(pc.equal(t.column("subj"),
+                                         t.column("obj")),
+                                pa.int64())).as_py() or 0], pa.int64()),
+            "n_bad_weight": pa.array(
+                [pc.sum(pc.cast(pc.less_equal(t.column("weight"), 0),
+                                pa.int64())).as_py() or 0], pa.int64()),
+        })
+
+    cols = ["n_edges", "n_dangling_subj", "n_dangling_obj",
+            "n_self_loops", "n_bad_weight"]
+    sums = j.map_batches(per_batch, batch_format="pyarrow").sum(cols)
+    sums = sums or {f"sum({c})": 0 for c in cols}
+    row = {"n_nodes": nodes.count()}
+    row.update({c: int(sums[f"sum({c})"] or 0) for c in cols})
+    return rd.from_arrow(pa.table(
+        {k: pa.array([v], pa.int64()) for k, v in row.items()}))

@@ -2265,3 +2265,52 @@ KG["kg_growth"] = f"""
            count(*) AS n_new_edges
     FROM fs GROUP BY 1
 """
+
+KG["kg_integrity"] = f"""
+    WITH nodes AS (
+      SELECT substr(md5(cls || '|' || norm), 1, 16) AS node_id
+      FROM {GM} GROUP BY norm, cls),
+    triples AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    clsmap AS (SELECT norm, min(cls) AS cls FROM {GM} GROUP BY norm),
+    edges AS (
+      SELECT substr(md5(cs.cls || '|' || subj), 1, 16) AS subj_id, subj,
+             substr(md5(co.cls || '|' || obj), 1, 16) AS obj_id, obj,
+             count(*) AS weight
+      FROM triples t JOIN clsmap cs ON cs.norm = t.subj
+                     JOIN clsmap co ON co.norm = t.obj
+      GROUP BY 1, 2, 3, 4)
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM edges
+             WHERE subj_id NOT IN (SELECT node_id FROM nodes))
+             AS n_dangling_subj,
+           (SELECT count(*) FROM edges
+             WHERE obj_id NOT IN (SELECT node_id FROM nodes))
+             AS n_dangling_obj,
+           (SELECT count(*) FROM edges WHERE subj = obj) AS n_self_loops,
+           (SELECT count(*) FROM edges WHERE weight <= 0) AS n_bad_weight
+"""
+
+KG["kg_mention_yield"] = f"""
+    WITH tu AS (
+      SELECT role, count(*) AS n_turns,
+             CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+      FROM {TR} GROUP BY role),
+    m AS (
+      SELECT t.role, count(*) AS n_mentions
+      FROM {GM} g JOIN {TR} t
+        ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
+      GROUP BY t.role)
+    SELECT tu.role, coalesce(m.n_mentions, 0) AS n_mentions,
+           tu.n_turns, tu.n_chars,
+           round(1000.0 * coalesce(m.n_mentions, 0)
+                 / (CASE WHEN tu.n_chars > 0 THEN tu.n_chars ELSE 1 END),
+                 4) AS mentions_per_kchar
+    FROM tu LEFT JOIN m ON m.role = tu.role
+"""

@@ -3026,3 +3026,78 @@ def kg_growth(sf_dir: str):
         batch_format="pyarrow")
     return grouped_agg(daily, ["day"], [("day", "count", "n_new_edges")],
                        final="tree")
+
+
+def kg_integrity(sf_dir: str):
+    """One-row referential-integrity report over the materialized KG
+    (dangling edge endpoints vs the node table, self-loops, bad
+    weights) — all-zero on a healthy build; the artifact-level CI gate."""
+    from easyner_ray.ops.graph_analytics import integrity_report
+    from easyner_ray.stages.canonicalize import canonical_nodes
+
+    return integrity_report(canonical_nodes(_mentions(sf_dir)),
+                            kg_edges(sf_dir))
+
+
+def kg_mention_yield(sf_dir: str):
+    """Per-role NER yield diagnostics: mentions, turns, characters, and
+    mentions per 1k chars by transcript role — where the KG's signal
+    actually comes from (assistant prose vs user questions vs tool
+    payloads). One adaptive turn-key join of the mention stream against
+    the pruned (conv, turn, role, text-length) transcript read, then
+    role-keyspace aggregates."""
+    from easyner_ray.ops.graph_analytics import _SEP, _round_away
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
+            _SEP)
+        chars = pc.cast(pc.utf8_length(pc.coalesce(t.column("text"), "")),
+                        pa.int64())
+        return pa.Table.from_arrays([k, t.column("role"), chars],
+                                    names=["__k", "role", "__chars"])
+
+    turns = tr.map_batches(turn_key, batch_format="pyarrow").materialize()
+    by_role = grouped_agg(
+        turns, ["role"],
+        [("__k", "count", "n_turns"), ("__chars", "sum", "n_chars")],
+        final="tree")
+
+    def mention_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
+            _SEP)
+        return pa.Table.from_arrays([k], names=["__k"])
+
+    m_role = grouped_agg(
+        adaptive_join(
+            _mentions(sf_dir).map_batches(mention_key,
+                                          batch_format="pyarrow"),
+            turns.map_batches(lambda t: t.select(["__k", "role"]),
+                              batch_format="pyarrow"),
+            on="__k").map_batches(
+                lambda t: t.select(["role"]), batch_format="pyarrow"),
+        ["role"], [("role", "count", "n_mentions")], final="tree") \
+        .map_batches(lambda t: t.rename_columns(["role", "__nm"]),
+                     batch_format="pyarrow")
+
+    out = adaptive_join(by_role, m_role, on="role", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nm = pc.coalesce(t.column("__nm"), pa.scalar(0, pa.int64()))
+        chars = t.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        rate = _round_away(
+            1000.0 * nm.combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            / np.where(chars > 0, chars, 1.0), 4)
+        return pa.Table.from_arrays(
+            [t.column("role"), nm, t.column("n_turns"),
+             t.column("n_chars"), pa.array(rate, pa.float64())],
+            names=["role", "n_mentions", "n_turns", "n_chars",
+                   "mentions_per_kchar"])
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -391,3 +391,51 @@ def test_conv_topics_argmax_and_ties(ray_session):
                           r["n_distinct_entities"])
            for r in conv_topics(sf).take_all()}
     assert out == expect
+
+
+def test_integrity_report_detects_violations(ray_session):
+    """The gate reports zero on a healthy toy KG and counts each
+    injected violation class (dangling subj/obj, self-loop, bad
+    weight)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import integrity_report
+
+    nodes = rd.from_arrow(pa.table(
+        {"node_id": ["n1", "n2", "n3"],
+         "norm": ["a", "b", "c"]}))
+    good = rd.from_arrow(pa.table(
+        {"subj_id": ["n1", "n2"], "subj": ["a", "b"],
+         "obj_id": ["n2", "n3"], "obj": ["b", "c"],
+         "weight": [3, 1]}))
+    r = integrity_report(nodes, good).take_all()[0]
+    assert r == {"n_nodes": 3, "n_edges": 2, "n_dangling_subj": 0,
+                 "n_dangling_obj": 0, "n_self_loops": 0,
+                 "n_bad_weight": 0}
+
+    bad = rd.from_arrow(pa.table(
+        {"subj_id": ["n1", "nX", "n2", "n3"],
+         "subj":    ["a",  "x",  "b",  "c"],
+         "obj_id":  ["n2", "n2", "nY", "n3"],
+         "obj":     ["b",  "b",  "y",  "c"],
+         "weight":  [3,    1,    0,    2]}))
+    r = integrity_report(nodes, bad).take_all()[0]
+    assert r["n_edges"] == 4
+    assert r["n_dangling_subj"] == 1 and r["n_dangling_obj"] == 1
+    assert r["n_self_loops"] == 1      # (c, c)
+    assert r["n_bad_weight"] == 1      # weight 0
+
+
+def test_mention_yield_invariants(ray_session):
+    """Per-role yield sums to the corpus mention count; rates are
+    non-negative and rounded."""
+    from easyner_ray.pipelines.queries import (_mentions, kg_mention_yield)
+
+    sf = "/root/testdata/sf0.001"
+    rows = kg_mention_yield(sf).take_all()
+    assert {r["role"] for r in rows} >= {"user", "assistant"}
+    assert sum(r["n_mentions"] for r in rows) == _mentions(sf).count()
+    for r in rows:
+        assert r["n_turns"] > 0 and r["n_chars"] >= 0
+        assert r["mentions_per_kchar"] >= 0.0
+        assert r["mentions_per_kchar"] == round(r["mentions_per_kchar"], 4)
