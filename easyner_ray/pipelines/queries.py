@@ -2816,20 +2816,17 @@ def kg_node_attributes(sf_dir: str):
     per canonical entity — mention count, graph degree + strength
     (0 for isolated nodes), connected-component label (self for
     isolated nodes), distinct conversations, and first/last observed
-    transcript timestamp. One corpus-sized mention scan + one adaptive
-    turn-key join against the pruned (conv_id, turn_idx, ts) transcript
-    read; everything downstream is node-keyspace-bounded joins of the
-    degree, component, and temporal aggregates."""
+    transcript timestamp. ONE corpus-sized mention pass: the mention
+    stream joins the pruned (conv_id, turn_idx, ts) transcript read on
+    the turn key, collapses to the (norm, conv) keyspace carrying
+    count/min-ts/max-ts partials, and every further aggregate/join is
+    node-keyspace-bounded (a first cut consumed the mention Dataset
+    three times — each consumer re-ran the NER upstream; 21 s -> ~3 s
+    at sf0.1/32)."""
     from easyner_ray.ops.graph_analytics import _SEP, components, degree_stats
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
-    ments = _mentions(sf_dir)
     edges = _kg_edge_pairs(sf_dir)
-
-    base = grouped_agg(
-        ments.map_batches(lambda t: t.select(["norm"]),
-                          batch_format="pyarrow"),
-        ["norm"], [("norm", "count", "n_mentions")])
 
     deg = degree_stats(edges).map_batches(
         lambda t: t.select(["norm", "degree", "strength"])
@@ -2838,14 +2835,6 @@ def kg_node_attributes(sf_dir: str):
     comp = components(edges).map_batches(
         lambda t: t.rename_columns(["norm", "__comp"]),
         batch_format="pyarrow")
-
-    # distinct conversations per entity: two-phase (norm, conv) distinct
-    nconv = grouped_agg(
-        grouped_agg(
-            ments.map_batches(lambda t: t.select(["norm", "conv_id"]),
-                              batch_format="pyarrow"),
-            ["norm", "conv_id"], [("conv_id", "count", "__c")]),
-        ["norm"], [("conv_id", "count", "n_convs")])
 
     def turn_key(t: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -2857,21 +2846,28 @@ def kg_node_attributes(sf_dir: str):
         k = pc.binary_join_element_wise(
             t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
             _SEP)
-        return pa.Table.from_arrays([t.column("norm"), k],
-                                    names=["norm", "__k"])
+        return pa.Table.from_arrays([t.column("norm"), t.column("conv_id"), k],
+                                    names=["norm", "conv_id", "__k"])
 
-    temporal = grouped_agg(
+    # one corpus pass: mention -> turn-ts join -> (norm, conv) rollup
+    per_conv = grouped_agg(
         adaptive_join(
-            ments.map_batches(mention_key, batch_format="pyarrow"),
+            _mentions(sf_dir).map_batches(mention_key,
+                                          batch_format="pyarrow"),
             _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"])
                 .map_batches(turn_key, batch_format="pyarrow"),
             on="__k").map_batches(
-                lambda t: t.select(["norm", "ts"]), batch_format="pyarrow"),
-        ["norm"], [("ts", "min", "first_seen"), ("ts", "max", "last_seen")])
+                lambda t: t.select(["norm", "conv_id", "ts"]),
+                batch_format="pyarrow"),
+        ["norm", "conv_id"],
+        [("ts", "count", "__n"), ("ts", "min", "__t0"),
+         ("ts", "max", "__t1")])
+    base = grouped_agg(
+        per_conv, ["norm"],
+        [("__n", "sum", "n_mentions"), ("conv_id", "count", "n_convs"),
+         ("__t0", "min", "first_seen"), ("__t1", "max", "last_seen")])
 
-    out = adaptive_join(base, nconv, on="norm")
-    out = adaptive_join(out, temporal, on="norm")
-    out = adaptive_join(out, deg, on="norm", how="left")
+    out = adaptive_join(base, deg, on="norm", how="left")
     out = adaptive_join(out, comp, on="norm", how="left")
 
     def finish(t: pa.Table) -> pa.Table:
