@@ -2862,10 +2862,16 @@ def kg_node_attributes(sf_dir: str):
         ["norm", "conv_id"],
         [("ts", "count", "__n"), ("ts", "min", "__t0"),
          ("ts", "max", "__t1")])
+    # node-keyspace-bounded: checkpoint so the downstream joins' schema
+    # probes don't re-execute the corpus chain (unchecked, each
+    # adaptive_join's left-side schema probe re-ran the NER -> join ->
+    # rollup pipeline through its sorts: 3 full executions, 12.5 s ->
+    # 4.5 s at sf0.1/32)
     base = grouped_agg(
         per_conv, ["norm"],
         [("__n", "sum", "n_mentions"), ("conv_id", "count", "n_convs"),
-         ("__t0", "min", "first_seen"), ("__t1", "max", "last_seen")])
+         ("__t0", "min", "first_seen"), ("__t1", "max", "last_seen")]) \
+        .materialize()
 
     out = adaptive_join(base, deg, on="norm", how="left")
     out = adaptive_join(out, comp, on="norm", how="left")
