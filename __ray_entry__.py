@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_incremental": q.dedup_exact_incremental,  # vs digest snapshot
         "doc_stats": q.doc_stats_q,
         "docs_repetition": q.docs_repetition,        # Gopher repetition signals
+        "docs_cross_dup_ngrams": q.docs_cross_dup_ngrams,  # cross-doc dup n-gram share
         "docs_mixture_sample": q.docs_mixture_sample,  # per-source Bernoulli mix
         "docs_epoch_mix": q.docs_epoch_mix,          # fractional-epoch mixing
         "docs_split_assign": q.docs_split_assign,    # train/val/test holdout

@@ -1984,3 +1984,153 @@ def concat_blocks(ds, block_tokens: int, *, id_col: str = "doc_id",
     return ds.map_batches(prep, batch_format="pyarrow",
                           batch_size=batch_size) \
         .groupby("bucket").map_groups(slice_bucket, batch_format="pyarrow")
+
+
+# ------------------------------ cross-document duplicate n-grams ---------
+
+def _shingle_partial(t: pa.Table, *, n: int, id_col: str,
+                     text_col: str) -> pa.Table:
+    """-> DISTINCT ``(id, shingle)`` rows for one batch: word ``n``-grams
+    over the TF-IDF token convention (maximal ``[a-z0-9]+`` runs of the
+    lowercased text, space-joined). A document lives on one input row, so
+    its distinct-shingle set completes inside its batch — no cross-batch
+    combine needed. Whole-batch vectorized: one Arrow lower+split kernel,
+    numpy offset arithmetic for the window index matrix, one
+    ``binary_join_element_wise`` to materialize shingle strings, one
+    Arrow group_by for the within-doc DISTINCT."""
+    schema = pa.schema([t.schema.field(id_col), ("shingle", pa.string())])
+    text = t.column(text_col).combine_chunks()
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(pc.coalesce(text, "")), TFIDF_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return schema.empty_table()
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    ndocs = len(t)
+    counts = np.bincount(parent, minlength=ndocs)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    m = np.maximum(counts - n + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return schema.empty_table()
+    doc_idx = np.repeat(np.arange(ndocs), m)
+    offs = np.cumsum(m) - m
+    within = np.arange(total, dtype=np.int64) - offs[doc_idx]
+    base = starts[doc_idx] + within
+    cols = [flat.take(pa.array(base + k)) for k in range(n)]
+    shingle = pc.binary_join_element_wise(*cols, " ")
+    ids = t.column(id_col).combine_chunks().take(pa.array(doc_idx))
+    pairs = pa.Table.from_arrays([ids, shingle], names=[id_col, "shingle"])
+    return pairs.group_by([id_col, "shingle"]).aggregate([]).cast(schema)
+
+
+def cross_doc_dup_ngrams(docs, *, n: int = 5, id_col: str = "doc_id",
+                         text_col: str = "text", batch_size: int = 4096,
+                         broadcast_max_bytes: int = 256 << 20):
+    """Per-document CROSS-corpus duplicate n-gram share — the
+    RefinedWeb-style signal that complements the within-doc Gopher
+    repetition stats (``repetition_stats``) and whole-span removal
+    (``dedup.dup_span_removal``): for each document, how many of its
+    DISTINCT word ``n``-gram shingles also occur in at least one OTHER
+    document (same-doc repeats do NOT count — the df is over distinct
+    (doc, shingle) rows).
+
+    Output: ``(id, n_shingles, n_dup_shingles, dup_frac)`` — one row per
+    document with >= 1 shingle; ``dup_frac`` is a single IEEE float64
+    division (bit-identical across engines, no rounding grain).
+
+    Distributed shape: shingle pairs are exact per batch (a document is
+    one input row); df is a two-phase bucketed count over the shingle
+    keyspace (pairs are distinct per doc, so df = row count per
+    shingle). The duplicated-shingle set joins back ADAPTIVELY: under
+    ``broadcast_max_bytes`` (measured on the materialized dup set in the
+    object store) it broadcasts as ONE ``ray.put`` array and scoring is
+    a second MAP-ONLY pass over the docs (recomputing shingles batch-
+    locally — zero corpus-sized shuffle); above the gate it switches to
+    the semi-join + doc-keyspace grouped-count path so no process ever
+    holds the dup set whole. Both paths are value-identical.
+    """
+    import ray
+
+    from easyner_ray.ops.relational import (adaptive_join,
+                                            adaptive_semi_join,
+                                            bucketed_final, grouped_agg)
+
+    docs = docs.materialize()  # two consumers: pairs pass + scoring pass
+    pairs = docs.map_batches(
+        lambda t: _shingle_partial(t, n=n, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        g = t.group_by(["shingle"]).aggregate([("shingle", "count")])
+        return g.rename_columns(["shingle", "c"])
+
+    cnt = bucketed_final(
+        pairs.select_columns(["shingle"]).map_batches(
+            partial_count, batch_format="pyarrow"),
+        ["shingle"], pa_aggs=[("c", "sum")], out_names=["c"])
+    dup = cnt.filter(expr="c >= 2").select_columns(["shingle"]).materialize()
+
+    out_schema_tail = [("n_shingles", pa.int64()),
+                       ("n_dup_shingles", pa.int64()),
+                       ("dup_frac", pa.float64())]
+
+    if dup.size_bytes() <= broadcast_max_bytes:
+        chunks = []
+        for r in dup.to_arrow_refs():
+            blk = ray.get(r)
+            if "shingle" in blk.schema.names:  # empty corpus -> no schema
+                chunks.extend(blk.column("shingle").chunks)
+        chunks = [c for c in chunks if len(c)]
+        dup_arr = (pa.concat_arrays(chunks) if chunks
+                   else pa.array([], pa.string()))
+        ref = ray.put(dup_arr)
+
+        def score(t: pa.Table) -> pa.Table:
+            p = _shingle_partial(t, n=n, id_col=id_col, text_col=text_col)
+            schema = pa.schema([p.schema.field(id_col)] + out_schema_tail)
+            if len(p) == 0:
+                return schema.empty_table()
+            flag = pc.is_in(p.column("shingle"),
+                            value_set=ray.get(ref)).cast(pa.int64())
+            per = pa.Table.from_arrays(
+                [p.column(id_col), flag], names=[id_col, "flag"]
+            ).group_by([id_col]).aggregate([("flag", "count"),
+                                            ("flag", "sum")])
+            ns = per.column("flag_count").cast(pa.int64())
+            nd = per.column("flag_sum").cast(pa.int64())
+            frac = pc.divide(nd.cast(pa.float64()), ns.cast(pa.float64()))
+            return pa.Table.from_arrays(
+                [per.column(id_col), ns, nd, frac],
+                names=[id_col, "n_shingles", "n_dup_shingles", "dup_frac"])
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+    # open-dup-set path (100 TB): every exchange stays keyspace-bounded
+    pairs = pairs.materialize()  # feeds total count AND the semi join
+    ns = grouped_agg(pairs.select_columns([id_col]), [id_col],
+                     [(id_col, "count", "n_shingles")])
+    hits = adaptive_semi_join(pairs, dup, on="shingle")
+    nd = grouped_agg(hits.select_columns([id_col]), [id_col],
+                     [(id_col, "count", "n_dup_shingles")])
+    joined = adaptive_join(ns, nd, on=id_col, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [(id_col, pa.string())] + out_schema_tail).empty_table()
+        ns_c = t.column("n_shingles").cast(pa.int64())
+        nd_c = pc.coalesce(t.column("n_dup_shingles"),
+                           pa.scalar(0)).cast(pa.int64())
+        frac = pc.divide(nd_c.cast(pa.float64()), ns_c.cast(pa.float64()))
+        return pa.Table.from_arrays(
+            [t.column(id_col), ns_c, nd_c, frac],
+            names=[id_col, "n_shingles", "n_dup_shingles", "dup_frac"])
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=batch_size)

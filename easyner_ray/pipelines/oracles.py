@@ -2314,3 +2314,28 @@ KG["kg_mention_yield"] = f"""
                  4) AS mentions_per_kchar
     FROM tu LEFT JOIN m ON m.role = tu.role
 """
+
+RELATIONAL["docs_cross_dup_ngrams"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - 2)) AS i
+      FROM tok),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM pos),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    per AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             count(*) FILTER (WHERE d.df >= 2) AS n_dup_shingles
+      FROM sh s JOIN df d USING (shingle)
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shingles, n_dup_shingles,
+           CAST(n_dup_shingles AS DOUBLE) / n_shingles AS dup_frac
+    FROM per
+"""

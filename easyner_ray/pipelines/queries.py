@@ -3103,3 +3103,15 @@ def kg_mention_yield(sf_dir: str):
                    "mentions_per_kchar"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_cross_dup_ngrams(sf_dir: str):
+    """Per-doc CROSS-document duplicate n-gram share (RefinedWeb-style
+    dup-fraction signal, n=3 word shingles): distinct shingles per doc,
+    how many also occur in >= 1 OTHER doc, and the IEEE-exact fraction.
+    Two-phase bucketed df count over the shingle keyspace + adaptive
+    (broadcast/semi-join) flag-back; pure-SQL oracle."""
+    from easyner_ray.ops.textstats import cross_doc_dup_ngrams
+
+    return cross_doc_dup_ngrams(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), n=3)

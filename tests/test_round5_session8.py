@@ -1,0 +1,61 @@
+"""Round-5 session-8 operators: cross-document duplicate n-gram share
+(``ops/textstats.cross_doc_dup_ngrams``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _docs_ds(texts, blocks: int = 2):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                    "text": texts})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+# n=2 shingles: d0 {"a b","b c"}, d1 {"a b","b d"}, d2 {"x y"},
+# d3 repeats "a b a b" -> distinct {"a b","b a"}; same-doc repeats must
+# NOT make a shingle "duplicated" on their own.
+_TEXTS = ["a b c", "a b d", "x y", "a b a b", ""]
+
+
+def _expect():
+    # df: "a b" -> d0,d1,d3 (3); others 1
+    return {
+        "d0": (2, 1, 0.5),
+        "d1": (2, 1, 0.5),
+        "d2": (1, 0, 0.0),
+        "d3": (2, 1, 0.5),
+        # d4 empty text -> no shingles -> no output row
+    }
+
+
+def _run(ds, **kw):
+    from easyner_ray.ops.textstats import cross_doc_dup_ngrams
+
+    out = cross_doc_dup_ngrams(ds, n=2, **kw).take_all()
+    return {r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"],
+                          r["dup_frac"]) for r in out}
+
+
+def test_cross_doc_dup_broadcast_path(ray_session):
+    assert _run(_docs_ds(_TEXTS)) == _expect()
+
+
+def test_cross_doc_dup_open_path_matches(ray_session):
+    """Forcing the semi-join (open dup-set) path must be value-identical
+    to the broadcast path."""
+    assert _run(_docs_ds(_TEXTS), broadcast_max_bytes=0) == _expect()
+
+
+def test_cross_doc_dup_same_doc_repeat_not_dup(ray_session):
+    """A shingle repeated only within one document is NOT cross-doc dup."""
+    out = _run(_docs_ds(["p q p q p q", "z z z"], blocks=1))
+    assert out["d0"] == (2, 0, 0.0)   # {"p q","q p"} unique to d0
+    assert out["d1"] == (1, 0, 0.0)   # {"z z"} unique to d1
+
+
+def test_cross_doc_dup_empty_corpus(ray_session):
+    out = _run(_docs_ds(["", "   "], blocks=1))
+    assert out == {}
