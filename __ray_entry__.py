@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_growth": q.kg_growth,  # first-seen edges per day (build audit)
         "kg_integrity": q.kg_integrity,  # artifact-level referential gate
         "kg_mention_yield": q.kg_mention_yield,  # per-role NER yield
+        "kg_assortativity": q.kg_assortativity,  # degree-mixing scalar
     }
 
 

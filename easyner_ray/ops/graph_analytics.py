@@ -1880,3 +1880,79 @@ def integrity_report(nodes, edges):
     row.update({c: int(sums[f"sum({c})"] or 0) for c in cols})
     return rd.from_arrow(pa.table(
         {k: pa.array([v], pa.int64()) for k, v in row.items()}))
+
+
+def assortativity(edges, *, src: str = "subj", dst: str = "obj",
+                  round_digits: int = 6):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the distinct-neighbor degrees at the two ends of
+    every directed edge of the both-orientations edge table — positive
+    when hubs link to hubs (assortative mixing), negative when hubs link
+    to the periphery. -> ONE row ``(n_edges, assortativity)``; a graph
+    with zero degree variance (every node the same degree) yields NULL,
+    mirroring SQL division by zero.
+
+    Scale shape: degree is one vocab-bounded grouped count (the edge
+    table is distinct on (src, dst), so degree = row count per src);
+    it joins back onto the vocab^2-bounded edge table ADAPTIVELY
+    (broadcast under the byte gate, hash join above). The five Pearson
+    moments accumulate as EXACT int64 per-batch partials (degrees are
+    integers), so the final coefficient is one driver-side float64
+    evaluation from integers both engines convert identically — the SQL
+    oracle spells out the same sums and the same expression, making the
+    float bit-exact by construction; ``round_digits`` (DuckDB
+    half-away-from-zero semantics via :func:`_round_away`) is defense
+    in depth only."""
+    import math
+
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    pairs = edges.map_batches(lambda t: t.select([src, dst]),
+                              batch_format="pyarrow").materialize()
+    if pairs.count() == 0:  # join probes need a schema-bearing right side
+        return rd.from_arrow(pa.table(
+            {"n_edges": pa.array([0], pa.int64()),
+             "assortativity": pa.array([None], pa.float64())}))
+    deg = grouped_agg(pairs.map_batches(lambda t: t.select([src]),
+                                        batch_format="pyarrow"),
+                      [src], [(src, "count", "deg")])
+
+    dx = deg.map_batches(lambda t: t.rename_columns(["__n", "x"]),
+                         batch_format="pyarrow").materialize()
+    dy = dx.map_batches(lambda t: t.rename_columns(["__n", "y"]),
+                        batch_format="pyarrow")
+    j = adaptive_join(
+        adaptive_join(pairs, dx, on=src, right_on="__n"),
+        dy, on=dst, right_on="__n")
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").cast(pa.int64())
+        y = t.column("y").cast(pa.int64())
+        def s(a):
+            return int(pc.sum(a).as_py() or 0)
+        return pa.Table.from_pydict({
+            "n": [len(t)], "sx": [s(x)], "sy": [s(y)],
+            "sxy": [s(pc.multiply_checked(x, y))],
+            "sxx": [s(pc.multiply_checked(x, x))],
+            "syy": [s(pc.multiply_checked(y, y))]})
+
+    agg = j.map_batches(moments, batch_format="pyarrow") \
+        .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+    agg = agg or {}
+    n = int(agg.get("sum(n)") or 0)
+    if n == 0:
+        return rd.from_arrow(pa.table(
+            {"n_edges": pa.array([0], pa.int64()),
+             "assortativity": pa.array([None], pa.float64())}))
+    sx, sy = float(agg["sum(sx)"]), float(agg["sum(sy)"])
+    sxy, sxx, syy = (float(agg["sum(sxy)"]), float(agg["sum(sxx)"]),
+                     float(agg["sum(syy)"]))
+    nf = float(n)
+    num = nf * sxy - sx * sy
+    den = math.sqrt(nf * sxx - sx * sx) * math.sqrt(nf * syy - sy * sy)
+    r = None if den == 0.0 else float(_round_away(num / den, round_digits))
+    return rd.from_arrow(pa.table(
+        {"n_edges": pa.array([n], pa.int64()),
+         "assortativity": pa.array([r], pa.float64())}))

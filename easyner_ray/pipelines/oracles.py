@@ -2339,3 +2339,30 @@ RELATIONAL["docs_cross_dup_ngrams"] = """
            CAST(n_dup_shingles AS DOUBLE) / n_shingles AS dup_frac
     FROM per
 """
+
+KG["kg_assortativity"] = f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm
+    ), deg AS (SELECT subj AS node, count(*) AS d FROM pairs GROUP BY subj),
+    xy AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM pairs p JOIN deg ds ON p.subj = ds.node
+                   JOIN deg dd ON p.obj = dd.node
+    ), s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+"""

@@ -3115,3 +3115,14 @@ def docs_cross_dup_ngrams(sf_dir: str):
 
     return cross_doc_dup_ngrams(
         _rp(sf_dir, "documents", columns=["doc_id", "text"]), n=3)
+
+
+def kg_assortativity(sf_dir: str):
+    """Degree assortativity of the KG co-occurrence graph (Newman 2002):
+    Pearson correlation of endpoint distinct-neighbor degrees over every
+    directed edge — one scalar row (n_edges, assortativity). Exact-int
+    moment sums + an identical driver/SQL float formula make the value
+    bit-exact across engines."""
+    from easyner_ray.ops.graph_analytics import assortativity
+
+    return assortativity(_kg_edge_pairs(sf_dir))

@@ -59,3 +59,51 @@ def test_cross_doc_dup_same_doc_repeat_not_dup(ray_session):
 def test_cross_doc_dup_empty_corpus(ray_session):
     out = _run(_docs_ds(["", "   "], blocks=1))
     assert out == {}
+
+
+def _pair_edges(und, blocks: int = 2):
+    """Undirected pairs -> both-orientation distinct (subj, obj, weight)."""
+    import ray.data as rd
+
+    rows = {"subj": [], "obj": [], "weight": []}
+    for s, o in und:
+        for x, y in ((s, o), (o, s)):
+            rows["subj"].append(x)
+            rows["obj"].append(y)
+            rows["weight"].append(1)
+    return rd.from_arrow(pa.table(rows)).repartition(blocks)
+
+
+def test_assortativity_star_is_minus_one(ray_session):
+    """A star graph is maximally disassortative: r = -1."""
+    from easyner_ray.ops.graph_analytics import assortativity
+
+    out = assortativity(_pair_edges([("c", "l1"), ("c", "l2"),
+                                     ("c", "l3")])).take_all()
+    assert len(out) == 1
+    assert out[0]["n_edges"] == 6
+    assert out[0]["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(ray_session):
+    """A triangle (every node degree 2) has zero degree variance ->
+    NULL, mirroring SQL division by zero."""
+    from easyner_ray.ops.graph_analytics import assortativity
+
+    out = assortativity(_pair_edges([("a", "b"), ("b", "c"),
+                                     ("a", "c")])).take_all()
+    assert out[0]["n_edges"] == 6
+    assert out[0]["assortativity"] is None
+
+
+def test_assortativity_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import assortativity
+
+    empty = rd.from_arrow(pa.table(
+        {"subj": pa.array([], pa.string()),
+         "obj": pa.array([], pa.string()),
+         "weight": pa.array([], pa.int64())}))
+    out = assortativity(empty).take_all()
+    assert out[0]["n_edges"] == 0 and out[0]["assortativity"] is None
