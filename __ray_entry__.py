@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_integrity": q.kg_integrity,  # artifact-level referential gate
         "kg_mention_yield": q.kg_mention_yield,  # per-role NER yield
         "kg_assortativity": q.kg_assortativity,  # degree-mixing scalar
+        "events_mad_outliers": q.events_mad_outliers,  # robust MAD gate
     }
 
 

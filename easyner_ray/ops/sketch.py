@@ -746,6 +746,89 @@ def grouped_quantiles_cont(ds, col: str, qs: list[float], by: str,
         names=[by, "q", "value"])
 
 
+def mad_outliers(ds, col: str, by: str, *, k: float = 3.0,
+                 batch_size: int = 65536):
+    """Robust per-group outlier census via MAD (median absolute
+    deviation) — the heavy-tail-safe complement of the z-score gate
+    (``analytic.zscore``) and winsorization: mean/stddev move with the
+    very outliers they are supposed to catch, the median pair does not.
+    Per group: ``med = median(x)``, ``mad = median(|x - med|)``, outlier
+    iff ``|x - med| > k * mad``. -> one row per group
+    ``(by, n_values, n_outliers, med, mad)``; NULL values are excluded
+    everywhere (SQL aggregate semantics).
+
+    Built on :func:`grouped_quantiles_cont` (exact interpolated
+    medians, the ``quantile_cont`` bisection core), so the medians are
+    bit-exact vs SQL ``median`` and every downstream float (the
+    deviation subtraction, the ``k * mad`` threshold compare) is the
+    same IEEE op on identical inputs — no rounding grain needed. Small
+    group-keyspace contract (event types / languages / labels): the
+    per-group median map broadcasts by closure; values stream through
+    two quantile refinements + one counting pass, nothing corpus-sized
+    materializes on the driver."""
+    import ray.data as rd
+
+    vals = ds.select_columns([by, col]).materialize()  # 3 consumers
+    med_tbl = grouped_quantiles_cont(vals, col, [0.5], by)
+    med_map = {g: v for g, v in zip(med_tbl.column(by).to_pylist(),
+                                    med_tbl.column("value").to_pylist())}
+
+    def lookup(groups: pa.Array, mapping: dict) -> np.ndarray:
+        enc = pc.dictionary_encode(groups.combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        per_code = np.array([mapping.get(u, np.nan) if u is not None
+                             else mapping.get(None, np.nan)
+                             for u in enc.dictionary.to_pylist()],
+                            dtype=np.float64)
+        return per_code[enc.indices.fill_null(0).to_numpy(
+            zero_copy_only=False)]
+
+    def dev_batch(t: pa.Table) -> pa.Table:
+        x = t.column(col).cast(pa.float64())
+        med = lookup(t.column(by), med_map)
+        dev = pc.abs(pc.subtract(x, pa.array(med, pa.float64())))
+        return pa.Table.from_arrays([t.column(by), dev],
+                                    names=[by, "__dev"])
+
+    devs = vals.map_batches(dev_batch, batch_format="pyarrow",
+                            batch_size=batch_size).materialize()
+    mad_tbl = grouped_quantiles_cont(devs, "__dev", [0.5], by)
+    mad_map = {g: v for g, v in zip(mad_tbl.column(by).to_pylist(),
+                                    mad_tbl.column("value").to_pylist())}
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        dev = t.column("__dev")
+        thr = lookup(t.column(by), {g: (np.nan if m is None else k * m)
+                                    for g, m in mad_map.items()})
+        out = pc.and_kleene(dev.combine_chunks().is_valid(),
+                            pc.greater(dev, pa.array(thr, pa.float64())))
+        g = pa.Table.from_arrays(
+            [t.column(by), dev.combine_chunks().is_valid().cast(pa.int64()),
+             out.fill_null(False).cast(pa.int64())],
+            names=[by, "__n", "__o"])
+        return g.group_by([by]).aggregate([("__n", "sum"), ("__o", "sum")]) \
+            .rename_columns([by, "__n", "__o"])
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    counts = grouped_agg(
+        devs.map_batches(count_batch, batch_format="pyarrow",
+                         batch_size=batch_size),
+        [by], [("__n", "sum", "n_values"), ("__o", "sum", "n_outliers")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        med = lookup(t.column(by), med_map)
+        mad = lookup(t.column(by), mad_map)
+        return pa.Table.from_arrays(
+            [t.column(by), t.column("n_values").cast(pa.int64()),
+             t.column("n_outliers").cast(pa.int64()),
+             pa.array(med, pa.float64()), pa.array(mad, pa.float64())],
+            names=[by, "n_values", "n_outliers", "med", "mad"])
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 # -------------------------------------------------------- bloom filter ---
 
 

@@ -2366,3 +2366,22 @@ KG["kg_assortativity"] = f"""
              AS assortativity
     FROM s
 """
+
+RELATIONAL["events_mad_outliers"] = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(d.value) AS BIGINT) AS n_values,
+           CAST(count(*) FILTER (WHERE d.dev > 3.0 * a.mad) AS BIGINT)
+             AS n_outliers,
+           any_value(d.med) AS med, any_value(a.mad) AS mad
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+"""

@@ -3126,3 +3126,20 @@ def kg_assortativity(sf_dir: str):
     from easyner_ray.ops.graph_analytics import assortativity
 
     return assortativity(_kg_edge_pairs(sf_dir))
+
+
+def events_mad_outliers(sf_dir: str):
+    """Robust outlier census per event type: median, MAD (median absolute
+    deviation), and how many events sit beyond 3 MADs — the
+    heavy-tail-safe alternative to the z-score gate. Exact interpolated
+    medians via the grouped quantile_cont refinement core; every float
+    matches the SQL oracle bit-exact without a rounding grain."""
+    from easyner_ray.ops.sketch import mad_outliers
+
+    out = mad_outliers(
+        _rp(sf_dir, "events", columns=["event_type", "value"]),
+        "value", "event_type", k=3.0)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["event_type", "n_values", "n_outliers", "med", "mad"]),
+        batch_format="pyarrow")

@@ -107,3 +107,42 @@ def test_assortativity_empty(ray_session):
          "weight": pa.array([], pa.int64())}))
     out = assortativity(empty).take_all()
     assert out[0]["n_edges"] == 0 and out[0]["assortativity"] is None
+
+
+def test_mad_outliers_basic(ray_session):
+    """Known toy: group g values [1..9, 100]. med=5.5, dev=[4.5,...,94.5],
+    mad=median(|x-5.5|)=2.5+... computed by hand below; only 100 exceeds
+    3*mad."""
+    import numpy as np
+    import ray.data as rd
+
+    from easyner_ray.ops.sketch import mad_outliers
+
+    vals = [1., 2., 3., 4., 5., 6., 7., 8., 9., 100.]
+    med = float(np.percentile(vals, 50, method="linear"))  # 5.5
+    devs = sorted(abs(v - med) for v in vals)
+    mad = float(np.percentile(devs, 50, method="linear"))
+    expected_out = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
+
+    ds = rd.from_arrow(pa.table(
+        {"g": ["g"] * 10, "v": vals})).repartition(3)
+    out = mad_outliers(ds, "v", "g").take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["g"] == "g" and r["n_values"] == 10
+    assert r["med"] == med and r["mad"] == mad
+    assert r["n_outliers"] == expected_out == 1
+
+
+def test_mad_outliers_null_values_excluded(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.sketch import mad_outliers
+
+    ds = rd.from_arrow(pa.table(
+        {"g": ["a", "a", "a", "b"],
+         "v": pa.array([1.0, None, 3.0, 7.0], pa.float64())}))
+    out = {r["g"]: r for r in mad_outliers(ds, "v", "g").take_all()}
+    assert out["a"]["n_values"] == 2 and out["a"]["med"] == 2.0
+    assert out["a"]["mad"] == 1.0 and out["a"]["n_outliers"] == 0
+    assert out["b"]["n_values"] == 1 and out["b"]["mad"] == 0.0
