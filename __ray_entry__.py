@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_yield": q.kg_mention_yield,  # per-role NER yield
         "kg_assortativity": q.kg_assortativity,  # degree-mixing scalar
         "events_mad_outliers": q.events_mad_outliers,  # robust MAD gate
+        "conv_parrot_score": q.conv_parrot_score,  # reply-echo SFT signal
     }
 
 

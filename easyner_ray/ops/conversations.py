@@ -697,3 +697,65 @@ def dialog_acts(transcripts, *, commands=COMMAND_VERBS):
     return grouped_agg(
         transcripts.map_batches(tag, batch_format="pyarrow"),
         ["conv_id", "act"], [("one", "sum", "n_turns")])
+
+
+def parrot_score(transcripts, *, n: int = 2, batch_size: int = 2048):
+    """Per-reply echo ("parrot") score — an SFT curation signal the
+    refusal scan and length gates miss: for every (user prompt ->
+    assistant response) pair, what fraction of the response's DISTINCT
+    word ``n``-grams already appear in the prompt it answers. High
+    scores flag replies that mostly restate the question (low training
+    value); the TF-IDF token convention (maximal ``[a-z0-9]+`` runs of
+    the lowercase text) keeps it punctuation-robust.
+
+    Output: ``(conv_id, turn_idx, n_resp_ngrams, n_echoed, echo_frac)``
+    with ``turn_idx`` = the USER turn (the :func:`reply_pairs` key);
+    replies with zero shingles emit no row (SQL: no shingles, no
+    group); ``echo_frac`` is one IEEE division — bit-exact cross-engine.
+
+    Scale shape: downstream of :func:`reply_pairs`' single bucketed
+    lead() exchange this is MAP-ONLY — prompt and response live on the
+    same row, so the overlap test is batch-local: both sides shingle
+    through the same vectorized kernel as ``textstats.tfidf``
+    (row-index-tagged), one ``is_in`` per batch scores membership,
+    one within-batch Arrow group_by folds per reply. Nothing shuffles,
+    nothing broadcasts."""
+    from easyner_ray.ops.textstats import _shingle_partial
+
+    def shingles(col: pa.ChunkedArray, nrows: int) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [pa.array(np.arange(nrows, dtype=np.int64)),
+             col.combine_chunks()], names=["__r", "__txt"])
+        return _shingle_partial(t, n=n, id_col="__r", text_col="__txt")
+
+    def score(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [t.schema.field("conv_id"), t.schema.field("turn_idx"),
+             ("n_resp_ngrams", pa.int64()), ("n_echoed", pa.int64()),
+             ("echo_frac", pa.float64())])
+        nrows = len(t)
+        resp = shingles(t.column("response"), nrows)
+        if len(resp) == 0:
+            return out_schema.empty_table()
+        prm = shingles(t.column("prompt"), nrows)
+
+        def keyed(s: pa.Table) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pc.cast(s.column("__r"), pa.string()),
+                s.column("shingle"), "\x1f")
+
+        flag = pc.is_in(keyed(resp), value_set=keyed(prm)) \
+            .cast(pa.int64())
+        per = pa.Table.from_arrays(
+            [resp.column("__r"), flag], names=["__r", "f"]) \
+            .group_by(["__r"]).aggregate([("f", "count"), ("f", "sum")])
+        ridx = per.column("__r").combine_chunks()
+        ns = per.column("f_count").cast(pa.int64())
+        ne = per.column("f_sum").cast(pa.int64())
+        frac = pc.divide(ne.cast(pa.float64()), ns.cast(pa.float64()))
+        return pa.Table.from_arrays(
+            [t.column("conv_id").take(ridx), t.column("turn_idx").take(ridx),
+             ns, ne, frac], schema=out_schema)
+
+    return reply_pairs(transcripts).map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size)

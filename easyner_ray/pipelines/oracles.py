@@ -2385,3 +2385,42 @@ RELATIONAL["events_mad_outliers"] = """
     FROM dev d JOIN mad a USING (event_type)
     GROUP BY d.event_type
 """
+
+KG["conv_parrot_score"] = f"""
+    WITH rp AS (
+      SELECT conv_id, turn_idx, text AS prompt, ntext AS response
+      FROM (SELECT conv_id, turn_idx, role, text,
+                   lead(role) OVER w AS nrole, lead(text) OVER w AS ntext
+            FROM {TR}
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+      WHERE role = 'user' AND nrole = 'assistant'),
+    rtok AS (
+      SELECT conv_id, turn_idx,
+             list_filter(string_split_regex(lower(response), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM rp),
+    rsh AS (
+      SELECT DISTINCT conv_id, turn_idx, array_to_string(t[i:i+1], ' ') AS sh
+      FROM (SELECT conv_id, turn_idx, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM rtok)),
+    ptok AS (
+      SELECT conv_id, turn_idx,
+             list_filter(string_split_regex(lower(prompt), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM rp),
+    psh AS (
+      SELECT DISTINCT conv_id, turn_idx, array_to_string(t[i:i+1], ' ') AS sh
+      FROM (SELECT conv_id, turn_idx, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM ptok))
+    SELECT r.conv_id, r.turn_idx,
+           CAST(count(*) AS BIGINT) AS n_resp_ngrams,
+           CAST(count(*) FILTER (WHERE p.sh IS NOT NULL) AS BIGINT)
+             AS n_echoed,
+           CAST(count(*) FILTER (WHERE p.sh IS NOT NULL) AS DOUBLE)
+             / count(*) AS echo_frac
+    FROM rsh r LEFT JOIN psh p
+      ON p.conv_id = r.conv_id AND p.turn_idx = r.turn_idx AND p.sh = r.sh
+    GROUP BY r.conv_id, r.turn_idx
+"""

@@ -3143,3 +3143,15 @@ def events_mad_outliers(sf_dir: str):
         lambda t: t.rename_columns(
             ["event_type", "n_values", "n_outliers", "med", "mad"]),
         batch_format="pyarrow")
+
+
+def conv_parrot_score(sf_dir: str):
+    """Echo ("parrot") score per SFT reply pair: the fraction of each
+    assistant response's distinct word bigrams already present in the
+    user prompt it answers — flags replies that restate the question.
+    Map-only downstream of the reply_pairs lead() exchange."""
+    from easyner_ray.ops.conversations import parrot_score
+
+    return parrot_score(
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        n=2)

@@ -146,3 +146,35 @@ def test_mad_outliers_null_values_excluded(ray_session):
     assert out["a"]["n_values"] == 2 and out["a"]["med"] == 2.0
     assert out["a"]["mad"] == 1.0 and out["a"]["n_outliers"] == 0
     assert out["b"]["n_values"] == 1 and out["b"]["mad"] == 0.0
+
+
+def test_parrot_score_toy(ray_session):
+    """Reply bigrams vs its own prompt only: c1 echoes 'the cache' from
+    its prompt; c2's reply shares nothing with its prompt even though c1
+    used the same words (overlap is strictly within-pair)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import parrot_score
+
+    rows = [
+        ("c1", 0, "user", "clear the cache now"),
+        ("c1", 1, "assistant", "ok the cache is clear"),
+        ("c2", 0, "user", "what time is it"),
+        ("c2", 1, "assistant", "clear the cache now"),
+        ("c3", 0, "user", "hello"),
+        ("c3", 1, "assistant", "hi"),           # 1 token -> 0 bigrams
+    ]
+    tr = rd.from_arrow(pa.table(
+        {"conv_id": [r[0] for r in rows],
+         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+         "role": [r[2] for r in rows],
+         "text": [r[3] for r in rows]})).repartition(2)
+    out = {r["conv_id"]: r for r in parrot_score(tr, n=2).take_all()}
+    # c1 reply bigrams: {ok the, the cache, cache is, is clear} (4);
+    # prompt bigrams {clear the, the cache, cache now}: echoed = 1
+    assert out["c1"]["n_resp_ngrams"] == 4
+    assert out["c1"]["n_echoed"] == 1 and out["c1"]["echo_frac"] == 0.25
+    # c2 reply shares no bigram with ITS prompt
+    assert out["c2"]["n_echoed"] == 0 and out["c2"]["echo_frac"] == 0.0
+    # c3 reply has zero bigrams -> no row
+    assert "c3" not in out
