@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": q.kg_assortativity,  # degree-mixing scalar
         "events_mad_outliers": q.events_mad_outliers,  # robust MAD gate
         "conv_parrot_score": q.conv_parrot_score,  # reply-echo SFT signal
+        "kg_transition_edges": q.kg_transition_edges,  # directed turn flow
+        "kg_hits": q.kg_hits,  # hubs/authorities on the directed graph
     }
 
 

@@ -498,3 +498,226 @@ def _eigencentrality_join(edges, nodes_ds, n_nodes, *, weight_col, iters,
         xs = ys.map_batches(normalize, batch_format="pyarrow").materialize()
 
     return xs.select_columns(["node", "score"])
+
+
+def hits(edges, *, weight_col: str | None = None, iters: int = 20,
+         src_col: str = "src", dst_col: str = "dst",
+         round_digits: int = 9, edge_driver_cutoff: int = 64 << 20,
+         node_gate: int = 64 << 20):
+    """HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+    list -> ``(node, hub, authority)``. Per iteration, authorities pull
+    from the hubs pointing AT them, then hubs pull from the authorities
+    they point TO, each L2-normalized::
+
+        a <- A^T h / ||A^T h||_2 ;  h <- A a / ||A a||_2
+
+    Unlike :func:`eigencentrality` no identity shift is needed: the
+    implicit iteration matrices ``A^T A`` / ``A A^T`` are positive
+    semidefinite, so power iteration cannot oscillate. An optional
+    ``weight_col`` weights the adjacency; rows with a NULL endpoint are
+    dropped. Nodes with no in-edges hold authority 0, no out-edges hub
+    0. Meaningful only on a genuinely directed graph (on a symmetric
+    edge table hub == authority == eigenvector centrality); the KG's
+    directed surface is the turn-transition graph
+    (``graph_analytics.transition_edges``).
+
+    Same three adaptive execution paths and byte gates as
+    :func:`pagerank` / :func:`eigencentrality` (indexed-driver under
+    ``edge_driver_cutoff``, indexed-broadcast under ``node_gate``,
+    open-keyspace join fallback above), and the same determinism
+    device: both vectors re-round through :func:`_round_vec` after
+    every normalize, so block-order sum noise never accumulates past
+    the grain — all paths bit-equal to the straight-line gold
+    (``sources.gold_derived.write_hits_gold``)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    keep = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(keep).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow").materialize()
+
+    def half(col, name):
+        return edges.map_batches(
+            lambda t, c=col, n=name: pa.Table.from_arrays(
+                [t.column(c)], names=[n]),
+            batch_format="pyarrow")
+
+    nodes_ds = grouped_agg(
+        half(src_col, "node").union(half(dst_col, "node")),
+        ["node"], [("node", "count", "__c")],
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.float64()),
+             pa.array([], pa.float64())],
+            names=["node", "hub", "authority"]))
+
+    if nodes_ds.size_bytes() > node_gate:
+        return _hits_join(edges, nodes_ds, n_nodes, weight_col=weight_col,
+                          iters=iters, src_col=src_col, dst_col=dst_col,
+                          round_digits=round_digits)
+
+    import ray
+
+    node_arr = _collect_column(nodes_ds, "node")
+    node_arr = node_arr.take(pc.sort_indices(node_arr))
+    node_ref = ray.put(node_arr)
+
+    def index_edges(t: pa.Table, ref=node_ref, s=src_col, d=dst_col,
+                    w=weight_col):
+        nodes = ray.get(ref)
+        cols = [pc.index_in(t.column(s), value_set=nodes).cast(pa.int64()),
+                pc.index_in(t.column(d), value_set=nodes).cast(pa.int64())]
+        cols.append(t.column(w).cast(pa.float64()) if w else
+                    pa.array(np.ones(len(t)), pa.float64()))
+        return pa.Table.from_arrays(cols, names=["s", "d", "w"])
+
+    edges_idx = edges.map_batches(index_edges,
+                                  batch_format="pyarrow").materialize()
+    init = _round_scalar(1.0 / np.sqrt(n_nodes), round_digits)
+    h = np.full(n_nodes, init)
+    a = np.full(n_nodes, init)
+
+    def out(hv, av):
+        return rd.from_arrow(pa.Table.from_arrays(
+            [node_arr, pa.array(hv, pa.float64()),
+             pa.array(av, pa.float64())],
+            names=["node", "hub", "authority"]))
+
+    if edges_idx.size_bytes() <= edge_driver_cutoff:
+        # indexed-driver: numpy loop, zero Ray executions per iteration
+        et = pa.concat_tables([ray.get(r) for r in edges_idx.to_arrow_refs()])
+        s = et.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        d = et.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        w = et.column("w").combine_chunks().to_numpy(zero_copy_only=False)
+        for _ in range(iters):
+            inc_a = np.bincount(d, weights=w * h[s], minlength=n_nodes)
+            na = float(np.sqrt(np.sum(inc_a * inc_a)))
+            if na == 0.0:
+                break
+            a = _round_vec(inc_a / na, round_digits)
+            inc_h = np.bincount(s, weights=w * a[d], minlength=n_nodes)
+            nh = float(np.sqrt(np.sum(inc_h * inc_h)))
+            if nh == 0.0:
+                break
+            h = _round_vec(inc_h / nh, round_digits)
+        return out(h, a)
+
+    # indexed-broadcast: both vectors on the driver, re-broadcast per
+    # half-step; sparse per-block bincount partials + a grouped sum.
+    def pull(vec_ref, from_col, to_col):
+        def partial(t: pa.Table, ref=vec_ref) -> pa.Table:
+            xv = ray.get(ref)
+            f = t.column(from_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            g = t.column(to_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            w_i = t.column("w").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            u, inv = np.unique(g, return_inverse=True)
+            return pa.Table.from_arrays(
+                [pa.array(u, pa.int64()),
+                 pa.array(np.bincount(inv, weights=w_i * xv[f]),
+                          pa.float64())],
+                names=["i", "inc"])
+
+        inc_tbl = pa.concat_tables([ray.get(r) for r in grouped_agg(
+            edges_idx.map_batches(partial, batch_format="pyarrow"),
+            ["i"], [("inc", "sum", "inc")]).to_arrow_refs()])
+        inc = np.zeros(n_nodes)
+        inc[inc_tbl.column("i").combine_chunks().to_numpy(
+            zero_copy_only=False)] = \
+            inc_tbl.column("inc").combine_chunks().to_numpy(
+                zero_copy_only=False)
+        return inc
+
+    for _ in range(iters):
+        inc_a = pull(ray.put(h), "s", "d")
+        na = float(np.sqrt(np.sum(inc_a * inc_a)))
+        if na == 0.0:
+            break
+        a = _round_vec(inc_a / na, round_digits)
+        inc_h = pull(ray.put(a), "d", "s")
+        nh = float(np.sqrt(np.sum(inc_h * inc_h)))
+        if nh == 0.0:
+            break
+        h = _round_vec(inc_h / nh, round_digits)
+    return out(h, a)
+
+
+def _hits_join(edges, nodes_ds, n_nodes, *, weight_col, iters,
+               src_col, dst_col, round_digits):
+    """Open-keyspace fallback: per half-step one size-gated join + one
+    grouped sum + one normalize map; the driver holds only the norm
+    scalar (block-ordered reduce — ~1e-16 relative noise absorbed by
+    the rounding grain, same argument as ``_eigencentrality_join``)."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    init = _round_scalar(1.0 / np.sqrt(n_nodes), round_digits)
+
+    def const_vec(name):
+        return nodes_ds.map_batches(
+            lambda t, nm=name: t.append_column(
+                nm, pa.array([init] * len(t), pa.float64())),
+            batch_format="pyarrow").materialize()
+
+    hs, as_ = const_vec("hub"), const_vec("authority")
+
+    def half_step(vec_ds, vec_name, join_col, emit_col, out_name):
+        """vec on ``join_col`` endpoints -> normalized pull onto
+        ``emit_col`` endpoints, returned as (node, out_name)."""
+        def contrib(t: pa.Table, w=weight_col) -> pa.Table:
+            val = t.column(vec_name)
+            if w:
+                val = pc.multiply(val, t.column(w).cast(pa.float64()))
+            return pa.Table.from_arrays([t.column(emit_col), val],
+                                        names=["node", "val"])
+
+        incoming = grouped_agg(
+            adaptive_join(edges, vec_ds, on=join_col, right_on="node")
+            .map_batches(contrib, batch_format="pyarrow"),
+            ["node"], [("val", "sum", "inc")])
+
+        ys = adaptive_join(
+            nodes_ds, incoming, on="node", how="left",
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), pc.coalesce(t.column("inc"), 0.0)],
+                names=["node", "y"]),
+            batch_format="pyarrow").materialize()
+
+        sq_parts = ys.map_batches(
+            lambda t: pa.Table.from_pydict({"m": [float(pc.sum(
+                pc.multiply(t.column("y"), t.column("y"))
+            ).as_py() or 0.0)]}),
+            batch_format="pyarrow").take_all()
+        nrm = float(np.sqrt(sum(p["m"] for p in sq_parts)))
+        if nrm == 0.0:
+            return None
+
+        def normalize(t: pa.Table, nv=nrm) -> pa.Table:
+            vals = _round_vec(t.column("y").combine_chunks().to_numpy(
+                zero_copy_only=False) / nv, round_digits)
+            return pa.Table.from_arrays(
+                [t.column("node"), pa.array(vals, pa.float64())],
+                names=["node", out_name])
+
+        return ys.map_batches(normalize,
+                              batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        na = half_step(hs, "hub", src_col, dst_col, "authority")
+        if na is None:
+            break
+        as_ = na
+        nh = half_step(as_, "authority", dst_col, src_col, "hub")
+        if nh is None:
+            break
+        hs = nh
+
+    joined = adaptive_join(hs, as_.map_batches(
+        lambda t: t.rename_columns(["__n", "authority"]),
+        batch_format="pyarrow"), on="node", right_on="__n")
+    return joined.select_columns(["node", "hub", "authority"])

@@ -1956,3 +1956,54 @@ def assortativity(edges, *, src: str = "subj", dst: str = "obj",
     return rd.from_arrow(pa.table(
         {"n_edges": pa.array([n], pa.int64()),
          "assortativity": pa.array([r], pa.float64())}))
+
+
+def transition_edges(mentions, *, batch_size: int = 65536):
+    """DIRECTED turn-transition entity edges — the conversation-flow
+    graph the symmetric co-occurrence table cannot express: one edge
+    ``(src, dst, weight)`` per ordered entity pair where ``src`` is
+    mentioned in turn ``t`` and ``dst`` in turn ``t+1`` of the same
+    conversation (self-transitions excluded); ``weight`` = number of
+    (conv, turn) adjacency instances carrying the pair. This is the
+    directed surface :func:`easyner_ray.ops.graph.hits` needs (on the
+    symmetric table hub == authority == eigenvector centrality).
+
+    Scale shape: mentions first collapse to DISTINCT (conv, turn, norm)
+    through one bucketed grouped count (keyspace = turns x per-turn
+    vocabulary, far below the mention stream); the adjacency self-join
+    keys both sides on the composite ``conv\\x1fturn`` string — the
+    LEFT side keyed at ``turn+1`` so equality IS the succession — via
+    the size-gated :func:`relational.adaptive_join` (hash path at
+    corpus scale); the pair rollup is vocab^2-bounded."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    tn = grouped_agg(
+        mentions.map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "norm"]),
+            batch_format="pyarrow", batch_size=batch_size),
+        ["conv_id", "turn_idx", "norm"], [("norm", "count", "__c")],
+    ).materialize()  # feeds both join sides
+
+    def keyed(next_turn: bool, out_col: str):
+        shift = 1 if next_turn else 0
+
+        def f(t: pa.Table, s=shift, oc=out_col) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                t.column("conv_id"),
+                pc.cast(pc.add(t.column("turn_idx"),
+                               pa.scalar(s, pa.int32())), pa.string()),
+                _SEP)
+            return pa.Table.from_arrays([k, t.column("norm")],
+                                        names=["__k", oc])
+
+        return tn.map_batches(f, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    j = adaptive_join(keyed(True, "src"), keyed(False, "dst"), on="__k")
+    pairs = j.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("src"),
+                                              t.column("dst"))))
+                   .select(["src", "dst"]),
+        batch_format="pyarrow")
+    return grouped_agg(pairs, ["src", "dst"],
+                       [("src", "count", "weight")])

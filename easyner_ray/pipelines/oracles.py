@@ -2424,3 +2424,15 @@ KG["conv_parrot_score"] = f"""
       ON p.conv_id = r.conv_id AND p.turn_idx = r.turn_idx AND p.sh = r.sh
     GROUP BY r.conv_id, r.turn_idx
 """
+
+KG["kg_transition_edges"] = f"""
+    WITH tn AS (SELECT DISTINCT conv_id, turn_idx, norm FROM {GM})
+    SELECT a.norm AS src, b.norm AS dst, count(*) AS weight
+    FROM tn a JOIN tn b
+      ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+    WHERE a.norm <> b.norm
+    GROUP BY a.norm, b.norm
+"""
+
+GHI = f"read_parquet('{SYNTH}/gold_hits.parquet')"
+KG["kg_hits"] = f"SELECT norm, hub, authority FROM {GHI}"

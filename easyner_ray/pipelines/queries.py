@@ -3155,3 +3155,55 @@ def conv_parrot_score(sf_dir: str):
     return parrot_score(
         _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
         n=2)
+
+
+_TRANSITION_CACHE: dict = {}
+
+
+def _kg_transition_pairs(sf_dir: str):
+    """Shared DIRECTED upstream for the HITS family: the turn-transition
+    entity edge table (src in turn t, dst in turn t+1, weight =
+    adjacency instances). Materialized + memoized per (corpus, Ray job)
+    exactly like :func:`_kg_edge_pairs` — the payload is vocab^2-bounded
+    while the upstream is the corpus-sized NER chain."""
+    import ray
+
+    from easyner_ray.ops.graph_analytics import transition_edges
+
+    corpus = _corpus(sf_dir)
+    path = os.path.join(corpus, "transcripts.parquet")
+    st = os.stat(path)
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (path, st.st_mtime_ns, st.st_size, job)
+    hit = _TRANSITION_CACHE.get(key)
+    if hit is None:
+        hit = transition_edges(_mentions(sf_dir)).materialize()
+        _TRANSITION_CACHE.clear()
+        _TRANSITION_CACHE[key] = hit
+    return hit
+
+
+def kg_transition_edges(sf_dir: str):
+    """The conversation-flow graph: directed entity transition edges —
+    src mentioned in turn t, dst in the SAME conversation's turn t+1
+    (self-transitions excluded), weighted by adjacency instances. The
+    directed surface the symmetric co-occurrence table cannot express."""
+    return _kg_transition_pairs(sf_dir)
+
+
+def kg_hits(sf_dir: str):
+    """HITS hubs and authorities over the directed turn-transition
+    graph (20 iterations, per-half-step L2 normalize + rounding grain):
+    hubs are entities whose mention foreshadows important entities in
+    the NEXT turn, authorities are the entities so foreshadowed. Oracle
+    = straight-line recompute of the same spec (gold_hits.parquet)."""
+    from easyner_ray.ops.graph import hits
+
+    out = hits(_kg_transition_pairs(sf_dir), weight_col="weight",
+               src_col="src", dst_col="dst", iters=20)
+    return out.map_batches(
+        lambda t: t.rename_columns(["norm", "hub", "authority"]),
+        batch_format="pyarrow")

@@ -1409,6 +1409,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_ppr_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_betweenness.parquet")):
         write_betweenness_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_hits.parquet")):
+        write_hits_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)
@@ -1476,5 +1478,70 @@ def write_betweenness_gold(corpus: str, round_digits: int = 4) -> str:
         [pa.array(nodes, pa.string()), pa.array(vals, pa.float64())],
         names=["norm", "betweenness"])
     path = os.path.join(corpus, "gold_betweenness.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_hits_gold(corpus: str, iters: int = 20,
+                    round_digits: int = 9) -> str:
+    """Straight-line HITS (Kleinberg 1999) over the DIRECTED
+    turn-transition entity graph — the gold for the distributed
+    ``ops.graph.hits`` over ``graph_analytics.transition_edges`` (spec:
+    edges = (a, b) with a mentioned in turn t, b in turn t+1 of the same
+    conversation, a != b, weight = number of (conv, turn) adjacency
+    instances; h0 = a0 = uniform unit vector; per iteration a <- A^T h
+    then h <- A a, each L2-normalized and re-rounded with the same
+    np.round kernel as ``ops.graph._round_vec``)."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "norm"])
+    turn_norms: dict = collections.defaultdict(set)
+    for c, t, n in zip(gm.column("conv_id").to_pylist(),
+                       gm.column("turn_idx").to_pylist(),
+                       gm.column("norm").to_pylist()):
+        turn_norms[(c, t)].add(n)
+    cnt: dict = collections.Counter()
+    for (c, t), norms in turn_norms.items():
+        nxt = turn_norms.get((c, t + 1))
+        if not nxt:
+            continue
+        for a in sorted(norms):
+            for b in sorted(nxt):
+                if a != b:
+                    cnt[(a, b)] += 1
+    nodes = sorted({a for a, _ in cnt} | {b for _, b in cnt})
+    n = len(nodes)
+    if n == 0:
+        tbl = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.float64()),
+             pa.array([], pa.float64())],
+            names=["norm", "hub", "authority"])
+        path = os.path.join(corpus, "gold_hits.parquet")
+        pq.write_table(tbl, path)
+        return path
+    idx = {v: i for i, v in enumerate(nodes)}
+    s = np.array([idx[a] for a, _ in sorted(cnt)], dtype=np.int64)
+    d = np.array([idx[b] for _, b in sorted(cnt)], dtype=np.int64)
+    w = np.array([cnt[p] for p in sorted(cnt)], dtype=np.float64)
+    init = float(np.round(np.float64(1.0 / np.sqrt(n)), round_digits))
+    h = np.full(n, init)
+    a = np.full(n, init)
+    for _ in range(iters):
+        inc_a = np.bincount(d, weights=w * h[s], minlength=n)
+        na = float(np.sqrt(np.sum(inc_a * inc_a)))
+        if na == 0.0:
+            break
+        a = np.round(inc_a / na, round_digits)
+        inc_h = np.bincount(s, weights=w * a[d], minlength=n)
+        nh = float(np.sqrt(np.sum(inc_h * inc_h)))
+        if nh == 0.0:
+            break
+        h = np.round(inc_h / nh, round_digits)
+    tbl = pa.Table.from_arrays(
+        [pa.array(nodes, pa.string()), pa.array(h, pa.float64()),
+         pa.array(a, pa.float64())],
+        names=["norm", "hub", "authority"])
+    path = os.path.join(corpus, "gold_hits.parquet")
     pq.write_table(tbl, path)
     return path

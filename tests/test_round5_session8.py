@@ -178,3 +178,80 @@ def test_parrot_score_toy(ray_session):
     assert out["c2"]["n_echoed"] == 0 and out["c2"]["echo_frac"] == 0.0
     # c3 reply has zero bigrams -> no row
     assert "c3" not in out
+
+
+def _directed_edges(trips, blocks: int = 2):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {"src": [t[0] for t in trips],
+         "dst": [t[1] for t in trips],
+         "weight": pa.array([t[2] for t in trips], pa.int64())})) \
+        .repartition(blocks)
+
+
+def test_hits_bipartite_hubs_authorities(ray_session):
+    """Two pure hubs pointing at two pure authorities: closed form is
+    hub = 1/sqrt(2) for the pointers, authority = 1/sqrt(2) for the
+    pointed-at, and exactly 0 on the off-role sides."""
+    from easyner_ray.ops.graph import hits
+
+    ds = _directed_edges([("h1", "a1", 1), ("h1", "a2", 1),
+                          ("h2", "a1", 1), ("h2", "a2", 1)])
+    got = {r["node"]: r for r in
+           hits(ds, weight_col="weight", iters=30).take_all()}
+    import numpy as np
+
+    for h in ("h1", "h2"):
+        assert abs(got[h]["hub"] - 1 / np.sqrt(2)) < 1e-6
+        assert got[h]["authority"] == 0.0
+    for a in ("a1", "a2"):
+        assert abs(got[a]["authority"] - 1 / np.sqrt(2)) < 1e-6
+        assert got[a]["hub"] == 0.0
+
+
+def test_hits_three_paths_bit_equal(ray_session):
+    from easyner_ray.ops.graph import hits
+
+    ds = _directed_edges([("h1", "a1", 2), ("h1", "a2", 1),
+                          ("h2", "a1", 1), ("x", "h1", 3),
+                          ("a1", "x", 1)])
+    base = sorted(hits(ds, weight_col="weight", iters=20).take_all(),
+                  key=lambda r: r["node"])
+    for kw in ({"edge_driver_cutoff": 0},            # indexed-broadcast
+               {"edge_driver_cutoff": 0, "node_gate": 0}):  # join path
+        alt = sorted(hits(ds, weight_col="weight", iters=20,
+                          **kw).take_all(), key=lambda r: r["node"])
+        assert alt == base, kw
+
+
+def test_hits_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph import hits
+
+    empty = rd.from_arrow(pa.table(
+        {"src": pa.array([], pa.string()),
+         "dst": pa.array([], pa.string()),
+         "weight": pa.array([], pa.int64())}))
+    assert hits(empty, weight_col="weight").take_all() == []
+
+
+def test_transition_edges_toy(ray_session):
+    """conv c1 turns: 0 {a,b} -> 1 {b,c}; conv c2 turns: 0 {a} -> 2 {c}
+    (gap: NOT adjacent). Expect a->b, a->c, b->c from c1 only; b->b
+    self-transition excluded."""
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import transition_edges
+
+    rows = [("c1", 0, "a"), ("c1", 0, "b"), ("c1", 1, "b"), ("c1", 1, "c"),
+            ("c2", 0, "a"), ("c2", 2, "c"),
+            ("c1", 0, "a")]  # duplicate mention: must not double-count
+    ments = rd.from_arrow(pa.table(
+        {"conv_id": [r[0] for r in rows],
+         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+         "norm": [r[2] for r in rows]})).repartition(2)
+    out = {(r["src"], r["dst"]): r["weight"]
+           for r in transition_edges(ments).take_all()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
