@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_parrot_score": q.conv_parrot_score,  # reply-echo SFT signal
         "kg_transition_edges": q.kg_transition_edges,  # directed turn flow
         "kg_hits": q.kg_hits,  # hubs/authorities on the directed graph
+        "media_dedup": q.media_dedup_q,  # binary-payload exact dedup
     }
 
 

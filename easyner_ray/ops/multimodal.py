@@ -277,3 +277,43 @@ def synthetic_media(n: int = 64, seed: int = 5):
         ],
         schema=MEDIA,
     )
+
+
+def media_dedup(media, *, id_col: str = "item_id",
+                payload_col: str = "payload", batch_size: int = 64):
+    """Exact dedup over OPAQUE binary payloads — the multimodal analog
+    of ``dedup.exact_dedup`` (reference scope stops at text; a 100 TB
+    image/audio corpus dedups identical files before any decode):
+    -> ``(item_id, n_copies, payload_bytes)``, the representative
+    (min id) of every distinct payload with its copy count and size.
+
+    Same two-phase shape as the text op: payloads reduce to their
+    128-bit md5 inside the batch (the digest loop is C-bound on the
+    payload bytes; only 16-byte digests ever leave the task), then one
+    bucketed final over the digest keyspace. Small ``batch_size`` is
+    the decoded-heap knob for multi-MB payloads, matching the
+    ``extract_features`` actor contract."""
+    from easyner_ray.ops.relational import bucketed_final
+
+    def partial(t: pa.Table) -> pa.Table:
+        payload = t.column(payload_col).combine_chunks()
+        digest = pa.array(
+            [hashlib.md5(v).hexdigest() if v is not None else ""
+             for v in payload.to_pylist()], pa.string())
+        nbytes = pa.array(
+            [len(v) if v is not None else 0
+             for v in payload.to_pylist()], pa.int64())
+        g = pa.Table.from_arrays(
+            [digest, t.column(id_col), nbytes],
+            names=["digest", id_col, "payload_bytes"])
+        return g.group_by("digest").aggregate(
+            [(id_col, "min"), (id_col, "count"), ("payload_bytes", "min")]
+        ).rename_columns(["digest", "__id", "__n", "__b"])
+
+    agg = bucketed_final(
+        media.map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size),
+        ["digest"],
+        pa_aggs=[("__id", "min"), ("__n", "sum"), ("__b", "min")],
+        out_names=[id_col, "n_copies", "payload_bytes"])
+    return agg.select_columns([id_col, "n_copies", "payload_bytes"])

@@ -2436,3 +2436,10 @@ KG["kg_transition_edges"] = f"""
 
 GHI = f"read_parquet('{SYNTH}/gold_hits.parquet')"
 KG["kg_hits"] = f"SELECT norm, hub, authority FROM {GHI}"
+
+MEDIA_TBL = f"read_parquet('{SYNTH}/media.parquet')"
+KG["media_dedup"] = f"""
+    SELECT min(item_id) AS item_id, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(payload)) AS BIGINT) AS payload_bytes
+    FROM {MEDIA_TBL} GROUP BY payload
+"""

@@ -3207,3 +3207,15 @@ def kg_hits(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["norm", "hub", "authority"]),
         batch_format="pyarrow")
+
+
+def media_dedup_q(sf_dir: str):
+    """Exact dedup of binary media payloads (md5 digest two-phase, the
+    multimodal analog of dedup_exact_docs): representative item per
+    distinct payload with copy count and byte size."""
+    import ray.data as rd
+
+    from easyner_ray.ops.multimodal import media_dedup
+    from easyner_ray.sources.media_fixture import ensure_media_fixture
+
+    return media_dedup(rd.read_parquet(ensure_media_fixture(_corpus(sf_dir))))

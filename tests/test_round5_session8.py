@@ -255,3 +255,21 @@ def test_transition_edges_toy(ray_session):
     out = {(r["src"], r["dst"]): r["weight"]
            for r in transition_edges(ments).take_all()}
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_media_dedup_duplicates(ray_session):
+    """Identical payloads collapse to min item_id with the copy count;
+    distinct payloads of equal length stay separate (content, not size)."""
+    import ray.data as rd
+
+    from easyner_ray.ops.multimodal import media_dedup
+
+    blob_a, blob_b = b"\x00\x01\x02\x03", b"\x00\x01\x02\x04"
+    t = pa.table({"item_id": pa.array([5, 2, 9, 7], pa.int64()),
+                  "payload": pa.array([blob_a, blob_a, blob_b, blob_a],
+                                      pa.binary())})
+    out = {r["item_id"]: r for r in
+           media_dedup(rd.from_arrow(t).repartition(2)).take_all()}
+    assert set(out) == {2, 9}
+    assert out[2]["n_copies"] == 3 and out[2]["payload_bytes"] == 4
+    assert out[9]["n_copies"] == 1 and out[9]["payload_bytes"] == 4
