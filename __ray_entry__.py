@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transition_edges": q.kg_transition_edges,  # directed turn flow
         "kg_hits": q.kg_hits,  # hubs/authorities on the directed graph
         "media_dedup": q.media_dedup_q,  # binary-payload exact dedup
+        "kg_modularity": q.kg_modularity,  # partition-quality scalar
     }
 
 

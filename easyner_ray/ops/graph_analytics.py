@@ -2007,3 +2007,83 @@ def transition_edges(mentions, *, batch_size: int = 65536):
         batch_format="pyarrow")
     return grouped_agg(pairs, ["src", "dst"],
                        [("src", "count", "weight")])
+
+
+def modularity(edges, communities, *, src: str = "subj", dst: str = "obj",
+               weight: str = "weight"):
+    """Weighted modularity Q (Newman & Girvan 2004) of a node partition
+    over the both-orientations edge table -> ONE row
+    ``(n_communities, modularity)``::
+
+        Q = W_in / W  -  sum_c S_c^2 / W^2
+
+    with ``W`` = total directed weight (2m), ``W_in`` = weight on edges
+    whose endpoints share a community, ``S_c`` = summed node strength
+    per community. Scores the :func:`label_propagation` partition (or
+    any (norm, community) table) — the standard "did the clustering
+    find real structure" gate (Q ~ 0: no better than random; > ~0.3:
+    strong).
+
+    Determinism: weights are integer counts, so ``W``, ``W_in`` and
+    ``sum S_c^2`` all accumulate as EXACT int64 partials; the final Q
+    is one driver-side float expression mirrored verbatim by the SQL
+    oracle — bit-exact, no rounding grain. Exchanges: two adaptive
+    joins of the vocab-bounded community map onto the vocab^2-bounded
+    edge table, one vocab-bounded strength rollup; nothing corpus-sized
+    moves."""
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    empty = pa.table({"n_communities": pa.array([0], pa.int64()),
+                      "modularity": pa.array([None], pa.float64())})
+    edges = edges.map_batches(lambda t: t.select([src, dst, weight]),
+                              batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+    comm = communities.materialize()
+
+    cs = comm.map_batches(lambda t: t.rename_columns(["__n", "__cs"]),
+                          batch_format="pyarrow").materialize()
+    co = cs.map_batches(lambda t: t.rename_columns(["__n", "__co"]),
+                        batch_format="pyarrow")
+    j = adaptive_join(adaptive_join(edges, cs, on=src, right_on="__n"),
+                      co, on=dst, right_on="__n")
+
+    def edge_moments(t: pa.Table) -> pa.Table:
+        w = t.column(weight).cast(pa.int64())
+        same = pc.equal(t.column("__cs"), t.column("__co"))
+        win = pc.sum(pc.if_else(same, w, pa.scalar(0, pa.int64()))).as_py()
+        return pa.Table.from_pydict(
+            {"tw": [int(pc.sum(w).as_py() or 0)], "win": [int(win or 0)]})
+
+    em = j.map_batches(edge_moments, batch_format="pyarrow") \
+        .sum(["tw", "win"]) or {}
+    tw = int(em.get("sum(tw)") or 0)
+    win = int(em.get("sum(win)") or 0)
+    if tw == 0:
+        return rd.from_arrow(empty)
+
+    st = grouped_agg(edges.map_batches(
+        lambda t: t.select([src, weight]), batch_format="pyarrow"),
+        [src], [(weight, "sum", "__st")])
+    sc = grouped_agg(
+        adaptive_join(st, cs, on=src, right_on="__n").map_batches(
+            lambda t: t.select(["__cs", "__st"]), batch_format="pyarrow"),
+        ["__cs"], [("__st", "sum", "__sc")])
+
+    def comm_moments(t: pa.Table) -> pa.Table:
+        s = t.column("__sc").cast(pa.int64())
+        return pa.Table.from_pydict(
+            {"ssq": [int(pc.sum(pc.multiply_checked(s, s)).as_py() or 0)],
+             "nc": [len(t)]})
+
+    cm = sc.map_batches(comm_moments, batch_format="pyarrow") \
+        .sum(["ssq", "nc"]) or {}
+    ssq = int(cm.get("sum(ssq)") or 0)
+    nc = int(cm.get("sum(nc)") or 0)
+    q = (float(win) / float(tw)
+         - float(ssq) / (float(tw) * float(tw)))
+    return rd.from_arrow(pa.table(
+        {"n_communities": pa.array([nc], pa.int64()),
+         "modularity": pa.array([q], pa.float64())}))

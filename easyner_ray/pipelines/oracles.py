@@ -2443,3 +2443,32 @@ KG["media_dedup"] = f"""
            CAST(min(octet_length(payload)) AS BIGINT) AS payload_bytes
     FROM {MEDIA_TBL} GROUP BY payload
 """
+
+KG["kg_modularity"] = f"""
+    WITH p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    esym AS (SELECT s, o, count(*) AS w FROM p GROUP BY s, o),
+    it0 AS (SELECT DISTINCT s AS node, s AS lbl FROM esym),
+    {",".join(_LPA_STEP.format(i=i, j=i - 1) for i in range(1, 5))},
+    comm AS (SELECT node, lbl FROM it4),
+    twt AS (SELECT sum(w) AS tw FROM esym),
+    wint AS (SELECT coalesce(sum(e.w), 0) AS win
+             FROM esym e
+             JOIN comm c1 ON c1.node = e.s
+             JOIN comm c2 ON c2.node = e.o
+             WHERE c1.lbl = c2.lbl),
+    st AS (SELECT s AS node, sum(w) AS st FROM esym GROUP BY s),
+    sc AS (SELECT c.lbl, sum(st.st) AS sc
+           FROM st JOIN comm c ON c.node = st.node GROUP BY c.lbl),
+    sq AS (SELECT sum(sc * sc) AS ssq, count(*) AS nc FROM sc)
+    SELECT CAST(nc AS BIGINT) AS n_communities,
+           CAST(win AS DOUBLE) / CAST(tw AS DOUBLE)
+             - CAST(ssq AS DOUBLE)
+               / (CAST(tw AS DOUBLE) * CAST(tw AS DOUBLE)) AS modularity
+    FROM twt, wint, sq
+"""

@@ -3219,3 +3219,14 @@ def media_dedup_q(sf_dir: str):
     from easyner_ray.sources.media_fixture import ensure_media_fixture
 
     return media_dedup(rd.read_parquet(ensure_media_fixture(_corpus(sf_dir))))
+
+
+def kg_modularity(sf_dir: str):
+    """Modularity Q of the deterministic label-propagation partition
+    over the KG co-occurrence graph — "did the clustering find real
+    structure": W_in/W - sum_c S_c^2/W^2, every moment an exact int64
+    sum so the float matches the SQL oracle bit-exact."""
+    from easyner_ray.ops.graph_analytics import label_propagation, modularity
+
+    edges = _kg_edge_pairs(sf_dir)
+    return modularity(edges, label_propagation(edges))

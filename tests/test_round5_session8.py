@@ -273,3 +273,51 @@ def test_media_dedup_duplicates(ray_session):
     assert set(out) == {2, 9}
     assert out[2]["n_copies"] == 3 and out[2]["payload_bytes"] == 4
     assert out[9]["n_copies"] == 1 and out[9]["payload_bytes"] == 4
+
+
+def test_modularity_two_cliques(ray_session):
+    """Two disjoint triangles with the perfect partition: W=12, W_in=12,
+    each community strength 6 -> Q = 1 - 2*(6/12)^2 = 0.5."""
+    from easyner_ray.ops.graph_analytics import modularity
+
+    edges = _pair_edges([("a", "b"), ("b", "c"), ("a", "c"),
+                         ("x", "y"), ("y", "z"), ("x", "z")])
+    import ray.data as rd
+
+    comm = rd.from_arrow(pa.table(
+        {"norm": ["a", "b", "c", "x", "y", "z"],
+         "community": ["a", "a", "a", "x", "x", "x"]}))
+    out = modularity(edges, comm).take_all()
+    assert out[0]["n_communities"] == 2
+    assert out[0]["modularity"] == 0.5
+
+
+def test_modularity_single_community_is_zero(ray_session):
+    """Everything in one community: W_in = W and sum S_c^2 = W^2 -> 0."""
+    from easyner_ray.ops.graph_analytics import modularity
+
+    edges = _pair_edges([("a", "b"), ("b", "c")])
+    import ray.data as rd
+
+    comm = rd.from_arrow(pa.table(
+        {"norm": ["a", "b", "c"], "community": ["a", "a", "a"]}))
+    out = modularity(edges, comm).take_all()
+    assert out[0]["n_communities"] == 1
+    assert out[0]["modularity"] == 0.0
+
+
+def test_modularity_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import modularity
+
+    empty_e = rd.from_arrow(pa.table(
+        {"subj": pa.array([], pa.string()),
+         "obj": pa.array([], pa.string()),
+         "weight": pa.array([], pa.int64())}))
+    empty_c = rd.from_arrow(pa.table(
+        {"norm": pa.array([], pa.string()),
+         "community": pa.array([], pa.string())}))
+    out = modularity(empty_e, empty_c).take_all()
+    assert out[0]["n_communities"] == 0
+    assert out[0]["modularity"] is None
