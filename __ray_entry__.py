@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": q.kg_hits,  # hubs/authorities on the directed graph
         "media_dedup": q.media_dedup_q,  # binary-payload exact dedup
         "kg_modularity": q.kg_modularity,  # partition-quality scalar
+        "kg_entity_recurrence": q.kg_entity_recurrence,  # resurfacing texture
     }
 
 

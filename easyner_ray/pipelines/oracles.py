@@ -2472,3 +2472,21 @@ KG["kg_modularity"] = f"""
                / (CAST(tw AS DOUBLE) * CAST(tw AS DOUBLE)) AS modularity
     FROM twt, wint, sq
 """
+
+KG["kg_entity_recurrence"] = f"""
+    WITH tn AS (SELECT DISTINCT conv_id, turn_idx, norm FROM {GM}),
+    g AS (
+      SELECT norm, conv_id,
+             CAST(turn_idx AS BIGINT)
+               - CAST(lag(turn_idx) OVER
+                   (PARTITION BY conv_id, norm ORDER BY turn_idx)
+                 AS BIGINT) AS gap
+      FROM tn)
+    SELECT norm,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap,
+           CAST(count(*) FILTER (WHERE gap >= 2) AS BIGINT) AS n_resurfaces
+    FROM g GROUP BY norm
+"""

@@ -3230,3 +3230,66 @@ def kg_modularity(sf_dir: str):
 
     edges = _kg_edge_pairs(sf_dir)
     return modularity(edges, label_propagation(edges))
+
+
+def kg_entity_recurrence(sf_dir: str):
+    """Per-entity resurfacing texture: over each conversation's DISTINCT
+    mention turns, the turn gaps between consecutive mentions — how many
+    conversations carry the entity, how many turn-mentions total, the
+    largest gap, and how often it resurfaces after skipping >= 1 turn
+    (gap >= 2). Topic-persistence diagnostics for the temporal KG: a
+    high-resurface entity threads through dialogs; max_gap locates
+    long-range callbacks. One bucketed lag() exchange over the distinct
+    (conv, turn, norm) rollup + two vocab-bounded grouped finals."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    tn = grouped_agg(
+        _mentions(sf_dir).map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "norm"]),
+            batch_format="pyarrow"),
+        ["conv_id", "turn_idx", "norm"], [("norm", "count", "__c")],
+    ).select_columns(["conv_id", "turn_idx", "norm"]).materialize()
+
+    lagged = partitioned_analytics(
+        tn, ["conv_id", "norm"], ["turn_idx"],
+        [("lag", "turn_idx", "__prev")])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t.column("turn_idx").cast(pa.int64()),
+                          t.column("__prev").cast(pa.int64()))
+        return pa.Table.from_arrays(
+            [t.column("norm"), pa.array(np.ones(len(t), np.int64)),
+             gap.combine_chunks().is_valid().cast(pa.int64()),
+             gap,
+             pc.coalesce(pc.greater_equal(gap, 2), False).cast(pa.int64())],
+            names=["norm", "__one", "__isgap", "__gap", "__res"])
+
+    per_norm = grouped_agg(
+        lagged.map_batches(gaps, batch_format="pyarrow"),
+        ["norm"],
+        [("__one", "sum", "n_turns"), ("__isgap", "sum", "n_gaps"),
+         ("__gap", "max", "max_gap"), ("__res", "sum", "n_resurfaces")])
+
+    convs = grouped_agg(
+        grouped_agg(tn.map_batches(
+            lambda t: t.select(["norm", "conv_id"]),
+            batch_format="pyarrow"),
+            ["norm", "conv_id"], [("conv_id", "count", "__c")])
+        .select_columns(["norm"]),
+        ["norm"], [("norm", "count", "n_convs")])
+
+    out = adaptive_join(per_norm, convs, on="norm")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("norm"), t.column("n_convs").cast(pa.int64()),
+             t.column("n_turns").cast(pa.int64()),
+             t.column("n_gaps").cast(pa.int64()),
+             pc.coalesce(t.column("max_gap"),
+                         pa.scalar(0)).cast(pa.int64()),
+             t.column("n_resurfaces").cast(pa.int64())],
+            names=["norm", "n_convs", "n_turns", "n_gaps", "max_gap",
+                   "n_resurfaces"])
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -321,3 +321,28 @@ def test_modularity_empty(ray_session):
     out = modularity(empty_e, empty_c).take_all()
     assert out[0]["n_communities"] == 0
     assert out[0]["modularity"] is None
+
+
+def test_entity_recurrence_toy(ray_session, tmp_path, monkeypatch):
+    """Hand-checkable via the query's internals: run the same logic over
+    a tiny distinct (conv, turn, norm) set through the op chain by
+    monkeypatching _mentions."""
+    import ray.data as rd
+
+    import easyner_ray.pipelines.queries as q
+
+    rows = [("c1", 0, "a"), ("c1", 1, "a"), ("c1", 4, "a"),  # gaps 1, 3
+            ("c2", 0, "a"),                                   # no gap
+            ("c1", 0, "b")]
+    ments = rd.from_arrow(pa.table(
+        {"conv_id": [r[0] for r in rows],
+         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+         "norm": [r[2] for r in rows]}))
+    monkeypatch.setattr(q, "_mentions", lambda sf: ments)
+    out = {r["norm"]: r for r in q.kg_entity_recurrence("unused").take_all()}
+    a = out["a"]
+    assert a["n_convs"] == 2 and a["n_turns"] == 4 and a["n_gaps"] == 2
+    assert a["max_gap"] == 3 and a["n_resurfaces"] == 1  # only the 1->4 jump
+    b = out["b"]
+    assert b["n_convs"] == 1 and b["n_turns"] == 1
+    assert b["n_gaps"] == 0 and b["max_gap"] == 0 and b["n_resurfaces"] == 0
