@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q.media_dedup_q,  # binary-payload exact dedup
         "kg_modularity": q.kg_modularity,  # partition-quality scalar
         "kg_entity_recurrence": q.kg_entity_recurrence,  # resurfacing texture
+        "conv_c4_line_filter": q.conv_c4_line_filter,  # C4 cleaning rewrite
     }
 
 

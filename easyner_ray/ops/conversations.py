@@ -759,3 +759,46 @@ def parrot_score(transcripts, *, n: int = 2, batch_size: int = 2048):
 
     return reply_pairs(transcripts).map_batches(
         score, batch_format="pyarrow", batch_size=batch_size)
+
+
+def assemble_conversations(transcripts, sep: str = "\n"):
+    """Whole-dialog document assembly: -> ``(conv_id, n_turns, text)``
+    with ``text`` = the conversation's turn texts joined by ``sep`` in
+    turn order — the input shape for running DOCUMENT-level curation
+    ops (C4 line rules, quality gates, dedup) at conversation
+    granularity, where each turn is one "line".
+
+    Same two-phase fragment exchange as :func:`conv_fingerprint`
+    (ordered per-batch partials, one bucket shuffle joins the 1-2
+    fragments per conversation; contiguous-per-block input contract) —
+    that op reduces to a digest immediately, this one keeps the
+    assembled text as the payload."""
+    import pandas as pd
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    def fragments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(text=("text", sep.join),
+                    n_turns=("turn_idx", "size"),
+                    first_turn=("turn_idx", "min")).reset_index()
+        out["first_turn"] = out["first_turn"].astype("int32")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out[["conv_id", "first_turn", "n_turns", "text"]]
+
+    frag = transcripts.map_batches(fragments, batch_format="pandas")
+    bucketed = frag.map_batches(
+        lambda t: add_hash_bucket(t, ["conv_id"], 64),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "first_turn"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(text=("text", sep.join),
+                    n_turns=("n_turns", "sum")).reset_index()
+        return out[["conv_id", "n_turns", "text"]]
+
+    return bucketed.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")

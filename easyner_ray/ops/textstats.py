@@ -2134,3 +2134,72 @@ def cross_doc_dup_ngrams(docs, *, n: int = 5, id_col: str = "doc_id",
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               batch_size=batch_size)
+
+
+def c4_line_filter(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                   min_words_per_line: int = 5, min_lines: int = 3,
+                   batch_size: int = 4096):
+    """The C4 cleaning REWRITE (Raffel et al. 2020 §2.2) — the filter
+    :func:`c4_signals` only scores: keep a line iff it ends in terminal
+    punctuation, carries >= ``min_words_per_line`` words, and does not
+    mention 'javascript'; drop the whole document if it contains 'lorem
+    ipsum' or a curly brace, or fewer than ``min_lines`` lines survive.
+    -> ``(id, text_clean, n_kept, n_removed)`` for surviving docs, kept
+    lines VERBATIM (trim only feeds the punctuation test) joined by
+    newline in original order.
+
+    Map-only and vectorized, same kernels as the signals pass (one
+    split per batch, per-line regex/count/substring kernels over the
+    flattened lines, bincount back to doc grain); the rebuild is an
+    Arrow ListArray over the kept flat lines + one ``binary_join`` —
+    no per-row Python, nothing leaves the task."""
+    punct_re = r"""[.!?"']$"""
+
+    def f(t: pa.Table) -> pa.Table:
+        schema = pa.schema([t.schema.field(id_col),
+                            ("text_clean", pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("n_removed", pa.int64())])
+        n = len(t)
+        if n == 0:
+            return schema.empty_table()
+        text = t.column(text_col).combine_chunks()
+        lower = pc.utf8_lower(text)
+        doc_ok = np.asarray(pc.and_(
+            pc.invert(pc.match_substring(lower, "lorem ipsum")),
+            pc.invert(pc.match_substring(text, "{"))))
+        lists = pc.split_pattern(text, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = np.asarray(pc.list_parent_indices(lists))
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        trimmed = pc.utf8_trim(flat, " \t\r")
+        keep = (np.asarray(pc.match_substring_regex(trimmed, punct_re))
+                & np.asarray(pc.greater_equal(
+                    pc.count_substring_regex(flat, WS_TOKEN_RE),
+                    min_words_per_line))
+                & np.asarray(pc.invert(pc.match_substring(
+                    pc.utf8_lower(flat), "javascript")))
+                & doc_ok[parent])
+        kept_flat = flat.filter(pa.array(keep))
+        kept_parent = parent[keep]
+        n_kept = np.bincount(kept_parent, minlength=n).astype(np.int64)
+        doc_keep = doc_ok & (n_kept >= min_lines)
+        if not doc_keep.any():
+            return schema.empty_table()
+        # rebuild: ListArray over the kept flat lines (kept_parent is
+        # nondecreasing — flatten order), sliced to surviving docs
+        offsets = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_flat), "\n")
+        sel = pa.array(doc_keep)
+        return pa.Table.from_arrays(
+            [t.column(id_col).combine_chunks().filter(sel),
+             joined.filter(sel),
+             pa.array(n_kept, pa.int64()).filter(sel),
+             pa.array(n_lines - n_kept, pa.int64()).filter(sel)],
+            schema=schema)
+
+    return docs.map_batches(f, batch_format="pyarrow",
+                            batch_size=batch_size)

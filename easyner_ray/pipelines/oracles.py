@@ -2490,3 +2490,25 @@ KG["kg_entity_recurrence"] = f"""
            CAST(count(*) FILTER (WHERE gap >= 2) AS BIGINT) AS n_resurfaces
     FROM g GROUP BY norm
 """
+
+KG["conv_c4_line_filter"] = f"""
+    WITH d AS (
+      SELECT conv_id,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS text
+      FROM {TR} GROUP BY conv_id),
+    f AS (
+      SELECT conv_id,
+             list_filter(string_split(text, chr(10)),
+               x -> regexp_matches(trim(x, ' ' || chr(9) || chr(13)),
+                                   '[.!?"'']$')
+                    AND len(regexp_extract_all(x, '[^\\s]+')) >= 5
+                    AND NOT contains(lower(x), 'javascript')) AS kept,
+             len(string_split(text, chr(10))) AS n_lines
+      FROM d
+      WHERE NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{'))
+    SELECT conv_id, array_to_string(kept, chr(10)) AS text_clean,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_removed
+    FROM f WHERE len(kept) >= 3
+"""

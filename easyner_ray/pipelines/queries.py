@@ -3293,3 +3293,20 @@ def kg_entity_recurrence(sf_dir: str):
                    "n_resurfaces"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def conv_c4_line_filter(sf_dir: str):
+    """C4 cleaning rewrite at CONVERSATION granularity — turns are the
+    "lines": keep turns ending in terminal punctuation with >= 5 words
+    and no 'javascript'; drop dialogs mentioning lorem ipsum / braces or
+    with < 3 surviving turns. The actual filter the c4_signals pass only
+    scores (the flat documents table is single-line word salad, so the
+    line rules are exercised on assembled dialogs). One fragment
+    exchange to assemble, then map-only."""
+    from easyner_ray.ops.conversations import assemble_conversations
+    from easyner_ray.ops.textstats import c4_line_filter
+
+    docs = assemble_conversations(
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"]))
+    return c4_line_filter(docs.select_columns(["conv_id", "text"]),
+                          id_col="conv_id")

@@ -346,3 +346,40 @@ def test_entity_recurrence_toy(ray_session, tmp_path, monkeypatch):
     b = out["b"]
     assert b["n_convs"] == 1 and b["n_turns"] == 1
     assert b["n_gaps"] == 0 and b["max_gap"] == 0 and b["n_resurfaces"] == 0
+
+
+def test_c4_line_filter_rules(ray_session):
+    """Line rules: terminal punct + >=5 words + no 'javascript'; doc
+    rules: lorem ipsum / brace kill, >= min_lines survivors."""
+    import ray.data as rd
+
+    from easyner_ray.ops.textstats import c4_line_filter
+
+    good = "this line has five words."
+    docs = pa.table({
+        "doc_id": ["keep", "too_few", "brace", "lorem"],
+        "text": ["\n".join([good,
+                            "short one.",              # < 5 words
+                            "no terminal punctuation here at all",
+                            "enable javascript to view this page.",
+                            good + "!",
+                            good]),                    # 3 survive
+                 "\n".join([good, good]),              # only 2 lines
+                 good + "\n{ config }\n" + good + "\n" + good,
+                 "lorem ipsum dolor.\n" + good + "\n" + good + "\n" + good]})
+    out = {r["doc_id"]: r for r in
+           c4_line_filter(rd.from_arrow(docs).repartition(2),
+                          min_lines=3).take_all()}
+    assert set(out) == {"keep"}
+    r = out["keep"]
+    assert r["n_kept"] == 3 and r["n_removed"] == 3
+    assert r["text_clean"] == "\n".join([good, good + "!", good])
+
+
+def test_c4_line_filter_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.textstats import c4_line_filter
+
+    docs = rd.from_arrow(pa.table({"doc_id": ["a"], "text": ["word salad"]}))
+    assert c4_line_filter(docs).take_all() == []
