@@ -194,6 +194,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_node_attributes": q.kg_node_attributes,
         "conv_dialog_acts": q.conv_dialog_acts,
         "conv_topics": q.conv_topics,
+        # round-5 session-8 operators
+        "docs_cross_dup_ngrams": q.docs_cross_dup_ngrams,
+        "kg_assortativity": q.kg_assortativity,
+        "events_mad_outliers": q.events_mad_outliers,
+        "conv_parrot_score": q.conv_parrot_score,
+        "kg_hits": q.kg_hits,          # includes the transition-edge build
+        "kg_modularity": q.kg_modularity,
+        "kg_entity_recurrence": q.kg_entity_recurrence,
+        "conv_c4_line_filter": q.conv_c4_line_filter,
+        "media_dedup": q.media_dedup_q,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -1958,7 +1958,8 @@ def assortativity(edges, *, src: str = "subj", dst: str = "obj",
          "assortativity": pa.array([r], pa.float64())}))
 
 
-def transition_edges(mentions, *, batch_size: int = 65536):
+def transition_edges(mentions, *, batch_size: int = 65536,
+                     assume_distinct: bool = False):
     """DIRECTED turn-transition entity edges — the conversation-flow
     graph the symmetric co-occurrence table cannot express: one edge
     ``(src, dst, weight)`` per ordered entity pair where ``src`` is
@@ -1977,12 +1978,15 @@ def transition_edges(mentions, *, batch_size: int = 65536):
     corpus scale); the pair rollup is vocab^2-bounded."""
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
-    tn = grouped_agg(
-        mentions.map_batches(
-            lambda t: t.select(["conv_id", "turn_idx", "norm"]),
-            batch_format="pyarrow", batch_size=batch_size),
-        ["conv_id", "turn_idx", "norm"], [("norm", "count", "__c")],
-    ).materialize()  # feeds both join sides
+    if assume_distinct:  # caller already holds the distinct rollup
+        tn = mentions.materialize()
+    else:
+        tn = grouped_agg(
+            mentions.map_batches(
+                lambda t: t.select(["conv_id", "turn_idx", "norm"]),
+                batch_format="pyarrow", batch_size=batch_size),
+            ["conv_id", "turn_idx", "norm"], [("norm", "count", "__c")],
+        ).materialize()  # feeds both join sides
 
     def keyed(next_turn: bool, out_col: str):
         shift = 1 if next_turn else 0

@@ -3157,18 +3157,15 @@ def conv_parrot_score(sf_dir: str):
         n=2)
 
 
+_TURN_NORMS_CACHE: dict = {}
 _TRANSITION_CACHE: dict = {}
 
 
-def _kg_transition_pairs(sf_dir: str):
-    """Shared DIRECTED upstream for the HITS family: the turn-transition
-    entity edge table (src in turn t, dst in turn t+1, weight =
-    adjacency instances). Materialized + memoized per (corpus, Ray job)
-    exactly like :func:`_kg_edge_pairs` — the payload is vocab^2-bounded
-    while the upstream is the corpus-sized NER chain."""
+def _corpus_key(sf_dir: str):
+    """(path, mtime, size, ray job) — the memo key the graph-family
+    caches share: corpus identity + Ray session (materialized refs die
+    with the session)."""
     import ray
-
-    from easyner_ray.ops.graph_analytics import transition_edges
 
     corpus = _corpus(sf_dir)
     path = os.path.join(corpus, "transcripts.parquet")
@@ -3177,10 +3174,45 @@ def _kg_transition_pairs(sf_dir: str):
         job = ray.get_runtime_context().get_job_id()
     except Exception:
         job = None
-    key = (path, st.st_mtime_ns, st.st_size, job)
+    return (path, st.st_mtime_ns, st.st_size, job)
+
+
+def _kg_turn_norms(sf_dir: str):
+    """Shared distinct (conv_id, turn_idx, norm) rollup — the turn-grain
+    entity presence table both the transition-edge build and the
+    recurrence texture consume. Materialized + memoized per (corpus,
+    Ray job) like :func:`_kg_edge_pairs`: the rollup is the expensive
+    corpus-sized leg (full NER chain + one bucketed grouped final); its
+    two consumers are cheap by comparison."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    key = _corpus_key(sf_dir)
+    hit = _TURN_NORMS_CACHE.get(key)
+    if hit is None:
+        hit = grouped_agg(
+            _mentions(sf_dir).map_batches(
+                lambda t: t.select(["conv_id", "turn_idx", "norm"]),
+                batch_format="pyarrow"),
+            ["conv_id", "turn_idx", "norm"], [("norm", "count", "__c")],
+        ).select_columns(["conv_id", "turn_idx", "norm"]).materialize()
+        _TURN_NORMS_CACHE.clear()
+        _TURN_NORMS_CACHE[key] = hit
+    return hit
+
+
+def _kg_transition_pairs(sf_dir: str):
+    """Shared DIRECTED upstream for the HITS family: the turn-transition
+    entity edge table (src in turn t, dst in turn t+1, weight =
+    adjacency instances), built over the memoized :func:`_kg_turn_norms`
+    rollup. Materialized + memoized per (corpus, Ray job) — the payload
+    is vocab^2-bounded while the upstream is the corpus-sized NER chain."""
+    from easyner_ray.ops.graph_analytics import transition_edges
+
+    key = _corpus_key(sf_dir)
     hit = _TRANSITION_CACHE.get(key)
     if hit is None:
-        hit = transition_edges(_mentions(sf_dir)).materialize()
+        hit = transition_edges(_kg_turn_norms(sf_dir),
+                               assume_distinct=True).materialize()
         _TRANSITION_CACHE.clear()
         _TRANSITION_CACHE[key] = hit
     return hit
@@ -3244,12 +3276,7 @@ def kg_entity_recurrence(sf_dir: str):
     from easyner_ray.ops.analytic import partitioned_analytics
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
-    tn = grouped_agg(
-        _mentions(sf_dir).map_batches(
-            lambda t: t.select(["conv_id", "turn_idx", "norm"]),
-            batch_format="pyarrow"),
-        ["conv_id", "turn_idx", "norm"], [("norm", "count", "__c")],
-    ).select_columns(["conv_id", "turn_idx", "norm"]).materialize()
+    tn = _kg_turn_norms(sf_dir)
 
     lagged = partitioned_analytics(
         tn, ["conv_id", "norm"], ["turn_idx"],
