@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": q.kg_modularity,  # partition-quality scalar
         "kg_entity_recurrence": q.kg_entity_recurrence,  # resurfacing texture
         "conv_c4_line_filter": q.conv_c4_line_filter,  # C4 cleaning rewrite
+        "conv_dedup": q.conv_dedup,  # whole-dialog exact dedup
+        "kg_entity_roles": q.kg_entity_roles,  # who introduces each topic
     }
 
 

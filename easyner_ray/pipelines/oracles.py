@@ -2512,3 +2512,29 @@ KG["conv_c4_line_filter"] = f"""
            CAST(n_lines - len(kept) AS BIGINT) AS n_removed
     FROM f WHERE len(kept) >= 3
 """
+
+KG["conv_dedup"] = f"""
+    WITH fp AS (
+      SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx))
+               AS text_md5
+      FROM {TR} GROUP BY conv_id)
+    SELECT min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY text_md5
+"""
+
+KG["kg_entity_roles"] = f"""
+    WITH m AS (
+      SELECT g.norm, t.role
+      FROM {GM} g JOIN {TR} t
+        ON g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx)
+    SELECT norm,
+           CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+           CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT)
+             AS n_assistant,
+           CAST(count(*) FILTER (WHERE role NOT IN ('user', 'assistant'))
+                AS BIGINT) AS n_other,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(*) FILTER (WHERE role = 'user') AS DOUBLE) / count(*)
+             AS user_share
+    FROM m GROUP BY norm
+"""

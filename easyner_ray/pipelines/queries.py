@@ -3337,3 +3337,88 @@ def conv_c4_line_filter(sf_dir: str):
         _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"]))
     return c4_line_filter(docs.select_columns(["conv_id", "text"]),
                           id_col="conv_id")
+
+
+def conv_dedup(sf_dir: str):
+    """Whole-dialog exact dedup: group conversations on their ordered
+    content fingerprint (conv_fingerprints' md5), keep the min conv_id
+    as representative with the copy count — the conversation-granularity
+    analog of dedup_exact_docs for SFT sets scraped from overlapping
+    sources. One vocab... fingerprint-keyspace grouped final downstream
+    of the fingerprint fragment exchange."""
+    from easyner_ray.ops.conversations import conv_fingerprint
+    from easyner_ray.ops.relational import grouped_agg
+
+    fp = conv_fingerprint(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "text"]))
+    out = grouped_agg(
+        fp.map_batches(lambda t: t.select(["text_md5", "conv_id"]),
+                       batch_format="pyarrow"),
+        ["text_md5"],
+        [("conv_id", "min", "conv_id"), ("conv_id", "count", "n_copies")])
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("conv_id"), t.column("n_copies").cast(pa.int64())],
+            names=["conv_id", "n_copies"]),
+        batch_format="pyarrow")
+
+
+def kg_entity_roles(sf_dir: str):
+    """Entity-role affinity: for each entity, how many of its mentions
+    sit in user vs assistant vs other turns, and the user share — who
+    drives each topic into the dialog. Rides the same turn-key join as
+    kg_mention_yield (mentions joined to the pruned (conv, turn, role)
+    read), then one vocab x role grouped final; the share is one IEEE
+    division (bit-exact, no grain)."""
+    from easyner_ray.ops.graph_analytics import _SEP
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role"])
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
+            _SEP)
+        return pa.Table.from_arrays([k, t.column("role")],
+                                    names=["__k", "role"])
+
+    def mention_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"), pc.cast(t.column("turn_idx"), pa.string()),
+            _SEP)
+        return pa.Table.from_arrays([k, t.column("norm")],
+                                    names=["__k", "norm"])
+
+    j = adaptive_join(
+        _mentions(sf_dir).map_batches(mention_key, batch_format="pyarrow"),
+        tr.map_batches(turn_key, batch_format="pyarrow").materialize(),
+        on="__k")
+
+    def partial(t: pa.Table) -> pa.Table:
+        role = t.column("role")
+        u = pc.equal(role, "user").cast(pa.int64())
+        a = pc.equal(role, "assistant").cast(pa.int64())
+        o = pc.and_(pc.not_equal(role, "user"),
+                    pc.not_equal(role, "assistant")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("norm"), u, a, o],
+            names=["norm", "__u", "__a", "__o"])
+
+    per = grouped_agg(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["norm"],
+        [("__u", "sum", "n_user"), ("__a", "sum", "n_assistant"),
+         ("__o", "sum", "n_other")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        u = t.column("n_user").cast(pa.int64())
+        a = t.column("n_assistant").cast(pa.int64())
+        o = t.column("n_other").cast(pa.int64())
+        tot = pc.add(pc.add(u, a), o)
+        share = pc.divide(u.cast(pa.float64()), tot.cast(pa.float64()))
+        return pa.Table.from_arrays(
+            [t.column("norm"), u, a, o, tot.cast(pa.int64()), share],
+            names=["norm", "n_user", "n_assistant", "n_other",
+                   "n_mentions", "user_share"])
+
+    return per.map_batches(finish, batch_format="pyarrow")

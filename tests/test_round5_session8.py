@@ -383,3 +383,20 @@ def test_c4_line_filter_empty(ray_session):
 
     docs = rd.from_arrow(pa.table({"doc_id": ["a"], "text": ["word salad"]}))
     assert c4_line_filter(docs).take_all() == []
+
+
+def test_conv_dedup_collapses_identical_dialogs(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import easyner_ray.pipelines.queries as q
+
+    rows = [("c2", 0, "hi"), ("c2", 1, "bye"),
+            ("c1", 0, "hi"), ("c1", 1, "bye"),   # same content as c2
+            ("c3", 0, "hi"), ("c3", 1, "later")]
+    tr = rd.from_arrow(pa.table(
+        {"conv_id": [r[0] for r in rows],
+         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+         "text": [r[2] for r in rows]}))
+    monkeypatch.setattr(q, "_transcripts_cols", lambda sf, cols: tr)
+    out = {r["conv_id"]: r["n_copies"] for r in q.conv_dedup("x").take_all()}
+    assert out == {"c1": 2, "c3": 1}
