@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_c4_line_filter": q.conv_c4_line_filter,  # C4 cleaning rewrite
         "conv_dedup": q.conv_dedup,  # whole-dialog exact dedup
         "kg_entity_roles": q.kg_entity_roles,  # who introduces each topic
+        "conv_dup_line_keep_first": q.conv_dup_line_keep_first,  # CCNet keep-first
     }
 
 

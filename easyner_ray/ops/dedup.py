@@ -1297,3 +1297,150 @@ def dup_line_removal(docs, *, min_count: int = 2, text_col: str = "text",
     rewritten = bucketed.groupby("__bucket").map_groups(
         reassemble, batch_format="pyarrow")
     return untouched.union(rewritten)
+
+
+def dup_line_keep_first(docs, *, min_count: int = 2, text_col: str = "text",
+                        batch_size: int = 4096,
+                        broadcast_max_bytes: int = 256 << 20):
+    """CCNet-style keep-first duplicate-line removal — the retention
+    complement of :func:`dup_line_removal` (which deletes EVERY copy of
+    a boilerplate line): an occurrence of a duplicated line survives in
+    the minimum-``doc_id`` document carrying it and is removed
+    everywhere else, so exactly one document retains the shared text.
+    Rule per non-blank line occurrence: removed iff the line's total
+    occurrence count >= ``min_count`` AND this doc is not the line's
+    min-id carrier. -> (doc_id, text_clean, n_removed) for EVERY doc.
+
+    Phase 1 extends the count rollup with the per-line min doc id
+    (two-phase: per-batch group first). Phase 2 is ADAPTIVE: under
+    ``broadcast_max_bytes`` (measured on the materialized dup map) the
+    (line -> min_doc) table broadcasts once and the rewrite is a
+    map-only ``index_in`` + compare per batch; above the gate the
+    exploded lines LEFT-join the dup map through the size-gated hash
+    join and docs reassemble through one doc-bucketed exchange — no
+    driver materialization either way."""
+    import ray
+
+    from easyner_ray.ops.relational import (adaptive_join, add_hash_bucket,
+                                            bucketed_final)
+
+    docs = docs.materialize()  # count pass + rewrite pass
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, flat, _, doc_of, blank = _split_lines(t, text_col)
+        m = ~blank
+        nb = flat.filter(pa.array(m))
+        ids = t.column("doc_id").combine_chunks().take(
+            pa.array(doc_of[m], pa.int64()))
+        g = pa.Table.from_arrays(
+            [nb, pa.array(np.ones(len(nb), dtype=np.int64)), ids],
+            names=["line", "n", "d"])
+        return g.group_by("line").aggregate(
+            [("n", "sum"), ("d", "min")]).rename_columns(["line", "n", "d"])
+
+    counts = bucketed_final(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         batch_size=batch_size),
+        ["line"], pa_aggs=[("n", "sum"), ("d", "min")],
+        out_names=["n", "min_doc"])
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_count))
+                   .select(["line", "min_doc"]),
+        batch_format="pyarrow").materialize()
+
+    if dup.size_bytes() <= broadcast_max_bytes:
+        blocks = [b for b in ray.get(dup.to_arrow_refs()) if len(b)]
+        if blocks:
+            dt = pa.concat_tables(blocks).combine_chunks()
+            ref = ray.put((dt.column("line").combine_chunks(),
+                           dt.column("min_doc").combine_chunks()))
+        else:
+            ref = ray.put(None)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            _, flat, per_doc, doc_of, blank = _split_lines(t, text_col)
+            payload = ray.get(ref)
+            if payload is None or len(flat) == 0:
+                keep = np.ones(len(flat), dtype=bool)
+            else:
+                lines_arr, min_docs = payload
+                code = pc.index_in(flat, value_set=lines_arr)
+                hit = np.asarray(code.is_valid())
+                md = min_docs.take(code.fill_null(0))
+                ids = t.column("doc_id").combine_chunks().take(
+                    pa.array(doc_of, pa.int64()))
+                first = np.asarray(pc.equal(md, ids).fill_null(False))
+                keep = blank | ~hit | (hit & first)
+            return _rebuild(t, text_col, keep, flat, per_doc, doc_of)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+    # ---- open-dup-map path: left-join + doc-bucketed reassembly ----
+    def explode(t: pa.Table) -> pa.Table:
+        _, flat, per_doc, doc_of, blank = _split_lines(t, text_col)
+        ids = t.column("doc_id").combine_chunks().take(
+            pa.array(doc_of, pa.int64()))
+        return pa.Table.from_arrays(
+            [ids,
+             pa.array(np.arange(len(flat), dtype=np.int64)
+                      - np.repeat(np.cumsum(per_doc) - per_doc, per_doc),
+                      pa.int64()),
+             flat, pa.array(blank),
+             pa.array(per_doc[doc_of], pa.int64())],
+            names=["doc_id", "idx", "line", "blank", "total"])
+
+    ex = docs.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+    j = adaptive_join(ex, dup, on="line", how="left")
+    kept = j.map_batches(
+        lambda t: t.filter(pc.or_kleene(
+            pc.or_kleene(t.column("blank"),
+                         pc.is_null(t.column("min_doc"))),
+            pc.equal(t.column("doc_id"), t.column("min_doc")))),
+        batch_format="pyarrow")
+    # a sentinel row (idx = -1) per doc keeps fully-wiped docs present
+    sentinel = ex.map_batches(
+        lambda t: (lambda f: f.set_column(
+            f.schema.get_field_index("idx"), "idx",
+            pa.array(np.full(len(f), -1, dtype=np.int64))))(
+                t.filter(pc.equal(t.column("idx"), 0))),
+        batch_format="pyarrow")
+    all_rows = kept.map_batches(
+        lambda t: t.select(["doc_id", "idx", "line", "total"]),
+        batch_format="pyarrow").union(sentinel.map_batches(
+            lambda t: t.select(["doc_id", "idx", "line", "total"]),
+            batch_format="pyarrow"))
+    bucketed = all_rows.map_batches(
+        lambda t: add_hash_bucket(t, ["doc_id"], 64),
+        batch_format="pyarrow")
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        t = t.drop(["__bucket"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                                 ("idx", "ascending")]))
+        n = len(t)
+        ids = t.column("doc_id").combine_chunks()
+        idx = np.asarray(t.column("idx"))
+        total = np.asarray(t.column("total"))
+        change = np.ones(n, dtype=bool)
+        if n > 1:  # id-type-agnostic group change (Arrow shifted compare)
+            change[1:] = np.asarray(
+                pc.not_equal(ids.slice(1), ids.slice(0, n - 1))
+                .fill_null(True))
+        starts = np.flatnonzero(change)
+        real = idx >= 0
+        kept_per = np.add.reduceat(real.astype(np.int64), starts)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(kept_per, out=offsets[1:])
+        flat = t.column("line").combine_chunks().filter(pa.array(real))
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        clean = pc.binary_join(la, "\n")
+        removed = total[starts] - kept_per
+        return pa.Table.from_arrays(
+            [ids.take(pa.array(starts, pa.int64())), clean,
+             pa.array(removed, pa.int64())],
+            names=["doc_id", "text_clean", "n_removed"])
+
+    return bucketed.groupby("__bucket").map_groups(
+        reassemble, batch_format="pyarrow")

@@ -2538,3 +2538,26 @@ KG["kg_entity_roles"] = f"""
              AS user_share
     FROM m GROUP BY norm
 """
+
+KG["conv_dup_line_keep_first"] = f"""
+    WITH d AS (
+      SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+      FROM {TR} GROUP BY conv_id),
+    ln AS (SELECT conv_id, string_split(text, chr(10)) AS l FROM d),
+    ex AS (SELECT conv_id, unnest(generate_series(1, len(l))) AS idx,
+                  unnest(l) AS line FROM ln),
+    cnt AS (SELECT line, count(*) AS c, min(conv_id) AS md FROM ex
+            WHERE regexp_matches(line, '[^ ' || chr(9) || ']')
+            GROUP BY line),
+    kept AS (
+      SELECT e.conv_id,
+             string_agg(e.line, chr(10) ORDER BY e.idx) AS text_clean,
+             count(*) AS n_kept
+      FROM ex e LEFT JOIN cnt c ON e.line = c.line
+      WHERE c.c IS NULL OR c.c < 2 OR e.conv_id = c.md
+      GROUP BY e.conv_id)
+    SELECT ln.conv_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           CAST(len(ln.l) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM ln LEFT JOIN kept k ON ln.conv_id = k.conv_id
+"""

@@ -3422,3 +3422,25 @@ def kg_entity_roles(sf_dir: str):
                    "n_mentions", "user_share"])
 
     return per.map_batches(finish, batch_format="pyarrow")
+
+
+def conv_dup_line_keep_first(sf_dir: str):
+    """CCNet-style keep-first line dedup at conversation granularity:
+    turns repeated verbatim across dialogs survive only in the
+    min-conv_id dialog carrying them (163 duplicated turn texts / 1180
+    occurrences at sf0.01) — the retention complement of the
+    delete-every-copy boilerplate cut."""
+    from easyner_ray.ops.conversations import assemble_conversations
+    from easyner_ray.ops.dedup import dup_line_keep_first
+
+    docs = assemble_conversations(
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"])) \
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("conv_id"), t.column("text")],
+                names=["doc_id", "text"]),
+            batch_format="pyarrow")
+    out = dup_line_keep_first(docs)
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "text_clean", "n_removed"]),
+        batch_format="pyarrow")

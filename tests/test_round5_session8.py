@@ -400,3 +400,39 @@ def test_conv_dedup_collapses_identical_dialogs(ray_session, monkeypatch):
     monkeypatch.setattr(q, "_transcripts_cols", lambda sf, cols: tr)
     out = {r["conv_id"]: r["n_copies"] for r in q.conv_dedup("x").take_all()}
     assert out == {"c1": 2, "c3": 1}
+
+
+def _kf_docs():
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": ["dup line\nunique c",          # doc 3: loses "dup line"
+                 "dup line\nunique a\n\ntwice\ntwice",  # doc 1: first carrier
+                 "twice\nunique b"]})           # doc 2: "twice" min doc is 1
+    return rd.from_arrow(t).repartition(2)
+
+
+def _kf_expect():
+    return {
+        1: ("dup line\nunique a\n\ntwice\ntwice", 0),  # min carrier keeps all
+        2: ("unique b", 1),
+        3: ("unique c", 1),
+    }
+
+
+def test_dup_line_keep_first_broadcast(ray_session):
+    from easyner_ray.ops.dedup import dup_line_keep_first
+
+    out = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in dup_line_keep_first(_kf_docs()).take_all()}
+    assert out == _kf_expect()
+
+
+def test_dup_line_keep_first_join_path_matches(ray_session):
+    from easyner_ray.ops.dedup import dup_line_keep_first
+
+    out = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in dup_line_keep_first(
+               _kf_docs(), broadcast_max_bytes=0).take_all()}
+    assert out == _kf_expect()
