@@ -920,3 +920,80 @@ def embedding_outlier_filter(embeddings, *, k: int = 8, iters: int = 4,
         return t.filter(pa.array(keep))
 
     return scored.map_batches(gate, batch_format="pyarrow")
+
+
+# ------------------------------------------ random-projection reduce ----
+
+def rp_matrix(d: int, k: int, seed: int = 7) -> np.ndarray:
+    """Deterministic Achlioptas (2003) sparse random projection matrix
+    (d, k): entries +1 / 0 / -1 with probabilities 1/6 / 2/3 / 1/6,
+    derived positionally from the splitmix64 finalizer over
+    ``seed * 2^32 + flat_index`` — no RNG state, so every worker (and
+    the straight-line gold) materializes the identical matrix from two
+    integers. The sqrt(3)/sqrt(k) variance scale is applied by the
+    caller AFTER the exact-integer accumulation."""
+    from easyner_ray.ops.sketch import splitmix64
+
+    idx = (np.arange(d * k, dtype=np.uint64)
+           + (np.uint64(seed) << np.uint64(32)))
+    u = splitmix64(idx) % np.uint64(6)
+    r = np.zeros(d * k, dtype=np.float64)
+    r[u == 0] = 1.0
+    r[u == 1] = -1.0
+    return r.reshape(d, k)
+
+
+def _rp_apply(x: np.ndarray, r: np.ndarray, k: int,
+              round_digits: int) -> np.ndarray:
+    """Fixed-order projection kernel shared by every batch AND the gold
+    recompute: accumulate over input dims j = 0..d-1 in sequence
+    (products are exact — R is +-1/0 and x float32-exact — so the ONLY
+    float sensitivity is this explicitly-pinned summation order; BLAS
+    matmul would re-block it per batch shape), then one scale + round."""
+    n, d = x.shape
+    acc = np.zeros((n, k), dtype=np.float64)
+    for j in range(d):
+        nz = r[j] != 0.0
+        if nz.any():
+            acc[:, nz] += x[:, j:j + 1] * r[j, nz]
+    scale = np.sqrt(3.0) / np.sqrt(float(k))
+    return np.round(acc * scale, round_digits)
+
+
+def rp_reduce(embeddings, out_dim: int, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", seed: int = 7,
+              round_digits: int = 6, batch_size: int = 4096):
+    """Johnson-Lindenstrauss dimensionality reduction by deterministic
+    sparse random projection — the standard cheapening step BEFORE
+    brute/IVF ANN at 100 TB (project once, search in k << d dims; pair
+    distances are preserved within ~eps whp). -> flat
+    ``(id, dim_idx, value)`` rows (out_dim per input vector): exploded
+    rather than list-typed so the driver's value-hash compares scalars.
+
+    MAP-ONLY: the (d x out_dim) matrix rebuilds per worker from two
+    integers (:func:`rp_matrix`, ~microseconds) — nothing broadcasts,
+    nothing shuffles; determinism comes from the fixed-order
+    accumulation kernel (:func:`_rp_apply`) + the rounding grain, so
+    batch layout cannot move a value."""
+
+    def f(t: pa.Table) -> pa.Table:
+        schema = pa.schema([t.schema.field(id_col),
+                            ("dim_idx", pa.int64()),
+                            ("value", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        x = _as_matrix(t.column(vec_col))
+        r = _cached_state(("rp", x.shape[1], out_dim, seed),
+                          lambda: rp_matrix(x.shape[1], out_dim, seed))
+        y = _rp_apply(x, r, out_dim, round_digits)
+        n = len(t)
+        ids = t.column(id_col).combine_chunks().take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), out_dim)))
+        return pa.Table.from_arrays(
+            [ids,
+             pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+             pa.array(y.reshape(-1), pa.float64())],
+            schema=schema)
+
+    return embeddings.map_batches(f, batch_format="pyarrow",
+                                  batch_size=batch_size)

@@ -2561,3 +2561,7 @@ KG["conv_dup_line_keep_first"] = f"""
            CAST(len(ln.l) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
     FROM ln LEFT JOIN kept k ON ln.conv_id = k.conv_id
 """
+
+GRP = f"read_parquet('{SYNTH}/gold_rp_reduce.parquet')"
+RELATIONAL["embeddings_rp_reduce"] = \
+    f"SELECT vec_id, dim_idx, value FROM {GRP}"

@@ -3444,3 +3444,15 @@ def conv_dup_line_keep_first(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["conv_id", "text_clean", "n_removed"]),
         batch_format="pyarrow")
+
+
+def embeddings_rp_reduce(sf_dir: str):
+    """Johnson-Lindenstrauss reduce: 64-dim embeddings projected to 16
+    dims through a deterministic Achlioptas +-1/0 matrix (splitmix64-
+    positional, no RNG state) — the project-once step before ANN at
+    scale. Map-only; exploded (vec_id, dim_idx, value) output; oracle =
+    straight-line recompute (gold_rp_reduce.parquet)."""
+    from easyner_ray.ops.similarity import rp_reduce
+
+    return rp_reduce(_rp(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]), 16)

@@ -1397,6 +1397,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_semdedup_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_outlier_filter.parquet")):
             write_outlier_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_rp_reduce.parquet")):
+            write_rp_reduce_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
@@ -1543,5 +1545,45 @@ def write_hits_gold(corpus: str, iters: int = 20,
          pa.array(a, pa.float64())],
         names=["norm", "hub", "authority"])
     path = os.path.join(corpus, "gold_hits.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_rp_reduce_gold(corpus: str, embeddings_path: str,
+                         out_dim: int = 16, seed: int = 7,
+                         round_digits: int = 6) -> str:
+    """Straight-line random-projection reduce — the gold for
+    ``ops.similarity.rp_reduce`` (spec: Achlioptas +-1/0 matrix from
+    splitmix64 over seed*2^32 + flat index, FIXED-ORDER accumulation
+    over input dims j = 0..d-1, sqrt(3)/sqrt(k) scale, np.round grain).
+    The projection matrix is rebuilt here from the shared splitmix64
+    finalizer (a pinned constant function, like the rounding kernels);
+    the accumulation loop is an independent single-process recompute."""
+    from easyner_ray.ops.sketch import splitmix64
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n, d = x.shape
+    idx = (np.arange(d * out_dim, dtype=np.uint64)
+           + (np.uint64(seed) << np.uint64(32)))
+    u = splitmix64(idx) % np.uint64(6)
+    r = np.zeros(d * out_dim, dtype=np.float64)
+    r[u == 0] = 1.0
+    r[u == 1] = -1.0
+    r = r.reshape(d, out_dim)
+    acc = np.zeros((n, out_dim), dtype=np.float64)
+    for j in range(d):
+        nz = r[j] != 0.0
+        if nz.any():
+            acc[:, nz] += x[:, j:j + 1] * r[j, nz]
+    y = np.round(acc * (np.sqrt(3.0) / np.sqrt(float(out_dim))),
+                 round_digits)
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.repeat(np.array(ids, dtype=np.int64), out_dim)),
+         pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+         pa.array(y.reshape(-1), pa.float64())],
+        names=["vec_id", "dim_idx", "value"])
+    path = os.path.join(corpus, "gold_rp_reduce.parquet")
     pq.write_table(tbl, path)
     return path

@@ -436,3 +436,35 @@ def test_dup_line_keep_first_join_path_matches(ray_session):
            for r in dup_line_keep_first(
                _kf_docs(), broadcast_max_bytes=0).take_all()}
     assert out == _kf_expect()
+
+
+def test_rp_reduce_batch_invariant_and_jl(ray_session):
+    """Values are identical under different batch layouts (the fixed-
+    order kernel claim), and the projection roughly preserves pair
+    distances (JL property, loose tolerance at k=16 of d=64)."""
+    import numpy as np
+    import ray.data as rd
+
+    from easyner_ray.ops.similarity import rp_reduce
+
+    rng_free = np.arange(40 * 64, dtype=np.float64).reshape(40, 64)
+    rng_free = np.sin(rng_free)  # deterministic, varied
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in rng_free],
+                              pa.list_(pa.float32()))})
+
+    def run(blocks, bs):
+        out = rp_reduce(rd.from_arrow(tbl).repartition(blocks), 16,
+                        batch_size=bs).take_all()
+        return {(r["vec_id"], r["dim_idx"]): r["value"] for r in out}
+
+    a = run(1, 4096)
+    b = run(4, 7)
+    assert a == b and len(a) == 40 * 16
+
+    y = np.array([[a[(i, j)] for j in range(16)] for i in range(40)])
+    x32 = rng_free.astype(np.float32).astype(np.float64)
+    dx = np.linalg.norm(x32[0] - x32[20])
+    dy = np.linalg.norm(y[0] - y[20])
+    assert 0.4 * dx < dy < 2.5 * dx  # distance preserved within JL slack
