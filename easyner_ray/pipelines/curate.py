@@ -344,6 +344,73 @@ def _step_dup_line_removal(ds, min_count: int = 2, id_col: str = "doc_id",
     return adaptive_join(ds.drop_columns([text_col]), cleaned, on=id_col)
 
 
+def _step_dup_line_keep_first(ds, min_count: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_tokens: int = 1, **_):
+    """CCNet-style keep-first line dedup as a chain step: a duplicated
+    line survives only in its min-id document; docs left under
+    ``min_tokens`` drop. Same rewrite-and-rejoin shape as
+    :func:`_step_dup_line_removal`."""
+    from easyner_ray.ops.dedup import dup_line_keep_first
+    from easyner_ray.ops.relational import adaptive_join
+
+    ds = ds.materialize()  # two consumers — rewrite source + join left
+    cleaned = dup_line_keep_first(ds, min_count=min_count,
+                                  text_col=text_col)
+
+    def strip(t: pa.Table) -> pa.Table:
+        kept = pc.greater_equal(pc.count_substring_regex(
+            t.column("text_clean"), r"\S+"), min_tokens)
+        t = t.filter(kept).drop_columns(["n_removed"])
+        return t.rename_columns([id_col, text_col])
+
+    cleaned = cleaned.map_batches(strip, batch_format="pyarrow")
+    return adaptive_join(ds.drop_columns([text_col]), cleaned, on=id_col)
+
+
+def _step_c4_filter(ds, min_words_per_line: int = 5, min_lines: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text", **_):
+    """C4 cleaning rewrite as a chain step: line keep rules + doc kill
+    rules (``textstats.c4_line_filter``), cleaned text back under the
+    chain's text column, other columns rejoined."""
+    from easyner_ray.ops.relational import adaptive_join
+    from easyner_ray.ops.textstats import c4_line_filter
+
+    ds = ds.materialize()  # two consumers — rewrite source + join left
+    cleaned = c4_line_filter(ds, id_col=id_col, text_col=text_col,
+                             min_words_per_line=min_words_per_line,
+                             min_lines=min_lines)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(id_col), t.column("text_clean")],
+            names=[id_col, text_col])
+
+    cleaned = cleaned.map_batches(strip, batch_format="pyarrow")
+    return adaptive_join(ds.drop_columns([text_col]), cleaned, on=id_col)
+
+
+def _step_cross_dup_filter(ds, max_dup_frac: float = 0.5, n: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           **_):
+    """RefinedWeb-style cross-document duplicate-share gate: drop docs
+    whose distinct word n-gram shingles overlap other documents beyond
+    ``max_dup_frac`` (``textstats.cross_doc_dup_ngrams``); docs with no
+    shingles pass (nothing to judge)."""
+    from easyner_ray.ops.relational import adaptive_semi_join
+    from easyner_ray.ops.textstats import cross_doc_dup_ngrams
+
+    ds = ds.materialize()  # scored pass + semi-join left
+    scores = cross_doc_dup_ngrams(ds, n=n, id_col=id_col,
+                                  text_col=text_col)
+    drop = scores.map_batches(
+        lambda t: t.filter(pc.greater(t.column("dup_frac"),
+                                      max_dup_frac)).select([id_col]),
+        batch_format="pyarrow")
+    return adaptive_semi_join(ds, drop, on=id_col, anti=True)
+
+
 def _step_near_dup_filter(ds, threshold: float = 0.8, k: int = 3,
                           text_col: str = "text", method: str = "jaccard",
                           **_):
@@ -666,6 +733,9 @@ STEPS = {
     "near_dup_incremental": _step_near_dup_incremental,
     "dup_span_removal": _step_dup_span_removal,
     "dup_line_removal": _step_dup_line_removal,
+    "dup_line_keep_first": _step_dup_line_keep_first,
+    "c4_filter": _step_c4_filter,
+    "cross_dup_filter": _step_cross_dup_filter,
     "hash_sample": _step_hash_sample,
     "mixture_sample": _step_mixture_sample,
     "rebalance": _step_rebalance,

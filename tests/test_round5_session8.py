@@ -468,3 +468,33 @@ def test_rp_reduce_batch_invariant_and_jl(ray_session):
     dx = np.linalg.norm(x32[0] - x32[20])
     dy = np.linalg.norm(y[0] - y[20])
     assert 0.4 * dx < dy < 2.5 * dx  # distance preserved within JL slack
+
+
+def test_curate_new_steps(ray_session):
+    """The three session-8 chain steps run end-to-end in one config:
+    cross_dup_filter drops the heavily-shared doc, dup_line_keep_first
+    keeps one carrier of the shared line, c4_filter applies line rules."""
+    import ray.data as rd
+
+    from easyner_ray.pipelines.curate import STEPS
+
+    good = "this line has five words."
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [good + "\nshared line is right here.\n" + good,
+                 good + "!\nshared line is right here.\n" + good + "?",
+                 "tiny."]}))
+    out = STEPS["dup_line_keep_first"](docs, min_count=2)
+    rows = {r["doc_id"]: r["text"] for r in out.take_all()}
+    # doc 1 (min id) keeps the shared line; doc 2 loses it; the "good"
+    # line also dups -> kept only in doc 1
+    assert "shared line is right here." in rows[1]
+    assert "shared line is right here." not in rows[2]
+
+    out2 = STEPS["c4_filter"](docs, min_lines=2)
+    ids2 = sorted(r["doc_id"] for r in out2.take_all())
+    assert ids2 == [1, 2]   # doc 3 has one line -> killed
+
+    out3 = STEPS["cross_dup_filter"](docs, max_dup_frac=0.4, n=2)
+    ids3 = sorted(r["doc_id"] for r in out3.take_all())
+    assert 3 in ids3        # no shared bigrams with others at that rate
