@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_roles": q.kg_entity_roles,  # who introduces each topic
         "conv_dup_line_keep_first": q.conv_dup_line_keep_first,  # CCNet keep-first
         "embeddings_rp_reduce": q.embeddings_rp_reduce,  # JL projection
+        "docs_containment_pairs": q.docs_containment_pairs,  # subset copies
     }
 
 

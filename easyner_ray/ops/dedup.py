@@ -221,16 +221,13 @@ def _shingle_rows(batch: pa.Table, k: int, text_col: str) -> pa.Table:
     )
 
 
-def ngram_jaccard_pairs(
-    docs,
-    threshold: float = 0.5,
-    k: int = 3,
-    text_col: str = "text",
-    hot_cap: int = 2000,
-    batch_size: int = 4096,
-):
-    """-> (doc_a, doc_b, inter, uni) for all pairs with exact shingle-set
-    Jaccard inter/uni >= threshold (doc_a < doc_b). Integer outputs.
+def _ngram_pair_counts(docs, k: int, text_col: str, hot_cap: int,
+                       batch_size: int):
+    """Shared candidate machinery of :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs`: -> Dataset (doc_a, doc_b, inter,
+    n_a, n_b) with the EXACT shingle-set intersection size and both
+    set sizes for every pair sharing >= 1 sub-``hot_cap`` shingle
+    (doc_a < doc_b); the caller applies its own score + threshold.
 
     ``hot_cap``: posting lists longer than this are dropped (a shingle
     shared by >hot_cap docs identifies nothing and would emit O(cap^2)
@@ -307,7 +304,7 @@ def ngram_jaccard_pairs(
             names=["doc_a", "doc_b", "n", "n_a", "n_b"],
         )
 
-    inter = bucketed_final(
+    return bucketed_final(
         # batch_size=None: an explicit coarse size here would fuse into
         # pairs_in_bucket and coalesce the per-bucket groups onto one task
         # (the measured fusion trap documented in stages/analysis.py)
@@ -316,6 +313,20 @@ def ngram_jaccard_pairs(
         pa_aggs=[("n", "sum"), ("n_a", "min"), ("n_b", "min")],
         out_names=["inter", "n_a", "n_b"],
     )
+
+
+def ngram_jaccard_pairs(
+    docs,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    hot_cap: int = 2000,
+    batch_size: int = 4096,
+):
+    """-> (doc_a, doc_b, inter, uni) for all pairs with exact shingle-set
+    Jaccard inter/uni >= threshold (doc_a < doc_b). Integer outputs.
+    Candidate generation + hot_cap contract: :func:`_ngram_pair_counts`."""
+    inter = _ngram_pair_counts(docs, k, text_col, hot_cap, batch_size)
 
     def finish(b: pa.Table) -> pa.Table:
         uni = pc.subtract(pc.add(b.column("n_a"), b.column("n_b")), b.column("inter"))
@@ -326,6 +337,44 @@ def ngram_jaccard_pairs(
         )
         keep = pc.greater_equal(
             pc.divide(t.column("inter").cast(pa.float64()), t.column("uni").cast(pa.float64())),
+            threshold,
+        )
+        return t.filter(keep)
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    docs,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    hot_cap: int = 2000,
+    batch_size: int = 4096,
+):
+    """Subset-copy detection — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: pairs scored by SET CONTAINMENT
+    ``inter / min(|A|, |B|)``, which stays high when one document is
+    embedded inside a much larger one (quoted articles, concatenated
+    crawls) while their Jaccard collapses toward |A|/|B|. -> (doc_a,
+    doc_b, inter, n_a, n_b) for pairs with containment >= ``threshold``
+    (doc_a < doc_b); integer outputs plus one IEEE division for the
+    gate. Same candidate machinery, hot_cap contract and scale shape as
+    the Jaccard op (:func:`_ngram_pair_counts`)."""
+    inter = _ngram_pair_counts(docs, k, text_col, hot_cap, batch_size)
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [b.column("doc_a"), b.column("doc_b"),
+             b.column("inter").cast(pa.int64()),
+             b.column("n_a").cast(pa.int64()),
+             b.column("n_b").cast(pa.int64())],
+            names=["doc_a", "doc_b", "inter", "n_a", "n_b"],
+        )
+        mn = pc.min_element_wise(t.column("n_a"), t.column("n_b"))
+        keep = pc.greater_equal(
+            pc.divide(t.column("inter").cast(pa.float64()),
+                      mn.cast(pa.float64())),
             threshold,
         )
         return t.filter(keep)

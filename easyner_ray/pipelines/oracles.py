@@ -2565,3 +2565,21 @@ KG["conv_dup_line_keep_first"] = f"""
 GRP = f"read_parquet('{SYNTH}/gold_rp_reduce.parquet')"
 RELATIONAL["embeddings_rp_reduce"] = \
     f"SELECT vec_id, dim_idx, value FROM {GRP}"
+
+RELATIONAL["docs_containment_pairs"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS n_a, len(b.s) AS n_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, n_a, n_b FROM pairs
+    WHERE inter * 1.0 / least(n_a, n_b) >= 0.4
+"""

@@ -3456,3 +3456,15 @@ def embeddings_rp_reduce(sf_dir: str):
 
     return rp_reduce(_rp(sf_dir, "embeddings",
                          columns=["vec_id", "embedding"]), 16)
+
+
+def docs_containment_pairs(sf_dir: str):
+    """Subset-copy pairs: exact shingle-set containment
+    inter/min(|A|,|B|) >= 0.4 over word trigrams — catches a document
+    embedded inside a larger one, where Jaccard collapses. Shares the
+    inverted-index candidate machinery with ngram_jaccard_pairs."""
+    from easyner_ray.ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.4)

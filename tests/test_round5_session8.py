@@ -498,3 +498,28 @@ def test_curate_new_steps(ray_session):
     out3 = STEPS["cross_dup_filter"](docs, max_dup_frac=0.4, n=2)
     ids3 = sorted(r["doc_id"] for r in out3.take_all())
     assert 3 in ids3        # no shared bigrams with others at that rate
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    """A short doc fully embedded in a long one: containment 1.0, but
+    Jaccard inter/uni is small — the pair must pass the containment
+    gate and fail a high Jaccard gate."""
+    import ray.data as rd
+
+    from easyner_ray.ops.dedup import (ngram_containment_pairs,
+                                       ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [short, short + " " + filler]})
+    ds = rd.from_arrow(t).repartition(2)
+
+    cont = ngram_containment_pairs(ds, threshold=0.9, k=3).take_all()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["inter"] == r["n_a"] == 3  # all of the short doc's trigrams
+
+    jac = ngram_jaccard_pairs(ds, threshold=0.5, k=3).take_all()
+    assert jac == []  # inter/uni = 3/63 — invisible to Jaccard
