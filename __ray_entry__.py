@@ -238,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dup_line_keep_first": q.conv_dup_line_keep_first,  # CCNet keep-first
         "embeddings_rp_reduce": q.embeddings_rp_reduce,  # JL projection
         "docs_containment_pairs": q.docs_containment_pairs,  # subset copies
+        "docs_vocab_growth": q.docs_vocab_growth,  # Heaps-law curve
+        "docs_zipf_slope": q.docs_zipf_slope,      # rank-frequency fit
+        "docs_ngram_novelty": q.docs_ngram_novelty,  # first-occurrence census
+        "kg_closeness": q.kg_closeness,        # reach/sum-dist moments
+        "kg_reciprocity": q.kg_reciprocity,    # mutual-flow census
     }
 
 

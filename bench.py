@@ -204,6 +204,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_entity_recurrence": q.kg_entity_recurrence,
         "conv_c4_line_filter": q.conv_c4_line_filter,
         "media_dedup": q.media_dedup_q,
+        # round-5 session-9 operators
+        "docs_vocab_growth": q.docs_vocab_growth,
+        "docs_zipf_slope": q.docs_zipf_slope,
+        "docs_ngram_novelty": q.docs_ngram_novelty,
+        "kg_closeness": q.kg_closeness,
+        "kg_reciprocity": q.kg_reciprocity,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

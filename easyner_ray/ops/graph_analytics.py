@@ -2091,3 +2091,147 @@ def modularity(edges, communities, *, src: str = "subj", dst: str = "obj",
     return rd.from_arrow(pa.table(
         {"n_communities": pa.array([nc], pa.int64()),
          "modularity": pa.array([q], pa.float64())}))
+
+
+def closeness(edges, *, src: str = "subj", dst: str = "obj",
+              n_tasks: int = 32):
+    """Closeness-centrality moments per node over the unweighted
+    co-occurrence graph -> (norm, n_reachable, sum_dist): how many nodes
+    the entity can reach in ITS component and the total hop distance to
+    them. Both are exact int64 — classic closeness ``n_reachable /
+    sum_dist`` (and the Wasserman–Faust component correction) are the
+    caller's division, so there is no float grain to negotiate with the
+    oracle; :func:`eccentricity` gives the max-distance companion.
+
+    Same broadcast-adjacency fan as :func:`betweenness` /
+    :func:`eccentricity`: the int-coded CSR ships once via ``ray.put``
+    (vocab-bounded), tasks over root ranges run one level-synchronous
+    vectorized BFS per root (frontier expansion = one ranges->index
+    gather, no per-node Python loop) and emit one row per root — no
+    exchange beyond the output concat."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"norm": pa.array([], pa.string()),
+                      "n_reachable": pa.array([], pa.int64()),
+                      "sum_dist": pa.array([], pa.int64())})
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
+    nv = len(vocab)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    state_ref = ray.put((indptr, nbr_c))
+    n_tasks = min(n_tasks, nv) or 1
+
+    def bfs_task(batch: pa.Table) -> pa.Table:
+        indptr_, adj = ray.get(state_ref)
+        nv_ = len(indptr_) - 1
+        roots = batch.column("gi").to_numpy()
+        nreach = np.empty(len(roots), dtype=np.int64)
+        sumd = np.empty(len(roots), dtype=np.int64)
+        for i, root in enumerate(roots):
+            seen = np.zeros(nv_, dtype=bool)
+            seen[root] = True
+            frontier = np.array([root], dtype=np.int64)
+            d = 0
+            total = 0
+            dist_total = 0
+            while len(frontier):
+                st = indptr_[frontier]
+                ln = indptr_[frontier + 1] - st
+                tot = int(ln.sum())
+                if tot == 0:
+                    break
+                flat = np.arange(tot, dtype=np.int64)
+                idx = (flat - np.repeat(np.cumsum(ln) - ln, ln)
+                       + np.repeat(st, ln))
+                w = adj[idx]
+                new_nodes = np.unique(w[~seen[w]])
+                if not len(new_nodes):
+                    break
+                seen[new_nodes] = True
+                total += len(new_nodes)
+                dist_total += (d + 1) * len(new_nodes)
+                frontier = new_nodes
+                d += 1
+            nreach[i] = total
+            sumd[i] = dist_total
+        return pa.table({
+            "norm": vocab.take(pa.array(roots, pa.int64())),
+            "n_reachable": pa.array(nreach, pa.int64()),
+            "sum_dist": pa.array(sumd, pa.int64())})
+
+    group_ids = rd.from_arrow(pa.table(
+        {"gi": pa.array(np.arange(nv), pa.int64())}))
+    return group_ids.map_batches(
+        bfs_task, batch_format="pyarrow",
+        batch_size=max(1, (nv + n_tasks - 1) // n_tasks))
+
+
+def reciprocity(edges, *, src: str = "src", dst: str = "dst",
+                batch_size: int = 65536):
+    """Per-node reciprocity census over a DISTINCT directed edge table
+    -> (norm, n_out, n_recip): distinct out-neighbors, and how many of
+    them point back — "is this entity's conversational flow one-way
+    (it foreshadows others) or mutual?" on the turn-transition graph.
+    Both counts are exact int64; the reciprocity RATE ``n_recip /
+    n_out`` is the caller's division (no float grain cross-engine).
+
+    Input contract: ``edges`` carries DISTINCT (src, dst) pairs —
+    :func:`transition_edges` output satisfies it by construction (it is
+    a grouped rollup). Scale shape: the pair table keys itself on the
+    packed ``src\\x1fdst`` string and LEFT-probes its own REVERSED
+    projection through the size-gated :func:`relational.adaptive_join`
+    (broadcast under the byte gate, hash-shuffle at corpus scale), then
+    one two-phase grouped sum over the node keyspace — the exchange is
+    pair-table-sized, never all-pairs."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    pairs = edges.map_batches(
+        lambda t: t.select([src, dst]),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+
+    def fwd(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column(src), t.column(dst), _SEP)
+        return pa.Table.from_arrays([t.column(src), k],
+                                    names=["norm", "__k"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column(dst), t.column(src), _SEP)
+        return pa.Table.from_arrays(
+            [k, pa.array(np.ones(len(t), dtype=np.int64))],
+            names=["__k", "__back"])
+
+    left = pairs.map_batches(fwd, batch_format="pyarrow",
+                             batch_size=batch_size)
+    right = pairs.map_batches(rev, batch_format="pyarrow",
+                              batch_size=batch_size)
+    j = adaptive_join(left, right, on="__k", how="left",
+                      approx_bytes=2 * pairs.size_bytes())
+
+    def flags(t: pa.Table) -> pa.Table:
+        back = pc.fill_null(t.column("__back"), 0)
+        return pa.table({"norm": t.column("norm"),
+                         "n_out": pa.array(
+                             np.ones(len(t), dtype=np.int64)),
+                         "n_recip": back})
+
+    return grouped_agg(
+        j.map_batches(flags, batch_format="pyarrow"),
+        ["norm"], [("n_out", "sum", "n_out"),
+                   ("n_recip", "sum", "n_recip")])

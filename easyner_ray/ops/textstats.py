@@ -2203,3 +2203,191 @@ def c4_line_filter(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
     return docs.map_batches(f, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+def vocab_growth(docs, *, n_buckets: int = 20, id_col: str = "doc_id",
+                 text_col: str = "text", batch_size: int = 4096):
+    """Heaps-law vocabulary growth curve: bucket the id range into
+    ``n_buckets`` equal-width slices and report, per bucket, how many
+    DISTINCT terms first appear there plus the running vocabulary size —
+    the "is the crawl still finding new language?" diagnostic of corpus
+    assembly (vocabulary saturating early = the new shard is mostly
+    re-crawl; still growing linearly = genuinely fresh text).
+
+    Distributed shape: exact per-batch tf partials (:func:`_tf_partial`,
+    a doc lives on one row) -> a two-phase grouped ``min(doc_id)`` over
+    the term keyspace (the ONLY corpus-scaled exchange; same shape as
+    the tfidf df count) -> integer bucket assignment ``(first_doc *
+    n_buckets) // (max_id + 1)`` (pure int math, so the oracle's ``//``
+    matches bit-exact) -> a grouped count over the BUCKET keyspace
+    (``n_buckets`` rows). The cumulative sum runs on the driver over the
+    bucket-sized aggregate — never the corpus.
+
+    -> (bucket, new_terms, cum_vocab), all int64."""
+    import numpy as np
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    max_id = docs.max(id_col)
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "new_terms": pa.array([], pa.int64()),
+                      "cum_vocab": pa.array([], pa.int64())})
+    if max_id is None:
+        return rd.from_arrow(empty)
+    span = int(max_id) + 1
+
+    tf = docs.map_batches(
+        lambda t: _tf_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    first = grouped_agg(tf.select_columns(["term", id_col]), ["term"],
+                        [(id_col, "min", "fd")])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        fd = t.column("fd").cast(pa.int64())
+        b = pc.divide(pc.multiply(fd, pa.scalar(n_buckets, pa.int64())),
+                      pa.scalar(span, pa.int64()))
+        return pa.table({"bucket": b,
+                         "new_terms": pa.array(
+                             np.ones(len(t), dtype=np.int64))})
+
+    per_bucket = grouped_agg(
+        first.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], [("new_terms", "sum", "new_terms")])
+    rows = sorted(per_bucket.take_all(), key=lambda r: r["bucket"])
+    if not rows:
+        return rd.from_arrow(empty)
+    new = np.array([r["new_terms"] for r in rows], dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "new_terms": pa.array(new, pa.int64()),
+        "cum_vocab": pa.array(np.cumsum(new), pa.int64())}))
+
+
+def zipf_fit(docs, *, top_k: int = 1000, round_digits: int = 6,
+             id_col: str = "doc_id", text_col: str = "text",
+             batch_size: int = 4096):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ``ln(count)`` on ``ln(rank)`` across the top-``top_k`` terms —
+    natural language sits near slope -1; a corpus drifting far off
+    (boilerplate floods, template spam, synthetic text) shows up as a
+    flattened or steepened slope before any per-doc filter fires.
+
+    Distributed shape: the corpus-vocab two-phase grouped sum (shared
+    kernel with ``docs_vocab_top``), a global top-k sort over the
+    vocab-sized aggregate, then the regression on the driver over
+    ``top_k`` rows. Slope/intercept use the population moment formulas
+    (``covar_pop/var_pop``; intercept = mean_y - slope * mean_x) —
+    exactly SQL ``regr_slope``/``regr_intercept`` — and round at
+    ``round_digits``. -> ONE row (n_terms, slope, intercept)."""
+    import numpy as np
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    tf = docs.map_batches(
+        lambda t: _tf_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    tc = grouped_agg(tf.select_columns(["term", "tf"]), ["term"],
+                     [("tf", "sum", "cnt")])
+    top = tc.sort(["cnt", "term"], descending=[True, False]) \
+        .limit(top_k).take_all()
+    if not top:
+        return rd.from_arrow(pa.table(
+            {"n_terms": pa.array([0], pa.int64()),
+             "slope": pa.array([None], pa.float64()),
+             "intercept": pa.array([None], pa.float64())}))
+    y = np.log(np.array([r["cnt"] for r in top], dtype=np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    sxx = float(((x - mx) ** 2).sum())
+    if sxx == 0.0:  # a single term: regr_slope is NULL in SQL
+        slope = intercept = None
+    else:
+        slope = float(((x - mx) * (y - my)).sum()) / sxx
+        intercept = my - slope * mx
+        slope = round(slope, round_digits)
+        intercept = round(intercept, round_digits)
+    return rd.from_arrow(pa.table(
+        {"n_terms": pa.array([len(top)], pa.int64()),
+         "slope": pa.array([slope], pa.float64()),
+         "intercept": pa.array([intercept], pa.float64())}))
+
+
+def _trigram_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """DISTINCT (doc, trigram) rows for one batch — the same whole-column
+    tokenizer as :func:`_tf_partial`, consecutive triples via shifted
+    views (positions i, i+1, i+2 share a doc iff the first and last do —
+    parent indices are nondecreasing), gram strings built by ONE
+    ``binary_join_element_wise`` C call, batch-local distinct via Arrow
+    group_by (exact: a document lives on one row of its batch)."""
+    import numpy as np
+
+    text = t.column(text_col).combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), TFIDF_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    toks = flat.filter(keep)
+    doc_idx = np.asarray(parent.filter(keep))
+    empty = pa.Table.from_arrays(
+        [pa.array([], t.column(id_col).type), pa.array([], pa.string())],
+        names=[id_col, "g"])
+    if len(toks) < 3:
+        return empty
+    same = doc_idx[2:] == doc_idx[:-2]
+    if not same.any():
+        return empty
+    sel = pa.array(same)
+    w1 = toks.slice(0, len(toks) - 2).filter(sel)
+    w2 = toks.slice(1, len(toks) - 2).filter(sel)
+    w3 = toks.slice(2).filter(sel)
+    g = pc.binary_join_element_wise(w1, w2, w3, " ")
+    ids = t.column(id_col).combine_chunks() \
+        .take(pa.array(doc_idx[:-2][same]))
+    pairs = pa.Table.from_arrays([ids, g], names=[id_col, "g"])
+    return pairs.group_by([id_col, "g"]).aggregate([])
+
+
+def ngram_novelty(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                  batch_size: int = 4096):
+    """Per-document trigram NOVELTY census: of each doc's distinct word
+    trigrams, how many appear in NO earlier document (ordered by id) —
+    the memorization/freshness signal of incremental corpus assembly
+    (a shard whose docs introduce almost no new trigrams is re-crawl or
+    template spam; the complement of the cross-doc duplication share).
+    Counts are exact integers — the novelty RATE is the caller's
+    division, so there is no float grain to negotiate cross-engine.
+
+    Distributed shape: per-batch DISTINCT (doc, trigram) rows
+    (:func:`_trigram_partial`, exact batch-local), checkpointed once for
+    the two consumers -> a two-phase grouped ``min(doc_id)`` over the
+    GRAM keyspace (the wide exchange; same shape as tfidf's df count) ->
+    an adaptive join back (broadcast under the byte gate, hash-shuffle
+    above) -> a grouped per-doc count. Docs with < 3 tokens emit no row
+    (SQL: no trigrams, no group). -> (id, n_grams, n_novel)."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    d = docs.map_batches(
+        lambda t: _trigram_partial(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+    first = grouped_agg(d, ["g"], [(id_col, "min", "__fd")])
+    j = adaptive_join(d, first, on="g",
+                      approx_bytes=2 * d.size_bytes())
+
+    def flags(t: pa.Table) -> pa.Table:
+        novel = pc.cast(pc.equal(t.column("__fd"), t.column(id_col)),
+                        pa.int64())
+        return pa.table({id_col: t.column(id_col),
+                         "n_grams": pa.array(
+                             np.ones(len(t), dtype=np.int64)),
+                         "n_novel": novel})
+
+    return grouped_agg(
+        j.map_batches(flags, batch_format="pyarrow"),
+        [id_col], [("n_grams", "sum", "n_grams"),
+                   ("n_novel", "sum", "n_novel")])

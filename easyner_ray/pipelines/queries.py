@@ -3468,3 +3468,65 @@ def docs_containment_pairs(sf_dir: str):
     return ngram_containment_pairs(
         _rp(sf_dir, "documents", columns=["doc_id", "text"]),
         threshold=0.4)
+
+
+def docs_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: distinct terms first appearing in
+    each of 20 equal-width doc-id slices plus the running vocabulary —
+    the "is the crawl still finding new language?" corpus-assembly
+    diagnostic (ops.textstats.vocab_growth: tf partials -> grouped
+    min(doc_id) over the term keyspace -> integer bucketing -> a
+    bucket-sized cumulative table)."""
+    from easyner_ray.ops.textstats import vocab_growth
+
+    return vocab_growth(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_buckets=20)
+
+
+def docs_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency fit: OLS of ln(count) on ln(rank) over the
+    top-1000 vocabulary terms (ops.textstats.zipf_fit) — natural
+    language sits near slope -1; template spam / synthetic floods bend
+    it. One vocab-keyspace grouped sum + a 1000-row driver regression
+    with SQL regr_slope/regr_intercept population semantics."""
+    from easyner_ray.ops.textstats import zipf_fit
+
+    return zipf_fit(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]),
+        top_k=1000)
+
+
+def docs_ngram_novelty(sf_dir: str):
+    """Per-document trigram novelty census: of each doc's distinct word
+    trigrams, how many appear in NO earlier document (by doc_id) —
+    the freshness/memorization signal of incremental corpus assembly
+    (ops.textstats.ngram_novelty: distinct-gram partials -> grouped
+    min over the gram keyspace -> adaptive join back -> per-doc
+    integer counts; the rate is the caller's division)."""
+    from easyner_ray.ops.textstats import ngram_novelty
+
+    return ngram_novelty(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def kg_closeness(sf_dir: str):
+    """Closeness-centrality moments per KG node: reach count and total
+    hop distance to everything in the node's component (exact int64;
+    closeness = n_reachable/sum_dist is the caller's division). Same
+    broadcast-CSR BFS fan as kg_eccentricity
+    (ops.graph_analytics.closeness)."""
+    from easyner_ray.ops.graph_analytics import closeness
+
+    return closeness(_kg_edge_pairs(sf_dir))
+
+
+def kg_reciprocity(sf_dir: str):
+    """Per-entity reciprocity census over the DIRECTED turn-transition
+    graph: distinct out-neighbors vs how many point back — one-way
+    foreshadowing vs mutual flow (ops.graph_analytics.reciprocity:
+    packed-key self-probe through the adaptive join + one node-keyspace
+    grouped sum)."""
+    from easyner_ray.ops.graph_analytics import reciprocity
+
+    return reciprocity(_kg_transition_pairs(sf_dir))

@@ -1,0 +1,150 @@
+"""Round-5 session-9 operators: Heaps-law vocabulary growth and Zipf
+rank-frequency fit (``ops/textstats.vocab_growth`` / ``zipf_fit``),
+per-doc trigram novelty (``ops/textstats.ngram_novelty``), closeness
+moments (``ops/graph_analytics.closeness``) and directed reciprocity
+(``ops/graph_analytics.reciprocity``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _docs_ds(rows, blocks: int = 2):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows]})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_vocab_growth_buckets(ray_session):
+    from easyner_ray.ops.textstats import vocab_growth
+
+    # ids 0..9, 5 buckets over span 10 -> bucket = fd // 2
+    docs = _docs_ds([(0, "a b"), (1, "a"), (2, "c"), (3, "a b"),
+                     (4, ""), (5, "d c"), (6, "b"), (7, ""),
+                     (8, "a"), (9, "e")])
+    out = {r["bucket"]: (r["new_terms"], r["cum_vocab"])
+           for r in vocab_growth(docs, n_buckets=5).take_all()}
+    # first occurrences: a,b -> doc 0; c -> doc 2; d -> doc 5; e -> doc 9
+    assert out == {0: (2, 2), 1: (1, 3), 2: (1, 4), 4: (1, 5)}
+
+
+def test_vocab_growth_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.textstats import vocab_growth
+
+    empty = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert vocab_growth(empty).take_all() == []
+
+
+def test_zipf_fit_matches_population_ols(ray_session):
+    from easyner_ray.ops.textstats import zipf_fit
+
+    # exact counts 8 / 4 / 2 / 1 for terms t0..t3 (one doc, repeats)
+    text = " ".join(["t0"] * 8 + ["t1"] * 4 + ["t2"] * 2 + ["t3"])
+    rows = zipf_fit(_docs_ds([(0, text)]), top_k=10).take_all()
+    assert len(rows) == 1 and rows[0]["n_terms"] == 4
+    y = np.log([8.0, 4.0, 2.0, 1.0])
+    x = np.log(np.arange(1, 5, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    assert rows[0]["slope"] == round(slope, 6)
+    assert rows[0]["intercept"] == round(my - slope * mx, 6)
+    assert rows[0]["slope"] < 0  # frequency falls with rank
+
+
+def test_zipf_fit_single_term_null_slope(ray_session):
+    from easyner_ray.ops.textstats import zipf_fit
+
+    rows = zipf_fit(_docs_ds([(0, "only only")]), top_k=10).take_all()
+    assert rows[0]["n_terms"] == 1
+    assert rows[0]["slope"] is None and rows[0]["intercept"] is None
+
+
+def test_ngram_novelty_first_occurrence(ray_session):
+    from easyner_ray.ops.textstats import ngram_novelty
+
+    docs = _docs_ds([(0, "a b c d"),   # {a b c, b c d} both novel
+                     (1, "a b c x"),   # {a b c (seen), b c x (novel)}
+                     (2, "a b"),       # < 3 tokens -> no row
+                     (3, "a b c")])    # {a b c} seen in doc 0
+    out = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+           for r in ngram_novelty(docs).take_all()}
+    assert out == {0: (2, 2), 1: (2, 1), 3: (1, 0)}
+
+
+def test_ngram_novelty_within_doc_repeat_counts_once(ray_session):
+    from easyner_ray.ops.textstats import ngram_novelty
+
+    # "a b c a b c a" repeats gram "a b c" -> distinct grams only
+    out = ngram_novelty(_docs_ds([(0, "a b c a b c a")])).take_all()
+    (row,) = out
+    # distinct trigrams: a b c / b c a / c a b -> all novel
+    assert (row["n_grams"], row["n_novel"]) == (3, 3)
+
+
+def _sym_edges(und, blocks: int = 2):
+    import ray.data as rd
+
+    rows = {"subj": [], "obj": [], "weight": []}
+    for s, o in und:
+        for x, y in ((s, o), (o, s)):
+            rows["subj"].append(x)
+            rows["obj"].append(y)
+            rows["weight"].append(1)
+    return rd.from_arrow(pa.table(rows)).repartition(blocks)
+
+
+def test_closeness_two_components(ray_session):
+    from easyner_ray.ops.graph_analytics import closeness
+
+    # triangle a-b-c with pendant d on c; separate pair e-f
+    edges = _sym_edges([("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+                        ("e", "f")])
+    out = {r["norm"]: (r["n_reachable"], r["sum_dist"])
+           for r in closeness(edges).take_all()}
+    assert out == {"a": (3, 4), "b": (3, 4), "c": (3, 3), "d": (3, 5),
+                   "e": (1, 1), "f": (1, 1)}
+
+
+def test_closeness_matches_eccentricity_reach(ray_session):
+    from easyner_ray.ops.graph_analytics import closeness, eccentricity
+
+    edges = _sym_edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                        ("b", "e")])
+    reach_c = {r["norm"]: r["n_reachable"]
+               for r in closeness(edges).take_all()}
+    reach_e = {r["norm"]: r["n_reachable"]
+               for r in eccentricity(edges).take_all()}
+    assert reach_c == reach_e
+
+
+def _dir_edges(pairs, blocks: int = 2):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {"src": [p[0] for p in pairs], "dst": [p[1] for p in pairs],
+         "weight": [1] * len(pairs)})).repartition(blocks)
+
+
+def test_reciprocity_counts(ray_session):
+    from easyner_ray.ops.graph_analytics import reciprocity
+
+    edges = _dir_edges([("a", "b"), ("b", "a"), ("a", "c"), ("c", "d")])
+    out = {r["norm"]: (r["n_out"], r["n_recip"])
+           for r in reciprocity(edges).take_all()}
+    # a -> {b (mutual), c (one-way)}; b -> {a (mutual)}; c -> {d (one-way)}
+    assert out == {"a": (2, 1), "b": (1, 1), "c": (1, 0)}
+
+
+def test_reciprocity_fully_mutual(ray_session):
+    from easyner_ray.ops.graph_analytics import reciprocity
+
+    edges = _dir_edges([("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")])
+    out = {r["norm"]: (r["n_out"], r["n_recip"])
+           for r in reciprocity(edges).take_all()}
+    assert out == {"x": (1, 1), "y": (2, 2), "z": (1, 1)}
