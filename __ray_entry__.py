@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": q.docs_ngram_novelty,  # first-occurrence census
         "kg_closeness": q.kg_closeness,        # reach/sum-dist moments
         "kg_reciprocity": q.kg_reciprocity,    # mutual-flow census
+        "conv_tool_transitions": q.conv_tool_transitions,  # tool-chain mining
     }
 
 

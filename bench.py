@@ -210,6 +210,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_ngram_novelty": q.docs_ngram_novelty,
         "kg_closeness": q.kg_closeness,
         "kg_reciprocity": q.kg_reciprocity,
+        "conv_tool_transitions": q.conv_tool_transitions,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

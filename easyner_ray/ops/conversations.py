@@ -802,3 +802,40 @@ def assemble_conversations(transcripts, sep: str = "\n"):
 
     return bucketed.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas")
+
+
+def tool_transitions(transcripts):
+    """Tool-call chain census: ``(tool, next_tool, n)`` counts over each
+    conversation's ORDERED subsequence of tool-bearing turns (non-tool
+    turns are skipped, so "next" means the next tool CALL, however many
+    chat turns later) — the workflow-mining signal of agent transcripts
+    (which tools chain into which; the argmax row per tool is the
+    de-facto pipeline).
+
+    Scale shape: prune to the tool-bearing rows first (map-only filter,
+    typically a small fraction of the turn stream), sequence them with
+    ONE bucketed lead() exchange (``ops.analytic.partitioned_analytics``
+    partitioned by conv — the same shuffle every windowed op here pays),
+    then a vocab^2-bounded two-phase grouped count. No corpus-sized
+    driver pulls; the pair keyspace is |tools|^2."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    def prune(t: pa.Table) -> pa.Table:
+        tool = t.column("tool")
+        keep = pc.and_kleene(pc.is_valid(tool),
+                             pc.not_equal(tool, ""))
+        return t.select(["conv_id", "turn_idx", "tool"]) \
+            .filter(pc.fill_null(keep, False))
+
+    calls = transcripts.map_batches(prune, batch_format="pyarrow")
+    led = partitioned_analytics(calls, ["conv_id"], ["turn_idx"],
+                                [("lead", "tool", "next_tool")])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select(["tool", "next_tool"]).filter(
+            pc.is_valid(t.column("next_tool")))
+
+    return grouped_agg(
+        led.map_batches(pairs, batch_format="pyarrow"),
+        ["tool", "next_tool"], [("tool", "count", "n")])

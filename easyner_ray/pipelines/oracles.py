@@ -2668,3 +2668,16 @@ KG["kg_reciprocity"] = f"""
     FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
     GROUP BY e.src
 """
+
+KG["conv_tool_transitions"] = f"""
+    WITH c AS (
+      SELECT conv_id, turn_idx, tool FROM {TR}
+      WHERE tool IS NOT NULL AND tool <> ''),
+    s AS (
+      SELECT tool,
+             lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS next_tool
+      FROM c)
+    SELECT tool, next_tool, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE next_tool IS NOT NULL GROUP BY 1, 2
+"""

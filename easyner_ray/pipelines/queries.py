@@ -3530,3 +3530,15 @@ def kg_reciprocity(sf_dir: str):
     from easyner_ray.ops.graph_analytics import reciprocity
 
     return reciprocity(_kg_transition_pairs(sf_dir))
+
+
+def conv_tool_transitions(sf_dir: str):
+    """Tool-call chain census over agent transcripts: how often each
+    tool's NEXT tool call (within the conversation, skipping chat
+    turns) is each other tool (ops.conversations.tool_transitions:
+    map-only prune -> one bucketed lead() exchange -> |tools|^2
+    grouped count)."""
+    from easyner_ray.ops.conversations import tool_transitions
+
+    return tool_transitions(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "tool"]))

@@ -148,3 +148,38 @@ def test_reciprocity_fully_mutual(ray_session):
     out = {r["norm"]: (r["n_out"], r["n_recip"])
            for r in reciprocity(edges).take_all()}
     assert out == {"x": (1, 1), "y": (2, 2), "z": (1, 1)}
+
+
+def _turns_ds(rows, blocks: int = 2):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {"conv_id": [r[0] for r in rows],
+         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+         "tool": pa.array([r[2] for r in rows], pa.string())}
+    )).repartition(blocks)
+
+
+def test_tool_transitions_skip_chat_turns(ray_session):
+    from easyner_ray.ops.conversations import tool_transitions
+
+    # c1: search(0) .. chat(1) .. browser(4) .. search(6)
+    # c2: browser(0) .. browser(2); c3: lone calculator -> no pair
+    turns = _turns_ds([("c1", 0, "search"), ("c1", 1, None),
+                       ("c1", 4, "browser"), ("c1", 6, "search"),
+                       ("c2", 0, "browser"), ("c2", 2, "browser"),
+                       ("c3", 5, "calculator")])
+    out = {(r["tool"], r["next_tool"]): r["n"]
+           for r in tool_transitions(turns).take_all()}
+    assert out == {("search", "browser"): 1, ("browser", "search"): 1,
+                   ("browser", "browser"): 1}
+
+
+def test_tool_transitions_empty_string_excluded(ray_session):
+    from easyner_ray.ops.conversations import tool_transitions
+
+    turns = _turns_ds([("c", 0, "search"), ("c", 1, ""),
+                       ("c", 2, "browser")])
+    out = {(r["tool"], r["next_tool"]): r["n"]
+           for r in tool_transitions(turns).take_all()}
+    assert out == {("search", "browser"): 1}
