@@ -211,6 +211,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_closeness": q.kg_closeness,
         "kg_reciprocity": q.kg_reciprocity,
         "conv_tool_transitions": q.conv_tool_transitions,
+        "docs_keywords": q.docs_keywords,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -2681,3 +2681,23 @@ KG["conv_tool_transitions"] = f"""
     SELECT tool, next_tool, CAST(count(*) AS BIGINT) AS n
     FROM s WHERE next_tool IS NOT NULL GROUP BY 1, 2
 """
+
+RELATIONAL["docs_keywords"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    t AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                              / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) WHERE df.df >= 2),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM t)
+    SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+"""

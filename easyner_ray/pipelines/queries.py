@@ -3542,3 +3542,22 @@ def conv_tool_transitions(sf_dir: str):
 
     return tool_transitions(_transcripts_cols(
         sf_dir, ["conv_id", "turn_idx", "tool"]))
+
+
+def docs_keywords(sf_dir: str):
+    """Keyword extraction: the top-3 TF-IDF terms per document (score
+    desc, term asc at the rounded grain) — the per-doc tagging/labeling
+    primitive (search facets, topic seeds, weak labels). Rides the
+    existing tfidf kernel (exact tf partials + two-phase df) and the
+    bucketed vectorized ``topk_per_group`` — one multi-key sort per
+    hash bucket, no per-group Python."""
+    from easyner_ray.ops.relational import topk_per_group
+    from easyner_ray.ops.textstats import tfidf
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    top = topk_per_group(tfidf(d), ["doc_id"], "tfidf", 3,
+                         descending=True, tie_cols=["term"],
+                         rank_name="rank")
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "term", "tfidf", "rank"]),
+        batch_format="pyarrow")

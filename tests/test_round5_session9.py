@@ -183,3 +183,26 @@ def test_tool_transitions_empty_string_excluded(ray_session):
     out = {(r["tool"], r["next_tool"]): r["n"]
            for r in tool_transitions(turns).take_all()}
     assert out == {("search", "browser"): 1}
+
+
+def test_docs_keywords_rank_and_ties(ray_session, tmp_path):
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import topk_per_group
+    from easyner_ray.ops.textstats import tfidf
+
+    # d0: "x" dominates; "y"/"z" tie on tfidf -> term asc breaks the tie
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": ["x x x y z", "x y q", "z q y"]}))
+    top = topk_per_group(tfidf(docs), ["doc_id"], "tfidf", 2,
+                         descending=True, tie_cols=["term"],
+                         rank_name="rank")
+    rows = sorted((r["doc_id"], r["rank"], r["term"])
+                  for r in top.take_all())
+    by_doc = {}
+    for doc, rank, term in rows:
+        by_doc.setdefault(doc, []).append(term)
+    # d0 tfidf: x = 3*ln(3/2), z = 1*ln(3/2), y = 1*ln(3/3) = 0
+    assert by_doc[0] == ["x", "z"]
+    assert all(len(v) <= 2 for v in by_doc.values())
