@@ -212,6 +212,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_reciprocity": q.kg_reciprocity,
         "conv_tool_transitions": q.conv_tool_transitions,
         "docs_keywords": q.docs_keywords,
+        "docs_lexical_diversity": q.docs_lexical_diversity,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -2391,3 +2391,56 @@ def ngram_novelty(docs, *, id_col: str = "doc_id", text_col: str = "text",
         j.map_batches(flags, batch_format="pyarrow"),
         [id_col], [("n_grams", "sum", "n_grams"),
                    ("n_novel", "sum", "n_novel")])
+
+
+def lexical_diversity(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                      round_digits: int = 4, batch_size: int = 4096):
+    """Per-document lexical-diversity profile -> (id, n_tokens, n_types,
+    entropy): token count, DISTINCT token count (the type-token ratio's
+    integer numerator — the ratio is the caller's division), and the
+    unigram Shannon entropy ``-sum(p ln p)`` over the doc's term
+    distribution (low entropy = repetitive/templated text, the
+    lexical-diversity gate of quality filtering).
+
+    Map-only: a document lives on one row, so its term histogram
+    completes inside its batch (:func:`_tf_partial`) — no exchange at
+    any scale. Entropy accumulates in descending-probability order via
+    the batch's (doc, tf desc, term) sort so the float sum is
+    deterministic; the SQL oracle mirrors with an ORDER BY inside
+    sum(). Docs with zero tokens emit no row (SQL: no group)."""
+    import numpy as np
+
+    def profile(t: pa.Table, rd=round_digits) -> pa.Table:
+        pairs = _tf_partial(t, id_col, text_col)
+        if len(pairs) == 0:
+            return pa.schema(
+                [pa.field(id_col, t.schema.field(id_col).type),
+                 pa.field("n_tokens", pa.int64()),
+                 pa.field("n_types", pa.int64()),
+                 pa.field("entropy", pa.float64())]).empty_table()
+        idx = pc.sort_indices(pairs, sort_keys=[
+            (id_col, "ascending"), ("tf", "descending"),
+            ("term", "ascending")])
+        pairs = pairs.take(idx)
+        ids = pairs.column(id_col).combine_chunks()
+        enc = ids.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        tf = np.asarray(pairs.column("tf"), dtype=np.float64)
+        n_tok = np.bincount(codes, weights=tf)
+        n_typ = np.bincount(codes)
+        p = tf / n_tok[codes]
+        # segment sums in first-seen (= sorted) code order: codes from a
+        # batch-local dictionary_encode are grouped because pairs are
+        # sorted by id
+        contrib = -p * np.log(p)
+        ent = np.bincount(codes, weights=contrib)
+        vals = [round(float(v), rd) for v in ent] if rd is not None \
+            else [float(v) for v in ent]
+        return pa.table({
+            id_col: enc.dictionary,
+            "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+            "n_types": pa.array(n_typ.astype(np.int64), pa.int64()),
+            "entropy": pa.array(vals, pa.float64())})
+
+    return docs.map_batches(profile, batch_format="pyarrow",
+                            batch_size=batch_size)

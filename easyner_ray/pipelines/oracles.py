@@ -2701,3 +2701,19 @@ RELATIONAL["docs_keywords"] = """
     SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 3
 """
+
+RELATIONAL["docs_lexical_diversity"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_types
+          FROM tf GROUP BY 1)
+    SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(n.n_types AS BIGINT) AS n_types,
+           round(-sum((tf.tf * 1.0 / n.n_tokens)
+                      * ln(tf.tf * 1.0 / n.n_tokens)), 4) AS entropy
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY n.doc_id, n.n_tokens, n.n_types
+"""

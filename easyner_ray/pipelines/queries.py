@@ -3561,3 +3561,15 @@ def docs_keywords(sf_dir: str):
     return top.map_batches(
         lambda t: t.select(["doc_id", "term", "tfidf", "rank"]),
         batch_format="pyarrow")
+
+
+def docs_lexical_diversity(sf_dir: str):
+    """Lexical-diversity profile per document: token count, distinct
+    type count (TTR numerator, integers) and unigram Shannon entropy —
+    the repetitive/templated-text gate of quality filtering
+    (ops.textstats.lexical_diversity, map-only: a doc's histogram
+    completes inside its batch, no exchange at any scale)."""
+    from easyner_ray.ops.textstats import lexical_diversity
+
+    return lexical_diversity(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))

@@ -206,3 +206,17 @@ def test_docs_keywords_rank_and_ties(ray_session, tmp_path):
     # d0 tfidf: x = 3*ln(3/2), z = 1*ln(3/2), y = 1*ln(3/3) = 0
     assert by_doc[0] == ["x", "z"]
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_lexical_diversity_profile(ray_session):
+    import math
+
+    from easyner_ray.ops.textstats import lexical_diversity
+
+    docs = _docs_ds([(0, "a a b"),      # p = 2/3, 1/3
+                     (1, "x x x x"),    # single type -> entropy 0
+                     (2, "")])          # no tokens -> no row
+    out = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["entropy"])
+           for r in lexical_diversity(docs).take_all()}
+    h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert out == {0: (3, 2, round(h, 4)), 1: (4, 1, 0.0)}
