@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_transitions": q.conv_tool_transitions,  # tool-chain mining
         "docs_keywords": q.docs_keywords,      # top-3 TF-IDF terms per doc
         "docs_lexical_diversity": q.docs_lexical_diversity,  # TTR + entropy
+        "conv_compression": q.conv_compression,  # zlib quality gate
     }
 
 

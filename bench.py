@@ -213,6 +213,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_tool_transitions": q.conv_tool_transitions,
         "docs_keywords": q.docs_keywords,
         "docs_lexical_diversity": q.docs_lexical_diversity,
+        "conv_compression": q.conv_compression,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -839,3 +839,35 @@ def tool_transitions(transcripts):
     return grouped_agg(
         led.map_batches(pairs, batch_format="pyarrow"),
         ["tool", "next_tool"], [("tool", "count", "n")])
+
+
+def compression_ratio(transcripts, *, level: int = 6, sep: str = "\n",
+                      batch_size: int = 2048):
+    """Per-conversation zlib compressibility census -> (conv_id, n_turns,
+    raw_bytes, comp_bytes): DEFLATE-compressed size of the assembled
+    dialog vs its raw UTF-8 size — the classic "templated/repetitive
+    text compresses too well" quality gate (compression-ratio filtering;
+    ratio = comp/raw is the caller's division, both sizes exact int64).
+
+    Rides :func:`assemble_conversations` (one bucketed fragment
+    exchange), then a map-only batch kernel. The per-row loop is
+    deliberate: zlib.compress is the work and it is C — the Python
+    overhead per conversation is noise next to DEFLATE over its bytes.
+    ``level`` is pinned so the derived gold (same zlib build, straight-
+    line recompute) is byte-identical."""
+    import zlib
+
+    conv = assemble_conversations(transcripts, sep=sep)
+
+    def f(t: pa.Table, lv=level) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        enc = [(x or "").encode("utf-8") for x in texts]
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "n_turns": t.column("n_turns").cast(pa.int64()),
+            "raw_bytes": pa.array([len(b) for b in enc], pa.int64()),
+            "comp_bytes": pa.array([len(zlib.compress(b, lv)) for b in enc],
+                                   pa.int64())})
+
+    return conv.map_batches(f, batch_format="pyarrow",
+                            batch_size=batch_size)

@@ -2717,3 +2717,7 @@ RELATIONAL["docs_lexical_diversity"] = """
     FROM tf JOIN n USING (doc_id)
     GROUP BY n.doc_id, n.n_tokens, n.n_types
 """
+
+GCMP = f"read_parquet('{SYNTH}/gold_compression.parquet')"
+KG["conv_compression"] = \
+    f"SELECT conv_id, n_turns, raw_bytes, comp_bytes FROM {GCMP}"

@@ -3573,3 +3573,15 @@ def docs_lexical_diversity(sf_dir: str):
 
     return lexical_diversity(
         _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def conv_compression(sf_dir: str):
+    """Per-conversation zlib compressibility census (raw vs DEFLATE
+    bytes, exact int64) — the "templated text compresses too well"
+    quality gate at dialog granularity
+    (ops.conversations.compression_ratio; oracle = straight-line
+    recompute, gold_compression.parquet)."""
+    from easyner_ray.ops.conversations import compression_ratio
+
+    return compression_ratio(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "text"]))

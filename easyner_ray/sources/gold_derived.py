@@ -1413,6 +1413,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_betweenness_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_hits.parquet")):
         write_hits_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_compression.parquet")):
+        write_compression_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)
@@ -1585,5 +1587,38 @@ def write_rp_reduce_gold(corpus: str, embeddings_path: str,
          pa.array(y.reshape(-1), pa.float64())],
         names=["vec_id", "dim_idx", "value"])
     path = os.path.join(corpus, "gold_rp_reduce.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_compression_gold(corpus: str, level: int = 6) -> str:
+    """Straight-line zlib compressibility recompute over the transcript
+    corpus: assemble each conversation's turn texts in turn order
+    (joined by newline, the engine's assemble_conversations contract),
+    then raw UTF-8 size vs zlib level-6 DEFLATE size. Same zlib build as
+    the engine, so sizes are byte-identical."""
+    import zlib
+
+    import pandas as pd
+
+    tr = pq.read_table(os.path.join(corpus, "transcripts.parquet"),
+                       columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    tr = tr.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = tr.groupby("conv_id", sort=True)
+    conv_ids, n_turns, raw_b, comp_b = [], [], [], []
+    for cid, grp in g:
+        text = "\n".join(x or "" for x in grp["text"])
+        b = text.encode("utf-8")
+        conv_ids.append(cid)
+        n_turns.append(len(grp))
+        raw_b.append(len(b))
+        comp_b.append(len(zlib.compress(b, level)))
+    tbl = pa.Table.from_arrays(
+        [pa.array(conv_ids, pa.string()),
+         pa.array(n_turns, pa.int64()),
+         pa.array(raw_b, pa.int64()),
+         pa.array(comp_b, pa.int64())],
+        names=["conv_id", "n_turns", "raw_bytes", "comp_bytes"])
+    path = os.path.join(corpus, "gold_compression.parquet")
     pq.write_table(tbl, path)
     return path

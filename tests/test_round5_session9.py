@@ -220,3 +220,26 @@ def test_lexical_diversity_profile(ray_session):
            for r in lexical_diversity(docs).take_all()}
     h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert out == {0: (3, 2, round(h, 4)), 1: (4, 1, 0.0)}
+
+
+def test_compression_ratio_counts(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import compression_ratio
+
+    turns = rd.from_arrow(pa.table(
+        {"conv_id": ["c1", "c1", "c2"],
+         "turn_idx": pa.array([1, 0, 0], pa.int32()),
+         "text": ["world", "hello", "aaaaaaaaaaaaaaaaaaaaaaaa"]}
+    )).repartition(2)
+    out = {r["conv_id"]: (r["n_turns"], r["raw_bytes"], r["comp_bytes"])
+           for r in compression_ratio(turns).take_all()}
+    # c1 assembles in TURN order: "hello\nworld"
+    c1 = "hello\nworld".encode()
+    c2 = ("a" * 24).encode()
+    assert out == {"c1": (2, len(c1), len(zlib.compress(c1, 6))),
+                   "c2": (1, len(c2), len(zlib.compress(c2, 6)))}
+    # the repetitive conv compresses below raw; the short one may not
+    assert out["c2"][2] < out["c2"][1]
