@@ -2180,7 +2180,8 @@ def closeness(edges, *, src: str = "subj", dst: str = "obj",
 
 
 def reciprocity(edges, *, src: str = "src", dst: str = "dst",
-                batch_size: int = 65536):
+                batch_size: int = 65536,
+                broadcast_bytes: int = 64 << 20):
     """Per-node reciprocity census over a DISTINCT directed edge table
     -> (norm, n_out, n_recip): distinct out-neighbors, and how many of
     them point back — "is this entity's conversational flow one-way
@@ -2222,6 +2223,7 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst",
     right = pairs.map_batches(rev, batch_format="pyarrow",
                               batch_size=batch_size)
     j = adaptive_join(left, right, on="__k", how="left",
+                      broadcast_bytes=broadcast_bytes,
                       approx_bytes=2 * pairs.size_bytes())
 
     def flags(t: pa.Table) -> pa.Table:

@@ -2352,7 +2352,8 @@ def _trigram_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
 
 
 def ngram_novelty(docs, *, id_col: str = "doc_id", text_col: str = "text",
-                  batch_size: int = 4096):
+                  batch_size: int = 4096,
+                  broadcast_bytes: int = 64 << 20):
     """Per-document trigram NOVELTY census: of each doc's distinct word
     trigrams, how many appear in NO earlier document (ordered by id) —
     the memorization/freshness signal of incremental corpus assembly
@@ -2376,7 +2377,7 @@ def ngram_novelty(docs, *, id_col: str = "doc_id", text_col: str = "text",
         lambda t: _trigram_partial(t, id_col, text_col),
         batch_format="pyarrow", batch_size=batch_size).materialize()
     first = grouped_agg(d, ["g"], [(id_col, "min", "__fd")])
-    j = adaptive_join(d, first, on="g",
+    j = adaptive_join(d, first, on="g", broadcast_bytes=broadcast_bytes,
                       approx_bytes=2 * d.size_bytes())
 
     def flags(t: pa.Table) -> pa.Table:

@@ -243,3 +243,27 @@ def test_compression_ratio_counts(ray_session):
                    "c2": (1, len(c2), len(zlib.compress(c2, 6)))}
     # the repetitive conv compresses below raw; the short one may not
     assert out["c2"][2] < out["c2"][1]
+
+
+def test_ngram_novelty_hash_join_path_matches(ray_session):
+    from easyner_ray.ops.textstats import ngram_novelty
+
+    docs = _docs_ds([(0, "a b c d e"), (1, "a b c f g"),
+                     (3, "c d e a b"), (7, "f g h i j")], blocks=3)
+    broad = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+             for r in ngram_novelty(docs).take_all()}
+    hashed = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+              for r in ngram_novelty(docs, broadcast_bytes=0).take_all()}
+    assert broad == hashed and broad  # forced hash-shuffle path agrees
+
+
+def test_reciprocity_hash_join_path_matches(ray_session):
+    from easyner_ray.ops.graph_analytics import reciprocity
+
+    edges = _dir_edges([("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+                        ("d", "c"), ("d", "a")], blocks=3)
+    broad = {r["norm"]: (r["n_out"], r["n_recip"])
+             for r in reciprocity(edges).take_all()}
+    hashed = {r["norm"]: (r["n_out"], r["n_recip"])
+              for r in reciprocity(edges, broadcast_bytes=0).take_all()}
+    assert broad == hashed and broad
