@@ -698,6 +698,71 @@ def _step_chunk(ds, size: int, overlap: int = 0, text_col: str = "text",
         batch_format="pyarrow")
 
 
+def _step_entropy_filter(ds, min_entropy: float = 0.0,
+                         max_entropy: float | None = None,
+                         min_types: int = 0, text_col: str = "text",
+                         id_col: str = "doc_id", **_):
+    """Lexical-diversity gate: drop docs whose unigram Shannon entropy
+    (and optionally distinct-type count) falls outside the band — the
+    repetitive/templated-text filter. Map-only: the per-doc histogram
+    completes inside its batch (ops.textstats.lexical_diversity kernel
+    recomputed inline and dropped, no join-back); zero-token docs drop
+    (entropy undefined, same reading as the SQL no-group)."""
+    from easyner_ray.ops.textstats import _tf_partial
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        import numpy as np
+
+        # inline recompute (mirrors lexical_diversity's batch kernel)
+        pairs = _tf_partial(t, id_col, text_col)
+        if len(pairs) == 0:
+            return t.slice(0, 0)
+        ids = pairs.column(id_col).combine_chunks()
+        enc = ids.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        tf = np.asarray(pairs.column("tf"), dtype=np.float64)
+        n_tok = np.bincount(codes, weights=tf)
+        n_typ = np.bincount(codes)
+        p = tf / n_tok[codes]
+        ent = np.bincount(codes, weights=-p * np.log(p))
+        ok = (ent >= min_entropy) & (n_typ >= min_types)
+        if max_entropy is not None:
+            ok &= ent <= max_entropy
+        keep_ids = enc.dictionary.filter(pa.array(ok))
+        return t.filter(pc.is_in(t.column(id_col), value_set=keep_ids))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _step_compression_filter(ds, min_ratio: float = 0.0,
+                             max_ratio: float | None = None,
+                             level: int = 6, text_col: str = "text", **_):
+    """Compressibility gate: drop docs whose zlib ratio (DEFLATE bytes /
+    raw UTF-8 bytes) falls outside the band — low ratio = templated or
+    repeated text that compresses too well, very high ratio = binary
+    noise. Map-only; the per-row loop is deliberate (zlib.compress IS
+    the work and it is C). Empty docs drop (ratio undefined)."""
+    import zlib
+
+    def f(t: pa.Table, lv=level) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keep = []
+        for x in t.column(text_col).to_pylist():
+            b = (x or "").encode("utf-8")
+            if not b:
+                keep.append(False)
+                continue
+            r = len(zlib.compress(b, lv)) / len(b)
+            keep.append(r >= min_ratio
+                        and (max_ratio is None or r <= max_ratio))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _step_pack(ds, budget: int = 2048, by: list[str] | None = None,
                n_buckets: int = 64, id_col: str = "doc_id",
                text_col: str = "text", **_):
@@ -752,6 +817,8 @@ STEPS = {
     "normalize": _step_normalize,
     "truncate": _step_truncate,
     "dsir_select": _step_dsir_select,
+    "entropy_filter": _step_entropy_filter,
+    "compression_filter": _step_compression_filter,
 }
 
 

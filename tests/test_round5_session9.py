@@ -267,3 +267,35 @@ def test_reciprocity_hash_join_path_matches(ray_session):
     hashed = {r["norm"]: (r["n_out"], r["n_recip"])
               for r in reciprocity(edges, broadcast_bytes=0).take_all()}
     assert broad == hashed and broad
+
+
+def test_curate_entropy_filter(ray_session):
+    import math
+
+    from easyner_ray.pipelines.curate import _step_entropy_filter
+
+    docs = _docs_ds([(0, "a a a a a a"),        # entropy 0 -> dropped
+                     (1, "a b c d e f"),        # entropy ln(6) -> kept
+                     (2, "")])                  # no tokens -> dropped
+    out = _step_entropy_filter(docs, min_entropy=0.5).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+    # band upper edge: ln(6) ~ 1.79 excluded by max_entropy=1.0
+    out2 = _step_entropy_filter(docs, min_entropy=0.0,
+                                max_entropy=1.0).take_all()
+    assert [r["doc_id"] for r in out2] == [0]
+    assert math.log(6) > 1.0  # sanity on the band choice
+
+
+def test_curate_compression_filter(ray_session):
+    import zlib
+
+    from easyner_ray.pipelines.curate import _step_compression_filter
+
+    rep = "spam " * 400          # compresses hard -> low ratio
+    mixed = "the quick brown fox jumps over the lazy dog 0123456789"
+    docs = _docs_ds([(0, rep), (1, mixed), (2, "")])
+    r_rep = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    r_mix = len(zlib.compress(mixed.encode(), 6)) / len(mixed.encode())
+    assert r_rep < 0.1 < r_mix
+    out = _step_compression_filter(docs, min_ratio=0.1).take_all()
+    assert [r["doc_id"] for r in out] == [1]  # empty doc always drops
