@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keywords": q.docs_keywords,      # top-3 TF-IDF terms per doc
         "docs_lexical_diversity": q.docs_lexical_diversity,  # TTR + entropy
         "conv_compression": q.conv_compression,  # zlib quality gate
+        "conv_minhash_pairs": q.conv_minhash_pairs,  # dialog near-dup
     }
 
 

@@ -214,6 +214,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_keywords": q.docs_keywords,
         "docs_lexical_diversity": q.docs_lexical_diversity,
         "conv_compression": q.conv_compression,
+        "conv_minhash_pairs": q.conv_minhash_pairs,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

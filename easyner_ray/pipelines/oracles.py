@@ -2721,3 +2721,7 @@ RELATIONAL["docs_lexical_diversity"] = """
 GCMP = f"read_parquet('{SYNTH}/gold_compression.parquet')"
 KG["conv_compression"] = \
     f"SELECT conv_id, n_turns, raw_bytes, comp_bytes FROM {GCMP}"
+
+GCMH = f"read_parquet('{SYNTH}/gold_conv_minhash.parquet')"
+KG["conv_minhash_pairs"] = \
+    f"SELECT conv_a, conv_b, est_jaccard FROM {GCMH}"

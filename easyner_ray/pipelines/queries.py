@@ -3585,3 +3585,42 @@ def conv_compression(sf_dir: str):
 
     return compression_ratio(_transcripts_cols(
         sf_dir, ["conv_id", "turn_idx", "text"]))
+
+
+def conv_minhash_pairs(sf_dir: str):
+    """Conversation-level NEAR-dedup: MinHash-LSH candidate pairs over
+    the assembled dialogs (conv_fingerprints is the exact twin; this
+    catches lightly-edited rerolls of the same conversation). Rides
+    assemble_conversations (one fragment exchange) + the banded
+    minhash_lsh_pairs kernel; ids are the numeric conv suffix so the
+    int64 pair contract holds. Oracle = straight-line recompute
+    (gold_conv_minhash.parquet)."""
+    from easyner_ray.ops.conversations import assemble_conversations
+    from easyner_ray.ops.dedup import minhash_lsh_pairs
+
+    conv = assemble_conversations(_transcripts_cols(
+        sf_dir, ["conv_id", "turn_idx", "text"]))
+
+    def to_docs(t):
+        return pa.table({
+            "doc_id": pc.cast(pc.utf8_slice_codeunits(
+                t.column("conv_id").combine_chunks(), 4, 32), pa.int64()),
+            "text": t.column("text")})
+
+    pairs = minhash_lsh_pairs(conv.map_batches(
+        to_docs, batch_format="pyarrow"), threshold=0.5)
+    out = pairs.map_batches(
+        lambda t: t.rename_columns(["conv_a", "conv_b", "est_jaccard"]),
+        batch_format="pyarrow")
+    # return a concrete Arrow table (the pair set is bounded): a corpus
+    # with NO near-dup dialogs is a legitimate zero-row result, and
+    # Dataset.to_pandas drops the column names of an all-empty Dataset —
+    # the typed empty table keeps the schema contract either way
+    import ray
+
+    empty = pa.table({"conv_a": pa.array([], pa.int64()),
+                      "conv_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    blocks = [b for b in ray.get(out.to_arrow_refs()) if len(b)]
+    return pa.concat_tables([empty] + [b.select(empty.column_names)
+                                       for b in blocks])

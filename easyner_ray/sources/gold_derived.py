@@ -1415,6 +1415,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_hits_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_compression.parquet")):
         write_compression_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_conv_minhash.parquet")):
+        write_conv_minhash_gold(corpus)
     if events_path and os.path.exists(events_path):
         if not os.path.exists(os.path.join(corpus, "gold_approx_distinct.parquet")):
             write_approx_distinct_gold(corpus, events_path)
@@ -1620,5 +1622,78 @@ def write_compression_gold(corpus: str, level: int = 6) -> str:
          pa.array(comp_b, pa.int64())],
         names=["conv_id", "n_turns", "raw_bytes", "comp_bytes"])
     path = os.path.join(corpus, "gold_compression.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_conv_minhash_gold(corpus: str, threshold: float = 0.5,
+                            n_perm: int = 64, n_bands: int = 16, k: int = 3,
+                            seed: int = 17, hot_cap: int = 500) -> str:
+    """Straight-line MinHash-LSH recompute at CONVERSATION granularity:
+    assemble each dialog's turn texts in turn order (newline-joined, the
+    assemble_conversations contract), id = the numeric conv suffix, then
+    the exact same signature/banding spec as :func:`write_minhash_gold`.
+    Output: (conv_a, conv_b, est_jaccard), ids int64."""
+    import pandas as pd
+
+    tr = pq.read_table(os.path.join(corpus, "transcripts.parquet"),
+                       columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    tr = tr.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = tr.groupby("conv_id", sort=True)
+    ids, texts = [], []
+    for cid, grp in g:
+        ids.append(int(cid[4:]))
+        texts.append("\n".join(x or "" for x in grp["text"]))
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    rows = n_perm // n_bands
+
+    def shingles(text: str) -> list[str]:
+        toks = text.split()
+        if len(toks) < k:
+            return [" ".join(toks)] if toks else []
+        return sorted({" ".join(toks[i: i + k])
+                       for i in range(len(toks) - k + 1)})
+
+    sigs: list[np.ndarray] = []
+    buckets: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        sh = shingles(t or "")
+        if not sh:
+            sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            h = np.array([zlib.crc32(s.encode()) for s in sh],
+                         dtype=np.uint64)
+            sig = ((h[:, None] * a[None, :] + b[None, :])
+                   % _MINHASH_MERSENNE).min(axis=0)
+        sigs.append(sig)
+        for bi in range(n_bands):
+            chunk = sig[bi * rows: (bi + 1) * rows].tobytes()
+            buckets.setdefault(f"{bi}:{zlib.crc32(chunk):08x}",
+                               []).append(i)
+
+    best: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > hot_cap:
+            continue
+        order = sorted(members, key=lambda i: ids[i])
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    key = (ids[i], ids[j])
+                    if est > best.get(key, -1.0):
+                        best[key] = est
+
+    keys = sorted(best)
+    tbl = pa.Table.from_arrays(
+        [pa.array([x for x, _ in keys], pa.int64()),
+         pa.array([y for _, y in keys], pa.int64()),
+         pa.array([best[kk] for kk in keys], pa.float64())],
+        names=["conv_a", "conv_b", "est_jaccard"])
+    path = os.path.join(corpus, "gold_conv_minhash.parquet")
     pq.write_table(tbl, path)
     return path

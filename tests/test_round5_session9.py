@@ -299,3 +299,42 @@ def test_curate_compression_filter(ray_session):
     assert r_rep < 0.1 < r_mix
     out = _step_compression_filter(docs, min_ratio=0.1).take_all()
     assert [r["doc_id"] for r in out] == [1]  # empty doc always drops
+
+
+def test_conv_minhash_pairs_finds_rerolled_dialog(ray_session, tmp_path):
+    import ray.data as rd
+
+    from easyner_ray.ops.conversations import assemble_conversations
+    from easyner_ray.ops.dedup import minhash_lsh_pairs
+
+    base = ("please check the deploy status and report back with the "
+            "full log output for the staging cluster today").split()
+    turns = []
+    for cid, drop in (("conv00000001", None), ("conv00000002", 3),
+                      ("conv00000007", "unrelated")):
+        if drop == "unrelated":
+            texts = ["completely different words entirely",
+                     "nothing shared with that other dialog at all"]
+        else:
+            toks = [w for i, w in enumerate(base) if i != drop]
+            texts = [" ".join(toks[:9]), " ".join(toks[9:])]
+        for i, tx in enumerate(texts):
+            turns.append((cid, i, tx))
+    tr = rd.from_arrow(pa.table(
+        {"conv_id": [t[0] for t in turns],
+         "turn_idx": pa.array([t[1] for t in turns], pa.int32()),
+         "text": [t[2] for t in turns]})).repartition(2)
+    conv = assemble_conversations(tr)
+
+    import pyarrow.compute as pc
+
+    docs = conv.map_batches(lambda t: pa.table(
+        {"doc_id": pc.cast(pc.utf8_slice_codeunits(
+            t.column("conv_id").combine_chunks(), 4, 32), pa.int64()),
+         "text": t.column("text")}), batch_format="pyarrow")
+    rows = minhash_lsh_pairs(docs, threshold=0.5).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in rows}
+    # the rerolled dialog (one word dropped) pairs with the original;
+    # the unrelated one pairs with neither
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert all(7 not in k for k in pairs)
