@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lexical_diversity": q.docs_lexical_diversity,  # TTR + entropy
         "conv_compression": q.conv_compression,  # zlib quality gate
         "conv_minhash_pairs": q.conv_minhash_pairs,  # dialog near-dup
+        "events_daily_growth": q.events_daily_growth,  # day-over-day counts
     }
 
 

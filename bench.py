@@ -215,6 +215,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_lexical_diversity": q.docs_lexical_diversity,
         "conv_compression": q.conv_compression,
         "conv_minhash_pairs": q.conv_minhash_pairs,
+        "events_daily_growth": q.events_daily_growth,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

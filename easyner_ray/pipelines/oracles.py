@@ -2725,3 +2725,15 @@ KG["conv_compression"] = \
 GCMH = f"read_parquet('{SYNTH}/gold_conv_minhash.parquet')"
 KG["conv_minhash_pairs"] = \
     f"SELECT conv_a, conv_b, est_jaccard FROM {GCMH}"
+
+RELATIONAL["events_daily_growth"] = """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           CAST(coalesce(lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY day), 0) AS BIGINT)
+             AS prev_n
+    FROM d
+"""

@@ -3624,3 +3624,36 @@ def conv_minhash_pairs(sf_dir: str):
     blocks = [b for b in ray.get(out.to_arrow_refs()) if len(b)]
     return pa.concat_tables([empty] + [b.select(empty.column_names)
                                        for b in blocks])
+
+
+def events_daily_growth(sf_dir: str):
+    """Trend monitoring: daily event counts per type with the previous
+    day's count alongside (the growth RATE is the caller's division —
+    integer counts, no float grain). One grouped count onto the tiny
+    (type x day) keyspace, then the bucketed lag() exchange of
+    ops.analytic.partitioned_analytics — the day-over-day anomaly
+    primitive of pipeline monitoring."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.floor_temporal(t.column("ts"), unit="day")})
+
+    daily = grouped_agg(ev.map_batches(day_key, batch_format="pyarrow"),
+                        ["event_type", "day"], [("day", "count", "n")])
+    led = partitioned_analytics(daily, ["event_type"], ["day"],
+                                [("lag", "n", "prev_n")])
+
+    def fill(t: pa.Table) -> pa.Table:
+        # first day of a type has no predecessor: 0, not NULL — a NULL
+        # int column round-trips to float NaN in pandas and breaks the
+        # cross-engine value hash
+        return t.set_column(
+            t.schema.get_field_index("prev_n"), "prev_n",
+            pc.fill_null(t.column("prev_n"), 0).cast(pa.int64()))
+
+    return led.map_batches(fill, batch_format="pyarrow")

@@ -338,3 +338,40 @@ def test_conv_minhash_pairs_finds_rerolled_dialog(ray_session, tmp_path):
     # the unrelated one pairs with neither
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
     assert all(7 not in k for k in pairs)
+
+
+def test_events_daily_growth_lag_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from easyner_ray.pipelines import queries as q
+
+    # build directly against the op chain via a tiny in-memory table
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    ts = [dt.datetime(2026, 1, d, h) for d, h in
+          ((1, 3), (1, 9), (2, 5), (4, 1), (1, 2))]
+    ev = rd.from_arrow(pa.table(
+        {"event_type": ["a", "a", "a", "a", "b"],
+         "ts": pa.array(ts, pa.timestamp("us"))})).repartition(2)
+
+    import pyarrow.compute as pc
+
+    def day_key(t):
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": pc.floor_temporal(t.column("ts"),
+                                                  unit="day")})
+
+    daily = grouped_agg(ev.map_batches(day_key, batch_format="pyarrow"),
+                        ["event_type", "day"], [("day", "count", "n")])
+    led = partitioned_analytics(daily, ["event_type"], ["day"],
+                                [("lag", "n", "prev_n")])
+    rows = {(r["event_type"], r["day"].day): (r["n"], r["prev_n"])
+            for r in led.take_all()}
+    # a: day1 n=2 (no prev), day2 n=1 prev=2, day4 n=1 prev=1 (gap ok)
+    assert rows[("a", 1)] == (2, None)
+    assert rows[("a", 2)] == (1, 2)
+    assert rows[("a", 4)] == (1, 1)
+    assert rows[("b", 1)] == (1, None)
