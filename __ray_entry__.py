@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_compression": q.conv_compression,  # zlib quality gate
         "conv_minhash_pairs": q.conv_minhash_pairs,  # dialog near-dup
         "events_daily_growth": q.events_daily_growth,  # day-over-day counts
+        "docs_dup_pairs_by_source": q.docs_dup_pairs_by_source,  # dup census
     }
 
 

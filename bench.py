@@ -216,6 +216,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_compression": q.conv_compression,
         "conv_minhash_pairs": q.conv_minhash_pairs,
         "events_daily_growth": q.events_daily_growth,
+        "docs_dup_pairs_by_source": q.docs_dup_pairs_by_source,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

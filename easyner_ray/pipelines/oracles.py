@@ -2737,3 +2737,14 @@ RELATIONAL["events_daily_growth"] = """
              AS prev_n
     FROM d
 """
+
+RELATIONAL["docs_dup_pairs_by_source"] = f"""
+    WITH p AS (SELECT doc_a, doc_b FROM {GMH}),
+    j AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM p JOIN documents da ON da.doc_id = p.doc_a
+             JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1, 2
+"""

@@ -3657,3 +3657,47 @@ def events_daily_growth(sf_dir: str):
             pc.fill_null(t.column("prev_n"), 0).cast(pa.int64()))
 
     return led.map_batches(fill, batch_format="pyarrow")
+
+
+def docs_dup_pairs_by_source(sf_dir: str):
+    """Near-dup DIAGNOSTICS rollup: which source pairs duplicate each
+    other — MinHash candidate pairs joined back to each side's source
+    label (two adaptive broadcast/hash joins against the tiny
+    (doc_id, source) projection), collapsed to unordered source pairs
+    with a grouped count. The "is source B a re-crawl of source A"
+    question a curation run answers before dropping anything."""
+    from easyner_ray.ops.dedup import minhash_lsh_pairs
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = minhash_lsh_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.2)
+    src = docs.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow")
+    a_side = src.map_batches(
+        lambda t: t.rename_columns(["doc_a", "src_of_a"]),
+        batch_format="pyarrow")
+    b_side = src.map_batches(
+        lambda t: t.rename_columns(["doc_b", "src_of_b"]),
+        batch_format="pyarrow")
+    j = adaptive_join(adaptive_join(pairs, a_side, on="doc_a"),
+                      b_side, on="doc_b")
+
+    def canon_pair(t: pa.Table) -> pa.Table:
+        a = t.column("src_of_a").combine_chunks()
+        b = t.column("src_of_b").combine_chunks()
+        return pa.table({"src_a": pc.min_element_wise(a, b),
+                         "src_b": pc.max_element_wise(a, b)})
+
+    out = grouped_agg(j.map_batches(canon_pair, batch_format="pyarrow"),
+                      ["src_a", "src_b"], [("src_a", "count", "n_pairs")])
+    # a dup-free corpus yields zero blocks: typed Arrow return (see
+    # conv_minhash_pairs)
+    import ray
+
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n_pairs": pa.array([], pa.int64())})
+    blocks = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
+    return pa.concat_tables([empty] + [t.select(empty.column_names)
+                                       for t in blocks])

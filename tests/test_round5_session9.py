@@ -375,3 +375,40 @@ def test_events_daily_growth_lag_semantics(ray_session):
     assert rows[("a", 2)] == (1, 2)
     assert rows[("a", 4)] == (1, 1)
     assert rows[("b", 1)] == (1, None)
+
+
+def test_dup_pairs_by_source_rollup(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    # simulate the post-pair join shape directly: pairs + source map
+    pairs = rd.from_arrow(pa.table(
+        {"doc_a": pa.array([1, 1, 5], pa.int64()),
+         "doc_b": pa.array([2, 3, 6], pa.int64())}))
+    src = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2, 3, 5, 6], pa.int64()),
+         "source": ["web", "books", "web", "code", "code"]}))
+    a_side = src.map_batches(
+        lambda t: t.rename_columns(["doc_a", "src_of_a"]),
+        batch_format="pyarrow")
+    b_side = src.map_batches(
+        lambda t: t.rename_columns(["doc_b", "src_of_b"]),
+        batch_format="pyarrow")
+    j = adaptive_join(adaptive_join(pairs, a_side, on="doc_a"),
+                      b_side, on="doc_b")
+
+    import pyarrow.compute as pc
+
+    def canon_pair(t):
+        a, b = (t.column("src_of_a").combine_chunks(),
+                t.column("src_of_b").combine_chunks())
+        return pa.table({"src_a": pc.min_element_wise(a, b),
+                         "src_b": pc.max_element_wise(a, b)})
+
+    out = grouped_agg(j.map_batches(canon_pair, batch_format="pyarrow"),
+                      ["src_a", "src_b"], [("src_a", "count", "n_pairs")])
+    got = {(r["src_a"], r["src_b"]): r["n_pairs"] for r in out.take_all()}
+    # (web,books) and (books,web) collapse; (web,web) and (code,code) self
+    assert got == {("books", "web"): 1, ("web", "web"): 1,
+                   ("code", "code"): 1}
