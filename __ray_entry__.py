@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_minhash_pairs": q.conv_minhash_pairs,  # dialog near-dup
         "events_daily_growth": q.events_daily_growth,  # day-over-day counts
         "docs_dup_pairs_by_source": q.docs_dup_pairs_by_source,  # dup census
+        "docs_top_ngrams": q.docs_top_ngrams,  # WIMBD top-trigram census
+        "events_ewma": q.events_ewma,  # per-user EWMA drift summary
+        "kg_bridges": q.kg_bridges,  # cut-edge fragility census
     }
 
 

@@ -173,6 +173,72 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
     return t
 
 
+def ewma_final(ds, partition_by: list[str], order_by: list[str],
+               value_col: str, *, round_digits: int = 4,
+               n_buckets: int = 32):
+    """Final exponentially-weighted moving average per partition with
+    decay ``alpha = 0.5`` (``e_1 = v_1``, ``e_n = 0.5 v_n + 0.5
+    e_{n-1}``) — the drift/trend summary of monitoring pipelines (a
+    user's recent behavior weighted over their history). ``alpha`` is
+    FIXED at 0.5 so every weight is an exact power of two
+    (``np.ldexp``): term products are exact float64 scalings and the
+    only inexact step is the ordered left-fold sum, which the SQL
+    oracle mirrors bit-for-bit via ``list_reduce(list(term ORDER BY
+    rn), (a, b) -> a + b)`` — same association order as
+    ``np.add.reduceat``. -> (partition_by..., n_events, ewma).
+
+    Distributed shape: one hash-bucket exchange on the partition keys
+    (same as :func:`partitioned_analytics`), per-bucket multi-key sort,
+    then pure-numpy segment kernels — no per-group Python, no driver
+    materialization."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        keys = list(partition_by)
+        if len(t) == 0:
+            return pa.schema(
+                [t.schema.field(k) for k in keys]
+                + [pa.field("n_events", pa.int64()),
+                   pa.field("ewma", pa.float64())]).empty_table()
+        idx = pc.sort_indices(t, sort_keys=[
+            (c, "ascending") for c in keys + list(order_by)])
+        t = t.take(idx)
+        n = len(t)
+        change = np.ones(n, dtype=bool)
+        for k in keys:
+            col = t.column(k).combine_chunks()
+            same = np.asarray(pc.equal(col.slice(1), col.slice(0, n - 1)))
+            change[1:] &= ~same
+        starts = np.flatnonzero(change)
+        seg_len = np.diff(np.append(starts, n))
+        start_of = np.repeat(starts, seg_len)
+        rn = np.arange(n) - start_of + 1
+        seg_n = np.repeat(seg_len, seg_len)
+        # alpha = 0.5: w_1 = 2^-(N-1), w_i = 2^-(N-i+1) for i >= 2 —
+        # exact exponent shifts, no mantissa rounding
+        exp = np.where(rn == 1, -(seg_n - 1), -(seg_n - rn + 1))
+        v = np.asarray(t.column(value_col).combine_chunks()
+                       .cast(pa.float64()).fill_null(0.0),
+                       dtype=np.float64)
+        terms = np.ldexp(v, exp.astype(np.int32))
+        ew = np.add.reduceat(terms, starts)
+        if round_digits is not None:
+            ew = np.array([round(float(x), round_digits) for x in ew])
+        cols = {k: t.column(k).take(pa.array(starts)) for k in keys}
+        cols["n_events"] = pa.array(seg_len.astype(np.int64), pa.int64())
+        cols["ewma"] = pa.array(ew, pa.float64())
+        return pa.table(cols)
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, list(partition_by), n_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")
+
+
 def partitioned_analytics(ds, partition_by: list[str], order_by: list[str],
                           specs: list[tuple[str, object, str]],
                           *, rank_prefix: int | None = None,

@@ -1819,6 +1819,94 @@ def eccentricity(edges, *, src: str = "subj", dst: str = "obj",
         batch_size=max(1, (nv + n_tasks - 1) // n_tasks))
 
 
+def bridges(edges, *, src: str = "subj", dst: str = "obj"):
+    """Bridge (cut) edges of the undirected co-occurrence graph ->
+    (norm_a, norm_b), norm_a < norm_b, sorted: the edges whose removal
+    disconnects their endpoints — the KG's single points of failure
+    (a bridge between two entity clusters is one fragile sentence of
+    evidence; everything else is corroborated by an alternative path).
+
+    Distributed shape: the edge list is the GROUPED co-occurrence table
+    (vocab^2-bounded by construction, NOT corpus-sized), shipped once
+    via ``ray.put``; bridge-finding is one Tarjan low-link DFS — O(V+E)
+    but inherently sequential, so it runs as ONE raw Ray task over the
+    broadcast CSR (the documented last-resort shape: a shared traversal
+    state no batch decomposition expresses). The distinct-pair edge
+    convention means no multi-edges, so the parent-node skip is exact."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"norm_a": pa.array([], pa.string()),
+                      "norm_b": pa.array([], pa.string())})
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
+    nv = len(vocab)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    state_ref = ray.put((indptr, nbr_c))
+
+    @ray.remote(num_cpus=1)
+    def tarjan(state):
+        indptr_, adj = state
+        nv_ = len(indptr_) - 1
+        disc = np.full(nv_, -1, dtype=np.int64)
+        low = np.zeros(nv_, dtype=np.int64)
+        parent = np.full(nv_, -1, dtype=np.int64)
+        cursor = indptr_[:-1].copy()
+        timer = 0
+        out_a, out_b = [], []
+        for root in range(nv_):
+            if disc[root] != -1:
+                continue
+            disc[root] = low[root] = timer
+            timer += 1
+            stack = [root]
+            while stack:
+                u = stack[-1]
+                if cursor[u] < indptr_[u + 1]:
+                    v = int(adj[cursor[u]])
+                    cursor[u] += 1
+                    if disc[v] == -1:
+                        parent[v] = u
+                        disc[v] = low[v] = timer
+                        timer += 1
+                        stack.append(v)
+                    elif v != parent[u]:
+                        if disc[v] < low[u]:
+                            low[u] = disc[v]
+                else:
+                    stack.pop()
+                    if stack:
+                        p = stack[-1]
+                        if low[u] < low[p]:
+                            low[p] = low[u]
+                        if low[u] > disc[p]:
+                            out_a.append(min(p, u))
+                            out_b.append(max(p, u))
+        return (np.array(out_a, dtype=np.int64),
+                np.array(out_b, dtype=np.int64))
+
+    a_c, b_c = ray.get(tarjan.remote(state_ref))
+    if not len(a_c):
+        return rd.from_arrow(empty)
+    order = np.lexsort((b_c, a_c))
+    out = pa.table({
+        "norm_a": vocab.take(pa.array(a_c[order], pa.int64())),
+        "norm_b": vocab.take(pa.array(b_c[order], pa.int64()))})
+    return rd.from_arrow(out)
+
+
 def integrity_report(nodes, edges):
     """Referential-integrity gate over a materialized KG -> ONE row
     ``(n_nodes, n_edges, n_dangling_subj, n_dangling_obj, n_self_loops,

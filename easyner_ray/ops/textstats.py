@@ -2314,13 +2314,13 @@ def zipf_fit(docs, *, top_k: int = 1000, round_digits: int = 6,
          "intercept": pa.array([intercept], pa.float64())}))
 
 
-def _trigram_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """DISTINCT (doc, trigram) rows for one batch — the same whole-column
-    tokenizer as :func:`_tf_partial`, consecutive triples via shifted
-    views (positions i, i+1, i+2 share a doc iff the first and last do —
-    parent indices are nondecreasing), gram strings built by ONE
-    ``binary_join_element_wise`` C call, batch-local distinct via Arrow
-    group_by (exact: a document lives on one row of its batch)."""
+def _gram_arrays(t: pa.Table, id_col: str, text_col: str):
+    """(ids, gram) arrays with MULTIPLICITY for one batch — the same
+    whole-column tokenizer as :func:`_tf_partial`, consecutive triples
+    via shifted views (positions i, i+1, i+2 share a doc iff the first
+    and last do — parent indices are nondecreasing), gram strings built
+    by ONE ``binary_join_element_wise`` C call. Returns ``(None, None)``
+    when the batch yields no trigram."""
     import numpy as np
 
     text = t.column(text_col).combine_chunks()
@@ -2332,14 +2332,11 @@ def _trigram_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
     keep = pc.not_equal(flat, "")
     toks = flat.filter(keep)
     doc_idx = np.asarray(parent.filter(keep))
-    empty = pa.Table.from_arrays(
-        [pa.array([], t.column(id_col).type), pa.array([], pa.string())],
-        names=[id_col, "g"])
     if len(toks) < 3:
-        return empty
+        return None, None
     same = doc_idx[2:] == doc_idx[:-2]
     if not same.any():
-        return empty
+        return None, None
     sel = pa.array(same)
     w1 = toks.slice(0, len(toks) - 2).filter(sel)
     w2 = toks.slice(1, len(toks) - 2).filter(sel)
@@ -2347,8 +2344,51 @@ def _trigram_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
     g = pc.binary_join_element_wise(w1, w2, w3, " ")
     ids = t.column(id_col).combine_chunks() \
         .take(pa.array(doc_idx[:-2][same]))
+    return ids, g
+
+
+def _trigram_partial(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """DISTINCT (doc, trigram) rows for one batch (gram construction in
+    :func:`_gram_arrays`), batch-local distinct via Arrow group_by
+    (exact: a document lives on one row of its batch)."""
+    ids, g = _gram_arrays(t, id_col, text_col)
+    if ids is None:
+        return pa.Table.from_arrays(
+            [pa.array([], t.column(id_col).type),
+             pa.array([], pa.string())],
+            names=[id_col, "g"])
     pairs = pa.Table.from_arrays([ids, g], names=[id_col, "g"])
     return pairs.group_by([id_col, "g"]).aggregate([])
+
+
+def top_ngrams(docs, *, k: int = 20, id_col: str = "doc_id",
+               text_col: str = "text", batch_size: int = 4096):
+    """Corpus-wide most-frequent word TRIGRAMS with multiplicity — the
+    WIMBD-style "what is actually in this corpus" census (top boilerplate
+    phrases, template fragments, license headers) run before any dedup
+    decision. Counts are exact integers.
+
+    Distributed shape: per-batch gram counts (:func:`_gram_arrays` + one
+    Arrow group_by — the partial/combiner, so only (gram, cnt) rows
+    leave the batch, not the token stream) -> a two-phase grouped sum
+    over the gram keyspace (the wide exchange; same shape as
+    ``docs_vocab_top``'s term sum) -> a global top-k sort
+    (count desc, gram asc — deterministic at the cut). -> (gram, cnt)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, g = _gram_arrays(t, id_col, text_col)
+        if ids is None:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        counted = pa.table({"gram": g}).group_by(["gram"]).aggregate(
+            [("gram", "count")])
+        return counted.rename_columns(["gram", "cnt"])
+
+    counts = docs.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    tc = grouped_agg(counts, ["gram"], [("cnt", "sum", "cnt")])
+    return tc.sort(["cnt", "gram"], descending=[True, False]).limit(k)
 
 
 def ngram_novelty(docs, *, id_col: str = "doc_id", text_col: str = "text",

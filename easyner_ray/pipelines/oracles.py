@@ -2748,3 +2748,37 @@ RELATIONAL["docs_dup_pairs_by_source"] = f"""
     SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
     FROM j GROUP BY 1, 2
 """
+
+RELATIONAL["docs_top_ngrams"] = """
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM tok WHERE len(t) >= 3)
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+RELATIONAL["events_ewma"] = """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(list_reduce(
+                   list(CASE WHEN rn = 1
+                             THEN value * power(2.0, -(n - 1))
+                             ELSE value * power(2.0, -(n - rn + 1)) END
+                        ORDER BY rn),
+                   (a, b) -> a + b), 4) AS ewma
+    FROM r GROUP BY user_id
+"""
+
+KG["kg_bridges"] = (
+    f"SELECT norm_a, norm_b "
+    f"FROM read_parquet('{SYNTH}/gold_bridges.parquet')")

@@ -3701,3 +3701,50 @@ def docs_dup_pairs_by_source(sf_dir: str):
     blocks = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
     return pa.concat_tables([empty] + [t.select(empty.column_names)
                                        for t in blocks])
+
+
+def docs_top_ngrams(sf_dir: str):
+    """WIMBD-style corpus census: the 20 most frequent word trigrams
+    with multiplicity — boilerplate phrases, template fragments and
+    license headers surface here before any dedup decision
+    (ops.textstats.top_ngrams: per-batch gram-count partials -> one
+    grouped sum over the gram keyspace -> deterministic global top-k)."""
+    from easyner_ray.ops.textstats import top_ngrams
+
+    return top_ngrams(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]), k=20)
+
+
+def events_ewma(sf_dir: str):
+    """Per-user EWMA (decay 0.5) of event value over the user's full
+    ordered history — the drift/trend summary of monitoring pipelines
+    (ops.analytic.ewma_final: one hash-bucket exchange on user_id,
+    per-bucket sort, exact power-of-two weights + ordered left-fold so
+    the SQL oracle's list_reduce is bit-equal pre-round)."""
+    from easyner_ray.ops.analytic import ewma_final
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return ewma_final(ev, ["user_id"], ["ts", "event_id"], "value")
+
+
+def kg_bridges(sf_dir: str):
+    """Bridge (cut) edges of the KG co-occurrence graph: entity pairs
+    whose ONLY connecting evidence is the edge itself — the fragile
+    links an auditor re-verifies first. Oracle = straight-line
+    definitional recompute (per-edge removal + BFS,
+    gold_bridges.parquet); the engine runs one Tarjan low-link DFS over
+    the broadcast vocab-bounded CSR (ops.graph_analytics.bridges)."""
+    import ray
+
+    from easyner_ray.ops.graph_analytics import bridges
+
+    out = bridges(_kg_edge_pairs(sf_dir))
+    # a dense co-occurrence graph legitimately has ZERO bridges (every
+    # edge sits in a triangle): typed Arrow return keeps the schema
+    # contract (see conv_minhash_pairs)
+    empty = pa.table({"norm_a": pa.array([], pa.string()),
+                      "norm_b": pa.array([], pa.string())})
+    blocks = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
+    return pa.concat_tables([empty] + [t.select(empty.column_names)
+                                       for t in blocks])

@@ -1411,6 +1411,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_ppr_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_betweenness.parquet")):
         write_betweenness_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_bridges.parquet")):
+        write_bridges_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_hits.parquet")):
         write_hits_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_compression.parquet")):
@@ -1484,6 +1486,58 @@ def write_betweenness_gold(corpus: str, round_digits: int = 4) -> str:
         [pa.array(nodes, pa.string()), pa.array(vals, pa.float64())],
         names=["norm", "betweenness"])
     path = os.path.join(corpus, "gold_betweenness.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_bridges_gold(corpus: str) -> str:
+    """Straight-line DEFINITIONAL bridge finder over the sentence
+    co-occurrence pair graph — the gold for the distributed
+    ``ops.graph_analytics.bridges``: an undirected edge (a, b) is a
+    bridge iff b is unreachable from a after removing exactly that edge
+    (one plain BFS per edge — O(E * (V + E)), deliberately NOT Tarjan,
+    so the two implementations share no algorithmic structure)."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    adj: dict = collections.defaultdict(set)
+    for norms in sent_norms.values():
+        for a in norms:
+            for b in norms:
+                if a != b:
+                    adj[a].add(b)
+    und = sorted({(min(a, b), max(a, b))
+                  for a, nbrs in adj.items() for b in nbrs})
+    out_a, out_b = [], []
+    for a, b in und:
+        seen = {a}
+        queue = collections.deque([a])
+        found = False
+        while queue and not found:
+            u = queue.popleft()
+            for w in adj[u]:
+                if (min(u, w), max(u, w)) == (a, b):
+                    continue          # the removed edge, either direction
+                if w == b:
+                    found = True
+                    break
+                if w not in seen:
+                    seen.add(w)
+                    queue.append(w)
+        if not found:
+            out_a.append(a)
+            out_b.append(b)
+    tbl = pa.Table.from_arrays(
+        [pa.array(out_a, pa.string()), pa.array(out_b, pa.string())],
+        names=["norm_a", "norm_b"])
+    path = os.path.join(corpus, "gold_bridges.parquet")
     pq.write_table(tbl, path)
     return path
 

@@ -1,0 +1,142 @@
+"""Round-5 session-10 operators: corpus-wide top-trigram census
+(``ops/textstats.top_ngrams``) and friends added this session."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _docs_ds(rows, blocks: int = 2):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows]})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def _ref_top_ngrams(rows, k):
+    import re
+    from collections import Counter
+
+    c = Counter()
+    for _, text in rows:
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i:i + 3])] += 1
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_top_ngrams_multiplicity_and_ties(ray_session):
+    from easyner_ray.ops.textstats import top_ngrams
+
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat again; the cat sat"),
+            (2, "on the mat on the mat"),
+            (3, "x"),            # < 3 tokens: no gram
+            (4, "")]
+    out = top_ngrams(_docs_ds(rows), k=5).take_all()
+    got = [(r["gram"], r["cnt"]) for r in out]
+    assert got == _ref_top_ngrams(rows, 5)
+    # multiplicity, not distinct: "the cat sat" appears 3x total
+    assert ("the cat sat", 3) in got
+
+
+def test_top_ngrams_no_cross_doc_grams(ray_session):
+    from easyner_ray.ops.textstats import top_ngrams
+
+    # one doc ends "a b", the next starts "c" — "a b c" must NOT appear
+    rows = [(0, "a b"), (1, "c d e")]
+    got = {r["gram"] for r in top_ngrams(_docs_ds(rows, blocks=1),
+                                         k=10).take_all()}
+    assert got == {"c d e"}
+
+
+def test_top_ngrams_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.textstats import top_ngrams
+
+    empty = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}))
+    assert top_ngrams(empty, k=5).take_all() == []
+
+
+def test_ewma_final_recurrence(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.analytic import ewma_final
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([3, 1, 2, 1, 2, 5], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "value": pa.array([4.0, 8.0, 2.0, 1.0, 3.0, 7.5], pa.float64())})
+    out = {r["user_id"]: (r["n_events"], r["ewma"])
+           for r in ewma_final(rd.from_arrow(tbl).repartition(3),
+                               ["user_id"], ["ts", "event_id"],
+                               "value").take_all()}
+
+    def ref(vals):
+        e = vals[0]
+        for v in vals[1:]:
+            e = 0.5 * v + 0.5 * e
+        return round(e, 4)
+
+    # user 1 ordered by ts: 8, 2, 4 -> e = .5*4 + .5*(.5*2 + .5*8)
+    assert out == {1: (3, ref([8.0, 2.0, 4.0])),
+                   2: (2, ref([1.0, 3.0])),
+                   3: (1, 7.5)}
+
+
+def test_ewma_final_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.analytic import ewma_final
+
+    empty = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64())}))
+    assert ewma_final(empty, ["user_id"], ["ts", "event_id"],
+                      "value").take_all() == []
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    # symmetric distinct directed pairs, like _kg_edge_pairs emits
+    sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return rd.from_arrow(pa.table(
+        {"subj": [p[0] for p in sym], "obj": [p[1] for p in sym]}))
+
+
+def test_bridges_path_cycle_mix(ray_session):
+    from easyner_ray.ops.graph_analytics import bridges
+
+    # triangle a-b-c (no bridges) with a pendant chain c-d-e (both bridges)
+    ds = _edges_ds([("a", "b"), ("b", "c"), ("a", "c"),
+                    ("c", "d"), ("d", "e")])
+    out = [(r["norm_a"], r["norm_b"]) for r in bridges(ds).take_all()]
+    assert out == [("c", "d"), ("d", "e")]
+
+
+def test_bridges_two_components(ray_session):
+    from easyner_ray.ops.graph_analytics import bridges
+
+    # square w-x-y-z-w (cycle, none) + isolated edge p-q (bridge)
+    ds = _edges_ds([("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),
+                    ("p", "q")])
+    out = [(r["norm_a"], r["norm_b"]) for r in bridges(ds).take_all()]
+    assert out == [("p", "q")]
+
+
+def test_bridges_empty(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import bridges
+
+    empty = rd.from_arrow(pa.table({"subj": pa.array([], pa.string()),
+                                    "obj": pa.array([], pa.string())}))
+    assert bridges(empty).take_all() == []
