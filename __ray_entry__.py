@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_ngrams": q.docs_top_ngrams,  # WIMBD top-trigram census
         "events_ewma": q.events_ewma,  # per-user EWMA drift summary
         "kg_bridges": q.kg_bridges,  # cut-edge fragility census
+        "docs_readability": q.docs_readability,  # Flesch components
+        "docs_lang_mismatch": q.docs_lang_mismatch,  # lang label audit
+        "docs_length_integrity": q.docs_length_integrity,  # n_chars gate
     }
 
 

@@ -2391,6 +2391,34 @@ def top_ngrams(docs, *, k: int = 20, id_col: str = "doc_id",
     return tc.sort(["cnt", "gram"], descending=[True, False]).limit(k)
 
 
+def readability(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                batch_size: int = 4096):
+    """Per-document readability COMPONENTS -> (id, n_words,
+    n_sentences, n_vowel_groups): word-run count, sentence-terminator
+    runs, and vowel-group runs (the standard syllable proxy) — the
+    exact-integer inputs to Flesch-style reading-ease scores
+    (206.835 - 1.015 w/s - 84.6 syl/w is the caller's arithmetic, so
+    there is no float grain to negotiate cross-engine). ASCII classes
+    on the RAW text — no case mapping, so the two engines' Unicode
+    lower() differences never enter.
+
+    Map-only: three ``count_substring_regex`` C passes per batch, no
+    exchange at any scale."""
+    def kern(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_words": pc.cast(pc.count_substring_regex(
+                txt, "[A-Za-z0-9]+"), pa.int64()),
+            "n_sentences": pc.cast(pc.count_substring_regex(
+                txt, "[.!?]+"), pa.int64()),
+            "n_vowel_groups": pc.cast(pc.count_substring_regex(
+                txt, "[aeiouyAEIOUY]+"), pa.int64())})
+
+    return docs.map_batches(kern, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+
 def ngram_novelty(docs, *, id_col: str = "doc_id", text_col: str = "text",
                   batch_size: int = 4096,
                   broadcast_bytes: int = 64 << 20):

@@ -2782,3 +2782,28 @@ RELATIONAL["events_ewma"] = """
 KG["kg_bridges"] = (
     f"SELECT norm_a, norm_b "
     f"FROM read_parquet('{SYNTH}/gold_bridges.parquet')")
+
+RELATIONAL["docs_readability"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+             AS n_vowel_groups
+    FROM documents
+"""
+
+RELATIONAL["docs_lang_mismatch"] = f"""
+    SELECT d.lang AS declared, g.lang_pred AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN {GLI} g ON g.doc_id = d.doc_id
+    GROUP BY 1, 2
+"""
+
+RELATIONAL["docs_length_integrity"] = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+             AS n_mismatch
+    FROM documents GROUP BY source
+"""

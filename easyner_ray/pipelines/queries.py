@@ -3748,3 +3748,62 @@ def kg_bridges(sf_dir: str):
     blocks = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
     return pa.concat_tables([empty] + [t.select(empty.column_names)
                                        for t in blocks])
+
+
+def docs_readability(sf_dir: str):
+    """Flesch-style readability components per document — exact integer
+    word / sentence-terminator / vowel-group run counts; the reading-
+    ease formula is the caller's arithmetic (ops.textstats.readability,
+    map-only)."""
+    from easyner_ray.ops.textstats import readability
+
+    return readability(
+        _rp(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def docs_lang_mismatch(sf_dir: str):
+    """Label-quality audit: declared ``lang`` metadata vs the LangID
+    kernel's prediction, as a (declared, predicted) confusion census —
+    the "is this corpus's language column trustworthy" gate run before
+    any lang_filter drops data. Rides the lang_id kernel (per-doc
+    preds), one adaptive join against the 2-column (doc_id, lang)
+    projection, then a grouped count onto the |langs|^2 keyspace."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+    from easyner_ray.ops.textstats import lang_id
+
+    preds = lang_id(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+    meta = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+    j = adaptive_join(preds.select_columns(["doc_id", "lang_pred"]),
+                      meta, on="doc_id")
+
+    def census(t: pa.Table) -> pa.Table:
+        return pa.table({"declared": t.column("lang"),
+                         "predicted": t.column("lang_pred")})
+
+    return grouped_agg(j.map_batches(census, batch_format="pyarrow"),
+                       ["declared", "predicted"],
+                       [("declared", "count", "n_docs")])
+
+
+def docs_length_integrity(sf_dir: str):
+    """Ingest-validation gate: per source, how many documents' declared
+    ``n_chars`` metadata disagrees with the payload's actual character
+    count — the cheap corruption/truncation tripwire a 100 TB ingest
+    runs on every shard (map-only: one utf8_length C pass + a grouped
+    sum onto the |sources| keyspace)."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    d = _rp(sf_dir, "documents", columns=["source", "n_chars", "text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        actual = pc.cast(pc.utf8_length(t.column("text").combine_chunks()),
+                         pa.int64())
+        bad = pc.cast(pc.not_equal(t.column("n_chars").combine_chunks()
+                                   .cast(pa.int64()), actual), pa.int64())
+        ones = pc.cast(pc.is_valid(bad), pa.int64())
+        return pa.table({"source": t.column("source"),
+                         "n_docs": ones, "n_mismatch": bad})
+
+    return grouped_agg(d.map_batches(flags, batch_format="pyarrow"),
+                       ["source"], [("n_docs", "sum", "n_docs"),
+                                    ("n_mismatch", "sum", "n_mismatch")])

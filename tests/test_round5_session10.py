@@ -140,3 +140,37 @@ def test_bridges_empty(ray_session):
     empty = rd.from_arrow(pa.table({"subj": pa.array([], pa.string()),
                                     "obj": pa.array([], pa.string())}))
     assert bridges(empty).take_all() == []
+
+
+def test_readability_counts(ray_session):
+    from easyner_ray.ops.textstats import readability
+
+    rows = [(0, "The cat sat. It purred! Done?"),
+            (1, "xyzzy 42"),       # no sentence end, one vowel group
+            (2, "")]
+    out = {r["doc_id"]: (r["n_words"], r["n_sentences"],
+                         r["n_vowel_groups"])
+           for r in readability(_docs_ds(rows)).take_all()}
+    # doc 0: 6 words, 3 terminator runs; vowel groups:
+    # The(1) cat(1) sat(1) It(1) purred(2: u, e) Done(2: o, e) = 8
+    assert out[0] == (6, 3, 8)
+    assert out[1] == (2, 0, 2)     # "xyzzy" has TWO y-runs, "42" none
+    assert out[2] == (0, 0, 0)
+
+
+def test_length_integrity_detects_mismatch(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from easyner_ray.pipelines import queries as q
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": ["s0", "s0", "s1"],
+        "text": ["abc", "café", "xy"],
+        # n_chars counts CODE POINTS: café = 4; doc 1 lies (5 != 3)
+        "n_chars": pa.array([5, 4, 2], pa.int64()),
+        "lang": ["en", "fr", "en"]})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r["source"]: (r["n_docs"], r["n_mismatch"])
+           for r in q.docs_length_integrity(str(tmp_path)).take_all()}
+    assert out == {"s0": (2, 1), "s1": (1, 0)}
