@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": q.docs_readability,  # Flesch components
         "docs_lang_mismatch": q.docs_lang_mismatch,  # lang label audit
         "docs_length_integrity": q.docs_length_integrity,  # n_chars gate
+        "kg_shortest_paths": q.kg_shortest_paths,  # evidence chains
     }
 
 

@@ -217,6 +217,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_minhash_pairs": q.conv_minhash_pairs,
         "events_daily_growth": q.events_daily_growth,
         "docs_dup_pairs_by_source": q.docs_dup_pairs_by_source,
+        # round-5 session-10 operators
+        "docs_top_ngrams": q.docs_top_ngrams,
+        "events_ewma": q.events_ewma,
+        "kg_bridges": q.kg_bridges,
+        "docs_readability": q.docs_readability,
+        "docs_lang_mismatch": q.docs_lang_mismatch,
+        "docs_length_integrity": q.docs_length_integrity,
+        "kg_shortest_paths": q.kg_shortest_paths,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -1819,6 +1819,114 @@ def eccentricity(edges, *, src: str = "subj", dst: str = "obj",
         batch_size=max(1, (nv + n_tasks - 1) // n_tasks))
 
 
+def shortest_paths(edges, seeds, *, src: str = "subj", dst: str = "obj"):
+    """Shortest evidence chains from seed entities -> (seed, norm, hops,
+    path) for every node reachable from each seed: the hop count plus
+    the RECONSTRUCTED path rendered ``seed -> ... -> node`` — the "how
+    are these two entities connected" query a KG auditor asks after a
+    watchlist hit (kg_bfs_hops gives the distance; this gives the
+    chain). Deterministic path choice: each node's predecessor is the
+    lexicographically smallest entity among its distance-(d-1)
+    neighbors — a local rule both engines state identically.
+
+    Distributed shape: same broadcast-CSR fan as :func:`eccentricity`
+    (edge table is vocab^2-bounded, shipped once via ``ray.put``); one
+    task per seed runs a level-synchronous vectorized BFS, derives all
+    predecessors in ONE pass over the flat edge arrays
+    (``np.minimum.at`` grouped by destination), and rebuilds paths
+    level-by-level with whole-level string concatenation — no per-node
+    Python walk."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"seed": pa.array([], pa.string()),
+                      "norm": pa.array([], pa.string()),
+                      "hops": pa.array([], pa.int64()),
+                      "path": pa.array([], pa.string())})
+    seed_set = sorted(set(seeds))
+    if not seed_set:
+        return rd.from_arrow(empty)
+    blocks = [b for b in ray.get(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow").to_arrow_refs())
+        if len(b)]
+    if not blocks:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(blocks).combine_chunks() \
+        .group_by([src, dst]).aggregate([]).combine_chunks()
+    t = t.filter(pc.invert(pc.equal(t.column(src), t.column(dst))))
+    if len(t) == 0:
+        return rd.from_arrow(empty)
+    node_c, nbr_c, bounds, starts, deg, vocab = _coded_neighbors(
+        t, src, dst)
+    nv = len(vocab)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    names = np.asarray(vocab.to_pylist(), dtype=object)
+    code_of = {n: i for i, n in enumerate(names)}
+    roots = [code_of[s] for s in seed_set if s in code_of]
+    if not roots:
+        return rd.from_arrow(empty)
+    state_ref = ray.put((indptr, nbr_c, node_c, names))
+
+    def sp_task(batch: pa.Table) -> pa.Table:
+        indptr_, adj, u_flat, names_ = ray.get(state_ref)
+        nv_ = len(indptr_) - 1
+        out = []
+        for root in batch.column("root").to_numpy():
+            dist = np.full(nv_, -1, dtype=np.int64)
+            dist[root] = 0
+            frontier = np.array([root], dtype=np.int64)
+            d = 0
+            while len(frontier):
+                st = indptr_[frontier]
+                ln = indptr_[frontier + 1] - st
+                tot = int(ln.sum())
+                if tot == 0:
+                    break
+                flat = np.arange(tot, dtype=np.int64)
+                idx = (flat - np.repeat(np.cumsum(ln) - ln, ln)
+                       + np.repeat(st, ln))
+                w = adj[idx]
+                new_nodes = np.unique(w[dist[w] < 0])
+                if not len(new_nodes):
+                    break
+                d += 1
+                dist[new_nodes] = d
+                frontier = new_nodes
+            # predecessors in one pass over the flat (u, w) edge arrays:
+            # min u with dist[u] + 1 == dist[w]
+            pred = np.full(nv_, nv_, dtype=np.int64)
+            ok = (dist[u_flat] >= 0) & (dist[u_flat] + 1 == dist[adj])
+            np.minimum.at(pred, adj[ok], u_flat[ok])
+            # level-by-level whole-level path concatenation
+            maxd = int(dist.max())
+            path = np.empty(nv_, dtype=object)
+            path[root] = names_[root]
+            for lev in range(1, maxd + 1):
+                sel = np.flatnonzero(dist == lev)
+                if not len(sel):
+                    break
+                path[sel] = (path[pred[sel]] + " -> ") + names_[sel]
+            reach = np.flatnonzero(dist >= 0)
+            out.append(pa.table({
+                "seed": pa.array([str(names_[root])] * len(reach),
+                                 pa.string()),
+                "norm": pa.array(names_[reach], pa.string()),
+                "hops": pa.array(dist[reach], pa.int64()),
+                "path": pa.array(path[reach], pa.string())}))
+        return pa.concat_tables(out) if out else pa.table({
+            "seed": pa.array([], pa.string()),
+            "norm": pa.array([], pa.string()),
+            "hops": pa.array([], pa.int64()),
+            "path": pa.array([], pa.string())})
+
+    roots_ds = rd.from_arrow(pa.table(
+        {"root": pa.array(roots, pa.int64())}))
+    return roots_ds.map_batches(sp_task, batch_format="pyarrow",
+                                batch_size=1)
+
+
 def bridges(edges, *, src: str = "subj", dst: str = "obj"):
     """Bridge (cut) edges of the undirected co-occurrence graph ->
     (norm_a, norm_b), norm_a < norm_b, sorted: the edges whose removal

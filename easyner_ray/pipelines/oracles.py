@@ -2807,3 +2807,7 @@ RELATIONAL["docs_length_integrity"] = """
              AS n_mismatch
     FROM documents GROUP BY source
 """
+
+KG["kg_shortest_paths"] = (
+    f"SELECT seed, norm, hops, path "
+    f"FROM read_parquet('{SYNTH}/gold_shortest_paths.parquet')")

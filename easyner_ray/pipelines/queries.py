@@ -3807,3 +3807,18 @@ def docs_length_integrity(sf_dir: str):
     return grouped_agg(d.map_batches(flags, batch_format="pyarrow"),
                        ["source"], [("n_docs", "sum", "n_docs"),
                                     ("n_mismatch", "sum", "n_mismatch")])
+
+
+def kg_shortest_paths(sf_dir: str):
+    """Shortest evidence chains from the first two watchlist seeds to
+    every reachable entity: hop count plus the reconstructed
+    ``seed -> ... -> node`` path under the deterministic
+    min-name-predecessor rule — the "how are these connected" audit
+    query (ops.graph_analytics.shortest_paths: broadcast-CSR fan, one
+    level-synchronous BFS task per seed, one-pass predecessor derive,
+    whole-level path concatenation). Oracle = straight-line dict BFS
+    recompute (gold_shortest_paths.parquet)."""
+    from easyner_ray.ops.graph_analytics import shortest_paths
+
+    return shortest_paths(_kg_edge_pairs(sf_dir),
+                          ("zetamycin", "actozine"))

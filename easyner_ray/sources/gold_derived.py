@@ -1413,6 +1413,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_betweenness_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_bridges.parquet")):
         write_bridges_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_shortest_paths.parquet")):
+        write_shortest_path_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_hits.parquet")):
         write_hits_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_compression.parquet")):
@@ -1538,6 +1540,65 @@ def write_bridges_gold(corpus: str) -> str:
         [pa.array(out_a, pa.string()), pa.array(out_b, pa.string())],
         names=["norm_a", "norm_b"])
     path = os.path.join(corpus, "gold_bridges.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_shortest_path_gold(corpus: str,
+                             seeds=("zetamycin", "actozine")) -> str:
+    """Straight-line shortest-path-with-reconstruction gold for
+    ``ops.graph_analytics.shortest_paths`` (spec: hop distance from each
+    seed over the sentence co-occurrence pair graph; each node's
+    predecessor is the lexicographically smallest entity among its
+    distance-(d-1) neighbors; path rendered ``seed -> ... -> node``).
+    Deliberately dict-and-deque scalar BFS + per-node pred walk — no
+    structure shared with the engine's vectorized level kernels."""
+    import collections
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    adj: dict = collections.defaultdict(set)
+    for norms in sent_norms.values():
+        for a in norms:
+            for b in norms:
+                if a != b:
+                    adj[a].add(b)
+    rows = []
+    for seed in sorted(set(seeds)):
+        if seed not in adj:
+            continue
+        dist = {seed: 0}
+        queue = collections.deque([seed])
+        while queue:
+            u = queue.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    queue.append(w)
+        pred = {}
+        for w, dw in dist.items():
+            if dw == 0:
+                continue
+            pred[w] = min(u for u in adj[w]
+                          if dist.get(u, -1) == dw - 1)
+        for w in sorted(dist):
+            chain = [w]
+            while chain[0] != seed:
+                chain.insert(0, pred[chain[0]])
+            rows.append((seed, w, dist[w], " -> ".join(chain)))
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.string()),
+         pa.array([r[1] for r in rows], pa.string()),
+         pa.array([r[2] for r in rows], pa.int64()),
+         pa.array([r[3] for r in rows], pa.string())],
+        names=["seed", "norm", "hops", "path"])
+    path = os.path.join(corpus, "gold_shortest_paths.parquet")
     pq.write_table(tbl, path)
     return path
 

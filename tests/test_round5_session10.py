@@ -174,3 +174,30 @@ def test_length_integrity_detects_mismatch(ray_session, tmp_path):
     out = {r["source"]: (r["n_docs"], r["n_mismatch"])
            for r in q.docs_length_integrity(str(tmp_path)).take_all()}
     assert out == {"s0": (2, 1), "s1": (1, 0)}
+
+
+def test_shortest_paths_reconstruction(ray_session):
+    from easyner_ray.ops.graph_analytics import shortest_paths
+
+    # diamond a-b, a-c, b-d, c-d plus pendant d-e: two shortest paths
+    # a->d; the min-name predecessor rule must pick b
+    ds = _edges_ds([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                    ("d", "e")])
+    out = {(r["seed"], r["norm"]): (r["hops"], r["path"])
+           for r in shortest_paths(ds, ["a"]).take_all()}
+    assert out[("a", "a")] == (0, "a")
+    assert out[("a", "b")] == (1, "a -> b")
+    assert out[("a", "d")] == (2, "a -> b -> d")
+    assert out[("a", "e")] == (3, "a -> b -> d -> e")
+    assert len(out) == 5
+
+
+def test_shortest_paths_absent_seed_and_multi(ray_session):
+    from easyner_ray.ops.graph_analytics import shortest_paths
+
+    ds = _edges_ds([("x", "y"), ("p", "q")])
+    out = {(r["seed"], r["norm"]): r["hops"]
+           for r in shortest_paths(ds, ["x", "p", "ghost"]).take_all()}
+    # ghost is absent -> dropped; components stay separate
+    assert out == {("x", "x"): 0, ("x", "y"): 1,
+                   ("p", "p"): 0, ("p", "q"): 1}
