@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_mismatch": q.docs_lang_mismatch,  # lang label audit
         "docs_length_integrity": q.docs_length_integrity,  # n_chars gate
         "kg_shortest_paths": q.kg_shortest_paths,  # evidence chains
+        "docs_dedup_retention": q.docs_dedup_retention,  # dedup impact
+        "events_type_transitions": q.events_type_transitions,  # bigrams
+        "events_interarrival": q.events_interarrival,  # gap profile
     }
 
 

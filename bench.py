@@ -225,6 +225,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_lang_mismatch": q.docs_lang_mismatch,
         "docs_length_integrity": q.docs_length_integrity,
         "kg_shortest_paths": q.kg_shortest_paths,
+        "docs_dedup_retention": q.docs_dedup_retention,
+        "events_type_transitions": q.events_type_transitions,
+        "events_interarrival": q.events_interarrival,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -2811,3 +2811,38 @@ RELATIONAL["docs_length_integrity"] = """
 KG["kg_shortest_paths"] = (
     f"SELECT seed, norm, hops, path "
     f"FROM read_parquet('{SYNTH}/gold_shortest_paths.parquet')")
+
+RELATIONAL["docs_dedup_retention"] = f"""
+    WITH dropped AS (
+      SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id FROM {GMH})
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(x.doc_id) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN dropped x ON x.doc_id = d.doc_id
+    GROUP BY d.source
+"""
+
+RELATIONAL["events_type_transitions"] = """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+RELATIONAL["events_interarrival"] = """
+    WITH s AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(date_diff('microsecond', prev_ts, ts) // 1000000)
+                AS BIGINT) AS total_gap_s,
+           CAST(max(date_diff('microsecond', prev_ts, ts) // 1000000)
+                AS BIGINT) AS max_gap_s
+    FROM s WHERE prev_ts IS NOT NULL
+    GROUP BY user_id
+"""

@@ -3822,3 +3822,99 @@ def kg_shortest_paths(sf_dir: str):
 
     return shortest_paths(_kg_edge_pairs(sf_dir),
                           ("zetamycin", "actozine"))
+
+
+def docs_dedup_retention(sf_dir: str):
+    """Dedup IMPACT report per source: MinHash candidate pairs under
+    pairwise keep-first semantics (any doc appearing as the larger id
+    of a pair is dropped) rolled up to (source, n_docs, n_dropped) —
+    the "which sources does dedup hit hardest" budget question answered
+    BEFORE committing to the drop. One distinct-drop set (grouped
+    distinct over the pair stream's doc_b side), one adaptive join
+    against the 2-column (doc_id, source) projection, one grouped sum
+    onto the |sources| keyspace."""
+    from easyner_ray.ops.dedup import minhash_lsh_pairs
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = minhash_lsh_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.2)
+    dropped = grouped_agg(
+        pairs.map_batches(
+            lambda t: pa.table({
+                "doc_id": pc.max_element_wise(
+                    t.column("doc_a").combine_chunks(),
+                    t.column("doc_b").combine_chunks()),
+                "one": pa.array([1] * len(t), pa.int64())}),
+            batch_format="pyarrow"),
+        ["doc_id"], [("one", "max", "__seen")])
+    meta = docs.map_batches(lambda t: t.select(["doc_id", "source"]),
+                            batch_format="pyarrow")
+    j = adaptive_join(meta, dropped, on="doc_id", how="left")
+
+    def flags(t: pa.Table) -> pa.Table:
+        hit = pc.cast(pc.is_valid(t.column("__seen").combine_chunks()),
+                      pa.int64())
+        ones = pc.cast(pc.greater_equal(hit, 0), pa.int64())
+        return pa.table({"source": t.column("source"),
+                         "n_docs": ones, "n_dropped": hit})
+
+    return grouped_agg(j.map_batches(flags, batch_format="pyarrow"),
+                       ["source"], [("n_docs", "sum", "n_docs"),
+                                    ("n_dropped", "sum", "n_dropped")])
+
+
+def events_type_transitions(sf_dir: str):
+    """Behavioral bigram census: per-user consecutive event-type
+    transitions (ordered by ts, event_id) counted into the
+    |types|^2 matrix — the funnel/next-action primitive
+    (ops.analytic.partitioned_analytics lead() exchange on user_id,
+    then a grouped count)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    led = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("lead", "event_type", "next_type")])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t.column("next_type"))
+        t = t.filter(keep)
+        return pa.table({"event_type": t.column("event_type"),
+                         "next_type": t.column("next_type")})
+
+    return grouped_agg(led.map_batches(prune, batch_format="pyarrow"),
+                       ["event_type", "next_type"],
+                       [("event_type", "count", "n")])
+
+
+def events_interarrival(sf_dir: str):
+    """Per-user inter-event gap profile -> (user_id, n_gaps,
+    total_gap_s, max_gap_s): exact integer seconds between consecutive
+    events (ordered by ts, event_id) — the burstiness/engagement-decay
+    signal (mean gap is the caller's division). Same bucketed lag()
+    exchange as events_running_totals."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    led = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("lag", "ts", "prev_ts")])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t.column("prev_ts"))
+        t = t.filter(keep)
+        us = pc.cast(pc.subtract(
+            t.column("ts").combine_chunks().cast(pa.int64()),
+            t.column("prev_ts").combine_chunks().cast(pa.int64())),
+            pa.int64())
+        s = pc.divide(us, 1_000_000)
+        ones = pc.cast(pc.greater_equal(s, s), pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "n_gaps": ones, "gap_s": s})
+
+    return grouped_agg(led.map_batches(gaps, batch_format="pyarrow"),
+                       ["user_id"], [("n_gaps", "sum", "n_gaps"),
+                                     ("gap_s", "sum", "total_gap_s"),
+                                     ("gap_s", "max", "max_gap_s")])
