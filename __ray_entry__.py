@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_retention": q.docs_dedup_retention,  # dedup impact
         "events_type_transitions": q.events_type_transitions,  # bigrams
         "events_interarrival": q.events_interarrival,  # gap profile
+        "events_user_type_entropy": q.events_user_type_entropy,  # diversity
+        "docs_quality_percentile": q.docs_quality_percentile,  # per-src pct
     }
 
 

@@ -228,6 +228,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_dedup_retention": q.docs_dedup_retention,
         "events_type_transitions": q.events_type_transitions,
         "events_interarrival": q.events_interarrival,
+        "events_user_type_entropy": q.events_user_type_entropy,
+        "docs_quality_percentile": q.docs_quality_percentile,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

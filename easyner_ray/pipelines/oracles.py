@@ -2846,3 +2846,31 @@ RELATIONAL["events_interarrival"] = """
     FROM s WHERE prev_ts IS NOT NULL
     GROUP BY user_id
 """
+
+RELATIONAL["events_user_type_entropy"] = """
+    WITH tf AS (
+      SELECT user_id, event_type, count(*) AS tf
+      FROM events GROUP BY 1, 2),
+    n AS (SELECT user_id, sum(tf) AS n_events, count(*) AS n_types
+          FROM tf GROUP BY 1)
+    SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+           CAST(n.n_types AS BIGINT) AS n_types,
+           round(-sum((tf.tf * 1.0 / n.n_events)
+                      * ln(tf.tf * 1.0 / n.n_events)), 4) AS entropy
+    FROM tf JOIN n USING (user_id)
+    GROUP BY n.user_id, n.n_events, n.n_types
+"""
+
+RELATIONAL["docs_quality_percentile"] = """
+    WITH s AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text,
+               '(?i)\\b(?:the|a|an|and|or|of|to|in|is|that|it|for|on|with|as|was|at|by|be|this)\\b')) * 1.0
+               / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1)
+               AS stopword_ratio
+      FROM documents)
+    SELECT doc_id, source, stopword_ratio,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY stopword_ratio) AS pct
+    FROM s
+"""

@@ -3918,3 +3918,84 @@ def events_interarrival(sf_dir: str):
                        ["user_id"], [("n_gaps", "sum", "n_gaps"),
                                      ("gap_s", "sum", "total_gap_s"),
                                      ("gap_s", "max", "max_gap_s")])
+
+
+def events_user_type_entropy(sf_dir: str):
+    """Behavioral-diversity profile per user -> (user_id, n_events,
+    n_types, entropy): Shannon entropy of the user's event-type
+    distribution — the segmentation feature separating single-purpose
+    accounts from diverse ones. Two-phase grouped (user, type) counts
+    collapse the corpus to the |users| x |types| keyspace FIRST; the
+    per-user entropy kernel then runs on that bounded table (one
+    hash-bucket exchange, descending-probability accumulation order,
+    round 4 like docs_lexical_diversity)."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import add_hash_bucket, grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_agg(ev, ["user_id", "event_type"],
+                         [("event_type", "count", "tf")])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        if len(t) == 0:
+            return pa.schema(
+                [pa.field("user_id", pa.int64()),
+                 pa.field("n_events", pa.int64()),
+                 pa.field("n_types", pa.int64()),
+                 pa.field("entropy", pa.float64())]).empty_table()
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("tf", "descending"),
+            ("event_type", "ascending")])
+        t = t.take(idx)
+        ids = t.column("user_id").combine_chunks()
+        enc = ids.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        tf = np.asarray(t.column("tf"), dtype=np.float64)
+        n_ev = np.bincount(codes, weights=tf)
+        n_ty = np.bincount(codes)
+        p = tf / n_ev[codes]
+        ent = np.bincount(codes, weights=-p * np.log(p))
+        return pa.table({
+            "user_id": enc.dictionary,
+            "n_events": pa.array(n_ev.astype(np.int64), pa.int64()),
+            "n_types": pa.array(n_ty.astype(np.int64), pa.int64()),
+            "entropy": pa.array([round(float(v), 4) for v in ent],
+                                pa.float64())})
+
+    bucketed = counts.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 32),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def docs_quality_percentile(sf_dir: str):
+    """Per-SOURCE quality calibration: each document's percent_rank of
+    stopword_ratio within its source -> (doc_id, source,
+    stopword_ratio, pct) — the per-domain threshold practice (a 0.3
+    stopword ratio is great for code, poor for prose; global cutoffs
+    misfire). stopword_ratio is an exact int/int division so both
+    engines produce identical float64; percent_rank = (rank-1)/(n-1)
+    is ints-only — bit-stable with no rounding grain. Rides the
+    quality kernel + one bucketed rank exchange
+    (ops.analytic.partitioned_analytics, rank_prefix=1)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import adaptive_join
+    from easyner_ray.ops.textstats import quality_scores
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    qs = quality_scores(d.select_columns(["doc_id", "text"]))
+    meta = d.map_batches(lambda t: t.select(["doc_id", "source"]),
+                         batch_format="pyarrow")
+    j = adaptive_join(
+        qs.map_batches(lambda t: t.select(["doc_id", "stopword_ratio"]),
+                       batch_format="pyarrow"),
+        meta, on="doc_id")
+    ranked = partitioned_analytics(
+        j, ["source"], ["stopword_ratio", "doc_id"],
+        [("percent_rank", None, "pct")], rank_prefix=1)
+    return ranked.map_batches(
+        lambda t: t.select(["doc_id", "source", "stopword_ratio", "pct"]),
+        batch_format="pyarrow")
