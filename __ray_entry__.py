@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": q.events_interarrival,  # gap profile
         "events_user_type_entropy": q.events_user_type_entropy,  # diversity
         "docs_quality_percentile": q.docs_quality_percentile,  # per-src pct
+        "knn_ivf_incremental": q.knn_ivf_incremental,  # index append
     }
 
 

@@ -230,6 +230,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_interarrival": q.events_interarrival,
         "events_user_type_entropy": q.events_user_type_entropy,
         "docs_quality_percentile": q.docs_quality_percentile,
+        "knn_ivf_incremental": q.knn_ivf_incremental,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -539,6 +539,27 @@ def build_ivf_index(embeddings, out_dir: str, n_centroids: int = 16,
     return cent
 
 
+def append_ivf_index(index_dir: str, embeddings, vec_col: str = "embedding",
+                     batch_size: int = 4096) -> np.ndarray:
+    """Incremental index growth: assign NEW vectors to the EXISTING
+    centroids (``centroids.npy`` is read, never retrained — the
+    incremental property that makes nightly ingest O(delta), not
+    O(corpus)) and append bucket-partitioned Parquet files alongside
+    the originals — Ray's writer emits fresh uniquely-named files per
+    partition, so existing data is untouched and a crashed append can
+    simply rerun. Queries through :func:`knn_ivf_indexed` then see
+    base + delta with base-trained centroids; the documented drift
+    trade: rebuild (retrain) when the delta materially shifts the
+    distribution. Returns the (unchanged) centroids."""
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    bucketed = assign_ivf_buckets(embeddings, cent, vec_col=vec_col,
+                                  batch_size=batch_size)
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    return cent
+
+
 def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
                     nprobe: int = 4, vec_col: str = "embedding",
                     batch_size: int = 4096, concurrency=(1, 8)):

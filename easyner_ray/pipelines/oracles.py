@@ -2874,3 +2874,7 @@ RELATIONAL["docs_quality_percentile"] = """
                                 ORDER BY stopword_ratio) AS pct
     FROM s
 """
+
+GIVI = f"read_parquet('{SYNTH}/gold_knn_ivf_incremental.parquet')"
+RELATIONAL["knn_ivf_incremental"] = \
+    f"SELECT query_id, rank, vec_id FROM {GIVI}"

@@ -3999,3 +3999,41 @@ def docs_quality_percentile(sf_dir: str):
     return ranked.map_batches(
         lambda t: t.select(["doc_id", "source", "stopword_ratio", "pct"]),
         batch_format="pyarrow")
+
+
+def knn_ivf_incremental(sf_dir: str):
+    """Incremental ANN-index lifecycle, end to end: build the persisted
+    IVF index from the BASE slice (vec_id % 5 != 0), append the delta
+    slice (vec_id % 5 == 0) WITHOUT retraining centroids
+    (ops.similarity.append_ivf_index — O(delta) nightly ingest), then
+    answer the standard 4-query top-10 through the partition-pruned
+    indexed read (knn_ivf_indexed). Certifies the incremental property:
+    results equal a full query over base+delta with base-trained
+    centroids (gold_knn_ivf_incremental.parquet)."""
+    import tempfile
+
+    from easyner_ray.ops.similarity import (append_ivf_index,
+                                            build_ivf_index,
+                                            knn_ivf_indexed)
+
+    emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def part(keep_base: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = np.asarray(t.column("vec_id").combine_chunks(),
+                             dtype=np.int64)
+            m = (ids % 5) == 0
+            return t.filter(pa.array(~m if keep_base else m))
+        return emb.map_batches(f, batch_format="pyarrow")
+
+    idx_dir = tempfile.mkdtemp(prefix="ivf_incr_")
+    # sort the base slice: the filter map stage breaks Ray's block-order
+    # guarantee, and train_centroids samples the FIRST 4096 rows — the
+    # sort pins the sample to vec_id order (= file order here), which is
+    # what the gold recompute specifies
+    build_ivf_index(part(True).sort("vec_id"), idx_dir)
+    append_ivf_index(idx_dir, part(False))
+    return knn_ivf_indexed(idx_dir, _query_vectors(sf_dir), k=10) \
+        .select_columns(["query_id", "rank", "vec_id"])

@@ -591,6 +591,66 @@ def write_knn_ivf_gold(corpus: str, embeddings_path: str, k: int = 10,
     return path
 
 
+def write_knn_ivf_incremental_gold(corpus: str, embeddings_path: str,
+                                   k: int = 10, n_centroids: int = 16,
+                                   nprobe: int = 4, n_queries: int = 4,
+                                   sample_size: int = 4096,
+                                   iters: int = 8, seed: int = 13) -> str:
+    """Straight-line gold for the INCREMENTAL IVF path (spec:
+    ``build_ivf_index`` on the base slice ``vec_id % 5 != 0``, then
+    ``append_ivf_index`` of the delta ``vec_id % 5 == 0`` WITHOUT
+    retraining, then ``knn_ivf_indexed``): centroids from the base
+    slice's first ``sample_size`` rows in file order (same RandomState
+    Lloyd spec as write_knn_ivf_gold), buckets for base AND delta from
+    those base-trained centroids, exact cosine top-k inside the nprobe
+    probed buckets with the (-score, vec_id) tie-break. Rank-only
+    output, same BLAS-ulp rationale as write_knn_ivf_gold."""
+    emb = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])
+
+    def norm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    vecs = norm(mat)
+    qorder = np.argsort(ids, kind="stable")[:n_queries]
+    q = norm(mat[qorder])
+    base_mask = (ids % 5) != 0
+    x = vecs[base_mask][:sample_size]
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                        replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+        cent = norm(cent)
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    buckets = (vecs @ cent.T).argmax(axis=1)
+    o_q: list[int] = []
+    o_r: list[int] = []
+    o_v: list[int] = []
+    for qi in range(len(q)):
+        allowed = np.isin(buckets, probe[qi])
+        cand = sorted(zip(-(vecs[allowed] @ q[qi]), ids[allowed]))[:k]
+        for rank, (_negs, v) in enumerate(cand, start=1):
+            o_q.append(qi)
+            o_r.append(rank)
+            o_v.append(int(v))
+    tbl = pa.Table.from_arrays(
+        [pa.array(o_q, pa.int64()), pa.array(o_r, pa.int64()),
+         pa.array(o_v, pa.int64())],
+        names=["query_id", "rank", "vec_id"])
+    path = os.path.join(corpus, "gold_knn_ivf_incremental.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def write_knn_self_gold(corpus: str, embeddings_path: str, k: int = 5,
                         n_centroids: int = 16, sample_size: int = 4096,
                         iters: int = 8, seed: int = 13) -> str:
@@ -1389,6 +1449,9 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_cosine_lsh_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_knn_ivf.parquet")):
             write_knn_ivf_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(
+                corpus, "gold_knn_ivf_incremental.parquet")):
+            write_knn_ivf_incremental_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_knn_self.parquet")):
             write_knn_self_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_kmeans_assign.parquet")):

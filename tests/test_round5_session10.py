@@ -201,3 +201,37 @@ def test_shortest_paths_absent_seed_and_multi(ray_session):
     # ghost is absent -> dropped; components stay separate
     assert out == {("x", "x"): 0, ("x", "y"): 1,
                    ("p", "p"): 0, ("p", "q"): 1}
+
+
+def test_append_ivf_index_sees_delta(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from easyner_ray.ops.similarity import (append_ivf_index,
+                                            build_ivf_index,
+                                            knn_ivf_indexed)
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 8)
+    # delta contains an exact copy of the query vector -> must become
+    # the top hit after append, without retraining centroids
+    query = rng.randn(1, 8)
+    delta = np.vstack([query, rng.randn(4, 8)])
+
+    def ds(mat, id0):
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(id0, id0 + len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32()))}))
+
+    idx = str(tmp_path / "ivf")
+    cent0 = build_ivf_index(ds(base, 0), idx, n_centroids=4)
+    before = {r["vec_id"]
+              for r in knn_ivf_indexed(idx, query, k=3).take_all()}
+    assert 100 not in before
+    cent1 = append_ivf_index(idx, ds(delta, 100))
+    assert np.array_equal(cent0, cent1)      # no retrain
+    after = knn_ivf_indexed(idx, query, k=3).take_all()
+    top = min(after, key=lambda r: r["rank"])
+    assert top["vec_id"] == 100              # the exact copy wins
