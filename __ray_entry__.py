@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_entropy": q.events_user_type_entropy,  # diversity
         "docs_quality_percentile": q.docs_quality_percentile,  # per-src pct
         "knn_ivf_incremental": q.knn_ivf_incremental,  # index append
+        "docs_corpus_card": q.docs_corpus_card,  # one-row datasheet
     }
 
 

@@ -72,6 +72,29 @@ def _step_token_filter(ds, min_tokens: int = 1, max_tokens: int | None = None,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _step_readability_filter(ds, max_words_per_sentence: float = 60.0,
+                             min_sentences: int = 1,
+                             text_col: str = "text", **_):
+    """Readability gate: drop docs with no sentence structure
+    (< ``min_sentences`` terminator runs) or run-on text (mean words
+    per sentence above ``max_words_per_sentence``) — the wall-of-text /
+    no-punctuation spam filter, built on the same ASCII run counts as
+    ``ops.textstats.readability``."""
+    def f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        words = pc.count_substring_regex(txt, "[A-Za-z0-9]+")
+        sents = pc.count_substring_regex(txt, "[.!?]+")
+        keep = pc.greater_equal(sents, min_sentences)
+        wps_ok = pc.less_equal(
+            pc.cast(words, pa.float64()),
+            pc.multiply(pc.cast(pc.max_element_wise(sents, 1),
+                                pa.float64()),
+                        float(max_words_per_sentence)))
+        return t.filter(pc.and_(keep, wps_ok))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _step_quality_filter(ds, min_chars: int = 1,
                          max_punct_ratio: float | None = None,
                          min_stopword_ratio: float | None = None,
@@ -819,6 +842,7 @@ STEPS = {
     "dsir_select": _step_dsir_select,
     "entropy_filter": _step_entropy_filter,
     "compression_filter": _step_compression_filter,
+    "readability_filter": _step_readability_filter,
 }
 
 

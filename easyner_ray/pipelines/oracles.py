@@ -2878,3 +2878,15 @@ RELATIONAL["docs_quality_percentile"] = """
 GIVI = f"read_parquet('{SYNTH}/gold_knn_ivf_incremental.parquet')"
 RELATIONAL["knn_ivf_incremental"] = \
     f"SELECT query_id, rank, vec_id FROM {GIVI}"
+
+RELATIONAL["docs_corpus_card"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_extract_all(text, '[^\\s]+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(count(*) FILTER (WHERE length(text) = 0) AS BIGINT)
+             AS n_empty
+    FROM documents
+"""

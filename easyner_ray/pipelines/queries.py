@@ -4037,3 +4037,49 @@ def knn_ivf_incremental(sf_dir: str):
     append_ivf_index(idx_dir, part(False))
     return knn_ivf_indexed(idx_dir, _query_vectors(sf_dir), k=10) \
         .select_columns(["query_id", "rank", "vec_id"])
+
+
+def docs_corpus_card(sf_dir: str):
+    """One-row corpus DATASHEET: doc / source / lang counts, total
+    chars and whitespace-token counts, empty-doc count — the headline
+    numbers of a dataset card, computed in one streaming pass of
+    map-only partials plus two tiny distinct rollups (|sources| and
+    |langs| keyspaces). All exact integers."""
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    d = _rp(sf_dir, "documents", columns=["source", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        chars = pc.cast(pc.utf8_length(txt), pa.int64())
+        toks = pc.cast(pc.count_substring_regex(txt, r"[^\s]+"),
+                       pa.int64())
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "total_chars": pa.array(
+                [pc.sum(chars).as_py() or 0], pa.int64()),
+            "total_tokens": pa.array(
+                [pc.sum(toks).as_py() or 0], pa.int64()),
+            "n_empty": pa.array(
+                [pc.sum(pc.cast(pc.equal(chars, 0), pa.int64())).as_py()
+                 or 0], pa.int64())})
+
+    sums = {"n_docs": 0, "total_chars": 0, "total_tokens": 0, "n_empty": 0}
+    for b in ray.get(d.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs()):
+        for k in sums:
+            col = b.column(k)
+            sums[k] += pc.sum(col).as_py() or 0
+    n_sources = grouped_agg(d.select_columns(["source"]), ["source"],
+                            [("source", "count", "__c")]).count()
+    n_langs = grouped_agg(d.select_columns(["lang"]), ["lang"],
+                          [("lang", "count", "__c")]).count()
+    return pa.table({
+        "n_docs": pa.array([sums["n_docs"]], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "total_chars": pa.array([sums["total_chars"]], pa.int64()),
+        "total_tokens": pa.array([sums["total_tokens"]], pa.int64()),
+        "n_empty": pa.array([sums["n_empty"]], pa.int64())})

@@ -235,3 +235,32 @@ def test_append_ivf_index_sees_delta(ray_session, tmp_path):
     after = knn_ivf_indexed(idx, query, k=3).take_all()
     top = min(after, key=lambda r: r["rank"])
     assert top["vec_id"] == 100              # the exact copy wins
+
+
+def test_corpus_card_and_readability_step(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from easyner_ray.pipelines import queries as q
+    from easyner_ray.pipelines.curate import STEPS
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": ["s0", "s0", "s1", "s1"],
+        "lang": ["en", "en", "fr", "en"],
+        "text": ["One two. Three!",          # fine: 2 sentences
+                 "word " * 100,              # run-on: 100 words, 0 sents
+                 "Short. Ok.", ""],
+        "n_chars": pa.array([0, 0, 0, 0], pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    card = q.docs_corpus_card(str(tmp_path))
+    row = card.to_pylist()[0]
+    assert row["n_docs"] == 4 and row["n_sources"] == 2
+    assert row["n_langs"] == 2 and row["n_empty"] == 1
+    assert row["total_tokens"] == 3 + 100 + 2 + 0
+
+    ds = rd.from_arrow(tbl)
+    out = STEPS["readability_filter"](ds, max_words_per_sentence=20)
+    kept = {r["doc_id"] for r in out.take_all()}
+    assert kept == {1, 3}     # run-on and empty both dropped
