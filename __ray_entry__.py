@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_percentile": q.docs_quality_percentile,  # per-src pct
         "knn_ivf_incremental": q.knn_ivf_incremental,  # index append
         "docs_corpus_card": q.docs_corpus_card,  # one-row datasheet
+        "docs_token_histogram": q.docs_token_histogram,  # length bins
+        "events_burst": q.events_burst,  # sliding-window rate tripwire
     }
 
 

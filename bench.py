@@ -231,6 +231,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_user_type_entropy": q.events_user_type_entropy,
         "docs_quality_percentile": q.docs_quality_percentile,
         "knn_ivf_incremental": q.knn_ivf_incremental,
+        "docs_corpus_card": q.docs_corpus_card,
+        "docs_token_histogram": q.docs_token_histogram,
+        "events_burst": q.events_burst,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -2890,3 +2890,20 @@ RELATIONAL["docs_corpus_card"] = """
              AS n_empty
     FROM documents
 """
+
+RELATIONAL["docs_token_histogram"] = """
+    SELECT len(regexp_extract_all(text, '[^\\s]+')) // 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
+RELATIONAL["events_burst"] = """
+    WITH c AS (
+      SELECT a.user_id, a.event_id, count(*) AS w
+      FROM events a JOIN events b
+        ON b.user_id = a.user_id
+       AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+      GROUP BY 1, 2)
+    SELECT user_id, CAST(max(w) AS BIGINT) AS max_burst
+    FROM c GROUP BY user_id
+"""

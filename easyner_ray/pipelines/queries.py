@@ -4083,3 +4083,85 @@ def docs_corpus_card(sf_dir: str):
         "total_chars": pa.array([sums["total_chars"]], pa.int64()),
         "total_tokens": pa.array([sums["total_tokens"]], pa.int64()),
         "n_empty": pa.array([sums["n_empty"]], pa.int64())})
+
+
+def docs_token_histogram(sf_dir: str):
+    """Token-count distribution of the corpus in fixed-width bins of 64
+    -> (bucket, n_docs), bucket = n_tokens // 64 — the length-
+    distribution diagnostic behind every min/max-token threshold
+    choice. Map-only partial counts onto the tiny bucket keyspace."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.ops.textstats import WS_TOKEN_RE
+
+    d = _rp(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.count_substring_regex(
+            t.column("text").combine_chunks(), WS_TOKEN_RE),
+            dtype=np.int64)
+        return pa.table({"bucket": pa.array(n // 64, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64))})
+
+    return grouped_agg(d.map_batches(partial, batch_format="pyarrow"),
+                       ["bucket"], [("one", "sum", "n_docs")])
+
+
+def events_burst(sf_dir: str):
+    """Burst detection per user: the maximum number of events inside
+    ANY sliding 1-hour window of the user's history -> (user_id,
+    max_burst) — the rate-limit / abuse tripwire. One hash-bucket
+    exchange on user_id, then a pure-numpy two-pointer window count
+    per bucket (searchsorted of ts+1h into the user's sorted ts run) —
+    no per-event Python, exact integers."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        if len(t) == 0:
+            return pa.schema([pa.field("user_id", pa.int64()),
+                              pa.field("max_burst", pa.int64())]) \
+                .empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending")])
+        t = t.take(idx)
+        uid = np.asarray(t.column("user_id").combine_chunks(),
+                         dtype=np.int64)
+        ts = np.asarray(t.column("ts").combine_chunks()
+                        .cast(pa.int64()), dtype=np.int64)
+        n = len(t)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], uid[1:] != uid[:-1]]))
+        seg_len = np.diff(np.append(starts, n))
+        start_of = np.repeat(starts, seg_len)
+        end_of = start_of + np.repeat(seg_len, seg_len)
+        # count events in [ts_i, ts_i + 1h) within the user's run. ts is
+        # sorted only WITHIN runs, so build a strictly increasing global
+        # key: per-run relative time plus cumulative run bases spaced by
+        # (run span + window + 1) — probes can never cross a run
+        # boundary, and one global searchsorted answers every window
+        W = 3_600_000_000  # 1h in microseconds
+        ends = starts + seg_len
+        run_min = ts[starts]
+        run_max = ts[ends - 1]
+        span = run_max - run_min
+        base = np.concatenate([[0], np.cumsum(span + W + 1)[:-1]])
+        adj = (ts - np.repeat(run_min, seg_len)
+               + np.repeat(base, seg_len))
+        upper = np.searchsorted(adj, adj + W, side="left")
+        w = np.minimum(upper, end_of) - np.arange(n)
+        out = np.maximum.reduceat(w, starts)
+        return pa.table({
+            "user_id": t.column("user_id").take(pa.array(starts)),
+            "max_burst": pa.array(out.astype(np.int64), pa.int64())})
+
+    bucketed = ev.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 32),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")

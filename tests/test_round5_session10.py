@@ -264,3 +264,32 @@ def test_corpus_card_and_readability_step(ray_session, tmp_path):
     out = STEPS["readability_filter"](ds, max_words_per_sentence=20)
     kept = {r["doc_id"] for r in out.take_all()}
     assert kept == {1, 3}     # run-on and empty both dropped
+
+
+def test_events_burst_window_edges(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from easyner_ray.pipelines import queries as q
+
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1: three at t=0 (ties), one just inside, one AT +1h (excl)
+        (1, 0), (1, 0), (1, 0), (1, H - 1), (1, H),
+        # user 2: spread out, max window holds 2
+        (2, 0), (2, H // 2), (2, 3 * H),
+        # user 3: single event
+        (3, 42),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": ["x"] * len(rows),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": ["{}"] * len(rows)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r["max_burst"]
+           for r in q.events_burst(str(tmp_path)).take_all()}
+    # user 1: [0, 1h) holds the three ties + H-1 = 4 (H excluded)
+    assert out == {1: 4, 2: 2, 3: 1}
