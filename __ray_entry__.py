@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_card": q.docs_corpus_card,  # one-row datasheet
         "docs_token_histogram": q.docs_token_histogram,  # length bins
         "events_burst": q.events_burst,  # sliding-window rate tripwire
+        "conv_window_dedup": q.conv_window_dedup,  # SFT example dedup
     }
 
 

@@ -234,6 +234,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_corpus_card": q.docs_corpus_card,
         "docs_token_histogram": q.docs_token_histogram,
         "events_burst": q.events_burst,
+        "conv_window_dedup": q.conv_window_dedup,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -2907,3 +2907,19 @@ RELATIONAL["events_burst"] = """
     SELECT user_id, CAST(max(w) AS BIGINT) AS max_burst
     FROM c GROUP BY user_id
 """
+
+KG["conv_window_dedup"] = f"""
+    WITH w AS (
+      SELECT conv_id,
+             concat_ws(chr(10), l3, l2, l1) AS context, text AS target
+      FROM (SELECT conv_id, turn_idx, role, text,
+                   lag(text, 3) OVER win AS l3,
+                   lag(text, 2) OVER win AS l2,
+                   lag(text, 1) OVER win AS l1
+            FROM {TR}
+            WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+      WHERE role = 'assistant')
+    SELECT context, target, CAST(count(*) AS BIGINT) AS n_copies,
+           min(conv_id) AS first_conv
+    FROM w GROUP BY 1, 2 HAVING count(*) >= 2
+"""

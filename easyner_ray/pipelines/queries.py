@@ -4165,3 +4165,43 @@ def events_burst(sf_dir: str):
         batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def conv_window_dedup(sf_dir: str):
+    """Training-EXAMPLE dedup: exact duplicate (context, target) SFT
+    windows across the whole corpus -> (context, target, n_copies,
+    first_conv) for every window occurring >= 2 times — whole-dialog
+    dedup misses these (two different conversations re-deriving the
+    same exchange), and duplicated examples are what actually skew SFT
+    gradients. Rides context_windows (bucketed shifted-column
+    assembly), then one grouped count over the window keyspace."""
+    from easyner_ray.ops.conversations import context_windows
+    from easyner_ray.ops.relational import grouped_agg
+
+    w = context_windows(
+        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        k=3)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "context": t.column("context"),
+            "target": t.column("target"),
+            "conv_id": t.column("conv_id"),
+            "one": pa.array([1] * len(t), pa.int64())})
+
+    g = grouped_agg(w.map_batches(one, batch_format="pyarrow"),
+                    ["context", "target"],
+                    [("one", "sum", "n_copies"),
+                     ("conv_id", "min", "first_conv")])
+    out = g.filter(lambda r: r["n_copies"] >= 2)
+    # a dedup-clean corpus yields zero rows: typed Arrow return (see
+    # conv_minhash_pairs)
+    import ray
+
+    empty = pa.table({"context": pa.array([], pa.string()),
+                      "target": pa.array([], pa.string()),
+                      "n_copies": pa.array([], pa.int64()),
+                      "first_conv": pa.array([], pa.string())})
+    blocks = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
+    return pa.concat_tables([empty] + [t.select(empty.column_names)
+                                       for t in blocks])
