@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_histogram": q.docs_token_histogram,  # length bins
         "events_burst": q.events_burst,  # sliding-window rate tripwire
         "conv_window_dedup": q.conv_window_dedup,  # SFT example dedup
+        "tpch_q3_revenue": q.tpch_q3_revenue,  # 3-table selective join
+        "tpch_q5_region_revenue": q.tpch_q5_region_revenue,  # 6-table join
     }
 
 

@@ -235,6 +235,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_token_histogram": q.docs_token_histogram,
         "events_burst": q.events_burst,
         "conv_window_dedup": q.conv_window_dedup,
+        "tpch_q3_revenue": q.tpch_q3_revenue,
+        "tpch_q5_region_revenue": q.tpch_q5_region_revenue,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -4205,3 +4205,139 @@ def conv_window_dedup(sf_dir: str):
     blocks = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
     return pa.concat_tables([empty] + [t.select(empty.column_names)
                                        for t in blocks])
+
+
+def tpch_q3_revenue(sf_dir: str):
+    """TPC-H Q3 analog (shipping-priority revenue): BUILDING-segment
+    customers' orders placed before 1998-01-01, lineitems shipped after
+    it, top-10 orders by revenue. The canonical 3-table
+    selective-join showcase: both fact-side reads are pruned to the
+    filter columns, lineitem revenue is partially aggregated per
+    orderkey INSIDE the batch before any exchange, and both joins are
+    adaptive (broadcast under the byte gate). The top-10 cut sorts on
+    the ROUNDED revenue with an orderkey tie-break so the cut is
+    deterministic cross-engine."""
+    from datetime import datetime
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    cutoff = datetime(1998, 1, 1)
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+                   .select(["c_custkey"])
+                   .rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"),
+                                   pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    o_side = adaptive_join(orders, cust, on="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"])
+                   .rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"),
+                                pa.scalar(cutoff)))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        g = pa.Table.from_arrays(
+            [t.column("l_orderkey"), rev], names=["l_orderkey", "rev"]) \
+            .group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    j = adaptive_join(li.map_batches(rev_partial, batch_format="pyarrow"),
+                      o_side, on="l_orderkey")
+    agg = grouped_agg(j, ["l_orderkey", "o_orderdate"],
+                      [("rev", "sum", "rev")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "revenue": pc.round(t.column("rev"), 4)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "l_orderkey"], descending=[True, False]) \
+        .limit(10)
+
+
+def tpch_q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 analog (local-supplier volume): revenue per ASIA nation
+    where the supplier and the ordering customer share the nation — the
+    classic 6-table join. Dimension chain (region -> nation ->
+    supplier / customer) stays broadcast-sized; the two fact joins are
+    adaptive; the customer-nation == supplier-nation predicate is a
+    post-join vectorized filter; final rollup onto the |nations|
+    keyspace with round-4 revenue."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    region = _rp(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    region = region.map_batches(
+        lambda t: t.filter(pc.equal(t.column("r_name"), "ASIA"))
+                   .select(["r_regionkey"])
+                   .rename_columns(["n_regionkey"]),
+        batch_format="pyarrow")
+    nation = adaptive_join(
+        _rp(sf_dir, "nation",
+            columns=["n_nationkey", "n_name", "n_regionkey"]),
+        region, on="n_regionkey")
+    supp = adaptive_join(
+        _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation.map_batches(
+            lambda t: t.select(["n_nationkey", "n_name"])
+                       .rename_columns(["s_nationkey", "n_name"]),
+            batch_format="pyarrow"),
+        on="s_nationkey")
+    supp = supp.map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey", "n_name"]),
+        batch_format="pyarrow")
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_side = adaptive_join(
+        orders.map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+            batch_format="pyarrow"),
+        cust, on="c_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"])
+                   .rename_columns(["l_orderkey", "c_nationkey"]),
+        batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "rev": r})
+
+    j = adaptive_join(
+        adaptive_join(li.map_batches(rev, batch_format="pyarrow"),
+                      supp, on="l_suppkey"),
+        o_side, on="l_orderkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        t = t.filter(keep)
+        return pa.table({"n_name": t.column("n_name"),
+                         "rev": t.column("rev")})
+
+    agg = grouped_agg(j.map_batches(local_only, batch_format="pyarrow"),
+                      ["n_name"], [("rev", "sum", "rev")])
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t.column("n_name"),
+                            "revenue": pc.round(t.column("rev"), 4)}),
+        batch_format="pyarrow")
