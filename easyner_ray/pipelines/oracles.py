@@ -2950,3 +2950,11 @@ RELATIONAL["tpch_q5_region_revenue"] = """
     WHERE r_name = 'ASIA'
     GROUP BY n_name
 """
+
+RELATIONAL["lineitem_pruned_profile"] = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag
+"""

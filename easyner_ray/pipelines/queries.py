@@ -4341,3 +4341,35 @@ def tpch_q5_region_revenue(sf_dir: str):
         lambda t: pa.table({"n_name": t.column("n_name"),
                             "revenue": pc.round(t.column("rev"), 4)}),
         batch_format="pyarrow")
+
+
+def lineitem_pruned_profile(sf_dir: str):
+    """Read-level filter-pushdown showcase: lineitems shipped on/after
+    2000-01-01, profiled per returnflag -> (l_returnflag, n, sum_qty).
+    The predicate is an Arrow dataset expression handed to
+    ``read_parquet(filter=...)`` — row groups outside the date range
+    never leave storage (the prune-at-the-read contract; at 100 TB this
+    is the difference between scanning a year and scanning a decade).
+    Quantities are integral doubles: the sum is exact below 2^53 and is
+    emitted as int64."""
+    import pyarrow.dataset as pads
+    from datetime import datetime
+
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=pads.field("l_shipdate") >= datetime(2000, 1, 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "one": pa.array([1] * len(t), pa.int64()),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["l_returnflag"], [("one", "sum", "n"),
+                                          ("qty", "sum", "sum_qty")])
