@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_revenue": q.tpch_q3_revenue,  # 3-table selective join
         "tpch_q5_region_revenue": q.tpch_q5_region_revenue,  # 6-table join
         "lineitem_pruned_profile": q.lineitem_pruned_profile,  # read prune
+        "events_heatmap": q.events_heatmap,  # dow x hour load shape
+        "kg_entity_lifespan": q.kg_entity_lifespan,  # first/last seen
     }
 
 

@@ -2958,3 +2958,19 @@ RELATIONAL["lineitem_pruned_profile"] = """
     WHERE l_shipdate >= TIMESTAMP '2000-01-01'
     GROUP BY l_returnflag
 """
+
+RELATIONAL["events_heatmap"] = """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+KG["kg_entity_lifespan"] = f"""
+    SELECT g.norm, min(t.ts) AS first_ts, max(t.ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT g.conv_id) AS BIGINT) AS n_convs
+    FROM {GM} g JOIN {TR} t
+      ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
+    GROUP BY g.norm
+"""

@@ -4373,3 +4373,65 @@ def lineitem_pruned_profile(sf_dir: str):
     return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
                        ["l_returnflag"], [("one", "sum", "n"),
                                           ("qty", "sum", "sum_qty")])
+
+
+def events_heatmap(sf_dir: str):
+    """Activity heatmap census: event counts per (ISO day-of-week,
+    hour-of-day) cell -> (dow, hour, n) — the ops-dashboard staple and
+    the load-shape input to batch-window scheduling. Map-only temporal
+    kernels onto the fixed 7 x 24 keyspace."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks()
+        return pa.table({
+            # pyarrow day_of_week: Monday=0 -> +1 = ISO dow (Mon=1)
+            "dow": pc.cast(pc.add(pc.day_of_week(ts), 1), pa.int64()),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+            "one": pa.array([1] * len(t), pa.int64())})
+
+    return grouped_agg(ev.map_batches(cells, batch_format="pyarrow"),
+                       ["dow", "hour"], [("one", "sum", "n")])
+
+
+def kg_entity_lifespan(sf_dir: str):
+    """Entity lifespan census -> (norm, first_ts, last_ts, n_mentions,
+    n_convs): when each entity first and last appears in the corpus,
+    how often, and across how many conversations — the "is this entity
+    current or historical" audit column of a temporal KG. One adaptive
+    join of mentions to turn timestamps, a (norm, conv) rollup, then a
+    vocab-bounded grouped final."""
+    from easyner_ray.ops.graph_analytics import _SEP
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    def mention_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays(
+            [t.column("norm"), t.column("conv_id"), k],
+            names=["norm", "conv_id", "__k"])
+
+    def turn_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()), _SEP)
+        return pa.Table.from_arrays([k, t.column("ts")],
+                                    names=["__k", "ts"])
+
+    m = _mentions(sf_dir).map_batches(mention_key,
+                                      batch_format="pyarrow")
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]) \
+        .map_batches(turn_key, batch_format="pyarrow")
+    j = adaptive_join(m, tr, on="__k")
+    per_conv = grouped_agg(j, ["norm", "conv_id"],
+                           [("ts", "min", "first_ts"),
+                            ("ts", "max", "last_ts"),
+                            ("ts", "count", "n_mentions")])
+    return grouped_agg(per_conv, ["norm"],
+                       [("first_ts", "min", "first_ts"),
+                        ("last_ts", "max", "last_ts"),
+                        ("n_mentions", "sum", "n_mentions"),
+                        ("conv_id", "count", "n_convs")])
