@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pruned_profile": q.lineitem_pruned_profile,  # read prune
         "events_heatmap": q.events_heatmap,  # dow x hour load shape
         "kg_entity_lifespan": q.kg_entity_lifespan,  # first/last seen
+        "docs_cluster_keywords": q.docs_cluster_keywords,  # cluster labels
     }
 
 

@@ -2974,3 +2974,28 @@ KG["kg_entity_lifespan"] = f"""
       ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
     GROUP BY g.norm
 """
+
+RELATIONAL["docs_cluster_keywords"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    ti AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                              / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) WHERE df.df >= 2),
+    a AS (
+      SELECT g.cluster, ti.term, round(sum(ti.tfidf), 4) AS score
+      FROM ti JOIN {GKM} g ON g.vec_id = ti.doc_id
+      GROUP BY 1, 2),
+    r AS (
+      SELECT cluster, term, score,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY score DESC, term) AS rank
+      FROM a)
+    SELECT cluster, CAST(rank AS BIGINT) AS rank, term, score
+    FROM r WHERE rank <= 3
+"""

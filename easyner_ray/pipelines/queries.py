@@ -4435,3 +4435,44 @@ def kg_entity_lifespan(sf_dir: str):
                         ("last_ts", "max", "last_ts"),
                         ("n_mentions", "sum", "n_mentions"),
                         ("conv_id", "count", "n_convs")])
+
+
+def docs_cluster_keywords(sf_dir: str):
+    """Cluster LABELING: the top-3 TF-IDF terms of each embedding
+    cluster -> (cluster, rank, term, score) — the standard "what is
+    this cluster about" readout after semantic clustering (topic
+    browsing, pruning decisions). Composes the distributed Lloyd
+    k-means assignments (vec_id = doc_id in this corpus) with the
+    exact tfidf kernel via one adaptive join, a (cluster, term)
+    grouped sum on rounded scores, and the bucketed vectorized
+    topk_per_group — deterministic at the rounded grain with a term
+    tie-break."""
+    from easyner_ray.ops.relational import (adaptive_join, grouped_agg,
+                                            topk_per_group)
+    from easyner_ray.ops.similarity import kmeans
+    from easyner_ray.ops.textstats import tfidf
+
+    _corpus(sf_dir)  # gold keyed to this sf_dir
+    em = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans(em, k=6, iters=4)
+    assign = assign.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster"]),
+        batch_format="pyarrow")
+    tf = tfidf(_rp(sf_dir, "documents", columns=["doc_id", "text"]))
+    j = adaptive_join(
+        tf.map_batches(lambda t: t.select(["doc_id", "term", "tfidf"]),
+                       batch_format="pyarrow"),
+        assign, on="doc_id")
+    agg = grouped_agg(j.map_batches(
+        lambda t: t.select(["cluster", "term", "tfidf"]),
+        batch_format="pyarrow"),
+        ["cluster", "term"], [("tfidf", "sum", "score")])
+    scored = agg.map_batches(
+        lambda t: pa.table({"cluster": t.column("cluster"),
+                            "term": t.column("term"),
+                            "score": pc.round(t.column("score"), 4)}),
+        batch_format="pyarrow")
+    return topk_per_group(scored, ["cluster"], "score", 3,
+                          descending=True, tie_cols=["term"],
+                          rank_name="rank") \
+        .select_columns(["cluster", "rank", "term", "score"])
