@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heatmap": q.events_heatmap,  # dow x hour load shape
         "kg_entity_lifespan": q.kg_entity_lifespan,  # first/last seen
         "docs_cluster_keywords": q.docs_cluster_keywords,  # cluster labels
+        "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,  # JSON source path
     }
 
 

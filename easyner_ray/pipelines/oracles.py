@@ -2999,3 +2999,10 @@ RELATIONAL["docs_cluster_keywords"] = f"""
     SELECT cluster, CAST(rank AS BIGINT) AS rank, term, score
     FROM r WHERE rank <= 3
 """
+
+RELATIONAL["docs_jsonl_roundtrip"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+"""

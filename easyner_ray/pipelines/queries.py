@@ -4476,3 +4476,40 @@ def docs_cluster_keywords(sf_dir: str):
                           descending=True, tie_cols=["term"],
                           rank_name="rank") \
         .select_columns(["cluster", "rank", "term", "score"])
+
+
+def docs_jsonl_roundtrip(sf_dir: str):
+    """Source-format certification for the JSONL path: stream the
+    documents table out through Ray's JSON sink and back through
+    ``read_json``, then profile the round-tripped corpus (doc count +
+    total chars + id checksum) — proves the non-Parquet ingest path
+    preserves every row and every code point. The oracle computes the
+    same profile straight off the Parquet table, so any JSON
+    escape/precision loss would hash-mismatch."""
+    import tempfile
+
+    import ray
+    import ray.data as rd
+
+    d = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out_dir = tempfile.mkdtemp(prefix="jsonl_rt_")
+    d.write_json(out_dir)
+    back = rd.read_json(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(t.column("text").combine_chunks()),
+                        pa.int64())
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "total_chars": pa.array([pc.sum(chars).as_py() or 0],
+                                    pa.int64()),
+            "id_sum": pa.array(
+                [pc.sum(t.column("doc_id")).as_py() or 0], pa.int64())})
+
+    sums = {"n_docs": 0, "total_chars": 0, "id_sum": 0}
+    for b in ray.get(back.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs()):
+        for k in sums:
+            sums[k] += pc.sum(b.column(k)).as_py() or 0
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in sums.items()})
