@@ -3006,3 +3006,17 @@ RELATIONAL["docs_jsonl_roundtrip"] = """
            CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM documents
 """
+
+RELATIONAL["tpch_q10_returned_items"] = """
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+"""

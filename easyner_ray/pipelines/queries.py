@@ -4513,3 +4513,76 @@ def docs_jsonl_roundtrip(sf_dir: str):
             sums[k] += pc.sum(b.column(k)).as_py() or 0
     return pa.table({k: pa.array([v], pa.int64())
                      for k, v in sums.items()})
+
+
+def tpch_q10_returned_items(sf_dir: str):
+    """TPC-H Q10 analog (returned-item reporting): top-20 customers by
+    revenue lost to 'R'-flagged lineitems on orders placed in 1996-Q1.
+    Shape: lineitem revenue is filtered + partially aggregated per
+    orderkey INSIDE each batch (the fact table never leaves the read
+    stage at full width), the quarter-pruned orders side maps orderkey
+    -> custkey, and the customer/nation dimension chain joins broadcast
+    under the adaptive byte gate. The top-20 cut sorts on ROUNDED
+    revenue with a custkey tie-break so the cut is deterministic
+    cross-engine."""
+    from datetime import datetime
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(t.column("o_orderdate"), pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"])
+            .rename_columns(["l_orderkey", "c_custkey"]),
+        batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_returnflag"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        g = pa.Table.from_arrays(
+            [t.column("l_orderkey"), rev], names=["l_orderkey", "rev"]) \
+            .group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    j = adaptive_join(li.map_batches(rev_partial, batch_format="pyarrow"),
+                      orders, on="l_orderkey")
+    per_cust = grouped_agg(j, ["c_custkey"], [("rev", "sum", "rev")])
+
+    cust = _rp(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nat = _rp(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nat = nat.map_batches(
+        lambda t: t.rename_columns(["c_nationkey", "n_name"]),
+        batch_format="pyarrow")
+    cust = adaptive_join(cust, nat, on="c_nationkey")
+    out = adaptive_join(per_cust, cust, on="c_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # quantize exactly the way DuckDB's round(x, 4) does —
+        # rint(x * 1e4) / 1e4 in doubles — so the rounded column is
+        # bit-identical cross-engine (pc.round(x, 4) takes a different
+        # path and can land on the neighbouring double)
+        rev4 = pc.divide(
+            pc.round(pc.multiply(t.column("rev"), pa.scalar(10000.0)),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.scalar(10000.0))
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "n_name": t.column("n_name"),
+            "c_acctbal": t.column("c_acctbal"),
+            "revenue": rev4})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False]) \
+        .limit(20)
