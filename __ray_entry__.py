@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_revenue": q.tpch_q3_revenue,  # 3-table selective join
         "tpch_q5_region_revenue": q.tpch_q5_region_revenue,  # 6-table join
         "tpch_q10_returned_items": q.tpch_q10_returned_items,  # returned-rev top-20
+        "embeddings_pca": q.embeddings_pca,  # exact top-4 PCA (integer moments)
         "lineitem_pruned_profile": q.lineitem_pruned_profile,  # read prune
         "events_heatmap": q.events_heatmap,  # dow x hour load shape
         "kg_entity_lifespan": q.kg_entity_lifespan,  # first/last seen

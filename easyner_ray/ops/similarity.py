@@ -1018,3 +1018,130 @@ def rp_reduce(embeddings, out_dim: int, *, vec_col: str = "embedding",
 
     return embeddings.map_batches(f, batch_format="pyarrow",
                                   batch_size=batch_size)
+
+
+def _pca_center_apply(x: np.ndarray, mean: np.ndarray, v: np.ndarray,
+                      round_digits: int) -> np.ndarray:
+    """Fixed-order centered projection kernel shared by every batch AND
+    the gold recompute: accumulate (x[:, j] - mean[j]) * V[j, :] over
+    input dims j = 0..d-1 in sequence — each output element's float
+    history depends only on its own row, never on batch layout, so a
+    re-blocked corpus projects bit-identically (BLAS matmul would
+    re-block the sums per batch shape)."""
+    n, _ = x.shape
+    acc = np.zeros((n, v.shape[1]), dtype=np.float64)
+    for j in range(v.shape[0]):
+        acc += (x[:, j:j + 1] - mean[j]) * v[j]
+    return np.round(acc, round_digits)
+
+
+def pca_project(embeddings, k: int = 4, *, vec_col: str = "embedding",
+                id_col: str = "vec_id", q_bits: int = 18,
+                round_digits: int = 9, proj_round: int = 6,
+                batch_size: int = 4096):
+    """Exact top-``k`` PCA over an embedding column by distributed
+    second-moment accumulation — the decorrelating cousin of
+    :func:`rp_reduce` (project once, then dedup/ANN in k << d dims).
+
+    Shape (two passes, nothing corpus-sized ever leaves the workers):
+
+    1. one ``map_batches`` pass emits per-block moment partials
+       ``(n, sum_x, sum_xxT)`` — d + d^2 numbers per BLOCK (d=64 ->
+       ~33 KB) regardless of corpus size — which a repartition(1)
+       reduce task collapses to ONE row before the driver sees it
+       (partials are additive, so extreme block counts can interpose
+       more tree levels);
+    2. the driver eigendecomposes the tiny d x d covariance and a
+       second map-only pass projects ``(x - mean) @ V_k``.
+
+    Determinism device (stronger than the 1e-9 rounding grain the
+    kmeans spec uses): inputs quantize ONCE to the 2^q_bits integer
+    grid (exact: float32 * 2^18 has slack mantissa), and every moment
+    is then integer arithmetic — per-batch sums stay below 2^53 (n_b *
+    2^(2*q_bits) * max|x|^2, fine for unit-norm embeddings at
+    batch_size 4096), so the BLAS GEMM is exact and block layout
+    CANNOT move a bit. Requires n_total * 2^(2*q_bits) * max|x|^2 <
+    2^63 (~5e8 unit rows at q_bits=18; drop q_bits for more).
+    ``eigh`` runs on the exact covariance rounded at ``round_digits``;
+    eigenvectors sign-fix to largest-|coordinate| positive (lowest
+    index on ties) — the straight-line gold reproduces every step.
+
+    Returns ``(eigvals ndarray (k,), projections Dataset
+    (id, dim_idx, value))`` — exploded like :func:`rp_reduce` so the
+    driver's value-hash compares scalars.
+    """
+    q = float(1 << q_bits)
+
+    def moments_partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()),
+                            ("s_q", pa.list_(pa.int64())),
+                            ("ss_q", pa.list_(pa.int64()))])
+        if len(t) == 0:
+            return schema.empty_table()
+        x = _as_matrix(t.column(vec_col))
+        xq = np.rint(x * q)              # exact integers in float64
+        s = xq.sum(axis=0)
+        ss = xq.T @ xq                   # exact: partial sums < 2^53
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "s_q": pa.array([s.astype(np.int64)]),
+            "ss_q": pa.array([ss.reshape(-1).astype(np.int64)])})
+
+    def merge_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        n = pc.sum(t.column("n")).as_py()
+        s = np.asarray(t.column("s_q").combine_chunks().flatten()) \
+            .reshape(len(t), -1).sum(axis=0)
+        ss = np.asarray(t.column("ss_q").combine_chunks().flatten()) \
+            .reshape(len(t), -1).sum(axis=0)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s_q": pa.array([s]), "ss_q": pa.array([ss])})
+
+    rows = (embeddings.select_columns([id_col, vec_col])
+            .map_batches(moments_partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .materialize().repartition(1)
+            .map_batches(merge_partials, batch_format="pyarrow",
+                         batch_size=None).take_all())
+
+    proj_schema_fields = [("dim_idx", pa.int64()), ("value", pa.float64())]
+    if not rows:
+        # typed empty TABLE, not an empty Dataset: Dataset.to_pandas
+        # drops column names when every block is empty
+        return np.zeros(0), pa.schema(
+            [(id_col, pa.int64())] + proj_schema_fields).empty_table()
+
+    n = rows[0]["n"]
+    s_q = np.asarray(rows[0]["s_q"], dtype=np.float64)
+    ss_q = np.asarray(rows[0]["ss_q"], dtype=np.float64)
+    d = s_q.shape[0]
+    mean = np.round((s_q / q) / n, round_digits)
+    exx = (ss_q.reshape(d, d) / (q * q)) / n
+    cov = np.round(exx - np.outer(s_q / q / n, s_q / q / n), round_digits)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    top_vals = evals[order]
+    v = evecs[:, order]
+    for c in range(v.shape[1]):       # sign fix: largest-|coord| positive
+        j = int(np.argmax(np.abs(v[:, c])))
+        if v[j, c] < 0:
+            v[:, c] = -v[:, c]
+    v = np.round(v, round_digits)
+
+    def project(t: pa.Table) -> pa.Table:
+        schema = pa.schema([t.schema.field(id_col)] + proj_schema_fields)
+        if len(t) == 0:
+            return schema.empty_table()
+        x = _as_matrix(t.column(vec_col))
+        y = _pca_center_apply(x, mean, v, proj_round)
+        nb = len(t)
+        ids = t.column(id_col).combine_chunks().take(
+            pa.array(np.repeat(np.arange(nb, dtype=np.int64), k)))
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.tile(np.arange(k, dtype=np.int64), nb)),
+             pa.array(y.reshape(-1), pa.float64())], schema=schema)
+
+    ds = embeddings.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow", batch_size=batch_size)
+    return top_vals, ds

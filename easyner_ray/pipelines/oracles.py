@@ -3020,3 +3020,7 @@ RELATIONAL["tpch_q10_returned_items"] = """
     GROUP BY c_custkey, c_name, n_name, c_acctbal
     ORDER BY revenue DESC, c_custkey LIMIT 20
 """
+
+GPCA = f"read_parquet('{SYNTH}/gold_pca.parquet')"
+RELATIONAL["embeddings_pca"] = \
+    f"SELECT vec_id, dim_idx, value FROM {GPCA}"

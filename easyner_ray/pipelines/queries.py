@@ -4586,3 +4586,16 @@ def tpch_q10_returned_items(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort(["revenue", "c_custkey"], descending=[True, False]) \
         .limit(20)
+
+
+def embeddings_pca(sf_dir: str):
+    """Exact top-4 PCA projection of the 64-dim embeddings — the
+    decorrelating project-once step (vs the JL random projection in
+    ``embeddings_rp_reduce``) before ANN / semantic dedup at scale.
+    Moments are integer-exact distributed partials (block layout cannot
+    move a bit); oracle = straight-line recompute (gold_pca.parquet)."""
+    from easyner_ray.ops.similarity import pca_project
+
+    _, ds = pca_project(_rp(sf_dir, "embeddings",
+                            columns=["vec_id", "embedding"]), k=4)
+    return ds

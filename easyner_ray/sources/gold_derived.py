@@ -1462,6 +1462,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_outlier_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_rp_reduce.parquet")):
             write_rp_reduce_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_pca.parquet")):
+            write_pca_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
@@ -1873,5 +1875,50 @@ def write_conv_minhash_gold(corpus: str, threshold: float = 0.5,
          pa.array([best[kk] for kk in keys], pa.float64())],
         names=["conv_a", "conv_b", "est_jaccard"])
     path = os.path.join(corpus, "gold_conv_minhash.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_pca_gold(corpus: str, embeddings_path: str, k: int = 4,
+                   q_bits: int = 18, round_digits: int = 9,
+                   proj_round: int = 6) -> str:
+    """Straight-line top-k PCA recompute over the embeddings table — the
+    gold for ``ops.similarity.pca_project`` (spec: inputs quantized once
+    to the 2^q_bits integer grid so every moment is EXACT integer
+    arithmetic and block layout cannot move a bit; covariance from the
+    exact moments rounded at round_digits; eigh; eigenvectors sign-fixed
+    to largest-|coordinate| positive; fixed-order centered projection
+    kernel at proj_round). The moment summation order here differs from
+    the distributed partials on purpose — exactness, not a rounding
+    grain, is what makes them identical."""
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").combine_chunks(), dtype=np.int64)
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n, d = x.shape
+    q = float(1 << q_bits)
+    xq = np.rint(x * q)
+    s_q = xq.sum(axis=0)
+    ss_q = xq.T @ xq
+    mean = np.round((s_q / q) / n, round_digits)
+    exx = (ss_q / (q * q)) / n
+    cov = np.round(exx - np.outer(s_q / q / n, s_q / q / n), round_digits)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    v = evecs[:, order]
+    for c in range(v.shape[1]):
+        j = int(np.argmax(np.abs(v[:, c])))
+        if v[j, c] < 0:
+            v[:, c] = -v[:, c]
+    v = np.round(v, round_digits)
+    acc = np.zeros((n, k), dtype=np.float64)
+    for j in range(d):
+        acc += (x[:, j:j + 1] - mean[j]) * v[j]
+    y = np.round(acc, proj_round)
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.repeat(ids, k)),
+         pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+         pa.array(y.reshape(-1), pa.float64())],
+        names=["vec_id", "dim_idx", "value"])
+    path = os.path.join(corpus, "gold_pca.parquet")
     pq.write_table(tbl, path)
     return path

@@ -32,3 +32,78 @@ def test_tpch_q10_matches_duckdb(ray_session):
     assert list(got["c_custkey"]) == list(want["c_custkey"])
     assert np.array_equal(got["revenue"].to_numpy(),
                           want["revenue"].to_numpy())
+
+
+def _emb_ds(x, ids=None, blocks=3):
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = x.shape[0]
+    ids = list(range(n)) if ids is None else ids
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([row.tolist() for row in x],
+                                          pa.list_(pa.float32()))})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def _rand_unit(n, d, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def test_pca_block_layout_invariant(ray_session):
+    from easyner_ray.ops.similarity import pca_project
+
+    x = _rand_unit(120, 16)
+    outs = []
+    for blocks, bs in [(1, 4096), (7, 16), (3, 50)]:
+        _, ds = pca_project(_emb_ds(x, blocks=blocks), k=3, batch_size=bs)
+        df = ds.to_pandas().sort_values(["vec_id", "dim_idx"])
+        outs.append(df.reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+
+
+def test_pca_matches_unquantized_numpy(ray_session):
+    from easyner_ray.ops.similarity import pca_project
+
+    x = _rand_unit(200, 12, seed=9)
+    evals, ds = pca_project(_emb_ds(x), k=4)
+    got = ds.to_pandas().sort_values(["vec_id", "dim_idx"])
+    y = got["value"].to_numpy().reshape(200, 4)
+
+    xf = x.astype(np.float64)
+    mean = xf.mean(axis=0)
+    cov = (xf - mean).T @ (xf - mean) / len(xf)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w)[:4]
+    vr = v[:, order]
+    for c in range(4):
+        j = int(np.argmax(np.abs(vr[:, c])))
+        if vr[j, c] < 0:
+            vr[:, c] = -vr[:, c]
+    ref = (xf - mean) @ vr
+    # quantization at 2^-18 + 1e-9/1e-6 rounding: loose tolerance
+    assert np.abs(y - ref).max() < 1e-3
+    assert np.allclose(np.sort(evals)[::-1], np.sort(w[order])[::-1],
+                       atol=1e-6)
+    # top component really is the max-variance direction
+    assert y[:, 0].var() >= y[:, -1].var()
+
+
+def test_pca_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.ops.similarity import pca_project
+
+    empty = rd.from_arrow(pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "embedding": pa.array([], pa.list_(pa.float32()))}))
+    evals, out = pca_project(empty, k=2)
+    assert len(evals) == 0
+    # empty path returns a typed pa.Table (Dataset.to_pandas drops
+    # column names on an all-empty Dataset)
+    assert out.schema.names == ["vec_id", "dim_idx", "value"]
+    assert out.num_rows == 0
