@@ -2433,3 +2433,108 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst",
         j.map_batches(flags, batch_format="pyarrow"),
         ["norm"], [("n_out", "sum", "n_out"),
                    ("n_recip", "sum", "n_recip")])
+
+
+def random_walks(edges, *, walks_per_node: int = 2, walk_len: int = 4,
+                 seed: int = 7, src: str = "subj", dst: str = "obj",
+                 index_bytes: int = 256 << 20):
+    """Deterministic node2vec-style walk corpus over the edge table —
+    the training-data generator for graph embeddings (DeepWalk /
+    node2vec p=q=1): ``walks_per_node`` walks of ``walk_len`` steps
+    from every node, exploded to ``(start, walk_id, step, node)`` rows
+    (step 0 = the start node) so the driver's value-hash compares
+    scalars.
+
+    No RNG state anywhere: nodes integer-code by sorted-string rank,
+    neighbor lists sort by that same rank, and step ``s`` of walk ``w``
+    at node ``c`` picks neighbor ``splitmix64(mix(c, w, s, seed)) %
+    deg(c)`` — every worker (and the straight-line gold) derives the
+    identical choice from four integers, so block layout cannot move a
+    step.
+
+    Shape: the DISTINCT directed pair list collapses to a CSR adjacency
+    index built once and broadcast via ``ray.put`` (vocab^2-bounded for
+    the KG — the same budget :func:`easyner_ray.ops.graph.pagerank`
+    gives its indexed paths; ``index_bytes`` guards the assumption),
+    then ONE map-only pass over the node table walks every start
+    vectorized (numpy gather per step over all walks in the batch —
+    no per-row Python, no per-step shuffle). Graphs whose adjacency
+    exceeds a worker's heap need the iterative-join formulation
+    (:func:`bfs_hops`'s exchange shape, one join per step); this
+    implementation documents that partitioning assumption instead of
+    paying 2x joins x walk_len exchanges on vocab-bounded graphs."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from easyner_ray.ops.sketch import splitmix64
+
+    empty = pa.table({"start": pa.array([], pa.string()),
+                      "walk_id": pa.array([], pa.int64()),
+                      "step": pa.array([], pa.int64()),
+                      "node": pa.array([], pa.string())})
+
+    # distinct directed pairs, vocab^2-bounded -> driver CSR build
+    pair_blocks = [b for b in ray.get(
+        edges.select_columns([src, dst]).map_batches(
+            lambda t: t.group_by([src, dst]).aggregate([]),
+            batch_format="pyarrow").to_arrow_refs()) if len(b)]
+    if not pair_blocks:
+        return empty
+    pairs = pa.concat_tables(pair_blocks).group_by([src, dst]).aggregate([])
+    if pairs.nbytes > index_bytes:
+        raise ValueError(
+            f"adjacency index {pairs.nbytes}B exceeds index_bytes="
+            f"{index_bytes}; use the iterative-join formulation")
+    a = np.asarray(pairs.column(src).to_pylist(), dtype=object)
+    b = np.asarray(pairs.column(dst).to_pylist(), dtype=object)
+    names = np.array(sorted(set(a) | set(b)), dtype=object)
+    code = {v: i for i, v in enumerate(names)}
+    ai = np.fromiter((code[v] for v in a), dtype=np.int64, count=len(a))
+    bi = np.fromiter((code[v] for v in b), dtype=np.int64, count=len(b))
+    order = np.lexsort((bi, ai))          # CSR: by node, nbrs by rank
+    ai, bi = ai[order], bi[order]
+    n = len(names)
+    deg = np.bincount(ai, minlength=n).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(deg)))
+    ref = ray.put((names, deg, offs, bi))
+
+    w_per, L, sd = int(walks_per_node), int(walk_len), int(seed)
+
+    def walk(t: pa.Table, _ref=ref) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        names_, deg_, offs_, adj_ = ray.get(_ref)
+        ids = np.asarray(t.column("node_id"), dtype=np.int64)
+        starts = np.repeat(ids, w_per)
+        wids = np.tile(np.arange(w_per, dtype=np.int64), len(ids))
+        m = len(starts)
+        steps = np.empty((L + 1, m), dtype=np.int64)
+        cur = starts.copy()
+        steps[0] = cur
+        for s in range(1, L + 1):
+            with np.errstate(over="ignore"):
+                key = ((cur.astype(np.uint64) << np.uint64(24))
+                       ^ (wids.astype(np.uint64) << np.uint64(12))
+                       ^ np.uint64(s)
+                       ^ (np.uint64(sd) << np.uint64(48)))
+            h = splitmix64(key)
+            dcur = deg_[cur]
+            safe_deg = np.maximum(dcur, 1).astype(np.uint64)
+            r = (h % safe_deg).astype(np.int64)
+            nxt = adj_[np.minimum(offs_[cur] + r, len(adj_) - 1)]
+            cur = np.where(dcur > 0, nxt, cur)  # sinks stay put
+            steps[s] = cur
+        out_start = np.repeat(starts, L + 1)
+        out_w = np.repeat(wids, L + 1)
+        out_s = np.tile(np.arange(L + 1, dtype=np.int64), m)
+        out_node = steps.T.reshape(-1)
+        return pa.table({
+            "start": pa.array(names_[out_start], pa.string()),
+            "walk_id": pa.array(out_w, pa.int64()),
+            "step": pa.array(out_s, pa.int64()),
+            "node": pa.array(names_[out_node], pa.string())})
+
+    nodes_ds = rd.from_arrow(pa.table(
+        {"node_id": pa.array(np.arange(n, dtype=np.int64))}))
+    return nodes_ds.map_batches(walk, batch_format="pyarrow")

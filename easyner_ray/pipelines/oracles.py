@@ -3024,3 +3024,7 @@ RELATIONAL["tpch_q10_returned_items"] = """
 GPCA = f"read_parquet('{SYNTH}/gold_pca.parquet')"
 RELATIONAL["embeddings_pca"] = \
     f"SELECT vec_id, dim_idx, value FROM {GPCA}"
+
+GWALKS = f"read_parquet('{SYNTH}/gold_random_walks.parquet')"
+KG["kg_random_walks"] = \
+    f"SELECT start, walk_id, step, node FROM {GWALKS}"

@@ -4599,3 +4599,17 @@ def embeddings_pca(sf_dir: str):
     _, ds = pca_project(_rp(sf_dir, "embeddings",
                             columns=["vec_id", "embedding"]), k=4)
     return ds
+
+
+def kg_random_walks(sf_dir: str):
+    """Deterministic node2vec-style walk corpus over the KG
+    co-occurrence graph: 2 walks of length 4 from every entity,
+    exploded (start, walk_id, step, node) — the training-data
+    generator for graph-embedding models (DeepWalk with p=q=1), riding
+    the memoized edge upstream shared by the graph family. Oracle =
+    straight-line recompute (gold_random_walks.parquet); all-integer
+    stepping, so the match is exact."""
+    from easyner_ray.ops.graph_analytics import random_walks
+
+    return random_walks(_kg_edge_pairs(sf_dir),
+                        walks_per_node=2, walk_len=4)

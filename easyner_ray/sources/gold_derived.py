@@ -1468,6 +1468,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
         write_pagerank_gold(corpus)
+    if not os.path.exists(os.path.join(corpus, "gold_random_walks.parquet")):
+        write_random_walks_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_kcore.parquet")):
         write_kcore_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_eigencentrality.parquet")):
@@ -1920,5 +1922,68 @@ def write_pca_gold(corpus: str, embeddings_path: str, k: int = 4,
          pa.array(y.reshape(-1), pa.float64())],
         names=["vec_id", "dim_idx", "value"])
     path = os.path.join(corpus, "gold_pca.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_random_walks_gold(corpus: str, walks_per_node: int = 2,
+                            walk_len: int = 4, seed: int = 7) -> str:
+    """Straight-line deterministic walk corpus over the sentence
+    co-occurrence pair graph — the gold for
+    ``ops.graph_analytics.random_walks`` (spec: edges = DISTINCT
+    directed (norm_a, norm_b) pairs co-mentioned in a sentence; nodes
+    integer-coded by sorted-string rank; neighbor lists sorted by that
+    rank; step s of walk w at node c picks neighbor
+    splitmix64((c<<24) ^ (w<<12) ^ s ^ (seed<<48)) % deg(c); sinks stay
+    put). All-integer arithmetic, so this scalar recompute bit-matches
+    the engine's vectorized kernel exactly."""
+    import collections
+
+    from easyner_ray.ops.sketch import splitmix64
+
+    gm = pq.read_table(os.path.join(corpus, "gold_mentions.parquet"),
+                       columns=["conv_id", "turn_idx", "sent_idx", "norm"])
+    sent_norms: dict = collections.defaultdict(set)
+    for c, t, s, n in zip(gm.column("conv_id").to_pylist(),
+                          gm.column("turn_idx").to_pylist(),
+                          gm.column("sent_idx").to_pylist(),
+                          gm.column("norm").to_pylist()):
+        sent_norms[(c, t, s)].add(n)
+    pairs: set = set()
+    for norms in sent_norms.values():
+        ns = sorted(norms)
+        for x in ns:
+            for y in ns:
+                if x != y:
+                    pairs.add((x, y))
+    nodes = sorted({x for x, _ in pairs} | {y for _, y in pairs})
+    code = {v: i for i, v in enumerate(nodes)}
+    adj: dict = collections.defaultdict(list)
+    for x, y in pairs:
+        adj[code[x]].append(code[y])
+    for v in adj:
+        adj[v].sort()
+
+    def pick(c: int, w: int, s: int) -> int:
+        key = np.uint64((c << 24) ^ (w << 12) ^ s ^ (seed << 48))
+        h = int(splitmix64(np.array([key], dtype=np.uint64))[0])
+        return adj[c][h % len(adj[c])]
+
+    starts, wids, steps, out_nodes = [], [], [], []
+    for v in range(len(nodes)):
+        for w in range(walks_per_node):
+            cur = v
+            for s in range(walk_len + 1):
+                if s > 0:
+                    cur = pick(cur, w, s) if adj.get(cur) else cur
+                starts.append(nodes[v])
+                wids.append(w)
+                steps.append(s)
+                out_nodes.append(nodes[cur])
+    tbl = pa.Table.from_arrays(
+        [pa.array(starts, pa.string()), pa.array(wids, pa.int64()),
+         pa.array(steps, pa.int64()), pa.array(out_nodes, pa.string())],
+        names=["start", "walk_id", "step", "node"])
+    path = os.path.join(corpus, "gold_random_walks.parquet")
     pq.write_table(tbl, path)
     return path

@@ -107,3 +107,55 @@ def test_pca_empty_input(ray_session):
     # column names on an all-empty Dataset)
     assert out.schema.names == ["vec_id", "dim_idx", "value"]
     assert out.num_rows == 0
+
+
+def _edges_ds(pairs, blocks=2):
+    import pyarrow as pa
+    import ray.data as rd
+
+    tbl = pa.table({"subj": [a for a, _ in pairs],
+                    "obj": [b for _, b in pairs],
+                    "weight": pa.array([1] * len(pairs), pa.int64())})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_random_walks_valid_and_complete(ray_session):
+    from easyner_ray.ops.graph_analytics import random_walks
+
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("c", "a"), ("a", "c"), ("d", "a")]  # d -> a, a never -> d
+    out = random_walks(_edges_ds(pairs), walks_per_node=3,
+                       walk_len=5).to_pandas()
+    assert len(out) == 4 * 3 * 6  # nodes x walks x (len+1)
+    edge_set = set(pairs)
+    for (start, w), g in out.groupby(["start", "walk_id"]):
+        g = g.sort_values("step")
+        seq = list(g["node"])
+        assert seq[0] == start
+        for u, v in zip(seq, seq[1:]):
+            assert (u, v) in edge_set, (u, v)
+
+
+def test_random_walks_sink_stays_put(ray_session):
+    from easyner_ray.ops.graph_analytics import random_walks
+
+    out = random_walks(_edges_ds([("a", "z")]), walks_per_node=1,
+                       walk_len=3).to_pandas()
+    z = out[out["start"] == "z"].sort_values("step")
+    assert list(z["node"]) == ["z", "z", "z", "z"]
+    a = out[out["start"] == "a"].sort_values("step")
+    assert list(a["node"]) == ["a", "z", "z", "z"]
+
+
+def test_random_walks_layout_invariant(ray_session):
+    from easyner_ray.ops.graph_analytics import random_walks
+
+    pairs = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)] + \
+            [(f"n{(i * 3 + 1) % 17}", f"n{i}") for i in range(17)]
+    outs = []
+    for blocks in (1, 5):
+        df = random_walks(_edges_ds(pairs, blocks=blocks),
+                          walks_per_node=2, walk_len=4).to_pandas()
+        outs.append(df.sort_values(["start", "walk_id", "step"])
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
