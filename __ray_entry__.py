@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": q.docs_bm25,  # BM25 keyword search scoring
         "kg_pagerank": q.kg_pagerank,  # iterative graph algorithm (power iteration)
         "kg_random_walks": q.kg_random_walks,  # node2vec-style walk corpus
+        "kg_walk_skipgrams": q.kg_walk_skipgrams,  # word2vec-ready pairs
         "docs_chunks": q.docs_chunks,  # context-window chunking
         "docs_curated": q.docs_curated,  # full curation chain, end-to-end oracle
         # round-4 additions

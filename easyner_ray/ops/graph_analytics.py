@@ -2437,13 +2437,17 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst",
 
 def random_walks(edges, *, walks_per_node: int = 2, walk_len: int = 4,
                  seed: int = 7, src: str = "subj", dst: str = "obj",
-                 index_bytes: int = 256 << 20):
+                 index_bytes: int = 256 << 20, emit: str = "nodes",
+                 window: int = 2):
     """Deterministic node2vec-style walk corpus over the edge table —
     the training-data generator for graph embeddings (DeepWalk /
     node2vec p=q=1): ``walks_per_node`` walks of ``walk_len`` steps
     from every node, exploded to ``(start, walk_id, step, node)`` rows
     (step 0 = the start node) so the driver's value-hash compares
-    scalars.
+    scalars. ``emit="skipgrams"`` instead yields the word2vec-ready
+    ``(start, walk_id, center_step, center, context)`` pairs within
+    ``+-window`` inside each walk, built from the in-worker steps
+    matrix — no self-join exchange.
 
     No RNG state anywhere: nodes integer-code by sorted-string rank,
     neighbor lists sort by that same rank, and step ``s`` of walk ``w``
@@ -2469,10 +2473,17 @@ def random_walks(edges, *, walks_per_node: int = 2, walk_len: int = 4,
 
     from easyner_ray.ops.sketch import splitmix64
 
-    empty = pa.table({"start": pa.array([], pa.string()),
-                      "walk_id": pa.array([], pa.int64()),
-                      "step": pa.array([], pa.int64()),
-                      "node": pa.array([], pa.string())})
+    if emit == "skipgrams":
+        empty = pa.table({"start": pa.array([], pa.string()),
+                          "walk_id": pa.array([], pa.int64()),
+                          "center_step": pa.array([], pa.int64()),
+                          "center": pa.array([], pa.string()),
+                          "context": pa.array([], pa.string())})
+    else:
+        empty = pa.table({"start": pa.array([], pa.string()),
+                          "walk_id": pa.array([], pa.int64()),
+                          "step": pa.array([], pa.int64()),
+                          "node": pa.array([], pa.string())})
 
     # distinct directed pairs, vocab^2-bounded -> driver CSR build
     pair_blocks = [b for b in ray.get(
@@ -2525,6 +2536,29 @@ def random_walks(edges, *, walks_per_node: int = 2, walk_len: int = 4,
             nxt = adj_[np.minimum(offs_[cur] + r, len(adj_) - 1)]
             cur = np.where(dcur > 0, nxt, cur)  # sinks stay put
             steps[s] = cur
+        if emit == "skipgrams":
+            # (center, context) pairs within +-window INSIDE each walk
+            # — the word2vec-style trainable artifact; built from the
+            # in-memory steps matrix, one vectorized slice per offset
+            cs, xs, st, ww = [], [], [], []
+            for off in range(-window, window + 1):
+                if off == 0:
+                    continue
+                lo, hi = max(0, -off), min(L + 1, L + 1 - off)
+                for s in range(lo, hi):
+                    cs.append(steps[s])
+                    xs.append(steps[s + off])
+                    st.append(np.full(m, s, dtype=np.int64))
+                    ww.append(wids)
+            center = np.concatenate(cs)
+            context = np.concatenate(xs)
+            return pa.table({
+                "start": pa.array(
+                    names_[np.tile(starts, len(cs))], pa.string()),
+                "walk_id": pa.array(np.concatenate(ww), pa.int64()),
+                "center_step": pa.array(np.concatenate(st), pa.int64()),
+                "center": pa.array(names_[center], pa.string()),
+                "context": pa.array(names_[context], pa.string())})
         out_start = np.repeat(starts, L + 1)
         out_w = np.repeat(wids, L + 1)
         out_s = np.tile(np.arange(L + 1, dtype=np.int64), m)

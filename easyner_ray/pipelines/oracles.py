@@ -3028,3 +3028,12 @@ RELATIONAL["embeddings_pca"] = \
 GWALKS = f"read_parquet('{SYNTH}/gold_random_walks.parquet')"
 KG["kg_random_walks"] = \
     f"SELECT start, walk_id, step, node FROM {GWALKS}"
+
+KG["kg_walk_skipgrams"] = f"""
+    SELECT a.start, a.walk_id, a.step AS center_step,
+           a.node AS center, b.node AS context
+    FROM {GWALKS} a JOIN {GWALKS} b
+      ON a.start = b.start AND a.walk_id = b.walk_id
+     AND b.step BETWEEN a.step - 2 AND a.step + 2
+     AND b.step != a.step
+"""

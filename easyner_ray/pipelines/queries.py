@@ -4613,3 +4613,15 @@ def kg_random_walks(sf_dir: str):
 
     return random_walks(_kg_edge_pairs(sf_dir),
                         walks_per_node=2, walk_len=4)
+
+
+def kg_walk_skipgrams(sf_dir: str):
+    """Skip-gram (center, context) training pairs within a +-2 window
+    inside each deterministic KG walk — the word2vec-ready artifact
+    downstream of ``kg_random_walks`` (DeepWalk's second half). Emitted
+    directly from the in-worker steps matrix (no self-join exchange);
+    the oracle IS the self-join, over the walks gold table."""
+    from easyner_ray.ops.graph_analytics import random_walks
+
+    return random_walks(_kg_edge_pairs(sf_dir), walks_per_node=2,
+                        walk_len=4, emit="skipgrams", window=2)

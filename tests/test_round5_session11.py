@@ -159,3 +159,25 @@ def test_random_walks_layout_invariant(ray_session):
         outs.append(df.sort_values(["start", "walk_id", "step"])
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_walk_skipgrams_match_selfjoin(ray_session):
+    from easyner_ray.ops.graph_analytics import random_walks
+
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    walks = random_walks(_edges_ds(pairs), walks_per_node=2,
+                         walk_len=3).to_pandas()
+    sg = random_walks(_edges_ds(pairs), walks_per_node=2, walk_len=3,
+                      emit="skipgrams", window=2).to_pandas()
+    # reference: self-join of the walk table within the window
+    ref = walks.merge(walks, on=["start", "walk_id"],
+                      suffixes=("_c", "_x"))
+    ref = ref[(ref.step_x != ref.step_c)
+              & (ref.step_x >= ref.step_c - 2)
+              & (ref.step_x <= ref.step_c + 2)]
+    key = ["start", "walk_id", "center_step", "center", "context"]
+    ref = ref.rename(columns={"step_c": "center_step",
+                              "node_c": "center", "node_x": "context"})
+    got = sg.sort_values(key).reset_index(drop=True)
+    want = ref[key].sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
