@@ -278,6 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_lifespan": q.kg_entity_lifespan,  # first/last seen
         "docs_cluster_keywords": q.docs_cluster_keywords,  # cluster labels
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,  # JSON source path
+        "tpch_q6_forecast_revenue": q.tpch_q6_forecast_revenue,  # scan+agg
+        "tpch_q4_late_orders": q.tpch_q4_late_orders,  # EXISTS semi
+        "tpch_q13_custdist": q.tpch_q13_custdist,  # outer-join histogram
+        "tpch_q14_promo_revenue": q.tpch_q14_promo_revenue,  # cond-agg ratio
+        "tpch_q18_large_orders": q.tpch_q18_large_orders,  # HAVING semi
+        "tpch_q22_dormant_accounts": q.tpch_q22_dormant_accounts,  # anti join
     }
 
 

@@ -4625,3 +4625,322 @@ def kg_walk_skipgrams(sf_dir: str):
 
     return random_walks(_kg_edge_pairs(sf_dir), walks_per_node=2,
                         walk_len=4, emit="skipgrams", window=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-12: completing the TPC-H analog family over the
+# reduced schemas (no partsupp table, no commit/receipt dates — Q4's
+# lateness predicate is adapted to shipdate vs orderdate+90d and Q22's
+# prospect filter to "no URGENT order"). Each keeps the canonical
+# execution shape of its TPC-H original: Q6 pure scan+agg, Q4 EXISTS
+# semi, Q13 outer-join count distribution, Q14 conditional-agg ratio,
+# Q18 HAVING semi, Q22 scalar-subquery + anti-join.
+# ---------------------------------------------------------------------------
+
+def _duck_round(col, digits: int):
+    """round(x, d) exactly the way DuckDB computes it — rint half away
+    from zero on x*10^d, then unscale — so rounded doubles are
+    bit-identical cross-engine (pc.round(x, d) takes a different code
+    path and can land on the neighbouring double)."""
+    scale = pa.scalar(float(10 ** digits))
+    return pc.divide(
+        pc.round(pc.multiply(col, scale), ndigits=0,
+                 round_mode="half_towards_infinity"), scale)
+
+
+def tpch_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 analog (forecasting-revenue change): one-row
+    sum(extendedprice * discount) over 1996 shipments with discount in
+    [0.05, 0.07] and quantity < 24 — the pure scan-and-aggregate
+    query. 4-column pruned read, per-batch one-row partials (the batch
+    collapses to two scalars before anything leaves the task), tiny
+    driver-side final — no exchange at any scale."""
+    import ray
+    from datetime import datetime
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_shipdate", "l_discount", "l_quantity",
+                      "l_extendedprice"])
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_discount"), 0.05),
+                        pc.less_equal(t.column("l_discount"), 0.07)),
+                pc.less(t.column("l_quantity"), 24.0)))
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t.column("l_extendedprice"),
+                                 t.column("l_discount"))).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    rev, n = 0.0, 0
+    for b in ray.get(li.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs()):
+        rev += pc.sum(b.column("rev")).as_py() or 0.0
+        n += pc.sum(b.column("n")).as_py() or 0
+    out = pa.table({"revenue": pa.array([rev], pa.float64()),
+                    "n_items": pa.array([n], pa.int64())})
+    return pa.Table.from_arrays(
+        [_duck_round(out.column("revenue"), 4), out.column("n_items")],
+        names=["revenue", "n_items"])
+
+
+def tpch_q4_late_orders(sf_dir: str):
+    """TPC-H Q4 analog (order-priority checking): per-priority count of
+    1996-Q3 orders with at least one lineitem shipped more than 90 days
+    after the order date (the reduced schema has no commit/receipt
+    dates; shipdate-vs-orderdate+90d keeps Q4's EXISTS-semi shape).
+    The quarter-pruned order slice (keyspace-bounded) broadcasts under
+    the adaptive gate; lineitem streams through the join and collapses
+    to distinct orderkeys per batch before the one small exchange."""
+    from datetime import datetime, timedelta
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    lo, hi = datetime(1996, 7, 1), datetime(1996, 10, 1)
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(t.column("o_orderdate"), pa.scalar(hi))))
+            .rename_columns(["l_orderkey", "o_orderdate",
+                             "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    j = adaptive_join(li, orders, on="l_orderkey")
+
+    def late_distinct(t: pa.Table) -> pa.Table:
+        cut = pc.add(t.column("o_orderdate"),
+                     pa.scalar(timedelta(days=90)))
+        t = t.filter(pc.greater(t.column("l_shipdate"), cut))
+        return t.select(["l_orderkey", "o_orderpriority"]) \
+            .group_by(["l_orderkey", "o_orderpriority"]) \
+            .aggregate([]).rename_columns(
+                ["l_orderkey", "o_orderpriority"])
+
+    dedup = grouped_agg(
+        j.map_batches(late_distinct, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderpriority"],
+        [("l_orderkey", "count", "__c")])
+    counts = grouped_agg(dedup, ["o_orderpriority"],
+                         [("l_orderkey", "count", "order_count")])
+    return counts.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "order_count": t.column("order_count").cast(pa.int64())}),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+def tpch_q13_custdist(sf_dir: str):
+    """TPC-H Q13 analog (customer order-count distribution): orders per
+    customer EXCLUDING urgent ones, left-joined back onto every
+    customer (zero-order customers count in the c_count=0 bin), then
+    the distribution (c_count, custdist). The fact side collapses to
+    per-custkey partial counts inside each batch; both exchanges are
+    customer-keyspace-bounded; the final histogram is |distinct
+    counts|-sized."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderpriority"])
+
+    def per_cust_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("o_orderpriority"),
+                                  "1-URGENT"))
+        return t.group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count")]).rename_columns(
+                ["o_custkey", "c_count"])
+
+    counts = grouped_agg(
+        orders.map_batches(per_cust_partial, batch_format="pyarrow"),
+        ["o_custkey"], [("c_count", "sum", "c_count")]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "c_count"]),
+        batch_format="pyarrow")
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey"])
+    withc = adaptive_join(cust, counts, on="c_custkey", how="left")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cc = pc.fill_null(t.column("c_count"), 0).cast(pa.int64())
+        return pa.Table.from_arrays([cc], names=["c_count"]) \
+            .group_by(["c_count"]).aggregate([("c_count", "count")]) \
+            .rename_columns(["c_count", "custdist"])
+
+    hist = grouped_agg(
+        withc.map_batches(hist_partial, batch_format="pyarrow"),
+        ["c_count"], [("custdist", "sum", "custdist")])
+    return hist.map_batches(
+        lambda t: pa.table({
+            "c_count": t.column("c_count"),
+            "custdist": t.column("custdist").cast(pa.int64())}),
+        batch_format="pyarrow") \
+        .sort(["custdist", "c_count"], descending=[True, True])
+
+
+def tpch_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 analog (promotion effect): one-row percentage of
+    1996-09 shipment revenue attributable to PROMO-type parts —
+    conditional aggregation over a fact->dimension join. The part
+    dimension collapses to (p_partkey, is_promo) and broadcasts;
+    lineitem streams through it and each batch collapses to two
+    scalars; no fact-side exchange at any scale."""
+    import ray
+    from datetime import datetime
+
+    from easyner_ray.ops.relational import adaptive_join
+
+    part = _rp(sf_dir, "part", columns=["p_partkey", "p_type"])
+    part = part.map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.column("p_partkey"),
+            "is_promo": pc.equal(t.column("p_type"), "PROMO")}),
+        batch_format="pyarrow")
+
+    lo, hi = datetime(1996, 9, 1), datetime(1996, 10, 1)
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(t.column("l_shipdate"), pa.scalar(hi)))),
+        batch_format="pyarrow")
+    j = adaptive_join(li, part, on="l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        promo = pc.if_else(t.column("is_promo"), rev, 0.0)
+        return pa.table({
+            "promo": pa.array([pc.sum(promo).as_py() or 0.0]),
+            "total": pa.array([pc.sum(rev).as_py() or 0.0])})
+
+    promo, total = 0.0, 0.0
+    for b in ray.get(j.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs()):
+        promo += pc.sum(b.column("promo")).as_py() or 0.0
+        total += pc.sum(b.column("total")).as_py() or 0.0
+    pct = pa.table({"v": pa.array(
+        [100.0 * promo / total if total else 0.0], pa.float64())})
+    return pa.Table.from_arrays([_duck_round(pct.column("v"), 6)],
+                                names=["promo_revenue"])
+
+
+def tpch_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    lineitem quantity exceeds 300, with customer attribution, top-100
+    by order value. The HAVING side is per-batch partial quantity sums
+    -> one orderkey-bounded exchange -> a SMALL qualifying set that
+    broadcasts back as a semi-join filter on orders; the customer
+    dimension broadcasts under the gate. Sort key (o_totalprice desc,
+    o_orderkey) makes the cut deterministic cross-engine."""
+    from easyner_ray.ops.relational import (adaptive_join,
+                                            adaptive_semi_join,
+                                            grouped_agg)
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey"]).aggregate(
+            [("l_quantity", "sum")]).rename_columns(
+                ["l_orderkey", "qty"])
+
+    qty = grouped_agg(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("qty", "sum", "qty")])
+    big = qty.map_batches(
+        lambda t: t.filter(pc.greater(t.column("qty"), 300.0))
+                   .rename_columns(["o_orderkey", "qty"]),
+        batch_format="pyarrow").materialize()
+
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"])
+    orders = adaptive_semi_join(
+        orders, big.select_columns(["o_orderkey"]), on="o_orderkey")
+    orders = adaptive_join(orders, big, on="o_orderkey")
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow")
+    out = adaptive_join(orders, cust, on="o_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "c_name": t.column("c_name"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_totalprice": t.column("o_totalprice"),
+            "total_qty": _duck_round(t.column("qty"), 2)})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(100)
+
+
+def tpch_q22_dormant_accounts(sf_dir: str):
+    """TPC-H Q22 analog (global sales opportunity): per-nation count +
+    balance of above-average-balance customers with NO urgent order
+    (the reduced schema has no phone column; 'never placed an URGENT
+    order' keeps Q22's scalar-subquery + NOT EXISTS anti-join shape).
+    The average is a two-scalar partial reduce; the urgent-customer key
+    set collapses to distinct custkeys before the adaptive anti join;
+    the final rollup is |nations|-sized."""
+    import ray
+
+    from easyner_ray.ops.relational import adaptive_semi_join, grouped_agg
+
+    cust = _rp(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("c_acctbal"), 0.0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos.column("c_acctbal")).as_py()
+                           or 0.0]),
+            "n": pa.array([len(pos)], pa.int64())})
+
+    s, n = 0.0, 0
+    for b in ray.get(cust.map_batches(
+            avg_partial, batch_format="pyarrow").to_arrow_refs()):
+        s += pc.sum(b.column("s")).as_py() or 0.0
+        n += pc.sum(b.column("n")).as_py() or 0
+    avg_bal = s / n if n else 0.0
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"),
+                                      pa.scalar(avg_bal))),
+        batch_format="pyarrow")
+
+    urgent = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderpriority"])
+    urgent_keys = grouped_agg(
+        urgent.map_batches(
+            lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                        "1-URGENT"))
+                       .select(["o_custkey"])
+                       .rename_columns(["c_custkey"]),
+            batch_format="pyarrow"),
+        ["c_custkey"], [("c_custkey", "count", "__c")]) \
+        .select_columns(["c_custkey"])
+
+    dormant = adaptive_semi_join(rich, urgent_keys, on="c_custkey",
+                                 anti=True)
+    agg = grouped_agg(dormant, ["c_nationkey"],
+                      [("c_custkey", "count", "numcust"),
+                       ("c_acctbal", "sum", "tot")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "numcust": t.column("numcust").cast(pa.int64()),
+            "totacctbal": _duck_round(t.column("tot"), 2)}),
+        batch_format="pyarrow").sort("c_nationkey")
