@@ -259,6 +259,14 @@ KG = {
          AND a.sent_idx = b.sent_idx
         WHERE a.norm <> b.norm
     """,
+    "kg_fuzzy_alias_pairs": f"""
+        WITH names AS (SELECT DISTINCT norm FROM {GM})
+        SELECT a.norm AS a, b.norm AS b,
+               CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS dist
+        FROM names a JOIN names b ON a.norm < b.norm
+        WHERE levenshtein(a.norm, b.norm) <= 1
+        ORDER BY a, b
+    """,
     "kg_window_triples": f"""
         WITH tn AS (SELECT DISTINCT conv_id, turn_idx, norm FROM {GM})
         SELECT DISTINCT a.norm AS subj, 'co_occurs_in_window' AS pred,

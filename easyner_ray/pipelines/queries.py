@@ -4944,3 +4944,22 @@ def tpch_q22_dormant_accounts(sf_dir: str):
             "numcust": t.column("numcust").cast(pa.int64()),
             "totacctbal": _duck_round(t.column("tot"), 2)}),
         batch_format="pyarrow").sort("c_nationkey")
+
+
+def kg_fuzzy_alias_pairs(sf_dir: str):
+    """Fuzzy alias candidates over the KG node vocabulary: every pair of
+    distinct normalized entity names within edit distance 1, found via
+    FastSS deletion-neighborhood blocking (``ops.fuzzy.edit1_pairs``) —
+    never an all-pairs scan. Distinct names come from a vocab-bounded
+    tree-final aggregate over the corpus mention stream. Engine-added
+    entity-resolution layer above the reference's exact-key merge
+    (reference entity_merger2.py)."""
+    from easyner_ray.ops.fuzzy import edit1_pairs
+    from easyner_ray.ops.relational import grouped_agg
+
+    names = grouped_agg(
+        _mentions(sf_dir).select_columns(["norm"]),
+        ["norm"], [("norm", "count", "__c")],
+        final="tree",  # name keyspace is vocabulary-bounded
+    ).select_columns(["norm"])
+    return edit1_pairs(names, column="norm").sort(["a", "b"])
