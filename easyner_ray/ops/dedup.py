@@ -1001,7 +1001,9 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
 def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
                small_edge_cutoff: int = 2_000_000):
     """Connected components over a near-duplicate pair list: ->
-    (doc_id, group_id) where ``group_id`` is the smallest doc_id reachable
+    (doc_id, group_id). Ids may be integers (doc ids; normalized to
+    int64) or strings (entity names via ``ops.fuzzy.alias_clusters``;
+    "smallest" is then lexicographic). ``group_id`` is the smallest id reachable
     through any chain of pairs — the canonical representative each
     duplicate cluster keeps (A~B, B~C => A,B,C all collapse to min id,
     even though A,C were never directly compared).
@@ -1025,14 +1027,21 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
 
     from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
 
+    # id dtype: int ids normalize to int64; string ids (fuzzy alias names)
+    # pass through — every step below (union-find min, grouped min-label,
+    # the label-in-dst-slot join) is ordering-based and works on both.
+    in_type = pairs.schema().base_schema.field("doc_a").type
+    dt = in_type if pa.types.is_string(in_type) or pa.types.is_large_string(
+        in_type) else pa.int64()
+
     # symmetric edges (a->b and b->a) so min labels flow both ways
     def sym(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [
-                pa.concat_arrays([t.column("doc_a").cast(pa.int64()).combine_chunks(),
-                                  t.column("doc_b").cast(pa.int64()).combine_chunks()]),
-                pa.concat_arrays([t.column("doc_b").cast(pa.int64()).combine_chunks(),
-                                  t.column("doc_a").cast(pa.int64()).combine_chunks()]),
+                pa.concat_arrays([t.column("doc_a").cast(dt).combine_chunks(),
+                                  t.column("doc_b").cast(dt).combine_chunks()]),
+                pa.concat_arrays([t.column("doc_b").cast(dt).combine_chunks(),
+                                  t.column("doc_a").cast(dt).combine_chunks()]),
             ],
             names=["src", "dst"],
         )
@@ -1044,7 +1053,7 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
         import ray.data as rd
 
         return rd.from_arrow(pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            [pa.array([], dt), pa.array([], dt)],
             names=["doc_id", "group_id"],
         ))
     if small_edge_cutoff and n_edges <= small_edge_cutoff:
@@ -1072,8 +1081,8 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
             parent.setdefault(b, find(b))
         docs = sorted({*tbl.column("src").to_pylist()})
         return rd.from_arrow(pa.Table.from_arrays(
-            [pa.array(docs, pa.int64()),
-             pa.array([find(d) for d in docs], pa.int64())],
+            [pa.array(docs, dt),
+             pa.array([find(d) for d in docs], dt)],
             names=["doc_id", "group_id"],
         ))
 
@@ -1098,7 +1107,7 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
 
         def l_side(t: pa.Table) -> pa.Table:
             out = pa.Table.from_arrays(
-                [t.column("doc_id"), pa.nulls(len(t), pa.int64()),
+                [t.column("doc_id"), pa.nulls(len(t), dt),
                  ], names=["src", "dst"])
             out = out.set_column(1, "dst", t.column("label"))  # carry label in dst slot
             return out.append_column("__side", pa.array([1] * len(out), pa.int8()))
@@ -1152,7 +1161,7 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
 
     return labels.map_batches(
         lambda t: pa.Table.from_arrays(
-            [t.column("doc_id").cast(pa.int64()), t.column("label").cast(pa.int64())],
+            [t.column("doc_id").cast(dt), t.column("label").cast(dt)],
             names=["doc_id", "group_id"]),
         batch_format="pyarrow",
     )

@@ -149,3 +149,27 @@ def edit1_pairs(names_ds, column: str = "name", hot_cap: int = 200,
     # a pair collides under several deletion keys -> distinct
     return bucketed_final(cand, ["a", "b"], pa_aggs=[("dist", "min")],
                           out_names=["dist"])
+
+
+def alias_clusters(pairs, **kwargs):
+    """-> (name, cluster): connected components over an edit-distance
+    pair list; ``cluster`` is the lexicographically smallest name
+    reachable through any chain of pairs (the canonical alias each
+    cluster merges into). Thin wrapper over ``ops.dedup.dup_groups`` —
+    same distributed min-label propagation / union-find fast path, with
+    string ids (kwargs pass through: ``small_edge_cutoff=0`` forces the
+    distributed path)."""
+    import pyarrow as pa
+
+    from easyner_ray.ops.dedup import dup_groups
+
+    renamed = pairs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("a"), t.column("b")], names=["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    out = dup_groups(renamed, **kwargs)
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("group_id")],
+            names=["name", "cluster"]),
+        batch_format="pyarrow")

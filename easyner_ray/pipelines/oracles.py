@@ -267,6 +267,21 @@ KG = {
         WHERE levenshtein(a.norm, b.norm) <= 1
         ORDER BY a, b
     """,
+    "kg_fuzzy_alias_clusters": f"""
+        WITH RECURSIVE names AS (SELECT DISTINCT norm FROM {GM}),
+        pairs AS (
+          SELECT a.norm AS a, b.norm AS b
+          FROM names a JOIN names b ON a.norm < b.norm
+          WHERE levenshtein(a.norm, b.norm) <= 1),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS name, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src ORDER BY src
+    """,
     "kg_window_triples": f"""
         WITH tn AS (SELECT DISTINCT conv_id, turn_idx, norm FROM {GM})
         SELECT DISTINCT a.norm AS subj, 'co_occurs_in_window' AS pred,

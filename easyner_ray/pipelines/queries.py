@@ -4963,3 +4963,19 @@ def kg_fuzzy_alias_pairs(sf_dir: str):
         final="tree",  # name keyspace is vocabulary-bounded
     ).select_columns(["norm"])
     return edit1_pairs(names, column="norm").sort(["a", "b"])
+
+
+def kg_fuzzy_alias_clusters(sf_dir: str):
+    """Alias resolution over the fuzzy pair table: connected components
+    of the edit-distance<=1 graph; each paired name maps to its
+    cluster's lexicographically smallest member (the canonical alias).
+    Reuses dup_groups' min-label machinery with string ids."""
+    from easyner_ray.ops.fuzzy import alias_clusters, edit1_pairs
+    from easyner_ray.ops.relational import grouped_agg
+
+    names = grouped_agg(
+        _mentions(sf_dir).select_columns(["norm"]),
+        ["norm"], [("norm", "count", "__c")],
+        final="tree",
+    ).select_columns(["norm"])
+    return alias_clusters(edit1_pairs(names, column="norm")).sort("name")

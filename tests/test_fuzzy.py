@@ -83,3 +83,54 @@ def test_kg_fuzzy_alias_pairs_vs_oracle(ray_session):
     assert list(got["a"]) == list(want["a"])
     assert list(got["b"]) == list(want["b"])
     assert list(got["dist"]) == list(want["dist"])
+
+
+def test_alias_clusters_string_union_find(ray_session):
+    import ray
+
+    pairs = pa.table({"a": ["abt1", "abt2", "zeta"],
+                      "b": ["abt2", "abt7", "zetb"],
+                      "dist": [1, 1, 1]})
+    out = ray.data.from_arrow(pairs)
+    from easyner_ray.ops.fuzzy import alias_clusters
+
+    got = alias_clusters(out).to_pandas().sort_values("name")
+    assert dict(zip(got["name"], got["cluster"])) == {
+        "abt1": "abt1", "abt2": "abt1", "abt7": "abt1",
+        "zeta": "zeta", "zetb": "zeta"}
+
+
+def test_alias_clusters_distributed_path_matches(ray_session):
+    import ray
+
+    from easyner_ray.ops.fuzzy import alias_clusters
+
+    # chain a-b-c-d plus a separate pair: exercises multi-hop propagation
+    pairs = pa.table({"a": ["na", "nb", "nc", "xx"],
+                      "b": ["nb", "nc", "nd", "xy"],
+                      "dist": [1, 1, 1, 1]})
+    ds = ray.data.from_arrow(pairs)
+    fast = alias_clusters(ds).to_pandas().sort_values("name").reset_index(drop=True)
+    dist = alias_clusters(ds, small_edge_cutoff=0).to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    assert fast.equals(dist)
+    assert set(fast["cluster"]) == {"na", "xx"}
+
+
+def test_kg_fuzzy_alias_clusters_vs_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    from easyner_ray.pipelines import queries as q
+    from easyner_ray.pipelines.oracles import SYNTH
+    from easyner_ray.pipelines.queries import _corpus
+
+    sf = "/root/testdata/sf0.001"
+    got = q.kg_fuzzy_alias_clusters(sf).to_pandas()
+    gm = f"read_parquet('{_corpus(sf)}/gold_mentions.parquet')"
+    sql = e.oracle_sql()["kg_fuzzy_alias_clusters"].replace(
+        f"read_parquet('{SYNTH}/gold_mentions.parquet')", gm)
+    want = duckdb.connect().execute(sql).df()
+    assert len(got) == len(want) > 0
+    assert list(got["name"]) == list(want["name"])
+    assert list(got["cluster"]) == list(want["cluster"])
