@@ -173,3 +173,78 @@ def alias_clusters(pairs, **kwargs):
             [t.column("doc_id"), t.column("group_id")],
             names=["name", "cluster"]),
         batch_format="pyarrow")
+
+
+def edit1_join(left_ds, right_ds, left_col: str = "name",
+               right_col: str = "name", hot_cap: int = 200,
+               n_buckets: int = 64):
+    """Two-table fuzzy equi-join: -> (left, right, dist) for every
+    cross-table pair with ``levenshtein(left, right) <= 1`` (dist 0 =
+    exact). Record-linkage shape (typo-tolerant NEL): both DISTINCT name
+    tables expand to FastSS deletion keys tagged by side; only buckets
+    where the two sides collide do any work — never a cross product.
+    Same lossless-blocking argument as :func:`edit1_pairs`.
+    """
+    from easyner_ray.ops.relational import add_hash_bucket, bucketed_final
+
+    schema = pa.schema([("left", pa.string()), ("right", pa.string()),
+                        ("dist", pa.int64())])
+    _EMPTY = schema.empty_table()
+
+    def tag(side: int, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            e = _expand_keys(t, col)
+            return e.append_column("__side",
+                                   pa.array(np.full(len(e), side, np.int8)))
+        return fn
+
+    expanded = left_ds.select_columns([left_col]).rename_columns(["__n"]) \
+        .map_batches(tag(0, "__n"), batch_format="pyarrow") \
+        .union(right_ds.select_columns([right_col]).rename_columns(["__n"])
+               .map_batches(tag(1, "__n"), batch_format="pyarrow"))
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("key").combine_chunks()
+        name = g.column("name").combine_chunks()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        if not (side == 0).any() or not (side == 1).any():
+            return _EMPTY
+        order = pc.sort_indices(
+            pa.Table.from_arrays([key, name], names=["k", "n"]),
+            sort_keys=[("k", "ascending"), ("n", "ascending")])
+        oi = order.to_numpy(zero_copy_only=False)
+        key_s = key.take(order)
+        name_s = name.take(order).to_pylist()
+        side_s = side[oi]
+        neq = pc.not_equal(key_s.slice(1), key_s.slice(0, len(key_s) - 1))
+        starts = np.r_[0, np.flatnonzero(
+            neq.to_numpy(zero_copy_only=False)) + 1]
+        sizes = np.diff(np.r_[starts, len(key_s)])
+        l_out, r_out, d_out = [], [], []
+        for st, sz in zip(starts[(sizes >= 2) & (sizes <= hot_cap)],
+                          sizes[(sizes >= 2) & (sizes <= hot_cap)]):
+            grp_n = name_s[st:st + sz]
+            grp_s = side_s[st:st + sz]
+            lefts = [n for n, s in zip(grp_n, grp_s) if s == 0]
+            rights = [n for n, s in zip(grp_n, grp_s) if s == 1]
+            if not lefts or not rights:
+                continue
+            for u in lefts:
+                for v in rights:
+                    if _lev_le1(u, v):
+                        l_out.append(u)
+                        r_out.append(v)
+                        d_out.append(0 if u == v else 1)
+        if not l_out:
+            return _EMPTY
+        return pa.Table.from_arrays(
+            [pa.array(l_out, pa.string()), pa.array(r_out, pa.string()),
+             pa.array(d_out, pa.int64())], schema=schema)
+
+    bucketed = expanded.map_batches(
+        lambda t: add_hash_bucket(t, ["key"], n_buckets),
+        batch_format="pyarrow")
+    cand = bucketed.groupby("__bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow")
+    return bucketed_final(cand, ["left", "right"],
+                          pa_aggs=[("dist", "min")], out_names=["dist"])

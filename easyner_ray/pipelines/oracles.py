@@ -267,6 +267,14 @@ KG = {
         WHERE levenshtein(a.norm, b.norm) <= 1
         ORDER BY a, b
     """,
+    "kg_fuzzy_nel": f"""
+        WITH names AS (SELECT DISTINCT norm FROM {GM}),
+        unlinked AS (SELECT norm FROM names
+                     WHERE norm NOT IN (SELECT term FROM {AL}))
+        SELECT u.norm, a.term, min(a.id) AS id
+        FROM unlinked u JOIN {AL} a ON levenshtein(u.norm, a.term) = 1
+        GROUP BY u.norm, a.term ORDER BY u.norm, a.term
+    """,
     "kg_fuzzy_alias_clusters": f"""
         WITH RECURSIVE names AS (SELECT DISTINCT norm FROM {GM}),
         pairs AS (

@@ -4979,3 +4979,42 @@ def kg_fuzzy_alias_clusters(sf_dir: str):
         final="tree",
     ).select_columns(["norm"])
     return alias_clusters(edit1_pairs(names, column="norm")).sort("name")
+
+
+def kg_fuzzy_nel(sf_dir: str):
+    """Typo-tolerant entity linking: corpus mention norms with NO exact
+    alias entry, linked to every alias term within edit distance 1 via
+    the two-table FastSS join (``ops.fuzzy.edit1_join``); each (norm,
+    term) carries the term's smallest KB id (deterministic when a term
+    maps to several ids). The fuzzy recovery layer above the exact
+    broadcast NEL (stages/nel.py; reference nel.py's exact dict lookup)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from easyner_ray.ops.fuzzy import edit1_join
+    from easyner_ray.ops.relational import (adaptive_join,
+                                            adaptive_semi_join, grouped_agg)
+
+    alias = pq.read_table(os.path.join(_corpus(sf_dir), "alias.parquet"))
+    terms = ray.data.from_arrow(
+        pa.Table.from_arrays([alias.column("term").unique()], names=["term"]))
+
+    names = grouped_agg(
+        _mentions(sf_dir).select_columns(["norm"]),
+        ["norm"], [("norm", "count", "__c")],
+        final="tree",
+    ).select_columns(["norm"])
+    unlinked = adaptive_semi_join(names, terms.rename_columns(["norm"]),
+                                  on="norm", anti=True)
+    pairs = edit1_join(unlinked, terms, left_col="norm", right_col="term") \
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("left"), t.column("right")],
+                names=["norm", "term"]),
+            batch_format="pyarrow")
+    # smallest KB id per term (terms can map to several ids), then attach
+    term_ids = ray.data.from_arrow(
+        alias.group_by("term").aggregate([("id", "min")])
+             .rename_columns(["term", "id"]))
+    out = adaptive_join(pairs, term_ids, on="term")
+    return out.select_columns(["norm", "term", "id"]).sort(["norm", "term"])

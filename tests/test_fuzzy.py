@@ -134,3 +134,40 @@ def test_kg_fuzzy_alias_clusters_vs_oracle(ray_session):
     assert len(got) == len(want) > 0
     assert list(got["name"]) == list(want["name"])
     assert list(got["cluster"]) == list(want["cluster"])
+
+
+def test_edit1_join_vs_brute(ray_session):
+    import ray
+
+    from easyner_ray.ops.fuzzy import edit1_join
+
+    lefts = ["abt1", "abx", "zeta", "nomatch99", "kapa", "same"]
+    rights = ["abt2", "abtx1", "zetb", "kappa", "same", "unrelated"]
+    want = {(u, v, 0 if u == v else 1)
+            for u in lefts for v in rights if _lev(u, v) <= 1}
+    got_tbl = edit1_join(
+        ray.data.from_arrow(pa.table({"name": lefts})),
+        ray.data.from_arrow(pa.table({"name": rights}))).to_pandas()
+    got = set(zip(got_tbl["left"], got_tbl["right"], got_tbl["dist"]))
+    assert got == want and len(want) > 0
+
+
+def test_kg_fuzzy_nel_vs_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    from easyner_ray.pipelines import queries as q
+    from easyner_ray.pipelines.oracles import SYNTH
+    from easyner_ray.pipelines.queries import _corpus
+
+    sf = "/root/testdata/sf0.001"
+    got = q.kg_fuzzy_nel(sf).to_pandas()
+    corp = _corpus(sf)
+    sql = e.oracle_sql()["kg_fuzzy_nel"] \
+        .replace(f"'{SYNTH}/gold_mentions.parquet'",
+                 f"'{corp}/gold_mentions.parquet'") \
+        .replace(f"'{SYNTH}/alias.parquet'", f"'{corp}/alias.parquet'")
+    want = duckdb.connect().execute(sql).df()
+    assert len(got) == len(want) > 0
+    for c in ("norm", "term", "id"):
+        assert list(got[c]) == list(want[c]), c
