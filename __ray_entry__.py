@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_alias_pairs": q.kg_fuzzy_alias_pairs,  # FastSS edit<=1 self-join
         "kg_fuzzy_alias_clusters": q.kg_fuzzy_alias_clusters,  # min-name closure
         "kg_fuzzy_nel": q.kg_fuzzy_nel,                  # typo-tolerant linking
+        "events_user_pivot": q.events_user_pivot,        # conditional wide pivot
         "kg_edges": q.kg_edges,
         "kg_edges_incremental": q.kg_edges_incremental,  # fold-in == rebuild
         "kg_entity_freq": q.kg_entity_freq,

@@ -1277,3 +1277,45 @@ def profile_columns(ds, cols: list[str], *, batch_size: int = 65536):
              else round_away(r["s"] / (r["n"] - r["n_null"]), 4)
              for r in out], pa.float64()),
     })
+
+
+def pivot_wide(ds, *, key: str, pivot_col: str, value_col: str,
+               categories: list[str]):
+    """Conditional wide aggregation (SQL ``FILTER``/``PIVOT`` shape):
+    -> one row per ``key`` with, for every category c,
+    ``{c}_n`` (count of rows where ``pivot_col == c``) and ``{c}_sum``
+    (sum of ``value_col`` over those rows; 0.0 when absent).
+
+    The pivot happens INSIDE the per-batch partial — each batch emits
+    indicator/masked-value columns, so the shuffle carries one
+    pre-aggregated row per (batch, key) with 2*len(categories) numeric
+    columns and the final is a plain grouped sum. Categories must be the
+    (small, known) domain; an unexpected value simply lands in no
+    column — the standard contract for a wide pivot.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols_n = [f"{c}_n" for c in categories]
+    cols_s = [f"{c}_sum" for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        pv = t.column(pivot_col)
+        val = t.column(value_col).cast(pa.float64())
+        arrays = [t.column(key)]
+        names = [key]
+        zero = pa.scalar(0.0)
+        for c, cn, cs in zip(categories, cols_n, cols_s):
+            mask = pc.equal(pv, c)
+            arrays.append(mask.cast(pa.int64()))
+            names.append(cn)
+            arrays.append(pc.if_else(mask, val, zero))
+            names.append(cs)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    specs = []
+    for cn, cs in zip(cols_n, cols_s):
+        specs.append((cn, "sum", cn))
+        specs.append((cs, "sum", cs))
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       [key], specs)

@@ -3140,3 +3140,18 @@ RELATIONAL["tpch_q22_dormant_accounts"] = """
     GROUP BY c_nationkey
     ORDER BY c_nationkey
 """
+
+RELATIONAL["events_user_pivot"] = """
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+               ROUND(COALESCE(sum(value) FILTER (WHERE event_type = 'click'), 0), 2) AS click_sum,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_n,
+               ROUND(COALESCE(sum(value) FILTER (WHERE event_type = 'error'), 0), 2) AS error_sum,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+               ROUND(COALESCE(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase_sum,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_n,
+               ROUND(COALESCE(sum(value) FILTER (WHERE event_type = 'signup'), 0), 2) AS signup_sum,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+               ROUND(COALESCE(sum(value) FILTER (WHERE event_type = 'view'), 0), 2) AS view_sum
+        FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -5018,3 +5018,28 @@ def kg_fuzzy_nel(sf_dir: str):
              .rename_columns(["term", "id"]))
     out = adaptive_join(pairs, term_ids, on="term")
     return out.select_columns(["norm", "term", "id"]).sort(["norm", "term"])
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_pivot(sf_dir: str):
+    """Per-user wide feature row: count and value sum per event type as
+    pivoted columns (ops.relational.pivot_wide — conditional aggregation
+    inside the partial, one shuffle of pre-aggregated rows)."""
+    from easyner_ray.ops.relational import pivot_wide
+
+    ev = _rp(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    wide = pivot_wide(ev, key="user_id", pivot_col="event_type",
+                      value_col="value", categories=list(EVENT_TYPES))
+
+    def fin(t: pa.Table) -> pa.Table:
+        arrays, names = [t.column("user_id")], ["user_id"]
+        for c in EVENT_TYPES:
+            arrays.append(t.column(f"{c}_n").cast(pa.int64()))
+            names.append(f"{c}_n")
+            arrays.append(_duck_round(t.column(f"{c}_sum"), 2))
+            names.append(f"{c}_sum")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return wide.map_batches(fin, batch_format="pyarrow").sort("user_id")

@@ -101,3 +101,10 @@ def test_tpch_q22(ray_session):
     res = q.tpch_q22_dormant_accounts(SF)
     assert res.to_pandas()["numcust"].min() >= 1
     _check("tpch_q22_dormant_accounts", ["customer", "orders"], res)
+
+
+def test_events_user_pivot(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    res = q.events_user_pivot(SF)
+    _check("events_user_pivot", ["events"], res)
