@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_alias_clusters": q.kg_fuzzy_alias_clusters,  # min-name closure
         "kg_fuzzy_nel": q.kg_fuzzy_nel,                  # typo-tolerant linking
         "events_user_pivot": q.events_user_pivot,        # conditional wide pivot
+        "lineitem_melt": q.lineitem_melt,                # unpivot wide-to-long
+        "docs_epoch_shuffle": q.docs_epoch_shuffle,      # seeded global shuffle
         "kg_edges": q.kg_edges,
         "kg_edges_incremental": q.kg_edges_incremental,  # fold-in == rebuild
         "kg_entity_freq": q.kg_entity_freq,

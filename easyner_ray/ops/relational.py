@@ -1319,3 +1319,26 @@ def pivot_wide(ds, *, key: str, pivot_col: str, value_col: str,
         specs.append((cs, "sum", cs))
     return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
                        [key], specs)
+
+
+def melt(ds, *, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Unpivot / wide-to-long (SQL ``UNPIVOT`` shape): each input row
+    emits one output row per entry of ``value_cols`` —
+    ``(*id_cols, variable, value)``. Pure per-batch columnar reshape
+    (one zero-copy select + constant column per value col, concatenated);
+    no shuffle, output is len(value_cols) × input rows, streamed."""
+    import pyarrow as pa
+
+    def reshape(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            arrays = [t.column(i) for i in id_cols]
+            arrays.append(pa.array([c] * len(t), pa.string()))
+            arrays.append(t.column(c).cast(pa.float64()))
+            parts.append(pa.Table.from_arrays(
+                arrays, names=list(id_cols) + [var_name, value_name]))
+        return pa.concat_tables(parts) if parts else pa.Table.from_arrays(
+            [], names=[])
+
+    return ds.map_batches(reshape, batch_format="pyarrow")

@@ -3155,3 +3155,25 @@ RELATIONAL["events_user_pivot"] = """
                ROUND(COALESCE(sum(value) FILTER (WHERE event_type = 'view'), 0), 2) AS view_sum
         FROM events GROUP BY user_id ORDER BY user_id
 """
+
+RELATIONAL["lineitem_melt"] = """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount',
+             CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax',
+             CAST(l_tax AS DOUBLE) FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+RELATIONAL["docs_epoch_shuffle"] = """
+    SELECT doc_id,
+           (doc_id * 2654435761 + 1) % 4294967296 AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id
+"""

@@ -5043,3 +5043,44 @@ def events_user_pivot(sf_dir: str):
         return pa.Table.from_arrays(arrays, names=names)
 
     return wide.map_batches(fin, batch_format="pyarrow").sort("user_id")
+
+
+def lineitem_melt(sf_dir: str):
+    """Wide-to-long unpivot of lineitem's four numeric measures into
+    (orderkey, linenumber, measure, value) — ops.relational.melt, a
+    per-batch columnar reshape with no shuffle (the sort here is only
+    for the deterministic oracle compare)."""
+    from easyner_ray.ops.relational import melt
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax"])
+    out = melt(li, id_cols=["l_orderkey", "l_linenumber"],
+               value_cols=["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"],
+               var_name="measure", value_name="value")
+    return out.sort(["l_orderkey", "l_linenumber", "measure"])
+
+
+def docs_epoch_shuffle(sf_dir: str):
+    """Seeded deterministic global shuffle for epoch ordering: every doc
+    gets ``shuffle_key = (doc_id * 2654435761 + epoch) % 2^32`` (Knuth
+    multiplicative hash, the same family as orders_hash_sample) and the
+    corpus is range-sorted by it — a distributed sort, no driver
+    materialization. Reading the output in order IS the epoch-1
+    permutation; rerunning with another epoch reshuffles reproducibly."""
+    epoch = 1
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (ids * np.uint64(2654435761) + np.uint64(epoch)) % np.uint64(1 << 32)
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), pa.array(k.astype(np.int64))],
+            names=["doc_id", "shuffle_key"])
+
+    return docs.map_batches(key, batch_format="pyarrow") \
+        .sort(["shuffle_key", "doc_id"])

@@ -108,3 +108,15 @@ def test_events_user_pivot(ray_session):
 
     res = q.events_user_pivot(SF)
     _check("events_user_pivot", ["events"], res)
+
+
+def test_lineitem_melt(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    _check("lineitem_melt", ["lineitem"], q.lineitem_melt(SF))
+
+
+def test_docs_epoch_shuffle(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    _check("docs_epoch_shuffle", ["documents"], q.docs_epoch_shuffle(SF))
