@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_pivot": q.events_user_pivot,        # conditional wide pivot
         "lineitem_melt": q.lineitem_melt,                # unpivot wide-to-long
         "docs_epoch_shuffle": q.docs_epoch_shuffle,      # seeded global shuffle
+        "conv_entity_sequence": q.conv_entity_sequence,  # ordered string_agg
         "kg_edges": q.kg_edges,
         "kg_edges_incremental": q.kg_edges_incremental,  # fold-in == rebuild
         "kg_entity_freq": q.kg_entity_freq,

@@ -1342,3 +1342,52 @@ def melt(ds, *, id_cols: list[str], value_cols: list[str],
             [], names=[])
 
     return ds.map_batches(reshape, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, *, key: str, val: str, order_cols: list[str],
+                       sep: str = ",", out: str = "agg",
+                       n_buckets: int = 64):
+    """Ordered ``string_agg`` per group: -> (key, out, n) where ``out``
+    joins each group's ``val`` strings by ``sep`` in ``order_cols``
+    order (ties broken by ``val``) and ``n`` is the group size.
+
+    Shape: coarse hash-bucket shuffle on ``key`` (each group lands whole
+    in one bucket), then a fully vectorized in-bucket kernel — one Arrow
+    sort, numpy boundary detection, a zero-copy ListArray over the
+    sorted values, and ``pc.binary_join``. No per-group Python.
+    Callers pre-aggregate rows per (key, val) upstream when the raw
+    stream has duplicates — this op joins exactly the rows it is given.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema_out = pa.schema([(key, pa.string()), (out, pa.string()),
+                            ("n", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return schema_out.empty_table()
+        sort_keys = [(key, "ascending")] + \
+            [(c, "ascending") for c in order_cols] + [(val, "ascending")]
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        keys_s = t.column(key).combine_chunks().take(idx)
+        vals_s = t.column(val).combine_chunks().take(idx)
+        neq = pc.not_equal(keys_s.slice(1), keys_s.slice(0, len(keys_s) - 1))
+        starts = np.r_[0, np.flatnonzero(
+            neq.to_numpy(zero_copy_only=False)) + 1]
+        offsets = np.r_[starts, len(keys_s)].astype(np.int32)
+        flat = vals_s.combine_chunks() if isinstance(
+            vals_s, pa.ChunkedArray) else vals_s
+        lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
+        joined = pc.binary_join(lists, sep)
+        return pa.Table.from_arrays(
+            [keys_s.take(pa.array(starts)), joined,
+             pa.array(np.diff(offsets).astype(np.int64))],
+            schema=schema_out)
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, [key], n_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        combine, batch_format="pyarrow")

@@ -267,6 +267,16 @@ KG = {
         WHERE levenshtein(a.norm, b.norm) <= 1
         ORDER BY a, b
     """,
+    "conv_entity_sequence": f"""
+        WITH firsts AS (
+          SELECT conv_id, norm,
+                 min(turn_idx*1000000 + sent_idx*1000 + mention_idx) AS pos
+          FROM {GM} GROUP BY conv_id, norm)
+        SELECT conv_id,
+               string_agg(norm, ',' ORDER BY pos, norm) AS entity_seq,
+               CAST(count(*) AS BIGINT) AS n_entities
+        FROM firsts GROUP BY conv_id ORDER BY conv_id
+    """,
     "kg_fuzzy_nel": f"""
         WITH names AS (SELECT DISTINCT norm FROM {GM}),
         unlinked AS (SELECT norm FROM names

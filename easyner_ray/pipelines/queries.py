@@ -5084,3 +5084,34 @@ def docs_epoch_shuffle(sf_dir: str):
 
     return docs.map_batches(key, batch_format="pyarrow") \
         .sort(["shuffle_key", "doc_id"])
+
+
+def conv_entity_sequence(sf_dir: str):
+    """Per-conversation entity-sequence signature: distinct entity norms
+    joined in first-mention order (ordered string_agg) plus the distinct
+    count — the sequence key downstream template/near-dup passes compare.
+    Two phases, both bounded: grouped min first-position per (conv,
+    norm), then ops.relational.grouped_string_agg (vectorized in-bucket
+    ListArray + binary_join, no per-group Python)."""
+    from easyner_ray.ops.relational import grouped_agg, grouped_string_agg
+
+    m = _mentions(sf_dir)
+
+    def pos(t: pa.Table) -> pa.Table:
+        p = pc.add(
+            pc.add(pc.multiply(t.column("turn_idx").cast(pa.int64()),
+                               pa.scalar(1_000_000, pa.int64())),
+                   pc.multiply(t.column("sent_idx").cast(pa.int64()),
+                               pa.scalar(1_000, pa.int64()))),
+            t.column("mention_idx").cast(pa.int64()))
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), t.column("norm"), p],
+            names=["conv_id", "norm", "pos"])
+
+    firsts = grouped_agg(m.map_batches(pos, batch_format="pyarrow"),
+                         ["conv_id", "norm"], [("pos", "min", "pos")])
+    out = grouped_string_agg(firsts, key="conv_id", val="norm",
+                             order_cols=["pos"], sep=",",
+                             out="entity_seq")
+    return out.rename_columns(["conv_id", "entity_seq", "n_entities"]) \
+        .sort("conv_id")

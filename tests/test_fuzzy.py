@@ -171,3 +171,38 @@ def test_kg_fuzzy_nel_vs_oracle(ray_session):
     assert len(got) == len(want) > 0
     for c in ("norm", "term", "id"):
         assert list(got[c]) == list(want[c]), c
+
+
+def test_grouped_string_agg_basic(ray_session):
+    import ray
+
+    from easyner_ray.ops.relational import grouped_string_agg
+
+    t = pa.table({"k": ["b", "a", "a", "b", "a"],
+                  "v": ["z", "m", "a", "q", "k"],
+                  "o": [2, 3, 1, 1, 2]})
+    got = grouped_string_agg(ray.data.from_arrow(t), key="k", val="v",
+                             order_cols=["o"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == ["a", "b"]
+    assert list(got["agg"]) == ["a,k,m", "q,z"]
+    assert list(got["n"]) == [3, 2]
+
+
+def test_conv_entity_sequence_vs_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    from easyner_ray.pipelines import queries as q
+    from easyner_ray.pipelines.oracles import SYNTH
+    from easyner_ray.pipelines.queries import _corpus
+
+    sf = "/root/testdata/sf0.001"
+    got = q.conv_entity_sequence(sf).to_pandas()
+    gm = f"read_parquet('{_corpus(sf)}/gold_mentions.parquet')"
+    sql = e.oracle_sql()["conv_entity_sequence"].replace(
+        f"read_parquet('{SYNTH}/gold_mentions.parquet')", gm)
+    want = duckdb.connect().execute(sql).df()
+    assert len(got) == len(want) > 0
+    for c in ("conv_id", "entity_seq", "n_entities"):
+        assert list(got[c]) == list(want[c]), c
