@@ -237,6 +237,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_window_dedup": q.conv_window_dedup,
         "tpch_q3_revenue": q.tpch_q3_revenue,
         "tpch_q5_region_revenue": q.tpch_q5_region_revenue,
+        # round-5 final-session operators
+        "kg_fuzzy_alias_pairs": q.kg_fuzzy_alias_pairs,
+        "kg_fuzzy_nel": q.kg_fuzzy_nel,
+        "events_user_pivot": q.events_user_pivot,
+        "lineitem_melt": q.lineitem_melt,
+        "docs_epoch_shuffle": q.docs_epoch_shuffle,
+        "conv_entity_sequence": q.conv_entity_sequence,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
