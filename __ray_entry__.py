@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q.lineitem_melt,                # unpivot wide-to-long
         "docs_epoch_shuffle": q.docs_epoch_shuffle,      # seeded global shuffle
         "conv_entity_sequence": q.conv_entity_sequence,  # ordered string_agg
+        "docs_split_no_leakage": q.docs_split_no_leakage,  # dup-aware split
         "kg_edges": q.kg_edges,
         "kg_edges_incremental": q.kg_edges_incremental,  # fold-in == rebuild
         "kg_entity_freq": q.kg_entity_freq,

@@ -3187,3 +3187,13 @@ RELATIONAL["docs_epoch_shuffle"] = """
            (doc_id * 2654435761 + 1) % 4294967296 AS shuffle_key
     FROM documents ORDER BY shuffle_key, doc_id
 """
+
+RELATIONAL["docs_split_no_leakage"] = """
+    WITH reps AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+      FROM documents)
+    SELECT doc_id, rep,
+           CASE WHEN (rep * 2654435761) % 4294967296 < 3865470566
+                THEN 'train' ELSE 'val' END AS split
+    FROM reps ORDER BY doc_id
+"""

@@ -5115,3 +5115,37 @@ def conv_entity_sequence(sf_dir: str):
                              out="entity_seq")
     return out.rename_columns(["conv_id", "entity_seq", "n_entities"]) \
         .sort("conv_id")
+
+
+def docs_split_no_leakage(sf_dir: str):
+    """Leakage-safe train/val split: exact-duplicate documents always
+    land in the SAME split by hashing the dup group's representative
+    (min doc_id per identical text) instead of the doc's own id — the
+    guard that keeps a val doc's verbatim copy out of train. Pipeline:
+    md5-digest partials -> grouped min rep per digest -> digest join
+    back (adaptive broadcast/hash) -> split_assign on rep."""
+    import hashlib
+
+    from easyner_ray.ops.relational import (adaptive_join, bucketed_final,
+                                            split_assign)
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dig(t: pa.Table) -> pa.Table:
+        digest = pa.array(
+            [hashlib.md5((x or "").encode()).hexdigest()
+             for x in t.column("text").to_pylist()], pa.string())
+        return pa.Table.from_arrays([t.column("doc_id"), digest],
+                                    names=["doc_id", "digest"])
+
+    with_digest = docs.map_batches(dig, batch_format="pyarrow")
+    reps = bucketed_final(
+        with_digest.map_batches(
+            lambda t: t.group_by("digest").aggregate([("doc_id", "min")])
+                       .rename_columns(["digest", "rep"]),
+            batch_format="pyarrow"),
+        ["digest"], pa_aggs=[("rep", "min")], out_names=["rep"])
+    joined = adaptive_join(with_digest, reps, on="digest")
+    out = split_assign(joined.select_columns(["doc_id", "rep"]), "rep",
+                       [("train", 0.9), ("val", 1.0)])
+    return out.select_columns(["doc_id", "rep", "split"]).sort("doc_id")

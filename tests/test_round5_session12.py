@@ -120,3 +120,18 @@ def test_docs_epoch_shuffle(ray_session):
     from easyner_ray.pipelines import queries as q
 
     _check("docs_epoch_shuffle", ["documents"], q.docs_epoch_shuffle(SF))
+
+
+def test_docs_split_no_leakage(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    res = q.docs_split_no_leakage(SF)
+    _check("docs_split_no_leakage", ["documents"], res)
+    # the guard property itself: identical texts share a split
+    import duckdb
+
+    df = res.to_pandas()
+    docs = _duck("SELECT doc_id, text FROM documents", ["documents"])
+    merged = df.merge(docs, on="doc_id")
+    per_text = merged.groupby("text")["split"].nunique()
+    assert (per_text == 1).all()
