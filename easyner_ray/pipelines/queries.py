@@ -2763,15 +2763,42 @@ def kg_component_stats(sf_dir: str):
     return component_stats(_kg_edge_pairs(sf_dir))
 
 
+_KG_LPA_CACHE: dict = {}
+
+
+def _kg_lpa(sf_dir: str):
+    """Shared LPA partition (4 rounds) over the memoized edge table —
+    kg_communities returns it and kg_modularity scores it; without the
+    memo the modularity leg re-runs the identical 4-round propagation.
+    Same key discipline as :func:`_kg_edge_pairs` (corpus identity +
+    Ray job id); payload is the vocab-bounded (norm, community) table."""
+    import ray
+
+    corpus = _corpus(sf_dir)
+    path = os.path.join(corpus, "transcripts.parquet")
+    st = os.stat(path)
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (path, st.st_mtime_ns, st.st_size, job)
+    hit = _KG_LPA_CACHE.get(key)
+    if hit is None:
+        from easyner_ray.ops.graph_analytics import label_propagation
+
+        hit = label_propagation(_kg_edge_pairs(sf_dir), iters=4).materialize()
+        _KG_LPA_CACHE.clear()
+        _KG_LPA_CACHE[key] = hit
+    return hit
+
+
 def kg_communities(sf_dir: str):
     """Deterministic weighted label-propagation communities (4
     synchronous rounds, max-incident-weight label, lexicographic tie
     break) over the KG co-occurrence graph — finer-than-component
     cluster structure for topic grouping, exactly reproducible in SQL
     (the assignment is parity-checked, not sampled)."""
-    from easyner_ray.ops.graph_analytics import label_propagation
-
-    return label_propagation(_kg_edge_pairs(sf_dir), iters=4)
+    return _kg_lpa(sf_dir)
 
 
 def kg_meta_paths(sf_dir: str):
@@ -3258,10 +3285,9 @@ def kg_modularity(sf_dir: str):
     over the KG co-occurrence graph — "did the clustering find real
     structure": W_in/W - sum_c S_c^2/W^2, every moment an exact int64
     sum so the float matches the SQL oracle bit-exact."""
-    from easyner_ray.ops.graph_analytics import label_propagation, modularity
+    from easyner_ray.ops.graph_analytics import modularity
 
-    edges = _kg_edge_pairs(sf_dir)
-    return modularity(edges, label_propagation(edges))
+    return modularity(_kg_edge_pairs(sf_dir), _kg_lpa(sf_dir))
 
 
 def kg_entity_recurrence(sf_dir: str):
