@@ -334,3 +334,38 @@ def test_mg_batch_superset_guarantee(vals, m):
     for v, c in counts.items():
         if c > thresh:
             assert v in out, (v, c, thresh, m)
+
+
+@given(st.lists(st.text(alphabet="abcx", min_size=0, max_size=6),
+                min_size=1, max_size=40, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_fastss_blocking_lossless(names):
+    """Deletion-neighborhood key sets intersect for EVERY pair within
+    edit distance 1 (the losslessness edit1_pairs relies on), and the
+    verify predicate matches a reference DP Levenshtein."""
+    import itertools
+
+    import pyarrow as pa
+
+    from easyner_ray.ops.fuzzy import _expand_keys, _lev_le1
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = _expand_keys(pa.table({"name": names}), "name")
+    keys_of: dict[str, set] = {}
+    for k, n in zip(exp.column("key").to_pylist(),
+                    exp.column("name").to_pylist()):
+        keys_of.setdefault(n, set()).add(k)
+    for u, v in itertools.combinations(names, 2):
+        d = lev(u, v)
+        assert _lev_le1(u, v) == (d <= 1), (u, v)
+        if d <= 1:
+            assert keys_of[u] & keys_of[v], (u, v)
