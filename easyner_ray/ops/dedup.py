@@ -1030,7 +1030,12 @@ def dup_groups(pairs, max_iters: int = 25, n_buckets: int = 64,
     # id dtype: int ids normalize to int64; string ids (fuzzy alias names)
     # pass through — every step below (union-find min, grouped min-label,
     # the label-in-dst-slot join) is ordering-based and works on both.
-    in_type = pairs.schema().base_schema.field("doc_a").type
+    # A fully-empty pairs dataset can report schema() is None (no blocks
+    # carry type info); int64 is the right degenerate label dtype there —
+    # the n_edges == 0 short-circuit below returns before any cast matters.
+    sch = pairs.schema()
+    in_type = (sch.base_schema.field("doc_a").type
+               if sch is not None and "doc_a" in sch.names else pa.int64())
     dt = in_type if pa.types.is_string(in_type) or pa.types.is_large_string(
         in_type) else pa.int64()
 
