@@ -72,8 +72,17 @@ def asof_join(
         names.append("__side")
         return pa.Table.from_arrays(cols, names=names)
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    from easyner_ray.ops.relational import base_schema
+
+    l_schema = base_schema(left)
+    r_schema = base_schema(right)
+    if l_schema is None or r_schema is None:
+        # One side is provably EMPTY with its types lost (zero blocks —
+        # see relational.base_schema): the suffixed null payload columns
+        # can't be typed, so degrade to the row-correct best effort —
+        # empty left -> empty result (left as-is); empty right -> left
+        # unchanged (ASOF is a left join).
+        return left
 
     u = left.map_batches(
         lambda t: pad(t, 0, r_schema, l_schema), batch_format="pyarrow"

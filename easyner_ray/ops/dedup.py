@@ -658,11 +658,18 @@ def dup_span_removal(docs, window: int = 25, *, id_col: str = "doc_id",
     dup set usually broadcasts); the rewrite is one whole-batch numpy
     coverage pass + ``pc.binary_join``. The docs stream is materialized
     once (two consumers: fingerprint pass and join left side)."""
+    import ray.data as rd
+
     from easyner_ray.ops.relational import (adaptive_join,
                                             adaptive_semi_join,
-                                            bucketed_final)
+                                            base_schema, bucketed_final)
 
     docs = docs.materialize()
+    dbase = base_schema(docs)
+    if dbase is None:  # provably-empty typeless corpus -> typed empty
+        return rd.from_arrow(pa.schema(
+            [(id_col, pa.int64()), ("text_clean", pa.string()),
+             ("n_removed", pa.int64())]).empty_table())
     wins = docs.map_batches(
         lambda t: _window_fp_batch(t, window=window, id_col=id_col,
                                    text_col=text_col),
@@ -693,6 +700,13 @@ def dup_span_removal(docs, window: int = 25, *, id_col: str = "doc_id",
 
     pos_lists = hits.groupby(id_col).map_groups(collect_positions,
                                                 batch_format="pyarrow")
+    # typed empty anchor: a dup-free corpus leaves pos_lists with ZERO
+    # blocks (schema lost — relational.base_schema), and the left join
+    # would then degrade to docs-unchanged, dropping the __dup_pos
+    # column the rewrite kernel reads
+    anchor = pa.schema([(id_col, dbase.field(id_col).type),
+                        ("__dup_pos", pa.string())])
+    pos_lists = pos_lists.union(rd.from_arrow(anchor.empty_table()))
     joined = adaptive_join(docs, pos_lists, on=id_col, how="left")
 
     def rewrite(t: pa.Table) -> pa.Table:

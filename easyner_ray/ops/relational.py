@@ -18,6 +18,19 @@ import ray
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def base_schema(ds) -> pa.Schema | None:
+    """``ds.schema().base_schema``, or None when the dataset is EMPTY and
+    Ray lost its type info: in Ray 2.49 ANY lazy transform over a 0-row
+    dataset materializes to ZERO blocks, so ``Dataset.schema()`` returns
+    None (verified; ``from_arrow`` of a typed empty table keeps the
+    schema, but one ``map_batches``/``filter``/``groupby`` over it drops
+    it). Callers treat None as "provably empty" and short-circuit — at
+    100 TB a shard whose filter dropped every row is a WHEN, not an IF,
+    and an unguarded ``.schema().base_schema`` loses the whole run."""
+    s = ds.schema()
+    return None if s is None else s.base_schema
+
+
 def broadcast_lookup(small_table: pa.Table, key: str, value_cols: list[str]) -> dict:
     """dict key -> tuple(value_cols) from a driver-side small table."""
     keys = small_table.column(key).to_pylist()
@@ -95,7 +108,10 @@ def adaptive_semi_join(left, right_keys, *, on: str, anti: bool = False,
     if blocks:
         keys = pa.concat_tables(blocks).column(on).combine_chunks()
     else:  # typed empty set (the left's key type keeps is_in well-typed)
-        keys = pa.array([], left.schema().base_schema.field(on).type)
+        lbase = base_schema(left)
+        if lbase is None:  # left is provably empty too -> empty result
+            return left
+        keys = pa.array([], lbase.field(on).type)
     keys_ref = ray.put(keys)
 
     def f(batch: pa.Table) -> pa.Table:
@@ -360,7 +376,9 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
         if right.count() == 0:
             if join_type == "left_anti":
                 return left
-            base = left.schema().base_schema
+            base = base_schema(left)
+            if base is None:  # left provably empty -> already the result
+                return left
             return rd.from_arrow(base.empty_table())
     return left.join(
         right,
@@ -394,9 +412,20 @@ def adaptive_join(left, right, *, on: str, right_on: str | None = None,
     within a batch is not preserved (hash join)."""
     rk = right_on or on
     right = right.materialize()
-    rschema = right.schema().base_schema
+    rschema = base_schema(right)
+    lschema = base_schema(left)
+    if rschema is None or lschema is None:
+        # One side is provably EMPTY and Ray lost its types (zero blocks
+        # — see base_schema). The missing side's value columns are
+        # unknowable, so degrade to the row-correct best effort:
+        # inner/empty-right -> 0 rows (left schema); left-outer/empty
+        # -right -> left unchanged (null value cols can't be typed);
+        # empty left -> left as-is (0 rows either way).
+        if lschema is None:
+            return left
+        return left if how == "left" else left.limit(0)
     value_cols = [n for n in rschema.names if n != rk]
-    out_cols = list(left.schema().base_schema.names) + value_cols
+    out_cols = list(lschema.names) + value_cols
 
     if right.size_bytes() > broadcast_bytes:
         joined = hash_join(left, right, on=on, right_on=right_on,
@@ -432,7 +461,9 @@ def anti_join(left, right, *, on: str, right_on: str | None = None,
     When ``right``'s DISTINCT key set is dimension-table-sized, prefer the
     zero-shuffle broadcast complement: ``semi_join_filter`` with the set
     inverted (``pc.is_in`` + ``invert``) — same pattern, no exchange."""
-    base = left.schema().base_schema
+    base = base_schema(left)
+    if base is None:  # left provably empty (see base_schema) -> result
+        return left
     out = hash_join(left, right, on=on, right_on=right_on,
                     join_type="left_anti", num_partitions=num_partitions,
                     approx_bytes=approx_bytes)
@@ -641,15 +672,24 @@ def snapshot_diff(old, new, *, key: str = "doc_id",
     audit never materializes either corpus on the driver."""
     import ray.data as rd
 
+    # anchor types come from whichever snapshot still carries a schema;
+    # a derived-empty side reports None (see base_schema) but its typed
+    # twin fixes the key/fingerprint types. Both None -> both provably
+    # empty -> empty diff at the same int64-key grain the status kernel's
+    # schema-less fallback uses.
+    fb = base_schema(old) or base_schema(new)
+    if fb is None:
+        return rd.from_arrow(pa.schema(
+            [(key, pa.int64()), ("status", pa.string())]).empty_table())
+
     def project(src, new_name: str):
         # rename per batch, and union one typed zero-row block: a fully
         # empty snapshot otherwise loses its schema through map_batches
         # (and Dataset.rename_columns doesn't re-project a zero-row
         # dataset's reported schema), which would break full_outer_join's
         # empty-side short-circuits
-        base = src.schema().base_schema
-        anchor = pa.schema([(key, base.field(key).type),
-                            (new_name, base.field(fingerprint_col).type)])
+        anchor = pa.schema([(key, fb.field(key).type),
+                            (new_name, fb.field(fingerprint_col).type)])
         proj = src.select_columns([key, fingerprint_col]).map_batches(
             lambda t: t.rename_columns([key, new_name]),
             batch_format="pyarrow")
@@ -923,8 +963,21 @@ def full_outer_join(left, right, *, on: str, right_on: str | None = None,
     import ray.data as rd
 
     rk = right_on or on
-    lbase = left.schema().base_schema
-    rbase = right.schema().base_schema
+    lbase = base_schema(left)
+    rbase = base_schema(right)
+    if lbase is None or rbase is None:
+        # One side is provably EMPTY with its types lost (zero blocks —
+        # see base_schema), so that side's null columns can't be typed.
+        # Row-correct best effort: empty right -> left unchanged; empty
+        # left -> right with its key moved into the left key slot.
+        if rbase is None and lbase is None:
+            return left
+        if rbase is None:
+            return left
+        return right.map_batches(
+            lambda t: t.rename_columns(
+                [on if n == rk else n for n in t.schema.names]),
+            batch_format="pyarrow")
     value_fields = [rbase.field(n) for n in rbase.names if n != rk]
     out_schema = pa.schema(
         [lbase.field(n) for n in lbase.names] + value_fields)
@@ -1028,7 +1081,10 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
                 f"rollup_agg supports sum/count/min/max, got {fn!r}")
 
     finest = grouped_agg(ds, keys, specs, n_buckets=n_buckets).materialize()
-    base = finest.schema().base_schema
+    base = base_schema(finest)
+    if base is None:  # input provably empty -> empty result (no
+        # grand-total row: the agg types are unrecoverable here)
+        return finest
     out_names = [out for _, _, out in specs]
     re_specs = [(out, "sum" if fn in ("sum", "count") else fn, out)
                 for _, fn, out in specs]
@@ -1141,7 +1197,10 @@ def grouping_sets_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
             raise ValueError(f"grouping set {s!r} is not a subset of {keys}")
 
     finest = grouped_agg(ds, keys, specs, n_buckets=n_buckets).materialize()
-    base = finest.schema().base_schema
+    base = base_schema(finest)
+    if base is None:  # input provably empty -> empty result (no
+        # grand-total row: the agg types are unrecoverable here)
+        return finest
     re_specs = [(out, "sum" if fn in ("sum", "count") else fn, out)
                 for _, fn, out in specs]
 

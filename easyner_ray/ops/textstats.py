@@ -703,7 +703,11 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
         # Empty corpus: no tokens, no groups (SQL parity) — and the
         # broadcast path below would otherwise hit pa.concat_tables([])
         # (ArrowInvalid) when every block is empty.
-        id_type = docs.schema().base_schema.field(id_col).type
+        dsch = docs.schema()
+        # int64 grain when docs is ALSO a derived-empty dataset whose
+        # types Ray dropped (relational.base_schema) — 0 rows either way
+        id_type = (dsch.base_schema.field(id_col).type
+                   if dsch is not None else pa.int64())
         return ray.data.from_arrow(pa.schema(
             [(id_col, id_type), ("n_tokens", pa.int64()),
              ("logprob", pa.float64())]).empty_table())
@@ -872,7 +876,10 @@ def logprob_buckets(docs, *, qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
     if t1 is None:  # empty corpus: typed empty result, stable schema
         import ray.data as rd
 
-        base = lp.schema().base_schema
+        lsch = lp.schema()
+        base = (lsch.base_schema if lsch is not None else pa.schema(
+            [(id_col, pa.int64()), ("n_tokens", pa.int64()),
+             ("logprob", pa.float64())]))
         return rd.from_arrow(pa.schema(
             list(zip(base.names, base.types))
             + [("bucket", pa.string())]).empty_table())
@@ -1371,7 +1378,9 @@ def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
                      [("tf", "sum", "c1")]).materialize()
     v_total = uc.count()
     if v_total == 0 or tf.count() == 0:
-        id_type = docs.schema().base_schema.field(id_col).type
+        dsch = docs.schema()
+        id_type = (dsch.base_schema.field(id_col).type
+                   if dsch is not None else pa.int64())
         return ray.data.from_arrow(pa.schema(
             [(id_col, id_type), ("n_bigrams", pa.int64()),
              ("logprob", pa.float64())]).empty_table())
