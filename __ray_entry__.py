@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_shuffle": q.docs_epoch_shuffle,      # seeded global shuffle
         "conv_entity_sequence": q.conv_entity_sequence,  # ordered string_agg
         "docs_split_no_leakage": q.docs_split_no_leakage,  # dup-aware split
+        "events_autocorr": q.events_autocorr,            # lag-k ACF per type
+        "docs_nb_source_pred": q.docs_nb_source_pred,    # Naive Bayes census
+        "embedding_hard_negatives": q.embedding_hard_negatives,  # contrastive
+        "embedding_kcenter": q.embedding_kcenter,        # greedy coreset
         "kg_edges": q.kg_edges,
         "kg_edges_incremental": q.kg_edges_incremental,  # fold-in == rebuild
         "kg_entity_freq": q.kg_entity_freq,

@@ -276,3 +276,99 @@ def partitioned_analytics(ds, partition_by: list[str], order_by: list[str],
                                     list(specs), rank_prefix),
         batch_format="pyarrow",
     )
+
+
+def grouped_autocorr(ds, partition_by: list[str], order_by: list[str],
+                     value_col: str, lags: tuple[int, ...] = (1, 2, 3),
+                     *, round_digits: int | None = 4, n_buckets: int = 32):
+    """Lag-k autocorrelation of an ordered series per partition — the
+    seasonality/burstiness probe of pipeline monitoring (is yesterday's
+    volume predictive of today's? is there a weekly cycle?). For each
+    partition and each ``k`` in ``lags``, the Pearson correlation between
+    the series and its own k-step shift over ORDERED rows, i.e. SQL::
+
+        SELECT corr(b.x, a.x) FROM r a JOIN r b
+          ON b.part = a.part AND b.rn = a.rn + k GROUP BY a.part, k
+
+    -> one row per (partition, lag) that has >= 1 aligned pair; the value
+    is NULL when the correlation is undefined (a single pair, or either
+    side constant) — DuckDB ``corr`` semantics exactly.
+
+    Meant to run on an already-collapsed series table (e.g. daily counts
+    per key), NOT the raw corpus: collapse first, correlate second.
+    Distributed shape: the same one hash-bucket exchange as
+    :func:`partitioned_analytics` (a partition's rows land intact in one
+    bucket), then a pure-numpy segment kernel — per lag, aligned pairs
+    are two shifted views of the bucket-sorted value array masked by
+    same-run flags, and the five power sums per group come from
+    ``np.bincount``. No Python loop over groups or rows. Power sums of
+    INTEGER series are exact in float64 (< 2^53), so a constant series
+    yields an exactly-zero variance (-> NULL), never a cancellation
+    residue.
+    """
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    lags = tuple(int(k) for k in lags)
+    if any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive, got {lags!r}")
+    keys = list(partition_by)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        out_schema = pa.schema(
+            [t.schema.field(c) for c in keys]
+            + [pa.field("lag_k", pa.int64()),
+               pa.field("acf", pa.float64())])
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (c, "ascending") for c in keys + list(order_by)]))
+        change = _change_flags(t, keys, n)
+        run_start = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        ngroups = len(run_start)
+        x = np.asarray(t.column(value_col).combine_chunks()
+                       .cast(pa.float64()).fill_null(0.0), dtype=np.float64)
+
+        parts: list[pa.Table] = []
+        for k in lags:
+            if n <= k:
+                continue
+            valid = run_id[k:] == run_id[:-k]
+            gid = run_id[:n - k][valid]
+            if len(gid) == 0:
+                continue
+            a, b = x[:-k][valid], x[k:][valid]
+            cnt = np.bincount(gid, minlength=ngroups).astype(np.float64)
+            sa = np.bincount(gid, weights=a, minlength=ngroups)
+            sb = np.bincount(gid, weights=b, minlength=ngroups)
+            saa = np.bincount(gid, weights=a * a, minlength=ngroups)
+            sbb = np.bincount(gid, weights=b * b, minlength=ngroups)
+            sab = np.bincount(gid, weights=a * b, minlength=ngroups)
+            va = np.maximum(cnt * saa - sa * sa, 0.0)
+            vb = np.maximum(cnt * sbb - sb * sb, 0.0)
+            den = np.sqrt(va * vb)
+            ok = (cnt >= 2) & (den > 0)
+            r = np.divide(cnt * sab - sa * sb, den,
+                          out=np.zeros(ngroups), where=ok)
+            if round_digits is not None:
+                r = np.round(r, round_digits)
+            has = np.flatnonzero(cnt >= 1)
+            acf = pc.if_else(pa.array(ok[has]),
+                             pa.array(r[has], pa.float64()),
+                             pa.scalar(None, pa.float64()))
+            cols = {c: t.column(c).take(pa.array(run_start[has]))
+                    for c in keys}
+            cols["lag_k"] = pa.array(np.full(len(has), k), pa.int64())
+            cols["acf"] = acf
+            parts.append(pa.table(cols))
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, keys, n_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")

@@ -1145,3 +1145,198 @@ def pca_project(embeddings, k: int = 4, *, vec_col: str = "embedding",
     ds = embeddings.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow", batch_size=batch_size)
     return top_vals, ds
+
+
+# ------------------------------------------------- hard-negative mining ---
+
+
+@ray.remote(num_returns=3)
+def _assemble_labeled_matrix(vec_col: str, label_col: str, *tables):
+    """(ids, normalized matrix, int64 labels) broadcast triple, assembled
+    inside a task from the dataset's own blocks (driver never holds the
+    corpus — the _assemble_matrix contract, plus the label column)."""
+    tbl = pa.concat_tables(list(tables))
+    ids = tbl.column("vec_id").combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    mat = _normalize(_as_matrix(tbl.column(vec_col)))[order]
+    labels = tbl.column(label_col).combine_chunks().cast(
+        pa.int64()).to_numpy(zero_copy_only=False)[order]
+    return ids[order], mat, labels
+
+
+class _HardNegatives:
+    """Per-batch exact hardest cross-label neighbor against the ONE
+    broadcast (ids, matrix, labels) triple."""
+
+    def __init__(self, ids_ref, mat_ref, lab_ref, round_digits: int,
+                 vec_col: str, label_col: str):
+        get = (lambda r: ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+        self.ids, self.mat, self.labels = get(ids_ref), get(mat_ref), get(lab_ref)
+        self.round_digits = round_digits
+        self.vec_col = vec_col
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            pa.field("vec_id", pa.int64()), pa.field("label", pa.int64()),
+            pa.field("neg_id", pa.int64()), pa.field("neg_label", pa.int64())])
+        if len(batch) == 0:
+            return schema.empty_table()
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))
+        bids = batch.column("vec_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        blab = batch.column(self.label_col).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        sim = np.round(vecs @ self.mat.T, self.round_digits)
+        # a column is eligible iff its label differs (self is same-label)
+        sim[blab[:, None] == self.labels[None, :]] = -np.inf
+        has = np.isfinite(sim).any(axis=1)
+        # matrix columns are id-ascending, so argmax's first-max rule IS
+        # the min-neg_id tie break at the rounded grain
+        best = sim.argmax(axis=1)
+        return pa.Table.from_arrays(
+            [pa.array(bids[has], pa.int64()),
+             pa.array(blab[has], pa.int64()),
+             pa.array(self.ids[best[has]], pa.int64()),
+             pa.array(self.labels[best[has]], pa.int64())],
+            schema=schema)
+
+
+def hard_negatives(embeddings, *, label_col: str = "label",
+                   vec_col: str = "embedding", round_digits: int = 9,
+                   batch_size: int = 2048):
+    """Hard-negative mining for contrastive / metric training (the
+    in-batch-negatives upgrade of DPR, arXiv:2004.04906 §5.2): for every
+    vector, the single most-similar vector carrying a DIFFERENT label ->
+    ``(vec_id, label, neg_id, neg_label)``. Vectors whose label covers
+    the whole corpus emit no row (no negative exists).
+
+    Exact brute baseline, same broadcast shape as
+    :func:`cosine_pairs_brute`: the (ids, matrix, labels) triple is
+    assembled in a Ray task and broadcast once; batches stream map-only —
+    O(n^2) flops, O(n) shuffle. The IVF route (probe label-mixed cells
+    only) is the documented 100 TB swap, exactly as for knn.
+
+    Determinism: similarities are rounded to ``round_digits`` before the
+    argmax and ties break to the smallest neg_id (columns are
+    id-ascending) — bit-equal to the straight-line gold recompute
+    (``sources.gold_derived.write_hard_negatives_gold``, same kernel).
+    The float score is dropped from the output for the same cross-BLAS
+    ulp rationale as knn (gold_derived.write_knn_self_gold).
+    """
+    ds = embeddings.select_columns(
+        ["vec_id", label_col, vec_col]).materialize()
+    ids_ref, mat_ref, lab_ref = _assemble_labeled_matrix.remote(
+        vec_col, label_col, *ds.to_arrow_refs())
+    return ds.map_batches(
+        _task_fn("hardneg", (ids_ref, mat_ref, lab_ref),
+                 lambda: _HardNegatives(ids_ref, mat_ref, lab_ref,
+                                        round_digits, vec_col, label_col)),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+# ------------------------------------------- k-center greedy coreset ---
+
+
+def kcenter_select(embeddings, k: int = 16, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", round_digits: int = 9,
+                   out_round: int = 4, batch_size: int = 4096):
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    diversity-sampling rule for training-data subset selection (Sener &
+    Savarese, arXiv:1708.00489): start from the smallest id, then k-1
+    times add the point FARTHEST from its nearest already-selected
+    center. Returns a k-row Dataset ``(rank, vec_id, dist)`` in selection
+    order, ``dist`` = the point's min squared Euclidean distance to the
+    prior centers at the moment it was chosen (0.0 for the seed) —
+    monotonically non-increasing, the coreset's covering-radius curve.
+
+    Greedy selection is inherently sequential in k, so the distributed
+    shape is k map-only passes: the current center matrix (<= k x d,
+    tiny) broadcasts each round, every batch computes min-distance to it
+    in one GEMM and emits a ONE-ROW (argmax, dist, vector) partial, and
+    the driver folds the partials — the corpus never leaves the object
+    store, nothing shuffles. Cost is k streaming passes (k is tens for
+    coresets; callers needing k in the thousands should switch to the
+    two-level sketch variant — sample, select on the sample).
+
+    Determinism: distances round to ``round_digits`` before every
+    argmax; ties break to the smallest id. Bit-equal to the straight-line
+    gold (``sources.gold_derived.write_kcenter_gold``, same kernel).
+    """
+    ds = embeddings.select_columns([id_col, vec_col]).materialize()
+    n = ds.count()
+    if n == 0 or k <= 0:
+        return ray.data.from_arrow(pa.schema(
+            [pa.field("rank", pa.int64()), pa.field(id_col, pa.int64()),
+             pa.field("dist", pa.float64())]).empty_table())
+    k = min(k, n)
+
+    # seed: the globally smallest id (one partial-min pass)
+    def seed_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([pa.field("id", pa.int64()),
+                              pa.field("vec", pa.list_(pa.float64()))]
+                             ).empty_table()
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        j = int(ids.argmin())
+        return pa.table({"id": pa.array([int(ids[j])], pa.int64()),
+                         "vec": pa.array([_as_matrix(
+                             t.column(vec_col))[j].tolist()],
+                             pa.list_(pa.float64()))})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow",
+                           batch_size=batch_size).take_all()
+    best = min(seeds, key=lambda r: r["id"])
+    sel_ids = [int(best["id"])]
+    centers = [np.asarray(best["vec"], dtype=np.float64)]
+    dists = [0.0]
+
+    for _ in range(k - 1):
+        cmat = np.vstack(centers)
+        c2 = (cmat * cmat).sum(axis=1)
+        sel_ref = ray.put(np.array(sel_ids, dtype=np.int64))
+        cref = ray.put((cmat, c2))
+
+        def far_partial(t: pa.Table, _c=cref, _s=sel_ref) -> pa.Table:
+            schema = pa.schema([pa.field("id", pa.int64()),
+                                pa.field("dist", pa.float64()),
+                                pa.field("vec", pa.list_(pa.float64()))])
+            if len(t) == 0:
+                return schema.empty_table()
+            cm, csq = ray.get(_c)
+            taken = ray.get(_s)
+            x = _as_matrix(t.column(vec_col))
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = ~np.isin(ids, taken)
+            if not keep.any():
+                return schema.empty_table()
+            x, ids = x[keep], ids[keep]
+            d2 = np.maximum(
+                (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cm.T)
+                + csq[None, :], 0.0)
+            mind = np.round(d2.min(axis=1), round_digits)
+            top = mind.max()
+            cand = np.flatnonzero(mind == top)
+            j = cand[ids[cand].argmin()]
+            return pa.table({"id": pa.array([int(ids[j])], pa.int64()),
+                             "dist": pa.array([float(top)], pa.float64()),
+                             "vec": pa.array([x[j].tolist()],
+                                             pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(far_partial, batch_format="pyarrow",
+                               batch_size=batch_size).take_all()
+        if not parts:
+            break
+        best = max(parts, key=lambda r: (r["dist"], -r["id"]))
+        sel_ids.append(int(best["id"]))
+        centers.append(np.asarray(best["vec"], dtype=np.float64))
+        dists.append(float(best["dist"]))
+
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(sel_ids) + 1), pa.int64()),
+        id_col: pa.array(sel_ids, pa.int64()),
+        "dist": pa.array([round(d, out_round) for d in dists],
+                         pa.float64())}))

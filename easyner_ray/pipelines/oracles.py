@@ -3197,3 +3197,67 @@ RELATIONAL["docs_split_no_leakage"] = """
                 THEN 'train' ELSE 'val' END AS split
     FROM reps ORDER BY doc_id
 """
+
+RELATIONAL["events_autocorr"] = """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+    l AS (SELECT * FROM (VALUES (1), (2), (3), (7)) AS t(lag_k))
+    SELECT a.event_type, CAST(l.lag_k AS BIGINT) AS lag_k,
+           round(corr(b.n, a.n), 4) AS acf
+    FROM r a
+    JOIN l ON true
+    JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn + l.lag_k
+    GROUP BY 1, 2
+"""
+
+RELATIONAL["docs_nb_source_pred"] = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tot AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM tot ORDER BY c DESC, term LIMIT 512),
+    vsz AS (SELECT count(*) AS v FROM vocab),
+    vt AS (SELECT t.* FROM toks t JOIN vocab USING (term)),
+    cls AS (SELECT source AS cl, count(*) AS nd FROM documents GROUP BY 1),
+    nd_all AS (SELECT count(*) AS n FROM documents),
+    ctc AS (SELECT source AS cl, term, count(*) AS c FROM vt GROUP BY 1, 2),
+    totc AS (SELECT source AS cl, count(*) AS tc FROM vt GROUP BY 1),
+    model AS (
+      SELECT cls.cl, vocab.term,
+             ln((coalesce(ctc.c, 0) + 1.0)
+                / (coalesce(totc.tc, 0) + vsz.v)) AS logp
+      FROM cls CROSS JOIN vocab CROSS JOIN vsz
+      LEFT JOIN totc ON totc.cl = cls.cl
+      LEFT JOIN ctc ON ctc.cl = cls.cl AND ctc.term = vocab.term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM vt GROUP BY 1, 2),
+    scores AS (
+      SELECT d.doc_id, cls.cl,
+             ln(cls.nd * 1.0 / nd_all.n)
+               + coalesce(sum(tf.tf * m.logp), 0.0) AS s
+      FROM documents d CROSS JOIN cls CROSS JOIN nd_all
+      LEFT JOIN tf ON tf.doc_id = d.doc_id
+      LEFT JOIN model m ON m.cl = cls.cl AND m.term = tf.term
+      GROUP BY d.doc_id, cls.cl, cls.nd, nd_all.n),
+    best AS (
+      SELECT doc_id, cl, round(s, 4) AS s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(s, 4) DESC, cl) AS rn
+      FROM scores)
+    SELECT d.doc_id, d.source, b.cl AS pred_source, b.s AS score
+    FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1
+"""
+
+GHN = f"read_parquet('{SYNTH}/gold_hard_negatives.parquet')"
+RELATIONAL["embedding_hard_negatives"] = \
+    f"SELECT vec_id, label, neg_id, neg_label FROM {GHN}"
+
+GKC = f"read_parquet('{SYNTH}/gold_kcenter.parquet')"
+RELATIONAL["embedding_kcenter"] = \
+    f"SELECT rank, vec_id, dist FROM {GKC}"

@@ -5175,3 +5175,65 @@ def docs_split_no_leakage(sf_dir: str):
     out = split_assign(joined.select_columns(["doc_id", "rep"]), "rep",
                        [("train", 0.9), ("val", 1.0)])
     return out.select_columns(["doc_id", "rep", "split"]).sort("doc_id")
+
+
+def events_autocorr(sf_dir: str):
+    """Lag-k autocorrelation of the per-type daily event-count series
+    (lags 1/2/3/7 — the day-over-day and weekly-cycle probes): collapse
+    the corpus to the tiny (type x day) keyspace first, then one
+    bucketed segment-kernel exchange computes every (type, lag) Pearson
+    coefficient vectorized (ops.analytic.grouped_autocorr). The
+    seasonality census a monitoring pipeline runs before alerting on
+    volume anomalies."""
+    from easyner_ray.ops.analytic import grouped_autocorr
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.floor_temporal(t.column("ts"), unit="day")})
+
+    daily = grouped_agg(ev.map_batches(day_key, batch_format="pyarrow"),
+                        ["event_type", "day"], [("day", "count", "n")])
+    return grouped_autocorr(daily, ["event_type"], ["day"], "n",
+                            lags=(1, 2, 3, 7))
+
+
+def docs_nb_source_pred(sf_dir: str):
+    """Label-recovery census via distributed multinomial Naive Bayes
+    (ops.classify): fit source-given-text on the corpus, score every
+    doc, emit (doc_id, source, pred_source, score) — the quality-
+    classifier shape of CCNet/GPT-3-style curation with a closed-form,
+    oracle-checkable fit. Two vocab-keyspace aggregates + one map-only
+    scoring pass; the (V x C) model broadcasts once."""
+    from easyner_ray.ops.classify import naive_bayes_predict
+
+    return naive_bayes_predict(
+        _rp(sf_dir, "documents", columns=["doc_id", "source", "text"]),
+        vocab_size=512)
+
+
+def embedding_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: each vector's
+    most-similar DIFFERENT-label neighbor (ops.similarity.hard_negatives
+    — broadcast matrix, map-only batches, score rounded before argmax).
+    Oracle = straight-line recompute (gold_hard_negatives.parquet)."""
+    from easyner_ray.ops.similarity import hard_negatives
+
+    _corpus(sf_dir)  # gold table keyed to this sf_dir
+    return hard_negatives(
+        _rp(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]))
+
+
+def embedding_kcenter(sf_dir: str):
+    """Greedy k-center coreset (diversity subset selection, Sener &
+    Savarese 2018): 16 selection rounds, each one broadcast + one
+    map-only farthest-point pass (ops.similarity.kcenter_select).
+    Oracle = straight-line recompute (gold_kcenter.parquet)."""
+    from easyner_ray.ops.similarity import kcenter_select
+
+    _corpus(sf_dir)
+    return kcenter_select(
+        _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=16)

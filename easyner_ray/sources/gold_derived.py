@@ -1464,6 +1464,10 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_rp_reduce_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_pca.parquet")):
             write_pca_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_hard_negatives.parquet")):
+            write_hard_negatives_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_kcenter.parquet")):
+            write_kcenter_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
@@ -1985,5 +1989,82 @@ def write_random_walks_gold(corpus: str, walks_per_node: int = 2,
          pa.array(steps, pa.int64()), pa.array(out_nodes, pa.string())],
         names=["start", "walk_id", "step", "node"])
     path = os.path.join(corpus, "gold_random_walks.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_hard_negatives_gold(corpus: str, embeddings_path: str,
+                              round_digits: int = 9) -> str:
+    """Straight-line hard-negative recompute (spec:
+    ops.similarity.hard_negatives — cosine over L2-normalized vectors
+    rounded to ``round_digits`` before an argmax whose ties break to the
+    smallest neg_id; the float score is dropped, same ulp rationale as
+    write_knn_self_gold). Output: (vec_id, label, neg_id, neg_label),
+    int64 throughout."""
+    emb = pq.read_table(embeddings_path,
+                        columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = np.asarray(emb.column("label").to_pylist(),
+                        dtype=np.int64)[order]
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])[order]
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat = mat / nrm
+    sim = np.round(mat @ mat.T, round_digits)
+    sim[labels[:, None] == labels[None, :]] = -np.inf
+    has = np.isfinite(sim).any(axis=1)
+    best = sim.argmax(axis=1)
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids[has], pa.int64()),
+         pa.array(labels[has], pa.int64()),
+         pa.array(ids[best[has]], pa.int64()),
+         pa.array(labels[best[has]], pa.int64())],
+        names=["vec_id", "label", "neg_id", "neg_label"])
+    path = os.path.join(corpus, "gold_hard_negatives.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_kcenter_gold(corpus: str, embeddings_path: str, k: int = 16,
+                       round_digits: int = 9, out_round: int = 4) -> str:
+    """Straight-line greedy k-center recompute (spec:
+    ops.similarity.kcenter_select — seed at the smallest id, then
+    farthest-point steps on min squared Euclidean distance rounded to
+    ``round_digits``, ties to the smallest id). Output:
+    (rank, vec_id, dist)."""
+    emb = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])[order]
+    n = len(ids)
+    k = min(k, n)
+    sel = [0]                       # ids are sorted: index 0 = min id
+    dists = [0.0]
+    x2 = (mat * mat).sum(axis=1)
+    for _ in range(k - 1):
+        cm = mat[sel]
+        d2 = np.maximum(
+            x2[:, None] - 2.0 * (mat @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :], 0.0)
+        mind = np.round(d2.min(axis=1), round_digits)
+        mind[sel] = -np.inf
+        top = mind.max()
+        if not np.isfinite(top):
+            break
+        cand = np.flatnonzero(mind == top)
+        j = int(cand[ids[cand].argmin()])
+        sel.append(j)
+        dists.append(float(top))
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.arange(1, len(sel) + 1), pa.int64()),
+         pa.array(ids[sel], pa.int64()),
+         pa.array([round(d, out_round) for d in dists], pa.float64())],
+        names=["rank", "vec_id", "dist"])
+    path = os.path.join(corpus, "gold_kcenter.parquet")
     pq.write_table(tbl, path)
     return path

@@ -1,0 +1,171 @@
+"""Round-5 session-14 operators: grouped lag-k autocorrelation, the
+distributed Naive Bayes label-recovery classifier, hard-negative mining,
+and greedy k-center coreset selection — closed-form / hand-computed
+fixtures plus the degenerate edges (constant series, single-label
+corpus, k > n)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _acf_map(ds):
+    rows = ds.take_all()
+    return {(r.get("g", None), r["lag_k"]): r["acf"] for r in rows}
+
+
+class TestGroupedAutocorr:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        from easyner_ray.ops.analytic import grouped_autocorr
+
+        x = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * len(x), "o": list(range(len(x))), "v": x}))
+        got = _acf_map(grouped_autocorr(ds, ["g"], ["o"], "v",
+                                        lags=(1, 2, 3)))
+        arr = np.array(x)
+        for k in (1, 2, 3):
+            want = round(float(np.corrcoef(arr[:-k], arr[k:])[0, 1]), 4)
+            assert got[("a", k)] == pytest.approx(want, abs=1e-9), k
+
+    def test_constant_series_is_null_and_short_series_has_no_row(
+            self, ray_session):
+        from easyner_ray.ops.analytic import grouped_autocorr
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["c"] * 4 + ["s"] * 2,
+            "o": [0, 1, 2, 3, 0, 1],
+            "v": [7.0, 7.0, 7.0, 7.0, 1.0, 2.0]}))
+        got = _acf_map(grouped_autocorr(ds, ["g"], ["o"], "v", lags=(1, 3)))
+        # constant series: integer power sums are exact -> variance is
+        # exactly 0 -> NULL (DuckDB corr semantics), never a residue
+        assert got[("c", 1)] is None
+        # 2-row series at lag 1: one pair -> row present, corr undefined
+        assert got[("s", 1)] is None
+        # lag 3 on the 2-row series: zero pairs -> NO row
+        assert ("s", 3) not in got
+        # lag 3 on the 4-row series: exactly one pair -> NULL
+        assert got[("c", 3)] is None
+
+    def test_groups_do_not_bleed_across_boundary(self, ray_session):
+        from easyner_ray.ops.analytic import grouped_autocorr
+
+        # two groups, each perfectly increasing: lag-1 acf = 1.0 in both;
+        # a cross-group pair would break the perfect correlation
+        ds = rd.from_arrow(pa.table({
+            "g": ["a", "a", "a", "b", "b", "b"],
+            "o": [0, 1, 2, 0, 1, 2],
+            "v": [1.0, 2.0, 3.0, 30.0, 20.0, 10.0]}))
+        got = _acf_map(grouped_autocorr(ds, ["g"], ["o"], "v", lags=(1,)))
+        assert got[("a", 1)] == 1.0
+        assert got[("b", 1)] == 1.0
+
+    def test_rejects_nonpositive_lag(self, ray_session):
+        from easyner_ray.ops.analytic import grouped_autocorr
+
+        with pytest.raises(ValueError):
+            grouped_autocorr(rd.from_items([{"g": 1, "o": 1, "v": 1.0}]),
+                             ["g"], ["o"], "v", lags=(0,))
+
+
+class TestNaiveBayes:
+    def test_recovers_separable_labels(self, ray_session):
+        from easyner_ray.ops.classify import naive_bayes_predict
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": list(range(6)),
+            "source": ["cats", "cats", "cats", "dogs", "dogs", "dogs"],
+            "text": ["meow purr whiskers", "purr meow meow",
+                     "whiskers purr nap", "woof bark fetch",
+                     "bark woof woof", "fetch bark tail"]}))
+        out = {r["doc_id"]: r for r in
+               naive_bayes_predict(docs, vocab_size=32).take_all()}
+        assert len(out) == 6
+        for i in range(6):
+            assert out[i]["pred_source"] == out[i]["source"], i
+            assert out[i]["score"] < 0  # log posterior
+
+    def test_empty_text_scores_prior_with_lex_tiebreak(self, ray_session):
+        from easyner_ray.ops.classify import naive_bayes_predict
+
+        # the empty doc has no features; equal priors -> rounded scores
+        # tie across classes -> lexicographically smallest class wins
+        docs = rd.from_arrow(pa.table({
+            "doc_id": [0, 1, 2],
+            "source": ["zeta", "alpha", "zeta"],
+            "text": ["zig zag", "apple ant", ""]}))
+        out = {r["doc_id"]: r for r in
+               naive_bayes_predict(docs, vocab_size=8).take_all()}
+        # priors: zeta 2/3, alpha 1/3 -> empty doc takes the larger prior
+        assert out[2]["pred_source"] == "zeta"
+        assert out[2]["score"] == round(float(np.log(2 / 3)), 4)
+
+
+class TestHardNegatives:
+    def test_hand_fixture(self, ray_session):
+        from easyner_ray.ops.similarity import hard_negatives
+
+        # axis-aligned vectors: 0,1 share label A; 2,3 label B.
+        # id0=(1,0); id2=(1,0.1)/|.| is its closest cross-label vector.
+        emb = rd.from_arrow(pa.table({
+            "vec_id": [0, 1, 2, 3],
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0], [1.0, 0.1], [0.1, 1.0]],
+                pa.list_(pa.float32()))}))
+        got = {r["vec_id"]: r for r in hard_negatives(emb).take_all()}
+        assert got[0]["neg_id"] == 2 and got[0]["neg_label"] == 1
+        assert got[1]["neg_id"] == 3
+        assert got[2]["neg_id"] == 0
+        assert got[3]["neg_id"] == 1
+        assert all(r["label"] != r["neg_label"] for r in got.values())
+
+    def test_single_label_corpus_emits_nothing(self, ray_session):
+        from easyner_ray.ops.similarity import hard_negatives
+
+        emb = rd.from_arrow(pa.table({
+            "vec_id": [0, 1],
+            "label": pa.array([5, 5], pa.int32()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32()))}))
+        assert hard_negatives(emb).count() == 0
+
+
+class TestKCenter:
+    def test_line_fixture_selection_order(self, ray_session):
+        from easyner_ray.ops.similarity import kcenter_select
+
+        # points on a line at 0, 1, 10: seed = min id (x=0), then the
+        # farthest point (x=10, d^2=100), then x=1 (d^2=1 to center 0)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": [0, 1, 2],
+            "embedding": pa.array([[0.0], [1.0], [10.0]],
+                                  pa.list_(pa.float32()))}))
+        rows = kcenter_select(emb, k=3).sort("rank").take_all()
+        assert [(r["rank"], r["vec_id"], r["dist"]) for r in rows] == [
+            (1, 0, 0.0), (2, 2, 100.0), (3, 1, 1.0)]
+
+    def test_k_exceeding_n_selects_all(self, ray_session):
+        from easyner_ray.ops.similarity import kcenter_select
+
+        emb = rd.from_arrow(pa.table({
+            "vec_id": [4, 7],
+            "embedding": pa.array([[0.0, 0.0], [3.0, 4.0]],
+                                  pa.list_(pa.float32()))}))
+        rows = kcenter_select(emb, k=10).sort("rank").take_all()
+        assert [(r["vec_id"], r["dist"]) for r in rows] == [(4, 0.0),
+                                                            (7, 25.0)]
+
+    def test_covering_radius_is_nonincreasing(self, ray_session):
+        from easyner_ray.ops.similarity import kcenter_select
+
+        rng = np.random.RandomState(3)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": list(range(40)),
+            "embedding": pa.array(rng.randn(40, 8).tolist(),
+                                  pa.list_(pa.float32()))}))
+        rows = kcenter_select(emb, k=8).sort("rank").take_all()
+        d = [r["dist"] for r in rows][1:]  # seed's 0.0 excluded
+        assert all(a >= b for a, b in zip(d, d[1:]))
+        assert len({r["vec_id"] for r in rows}) == 8
