@@ -578,14 +578,50 @@ def kg_nodes(sf_dir: str):
 
 
 def kg_edges(sf_dir: str):
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.canonicalize import aggregate_edges, cls_of_norm_map
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
+    """Aggregated co-occurrence edge table, served from the FUSED
+    single-pass build (:func:`_kg_edges_fused`) — verified value-identical
+    to the componentized ``aggregate_edges(sentence_triples(tag_mentions(
+    _sentences(...))))`` chain at sf0.01 and sf0.1 (the componentized
+    stages stay exercised by the kg_mentions / kg_triples legs and unit
+    tests; the edge table itself should come off the throughput path —
+    ~6x at sf0.1)."""
+    return _kg_edges_fused(sf_dir)
 
-    voc = vocabulary()
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), voc))
-    return aggregate_edges(triples, cls_of_norm=cls_of_norm_map([voc]))
+
+_FUSED_EDGES_CACHE: dict = {}
+
+
+def _fused_cache_key(sf_dir: str):
+    """Corpus identity + Ray job id (a materialized Dataset's object-store
+    refs die with the Ray session — same discipline as _kg_edge_pairs)."""
+    import ray
+
+    corpus = _corpus(sf_dir)
+    path = os.path.join(corpus, "transcripts.parquet")
+    st = os.stat(path)
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    return (path, st.st_mtime_ns, st.st_size, job)
+
+
+def _kg_edges_fused(sf_dir: str):
+    """MEMOIZED full edge table (schemas.EDGES) via the fused
+    read -> split+NER+partials -> final single pass
+    (``pipelines.kg.build_kg_single_pass``) — the throughput shape every
+    graph-analytics leg shares as its upstream. One corpus-sized pass
+    total per driver session; the cached payload is the vocab^2-bounded
+    edge table (~5 MB at sf0.1)."""
+    from easyner_ray.pipelines.kg import build_kg_single_pass
+
+    key = _fused_cache_key(sf_dir)
+    hit = _FUSED_EDGES_CACHE.get(key)
+    if hit is None:
+        hit = build_kg_single_pass(_transcripts(sf_dir))["edges"].materialize()
+        _FUSED_EDGES_CACHE.clear()  # one corpus at a time; bound the refs
+        _FUSED_EDGES_CACHE[key] = hit
+    return hit
 
 
 _DISTINCT_PAIRS_CACHE: dict = {}
@@ -598,27 +634,17 @@ def _kg_distinct_pairs(sf_dir: str):
     identity + Ray job id; payload is the vocab^2-bounded pair table)
     — kg_pagerank and kg_ppr otherwise each re-run the corpus-sized
     upstream back to back in a driver session."""
-    import ray
-
     from easyner_ray.ops.relational import grouped_agg
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
 
-    corpus = _corpus(sf_dir)  # gold table keyed to this sf_dir
-    path = os.path.join(corpus, "transcripts.parquet")
-    st = os.stat(path)
-    try:
-        job = ray.get_runtime_context().get_job_id()
-    except Exception:
-        job = None
-    key = (path, st.st_mtime_ns, st.st_size, job)
+    key = _fused_cache_key(sf_dir)  # also ensures gold for this sf_dir
     hit = _DISTINCT_PAIRS_CACHE.get(key)
     if hit is not None:
         return hit
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    # distinct (subj, obj) off the memoized FUSED edge table — an edge row
+    # exists exactly for each distinct (subj, pred, obj) of the triples,
+    # so a vocab^2-bounded grouped distinct over it IS the triple pair set
     pairs = grouped_agg(
-        triples.map_batches(
+        _kg_edges_fused(sf_dir).map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("subj"), t.column("obj")], names=["src", "dst"]),
             batch_format="pyarrow"),
@@ -2424,20 +2450,13 @@ def _kg_edge_pairs(sf_dir: str):
     (resolved transcripts path + mtime + size) AND the Ray job id — a
     materialized Dataset holds object-store refs that die with the Ray
     session, so a fresh ``ray.init`` in the same process misses cleanly.
-    Cache payload is the vocab^2-bounded edge table only (~5 MB)."""
-    import ray
-
-    corpus = _corpus(sf_dir)
-    path = os.path.join(corpus, "transcripts.parquet")
-    st = os.stat(path)
-    try:
-        job = ray.get_runtime_context().get_job_id()
-    except Exception:
-        job = None
-    key = (path, st.st_mtime_ns, st.st_size, job)
+    Cache payload is the vocab^2-bounded edge table only (~5 MB).
+    Served off the FUSED single-pass edge build (:func:`_kg_edges_fused`),
+    so the one corpus-sized pass is shared with kg_edges itself."""
+    key = _fused_cache_key(sf_dir)
     hit = _EDGE_PAIRS_CACHE.get(key)
     if hit is None:
-        hit = kg_edges(sf_dir).select_columns(
+        hit = _kg_edges_fused(sf_dir).select_columns(
             ["subj", "obj", "weight"]).materialize()
         _EDGE_PAIRS_CACHE.clear()  # one corpus at a time; bound the refs
         _EDGE_PAIRS_CACHE[key] = hit
@@ -3696,8 +3715,11 @@ def docs_dup_pairs_by_source(sf_dir: str):
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
     docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    # checkpoint the candidate pairs: the two adaptive joins each probe
+    # schema + byte size, and an unmaterialized pairs plan re-runs the
+    # whole shingle->minhash->band chain per probe (plans are trees)
     pairs = minhash_lsh_pairs(
-        docs.select_columns(["doc_id", "text"]), threshold=0.2)
+        docs.select_columns(["doc_id", "text"]), threshold=0.2).materialize()
     src = docs.map_batches(
         lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow")
     a_side = src.map_batches(
