@@ -877,7 +877,7 @@ def tool_transitions(transcripts):
 
 
 def compression_ratio(transcripts, *, level: int = 6, sep: str = "\n",
-                      batch_size: int = 2048):
+                      batch_size: int = 2048, assembled=None):
     """Per-conversation zlib compressibility census -> (conv_id, n_turns,
     raw_bytes, comp_bytes): DEFLATE-compressed size of the assembled
     dialog vs its raw UTF-8 size — the classic "templated/repetitive
@@ -889,10 +889,15 @@ def compression_ratio(transcripts, *, level: int = 6, sep: str = "\n",
     deliberate: zlib.compress is the work and it is C — the Python
     overhead per conversation is noise next to DEFLATE over its bytes.
     ``level`` is pinned so the derived gold (same zlib build, straight-
-    line recompute) is byte-identical."""
+    line recompute) is byte-identical.
+
+    ``assembled`` short-circuits the assembly when the caller already
+    holds the :func:`assemble_conversations` output (shared-upstream
+    memoization); ``transcripts``/``sep`` are ignored then."""
     import zlib
 
-    conv = assemble_conversations(transcripts, sep=sep)
+    conv = assembled if assembled is not None else \
+        assemble_conversations(transcripts, sep=sep)
 
     def f(t: pa.Table, lv=level) -> pa.Table:
         texts = t.column("text").to_pylist()

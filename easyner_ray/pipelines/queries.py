@@ -535,11 +535,72 @@ def _sentences(sf_dir: str):
     return split_sentences(drop_empty_turns(_transcripts(sf_dir)))
 
 
+_MENTIONS_CACHE: dict = {}
+_TRIPLES_CACHE: dict = {}
+
+
 def _mentions(sf_dir: str):
+    """Exploded mention stream — the shared corpus-grain upstream of ~20
+    analysis legs. MATERIALIZED + MEMOIZED per (corpus, Ray job), same
+    discipline as :func:`_kg_edge_pairs`: a driver session runs those
+    legs back to back and each otherwise re-runs the identical
+    split -> tag -> explode chain. Payload is the mention table
+    (corpus-bounded, ~tens of MB at bench scale, spillable); at 100 TB
+    the same amortization is a partitioned-parquet checkpoint through
+    the resumable sink instead of an in-session cache."""
     from easyner_ray.sources.vocab import vocabulary
     from easyner_ray.stages.dict_ner import explode_mentions, tag_mentions
 
-    return explode_mentions(tag_mentions(_sentences(sf_dir), vocabulary()))
+    key = _fused_cache_key(sf_dir)
+    hit = _MENTIONS_CACHE.get(key)
+    if hit is None:
+        hit = explode_mentions(
+            tag_mentions(_sentences(sf_dir), vocabulary())).materialize()
+        _MENTIONS_CACHE.clear()
+        _MENTIONS_CACHE[key] = hit
+    return hit
+
+
+_ASSEMBLED_CACHE: dict = {}
+
+
+def _assembled_convs(sf_dir: str):
+    """Assembled full-dialog documents (conv_id, n_turns, text with the
+    default newline sep) — the shared upstream of the conversation-grain
+    census legs (C4 line filter, line dedup, minhash near-dup,
+    compressibility). MATERIALIZED + MEMOIZED like :func:`_mentions`;
+    payload is the corpus text re-keyed to conversations (spillable;
+    the 100 TB shape is a partitioned-parquet checkpoint)."""
+    from easyner_ray.ops.conversations import assemble_conversations
+
+    key = _fused_cache_key(sf_dir)
+    hit = _ASSEMBLED_CACHE.get(key)
+    if hit is None:
+        hit = assemble_conversations(_transcripts_cols(
+            sf_dir, ["conv_id", "turn_idx", "text"])).materialize()
+        _ASSEMBLED_CACHE.clear()
+        _ASSEMBLED_CACHE[key] = hit
+    return hit
+
+
+def _kg_sentence_triples(sf_dir: str):
+    """Sentence-grain co-occurrence triple stream (subj, pred, obj +
+    provenance) — the shared upstream of the typed-edge / NPMI /
+    activity / evidence / meta-path legs. MATERIALIZED + MEMOIZED like
+    :func:`_mentions`; payload is the triple table (sentence x in-vocab
+    pair bounded)."""
+    from easyner_ray.sources.vocab import vocabulary
+    from easyner_ray.stages.dict_ner import tag_mentions
+    from easyner_ray.stages.triples import sentence_triples
+
+    key = _fused_cache_key(sf_dir)
+    hit = _TRIPLES_CACHE.get(key)
+    if hit is None:
+        hit = sentence_triples(
+            tag_mentions(_sentences(sf_dir), vocabulary())).materialize()
+        _TRIPLES_CACHE.clear()
+        _TRIPLES_CACHE[key] = hit
+    return hit
 
 
 def kg_sentences(sf_dir: str):
@@ -557,11 +618,7 @@ def kg_mentions(sf_dir: str):
 
 
 def kg_triples(sf_dir: str):
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
-
-    return sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    return _kg_sentence_triples(sf_dir)
 
 
 def kg_window_triples(sf_dir: str):
@@ -2511,11 +2568,7 @@ def kg_temporal_edges(sf_dir: str):
     read on the composite turn key (size-gated adaptive join), then
     collapse to the vocab^2-bounded pair keyspace."""
     from easyner_ray.ops.graph_analytics import temporal_edges
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
-
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    triples = _kg_sentence_triples(sf_dir)  # memoized shared upstream
     return temporal_edges(
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
 
@@ -2527,11 +2580,7 @@ def kg_edges_decayed(sf_dir: str):
     freshness-ranked edge stream a temporal-KG consumer feeds a
     decaying index from."""
     from easyner_ray.ops.graph_analytics import decayed_edges
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
-
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    triples = _kg_sentence_triples(sf_dir)  # memoized shared upstream
     return decayed_edges(
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]),
         half_life_s=7 * 86400.0)
@@ -2609,11 +2658,7 @@ def kg_edge_activity(sf_dir: str):
     rollup so a hot conversation ships one row per pair-bucket, not its
     full repeat mass."""
     from easyner_ray.ops.graph_analytics import edge_activity
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
-
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    triples = _kg_sentence_triples(sf_dir)  # memoized shared upstream
     return edge_activity(
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]),
         unit="hour")
@@ -2626,11 +2671,7 @@ def kg_edge_evidence(sf_dir: str):
     each batch forwards at most k rows per pair it sees
     (``topk_per_group``), never a hot pair's full evidence mass."""
     from easyner_ray.ops.graph_analytics import edge_evidence
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
-
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    triples = _kg_sentence_triples(sf_dir)  # memoized shared upstream
     return edge_evidence(triples, k=3)
 
 
@@ -3060,11 +3101,7 @@ def kg_growth(sf_dir: str):
     pair-keyspace first-seen aggregate and one day-bucket count."""
     from easyner_ray.ops.graph_analytics import temporal_edges
     from easyner_ray.ops.relational import grouped_agg
-    from easyner_ray.sources.vocab import vocabulary
-    from easyner_ray.stages.dict_ner import tag_mentions
-    from easyner_ray.stages.triples import sentence_triples
-
-    triples = sentence_triples(tag_mentions(_sentences(sf_dir), vocabulary()))
+    triples = _kg_sentence_triples(sf_dir)  # memoized shared upstream
     te = temporal_edges(
         triples, _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "ts"]))
     daily = te.map_batches(
@@ -3375,11 +3412,9 @@ def conv_c4_line_filter(sf_dir: str):
     scores (the flat documents table is single-line word salad, so the
     line rules are exercised on assembled dialogs). One fragment
     exchange to assemble, then map-only."""
-    from easyner_ray.ops.conversations import assemble_conversations
     from easyner_ray.ops.textstats import c4_line_filter
 
-    docs = assemble_conversations(
-        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"]))
+    docs = _assembled_convs(sf_dir)  # memoized shared upstream
     return c4_line_filter(docs.select_columns(["conv_id", "text"]),
                           id_col="conv_id")
 
@@ -3475,11 +3510,9 @@ def conv_dup_line_keep_first(sf_dir: str):
     min-conv_id dialog carrying them (163 duplicated turn texts / 1180
     occurrences at sf0.01) — the retention complement of the
     delete-every-copy boilerplate cut."""
-    from easyner_ray.ops.conversations import assemble_conversations
     from easyner_ray.ops.dedup import dup_line_keep_first
 
-    docs = assemble_conversations(
-        _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"])) \
+    docs = _assembled_convs(sf_dir) \
         .map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("conv_id"), t.column("text")],
@@ -3628,8 +3661,7 @@ def conv_compression(sf_dir: str):
     recompute, gold_compression.parquet)."""
     from easyner_ray.ops.conversations import compression_ratio
 
-    return compression_ratio(_transcripts_cols(
-        sf_dir, ["conv_id", "turn_idx", "text"]))
+    return compression_ratio(None, assembled=_assembled_convs(sf_dir))
 
 
 def conv_minhash_pairs(sf_dir: str):
@@ -3640,11 +3672,9 @@ def conv_minhash_pairs(sf_dir: str):
     minhash_lsh_pairs kernel; ids are the numeric conv suffix so the
     int64 pair contract holds. Oracle = straight-line recompute
     (gold_conv_minhash.parquet)."""
-    from easyner_ray.ops.conversations import assemble_conversations
     from easyner_ray.ops.dedup import minhash_lsh_pairs
 
-    conv = assemble_conversations(_transcripts_cols(
-        sf_dir, ["conv_id", "turn_idx", "text"]))
+    conv = _assembled_convs(sf_dir)  # memoized shared upstream
 
     def to_docs(t):
         return pa.table({
