@@ -244,6 +244,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lineitem_melt": q.lineitem_melt,
         "docs_epoch_shuffle": q.docs_epoch_shuffle,
         "conv_entity_sequence": q.conv_entity_sequence,
+        # round-5 session-14 operators
+        "events_autocorr": q.events_autocorr,
+        "docs_nb_source_pred": q.docs_nb_source_pred,
+        "embedding_hard_negatives": q.embedding_hard_negatives,
+        "embedding_kcenter": q.embedding_kcenter,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -169,3 +169,50 @@ class TestKCenter:
         d = [r["dist"] for r in rows][1:]  # seed's 0.0 excluded
         assert all(a >= b for a, b in zip(d, d[1:]))
         assert len({r["vec_id"] for r in rows}) == 8
+
+
+class TestSharedUpstreamMemoization:
+    """The session-14 shared-upstream caches (_kg_edges_fused, _mentions,
+    _kg_sentence_triples, _assembled_convs) must key on the CORPUS, not
+    just the process: switching sf_dir must yield that corpus' own
+    result, never a stale hit."""
+
+    def test_fused_edges_cache_keys_on_corpus(self, ray_session, tmp_path):
+        import os
+
+        import easyner_ray.pipelines.queries as q
+        from easyner_ray.sources.synthetic import ensure_corpus
+
+        os.environ.setdefault("EASYNER_SYNTH_ROOT", "/tmp/easyner_synth")
+        # two corpora of different sizes through the same memoized entry
+        sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+        ea = q._kg_edges_fused(sf_a).count()
+        eb = q._kg_edges_fused(sf_b).count()
+        ea2 = q._kg_edges_fused(sf_a).count()
+        assert ea == ea2
+        assert eb != ea  # different corpus -> different edge table
+
+    def test_fused_edges_match_componentized_chain(self, ray_session):
+        """kg_edges now serves the fused single-pass table; it must stay
+        value-identical to the componentized aggregate_edges chain."""
+        import pandas as pd
+
+        import easyner_ray.pipelines.queries as q
+        from easyner_ray.sources.vocab import vocabulary
+        from easyner_ray.stages.canonicalize import (aggregate_edges,
+                                                     cls_of_norm_map)
+        from easyner_ray.stages.dict_ner import tag_mentions
+        from easyner_ray.stages.triples import sentence_triples
+
+        sf = "/root/testdata/sf0.001"
+        fused = q.kg_edges(sf).to_pandas()
+        voc = vocabulary()
+        staged = aggregate_edges(
+            sentence_triples(tag_mentions(q._sentences(sf), voc)),
+            cls_of_norm=cls_of_norm_map([voc])).to_pandas()
+
+        def canon(df):
+            df = df[sorted(df.columns)]
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(fused), canon(staged))
