@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14_promo_revenue": q.tpch_q14_promo_revenue,  # cond-agg ratio
         "tpch_q18_large_orders": q.tpch_q18_large_orders,  # HAVING semi
         "tpch_q22_dormant_accounts": q.tpch_q22_dormant_accounts,  # anti join
+        "tpch_q7_nation_volume": q.tpch_q7_nation_volume,  # 2-nation flows
+        "tpch_q15_top_supplier": q.tpch_q15_top_supplier,  # max-subquery view
+        "tpch_q17_small_quantity": q.tpch_q17_small_quantity,  # correlated avg
+        "tpch_q19_disjunctive_revenue": q.tpch_q19_disjunctive_revenue,  # OR-pred
     }
 
 

@@ -3261,3 +3261,55 @@ RELATIONAL["embedding_hard_negatives"] = \
 GKC = f"read_parquet('{SYNTH}/gold_kcenter.parquet')"
 RELATIONAL["embedding_kcenter"] = \
     f"SELECT rank, vec_id, dist FROM {GKC}"
+
+RELATIONAL["tpch_q7_nation_volume"] = """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+
+RELATIONAL["tpch_q15_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev USING (s_suppkey)
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+RELATIONAL["tpch_q17_small_quantity"] = """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+RELATIONAL["tpch_q19_disjunctive_revenue"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""

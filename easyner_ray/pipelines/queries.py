@@ -5289,3 +5289,253 @@ def embedding_kcenter(sf_dir: str):
     _corpus(sf_dir)
     return kcenter_select(
         _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]), k=16)
+
+
+def tpch_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 analog (volume shipping between two nations): revenue
+    per (supplier nation, customer nation, ship year) for the
+    NATION_1 <-> NATION_2 pair, both directions. Both dimension chains
+    (supplier->nation, customer->nation) prune to the two nations BEFORE
+    touching a fact table, so the order and lineitem streams are
+    semi-reduced early; the two fact joins are adaptive
+    (broadcast under the byte gate, hash-shuffle above); per-batch
+    partial aggregation collapses to the 2 x 2 x years keyspace before
+    the final tiny rollup."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    pair = ("NATION_1", "NATION_2")
+    nation = _rp(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nation = nation.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("n_name"),
+                                    value_set=pa.array(pair))),
+        batch_format="pyarrow")
+
+    supp = adaptive_join(
+        _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation.map_batches(
+            lambda t: t.rename_columns(["s_nationkey", "supp_nation"]),
+            batch_format="pyarrow"),
+        on="s_nationkey").map_batches(
+        lambda t: t.select(["s_suppkey", "supp_nation"])
+                   .rename_columns(["l_suppkey", "supp_nation"]),
+        batch_format="pyarrow")
+
+    cust = adaptive_join(
+        _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        nation.map_batches(
+            lambda t: t.rename_columns(["c_nationkey", "cust_nation"]),
+            batch_format="pyarrow"),
+        on="c_nationkey").map_batches(
+        lambda t: t.select(["c_custkey", "cust_nation"]),
+        batch_format="pyarrow")
+
+    o_side = adaptive_join(
+        _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(lambda t: t.rename_columns(["l_orderkey", "c_custkey"]),
+                     batch_format="pyarrow"),
+        cust, on="c_custkey").map_batches(
+        lambda t: t.select(["l_orderkey", "cust_nation"]),
+        batch_format="pyarrow")
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
+    j = adaptive_join(adaptive_join(li, supp, on="l_suppkey"),
+                      o_side, on="l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        # keep only cross-nation flows (each side already restricted to
+        # the pair, so != IS the (1,2)|(2,1) disjunction)
+        t = t.filter(pc.not_equal(t.column("supp_nation"),
+                                  t.column("cust_nation")))
+        vol = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        yr = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        g = pa.table({"supp_nation": t.column("supp_nation"),
+                      "cust_nation": t.column("cust_nation"),
+                      "l_year": yr, "v": vol}) \
+            .group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("v", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "v"])
+
+    agg = grouped_agg(j.map_batches(partial, batch_format="pyarrow"),
+                      ["supp_nation", "cust_nation", "l_year"],
+                      [("v", "sum", "revenue")])
+    return agg.map_batches(lambda t: _round4(t, ["revenue"]),
+                           batch_format="pyarrow")
+
+
+def tpch_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog (top supplier): per-supplier revenue over a
+    3-month ship window, return the supplier(s) achieving the maximum.
+    The scan prunes 4 columns + the date window at the read edge;
+    per-batch per-suppkey partials collapse to the |supplier| keyspace
+    (100 rows), the max is a driver scalar off that small table, and
+    the supplier-name join is a broadcast. Revenue is rounded BEFORE
+    the max comparison on both engines (the SQL view does the same), so
+    the equality filter is grain-stable."""
+    import datetime as _dt
+
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 4, 1)
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"s_suppkey": t.column("l_suppkey"), "v": rev}) \
+            .group_by(["s_suppkey"]).aggregate([("v", "sum")]) \
+            .rename_columns(["s_suppkey", "v"])
+
+    rev = grouped_agg(li.map_batches(partial, batch_format="pyarrow"),
+                      ["s_suppkey"], [("v", "sum", "total_revenue")])
+    rev = rev.map_batches(
+        lambda t: _round4(t, ["total_revenue"]),
+        batch_format="pyarrow").materialize()  # |supplier| keyspace
+    best = max((r["total_revenue"] for r in rev.take_all()), default=None)
+    top = rev.map_batches(
+        lambda t, b=best: t.filter(pc.equal(t.column("total_revenue"), b))
+        if b is not None else t.slice(0, 0),
+        batch_format="pyarrow")
+    out = adaptive_join(
+        top, _rp(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        on="s_suppkey")
+    return out.select_columns(["s_suppkey", "s_name", "total_revenue"])
+
+
+def tpch_q17_small_quantity(sf_dir: str):
+    """TPC-H Q17 analog (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not filled, for one brand/type slice -> ONE row (avg_yearly).
+    The correlated per-part subquery becomes a first pass over the
+    part-pruned lineitem stream (per-partkey sum/count partials onto the
+    filtered-|part| keyspace), a broadcast threshold map, then a second
+    map-only pass with the quantity gate; the pruned stream is
+    checkpointed once so the two passes share the scan."""
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    parts = _rp(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type"])
+    pk = parts.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t.column("p_brand"), "Brand#3"),
+            pc.equal(t.column("p_type"), "SMALL"))).select(["p_partkey"]),
+        batch_format="pyarrow")
+    pk_ids = pa.concat_tables(
+        [ray.get(r) for r in pk.materialize().to_arrow_refs()]
+    ).column("p_partkey").combine_chunks()
+    pk_ref = ray.put(pk_ids)
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    pruned = li.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("l_partkey"),
+                                    value_set=ray.get(pk_ref))),
+        batch_format="pyarrow").materialize()  # shared by both passes
+
+    stats = grouped_agg(
+        pruned.map_batches(
+            lambda t: pa.table({"l_partkey": t.column("l_partkey"),
+                                "q": t.column("l_quantity"),
+                                "c": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow"),
+        ["l_partkey"], [("q", "sum", "sq"), ("c", "sum", "n")])
+    thr_rows = stats.take_all()  # filtered-|part| keyspace (small)
+    thr_keys = pa.array([r["l_partkey"] for r in thr_rows], pa.int64())
+    thr_vals = np.array([0.2 * (r["sq"] / r["n"]) for r in thr_rows])
+    thr_ref = ray.put((thr_keys, thr_vals))
+
+    def gate(t: pa.Table) -> pa.Table:
+        keys_b, vals_b = ray.get(thr_ref)
+        idx = pc.index_in(t.column("l_partkey"), value_set=keys_b)
+        lim = pa.array(
+            vals_b[np.asarray(idx.fill_null(0), dtype=np.int64)]
+            * np.asarray(pc.is_valid(idx), dtype=np.float64),
+            pa.float64())
+        keep = pc.less(t.column("l_quantity"), lim)
+        s = pc.sum(t.filter(keep).column("l_extendedprice"))
+        return pa.table({"s": pa.array([s.as_py()], pa.float64()),
+                         "n": pa.array([int(pc.sum(keep).as_py() or 0)],
+                                       pa.int64())})
+
+    parts_sum = pruned.map_batches(gate, batch_format="pyarrow").take_all()
+    total = sum(p["s"] for p in parts_sum if p["s"] is not None)
+    n = sum(p["n"] for p in parts_sum)
+    import ray.data as rd
+    if n == 0:  # SQL sum over an empty set is NULL
+        return rd.from_arrow(pa.table(
+            {"avg_yearly": pa.array([None], pa.float64())}))
+    return rd.from_arrow(pa.table(
+        {"avg_yearly": pa.array([round(total / 7.0, 4)], pa.float64())}))
+
+
+def tpch_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 analog (discounted revenue under a 3-way disjunctive
+    brand/size/quantity predicate) -> ONE row (revenue). The part
+    dimension prunes to the three brand/size windows and broadcasts as
+    a partkey -> case-class map; the lineitem stream is map-only (class
+    lookup + per-class quantity window + one scalar partial per batch);
+    no fact-side shuffle at any scale."""
+    import ray
+
+    cases = [("Brand#1", 15, 1.0, 11.0),
+             ("Brand#2", 25, 10.0, 20.0),
+             ("Brand#3", 35, 20.0, 30.0)]
+
+    parts = _rp(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        cls = pa.nulls(len(t), pa.int8())
+        for i, (brand, max_size, _lo, _hi) in enumerate(cases):
+            m = pc.and_(pc.and_(
+                pc.equal(t.column("p_brand"), brand),
+                pc.greater_equal(t.column("p_size"), 1)),
+                pc.less_equal(t.column("p_size"), max_size))
+            cls = pc.if_else(m, pa.scalar(i, pa.int8()), cls)
+        out = pa.table({"p_partkey": t.column("p_partkey"), "cls": cls})
+        return out.filter(pc.is_valid(cls))
+
+    pmap = pa.concat_tables([ray.get(r) for r in parts.map_batches(
+        classify, batch_format="pyarrow").materialize().to_arrow_refs()])
+    pref = ray.put((pmap.column("p_partkey").combine_chunks(),
+                    pmap.column("cls").combine_chunks()))
+    lows = np.array([c[2] for c in cases])
+    highs = np.array([c[3] for c in cases])
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, cls = ray.get(pref)
+        idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+        t = t.filter(pc.is_valid(idx))
+        idx = idx.filter(pc.is_valid(idx))
+        c = np.asarray(cls.take(idx), dtype=np.int64)
+        qn = np.asarray(t.column("l_quantity").combine_chunks(),
+                        dtype=np.float64)
+        keep = (qn >= lows[c]) & (qn <= highs[c])
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        s = float(pc.sum(rev.filter(pa.array(keep))).as_py() or 0.0)
+        return pa.table({"s": pa.array([s], pa.float64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    rows = li.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(r["s"] for r in rows)
+    n = sum(r["n"] for r in rows)
+    import ray.data as rd
+    if n == 0:
+        return rd.from_arrow(pa.table(
+            {"revenue": pa.array([None], pa.float64())}))
+    return rd.from_arrow(pa.table(
+        {"revenue": pa.array([round(total, 4)], pa.float64())}))
