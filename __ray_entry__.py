@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,  # max-subquery view
         "tpch_q17_small_quantity": q.tpch_q17_small_quantity,  # correlated avg
         "tpch_q19_disjunctive_revenue": q.tpch_q19_disjunctive_revenue,  # OR-pred
+        "events_markov_stationary": q.events_markov_stationary,  # behavior chain
     }
 
 

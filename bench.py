@@ -249,6 +249,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_nb_source_pred": q.docs_nb_source_pred,
         "embedding_hard_negatives": q.embedding_hard_negatives,
         "embedding_kcenter": q.embedding_kcenter,
+        "events_markov_stationary": q.events_markov_stationary,
+        "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
+        "tpch_q19_disjunctive_revenue": q.tpch_q19_disjunctive_revenue,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

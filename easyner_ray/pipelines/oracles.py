@@ -3313,3 +3313,7 @@ RELATIONAL["tpch_q19_disjunctive_revenue"] = """
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
            AND l_quantity BETWEEN 20 AND 30)
 """
+
+GMS = f"read_parquet('{SYNTH}/gold_markov_stationary.parquet')"
+RELATIONAL["events_markov_stationary"] = \
+    f"SELECT event_type, stationary_p FROM {GMS}"

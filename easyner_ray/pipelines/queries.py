@@ -5539,3 +5539,39 @@ def tpch_q19_disjunctive_revenue(sf_dir: str):
             {"revenue": pa.array([None], pa.float64())}))
     return rd.from_arrow(pa.table(
         {"revenue": pa.array([round(total, 4)], pa.float64())}))
+
+
+def events_markov_stationary(sf_dir: str):
+    """Stationary distribution of the user-behavior Markov chain: the
+    per-user event-type transition counts (the events_type_transitions
+    census) row-normalize into a |types| x |types| matrix, and 50 fixed
+    power iterations from the uniform vector give the long-run type mix
+    -> (event_type, stationary_p). Rows with no outgoing transitions
+    redistribute uniformly (the dangling correction, as in pagerank).
+    The corpus-sized work is exactly the one lead() exchange already
+    inside the transition census; the matrix itself is types^2 (tiny),
+    so the iteration runs on the driver with the shared rounding grain
+    (round-9 per step, spec-deterministic on both engines; oracle =
+    straight-line recompute, gold_markov_stationary.parquet)."""
+    import ray.data as rd
+
+    rows = events_type_transitions(sf_dir).take_all()
+    types = sorted({r["event_type"] for r in rows}
+                   | {r["next_type"] for r in rows})
+    k = len(types)
+    if k == 0:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "stationary_p": pa.array([], pa.float64())}))
+    idx = {t: i for i, t in enumerate(types)}
+    mat = np.zeros((k, k))
+    for r in rows:
+        mat[idx[r["event_type"]], idx[r["next_type"]]] = r["n"]
+    rs = mat.sum(axis=1, keepdims=True)
+    p = np.where(rs > 0, mat / np.where(rs == 0, 1.0, rs), 1.0 / k)
+    x = np.round(np.full(k, 1.0 / k), 9)
+    for _ in range(50):
+        x = np.round(x @ p, 9)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_p": pa.array(np.round(x, 4), pa.float64())}))

@@ -1497,6 +1497,9 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_approx_distinct_gold(corpus, events_path)
         if not os.path.exists(os.path.join(corpus, "gold_cms_counts.parquet")):
             write_cms_gold(corpus, events_path)
+        if not os.path.exists(os.path.join(
+                corpus, "gold_markov_stationary.parquet")):
+            write_markov_stationary_gold(corpus, events_path)
 
 
 def write_betweenness_gold(corpus: str, round_digits: int = 4) -> str:
@@ -2066,5 +2069,40 @@ def write_kcenter_gold(corpus: str, embeddings_path: str, k: int = 16,
          pa.array([round(d, out_round) for d in dists], pa.float64())],
         names=["rank", "vec_id", "dist"])
     path = os.path.join(corpus, "gold_kcenter.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_markov_stationary_gold(corpus: str, events_path: str) -> str:
+    """Straight-line recompute of the user-behavior Markov stationary
+    distribution (spec: pipelines.queries.events_markov_stationary —
+    per-user consecutive transitions ordered by (ts, event_id),
+    row-normalized with uniform dangling rows, 50 power iterations from
+    uniform with round-9 per step, output rounded to 4)."""
+    ev = pq.read_table(events_path,
+                       columns=["user_id", "ts", "event_id", "event_type"])
+    import numpy as np
+    import pandas as pd
+    df = ev.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort").reset_index(drop=True)
+    same_user = df["user_id"].values[1:] == df["user_id"].values[:-1]
+    a = df["event_type"].values[:-1][same_user]
+    b = df["event_type"].values[1:][same_user]
+    types = sorted(set(a) | set(b))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    mat = np.zeros((k, k))
+    for s, d in zip(a, b):
+        mat[idx[s], idx[d]] += 1
+    rs = mat.sum(axis=1, keepdims=True)
+    p = np.where(rs > 0, mat / np.where(rs == 0, 1.0, rs), 1.0 / k)
+    x = np.round(np.full(k, 1.0 / k), 9)
+    for _ in range(50):
+        x = np.round(x @ p, 9)
+    tbl = pa.Table.from_arrays(
+        [pa.array(types, pa.string()),
+         pa.array(np.round(x, 4), pa.float64())],
+        names=["event_type", "stationary_p"])
+    path = os.path.join(corpus, "gold_markov_stationary.parquet")
     pq.write_table(tbl, path)
     return path

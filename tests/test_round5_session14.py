@@ -216,3 +216,30 @@ class TestSharedUpstreamMemoization:
             return df.sort_values(list(df.columns)).reset_index(drop=True)
 
         pd.testing.assert_frame_equal(canon(fused), canon(staged))
+
+
+class TestMarkovStationary:
+    def test_absorbing_chain(self, ray_session, tmp_path):
+        """A -> B, B -> B: the stationary distribution collapses onto the
+        absorbing state regardless of the uniform start."""
+        import datetime as dt
+        import os
+
+        import pyarrow.parquet as pq
+
+        import easyner_ray.pipelines.queries as q
+
+        rows = [(1, dt.datetime(2025, 1, 1, 0, i), i, t)
+                for i, t in enumerate(["A", "B", "B", "B"])]
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+        d = tmp_path / "sfmk"
+        d.mkdir()
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r["stationary_p"]
+               for r in q.events_markov_stationary(str(d)).take_all()}
+        assert out == {"A": 0.0, "B": 1.0}
