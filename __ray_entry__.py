@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_quantity": q.tpch_q17_small_quantity,  # correlated avg
         "tpch_q19_disjunctive_revenue": q.tpch_q19_disjunctive_revenue,  # OR-pred
         "events_markov_stationary": q.events_markov_stationary,  # behavior chain
+        "events_theil_sen": q.events_theil_sen,          # robust trend slope
+        "events_trimmed_mean": q.events_trimmed_mean,    # p10-p90 band mean
     }
 
 

@@ -372,3 +372,76 @@ def grouped_autocorr(ds, partition_by: list[str], order_by: list[str],
         batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def grouped_theil_sen(ds, partition_by: list[str], x_col: str, y_col: str,
+                      *, round_digits: int | None = 4, n_buckets: int = 32):
+    """Theil–Sen robust trend per partition: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` over ``x_j > x_i`` — the
+    outlier-resistant replacement for an OLS slope on monitoring series
+    (one anomalous day cannot swing it; breakdown point ~29%). -> one
+    row per partition with >= 2 distinct x values, ``trend`` = the
+    interpolated median (SQL ``median``/``quantile_cont(0.5)``
+    semantics — numpy's 'linear' quantile is the same
+    lower + (upper-lower)*frac formula, so the value is cross-engine
+    stable at the rounding grain).
+
+    Meant for an already-collapsed series table (e.g. daily counts per
+    key), NOT the raw corpus. Distributed shape: the same one
+    hash-bucket exchange as :func:`partitioned_analytics`, then a
+    pure-numpy segment kernel — per group, pair indices come from one
+    ``np.triu_indices`` over the group's row range (pair count is
+    O(len^2) in the GROUP length, which is bounded by the series
+    grain — days — not the corpus). Pairs with equal x are skipped
+    (undefined slope), matching the SQL ``x_j > x_i`` join predicate.
+    """
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    keys = list(partition_by)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        out_schema = pa.schema(
+            [t.schema.field(c) for c in keys]
+            + [pa.field("n_pairs", pa.int64()),
+               pa.field("trend", pa.float64())])
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (c, "ascending") for c in keys + [x_col]]))
+        change = _change_flags(t, keys, n)
+        run_start = np.flatnonzero(change)
+        seg_len = np.diff(np.append(run_start, n))
+        x = np.asarray(t.column(x_col).combine_chunks().cast(pa.float64()),
+                       dtype=np.float64)
+        y = np.asarray(t.column(y_col).combine_chunks().cast(pa.float64()),
+                       dtype=np.float64)
+
+        out_rows, out_np, out_tr = [], [], []
+        for g, (s, ln) in enumerate(zip(run_start, seg_len)):
+            if ln < 2:
+                continue
+            i, j = np.triu_indices(ln, k=1)
+            dx = x[s + j] - x[s + i]
+            ok = dx > 0
+            if not ok.any():
+                continue
+            slopes = (y[s + j][ok] - y[s + i][ok]) / dx[ok]
+            med = float(np.quantile(slopes, 0.5, method="linear"))
+            out_rows.append(s)
+            out_np.append(int(ok.sum()))
+            out_tr.append(round(med, round_digits)
+                          if round_digits is not None else med)
+        if not out_rows:
+            return out_schema.empty_table()
+        cols = {c: t.column(c).take(pa.array(out_rows)) for c in keys}
+        cols["n_pairs"] = pa.array(out_np, pa.int64())
+        cols["trend"] = pa.array(out_tr, pa.float64())
+        return pa.table(cols)
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, keys, n_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")

@@ -3317,3 +3317,31 @@ RELATIONAL["tpch_q19_disjunctive_revenue"] = """
 GMS = f"read_parquet('{SYNTH}/gold_markov_stationary.parquet')"
 RELATIONAL["events_markov_stationary"] = \
     f"SELECT event_type, stationary_p FROM {GMS}"
+
+RELATIONAL["events_theil_sen"] = """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '1970-01-01',
+                       date_trunc('day', ts)) AS d,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type, (b.n - a.n) / (b.d - a.d) AS slope
+      FROM d a JOIN d b ON b.event_type = a.event_type AND b.d > a.d)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(slope), 4) AS trend
+    FROM p GROUP BY 1
+"""
+
+RELATIONAL["events_trimmed_mean"] = """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.1) AS lo,
+             quantile_cont(value, 0.9) AS hi
+      FROM events GROUP BY 1)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(e.value), 4) AS trimmed_mean
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value >= b.lo AND e.value <= b.hi
+    GROUP BY 1
+"""

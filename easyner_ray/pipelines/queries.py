@@ -5575,3 +5575,76 @@ def events_markov_stationary(sf_dir: str):
     return rd.from_arrow(pa.table({
         "event_type": pa.array(types, pa.string()),
         "stationary_p": pa.array(np.round(x, 4), pa.float64())}))
+
+
+def events_theil_sen(sf_dir: str):
+    """Robust daily-volume trend per event type: Theil–Sen slope (median
+    of pairwise day-over-day slopes) over the per-type daily count
+    series — the outlier-proof drift detector (one burst day cannot
+    swing it, unlike OLS). Collapse to the tiny (type x day) keyspace
+    first; the pairwise kernel runs per series inside one bucketed
+    exchange (ops.analytic.grouped_theil_sen). Days enter as integer
+    epoch days so slope units are events/day."""
+    from easyner_ray.ops.analytic import grouped_theil_sen
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day_key(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        epoch_day = pc.divide(day.cast(pa.int64()), 86400000000)
+        return pa.table({"event_type": t.column("event_type"),
+                         "d": epoch_day})
+
+    daily = grouped_agg(ev.map_batches(day_key, batch_format="pyarrow"),
+                        ["event_type", "d"], [("d", "count", "n")])
+    return grouped_theil_sen(daily, ["event_type"], "d", "n")
+
+
+def events_trimmed_mean(sf_dir: str):
+    """Robust central tendency per event type: the mean of values inside
+    the [p10, p90] interpolated-quantile band (value-threshold trimmed
+    mean, ties inclusive — the exact SQL spec, not a rank trim). The
+    quantile thresholds come from the existing grouped quantile_cont
+    refinement core (type-sized keyspace); the band mean is then one
+    broadcast threshold map + a grouped sum/count — two streaming
+    passes, no corpus shuffle."""
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+    from easyner_ray.ops.sketch import grouped_quantiles_cont
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    qt = grouped_quantiles_cont(ev, "value", [0.1, 0.9], by="event_type")
+    lo, hi = {}, {}
+    for r in qt.to_pylist():
+        (lo if r["q"] == 0.1 else hi)[r["event_type"]] = r["value"]
+    types = pa.array(sorted(lo), pa.string())
+    lo_v = np.array([lo[t] for t in sorted(lo)])
+    hi_v = np.array([hi[t] for t in sorted(lo)])
+    ref = ray.put((types, lo_v, hi_v))
+
+    def band(t: pa.Table) -> pa.Table:
+        ty, lv, hv = ray.get(ref)
+        idx = pc.index_in(t.column("event_type"), value_set=ty)
+        t = t.filter(pc.is_valid(idx))
+        i = np.asarray(idx.filter(pc.is_valid(idx)).cast(pa.int64()))
+        v = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        keep = (v >= lv[i]) & (v <= hv[i])
+        return pa.table({"event_type": t.column("event_type"),
+                         "v": t.column("value")}).filter(pa.array(keep))
+
+    agg = grouped_agg(ev.map_batches(band, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("v", "sum", "s"), ("v", "count", "n")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        n = t.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_kept": pa.array(n.astype(np.int64), pa.int64()),
+            "trimmed_mean": pa.array(np.round(s / n, 4), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -243,3 +243,40 @@ class TestMarkovStationary:
         out = {r["event_type"]: r["stationary_p"]
                for r in q.events_markov_stationary(str(d)).take_all()}
         assert out == {"A": 0.0, "B": 1.0}
+
+
+class TestTheilSen:
+    def test_linear_series_exact_slope(self, ray_session):
+        from easyner_ray.ops.analytic import grouped_theil_sen
+
+        # y = 3x + 1: every pairwise slope is exactly 3
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 5, "x": [0.0, 1.0, 2.0, 3.0, 4.0],
+            "y": [1.0, 4.0, 7.0, 10.0, 13.0]}))
+        rows = grouped_theil_sen(ds, ["g"], "x", "y").take_all()
+        assert rows == [{"g": "a", "n_pairs": 10, "trend": 3.0}]
+
+    def test_outlier_robustness_vs_ols(self, ray_session):
+        from easyner_ray.ops.analytic import grouped_theil_sen
+
+        # linear slope 2 with ONE wild outlier AT THE ENDPOINT (max
+        # leverage): the median of pairwise slopes stays near 2 while
+        # the OLS fit is dragged far off
+        x = list(range(11))
+        y = [2.0 * v for v in x]
+        y[10] = 1000.0
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 11, "x": [float(v) for v in x], "y": y}))
+        rows = grouped_theil_sen(ds, ["g"], "x", "y").take_all()
+        assert abs(rows[0]["trend"] - 2.0) < 0.5
+        ols = float(np.polyfit(np.array(x, float), np.array(y), 1)[0])
+        assert abs(ols - 2.0) > 5  # OLS IS dragged; Theil-Sen is not
+
+    def test_short_and_equal_x_groups_emit_nothing(self, ray_session):
+        from easyner_ray.ops.analytic import grouped_theil_sen
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["one", "dup", "dup"],
+            "x": [1.0, 5.0, 5.0],  # single row / all-equal x
+            "y": [9.0, 1.0, 2.0]}))
+        assert grouped_theil_sen(ds, ["g"], "x", "y").count() == 0
