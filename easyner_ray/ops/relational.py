@@ -1450,3 +1450,83 @@ def grouped_string_agg(ds, *, key: str, val: str, order_cols: list[str],
         batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(
         combine, batch_format="pyarrow")
+
+
+def global_row_number(ds, keys: list[str], *, descending=False,
+                      out_col: str = "rank"):
+    """GLOBAL dense ordering: append ``out_col`` = the 1-based position
+    of each row under ``ORDER BY keys`` across the WHOLE dataset — SQL
+    ``row_number() OVER (ORDER BY ...)`` with no partition, the
+    curriculum-ordering / global-leaderboard primitive Ray Data has no
+    operator for.
+
+    Contract: the composite ``keys`` must be UNIQUE per row (append a
+    unique id as the last key — same requirement that makes the SQL
+    form deterministic). ``descending`` is a bool or per-key list.
+
+    Distributed shape (no driver materialization of rows): one
+    range-partitioned ``Dataset.sort`` (the unavoidable exchange), then
+    TWO block-grain map passes over the materialized sorted dataset
+    with ``batch_size=None`` (one batch == one block): pass 1 emits
+    each block's (first-key, row-count) — sorted blocks hold DISJOINT
+    key ranges, and unique keys make the first key a unique block
+    fingerprint; the driver orders those fingerprints (they sort
+    exactly like the blocks) into a first-key -> starting-offset map,
+    broadcasts it, and pass 2 stamps ``offset + arange`` per block.
+    Driver state is O(blocks), never O(rows).
+    """
+    import ray
+    import numpy as np
+    import pyarrow as pa
+
+    desc = ([descending] * len(keys) if isinstance(descending, bool)
+            else list(descending))
+    sorted_ds = ds.sort(keys, descending=desc).materialize()
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"__fp": pa.array([], pa.string()),
+                             "__n": pa.array([], pa.int64())})
+        fp = "\x1f".join(str(t.column(k)[0].as_py()) for k in keys)
+        return pa.table({"__fp": pa.array([fp], pa.string()),
+                         "__n": pa.array([len(t)], pa.int64())})
+
+    # pass 1: block fingerprints; carry the first row's SORT KEYS so the
+    # driver can order the fingerprints exactly like the blocks
+    def fingerprint_keys(t: pa.Table) -> pa.Table:
+        base = fingerprint(t)
+        if len(base) == 0:
+            return pa.table({**{k: pa.array([], t.schema.field(k).type)
+                                for k in keys},
+                             "__fp": base.column("__fp"),
+                             "__n": base.column("__n")})
+        cols = {k: t.column(k).slice(0, 1) for k in keys}
+        cols["__fp"] = base.column("__fp")
+        cols["__n"] = base.column("__n")
+        return pa.table(cols)
+
+    fps = pa.concat_tables([ray.get(r) for r in sorted_ds.map_batches(
+        fingerprint_keys, batch_format="pyarrow", batch_size=None)
+        .materialize().to_arrow_refs()])
+    import pyarrow.compute as pc
+    order = pc.sort_indices(fps, sort_keys=[
+        (k, "descending" if d else "ascending")
+        for k, d in zip(keys, desc)])
+    fps = fps.take(order)
+    counts = fps.column("__n").to_pylist()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    off_map = dict(zip(fps.column("__fp").to_pylist(),
+                       (int(o) for o in offsets)))
+    off_ref = ray.put(off_map)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        om = ray.get(off_ref)
+        fp = "\x1f".join(str(t.column(k)[0].as_py()) for k in keys)
+        start = om[fp]
+        return t.append_column(
+            out_col, pa.array(start + 1 + np.arange(len(t)), pa.int64()))
+
+    return sorted_ds.map_batches(stamp, batch_format="pyarrow",
+                                 batch_size=None)

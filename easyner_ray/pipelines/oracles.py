@@ -3345,3 +3345,9 @@ RELATIONAL["events_trimmed_mean"] = """
     WHERE e.value >= b.lo AND e.value <= b.hi
     GROUP BY 1
 """
+
+RELATIONAL["docs_curriculum"] = """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+    FROM documents
+"""

@@ -5648,3 +5648,18 @@ def events_trimmed_mean(sf_dir: str):
             "trimmed_mean": pa.array(np.round(s / n, 4), pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_curriculum(sf_dir: str):
+    """Length-based curriculum ordering: every document's global rank
+    under (n_chars asc, doc_id asc) — shortest-first scheduling, the
+    standard warm-up curriculum for sequence models. The one primitive
+    this needs is a GLOBAL row_number, built scale-safe in
+    ops.relational.global_row_number: one range-partitioned sort + two
+    block-grain passes with an O(blocks) first-key -> offset broadcast
+    (driver never holds rows)."""
+    from easyner_ray.ops.relational import global_row_number
+
+    return global_row_number(
+        _rp(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        ["n_chars", "doc_id"]).select_columns(["doc_id", "n_chars", "rank"])

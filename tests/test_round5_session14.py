@@ -280,3 +280,31 @@ class TestTheilSen:
             "x": [1.0, 5.0, 5.0],  # single row / all-equal x
             "y": [9.0, 1.0, 2.0]}))
         assert grouped_theil_sen(ds, ["g"], "x", "y").count() == 0
+
+
+class TestGlobalRowNumber:
+    def test_dense_rank_across_many_blocks(self, ray_session):
+        from easyner_ray.ops.relational import global_row_number
+
+        n = 10_000
+        rng = np.random.RandomState(7)
+        vals = rng.permutation(n)
+        ds = rd.from_arrow(pa.table({
+            "id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.int64())})).repartition(8)
+        out = global_row_number(ds, ["v", "id"]).take_all()
+        assert len(out) == n
+        got = sorted((r["rank"], r["v"]) for r in out)
+        # rank i must hold the i-th smallest v (v is a permutation)
+        assert [g[0] for g in got] == list(range(1, n + 1))
+        assert [g[1] for g in got] == sorted(vals.tolist())
+
+    def test_descending_and_custom_column(self, ray_session):
+        from easyner_ray.ops.relational import global_row_number
+
+        ds = rd.from_arrow(pa.table({
+            "id": [1, 2, 3], "v": [10, 30, 20]}))
+        out = {r["id"]: r["pos"] for r in global_row_number(
+            ds, ["v", "id"], descending=[True, False],
+            out_col="pos").take_all()}
+        assert out == {2: 1, 3: 2, 1: 3}
