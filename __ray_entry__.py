@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_theil_sen": q.events_theil_sen,          # robust trend slope
         "events_trimmed_mean": q.events_trimmed_mean,    # p10-p90 band mean
         "docs_curriculum": q.docs_curriculum,            # global row_number
+        "embedding_triplets": q.embedding_triplets,      # batch-hard triplets
     }
 
 

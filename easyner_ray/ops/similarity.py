@@ -1340,3 +1340,69 @@ def kcenter_select(embeddings, k: int = 16, *, vec_col: str = "embedding",
         id_col: pa.array(sel_ids, pa.int64()),
         "dist": pa.array([round(d, out_round) for d in dists],
                          pa.float64())}))
+
+
+class _Triplets:
+    """Per-batch (anchor, hardest positive, hardest negative) against the
+    broadcast (ids, matrix, labels) triple — one GEMM, two masked
+    argmaxes."""
+
+    def __init__(self, ids_ref, mat_ref, lab_ref, round_digits: int,
+                 vec_col: str, label_col: str):
+        get = (lambda r: ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+        self.ids, self.mat, self.labels = get(ids_ref), get(mat_ref), get(lab_ref)
+        self.round_digits = round_digits
+        self.vec_col = vec_col
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            pa.field("vec_id", pa.int64()), pa.field("label", pa.int64()),
+            pa.field("pos_id", pa.int64()), pa.field("neg_id", pa.int64())])
+        if len(batch) == 0:
+            return schema.empty_table()
+        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))
+        bids = batch.column("vec_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        blab = batch.column(self.label_col).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        sim = np.round(vecs @ self.mat.T, self.round_digits)
+        same = blab[:, None] == self.labels[None, :]
+        self_col = bids[:, None] == self.ids[None, :]
+        s_pos = np.where(same & ~self_col, sim, -np.inf)
+        s_neg = np.where(~same, sim, -np.inf)
+        has = (np.isfinite(s_pos).any(axis=1)
+               & np.isfinite(s_neg).any(axis=1))
+        pos = s_pos.argmax(axis=1)   # first max = min id (id-asc columns)
+        neg = s_neg.argmax(axis=1)
+        return pa.Table.from_arrays(
+            [pa.array(bids[has], pa.int64()),
+             pa.array(blab[has], pa.int64()),
+             pa.array(self.ids[pos[has]], pa.int64()),
+             pa.array(self.ids[neg[has]], pa.int64())],
+            schema=schema)
+
+
+def triplet_mining(embeddings, *, label_col: str = "label",
+                   vec_col: str = "embedding", round_digits: int = 9,
+                   batch_size: int = 2048):
+    """Hardest-positive / hardest-negative triplet mining for metric
+    learning (batch-hard strategy, Hermans et al. 2017
+    arXiv:1703.07737, applied corpus-wide): for every anchor, the
+    most-similar SAME-label vector (excluding self) and the
+    most-similar DIFFERENT-label vector ->
+    ``(vec_id, label, pos_id, neg_id)``. Anchors lacking either side
+    (singleton label, or a label covering the whole corpus) emit no
+    row. Same broadcast shape, determinism grain (round-then-argmax,
+    min-id ties), and dropped-score rationale as
+    :func:`hard_negatives`; gold =
+    ``sources.gold_derived.write_triplets_gold``."""
+    ds = embeddings.select_columns(
+        ["vec_id", label_col, vec_col]).materialize()
+    ids_ref, mat_ref, lab_ref = _assemble_labeled_matrix.remote(
+        vec_col, label_col, *ds.to_arrow_refs())
+    return ds.map_batches(
+        _task_fn("triplets", (ids_ref, mat_ref, lab_ref),
+                 lambda: _Triplets(ids_ref, mat_ref, lab_ref,
+                                   round_digits, vec_col, label_col)),
+        batch_format="pyarrow", batch_size=batch_size)

@@ -3351,3 +3351,7 @@ RELATIONAL["docs_curriculum"] = """
            row_number() OVER (ORDER BY n_chars, doc_id) AS rank
     FROM documents
 """
+
+GTP = f"read_parquet('{SYNTH}/gold_triplets.parquet')"
+RELATIONAL["embedding_triplets"] = \
+    f"SELECT vec_id, label, pos_id, neg_id FROM {GTP}"

@@ -5663,3 +5663,15 @@ def docs_curriculum(sf_dir: str):
     return global_row_number(
         _rp(sf_dir, "documents", columns=["doc_id", "n_chars"]),
         ["n_chars", "doc_id"]).select_columns(["doc_id", "n_chars", "rank"])
+
+
+def embedding_triplets(sf_dir: str):
+    """Batch-hard triplet mining corpus-wide (hardest positive + hardest
+    negative per anchor) — the metric-learning training-pair builder
+    next to embedding_hard_negatives (ops.similarity.triplet_mining;
+    oracle = straight-line recompute, gold_triplets.parquet)."""
+    from easyner_ray.ops.similarity import triplet_mining
+
+    _corpus(sf_dir)
+    return triplet_mining(
+        _rp(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]))

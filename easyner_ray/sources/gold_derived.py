@@ -1468,6 +1468,8 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
             write_hard_negatives_gold(corpus, embeddings_path)
         if not os.path.exists(os.path.join(corpus, "gold_kcenter.parquet")):
             write_kcenter_gold(corpus, embeddings_path)
+        if not os.path.exists(os.path.join(corpus, "gold_triplets.parquet")):
+            write_triplets_gold(corpus, embeddings_path)
     if not os.path.exists(os.path.join(corpus, "gold_media_features.parquet")):
         write_media_features_gold(corpus)
     if not os.path.exists(os.path.join(corpus, "gold_pagerank.parquet")):
@@ -2104,5 +2106,42 @@ def write_markov_stationary_gold(corpus: str, events_path: str) -> str:
          pa.array(np.round(x, 4), pa.float64())],
         names=["event_type", "stationary_p"])
     path = os.path.join(corpus, "gold_markov_stationary.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_triplets_gold(corpus: str, embeddings_path: str,
+                        round_digits: int = 9) -> str:
+    """Straight-line batch-hard triplet recompute (spec:
+    ops.similarity.triplet_mining — round-then-argmax on cosine, pos =
+    hardest same-label excluding self, neg = hardest different-label,
+    min-id ties, scores dropped). Output: (vec_id, label, pos_id,
+    neg_id)."""
+    emb = pq.read_table(embeddings_path,
+                        columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = np.asarray(emb.column("label").to_pylist(),
+                        dtype=np.int64)[order]
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in emb.column("embedding").to_pylist()])[order]
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat = mat / nrm
+    sim = np.round(mat @ mat.T, round_digits)
+    same = labels[:, None] == labels[None, :]
+    s_pos = np.where(same, sim, -np.inf)
+    np.fill_diagonal(s_pos, -np.inf)
+    s_neg = np.where(~same, sim, -np.inf)
+    has = np.isfinite(s_pos).any(axis=1) & np.isfinite(s_neg).any(axis=1)
+    pos = s_pos.argmax(axis=1)
+    neg = s_neg.argmax(axis=1)
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids[has], pa.int64()), pa.array(labels[has], pa.int64()),
+         pa.array(ids[pos[has]], pa.int64()),
+         pa.array(ids[neg[has]], pa.int64())],
+        names=["vec_id", "label", "pos_id", "neg_id"])
+    path = os.path.join(corpus, "gold_triplets.parquet")
     pq.write_table(tbl, path)
     return path

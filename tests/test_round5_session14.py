@@ -308,3 +308,35 @@ class TestGlobalRowNumber:
             ds, ["v", "id"], descending=[True, False],
             out_col="pos").take_all()}
         assert out == {2: 1, 3: 2, 1: 3}
+
+
+class TestTripletMining:
+    def test_hand_fixture(self, ray_session):
+        from easyner_ray.ops.similarity import triplet_mining
+
+        # two labels, two members each: pos = the other same-label
+        # vector, neg = the most-similar cross-label vector
+        emb = rd.from_arrow(pa.table({
+            "vec_id": [0, 1, 2, 3],
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]],
+                pa.list_(pa.float32()))}))
+        got = {r["vec_id"]: r for r in triplet_mining(emb).take_all()}
+        assert got[0]["pos_id"] == 1 and got[1]["pos_id"] == 0
+        assert got[2]["pos_id"] == 3 and got[3]["pos_id"] == 2
+        # 0's hardest negative is 3 ([0.1, 0.9] leans less orthogonal)
+        assert got[0]["neg_id"] == 3
+        for r in got.values():
+            assert r["pos_id"] != r["vec_id"]
+
+    def test_singleton_label_emits_nothing(self, ray_session):
+        from easyner_ray.ops.similarity import triplet_mining
+
+        emb = rd.from_arrow(pa.table({
+            "vec_id": [0, 1],
+            "label": pa.array([0, 1], pa.int32()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32()))}))
+        # every label is a singleton: no positive exists anywhere
+        assert triplet_mining(emb).count() == 0
