@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": q.events_trimmed_mean,    # p10-p90 band mean
         "docs_curriculum": q.docs_curriculum,            # global row_number
         "embedding_triplets": q.embedding_triplets,      # batch-hard triplets
+        "events_ks_drift": q.events_ks_drift,            # KS drift vs corpus
     }
 
 

@@ -984,3 +984,85 @@ def heavy_hitters(ds, col: str, k: int, *, m: int = 4096,
         ["__g"], "n", k, descending=True, tie_cols=[col], rank_name="rnk")
     return ranked.map_batches(lambda t: t.drop(["__g"]),
                               batch_format="pyarrow")
+
+
+def grouped_ks_vs_global(ds, group_col: str, value_col: str, *,
+                         round_digits: int = 4, n_buckets: int = 32):
+    """Two-sample Kolmogorov–Smirnov statistic of each group's value
+    distribution against the GLOBAL distribution -> (group, ks) — the
+    standard distribution-drift detector (is this source / shard / day
+    sampled from the same distribution as the corpus?). ``ks`` is
+    ``sup_x |F_group(x) - F_global(x)|``; both ECDFs are step functions
+    that only jump at sample points, so the sup is attained on the
+    global point set and the whole computation is exact.
+
+    Distributed shape: one (value, count) rollup onto the global value
+    keyspace, collected + broadcast as the sorted (values, cumulative
+    fraction) pair (at 100 TB swap this side for a KLL/t-digest sketch
+    grid — the group pass is unchanged); one (group, value, count)
+    rollup + bucketed exchange, then a pure-numpy kernel per group:
+    ``np.searchsorted`` of the group's jump points into the global grid
+    gives F_group at every global point in one shot. All fractions are
+    exact-integer divisions, so the statistic is bit-equal to the SQL
+    ASOF-join realization at the rounding grain.
+    """
+    import ray
+
+    from easyner_ray.ops.relational import add_hash_bucket, grouped_agg
+
+    proj = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(group_col), t.column(value_col).cast(pa.float64())],
+            names=[group_col, "v"]),
+        batch_format="pyarrow").materialize()  # feeds both rollups
+
+    gtbl = pa.concat_tables([ray.get(r) for r in grouped_agg(
+        proj.map_batches(lambda t: t.select(["v"]),
+                         batch_format="pyarrow"),
+        ["v"], [("v", "count", "c")]).materialize().to_arrow_refs()])
+    gv = gtbl.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+    gc = gtbl.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(gv, kind="stable")
+    gv, gc = gv[order], gc[order]
+    n_tot = int(gc.sum())
+    fg = np.cumsum(gc) * 1.0 / n_tot
+    grid_ref = ray.put((gv, fg))
+
+    per = grouped_agg(proj, [group_col, "v"], [("v", "count", "c")])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        out_schema = pa.schema([t.schema.field(group_col),
+                                pa.field("ks", pa.float64())])
+        if len(t) == 0:
+            return out_schema.empty_table()
+        gvb, fgb = ray.get(grid_ref)
+        t = t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                                 ("v", "ascending")]))
+        keys = t.column(group_col).combine_chunks()
+        n = len(t)
+        change = np.ones(n, dtype=bool)
+        same = pc.equal(keys.slice(1), keys.slice(0, n - 1))
+        change[1:] = ~np.asarray(same.fill_null(False))
+        starts = np.flatnonzero(change)
+        v = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        c = t.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+        out_ks = []
+        # loop over GROUPS of the (group, value) rollup — bounded by the
+        # group keyspace, not the corpus (theil_sen contract)
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            seg_v, seg_c = v[s:e], c[s:e]
+            ng = int(seg_c.sum())
+            ft_cum = np.cumsum(seg_c) * 1.0 / ng
+            idx = np.searchsorted(seg_v, gvb, side="right")
+            ft_at = np.where(idx > 0, ft_cum[np.maximum(idx - 1, 0)], 0.0)
+            out_ks.append(round(float(np.abs(ft_at - fgb).max()),
+                                round_digits))
+        return pa.table({group_col: keys.take(pa.array(starts)),
+                         "ks": pa.array(out_ks, pa.float64())})
+
+    bucketed = per.map_batches(
+        lambda t: add_hash_bucket(t, [group_col], n_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")

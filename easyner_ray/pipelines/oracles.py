@@ -3355,3 +3355,22 @@ RELATIONAL["docs_curriculum"] = """
 GTP = f"read_parquet('{SYNTH}/gold_triplets.parquet')"
 RELATIONAL["embedding_triplets"] = \
     f"SELECT vec_id, label, pos_id, neg_id FROM {GTP}"
+
+RELATIONAL["events_ks_drift"] = """
+    WITH ranked AS (SELECT value AS v, count(*) AS c FROM events GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM ranked),
+    g AS (SELECT v, sum(c) OVER (ORDER BY v) * 1.0 / (SELECT n FROM tot)
+            AS fg FROM ranked),
+    t AS (SELECT event_type, value AS v, count(*) AS c FROM events
+          GROUP BY 1, 2),
+    tt AS (SELECT event_type, v,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v) * 1.0
+             / sum(c) OVER (PARTITION BY event_type) AS ft FROM t),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    ev AS (SELECT ty.event_type, g.v, g.fg FROM ty CROSS JOIN g)
+    SELECT ev.event_type, round(max(abs(coalesce(tt.ft, 0) - ev.fg)), 4)
+             AS ks
+    FROM ev ASOF LEFT JOIN tt
+      ON tt.event_type = ev.event_type AND tt.v <= ev.v
+    GROUP BY 1
+"""

@@ -5675,3 +5675,16 @@ def embedding_triplets(sf_dir: str):
     _corpus(sf_dir)
     return triplet_mining(
         _rp(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]))
+
+
+def events_ks_drift(sf_dir: str):
+    """Distribution-drift census: per event type, the two-sample
+    Kolmogorov–Smirnov statistic of its value distribution against the
+    whole corpus (ops.sketch.grouped_ks_vs_global) — the
+    train/serve-skew detector run before trusting a per-type model or
+    threshold."""
+    from easyner_ray.ops.sketch import grouped_ks_vs_global
+
+    return grouped_ks_vs_global(
+        _rp(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value")

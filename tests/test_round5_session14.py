@@ -340,3 +340,46 @@ class TestTripletMining:
                                   pa.list_(pa.float32()))}))
         # every label is a singleton: no positive exists anywhere
         assert triplet_mining(emb).count() == 0
+
+
+class TestKSDrift:
+    def test_identical_and_disjoint_distributions(self, ray_session):
+        from easyner_ray.ops.sketch import grouped_ks_vs_global
+
+        # group "same" IS half the global mass with the same shape;
+        # group "far" is fully shifted -> its KS vs global must be large
+        vals_a = [1.0, 2.0, 3.0, 4.0] * 5
+        vals_b = [101.0, 102.0, 103.0, 104.0] * 5
+        ds = rd.from_arrow(pa.table({
+            "g": ["same"] * 20 + ["far"] * 20,
+            "v": vals_a + vals_b}))
+        got = {r["g"]: r["ks"] for r in
+               grouped_ks_vs_global(ds, "g", "v").take_all()}
+        # each group holds half the mass: F_same(4)=1 vs F_global(4)=0.5
+        assert got["same"] == 0.5 and got["far"] == 0.5
+        # one group == the whole corpus -> drift exactly 0
+        ds1 = rd.from_arrow(pa.table({"g": ["only"] * 20,
+                                      "v": vals_a}))
+        got1 = grouped_ks_vs_global(ds1, "g", "v").take_all()
+        assert got1 == [{"g": "only", "ks": 0.0}]
+
+    def test_matches_scipy_formula(self, ray_session):
+        from easyner_ray.ops.sketch import grouped_ks_vs_global
+
+        rng = np.random.RandomState(5)
+        a = rng.randn(300)
+        b = rng.randn(200) + 0.5
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 300 + ["b"] * 200,
+            "v": np.concatenate([a, b])}))
+        got = {r["g"]: r["ks"] for r in
+               grouped_ks_vs_global(ds, "g", "v").take_all()}
+
+        # straight-line ECDF sup-diff vs the pooled sample
+        allv = np.sort(np.concatenate([a, b]))
+        for name, sample in (("a", a), ("b", b)):
+            fs = np.searchsorted(np.sort(sample), allv,
+                                 side="right") / len(sample)
+            fg = np.searchsorted(allv, allv, side="right") / len(allv)
+            want = round(float(np.abs(fs - fg).max()), 4)
+            assert got[name] == want, name
