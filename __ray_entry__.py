@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curriculum": q.docs_curriculum,            # global row_number
         "embedding_triplets": q.embedding_triplets,      # batch-hard triplets
         "events_ks_drift": q.events_ks_drift,            # KS drift vs corpus
+        "events_type_hour_mi": q.events_type_hour_mi,    # chi2 + MI audit
     }
 
 

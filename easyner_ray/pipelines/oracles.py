@@ -3374,3 +3374,25 @@ RELATIONAL["events_ks_drift"] = """
       ON tt.event_type = ev.event_type AND tt.v <= ev.v
     GROUP BY 1
 """
+
+RELATIONAL["events_type_hour_mi"] = """
+    WITH ct AS (
+      SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT sum(c) AS n FROM ct),
+    mt AS (SELECT t, sum(c) AS ct_t FROM ct GROUP BY 1),
+    mh AS (SELECT h, sum(c) AS ct_h FROM ct GROUP BY 1),
+    cells AS (
+      SELECT mt.t, mh.h, coalesce(ct.c, 0) AS c,
+             mt.ct_t * mh.ct_h / (SELECT n FROM tot) AS e
+      FROM mt CROSS JOIN mh LEFT JOIN ct USING (t, h)),
+    chi AS (SELECT round(sum((c - e) * (c - e) / e), 4) AS chi2,
+                   CAST((SELECT count(*) - 1 FROM mt)
+                        * (SELECT count(*) - 1 FROM mh) AS BIGINT) AS dof
+            FROM cells),
+    mi AS (SELECT round(sum(CASE WHEN c > 0
+                   THEN c / n * ln(c / e) ELSE 0 END), 4) AS mi
+           FROM cells, tot)
+    SELECT chi.chi2, chi.dof, mi.mi FROM chi, mi
+"""

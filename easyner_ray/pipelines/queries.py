@@ -5688,3 +5688,50 @@ def events_ks_drift(sf_dir: str):
     return grouped_ks_vs_global(
         _rp(sf_dir, "events", columns=["event_type", "value"]),
         "event_type", "value")
+
+
+def events_type_hour_mi(sf_dir: str):
+    """Independence audit between event type and hour-of-day: Pearson
+    chi-square statistic (all cells, zero-observed included), degrees of
+    freedom, and mutual information in nats over the joint distribution
+    -> ONE row. The corpus collapses to the (types x 24) contingency
+    keyspace in one grouped count; the statistics are driver arithmetic
+    on that tiny table. The "is behavior time-dependent at all" gate
+    before building per-hour models."""
+    import math
+
+    import ray.data as rd
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({"t": t.column("event_type"),
+                         "h": pc.hour(t.column("ts")).cast(pa.int64())})
+
+    ct = grouped_agg(ev.map_batches(keys, batch_format="pyarrow"),
+                     ["t", "h"], [("t", "count", "c")]).take_all()
+    if not ct:
+        return rd.from_arrow(pa.table({
+            "chi2": pa.array([None], pa.float64()),
+            "dof": pa.array([None], pa.int64()),
+            "mi": pa.array([None], pa.float64())}))
+    types = sorted({r["t"] for r in ct})
+    hours = sorted({r["h"] for r in ct})
+    obs = np.zeros((len(types), len(hours)))
+    ti = {t: i for i, t in enumerate(types)}
+    hi = {h: i for i, h in enumerate(hours)}
+    for r in ct:
+        obs[ti[r["t"]], hi[r["h"]]] = r["c"]
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    nz = obs > 0
+    mi = float((obs[nz] / n * np.log(obs[nz] * n
+                                     / (exp[nz] * n))).sum())
+    dof = (len(types) - 1) * (len(hours) - 1)
+    return rd.from_arrow(pa.table({
+        "chi2": pa.array([round(chi2, 4)], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "mi": pa.array([round(mi, 4)], pa.float64())}))
