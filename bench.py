@@ -252,6 +252,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_markov_stationary": q.events_markov_stationary,
         "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
         "tpch_q19_disjunctive_revenue": q.tpch_q19_disjunctive_revenue,
+        "events_theil_sen": q.events_theil_sen,
+        "events_trimmed_mean": q.events_trimmed_mean,
+        "events_ks_drift": q.events_ks_drift,
+        "events_type_hour_mi": q.events_type_hour_mi,
+        "docs_curriculum": q.docs_curriculum,
+        "embedding_triplets": q.embedding_triplets,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
