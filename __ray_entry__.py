@@ -307,6 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_triplets": q.embedding_triplets,      # batch-hard triplets
         "events_ks_drift": q.events_ks_drift,            # KS drift vs corpus
         "events_type_hour_mi": q.events_type_hour_mi,    # chi2 + MI audit
+        "kg_degree_powerlaw": q.kg_degree_powerlaw,      # scale-free MLE
+        "kg_rich_club": q.kg_rich_club,                  # hub-density ratio
+        "kg_community_conductance": q.kg_community_conductance,  # cut quality
     }
 
 

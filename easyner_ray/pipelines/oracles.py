@@ -3396,3 +3396,57 @@ RELATIONAL["events_type_hour_mi"] = """
            FROM cells, tot)
     SELECT chi.chi2, chi.dof, mi.mi FROM chi, mi
 """
+
+_EDGES_CTE = f"""
+    tr AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm),
+    ged AS (SELECT subj, obj, count(*) AS weight FROM tr GROUP BY 1, 2),
+    gdeg AS (SELECT subj AS norm, count(*) AS degree FROM ged GROUP BY 1)
+"""
+
+KG["kg_degree_powerlaw"] = f"""
+    WITH {_EDGES_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS d_min,
+           CAST(max(degree) AS BIGINT) AS d_max,
+           round(1.0 + count(*) / sum(ln(degree * 1.0 / (SELECT min(degree)
+                                                         FROM gdeg))), 4)
+             AS alpha
+    FROM gdeg
+"""
+
+KG["kg_rich_club"] = f"""
+    WITH {_EDGES_CTE},
+    club AS (SELECT norm FROM gdeg WHERE degree > 10),
+    nc AS (SELECT count(*) AS n FROM club)
+    SELECT CAST(nc.n AS BIGINT) AS n_club,
+           CAST((SELECT count(*) FROM ged
+                 WHERE subj IN (SELECT norm FROM club)
+                   AND obj IN (SELECT norm FROM club)) AS BIGINT) AS e_club,
+           round((SELECT count(*) FROM ged
+                  WHERE subj IN (SELECT norm FROM club)
+                    AND obj IN (SELECT norm FROM club)) * 1.0
+                 / (nc.n * (nc.n - 1)), 4) AS phi
+    FROM nc
+"""
+
+KG["kg_community_conductance"] = f"""
+    WITH assign AS ({KG["kg_communities"]}),
+    {_EDGES_CTE},
+    jj AS (
+      SELECT a.community, b.community AS obj_comm, e.weight
+      FROM ged e JOIN assign a ON a.norm = e.subj
+                 JOIN assign b ON b.norm = e.obj),
+    vol AS (SELECT community, sum(weight) AS vol FROM jj GROUP BY 1),
+    cut AS (SELECT community, sum(weight) AS cut FROM jj
+            WHERE community <> obj_comm GROUP BY 1)
+    SELECT v.community, CAST(v.vol AS BIGINT) AS vol,
+           CAST(coalesce(c.cut, 0) AS BIGINT) AS cut,
+           round(coalesce(c.cut, 0) * 1.0 / v.vol, 4) AS conductance
+    FROM vol v LEFT JOIN cut c USING (community)
+"""

@@ -5735,3 +5735,131 @@ def events_type_hour_mi(sf_dir: str):
         "chi2": pa.array([round(chi2, 4)], pa.float64()),
         "dof": pa.array([dof], pa.int64()),
         "mi": pa.array([round(mi, 4)], pa.float64())}))
+
+
+def kg_degree_powerlaw(sf_dir: str):
+    """Degree-distribution summary of the KG: node count, min/max
+    degree, and the continuous power-law MLE exponent
+    ``alpha = 1 + n / sum(ln(d / d_min))`` (Clauset et al. 2009 eq. 3.1
+    with d_min = the observed minimum) -> ONE row. Rides the memoized
+    edge table + the vocab-keyspace degree aggregate; the MLE is driver
+    arithmetic on that tiny table. The "is this graph scale-free"
+    sanity check before assuming hub-skew mitigations matter."""
+    import math
+
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import degree_stats
+
+    rows = degree_stats(_kg_edge_pairs(sf_dir)).take_all()
+    if not rows:
+        return rd.from_arrow(pa.table({
+            "n_nodes": pa.array([0], pa.int64()),
+            "d_min": pa.array([None], pa.int64()),
+            "d_max": pa.array([None], pa.int64()),
+            "alpha": pa.array([None], pa.float64())}))
+    degs = [r["degree"] for r in rows]
+    dmin = min(degs)
+    s = sum(math.log(d / dmin) for d in degs)
+    alpha = (1.0 + len(degs) / s) if s > 0 else None
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([len(degs)], pa.int64()),
+        "d_min": pa.array([dmin], pa.int64()),
+        "d_max": pa.array([max(degs)], pa.int64()),
+        "alpha": pa.array([round(alpha, 4) if alpha is not None else None],
+                          pa.float64())}))
+
+
+def kg_rich_club(sf_dir: str, k: int = 10):
+    """Rich-club coefficient at degree > k: the edge density among the
+    hub set (phi = directed edge rows inside the club / n(n-1)) — do
+    the KG's hubs preferentially talk to each other? One broadcast of
+    the club node set (vocab-bounded) + one filtered pass over the
+    memoized edge table."""
+    import ray
+    import ray.data as rd
+
+    from easyner_ray.ops.graph_analytics import degree_stats
+
+    deg = degree_stats(_kg_edge_pairs(sf_dir)).take_all()
+    club = pa.array(sorted(r["norm"] for r in deg if r["degree"] > k),
+                    pa.string())
+    n_club = len(club)
+    if n_club < 2:
+        return rd.from_arrow(pa.table({
+            "n_club": pa.array([n_club], pa.int64()),
+            "e_club": pa.array([0], pa.int64()),
+            "phi": pa.array([None], pa.float64())}))
+    club_ref = ray.put(club)
+
+    def inside(t: pa.Table) -> pa.Table:
+        cb = ray.get(club_ref)
+        keep = pc.and_(pc.is_in(t.column("subj"), value_set=cb),
+                       pc.is_in(t.column("obj"), value_set=cb))
+        return pa.table({"e": pa.array(
+            [int(pc.sum(keep.cast(pa.int64())).as_py() or 0)], pa.int64())})
+
+    e_club = sum(r["e"] for r in _kg_edge_pairs(sf_dir).map_batches(
+        inside, batch_format="pyarrow").take_all())
+    return rd.from_arrow(pa.table({
+        "n_club": pa.array([n_club], pa.int64()),
+        "e_club": pa.array([e_club], pa.int64()),
+        "phi": pa.array([round(e_club / (n_club * (n_club - 1)), 4)],
+                        pa.float64())}))
+
+
+def kg_community_conductance(sf_dir: str):
+    """Cut quality of the LPA partition: per community, total incident
+    edge weight (vol), weight crossing the boundary (cut), and
+    conductance = cut / vol — the "are these communities real" score
+    next to kg_modularity. Two adaptive joins of the broadcast
+    (norm, community) assignment onto the memoized edge table, then
+    community-keyspace grouped sums."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    assign = _kg_lpa(sf_dir)
+    edges = _kg_edge_pairs(sf_dir)
+
+    j = adaptive_join(
+        adaptive_join(
+            edges,
+            assign.map_batches(
+                lambda t: t.rename_columns(["subj", "community"]),
+                batch_format="pyarrow"),
+            on="subj"),
+        assign.map_batches(
+            lambda t: t.rename_columns(["obj", "obj_comm"]),
+            batch_format="pyarrow"),
+        on="obj").materialize()  # feeds vol + cut
+
+    vol = grouped_agg(
+        j.map_batches(lambda t: t.select(["community", "weight"]),
+                      batch_format="pyarrow"),
+        ["community"], [("weight", "sum", "vol")])
+    cut = grouped_agg(
+        j.map_batches(
+            lambda t: t.filter(pc.not_equal(
+                t.column("community"), t.column("obj_comm")))
+            .select(["community", "weight"]),
+            batch_format="pyarrow"),
+        ["community"], [("weight", "sum", "cut")])
+
+    out = adaptive_join(vol, cut, on="community", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("vol").combine_chunks().cast(pa.float64())
+        if "cut" in t.schema.names:
+            c = pc.fill_null(t.column("cut").combine_chunks(), 0) \
+                .cast(pa.float64())
+        else:  # no cross-community edge anywhere: the cut side is a
+            # schema-less empty dataset and the left join passes the
+            # left blocks through untouched
+            c = pa.array(np.zeros(len(t)), pa.float64())
+        t2 = pa.table({
+            "community": t.column("community"),
+            "vol": t.column("vol").combine_chunks().cast(pa.int64()),
+            "cut": c.cast(pa.int64()),
+            "conductance": pc.divide(c, v)})
+        return _round4(t2, ["conductance"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
