@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_powerlaw": q.kg_degree_powerlaw,      # scale-free MLE
         "kg_rich_club": q.kg_rich_club,                  # hub-density ratio
         "kg_community_conductance": q.kg_community_conductance,  # cut quality
+        "docs_source_vocab_overlap": q.docs_source_vocab_overlap,  # crawl overlap
     }
 
 

@@ -3450,3 +3450,20 @@ KG["kg_community_conductance"] = f"""
            round(coalesce(c.cut, 0) * 1.0 / v.vol, 4) AS conductance
     FROM vol v LEFT JOIN cut c USING (community)
 """
+
+RELATIONAL["docs_source_vocab_overlap"] = """
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, CAST(i AS BIGINT) AS n_common,
+           round(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz na ON na.source = src_a
+    JOIN sz nb ON nb.source = src_b
+"""

@@ -5863,3 +5863,63 @@ def kg_community_conductance(sf_dir: str):
         return _round4(t2, ["conductance"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_source_vocab_overlap(sf_dir: str):
+    """Source-pair vocabulary Jaccard: for every unordered pair of
+    sources, |common distinct terms| / |union| — the "are these two
+    crawls the same domain" diagnostic before merging or deduping
+    across sources. One distinct (source, term) rollup (vocab x sources
+    keyspace), per-source sizes (tiny), and a term-keyed adaptive
+    self-join whose output is sum-of-squares-of-per-term-source-counts
+    bounded — never the corpus."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+    from easyner_ray.ops.textstats import _tf_partial
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def src_terms(t: pa.Table) -> pa.Table:
+        pairs = _tf_partial(t, "doc_id", "text")
+        row_of = pc.index_in(pairs.column("doc_id"),
+                             value_set=t.column("doc_id").combine_chunks())
+        src = t.column("source").combine_chunks().take(row_of)
+        return pa.Table.from_arrays([src, pairs.column("term")],
+                                    names=["source", "term"]) \
+            .group_by(["source", "term"]).aggregate([])
+
+    st = grouped_agg(
+        docs.map_batches(src_terms, batch_format="pyarrow"),
+        ["source", "term"], [("term", "count", "__c")],
+    ).select_columns(["source", "term"]).materialize()  # feeds sizes + join
+
+    sizes = {r["source"]: r["n"] for r in grouped_agg(
+        st, ["source"], [("term", "count", "n")]).take_all()}
+
+    j = adaptive_join(
+        st, st.map_batches(
+            lambda t: t.rename_columns(["src_b", "term"]),
+            batch_format="pyarrow"),
+        on="term")
+
+    def ordered(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("source"), t.column("src_b"))
+        t = t.filter(keep)
+        return pa.Table.from_arrays(
+            [t.column("source"), t.column("src_b")],
+            names=["src_a", "src_b"])
+
+    inter = grouped_agg(j.map_batches(ordered, batch_format="pyarrow"),
+                        ["src_a", "src_b"], [("src_a", "count", "n_common")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = np.array([sizes[s] for s in t.column("src_a").to_pylist()],
+                      dtype=np.float64)
+        nb = np.array([sizes[s] for s in t.column("src_b").to_pylist()],
+                      dtype=np.float64)
+        i = t.column("n_common").combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        t = t.append_column("jaccard",
+                            pa.array(i / (na + nb - i), pa.float64()))
+        return _round4(t, ["jaccard"])
+
+    return inter.map_batches(finish, batch_format="pyarrow")
