@@ -311,6 +311,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rich_club": q.kg_rich_club,                  # hub-density ratio
         "kg_community_conductance": q.kg_community_conductance,  # cut quality
         "docs_source_vocab_overlap": q.docs_source_vocab_overlap,  # crawl overlap
+        "tpch_q2_min_acctbal_supplier": q.tpch_q2_min_acctbal_supplier,  # correlated min
+        "tpch_q8_market_share": q.tpch_q8_market_share,  # share-of-total ratio
+        "tpch_q9_nation_profit": q.tpch_q9_nation_profit,  # 5-table profit rollup
+        "tpch_q11_important_parts": q.tpch_q11_important_parts,  # global-sum HAVING
+        "tpch_q12_late_lines": q.tpch_q12_late_lines,    # conditional-count pivot
+        "tpch_q16_supplier_census": q.tpch_q16_supplier_census,  # count-distinct census
+        "tpch_q20_dominant_suppliers": q.tpch_q20_dominant_suppliers,  # nested share gate
+        "tpch_q21_waiting_suppliers": q.tpch_q21_waiting_suppliers,  # multi-exists
     }
 
 

@@ -3467,3 +3467,130 @@ RELATIONAL["docs_source_vocab_overlap"] = """
     JOIN sz na ON na.source = src_a
     JOIN sz nb ON nb.source = src_b
 """
+
+RELATIONAL["tpch_q2_min_acctbal_supplier"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    s AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+    b AS (SELECT ps.l_partkey, s.s_name, s.s_acctbal, s.n_name
+          FROM ps JOIN s ON s.s_suppkey = ps.l_suppkey
+          JOIN part ON p_partkey = ps.l_partkey
+          WHERE p_size = 25 AND p_type = 'LARGE'),
+    m AS (SELECT l_partkey, min(s_acctbal) AS mb FROM b GROUP BY 1)
+    SELECT b.s_acctbal, b.s_name, b.n_name,
+           b.l_partkey AS p_partkey, p.p_name
+    FROM b JOIN m USING (l_partkey) JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE b.s_acctbal = m.mb
+    ORDER BY s_acctbal, n_name, s_name, p_partkey LIMIT 100
+"""
+
+RELATIONAL["tpch_q8_market_share"] = """
+    WITH f AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'),
+    g AS (SELECT o_year,
+            round(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN vol ELSE 0 END), 4) AS nation_volume,
+            round(sum(vol), 4) AS total_volume
+          FROM f GROUP BY 1)
+    SELECT o_year, nation_volume, total_volume,
+           round(nation_volume / total_volume, 6) AS mkt_share
+    FROM g ORDER BY o_year
+"""
+
+RELATIONAL["tpch_q9_nation_profit"] = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+RELATIONAL["tpch_q11_important_parts"] = """
+    WITH v AS (
+      SELECT l_partkey, l_extendedprice * l_quantity AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'),
+    g AS (SELECT l_partkey, round(sum(val), 4) AS value FROM v GROUP BY 1)
+    SELECT l_partkey, value FROM g
+    WHERE value > (SELECT round(sum(value) / count(*), 4) FROM g)
+    ORDER BY value DESC, l_partkey
+"""
+
+RELATIONAL["tpch_q12_late_lines"] = """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS lag_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY lag_class
+"""
+
+RELATIONAL["tpch_q16_supplier_census"] = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000))
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+RELATIONAL["tpch_q20_dominant_suppliers"] = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, round(sum(l_quantity), 4) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, round(sum(qty), 4) AS tot FROM ps GROUP BY 1)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+                        WHERE ps.qty > 0.5 * pt.tot)
+    ORDER BY s_name
+"""
+
+RELATIONAL["tpch_q21_waiting_suppliers"] = """
+    WITH l AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+               FROM lineitem GROUP BY 1, 2),
+    f AS (SELECT l.* FROM l JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'),
+    o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nsupp,
+                 max(sd) AS omax
+          FROM f GROUP BY 1),
+    w AS (SELECT f.l_orderkey, f.l_suppkey FROM f JOIN o USING (l_orderkey)
+          WHERE o.nsupp >= 2 AND f.sd = o.omax),
+    u AS (SELECT l_orderkey FROM w GROUP BY 1 HAVING count(*) = 1)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM w JOIN u USING (l_orderkey) JOIN supplier ON s_suppkey = w.l_suppkey
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+"""

@@ -1,0 +1,164 @@
+"""Round-5 session-15: the final eight TPC-H analogs (Q2/Q8/Q9/Q11/
+Q12/Q16/Q20/Q21 over the reduced schemas — the lineitem bridge stands
+in for partsupp), each checked against an in-test DuckDB oracle at
+sf0.001 (the driver re-checks at sf0.01). Completes the 22-query
+family: Q1 ~ agg_lineitem_pricing, the rest have named analogs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)
+
+
+def _check(name: str, ray_result) -> None:
+    import __ray_entry__ as e
+
+    res = ray_result
+    got = _canon(res.to_pandas() if not isinstance(res, pa.Table)
+                 else res.to_pandas())
+    want = _canon(_duck(e.oracle_sql()[name]))
+    assert list(got.columns) == list(want.columns), (got.columns,
+                                                     want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        if np.issubdtype(want[c].dtype, np.floating):
+            assert np.allclose(got[c].astype(float), want[c].astype(float),
+                               rtol=0, atol=1e-12, equal_nan=True), c
+        else:
+            assert list(got[c]) == list(want[c]), c
+
+
+def test_tpch_q2(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    _check("tpch_q2_min_acctbal_supplier",
+           q.tpch_q2_min_acctbal_supplier(SF))
+
+
+def test_tpch_q8(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    res = q.tpch_q8_market_share(SF)
+    df = res.to_pandas()
+    # share is a true ratio computed from the two reported sums
+    assert ((df["mkt_share"] >= 0) & (df["mkt_share"] <= 1)).all()
+    _check("tpch_q8_market_share", res)
+
+
+def test_tpch_q9(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    _check("tpch_q9_nation_profit", q.tpch_q9_nation_profit(SF))
+
+
+def test_tpch_q11_degenerate_empty_is_typed(ray_session):
+    # sf0.001 has no NATION_2 supplier -> both engines return 0 rows;
+    # the engine must still carry the (l_partkey, value) schema.
+    from easyner_ray.pipelines import queries as q
+
+    res = q.tpch_q11_important_parts(SF)
+    t = res if isinstance(res, pa.Table) else pa.concat_tables(
+        [pa.table(b) for b in res.to_arrow_refs()])
+    assert t.num_rows == 0
+    assert t.schema.names == ["l_partkey", "value"]
+    _check("tpch_q11_important_parts", res)
+
+
+def test_tpch_q11_nonempty(ray_session, tmp_path):
+    # rebind the supplier nations so NATION_2 is populated, then check
+    # the above-average gate end-to-end against DuckDB on the fixture.
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from easyner_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ALL_TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    supp = pq.read_table(f"{SF}/supplier.parquet")
+    n = supp.num_rows
+    supp = supp.set_column(
+        supp.schema.get_field_index("s_nationkey"), "s_nationkey",
+        pa.array([2] * n, supp.schema.field("s_nationkey").type))
+    pq.write_table(supp, d / "supplier.parquet")
+
+    res = q.tpch_q11_important_parts(str(d))
+    got = _canon(res.to_pandas())
+    assert len(got) > 0
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = _canon(con.execute(
+        e.oracle_sql()["tpch_q11_important_parts"]).df())
+    assert len(got) == len(want)
+    assert np.allclose(got["value"], want["value"], rtol=0, atol=1e-12)
+    assert list(got["l_partkey"]) == list(want["l_partkey"])
+
+
+def test_tpch_q12(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    res = q.tpch_q12_late_lines(SF)
+    df = res.to_pandas()
+    assert set(df["lag_class"]) <= {"LATE", "ONTIME"}
+    _check("tpch_q12_late_lines", res)
+
+
+def test_tpch_q16(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    res = q.tpch_q16_supplier_census(SF)
+    df = res.to_pandas()
+    assert (df["supplier_cnt"] >= 1).all()
+    assert "Brand#5" not in set(df["p_brand"])
+    assert "PROMO" not in set(df["p_type"])
+    _check("tpch_q16_supplier_census", res)
+
+
+def test_tpch_q20(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    _check("tpch_q20_dominant_suppliers",
+           q.tpch_q20_dominant_suppliers(SF))
+
+
+def test_tpch_q21(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    res = q.tpch_q21_waiting_suppliers(SF)
+    df = res.to_pandas()
+    assert (df["numwait"] >= 1).all()
+    # sorted by count desc then name
+    assert list(df["numwait"]) == sorted(df["numwait"], reverse=True)
+    _check("tpch_q21_waiting_suppliers", res)
