@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_supplier_census": q.tpch_q16_supplier_census,  # count-distinct census
         "tpch_q20_dominant_suppliers": q.tpch_q20_dominant_suppliers,  # nested share gate
         "tpch_q21_waiting_suppliers": q.tpch_q21_waiting_suppliers,  # multi-exists
+        "events_zorder_layout": q.events_zorder_layout,  # Morton cluster key
+        "events_zorder_skip": q.events_zorder_skip,      # prune-win audit
+        "events_range_partition": q.events_range_partition,  # octile parts
     }
 
 

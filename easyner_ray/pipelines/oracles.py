@@ -3594,3 +3594,71 @@ RELATIONAL["tpch_q21_waiting_suppliers"] = """
     FROM w JOIN u USING (l_orderkey) JOIN supplier ON s_suppkey = w.l_suppkey
     GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
 """
+
+RELATIONAL["events_zorder_layout"] = """
+    WITH b AS (SELECT min(user_id) AS mnx, max(user_id) AS mxx,
+                      min(epoch_us(ts)) AS mny, max(epoch_us(ts)) AS mxy
+               FROM events),
+    q AS (SELECT event_id,
+            CASE WHEN mxx = mnx THEN 0
+                 ELSE ((user_id - mnx) * 65535) // (mxx - mnx) END AS qx,
+            CASE WHEN mxy = mny THEN 0
+                 ELSE ((epoch_us(ts) - mny) * 65535) // (mxy - mny) END AS qy
+          FROM events, b)
+    SELECT event_id,
+           CAST(sum((((qx >> i) & 1) << (2 * i))
+                  + (((qy >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+    FROM q, generate_series(0, 15) AS t(i)
+    GROUP BY event_id ORDER BY event_id
+"""
+
+RELATIONAL["events_zorder_skip"] = """
+    WITH b AS (SELECT min(user_id) AS mnx, max(user_id) AS mxx,
+                      min(epoch_us(ts)) AS mny, max(epoch_us(ts)) AS mxy,
+                      min(event_id) AS mni, max(event_id) AS mxi
+               FROM events),
+    q AS (SELECT event_id, epoch_us(ts) AS tus, user_id AS uid,
+            CASE WHEN mxx = mnx THEN 0
+                 ELSE ((user_id - mnx) * 65535) // (mxx - mnx) END AS qx,
+            CASE WHEN mxy = mny THEN 0
+                 ELSE ((epoch_us(ts) - mny) * 65535) // (mxy - mny) END AS qy,
+            CASE WHEN mxi = mni THEN 0
+                 ELSE ((event_id - mni) * 255) // (mxi - mni) END AS lb
+          FROM events, b),
+    z AS (SELECT event_id, tus, uid, lb,
+            CAST(sum((((qx >> i) & 1) << (2 * i))
+                   + (((qy >> i) & 1) << (2 * i + 1))) AS BIGINT) >> 24
+              AS zb
+          FROM q, generate_series(0, 15) AS t(i)
+          GROUP BY event_id, tus, uid, lb),
+    zs AS (SELECT zb, min(tus) AS tmn, max(tus) AS tmx,
+                  min(uid) AS umn, max(uid) AS umx FROM z GROUP BY zb),
+    ls AS (SELECT lb, min(tus) AS tmn, max(tus) AS tmx,
+                  min(uid) AS umn, max(uid) AS umx FROM z GROUP BY lb),
+    w AS (SELECT epoch_us(TIMESTAMP '2024-01-10') AS t1,
+                 epoch_us(TIMESTAMP '2024-01-13') AS t2,
+                 mnx + (mxx - mnx) // 10 AS u_hi FROM b)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM zs) AS n_buckets_z,
+      (SELECT CAST(count(*) AS BIGINT) FROM ls) AS n_buckets_linear,
+      (SELECT CAST(count(*) AS BIGINT) FROM zs, w
+       WHERE tmx < t1 OR tmn >= t2) AS z_time_skipped,
+      (SELECT CAST(count(*) AS BIGINT) FROM ls, w
+       WHERE tmx < t1 OR tmn >= t2) AS linear_time_skipped,
+      (SELECT CAST(count(*) AS BIGINT) FROM zs, w
+       WHERE umn > u_hi) AS z_user_skipped,
+      (SELECT CAST(count(*) AS BIGINT) FROM ls, w
+       WHERE umn > u_hi) AS linear_user_skipped
+"""
+
+RELATIONAL["events_range_partition"] = """
+    WITH c AS (SELECT quantile_disc(value,
+                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+               FROM events)
+    SELECT event_id,
+           CAST((value > cuts[1])::INT + (value > cuts[2])::INT
+              + (value > cuts[3])::INT + (value > cuts[4])::INT
+              + (value > cuts[5])::INT + (value > cuts[6])::INT
+              + (value > cuts[7])::INT AS BIGINT) AS part
+    FROM events, c ORDER BY event_id
+"""

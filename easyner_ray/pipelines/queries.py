@@ -6562,3 +6562,110 @@ def tpch_q21_waiting_suppliers(sf_dir: str):
         batch_format="pyarrow")
     return out.sort(["numwait", "s_name"],
                     descending=[True, False]).limit(100)
+
+
+# --- data-layout family: Z-order clustering + range partitioning ------------
+
+
+def events_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering key over (user_id, ts) for every
+    event -> (event_id, zkey). The OPTIMIZE ZORDER primitive: writing
+    the table sorted by zkey makes fragment min/max stats selective on
+    BOTH columns, so later reads filtering on either user or time skip
+    most fragments. One tiny statistics pass + one streaming integer
+    map; the quantization is exact int64 floor arithmetic, so the SQL
+    oracle reproduces the key bit-for-bit."""
+    from easyner_ray.ops.layout import zorder_keys
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return zorder_keys(ev, ["user_id", "ts"], id_col="event_id") \
+        .sort("event_id")
+
+
+def events_zorder_skip(sf_dir: str):
+    """Fragment-skipping payoff audit: bucket events 256 ways by (a)
+    the top 8 bits of the (user_id, ts) Z-order key and (b) arrival
+    order (event_id range), record per-bucket min/max of BOTH ts and
+    user_id — the stats a sink manifest keeps — and count how many
+    buckets a reader could SKIP under (i) a fixed 3-day window
+    predicate and (ii) a bottom-decile user-range predicate -> one row
+    (n_buckets_z, n_buckets_linear, z_time_skipped,
+    linear_time_skipped, z_user_skipped, linear_user_skipped).
+    Arrival order is already time-coherent (events land roughly in ts
+    order) so it prunes the time predicate; it prunes NOTHING on the
+    user predicate — the Z-order layout prunes both, which is the
+    whole point of interleaving. Single streaming pass, two tiny
+    bucket-keyspace rollups."""
+    from datetime import datetime, timezone
+
+    from easyner_ray.ops.layout import _interleave, column_minmax_int
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    mm = column_minmax_int(ev, ["user_id", "ts", "event_id"])
+    # naive-UTC epoch micros (the storage convention; DuckDB epoch_us
+    # of a naive TIMESTAMP literal matches) — never the local zone
+    t1 = int(datetime(2024, 1, 10,
+                      tzinfo=timezone.utc).timestamp() * 1_000_000)
+    t2 = int(datetime(2024, 1, 13,
+                      tzinfo=timezone.utc).timestamp() * 1_000_000)
+    top = (1 << 16) - 1
+
+    def buckets(t: pa.Table) -> pa.Table:
+        tus = t.column("ts").cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t.column("event_id").cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        qs = []
+        for arr, c in ((uid, "user_id"), (tus, "ts")):
+            mn, mx = mm[c]
+            span = mx - mn
+            qs.append(np.zeros(len(t), np.int64) if span <= 0
+                      else (arr - mn) * top // span)
+        zb = _interleave(qs, 16) >> np.int64(24)
+        mni, mxi = mm["event_id"]
+        span_i = mxi - mni
+        lb = (np.zeros(len(t), np.int64) if span_i <= 0
+              else (eid - mni) * 255 // span_i)
+        return pa.table({"zb": pa.array(zb, pa.int64()),
+                         "lb": pa.array(lb, pa.int64()),
+                         "tus": pa.array(tus, pa.int64()),
+                         "uid": pa.array(uid, pa.int64())})
+
+    tagged = ev.map_batches(buckets, batch_format="pyarrow").materialize()
+    mnu, mxu = mm["user_id"]
+    u_hi = mnu + (mxu - mnu) // 10  # bottom-decile user-range predicate
+
+    def skip_counts(bucket_col: str):
+        g = grouped_agg(tagged, [bucket_col],
+                        [("tus", "min", "tmn"), ("tus", "max", "tmx"),
+                         ("uid", "min", "umn"), ("uid", "max", "umx")])
+        rows = g.take_all()  # <= 256 rows
+        t_skip = sum(1 for r in rows if r["tmx"] < t1 or r["tmn"] >= t2)
+        u_skip = sum(1 for r in rows if r["umn"] > u_hi)
+        return len(rows), t_skip, u_skip
+
+    nz, zt, zu = skip_counts("zb")
+    nl, lt, lu = skip_counts("lb")
+    return pa.table({
+        "n_buckets_z": pa.array([nz], pa.int64()),
+        "n_buckets_linear": pa.array([nl], pa.int64()),
+        "z_time_skipped": pa.array([zt], pa.int64()),
+        "linear_time_skipped": pa.array([lt], pa.int64()),
+        "z_user_skipped": pa.array([zu], pa.int64()),
+        "linear_user_skipped": pa.array([lu], pa.int64())})
+
+
+def events_range_partition(sf_dir: str):
+    """Balanced range-partition assignment for a skew-proof sorted
+    write: 8 partitions of events by value, cut at the exact octile
+    values (histogram-refined, no sort) -> (event_id, part). part =
+    #cuts strictly below the value, so DuckDB's quantile_disc octiles
+    reproduce the assignment exactly."""
+    from easyner_ray.ops.layout import range_partition_ids
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "value"])
+    return range_partition_ids(ev, "value", 8, id_col="event_id") \
+        .sort("event_id")

@@ -162,3 +162,114 @@ def test_tpch_q21(ray_session):
     # sorted by count desc then name
     assert list(df["numwait"]) == sorted(df["numwait"], reverse=True)
     _check("tpch_q21_waiting_suppliers", res)
+
+
+# --- layout family: Z-order keys + range partitioning -----------------------
+
+
+class TestZorder:
+    def test_interleave_matches_per_bit_reference(self):
+        import numpy as np
+
+        from easyner_ray.ops.layout import _interleave
+
+        rng = np.random.RandomState(7)
+        a = rng.randint(0, 1 << 16, 64).astype(np.int64)
+        b = rng.randint(0, 1 << 16, 64).astype(np.int64)
+
+        def ref(x, y):
+            out = 0
+            for i in range(16):
+                out |= ((x >> i) & 1) << (2 * i)
+                out |= ((y >> i) & 1) << (2 * i + 1)
+            return out
+
+        fast = _interleave([a, b], 16)            # magic-number path
+        slow = _interleave([a, b, np.zeros(64, np.int64)], 16)
+        want = np.array([ref(int(x), int(y)) for x, y in zip(a, b)])
+        assert (fast == want).all()
+        # 3-col loop path: col 2 all-zero -> its lanes are 0; stripping
+        # them recovers nothing simple, so just check col-0/1 extraction
+        for k in range(8):
+            z3 = int(slow[k])
+            x = sum((((z3 >> (3 * i)) & 1) << i) for i in range(16))
+            assert x == int(a[k])
+
+    def test_zorder_keys_and_constant_column(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from easyner_ray.ops.layout import zorder_keys
+
+        t = pa.table({"id": [1, 2, 3, 4],
+                      "x": [0, 5, 10, 10],
+                      "y": [7, 7, 7, 7]})  # constant -> quantizes to 0
+        out = {r["id"]: r["zkey"]
+               for r in zorder_keys(rd.from_arrow(t), ["x", "y"],
+                                    id_col="id").take_all()}
+        # y contributes nothing; x spans [0,10] -> q = x*65535//10,
+        # zkey = spread(q) (even bits only)
+        def spread(v):
+            out = 0
+            for i in range(16):
+                out |= ((v >> i) & 1) << (2 * i)
+            return out
+
+        for i, x in ((1, 0), (2, 5), (3, 10), (4, 10)):
+            assert out[i] == spread(x * 65535 // 10), i
+
+    def test_zorder_locality_beats_arrival_on_second_column(
+            self, ray_session):
+        # the sf0.01 audit: z-order buckets prune BOTH predicates;
+        # arrival buckets prune only time
+        from easyner_ray.pipelines import queries as q
+
+        row = q.events_zorder_skip("/root/testdata/sf0.01").to_pylist()[0]
+        assert row["z_user_skipped"] > 40 * row["linear_user_skipped"]
+        assert row["z_time_skipped"] >= row["linear_time_skipped"] - 30
+
+    def test_events_zorder_layout_oracle(self, ray_session):
+        from easyner_ray.pipelines import queries as q
+
+        import __ray_entry__ as e
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE VIEW events AS SELECT * FROM "
+                    f"'{SF}/events.parquet'")
+        want = con.execute(e.oracle_sql()["events_zorder_layout"]).df()
+        got = q.events_zorder_layout(SF).to_pandas()
+        assert list(got["zkey"]) == list(want["zkey"])
+
+
+class TestRangePartition:
+    def test_balanced_and_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as e
+        from easyner_ray.pipelines import queries as q
+
+        got = q.events_range_partition(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW events AS SELECT * FROM "
+                    f"'{SF}/events.parquet'")
+        want = con.execute(e.oracle_sql()["events_range_partition"]).df()
+        assert list(got["part"]) == list(want["part"])
+        # octiles of a continuous column -> near-equal partition sizes
+        sizes = got.groupby("part").size()
+        assert len(sizes) == 8
+        assert sizes.max() - sizes.min() <= 2
+
+    def test_skewed_constant_column_collapses_to_part_zero(
+            self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from easyner_ray.ops.layout import range_partition_ids
+
+        t = pa.table({"id": list(range(10)), "v": [3.5] * 10})
+        out = range_partition_ids(rd.from_arrow(t), "v", 4,
+                                  id_col="id").take_all()
+        assert {r["part"] for r in out} == {0}
