@@ -1,0 +1,96 @@
+"""Clustered (Z-ordered) sink + stat-pruned reader: write-side layout,
+fragment min/max manifests harvested from Parquet footers, predicate
+pruning that never drops rows, crash-safety via the _SUCCESS marker."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+def _utc_us(dt: datetime) -> int:
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+
+def _write(tmp_path, **kw):
+    from easyner_ray.state.clustered import write_clustered
+
+    root = str(tmp_path / "clustered")
+    ev = rd.read_parquet(SRC)
+    summary = write_clustered(ev, root, cols=["user_id", "ts"],
+                              num_partitions=8, **kw)
+    return root, summary
+
+
+class TestClusteredSink:
+    def test_write_read_roundtrip_and_time_prune(self, ray_session,
+                                                 tmp_path):
+        from easyner_ray.state.clustered import read_pruned
+
+        root, summary = _write(tmp_path)
+        t = pq.read_table(SRC)
+        assert summary["rows_written"] == t.num_rows
+
+        t1, t2 = datetime(2024, 1, 10), datetime(2024, 1, 13)
+        ds, rep = read_pruned(root, {"ts": (t1, t2)})
+        tsus = t.column("ts").cast(pa.int64())
+        want = t.filter(pc.and_(
+            pc.greater_equal(tsus, _utc_us(t1)),
+            pc.less_equal(tsus, _utc_us(t2)))).num_rows
+        assert ds.count() == want
+        assert 0 < rep["fragments_read"] < rep["fragments_total"]
+
+    def test_user_prune_exact_and_event_ids_match(self, ray_session,
+                                                  tmp_path):
+        from easyner_ray.state.clustered import read_pruned
+
+        root, _ = _write(tmp_path)
+        t = pq.read_table(SRC)
+        ds, rep = read_pruned(root, {"user_id": (0, 3)})
+        got = sorted(r["event_id"] for r in ds.take_all())
+        want = sorted(t.filter(pc.and_(
+            pc.greater_equal(t.column("user_id"), 0),
+            pc.less_equal(t.column("user_id"), 3)))
+            .column("event_id").to_pylist())
+        assert got == want  # pruning NEVER drops or duplicates rows
+        assert rep["fragments_read"] < rep["fragments_total"]
+
+    def test_fully_pruned_returns_report_only(self, ray_session,
+                                              tmp_path):
+        from easyner_ray.state.clustered import read_pruned
+
+        root, _ = _write(tmp_path)
+        ds, rep = read_pruned(root, {"user_id": (10_000, 20_000)})
+        assert ds is None
+        assert rep["fragments_read"] == 0
+
+    def test_crashed_compaction_is_rewritten(self, ray_session,
+                                             tmp_path):
+        import os
+
+        root, first = _write(tmp_path)
+        os.remove(os.path.join(root, "_SUCCESS"))  # simulate crash
+        root2, second = _write(tmp_path)
+        assert root2 == root
+        assert second["rows_written"] == first["rows_written"]
+        from easyner_ray.state.clustered import read_pruned
+
+        ds, rep = read_pruned(root, {})
+        assert ds.count() == first["rows_written"]
+
+    def test_open_bounds_and_column_projection(self, ray_session,
+                                               tmp_path):
+        from easyner_ray.state.clustered import read_pruned
+
+        root, _ = _write(tmp_path)
+        ds, _ = read_pruned(root, {"user_id": (5, None)},
+                            columns=["event_id", "user_id"])
+        rows = ds.take_all()
+        assert rows and set(rows[0]) == {"event_id", "user_id"}
+        assert all(r["user_id"] >= 5 for r in rows)
