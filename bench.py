@@ -258,6 +258,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_type_hour_mi": q.events_type_hour_mi,
         "docs_curriculum": q.docs_curriculum,
         "embedding_triplets": q.embedding_triplets,
+        # round-5 session-15 operators: TPC-H completion + layout family
+        "tpch_q21_waiting_suppliers": q.tpch_q21_waiting_suppliers,
+        "tpch_q16_supplier_census": q.tpch_q16_supplier_census,
+        "tpch_q8_market_share": q.tpch_q8_market_share,
+        "events_zorder_layout": q.events_zorder_layout,
+        "events_range_partition": q.events_range_partition,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
