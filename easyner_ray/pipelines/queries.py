@@ -5951,6 +5951,17 @@ def _distinct_pairs(ds, cols: list[str]):
     return g.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
 
 
+def _dim_table(sf_dir: str, table: str) -> pa.Table:
+    """Driver-side read of a FIXED-SIZE dimension (nation: 25 rows,
+    region: 5 — constant in SF by the TPC-H schema contract). A full
+    Dataset execution for 25 rows costs a ~0.5 s scheduling floor per
+    query; one local footer+page read costs microseconds and the table
+    broadcasts from the driver exactly like any other ray.put side."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+
+
 def tpch_q2_min_acctbal_supplier(sf_dir: str):
     """TPC-H Q2 analog (minimum-cost supplier, reduced schema): for each
     size-25 LARGE part, the EUROPE supplier with the LOWEST account
@@ -5965,10 +5976,8 @@ def tpch_q2_min_acctbal_supplier(sf_dir: str):
     from easyner_ray.ops.relational import adaptive_join, grouped_agg
 
     # dimension chain: region EUROPE -> nationkeys -> suppliers (tiny)
-    nat = _rp(sf_dir, "nation").materialize()
-    reg = _rp(sf_dir, "region").materialize()
-    nat_t = pa.concat_tables(ray.get(nat.to_arrow_refs()))
-    reg_t = pa.concat_tables(ray.get(reg.to_arrow_refs()))
+    nat_t = _dim_table(sf_dir, "nation")
+    reg_t = _dim_table(sf_dir, "region")
     eur = reg_t.filter(pc.equal(reg_t.column("r_name"), "EUROPE")) \
         .column("r_regionkey")
     nat_eur = nat_t.filter(pc.is_in(nat_t.column("n_regionkey"),
@@ -6047,10 +6056,8 @@ def tpch_q8_market_share(sf_dir: str):
                                             grouped_agg)
 
     # ASIA customers (dim chain kept lazy; semi-reduces orders)
-    nat = _rp(sf_dir, "nation").materialize()
-    reg = _rp(sf_dir, "region").materialize()
-    nat_t = pa.concat_tables(ray.get(nat.to_arrow_refs()))
-    reg_t = pa.concat_tables(ray.get(reg.to_arrow_refs()))
+    nat_t = _dim_table(sf_dir, "nation")
+    reg_t = _dim_table(sf_dir, "region")
     asia = reg_t.filter(pc.equal(reg_t.column("r_name"), "ASIA")) \
         .column("r_regionkey")
     nk = nat_t.filter(pc.is_in(nat_t.column("n_regionkey"),
@@ -6161,8 +6168,7 @@ def tpch_q9_nation_profit(sf_dir: str):
         .column("p_partkey").combine_chunks()
     pk_ref = ray.put(pk)
 
-    nat = _rp(sf_dir, "nation").materialize()
-    nat_t = pa.concat_tables(ray.get(nat.to_arrow_refs()))
+    nat_t = _dim_table(sf_dir, "nation")
     nn_ref = ray.put((nat_t.column("n_nationkey").combine_chunks(),
                       nat_t.column("n_name").combine_chunks()))
 
@@ -6223,8 +6229,7 @@ def tpch_q11_important_parts(sf_dir: str):
 
     from easyner_ray.ops.relational import grouped_agg
 
-    nat = _rp(sf_dir, "nation").materialize()
-    nat_t = pa.concat_tables(ray.get(nat.to_arrow_refs()))
+    nat_t = _dim_table(sf_dir, "nation")
     nk = nat_t.filter(pc.equal(nat_t.column("n_name"), "NATION_2")) \
         .column("n_nationkey")
     supp = _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
@@ -6464,8 +6469,7 @@ def tpch_q20_dominant_suppliers(sf_dir: str):
         .column("l_suppkey").combine_chunks()
     sk_ref = ray.put(sk)
 
-    nat = _rp(sf_dir, "nation").materialize()
-    nat_t = pa.concat_tables(ray.get(nat.to_arrow_refs()))
+    nat_t = _dim_table(sf_dir, "nation")
     nk_ref = ray.put((nat_t.column("n_nationkey").combine_chunks(),
                       nat_t.column("n_name").combine_chunks()))
 
