@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_layout": q.events_zorder_layout,  # Morton cluster key
         "events_zorder_skip": q.events_zorder_skip,      # prune-win audit
         "events_range_partition": q.events_range_partition,  # octile parts
+        "events_pruned_window": q.events_pruned_window,  # stat-pruned read
     }
 
 

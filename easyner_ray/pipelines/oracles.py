@@ -3662,3 +3662,10 @@ RELATIONAL["events_range_partition"] = """
               + (value > cuts[7])::INT AS BIGINT) AS part
     FROM events, c ORDER BY event_id
 """
+
+RELATIONAL["events_pruned_window"] = """
+    SELECT event_id, user_id, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-13'
+      AND user_id BETWEEN 0 AND 9
+    ORDER BY event_id
+"""

@@ -6673,3 +6673,46 @@ def events_range_partition(sf_dir: str):
     ev = _rp(sf_dir, "events", columns=["event_id", "value"])
     return range_partition_ids(ev, "value", 8, id_col="event_id") \
         .sort("event_id")
+
+
+_CLUSTERED_CACHE: dict = {}
+
+
+def events_pruned_window(sf_dir: str):
+    """End-to-end data-skipping drill through the clustered sink: write
+    the events table as Z-order range partitions over (user_id, ts)
+    (cached per corpus under /tmp), then answer a 3-day-window x
+    user-range predicate via the stat-pruned reader -> the matching
+    (event_id, user_id, value) rows, sorted. The driver's oracle is the
+    plain SQL filter, so this row-for-row gates that manifest pruning
+    never drops or duplicates a row — the property a 100 TB read
+    planner must not get wrong."""
+    import tempfile
+    from datetime import datetime
+
+    from easyner_ray.state.clustered import read_pruned, write_clustered
+
+    key = ("clustered_events", sf_dir)
+    root = _CLUSTERED_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"easyner_clustered_{abs(hash(sf_dir)) % (1 << 32):08x}")
+        ev = _rp(sf_dir, "events",
+                 columns=["event_id", "user_id", "ts", "value"])
+        if not os.path.exists(os.path.join(root, "_SUCCESS")):
+            write_clustered(ev, root, cols=["user_id", "ts"],
+                            num_partitions=32)
+        _CLUSTERED_CACHE[key] = root
+
+    ds, _report = read_pruned(
+        root, {"ts": (datetime(2024, 1, 10), datetime(2024, 1, 13)),
+               "user_id": (0, 9)},
+        columns=["event_id", "user_id", "ts", "value"])
+    if ds is None:
+        return pa.schema([("event_id", pa.int64()),
+                          ("user_id", pa.int64()),
+                          ("value", pa.float64())]).empty_table()
+    return ds.map_batches(
+        lambda t: t.select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow").sort("event_id")

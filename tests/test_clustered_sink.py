@@ -94,3 +94,20 @@ class TestClusteredSink:
         rows = ds.take_all()
         assert rows and set(rows[0]) == {"event_id", "user_id"}
         assert all(r["user_id"] >= 5 for r in rows)
+
+
+def test_events_pruned_window_query_matches_plain_filter(ray_session):
+    """The driver-gated query built on the clustered sink: row parity
+    with the unpruned SQL filter."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from easyner_ray.pipelines import queries as q
+
+    got = q.events_pruned_window("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    want = con.execute(e.oracle_sql()["events_pruned_window"]).df()
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert (got["value"].values == want["value"].values).all()
