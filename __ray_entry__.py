@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_skip": q.events_zorder_skip,      # prune-win audit
         "events_range_partition": q.events_range_partition,  # octile parts
         "events_pruned_window": q.events_pruned_window,  # stat-pruned read
+        "conv_loss_masks": q.conv_loss_masks,  # SFT token spans + train mask
     }
 
 

@@ -1439,6 +1439,22 @@ KG["conv_stats"] = f"""
     FROM {TR} GROUP BY conv_id
 """
 
+KG["conv_loss_masks"] = f"""
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+           CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[^\\s]+')))
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                - len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+             AS tok_start,
+           CAST(sum(len(regexp_extract_all(text, '[^\\s]+')))
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+             AS tok_end,
+           CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+             AS train
+    FROM {TR} ORDER BY conv_id, turn_idx
+"""
+
 KG["conv_fingerprints"] = f"""
     SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
            md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5

@@ -6716,3 +6716,45 @@ def events_pruned_window(sf_dir: str):
     return ds.map_batches(
         lambda t: t.select(["event_id", "user_id", "value"]),
         batch_format="pyarrow").sort("event_id")
+
+
+def conv_loss_masks(sf_dir: str):
+    """SFT loss-mask layout: per turn, the token span it occupies in
+    its assembled conversation ([tok_start, tok_end) under the corpus
+    whitespace-token convention) and whether those tokens TRAIN
+    (assistant turns) or are context-only (user/tool/system) ->
+    (conv_id, turn_idx, role, n_tokens, tok_start, tok_end, train).
+    This is the artifact a packing + masked-cross-entropy data loader
+    consumes. One vectorized regex count per batch, then the same ONE
+    bucketed exchange as events_running_totals for the per-conversation
+    running offset; integer cumsum is exact (< 2^53)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"),
+                                     r"[^\s]+").cast(pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "role": t.column("role"),
+                         "n_tokens": n})
+
+    base = tr.map_batches(tok, batch_format="pyarrow")
+    out = partitioned_analytics(base, ["conv_id"], ["turn_idx"],
+                                [("cumsum", "n_tokens", "tok_end")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        end = t.column("tok_end").cast(pa.int64())
+        n = t.column("n_tokens").cast(pa.int64())
+        train = pc.equal(t.column("role"), "assistant").cast(pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                         "role": t.column("role"),
+                         "n_tokens": n,
+                         "tok_start": pc.subtract(end, n),
+                         "tok_end": end,
+                         "train": train})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["conv_id", "turn_idx"])

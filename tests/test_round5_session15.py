@@ -273,3 +273,25 @@ class TestRangePartition:
         out = range_partition_ids(rd.from_arrow(t), "v", 4,
                                   id_col="id").take_all()
         assert {r["part"] for r in out} == {0}
+
+
+class TestConvLossMasks:
+    def test_spans_partition_the_conversation_and_mask_follows_role(
+            self, ray_session):
+        from easyner_ray.pipelines import queries as q
+
+        rows = q.conv_loss_masks("/root/testdata/sf0.001").take_all()
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        assert by_conv
+        for conv, turns in list(by_conv.items())[:50]:
+            turns.sort(key=lambda r: r["turn_idx"])
+            pos = 0
+            for r in turns:
+                # spans tile the token stream with no gaps or overlaps
+                assert r["tok_start"] == pos, (conv, r)
+                assert r["tok_end"] == pos + r["n_tokens"]
+                pos = r["tok_end"]
+                assert r["train"] == (1 if r["role"] == "assistant"
+                                      else 0)
