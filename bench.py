@@ -264,6 +264,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tpch_q8_market_share": q.tpch_q8_market_share,
         "events_zorder_layout": q.events_zorder_layout,
         "events_range_partition": q.events_range_partition,
+        "events_pruned_window": q.events_pruned_window,  # clustered sink drill
+        "conv_loss_masks": q.conv_loss_masks,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -369,3 +369,62 @@ def test_fastss_blocking_lossless(names):
         assert _lev_le1(u, v) == (d <= 1), (u, v)
         if d <= 1:
             assert keys_of[u] & keys_of[v], (u, v)
+
+
+@given(st.lists(st.tuples(st.integers(0, (1 << 16) - 1),
+                          st.integers(0, (1 << 16) - 1)),
+                min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_bijective_and_monotone_per_axis(pairs):
+    """Z-order keys: (a) injective — distinct (x, y) gives distinct
+    keys (bit interleave is a bijection); (b) de-interleaving recovers
+    both coordinates; (c) fixing one axis, the key is strictly monotone
+    in the other (locality within a lane)."""
+    import numpy as np
+
+    from easyner_ray.ops.layout import _interleave
+
+    xs = np.array([p[0] for p in pairs], dtype=np.int64)
+    ys = np.array([p[1] for p in pairs], dtype=np.int64)
+    z = _interleave([xs, ys], 16)
+
+    def deinter(v, lane):
+        return sum((((int(v) >> (2 * i + lane)) & 1) << i)
+                   for i in range(16))
+
+    for xi, yi, zi in zip(xs, ys, z):
+        assert deinter(zi, 0) == int(xi)
+        assert deinter(zi, 1) == int(yi)
+    assert len({(int(x), int(y)) for x, y in zip(xs, ys)}) == \
+        len(set(int(v) for v in z))
+    # monotone along the x lane with y fixed
+    y0 = int(ys[0])
+    xs_sorted = np.sort(np.unique(xs))
+    lane = _interleave([xs_sorted,
+                        np.full(len(xs_sorted), y0, np.int64)], 16)
+    assert (np.diff(lane) > 0).all()
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                max_size=300),
+       st.integers(2, 8))
+@settings(max_examples=50, deadline=None)
+def test_range_partition_monotone_and_complete(vals, n_parts):
+    """Partition ids are monotone in the value (v1 <= v2 ->
+    part(v1) <= part(v2)), bounded by [0, n_parts-1], and every row is
+    assigned (no drops)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from easyner_ray.ops.layout import range_partition_ids
+
+    t = pa.table({"id": list(range(len(vals))),
+                  "v": pa.array(vals, pa.float64())})
+    rows = range_partition_ids(rd.from_arrow(t), "v", n_parts,
+                               id_col="id").take_all()
+    assert len(rows) == len(vals)
+    part_of = {r["id"]: r["part"] for r in rows}
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    parts_sorted = [part_of[i] for i in order]
+    assert parts_sorted == sorted(parts_sorted)
+    assert 0 <= min(parts_sorted) and max(parts_sorted) <= n_parts - 1
