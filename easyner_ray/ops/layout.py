@@ -39,11 +39,68 @@ import pyarrow.compute as pc
 __all__ = ["column_minmax_int", "zorder_keys", "range_partition_ids"]
 
 
-def _to_int64(col: pa.ChunkedArray) -> pa.ChunkedArray:
-    """Timestamps become epoch microseconds; ints pass through."""
-    if pa.types.is_timestamp(col.type):
-        return col.cast(pa.int64())
+def _string_prefix_int(col) -> np.ndarray:
+    """Order-preserving integer image of a string/binary column: the
+    first 6 bytes big-endian as an int64 (48 bits — headroom for the
+    16-bit quantizer multiply in uint64). Bytewise lexicographic order
+    is preserved for any prefix length, so quantization on the image
+    clusters the same way a string sort would; strings equal in their
+    first 6 bytes collapse to one key (coarser, never wrong). Built
+    from the Arrow offsets/data buffers with 6 masked gathers — no
+    per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.binary()) if not pa.types.is_binary(col.type) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    # offsets buffer is int32 for binary/string; honor a sliced array's
+    # element offset (Ray batch slices carry one)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=n + 1,
+                            offset=arr.offset * 4).astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.zeros(0, np.uint8))
+    starts, lens = offsets[:-1], np.diff(offsets)
+    out = np.zeros(n, dtype=np.uint64)
+    for k in range(6):
+        valid = lens > k
+        byte_k = np.zeros(n, dtype=np.uint64)
+        byte_k[valid] = data[starts[valid] + k]
+        out |= byte_k << np.uint64(8 * (5 - k))
+    return out.astype(np.int64)  # < 2^48: always non-negative
+
+
+def _to_int64(col):
+    """Integer image of a column: timestamps -> epoch micros, ints pass
+    through, strings/binary -> 6-byte big-endian prefix (order
+    preserving)."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t):
+        return pa.chunked_array([pa.array(_string_prefix_int(col),
+                                          pa.int64())])
     return col.cast(pa.int64())
+
+
+def _quantize(x: np.ndarray, mn: int, mx: int, bits: int) -> np.ndarray:
+    """``(x - mn) * (2^bits - 1) // span`` with an overflow guard: when
+    ``span`` is wide enough that the multiply could exceed int64 (string
+    prefix images span up to 2^48), both operands are right-shifted
+    first — order-preserving, just coarser. For narrow spans (every
+    oracle-checked column) shift is 0 and this is EXACTLY the SQL
+    integer expression."""
+    span = mx - mn
+    if span <= 0:
+        return np.zeros(len(x), dtype=np.int64)
+    top = (1 << bits) - 1
+    shift = max(0, int(span).bit_length() + bits - 63)
+    xs = (x.astype(np.int64) - mn) >> shift
+    sp = span >> shift
+    if sp <= 0:
+        return np.zeros(len(x), dtype=np.int64)
+    return xs * top // sp
 
 
 def column_minmax_int(ds, cols: list[str]) -> dict[str, tuple[int, int]]:
@@ -116,7 +173,6 @@ def zorder_keys(ds, cols: list[str], *, id_col: str, bits: int = 16,
     if len(cols) * bits > 63:
         raise ValueError("n_cols * bits must be <= 63 for an int64 key")
     mm = minmax if minmax is not None else column_minmax_int(ds, cols)
-    top = (1 << bits) - 1
 
     def f(t: pa.Table) -> pa.Table:
         qs = []
@@ -124,11 +180,7 @@ def zorder_keys(ds, cols: list[str], *, id_col: str, bits: int = 16,
             x = _to_int64(t.column(c)).combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             mn, mx = mm.get(c, (0, 0))
-            span = mx - mn
-            if span <= 0:
-                qs.append(np.zeros(len(t), dtype=np.int64))
-            else:
-                qs.append((x - mn) * top // span)
+            qs.append(_quantize(x, mn, mx, bits))
         z = _interleave(qs, bits)
         return pa.table({id_col: t.column(id_col),
                          "zkey": pa.array(z, pa.int64())})

@@ -90,7 +90,8 @@ def write_clustered(ds, root: str, *, cols: list[str], bits: int = 16,
     stats. Returns a summary dict. The data keeps every input column
     plus ``zkey``; partition sizes are balanced by quantile cuts of the
     key (skew collapses duplicate cuts, never overflows a partition)."""
-    from easyner_ray.ops.layout import (_interleave, column_minmax_int)
+    from easyner_ray.ops.layout import (_interleave, _quantize,
+                                        _to_int64, column_minmax_int)
     from easyner_ray.ops.sketch import exact_quantiles
 
     if os.path.isdir(root) and not os.path.exists(
@@ -99,20 +100,16 @@ def write_clustered(ds, root: str, *, cols: list[str], bits: int = 16,
     os.makedirs(root, exist_ok=True)
 
     mm = column_minmax_int(ds, cols)
-    top = (1 << bits) - 1
 
     def add_zkey(t: pa.Table) -> pa.Table:
         qs = []
         for c in cols:
-            col = t.column(c)
-            if pa.types.is_timestamp(col.type):
-                col = col.cast(pa.int64())
-            x = col.cast(pa.int64()).combine_chunks() \
+            # string columns cluster on their order-preserving 6-byte
+            # prefix image (layout._to_int64); ints/timestamps directly
+            x = _to_int64(t.column(c)).combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             mn, mx = mm.get(c, (0, 0))
-            span = mx - mn
-            qs.append(np.zeros(len(t), np.int64) if span <= 0
-                      else (x - mn) * top // span)
+            qs.append(_quantize(x, mn, mx, bits))
         z = _interleave(qs, bits)
         return t.append_column("zkey", pa.array(z, pa.int64()))
 

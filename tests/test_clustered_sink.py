@@ -111,3 +111,46 @@ def test_events_pruned_window_query_matches_plain_filter(ray_session):
     want = con.execute(e.oracle_sql()["events_pruned_window"]).df()
     assert list(got["event_id"]) == list(want["event_id"])
     assert (got["value"].values == want["value"].values).all()
+
+
+class TestStringClustering:
+    def test_prefix_image_order_preserving_and_sliced(self):
+        import numpy as np
+
+        from easyner_ray.ops.layout import _string_prefix_int
+
+        words = ["", "a", "ab", "abc", "abcdef", "abcdefgh", "abd",
+                 "b", "zeta", "zz", "doc_000001", "doc_999999"]
+        t = pa.array(words)
+        img = _string_prefix_int(t)
+        # order-preserving on the 6-byte prefix
+        order = np.argsort(np.array(words, dtype=object), kind="stable")
+        pref = [w[:6] for w in words]
+        for i in range(len(words)):
+            for j in range(len(words)):
+                if pref[i] < pref[j]:
+                    assert img[i] < img[j], (words[i], words[j])
+                elif pref[i] == pref[j]:
+                    assert img[i] == img[j]
+        # sliced array (nonzero offset) gives the same values
+        sliced = _string_prefix_int(t.slice(3, 5))
+        assert list(sliced) == list(img[3:8])
+
+    def test_cluster_documents_by_string_id_and_prune(self, ray_session,
+                                                      tmp_path):
+        from easyner_ray.state.clustered import (read_pruned,
+                                                 write_clustered)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        root = str(tmp_path / "docs_clustered")
+        ds = rd.read_parquet(src, columns=["doc_id", "source", "n_chars"])
+        write_clustered(ds, root, cols=["doc_id"], num_partitions=8)
+
+        t = pq.read_table(src)
+        ids = sorted(t.column("doc_id").to_pylist())
+        lo, hi = ids[len(ids) // 4], ids[len(ids) // 3]
+        out, rep = read_pruned(root, {"doc_id": (lo, hi)})
+        got = sorted(r["doc_id"] for r in out.take_all())
+        want = [i for i in ids if lo <= i <= hi]
+        assert got == want
+        assert rep["fragments_read"] < rep["fragments_total"]
