@@ -6695,9 +6695,10 @@ def events_pruned_window(sf_dir: str):
     key = ("clustered_events", sf_dir)
     root = _CLUSTERED_CACHE.get(key)
     if root is None:
+        import zlib
         root = os.path.join(
             tempfile.gettempdir(),
-            f"easyner_clustered_{abs(hash(sf_dir)) % (1 << 32):08x}")
+            f"easyner_clustered_{zlib.crc32(sf_dir.encode()):08x}")
         ev = _rp(sf_dir, "events",
                  columns=["event_id", "user_id", "ts", "value"])
         if not os.path.exists(os.path.join(root, "_SUCCESS")):
