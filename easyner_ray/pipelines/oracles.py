@@ -1455,6 +1455,24 @@ KG["conv_loss_masks"] = f"""
     FROM {TR} ORDER BY conv_id, turn_idx
 """
 
+KG["conv_packed_sft"] = f"""
+    WITH c AS (
+      SELECT conv_id,
+             CAST(sum(len(regexp_extract_all(text, '[^\\s]+'))) AS BIGINT)
+               AS n_tokens,
+             CAST((CAST(substr(conv_id, 5) AS BIGINT) * 2654435761)
+                  % 4294967296 % 8 AS BIGINT) AS bucket
+      FROM {TR} GROUP BY conv_id),
+    w AS (
+      SELECT conv_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket
+                                      ORDER BY conv_id) AS BIGINT) AS cum
+      FROM c)
+    SELECT conv_id, bucket, n_tokens, cum,
+           CAST(floor((cum - n_tokens) * 1.0 / 2048) AS BIGINT) AS pack_id
+    FROM w ORDER BY bucket, conv_id
+"""
+
 KG["conv_fingerprints"] = f"""
     SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
            md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5

@@ -6759,3 +6759,62 @@ def conv_loss_masks(sf_dir: str):
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort(["conv_id", "turn_idx"])
+
+
+def conv_packed_sft(sf_dir: str):
+    """Conversation-level sequence packing for SFT: whole conversations
+    (the atomic SFT unit — splitting one would orphan its context)
+    greedily packed into 2048-token budget sequences, shard-local like
+    docs_packed_sharded: bucket = Knuth hash of the numeric conv id
+    mod 8, so no task ever cumsums the whole corpus -> (conv_id,
+    bucket, n_tokens, cum, pack_id). Composite pack identity
+    (bucket, pack_id); pairs with conv_loss_masks (the in-pack token
+    spans) to drive a packing + masked-loss data loader. One grouped
+    rollup onto the conversation keyspace, then the standard bucketed
+    cumsum exchange."""
+    import numpy as np
+
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import _KNUTH32, grouped_agg
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"),
+                                     r"[^\s]+").cast(pa.int64())
+        g = pa.table({"conv_id": t.column("conv_id"), "n": n}) \
+            .group_by(["conv_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["conv_id", "n"])
+
+    totals = grouped_agg(tr.map_batches(tok, batch_format="pyarrow"),
+                         ["conv_id"], [("n", "sum", "n_tokens")])
+
+    mask32 = np.uint64(0xFFFFFFFF)
+    mult = np.uint64(_KNUTH32)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cid = pc.utf8_slice_codeunits(t.column("conv_id"), 4, 99) \
+            .cast(pa.int64())
+        k = np.asarray(cid.combine_chunks()).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((k * mult) & mask32) % np.uint64(8)
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                         "n_tokens": t.column("n_tokens").cast(pa.int64())})
+
+    cum = partitioned_analytics(
+        totals.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], ["conv_id"], [("cumsum", "n_tokens", "cum")])
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t.column("cum").cast(pa.int64())
+        start = pc.subtract(c, t.column("n_tokens"))
+        pid = pc.floor(pc.divide(start.cast(pa.float64()),
+                                 2048.0)).cast(pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "bucket": t.column("bucket"),
+                         "n_tokens": t.column("n_tokens"),
+                         "cum": c, "pack_id": pid})
+
+    return cum.map_batches(pack, batch_format="pyarrow") \
+        .sort(["bucket", "conv_id"])

@@ -295,3 +295,23 @@ class TestConvLossMasks:
                 pos = r["tok_end"]
                 assert r["train"] == (1 if r["role"] == "assistant"
                                       else 0)
+
+
+class TestConvPackedSft:
+    def test_packs_respect_budget_modulo_straddle(self, ray_session):
+        from easyner_ray.pipelines import queries as q
+
+        rows = q.conv_packed_sft("/root/testdata/sf0.001").take_all()
+        assert rows
+        packs = {}
+        for r in rows:
+            packs.setdefault((r["bucket"], r["pack_id"]), []).append(r)
+        for (b, pid), members in packs.items():
+            total = sum(r["n_tokens"] for r in members)
+            # greedy rule: all but the final (straddling) conversation
+            # fit inside the budget
+            tail = max(r["n_tokens"] for r in members)
+            assert total - tail < 2048, (b, pid, total)
+            # pack ids contiguous from 0 per bucket is NOT required
+            # (an over-budget conv skips ids) — but ids are nonneg
+            assert pid >= 0
