@@ -290,3 +290,116 @@ def write_training_shards(ds, root: str, *, key: str = "doc_id",
             "new_shards": sorted(r["shard"] for r in summary),
             "resumed_shards": sorted(existing),
             "rows_written": int(sum(r["rows"] for r in summary))}
+
+
+def compact_partitions(root: str, *, target_bytes: int = 128 << 20,
+                       min_files: int = 2) -> dict:
+    """Small-file compaction for a :func:`write_partitioned` sink — the
+    standard remedy for the many-small-files layout a streaming write
+    accumulates (every block that touched a partition left its own
+    file; at 100 TB that is metadata pressure on every subsequent read
+    planner).
+
+    Each partition holding >= ``min_files`` files is rewritten as
+    ``ceil(total_bytes / target_bytes)`` files by its own Ray task —
+    one partition == one independent task reading only its own files
+    (hash partitioning bounds partition size by design), so compaction
+    parallelism equals the partition count with zero shuffle. This is a
+    legitimate raw-``@ray.remote`` site: the unit of work is a
+    filesystem rewrite keyed by directory, not a row transform.
+
+    Crash safety per partition: new files land under unique
+    ``compact-*`` names, the manifest is REPLACED atomically
+    (``os.replace``) to list only them, then old files are unlinked —
+    a crash in between leaves unlisted orphans that the next call (or
+    :func:`write_partitioned`'s orphan sweep) removes via
+    ``_clean_unlisted``; readers that go through the manifest never see
+    a partial state. Returns {partitions_compacted, files_before,
+    files_after}.
+    """
+    import uuid
+
+    import ray
+
+    _clean_unlisted(root)
+
+    @ray.remote
+    def compact_one(pdir: str, files: list[str], n_out: int,
+                    lineage: str | None):
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in files])
+        out_names = []
+        rows_per = -(-tbl.num_rows // n_out)
+        for i in range(n_out):
+            part_tbl = tbl.slice(i * rows_per, rows_per)
+            if part_tbl.num_rows == 0:
+                continue
+            name = f"compact-{uuid.uuid4().hex}-{i}.parquet"
+            tmp = os.path.join(pdir, "." + name + ".tmp")
+            pq.write_table(part_tbl, tmp)
+            os.replace(tmp, os.path.join(pdir, name))
+            out_names.append(name)
+        return out_names
+
+    todo = []
+    before = after = 0
+    for part in sorted(completed_partitions(root)):
+        mpath = os.path.join(root, "_manifests", f"part-{part}.json")
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        files = [e["file"] for e in manifest["files"]]
+        before += len(files)
+        total = sum(e["bytes"] for e in manifest["files"])
+        n_out = max(1, -(-total // target_bytes))
+        if len(files) < max(min_files, n_out + 1):
+            after += len(files)
+            continue
+        pdir = os.path.join(root, f"part={part}")
+        todo.append((part, pdir, files, n_out, manifest.get("lineage")))
+
+    results = ray.get([compact_one.remote(pdir, files, n_out, lin)
+                       for _, pdir, files, n_out, lin in todo])
+    compacted = []
+    for (part, pdir, old_files, _n, lineage), new_names in zip(todo,
+                                                               results):
+        entries = []
+        for f in sorted(new_names):
+            fp = os.path.join(pdir, f)
+            entries.append({"file": f,
+                            "rows": pq.ParquetFile(fp).metadata.num_rows,
+                            "bytes": os.path.getsize(fp)})
+        manifest = {"part": part,
+                    "rows": sum(e["rows"] for e in entries),
+                    "files": entries, "lineage": lineage}
+        mdir = os.path.join(root, "_manifests")
+        tmp = os.path.join(mdir, f".part-{part}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(mdir, f"part-{part}.json"))
+        for f in old_files:
+            os.remove(os.path.join(pdir, f))
+        after += len(entries)
+        compacted.append(part)
+    return {"partitions_compacted": sorted(compacted),
+            "files_before": before, "files_after": after}
+
+
+def _clean_unlisted(root: str) -> int:
+    """Remove parquet files a partition's manifest does not list —
+    leftovers of a compaction that crashed between publishing the new
+    manifest and unlinking the old files. (Distinct from
+    :func:`_clean_orphan_partitions`, which wipes whole UNMANIFESTED
+    partitions.)"""
+    removed = 0
+    for part in sorted(completed_partitions(root)):
+        with open(os.path.join(root, "_manifests",
+                               f"part-{part}.json")) as fh:
+            listed = {e["file"] for e in json.load(fh)["files"]}
+        pdir = os.path.join(root, f"part={part}")
+        if not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet") and f not in listed:
+                os.remove(os.path.join(pdir, f))
+                removed += 1
+    return removed
