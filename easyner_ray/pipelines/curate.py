@@ -874,17 +874,47 @@ def build_curation(config: dict):
 
 def run_curation(config: dict) -> dict:
     """Build + consume: write the curated set (resumable partitioned
-    Parquet when ``output_dir`` is set) and return a summary."""
+    Parquet when ``output_dir`` is set) and return a summary.
+
+    ``sink.mode``:
+      * ``"partitioned"`` (default) — :func:`state.sink.write_partitioned`
+        hash partitions with manifests + resume (the checkpointable
+        intermediate layout);
+      * ``"training_shards"`` — :func:`state.sink.write_training_shards`:
+        deterministic global shuffle cut into exactly ONE sorted file
+        per shard (the layout a tokenizer/loader consumes; final
+        export of a curation chain);
+      * ``"clustered"`` — :func:`state.clustered.write_clustered`:
+        Z-order range partitions over ``sink.cols`` with per-fragment
+        min/max stats for stat-pruned downstream reads.
+    """
     ds = build_curation(config)
     out_dir = config.get("output_dir")
-    if out_dir:
-        from easyner_ray.state.sink import write_partitioned
+    if not out_dir:
+        return {"rows": ds.count()}
+    sink_cfg = config.get("sink", {})
+    mode = sink_cfg.get("mode", "partitioned")
+    lineage = "curate:" + ",".join(s["op"] for s in config.get("steps", []))
+    if mode == "training_shards":
+        from easyner_ray.state.sink import write_training_shards
 
-        sink_cfg = config.get("sink", {})
-        summary = write_partitioned(
-            ds, out_dir, key_col=sink_cfg.get("key_col", "doc_id"),
-            num_partitions=sink_cfg.get("num_partitions", 32),
-            lineage="curate:" + ",".join(s["op"] for s in config.get("steps", [])),
-        )
+        summary = write_training_shards(
+            ds, out_dir, key=sink_cfg.get("key_col", "doc_id"),
+            n_shards=sink_cfg.get("n_shards", 32))
         return {"output_dir": out_dir, **summary}
-    return {"rows": ds.count()}
+    if mode == "clustered":
+        from easyner_ray.state.clustered import write_clustered
+
+        summary = write_clustered(
+            ds, out_dir, cols=sink_cfg.get("cols", ["doc_id"]),
+            num_partitions=sink_cfg.get("num_partitions", 32),
+            lineage=lineage)
+        return {"output_dir": out_dir, **summary}
+    from easyner_ray.state.sink import write_partitioned
+
+    summary = write_partitioned(
+        ds, out_dir, key_col=sink_cfg.get("key_col", "doc_id"),
+        num_partitions=sink_cfg.get("num_partitions", 32),
+        lineage=lineage,
+    )
+    return {"output_dir": out_dir, **summary}

@@ -242,3 +242,39 @@ def test_pack_step(ray_session, docs_path):
     for _, r in out.iterrows():
         assert r["n_tokens"] == len(src[r["doc_id"]].split())
         assert 0 <= r["bucket"] < 2 and r["pack_id"] >= 0
+
+
+class TestSinkModes:
+    def _cfg(self, out, mode_cfg):
+        return {"input": {"sf_dir": "/root/testdata/sf0.001"},
+                "output_dir": out,
+                "steps": [{"op": "token_filter", "min_tokens": 5},
+                          {"op": "dedup_exact"}],
+                "sink": mode_cfg}
+
+    def test_training_shards_mode(self, ray_session, tmp_path):
+        import os
+
+        from easyner_ray.pipelines.curate import run_curation
+
+        out = str(tmp_path / "shards")
+        s = run_curation(self._cfg(out, {"mode": "training_shards",
+                                         "n_shards": 8}))
+        assert s["rows_written"] > 0
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert 0 < len(files) <= 8  # exactly one file per nonempty shard
+
+    def test_clustered_mode(self, ray_session, tmp_path):
+        import os
+
+        from easyner_ray.pipelines.curate import run_curation
+        from easyner_ray.state.clustered import read_pruned
+
+        out = str(tmp_path / "clustered")
+        s = run_curation(self._cfg(out, {"mode": "clustered",
+                                         "cols": ["doc_id"],
+                                         "num_partitions": 4}))
+        assert s["rows_written"] > 0
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        ds, rep = read_pruned(out, {})
+        assert ds.count() == s["rows_written"]
