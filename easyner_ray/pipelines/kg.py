@@ -137,6 +137,36 @@ def build_kg(
     return out
 
 
+def write_clustered_edges(edges, out_dir: str, *,
+                          num_partitions: int = 32) -> dict:
+    """Serving layout for the edge table: Z-order range partitions over
+    (subj, obj) — both endpoints on their order-preserving string-prefix
+    image — with per-fragment min/max stats in the manifests
+    (:mod:`easyner_ray.state.clustered`). A neighborhood read for ONE
+    entity (or an alphabetical entity range) then touches only the
+    fragments whose subj OR obj range intersects it, instead of the full
+    table — the graph-serving analog of the events window prune. Use
+    AFTER the build finishes (it is a compaction, all-or-nothing); keep
+    ``write_partitioned`` for the resumable build-side checkpoint."""
+    from easyner_ray.state.clustered import write_clustered
+
+    return write_clustered(edges, os.path.join(out_dir, "edges_clustered"),
+                           cols=["subj", "obj"],
+                           num_partitions=num_partitions)
+
+
+def read_edge_neighborhood(out_dir: str, lo: str, hi: str):
+    """Stat-pruned read of every edge whose SUBJECT falls in [lo, hi]
+    from a :func:`write_clustered_edges` layout. Returns
+    (dataset | None, report) — report counts fragments planned vs read.
+    Symmetric obj-side lookups pass {"obj": (lo, hi)} to
+    :func:`easyner_ray.state.clustered.read_pruned` directly."""
+    from easyner_ray.state.clustered import read_pruned
+
+    return read_pruned(os.path.join(out_dir, "edges_clustered"),
+                       {"subj": (lo, hi)})
+
+
 # ------------------------------------------------------- single-pass build --
 
 _COMBINED_FIELDS = [

@@ -154,3 +154,76 @@ class TestStringClustering:
         want = [i for i in ids if lo <= i <= hi]
         assert got == want
         assert rep["fragments_read"] < rep["fragments_total"]
+
+
+class TestClusteredEdges:
+    def test_kg_edges_clustered_and_neighborhood_prune(self, ray_session,
+                                                       tmp_path):
+        import os
+
+        from easyner_ray.pipelines.kg import (build_kg,
+                                              read_edge_neighborhood,
+                                              read_transcripts,
+                                              write_clustered_edges)
+        from easyner_ray.sources.synthetic import ensure_corpus
+
+        corpus = ensure_corpus("sf0.001", 0.001, with_gold=False)
+        res = build_kg(read_transcripts(
+            os.path.join(corpus, "transcripts.parquet")))
+        edges = res["edges"].materialize()
+        out = str(tmp_path)
+        s = write_clustered_edges(edges, out, num_partitions=8)
+        assert s["rows_written"] == edges.count()
+
+        subjects = sorted({r["subj"] for r in edges.take_all()})
+        lo, hi = subjects[0], subjects[len(subjects) // 10]
+        ds, rep = read_edge_neighborhood(out, lo, hi)
+        got = sorted((r["subj"], r["obj"], r["pred"])
+                     for r in ds.take_all())
+        want = sorted((r["subj"], r["obj"], r["pred"])
+                      for r in edges.take_all() if lo <= r["subj"] <= hi)
+        assert got == want
+        assert rep["fragments_read"] < rep["fragments_total"]
+
+
+class TestClusteredSkew:
+    def test_hot_key_corpus_keeps_partitions_bounded(self, ray_session,
+                                                     tmp_path):
+        """90% of rows share ONE user: the quantile cuts collapse around
+        the hot key, but no partition exceeds the hot-key mass + budget
+        (skew cannot overflow a single task beyond the irreducible
+        duplicate-key run), and read parity holds."""
+        import numpy as np
+
+        from easyner_ray.state.clustered import (read_pruned,
+                                                 write_clustered)
+
+        rng = np.random.RandomState(11)
+        n = 20_000
+        hot = rng.rand(n) < 0.9
+        users = np.where(hot, 7, rng.randint(0, 500, n)).astype(np.int64)
+        ts = rng.randint(0, 10**9, n).astype(np.int64)
+        t = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                      "user_id": pa.array(users, pa.int64()),
+                      "ts": pa.array(ts, pa.int64())})
+        root = str(tmp_path / "skewed")
+        s = write_clustered(rd.from_arrow(t).repartition(8), root,
+                            cols=["user_id", "ts"], num_partitions=16)
+        assert s["rows_written"] == n
+
+        # per-partition row counts from the manifests
+        import json, os
+
+        sizes = []
+        for f in os.listdir(os.path.join(root, "_manifests")):
+            if f.startswith("part-"):
+                with open(os.path.join(root, "_manifests", f)) as fh:
+                    sizes.append(json.load(fh)["rows"])
+        # the hot 90% shares (user, many ts) -> z-keys still spread over
+        # the ts lane, so cuts split the hot mass; no partition should
+        # hold more than ~3x the even share
+        assert max(sizes) <= 3 * (n // 16) + 1, sorted(sizes)
+
+        ds, _ = read_pruned(root, {"user_id": (7, 7)})
+        assert ds.count() == int(hot.sum()) + int(
+            ((~hot) & (users == 7)).sum())
