@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pruned_window": q.events_pruned_window,  # stat-pruned read
         "conv_loss_masks": q.conv_loss_masks,  # SFT token spans + train mask
         "conv_packed_sft": q.conv_packed_sft,  # whole-conv budget packing
+        "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
     }
 
 

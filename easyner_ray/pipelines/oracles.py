@@ -1004,6 +1004,22 @@ RELATIONAL["docs_curated"] = """
 # certifies the fold-in path equals a from-scratch rebuild byte for byte
 KG["kg_edges_incremental"] = KG["kg_edges"]
 
+KG["kg_edge_neighborhood"] = """
+    WITH triples AS (
+      SELECT DISTINCT a.norm AS subj, b.norm AS obj,
+             a.conv_id, a.turn_idx, a.sent_idx
+      FROM {GM} a JOIN {GM} b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND a.sent_idx = b.sent_idx
+      WHERE a.norm <> b.norm
+    )
+    SELECT subj, 'co_occurs_with' AS pred, obj,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM triples
+    WHERE subj >= 'a' AND subj <= 'ezzzzzzz'
+    GROUP BY subj, obj ORDER BY subj, obj
+""".replace("{GM}", GM)
+
 # PageRank: deterministic by per-iteration rounding (spec in
 # sources.gold_derived.write_pagerank_gold), so the oracle is the
 # straight-line single-process recompute, like k-means/HLL.

@@ -6818,3 +6818,45 @@ def conv_packed_sft(sf_dir: str):
 
     return cum.map_batches(pack, batch_format="pyarrow") \
         .sort(["bucket", "conv_id"])
+
+
+def kg_edge_neighborhood(sf_dir: str):
+    """Stat-pruned entity-neighborhood read off the clustered
+    edge-serving layout: the fused edge table is written ONCE per
+    corpus as (subj, obj) Z-order range partitions (cached under /tmp),
+    then every edge whose subject starts with 'a'..'e' is answered from
+    manifests + intersecting fragments only -> (subj, pred, obj,
+    weight) sorted. The driver oracle recomputes the same range from
+    the gold mention table, gating that layout + prune never drop or
+    duplicate an edge."""
+    import tempfile
+    import zlib
+
+    from easyner_ray.pipelines.kg import write_clustered_edges
+    from easyner_ray.state.clustered import read_pruned
+
+    key = ("clustered_edges", sf_dir)
+    root = _CLUSTERED_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"easyner_cedges_{zlib.crc32(sf_dir.encode()):08x}")
+        if not os.path.exists(os.path.join(root, "edges_clustered",
+                                           "_SUCCESS")):
+            edges = _kg_edges_fused(sf_dir)
+            write_clustered_edges(edges, root, num_partitions=16)
+        _CLUSTERED_CACHE[key] = root
+
+    lo, hi = "a", "ezzzzzzz"
+    ds, _rep = read_pruned(os.path.join(root, "edges_clustered"),
+                           {"subj": (lo, hi)})
+    if ds is None:
+        return pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                          ("obj", pa.string()),
+                          ("weight", pa.int64())]).empty_table()
+    return ds.map_batches(
+        lambda t: pa.table({"subj": t.column("subj"),
+                            "pred": t.column("pred"),
+                            "obj": t.column("obj"),
+                            "weight": t.column("weight").cast(pa.int64())}),
+        batch_format="pyarrow").sort(["subj", "obj"])
