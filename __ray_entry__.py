@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_loss_masks": q.conv_loss_masks,  # SFT token spans + train mask
         "conv_packed_sft": q.conv_packed_sft,  # whole-conv budget packing
         "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
+        "conv_tool_errors": q.conv_tool_errors,  # per-tool failure census
     }
 
 

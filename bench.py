@@ -266,6 +266,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_range_partition": q.events_range_partition,
         "events_pruned_window": q.events_pruned_window,  # clustered sink drill
         "conv_loss_masks": q.conv_loss_masks,
+        "conv_packed_sft": q.conv_packed_sft,
+        "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

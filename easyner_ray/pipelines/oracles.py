@@ -1471,6 +1471,20 @@ KG["conv_loss_masks"] = f"""
     FROM {TR} ORDER BY conv_id, turn_idx
 """
 
+KG["conv_tool_errors"] = f"""
+    SELECT tool,
+           CAST(count(*) AS BIGINT) AS n_outputs,
+           CAST(sum(CASE WHEN regexp_matches(text,
+                     '(?i)(error|exception|timeout|failed)')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           round(sum(CASE WHEN regexp_matches(text,
+                     '(?i)(error|exception|timeout|failed)')
+                    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS error_rate
+    FROM {TR}
+    WHERE role = 'tool' AND tool IS NOT NULL
+    GROUP BY tool ORDER BY tool
+"""
+
 KG["conv_packed_sft"] = f"""
     WITH c AS (
       SELECT conv_id,

@@ -6860,3 +6860,44 @@ def kg_edge_neighborhood(sf_dir: str):
                             "obj": t.column("obj"),
                             "weight": t.column("weight").cast(pa.int64())}),
         batch_format="pyarrow").sort(["subj", "obj"])
+
+
+def conv_tool_errors(sf_dir: str):
+    """Per-tool failure census over agent transcripts: among tool-role
+    turns, how many outputs carry a failure marker (error / exception /
+    timeout / failed, case-insensitive) -> (tool, n_outputs, n_errors,
+    error_rate). The agent-ops health dashboard primitive: a tool whose
+    error rate spikes is the first thing an operator of a transcript
+    pipeline pages on. One vectorized regex pass, partials onto the
+    tool-sized keyspace, tree final."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "role", "text", "tool"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t.column("role"), "tool"),
+                             pc.is_valid(t.column("tool"))))
+        err = pc.match_substring_regex(
+            t.column("text"),
+            r"(?i)(error|exception|timeout|failed)").cast(pa.int64())
+        g = pa.table({"tool": t.column("tool"), "e": err,
+                      "c": pa.array(np.ones(len(t), np.int64))}) \
+            .group_by(["tool"]).aggregate([("e", "sum"), ("c", "sum")])
+        return g.rename_columns(["tool", "e", "c"])
+
+    agg = grouped_agg(tr.map_batches(prep, batch_format="pyarrow"),
+                      ["tool"], [("e", "sum", "n_errors"),
+                                 ("c", "sum", "n_outputs")],
+                      final="tree")
+
+    def finish(t: pa.Table) -> pa.Table:
+        e = t.column("n_errors").to_pylist()
+        n = t.column("n_outputs").to_pylist()
+        rate = pa.array([round(a / b, 4) for a, b in zip(e, n)],
+                        pa.float64())
+        return pa.table({"tool": t.column("tool"),
+                         "n_outputs": pa.array(n, pa.int64()),
+                         "n_errors": pa.array(e, pa.int64()),
+                         "error_rate": rate})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("tool")
