@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_packed_sft": q.conv_packed_sft,  # whole-conv budget packing
         "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
         "conv_tool_errors": q.conv_tool_errors,  # per-tool failure census
+        "events_rolling_mean": q.events_rolling_mean,  # ROWS-frame moving avg
     }
 
 

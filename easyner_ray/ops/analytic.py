@@ -34,13 +34,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
-          "cumsum", "percent_rank", "cume_dist")
+          "cumsum", "percent_rank", "cume_dist", "rolling_sum",
+          "rolling_mean")
 
 
 def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
     if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
-    if kind in ("cumsum", "percent_rank", "cume_dist"):
+    if kind in ("cumsum", "percent_rank", "cume_dist", "rolling_sum",
+                "rolling_mean"):
         return pa.float64()
     return schema.field(src).type
 
@@ -165,6 +167,33 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
             nseg = nvalid - nvalid[start_of] + vmask[start_of]
             if (nseg == 0).any():             # all-NULL prefix -> NULL
                 out = pc.if_else(pa.array(nseg > 0), out,
+                                 pa.scalar(None, pa.float64()))
+            t = t.append_column(name, out)
+        elif kind in ("rolling_sum", "rolling_mean"):
+            # src encodes "col:k" (like ntile encodes its param in src):
+            # SQL frame ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW.
+            src_col, k_s = src.rsplit(":", 1)
+            k = int(k_s)
+            col = t.column(src_col).combine_chunks().cast(pa.float64())
+            vmask = (np.asarray(pc.is_valid(col)).astype(np.int64)
+                     if col.null_count else np.ones(n, dtype=np.int64))
+            v = np.asarray(col.fill_null(0.0), dtype=np.float64)
+            # frame start j = max(partition start, i - k + 1); the same
+            # extended-precision rebase as cumsum bounds the cancellation
+            # error by the frame magnitude, not the global prefix
+            j = np.maximum(start_of, np.arange(n) - k + 1)
+            c = np.cumsum(v, dtype=np.longdouble)
+            rs = (c - c[j] + v[j]).astype(np.float64)
+            nv = np.cumsum(vmask)
+            cnt = nv - nv[j] + vmask[j]
+            if kind == "rolling_sum":
+                out_np = rs
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out_np = rs / cnt
+            out = pa.array(out_np, pa.float64())
+            if (cnt == 0).any():              # all-NULL frame -> NULL
+                out = pc.if_else(pa.array(cnt > 0), out,
                                  pa.scalar(None, pa.float64()))
             t = t.append_column(name, out)
         else:

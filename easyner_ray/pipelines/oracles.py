@@ -3659,6 +3659,15 @@ RELATIONAL["tpch_q21_waiting_suppliers"] = """
     GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
 """
 
+RELATIONAL["events_rolling_mean"] = """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING
+                                  AND CURRENT ROW), 4) AS rolling_avg
+    FROM events ORDER BY event_id
+"""
+
 RELATIONAL["events_zorder_layout"] = """
     WITH b AS (SELECT min(user_id) AS mnx, max(user_id) AS mxx,
                       min(epoch_us(ts)) AS mny, max(epoch_us(ts)) AS mxy

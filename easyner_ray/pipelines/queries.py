@@ -6901,3 +6901,27 @@ def conv_tool_errors(sf_dir: str):
                          "error_rate": rate})
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("tool")
+
+
+def events_rolling_mean(sf_dir: str):
+    """Per-user 5-row rolling average of event value — the SQL frame
+    ``avg(value) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW)``, the moving-average monitor
+    every metrics pipeline runs -> (event_id, rolling_avg[4dp]). Same
+    ONE bucketed exchange as the other analytics; the frame kernel is
+    a vectorized cumsum rebase (extended precision, frame-bounded
+    error)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("rolling_mean", "value:5", "ra")])
+    # Python-round grain (the _round4 device, same as
+    # events_running_totals): pc.round lands one ulp off DuckDB's
+    # decimal rounding on ~1e2-magnitude frame means
+    return out.map_batches(
+        lambda t: _round4(pa.table({"event_id": t.column("event_id"),
+                                    "rolling_avg": t.column("ra")}),
+                          ["rolling_avg"]),
+        batch_format="pyarrow").sort("event_id")

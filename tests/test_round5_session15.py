@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 SF = "/root/testdata/sf0.001"
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -315,3 +316,45 @@ class TestConvPackedSft:
             # pack ids contiguous from 0 per bucket is NOT required
             # (an over-budget conv skips ids) — but ids are nonneg
             assert pid >= 0
+
+
+class TestRollingFrame:
+    def test_rolling_mean_matches_pandas_and_null_frame(self,
+                                                        ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from easyner_ray.ops.analytic import partitioned_analytics
+
+        vals = [1.0, None, 3.0, 5.0, None, None, 7.0]
+        t = pa.table({"g": ["a"] * 7, "o": list(range(7)),
+                      "v": pa.array(vals, pa.float64())})
+        rows = partitioned_analytics(
+            rd.from_arrow(t), ["g"], ["o"],
+            [("rolling_sum", "v:3", "rs"),
+             ("rolling_mean", "v:3", "rm")]).take_all()
+        rows.sort(key=lambda r: r["o"])
+        s = pd.Series(vals, dtype=float)
+        want_sum = s.rolling(3, min_periods=1).sum()
+        want_mean = s.rolling(3, min_periods=1).mean()
+        for i, r in enumerate(rows):
+            ws = want_sum[i]
+            wm = want_mean[i]
+            assert (r["rs"] is None) == bool(pd.isna(ws)), i
+            if r["rs"] is not None:
+                assert r["rs"] == pytest.approx(ws, abs=1e-12)
+                assert r["rm"] == pytest.approx(wm, abs=1e-12)
+
+    def test_frame_respects_partition_boundary(self, ray_session):
+        import ray.data as rd
+
+        from easyner_ray.ops.analytic import partitioned_analytics
+
+        t = pa.table({"g": ["a", "a", "b", "b"], "o": [0, 1, 0, 1],
+                      "v": [10.0, 20.0, 100.0, 200.0]})
+        rows = {(r["g"], r["o"]): r["rs"] for r in partitioned_analytics(
+            rd.from_arrow(t), ["g"], ["o"],
+            [("rolling_sum", "v:5", "rs")]).take_all()}
+        assert rows[("b", 0)] == 100.0  # never sees group a
+        assert rows[("b", 1)] == 300.0
