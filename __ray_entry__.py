@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
         "conv_tool_errors": q.conv_tool_errors,  # per-tool failure census
         "events_rolling_mean": q.events_rolling_mean,  # ROWS-frame moving avg
+        "events_rolling_extrema": q.events_rolling_extrema,  # frame min/max
     }
 
 

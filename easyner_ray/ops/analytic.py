@@ -35,14 +35,14 @@ import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
           "cumsum", "percent_rank", "cume_dist", "rolling_sum",
-          "rolling_mean")
+          "rolling_mean", "rolling_min", "rolling_max")
 
 
 def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
     if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
     if kind in ("cumsum", "percent_rank", "cume_dist", "rolling_sum",
-                "rolling_mean"):
+                "rolling_mean", "rolling_min", "rolling_max"):
         return pa.float64()
     return schema.field(src).type
 
@@ -191,6 +191,39 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
             else:
                 with np.errstate(invalid="ignore", divide="ignore"):
                     out_np = rs / cnt
+            out = pa.array(out_np, pa.float64())
+            if (cnt == 0).any():              # all-NULL frame -> NULL
+                out = pc.if_else(pa.array(cnt > 0), out,
+                                 pa.scalar(None, pa.float64()))
+            t = t.append_column(name, out)
+        elif kind in ("rolling_min", "rolling_max"):
+            # src encodes "col:k"; frame ROWS BETWEEN k-1 PRECEDING AND
+            # CURRENT ROW. Kernel: an (n x k) gather matrix of frame
+            # member indices (clamped at the frame start) with
+            # out-of-frame cells masked to +/-inf, reduced along axis 1
+            # — n*k floats of scratch, so k is capped at 256 (a SQL
+            # ROWS frame wider than that should be a cumulative or
+            # range aggregate instead).
+            src_col, k_s = src.rsplit(":", 1)
+            k = int(k_s)
+            if k > 256:
+                raise ValueError("rolling_min/max cap k at 256 "
+                                 "(n*k scratch); use cumsum shapes")
+            col = t.column(src_col).combine_chunks().cast(pa.float64())
+            fill = np.inf if kind == "rolling_min" else -np.inf
+            v = np.asarray(col.fill_null(fill), dtype=np.float64)
+            vmask = (np.asarray(pc.is_valid(col)).astype(np.int64)
+                     if col.null_count else np.ones(n, dtype=np.int64))
+            j = np.maximum(start_of, np.arange(n) - k + 1)
+            idx = np.arange(n)[:, None] - np.arange(k)[None, :]
+            oob = idx < j[:, None]
+            idx = np.maximum(idx, 0)
+            m = v[idx]
+            m[oob] = fill
+            out_np = m.min(axis=1) if kind == "rolling_min" \
+                else m.max(axis=1)
+            nv = np.cumsum(vmask)
+            cnt = nv - nv[j] + vmask[j]
             out = pa.array(out_np, pa.float64())
             if (cnt == 0).any():              # all-NULL frame -> NULL
                 out = pc.if_else(pa.array(cnt > 0), out,

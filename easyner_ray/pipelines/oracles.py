@@ -3659,6 +3659,17 @@ RELATIONAL["tpch_q21_waiting_suppliers"] = """
     GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
 """
 
+RELATIONAL["events_rolling_extrema"] = """
+    SELECT event_id,
+           min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS roll_min,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS roll_max
+    FROM events ORDER BY event_id
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

@@ -6925,3 +6925,21 @@ def events_rolling_mean(sf_dir: str):
                                     "rolling_avg": t.column("ra")}),
                           ["rolling_avg"]),
         batch_format="pyarrow").sort("event_id")
+
+
+def events_rolling_extrema(sf_dir: str):
+    """Per-user 7-row rolling min AND max of event value (the
+    drawdown / envelope monitor) -> (event_id, roll_min, roll_max).
+    SQL frame min/max OVER ROWS BETWEEN 6 PRECEDING AND CURRENT ROW;
+    float min/max select an existing element, so the values are
+    bit-exact cross-engine with NO rounding grain."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("rolling_min", "value:7", "roll_min"),
+                                 ("rolling_max", "value:7", "roll_max")])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "roll_min", "roll_max"]),
+        batch_format="pyarrow").sort("event_id")

@@ -358,3 +358,31 @@ class TestRollingFrame:
             [("rolling_sum", "v:5", "rs")]).take_all()}
         assert rows[("b", 0)] == 100.0  # never sees group a
         assert rows[("b", 1)] == 300.0
+
+
+def test_rolling_extrema_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    rng = np.random.RandomState(3)
+    vals = list(rng.randn(40))
+    vals[5] = vals[17] = None
+    t = pa.table({"g": ["a"] * 25 + ["b"] * 15, "o": list(range(40)),
+                  "v": pa.array(vals, pa.float64())})
+    rows = partitioned_analytics(
+        rd.from_arrow(t), ["g"], ["o"],
+        [("rolling_min", "v:4", "mn"),
+         ("rolling_max", "v:4", "mx")]).take_all()
+    rows.sort(key=lambda r: (r["g"], r["o"]))
+    for g, lo, hi in (("a", 0, 25), ("b", 25, 40)):
+        s = pd.Series(vals[lo:hi], dtype=float)
+        wmin = s.rolling(4, min_periods=1).min()
+        wmax = s.rolling(4, min_periods=1).max()
+        part = [r for r in rows if r["g"] == g]
+        for i, r in enumerate(part):
+            assert (r["mn"] is None) == bool(pd.isna(wmin[i]))
+            if r["mn"] is not None:
+                assert r["mn"] == wmin[i] and r["mx"] == wmax[i]
