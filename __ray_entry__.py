@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_errors": q.conv_tool_errors,  # per-tool failure census
         "events_rolling_mean": q.events_rolling_mean,  # ROWS-frame moving avg
         "events_rolling_extrema": q.events_rolling_extrema,  # frame min/max
+        "events_value_vs_first": q.events_value_vs_first,  # baseline drift
     }
 
 

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
           "cumsum", "percent_rank", "cume_dist", "rolling_sum",
-          "rolling_mean", "rolling_min", "rolling_max")
+          "rolling_mean", "rolling_min", "rolling_max", "first_value")
 
 
 def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
@@ -229,6 +229,12 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
                 out = pc.if_else(pa.array(cnt > 0), out,
                                  pa.scalar(None, pa.float64()))
             t = t.append_column(name, out)
+        elif kind == "first_value":
+            # SQL first_value() over the default frame: the partition's
+            # first row's value (NULL if that row is NULL — RESPECT
+            # NULLS, the SQL default)
+            col = t.column(src).combine_chunks()
+            t = t.append_column(name, col.take(pa.array(start_of)))
         else:
             raise ValueError(f"unknown analytic kind {kind!r} "
                              f"(supported: {_KINDS})")

@@ -3670,6 +3670,15 @@ RELATIONAL["events_rolling_extrema"] = """
     FROM events ORDER BY event_id
 """
 
+RELATIONAL["events_value_vs_first"] = """
+    SELECT event_id,
+           first_value(value) OVER w AS first_value,
+           round(value - first_value(value) OVER w, 4) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

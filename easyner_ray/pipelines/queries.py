@@ -6943,3 +6943,24 @@ def events_rolling_extrema(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["event_id", "roll_min", "roll_max"]),
         batch_format="pyarrow").sort("event_id")
+
+
+def events_value_vs_first(sf_dir: str):
+    """Delta from each user's FIRST event value (the baseline-drift
+    monitor): first_value(value) OVER (PARTITION BY user ORDER BY ts,
+    event_id) and the current-minus-baseline delta -> (event_id,
+    first_value, delta[4dp]). Subtraction of two stored doubles is
+    exact to representation, so only the delta needs the round grain."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("first_value", "value", "first_value")])
+    return out.map_batches(
+        lambda t: _round4(pa.table({
+            "event_id": t.column("event_id"),
+            "first_value": t.column("first_value"),
+            "delta": pc.subtract(t.column("value"),
+                                 t.column("first_value"))}), ["delta"]),
+        batch_format="pyarrow").sort("event_id")
