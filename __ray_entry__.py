@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_mean": q.events_rolling_mean,  # ROWS-frame moving avg
         "events_rolling_extrema": q.events_rolling_extrema,  # frame min/max
         "events_value_vs_first": q.events_value_vs_first,  # baseline drift
+        "events_mode_bucket": q.events_mode_bucket,  # deterministic mode
     }
 
 

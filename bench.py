@@ -268,6 +268,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_loss_masks": q.conv_loss_masks,
         "conv_packed_sft": q.conv_packed_sft,
         "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
+        "events_rolling_mean": q.events_rolling_mean,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():

@@ -3679,6 +3679,19 @@ RELATIONAL["events_value_vs_first"] = """
     ORDER BY event_id
 """
 
+RELATIONAL["events_mode_bucket"] = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, bucket) AS rn
+          FROM c)
+    SELECT event_type, bucket AS mode_bucket, n
+    FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

@@ -6964,3 +6964,39 @@ def events_value_vs_first(sf_dir: str):
             "delta": pc.subtract(t.column("value"),
                                  t.column("first_value"))}), ["delta"]),
         batch_format="pyarrow").sort("event_id")
+
+
+def events_mode_bucket(sf_dir: str):
+    """Grouped MODE with a deterministic tie rule: per event type, the
+    most frequent value decile bucket (floor(value/10), ties broken by
+    the smaller bucket) -> (event_type, mode_bucket, n). SQL's mode()
+    leaves ties unspecified, so both engines state the rule explicitly:
+    count per (type, bucket) — partials collapse per batch — then a
+    top-1 per group on (count desc, bucket asc)."""
+    from easyner_ray.ops.relational import grouped_agg, topk_per_group
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t.column("value"), 10.0)).cast(pa.int64())
+        g = pa.table({"event_type": t.column("event_type"), "bucket": b,
+                      "c": pa.array(np.ones(len(t), np.int64))}) \
+            .group_by(["event_type", "bucket"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "bucket", "c"])
+
+    counts = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                         ["event_type", "bucket"], [("c", "sum", "n")])
+    # top-1 by (n desc, bucket asc): encode the tie-break into one
+    # order column — n * 2^20 - bucket (buckets are small non-negative)
+    keyed = counts.map_batches(
+        lambda t: t.append_column(
+            "o", pc.subtract(pc.multiply(t.column("n"),
+                                         pa.scalar(1 << 20, pa.int64())),
+                             t.column("bucket"))),
+        batch_format="pyarrow")
+    top = topk_per_group(keyed, ["event_type"], "o", 1)
+    return top.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "mode_bucket": t.column("bucket"),
+                            "n": t.column("n")}),
+        batch_format="pyarrow").sort("event_type")
