@@ -35,7 +35,8 @@ import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
           "cumsum", "percent_rank", "cume_dist", "rolling_sum",
-          "rolling_mean", "rolling_min", "rolling_max", "first_value")
+          "rolling_mean", "rolling_min", "rolling_max", "first_value",
+          "last_value")
 
 
 def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
@@ -235,6 +236,14 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
             # NULLS, the SQL default)
             col = t.column(src).combine_chunks()
             t = t.append_column(name, col.take(pa.array(start_of)))
+        elif kind == "last_value":
+            # SQL last_value() over the FULL-partition frame (ROWS
+            # BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING — the
+            # frame every real query spells out, since the default
+            # frame's last_value is just the current row)
+            col = t.column(src).combine_chunks()
+            end_of = np.append(run_start[1:], n)[run_id] - 1
+            t = t.append_column(name, col.take(pa.array(end_of)))
         else:
             raise ValueError(f"unknown analytic kind {kind!r} "
                              f"(supported: {_KINDS})")

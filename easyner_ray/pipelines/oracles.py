@@ -3692,6 +3692,22 @@ RELATIONAL["events_mode_bucket"] = """
     FROM r WHERE rn = 1 ORDER BY event_type
 """
 
+RELATIONAL["events_first_last_span"] = """
+    SELECT event_id,
+           first_value(value) OVER w AS first_value,
+           last_value(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_value,
+           round(last_value(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             - first_value(value) OVER w, 4) AS span
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

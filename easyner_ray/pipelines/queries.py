@@ -7000,3 +7000,25 @@ def events_mode_bucket(sf_dir: str):
                             "mode_bucket": t.column("bucket"),
                             "n": t.column("n")}),
         batch_format="pyarrow").sort("event_type")
+
+
+def events_first_last_span(sf_dir: str):
+    """Per-user first/last event values on every row (the full-frame
+    first_value / last_value pair) plus the span -> (event_id,
+    first_value, last_value, span[4dp]). last_value uses the
+    UNBOUNDED FOLLOWING frame both engines spell out."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("first_value", "value", "first_value"),
+                                 ("last_value", "value", "last_value")])
+    return out.map_batches(
+        lambda t: _round4(pa.table({
+            "event_id": t.column("event_id"),
+            "first_value": t.column("first_value"),
+            "last_value": t.column("last_value"),
+            "span": pc.subtract(t.column("last_value"),
+                                t.column("first_value"))}), ["span"]),
+        batch_format="pyarrow").sort("event_id")

@@ -386,3 +386,21 @@ def test_rolling_extrema_matches_pandas(ray_session):
             assert (r["mn"] is None) == bool(pd.isna(wmin[i]))
             if r["mn"] is not None:
                 assert r["mn"] == wmin[i] and r["mx"] == wmax[i]
+
+
+def test_first_last_value_kinds(ray_session):
+    import ray.data as rd
+
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    t = pa.table({"g": ["a", "a", "a", "b"], "o": [0, 1, 2, 0],
+                  "v": pa.array([None, 2.0, 3.0, 9.0], pa.float64())})
+    rows = {(r["g"], r["o"]): (r["fv"], r["lv"])
+            for r in partitioned_analytics(
+                rd.from_arrow(t), ["g"], ["o"],
+                [("first_value", "v", "fv"),
+                 ("last_value", "v", "lv")]).take_all()}
+    # RESPECT NULLS: group a's first value IS the NULL
+    assert rows[("a", 0)] == (None, 3.0)
+    assert rows[("a", 2)] == (None, 3.0)
+    assert rows[("b", 0)] == (9.0, 9.0)
