@@ -298,13 +298,50 @@ def rolling_fingerprint(tokens: list[str]) -> int:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    fps = []
-    for t in batch.column(text_col).to_pylist():
-        fps.append(f"{rolling_fingerprint((t or '').split()):016x}")
+    """Vectorized :func:`rolling_fingerprint` over a batch, bit-equal to
+    the straight-line spec: Arrow ``utf8_split_whitespace`` (verified
+    token-parity with ``str.split()``; empties filtered), crc32 once per
+    DISTINCT token (dictionary-encoded — per-vocab, not per-occurrence),
+    then the Horner chain runs in LOCKSTEP across documents: one
+    ``h = h * B ^ c`` vector step per token POSITION, each masked to the
+    still-active docs — max-doc-len vector ops instead of a Python loop
+    over every token of every row."""
+    import numpy as np
+
+    text = batch.column(text_col).combine_chunks()
+    lists = pc.utf8_split_whitespace(text.fill_null(""))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    toks = flat.filter(keep)
+    doc_of = np.asarray(parent.filter(keep), dtype=np.int64)
+    n_docs = len(batch)
+
+    enc = toks.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_h = np.array([zlib.crc32(w.encode())
+                       for w in enc.dictionary.to_pylist()], dtype=np.uint64)
+    tok_h = (dict_h[np.asarray(enc.indices, dtype=np.int64)]
+             if len(toks) else np.zeros(0, np.uint64))
+
+    # per-doc token runs (doc_of is nondecreasing: list order)
+    counts = np.bincount(doc_of, minlength=n_docs) if len(toks) else \
+        np.zeros(n_docs, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    h = np.full(n_docs, 14695981039346656037, dtype=np.uint64)
+    max_len = int(counts.max()) if n_docs else 0
+    base = np.uint64(_ROLL_BASE)
+    active = np.flatnonzero(counts > 0)
+    with np.errstate(over="ignore"):
+        for p in range(max_len):
+            active = active[counts[active] > p]
+            h[active] = (h[active] * base) ^ tok_h[starts[active] + p]
+    fps = pa.array([format(int(v), "016x") for v in h], pa.string())
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(fps, pa.string())],
-        names=["doc_id", "roll_fp"],
-    )
+        [batch.column("doc_id"), fps], names=["doc_id", "roll_fp"])
 
 
 def rolling_fingerprints(docs, batch_size: int = 4096):
