@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_vs_first": q.events_value_vs_first,  # baseline drift
         "events_mode_bucket": q.events_mode_bucket,  # deterministic mode
         "events_first_last_span": q.events_first_last_span,  # full-frame pair
+        "conv_key_turns": q.conv_key_turns,  # extractive key-turn argmax
     }
 
 

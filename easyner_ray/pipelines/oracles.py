@@ -1471,6 +1471,28 @@ KG["conv_loss_masks"] = f"""
     FROM {TR} ORDER BY conv_id, turn_idx
 """
 
+KG["conv_key_turns"] = f"""
+    WITH ctt AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+               AS term
+      FROM {TR}),
+    ctt2 AS (SELECT * FROM ctt WHERE term <> ''),
+    df AS (SELECT term, CAST(count(DISTINCT conv_id) AS BIGINT) AS df
+           FROM ctt2 GROUP BY term),
+    nc AS (SELECT count(DISTINCT conv_id) AS n FROM {TR}),
+    scored AS (
+      SELECT c.conv_id, CAST(c.turn_idx AS BIGINT) AS turn_idx,
+             round(sum(ln(nc.n * 1.0 / df.df)), 4) AS score
+      FROM ctt2 c JOIN df USING (term) CROSS JOIN nc
+      GROUP BY c.conv_id, c.turn_idx),
+    r AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY score DESC, turn_idx)
+                      AS rn
+          FROM scored)
+    SELECT conv_id, turn_idx, score FROM r WHERE rn = 1 ORDER BY conv_id
+"""
+
 KG["conv_tool_errors"] = f"""
     SELECT tool,
            CAST(count(*) AS BIGINT) AS n_outputs,

@@ -7022,3 +7022,97 @@ def events_first_last_span(sf_dir: str):
             "span": pc.subtract(t.column("last_value"),
                                 t.column("first_value"))}), ["span"]),
         batch_format="pyarrow").sort("event_id")
+
+
+def conv_key_turns(sf_dir: str):
+    """Extractive key-turn selection: per conversation, the single turn
+    whose DISTINCT terms carry the highest total conversation-IDF
+    (ln(N_convs / df)), ties to the earlier turn -> (conv_id, turn_idx,
+    score). The extractive-summary / retrieval-snippet primitive over
+    transcripts. Distinct (conv, term) rows collapse per batch before
+    the df rollup; idf joins back adaptively; the per-(conv, turn) sum
+    is one grouped exchange; the argmax is top-1 per conversation on
+    the ROUND-4 score (both engines round before the argmax, the
+    docs_nb_source_pred device, so near-ties cut identically)."""
+    from easyner_ray.ops.relational import (adaptive_join, grouped_agg,
+                                            topk_per_group)
+    from easyner_ray.ops.textstats import TFIDF_SPLIT_RE
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def terms(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t.column("text").combine_chunks())
+        lists = pc.split_pattern_regex(txt, TFIDF_SPLIT_RE)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({
+            "conv_id": t.column("conv_id").take(parent.filter(keep)),
+            "turn_idx": t.column("turn_idx").take(parent.filter(keep)),
+            "term": flat.filter(keep)}) \
+            .group_by(["conv_id", "turn_idx", "term"]) \
+            .aggregate([([], "count_all")])
+        return g.select(["conv_id", "turn_idx", "term"])
+
+    ctt = grouped_agg(
+        tr.map_batches(terms, batch_format="pyarrow"),
+        ["conv_id", "turn_idx", "term"],
+        [("term", "count", "_n")]).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "term"]),
+        batch_format="pyarrow").materialize()
+
+    # df over conversations (distinct conv first, then count per term)
+    cterm = grouped_agg(
+        ctt.map_batches(
+            lambda t: t.select(["conv_id", "term"])
+            .group_by(["conv_id", "term"]).aggregate([([], "count_all")])
+            .select(["conv_id", "term"]),
+            batch_format="pyarrow"),
+        ["conv_id", "term"], [("term", "count", "_n")])
+    df = grouped_agg(
+        cterm.map_batches(
+            lambda t: pa.table({"term": t.column("term"),
+                                "c": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow"),
+        ["term"], [("c", "sum", "df")])
+
+    n_rows = _transcripts_cols(sf_dir, ["conv_id"]).map_batches(
+        lambda t: t.group_by(["conv_id"]).aggregate([([], "count_all")])
+        .select(["conv_id"]),
+        batch_format="pyarrow")
+    n_convs = grouped_agg(
+        n_rows, ["conv_id"], [("conv_id", "count", "_n")]).count()
+
+    idf = df.map_batches(
+        lambda t: pa.table({
+            "term": t.column("term"),
+            "idf": pc.ln(pc.divide(pa.scalar(float(n_convs)),
+                                   t.column("df").cast(pa.float64())))}),
+        batch_format="pyarrow")
+
+    scored = grouped_agg(
+        adaptive_join(ctt, idf, on="term"),
+        ["conv_id", "turn_idx"], [("idf", "sum", "score")])
+    keyed = scored.map_batches(
+        lambda t: pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx").cast(pa.int64()),
+            "score": pc.round(t.column("score"), 4)}),
+        batch_format="pyarrow")
+    # argmax on (score desc, turn_idx asc): encode into one order col.
+    # Round-4 scores step by >= 1e-4, so score * 2^30 separates distinct
+    # scores by >= ~1.07e5 — far above any real conversation's turn
+    # count, so the turn_idx tie-break can never override a score edge.
+    ordered = keyed.map_batches(
+        lambda t: t.append_column(
+            "o", pc.subtract(pc.multiply(t.column("score"),
+                                         pa.scalar(float(1 << 30))),
+                             t.column("turn_idx").cast(pa.float64()))),
+        batch_format="pyarrow")
+    top = topk_per_group(ordered, ["conv_id"], "o", 1)
+    return top.map_batches(
+        lambda t: _round4(t.select(["conv_id", "turn_idx", "score"]),
+                          ["score"]),
+        batch_format="pyarrow").sort("conv_id")
