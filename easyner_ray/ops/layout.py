@@ -100,7 +100,11 @@ def _quantize(x: np.ndarray, mn: int, mx: int, bits: int) -> np.ndarray:
     sp = span >> shift
     if sp <= 0:
         return np.zeros(len(x), dtype=np.int64)
-    return xs * top // sp
+    # clip AFTER the division: appended rows may fall outside the stats
+    # the cuts were built from (append_clustered reuses the original
+    # min/max so keys stay comparable); out-of-range values clamp to the
+    # edge buckets instead of producing negative / overflowing keys
+    return np.clip(xs * top // sp, 0, top)
 
 
 def column_minmax_int(ds, cols: list[str]) -> dict[str, tuple[int, int]]:

@@ -259,3 +259,84 @@ def read_pruned(root: str, ranges: dict[str, tuple], *,
         return t if mask is None else t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(residual, batch_format="pyarrow"), report
+
+
+def append_clustered(ds, root: str) -> dict:
+    """Incremental ingest into an existing clustered sink — the
+    "append now, re-optimize later" lifecycle: new rows get their zkey
+    from the ORIGINAL statistics and land in the ORIGINAL cut layout
+    (values outside the original min/max clamp to the edge buckets via
+    the quantizer's clip), new files join the partition dirs, and the
+    per-partition manifests extend with the new files' footer stats.
+    Fragment stats stay exact, so pruning stays correct — edge
+    partitions just grow wider ranges until the next
+    :func:`write_clustered` compaction re-tightens the layout.
+
+    Crash safety: files land first, manifests are replaced atomically
+    after; a crash in between leaves unlisted files that the NEXT
+    append (or compaction) sweeps via the shared unlisted-file sweep —
+    manifest-driven readers never see a partial append."""
+    from easyner_ray.ops.layout import (_interleave, _quantize, _to_int64)
+    from easyner_ray.state.sink import _clean_unlisted
+
+    mdir = os.path.join(root, "_manifests")
+    with open(os.path.join(mdir, "_clustered.json")) as fh:
+        cfg = json.load(fh)
+    cols, bits = cfg["cols"], cfg["bits"]
+    mm = {c: tuple(v) for c, v in cfg["minmax"].items()}
+    cuts = np.array(cfg["cuts"], dtype=np.float64)
+
+    _clean_unlisted(root)  # sweep any previous crashed append
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        qs = []
+        for c in cols:
+            x = _to_int64(t.column(c)).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            mn, mx = mm.get(c, (0, 0))
+            qs.append(_quantize(x, mn, mx, bits))
+        z = _interleave(qs, bits)
+        part = np.searchsorted(cuts, z.astype(np.float64),
+                               side="left").astype(np.int32)
+        return t.append_column("zkey", pa.array(z, pa.int64())) \
+                .append_column("part", pa.array(part, pa.int32()))
+
+    before = {}
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                m = json.load(fh)
+            before[m["part"]] = m
+
+    ds.map_batches(add_keys, batch_format="pyarrow") \
+        .write_parquet(root, partition_cols=["part"])
+
+    stat_cols = list(cols) + ["zkey"]
+    touched, appended = [], 0
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=", 1)[1])
+        pdir = os.path.join(root, name)
+        manifest = before.get(part, {"part": part, "rows": 0,
+                                     "files": [], "lineage": None})
+        listed = {e["file"] for e in manifest["files"]}
+        new_files = sorted(f for f in os.listdir(pdir)
+                           if f.endswith(".parquet") and f not in listed)
+        if not new_files:
+            continue
+        for f in new_files:
+            fp = os.path.join(pdir, f)
+            n = pq.ParquetFile(fp).metadata.num_rows
+            appended += n
+            manifest["files"].append(
+                {"file": f, "rows": n, "bytes": os.path.getsize(fp),
+                 "stats": fragment_stats(fp, stat_cols)})
+        manifest["files"].sort(key=lambda e: e["file"])
+        manifest["rows"] = sum(e["rows"] for e in manifest["files"])
+        tmp = os.path.join(mdir, f".part-{part}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(mdir, f"part-{part}.json"))
+        touched.append(part)
+    return {"rows_appended": appended, "partitions_touched": touched}

@@ -227,3 +227,77 @@ class TestClusteredSkew:
         ds, _ = read_pruned(root, {"user_id": (7, 7)})
         assert ds.count() == int(hot.sum()) + int(
             ((~hot) & (users == 7)).sum())
+
+
+class TestAppendClustered:
+    def test_append_then_prune_sees_both_generations(self, ray_session,
+                                                     tmp_path):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from easyner_ray.state.clustered import (append_clustered,
+                                                 read_pruned,
+                                                 write_clustered)
+
+        rng = np.random.RandomState(5)
+        base = pa.table({
+            "rid": pa.array(np.arange(2000), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 100, 2000), pa.int64()),
+            "ts": pa.array(rng.randint(0, 10**6, 2000), pa.int64())})
+        root = str(tmp_path / "c")
+        write_clustered(rd.from_arrow(base), root,
+                        cols=["user_id", "ts"], num_partitions=8)
+
+        # second generation: includes values OUTSIDE the original range
+        extra = pa.table({
+            "rid": pa.array(np.arange(2000, 2500), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 150, 500), pa.int64()),
+            "ts": pa.array(rng.randint(0, 2 * 10**6, 500), pa.int64())})
+        s = append_clustered(rd.from_arrow(extra), root)
+        assert s["rows_appended"] == 500
+        assert s["partitions_touched"]
+
+        both = pa.concat_tables([base, extra])
+        ds, rep = read_pruned(root, {"user_id": (10, 30)})
+        got = sorted(r["rid"] for r in ds.take_all())
+        want = sorted(both.filter(pc.and_(
+            pc.greater_equal(both.column("user_id"), 10),
+            pc.less_equal(both.column("user_id"), 30)))
+            .column("rid").to_pylist())
+        assert got == want
+        # out-of-range appended rows are still findable (edge buckets)
+        ds2, _ = read_pruned(root, {"user_id": (120, 150)})
+        got2 = sorted(r["rid"] for r in ds2.take_all())
+        want2 = sorted(both.filter(pc.greater_equal(
+            both.column("user_id"), 120)).column("rid").to_pylist())
+        assert got2 == want2
+
+    def test_crashed_append_is_swept(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import os
+
+        from easyner_ray.state.clustered import (append_clustered,
+                                                 read_pruned,
+                                                 write_clustered)
+
+        base = pa.table({
+            "rid": pa.array(np.arange(100), pa.int64()),
+            "x": pa.array(np.arange(100), pa.int64())})
+        root = str(tmp_path / "c2")
+        write_clustered(rd.from_arrow(base), root, cols=["x"],
+                        num_partitions=4)
+        # simulate a crashed append: a parquet file no manifest lists
+        pdirs = [d for d in os.listdir(root) if d.startswith("part=")]
+        stray = os.path.join(root, pdirs[0], "stray.parquet")
+        pq.write_table(pa.table({"rid": pa.array([999], pa.int64()),
+                                 "x": pa.array([1], pa.int64()),
+                                 "zkey": pa.array([0], pa.int64())}),
+                       stray)
+        append_clustered(rd.from_arrow(pa.table({
+            "rid": pa.array([100], pa.int64()),
+            "x": pa.array([50], pa.int64())})), root)
+        assert not os.path.exists(stray)  # swept, not adopted
+        ds, _ = read_pruned(root, {})
+        assert sorted(r["rid"] for r in ds.take_all()) == \
+            list(range(101))
