@@ -36,14 +36,16 @@ import pyarrow.compute as pc
 _KINDS = ("row_number", "rank", "dense_rank", "ntile", "lag", "lead",
           "cumsum", "percent_rank", "cume_dist", "rolling_sum",
           "rolling_mean", "rolling_min", "rolling_max", "first_value",
-          "last_value")
+          "last_value", "rolling_std", "rolling_mean_exact",
+          "rolling_std_exact")
 
 
 def _out_type(kind: str, src, schema: pa.Schema) -> pa.DataType:
     if kind in ("row_number", "rank", "dense_rank", "ntile"):
         return pa.int64()
     if kind in ("cumsum", "percent_rank", "cume_dist", "rolling_sum",
-                "rolling_mean", "rolling_min", "rolling_max"):
+                "rolling_mean", "rolling_min", "rolling_max",
+                "rolling_std", "rolling_mean_exact", "rolling_std_exact"):
         return pa.float64()
     return schema.field(src).type
 
@@ -195,6 +197,74 @@ def _analytics_kernel(t: pa.Table, partition_by: list[str],
             out = pa.array(out_np, pa.float64())
             if (cnt == 0).any():              # all-NULL frame -> NULL
                 out = pc.if_else(pa.array(cnt > 0), out,
+                                 pa.scalar(None, pa.float64()))
+            t = t.append_column(name, out)
+        elif kind in ("rolling_mean_exact", "rolling_std_exact"):
+            # REPLICABLE frame aggregates: every frame accumulates from
+            # ZERO, oldest element first, in longdouble — no global
+            # prefix, so an independent straight-line recompute of the
+            # same spec (sources.gold_derived.write_rolling_zscore_gold)
+            # is bit-equal by construction. k lockstep vector steps.
+            src_col, k_s = src.rsplit(":", 1)
+            k = int(k_s)
+            col = t.column(src_col).combine_chunks().cast(pa.float64())
+            vmask = (np.asarray(pc.is_valid(col)).astype(np.int64)
+                     if col.null_count else np.ones(n, dtype=np.int64))
+            v = np.asarray(col.fill_null(0.0), dtype=np.float64)
+            j = np.maximum(start_of, np.arange(n) - k + 1)
+            s1 = np.zeros(n, dtype=np.longdouble)
+            s2 = np.zeros(n, dtype=np.longdouble)
+            cnt = np.zeros(n, dtype=np.int64)
+            rows = np.arange(n)
+            for p in range(k - 1, -1, -1):     # oldest -> newest
+                pos = rows - p
+                m = pos >= j
+                pv = v[np.maximum(pos, 0)]
+                s1 = np.where(m, s1 + pv, s1)
+                s2 = np.where(m, s2 + np.longdouble(1) * pv * pv, s2)
+                cnt = cnt + np.where(m, vmask[np.maximum(pos, 0)], 0)
+            cl = cnt.astype(np.longdouble)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if kind == "rolling_mean_exact":
+                    out_np = (s1 / cl).astype(np.float64)
+                    bad = cnt < 1
+                else:
+                    var = (s2 - s1 * s1 / cl) / (cl - 1)
+                    out_np = np.sqrt(np.maximum(var, 0)) \
+                        .astype(np.float64)
+                    bad = cnt < 2
+            out = pa.array(out_np, pa.float64())
+            if bad.any():
+                out = pc.if_else(pa.array(~bad), out,
+                                 pa.scalar(None, pa.float64()))
+            t = t.append_column(name, out)
+        elif kind == "rolling_std":
+            # sample stddev over the ROWS frame (stddev_samp OVER):
+            # extended-precision sum and sum-of-squares rebases; the
+            # cancellation in sumsq - sum^2/n is bounded by the FRAME's
+            # magnitude after the longdouble accumulation. < 2 valid
+            # rows in the frame -> NULL (SQL stddev_samp semantics).
+            src_col, k_s = src.rsplit(":", 1)
+            k = int(k_s)
+            col = t.column(src_col).combine_chunks().cast(pa.float64())
+            vmask = (np.asarray(pc.is_valid(col)).astype(np.int64)
+                     if col.null_count else np.ones(n, dtype=np.int64))
+            v = np.asarray(col.fill_null(0.0), dtype=np.float64)
+            j = np.maximum(start_of, np.arange(n) - k + 1)
+            c1 = np.cumsum(v, dtype=np.longdouble)
+            c2 = np.cumsum(v.astype(np.longdouble) ** 2)
+            s1 = c1 - c1[j] + v[j]
+            s2 = c2 - c2[j] + np.longdouble(v[j]) ** 2
+            nv = np.cumsum(vmask)
+            cnt = (nv - nv[j] + vmask[j]).astype(np.longdouble)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+            var = np.maximum(var, 0)          # clamp -0.0-ish residue
+            out_np = np.sqrt(var).astype(np.float64)
+            out = pa.array(out_np, pa.float64())
+            few = cnt < 2
+            if few.any():
+                out = pc.if_else(pa.array(~few), out,
                                  pa.scalar(None, pa.float64()))
             t = t.append_column(name, out)
         elif kind in ("rolling_min", "rolling_max"):

@@ -3730,6 +3730,11 @@ RELATIONAL["events_first_last_span"] = """
     ORDER BY event_id
 """
 
+GRZ = f"read_parquet('{SYNTH}/gold_rolling_zscore.parquet')"
+RELATIONAL["events_rolling_zscore"] = \
+    f"SELECT event_id, roll_mean, roll_std, zscore FROM {GRZ}" \
+    " ORDER BY event_id"
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

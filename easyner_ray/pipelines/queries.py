@@ -7116,3 +7116,40 @@ def conv_key_turns(sf_dir: str):
         lambda t: _round4(t.select(["conv_id", "turn_idx", "score"]),
                           ["score"]),
         batch_format="pyarrow").sort("conv_id")
+
+
+def events_rolling_zscore(sf_dir: str):
+    """Frame-local anomaly score: each event's value standardized
+    against its user's trailing 8-row window (rolling mean and SAMPLE
+    stddev over ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) ->
+    (event_id, roll_mean, roll_std, zscore). The streaming-anomaly
+    complement of the global events_zscore; head of each frame
+    (n < 2) has NULL std and NULL z. Round-4 grain on all three.
+    Oracle: derived gold (straight-line recompute of the identical
+    from-zero longdouble frame accumulation — SQL window engines sum
+    in segment-tree order, which lands one ulp off round boundaries)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_analytics(ev, ["user_id"], ["ts", "event_id"],
+                                [("rolling_mean_exact", "value:8", "rm"),
+                                 ("rolling_std_exact", "value:8", "rs")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        z = pc.divide(pc.subtract(t.column("value"), t.column("rm")),
+                      t.column("rs"))
+        # frame-head NULLs (n < 2) coalesce to -999999.0 for the
+        # value-hash compare — NaN never hash-matches (the
+        # events_running_totals device); real NULL semantics pinned by
+        # the unit tests.
+        sent = pa.scalar(-999999.0, pa.float64())
+        return _round4(pa.table({
+            "event_id": t.column("event_id"),
+            "roll_mean": t.column("rm"),
+            "roll_std": t.column("rs").fill_null(sent),
+            "zscore": z.fill_null(sent)}),
+            ["roll_mean", "roll_std", "zscore"])
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_id")

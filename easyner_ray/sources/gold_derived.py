@@ -1502,6 +1502,9 @@ def ensure_derived_gold(corpus: str, documents_path: str | None = None,
         if not os.path.exists(os.path.join(
                 corpus, "gold_markov_stationary.parquet")):
             write_markov_stationary_gold(corpus, events_path)
+        if not os.path.exists(os.path.join(
+                corpus, "gold_rolling_zscore.parquet")):
+            write_rolling_zscore_gold(corpus, events_path)
 
 
 def write_betweenness_gold(corpus: str, round_digits: int = 4) -> str:
@@ -2144,4 +2147,58 @@ def write_triplets_gold(corpus: str, embeddings_path: str,
         names=["vec_id", "label", "pos_id", "neg_id"])
     path = os.path.join(corpus, "gold_triplets.parquet")
     pq.write_table(tbl, path)
+    return path
+
+
+def write_rolling_zscore_gold(corpus: str, events_path: str,
+                              k: int = 8) -> str:
+    """Straight-line recompute of :func:`events_rolling_zscore`'s spec —
+    per user ordered by (ts, event_id), each row's trailing-k frame
+    accumulated FROM ZERO, oldest first, in longdouble (the
+    ``rolling_mean_exact`` / ``rolling_std_exact`` kinds), sample
+    stddev via (s2 - s1^2/n)/(n-1), z in float64, Python round-4.
+    Bit-equal to the engine by construction: identical accumulation
+    order and precision at every step."""
+    ev = pq.read_table(events_path,
+                       columns=["user_id", "event_id", "ts", "value"])
+    df = ev.to_pandas().sort_values(
+        ["user_id", "ts", "event_id"]).reset_index(drop=True)
+    out_id, out_m, out_s, out_z = [], [], [], []
+    for _, g in df.groupby("user_id", sort=False):
+        v = g["value"].to_numpy(dtype=np.float64)
+        ids = g["event_id"].to_list()
+        for i in range(len(v)):
+            j = max(0, i - k + 1)
+            s1 = np.longdouble(0)
+            s2 = np.longdouble(0)
+            cnt = 0
+            for p in range(k - 1, -1, -1):      # oldest -> newest
+                pos = i - p
+                if pos < j:
+                    continue
+                pv = v[pos]
+                s1 = s1 + pv
+                s2 = s2 + np.longdouble(1) * pv * pv
+                cnt += 1
+            cl = np.longdouble(cnt)
+            rm = float((s1 / cl).astype(np.float64)) if cnt else None
+            if cnt >= 2:
+                var = (s2 - s1 * s1 / cl) / (cl - 1)
+                rs = float(np.sqrt(np.maximum(var, 0)).astype(np.float64))
+                z = (v[i] - rm) / rs
+            else:
+                rs = None
+                z = None
+            out_id.append(ids[i])
+            # NULL frame heads coalesce to the -999999.0 hash sentinel,
+            # mirroring the engine's finish()
+            out_m.append(-999999.0 if rm is None else round(rm, 4))
+            out_s.append(-999999.0 if rs is None else round(rs, 4))
+            out_z.append(-999999.0 if z is None else round(z, 4))
+    tbl = pa.Table.from_arrays(
+        [pa.array(out_id, pa.int64()), pa.array(out_m, pa.float64()),
+         pa.array(out_s, pa.float64()), pa.array(out_z, pa.float64())],
+        names=["event_id", "roll_mean", "roll_std", "zscore"])
+    path = os.path.join(corpus, "gold_rolling_zscore.parquet")
+    pq.write_table(tbl.sort_by("event_id"), path)
     return path

@@ -404,3 +404,42 @@ def test_first_last_value_kinds(ray_session):
     assert rows[("a", 0)] == (None, 3.0)
     assert rows[("a", 2)] == (None, 3.0)
     assert rows[("b", 0)] == (9.0, 9.0)
+
+
+def test_rolling_std_kinds_match_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    rng = np.random.RandomState(9)
+    vals = list(rng.randn(30) * 50 + 100)
+    t = pa.table({"g": ["a"] * 30, "o": list(range(30)),
+                  "v": pa.array(vals, pa.float64())})
+    rows = partitioned_analytics(
+        rd.from_arrow(t), ["g"], ["o"],
+        [("rolling_std", "v:6", "rs"),
+         ("rolling_std_exact", "v:6", "rse"),
+         ("rolling_mean_exact", "v:6", "rme")]).take_all()
+    rows.sort(key=lambda r: r["o"])
+    s = pd.Series(vals)
+    wstd = s.rolling(6, min_periods=2).std()
+    wmean = s.rolling(6, min_periods=1).mean()
+    for i, r in enumerate(rows):
+        if i == 0:
+            assert r["rs"] is None and r["rse"] is None
+            continue
+        assert r["rs"] == pytest.approx(wstd[i], abs=1e-9), i
+        assert r["rse"] == pytest.approx(wstd[i], abs=1e-9), i
+        assert r["rme"] == pytest.approx(wmean[i], abs=1e-9), i
+
+
+def test_rolling_zscore_query_sentinel_and_values(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    df = q.events_rolling_zscore(SF).to_pandas()
+    # frame heads (first event per user) carry the hash sentinel
+    assert (df["roll_std"] == -999999.0).sum() > 0
+    real = df[df["roll_std"] != -999999.0]
+    assert (real["roll_std"] >= 0).all()
