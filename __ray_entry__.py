@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last_span": q.events_first_last_span,  # full-frame pair
         "conv_key_turns": q.conv_key_turns,  # extractive key-turn argmax
         "events_rolling_zscore": q.events_rolling_zscore,  # frame anomaly
+        "events_value_deciles": q.events_value_deciles,  # ntile bucketing
     }
 
 

@@ -3735,6 +3735,14 @@ RELATIONAL["events_rolling_zscore"] = \
     f"SELECT event_id, roll_mean, roll_std, zscore FROM {GRZ}" \
     " ORDER BY event_id"
 
+RELATIONAL["events_value_deciles"] = """
+    SELECT event_id,
+           CAST(ntile(10) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS BIGINT)
+             AS decile
+    FROM events ORDER BY event_id
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

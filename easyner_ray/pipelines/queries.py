@@ -7153,3 +7153,21 @@ def events_rolling_zscore(sf_dir: str):
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort("event_id")
+
+
+def events_value_deciles(sf_dir: str):
+    """Per-type decile assignment — ntile(10) over (value, event_id)
+    within each event type -> (event_id, decile). Exact-integer SQL
+    ntile semantics (first `rem` tiles one row bigger), the
+    quantile-BUCKETING complement of events_value_quantiles' cut
+    points; one bucketed exchange."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+
+    ev = _rp(sf_dir, "events",
+             columns=["event_type", "event_id", "value"])
+    out = partitioned_analytics(ev, ["event_type"],
+                                ["value", "event_id"],
+                                [("ntile", "10", "decile")])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "decile"]),
+        batch_format="pyarrow").sort("event_id")
