@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_key_turns": q.conv_key_turns,  # extractive key-turn argmax
         "events_rolling_zscore": q.events_rolling_zscore,  # frame anomaly
         "events_value_deciles": q.events_value_deciles,  # ntile bucketing
+        "events_user_value_share": q.events_user_value_share,  # share of total
     }
 
 

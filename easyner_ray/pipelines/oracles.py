@@ -3743,6 +3743,18 @@ RELATIONAL["events_value_deciles"] = """
     FROM events ORDER BY event_id
 """
 
+RELATIONAL["events_user_value_share"] = """
+    WITH u AS (
+      SELECT event_type, user_id, round(sum(value), 4) AS user_value
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, round(sum(value), 4) AS type_value
+          FROM events GROUP BY 1)
+    SELECT u.event_type, u.user_id, u.user_value, t.type_value,
+           round(u.user_value / t.type_value, 6) AS share
+    FROM u JOIN t USING (event_type)
+    ORDER BY event_type, user_id
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

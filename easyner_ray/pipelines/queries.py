@@ -7171,3 +7171,43 @@ def events_value_deciles(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["event_id", "decile"]),
         batch_format="pyarrow").sort("event_id")
+
+
+def events_user_value_share(sf_dir: str):
+    """Each user's share of their event type's total value — the
+    ORDER-less partition-total window (sum(value) OVER (PARTITION BY
+    type)) realized as the two-phase grouped sum it IS at scale:
+    per-(type, user) partials, a type-keyspace rollup broadcast back,
+    and a round-6 ratio of the two round-4 sums -> (event_type,
+    user_id, user_value, type_value, share)."""
+    from easyner_ray.ops.relational import adaptive_join, grouped_agg
+
+    ev = _rp(sf_dir, "events",
+             columns=["event_type", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]) \
+            .aggregate([("value", "sum")])
+        return g.rename_columns(["event_type", "user_id", "v"])
+
+    per_user = grouped_agg(ev.map_batches(partial, batch_format="pyarrow"),
+                           ["event_type", "user_id"],
+                           [("v", "sum", "v")]).materialize()
+    per_type = grouped_agg(per_user, ["event_type"],
+                           [("v", "sum", "tv")])
+    j = adaptive_join(per_user, per_type, on="event_type")
+
+    def finish(t: pa.Table) -> pa.Table:
+        uv = [round(x, 4) for x in t.column("v").to_pylist()]
+        tv = [round(x, 4) for x in t.column("tv").to_pylist()]
+        share = [None if b == 0 else round(a / b, 6)
+                 for a, b in zip(uv, tv)]
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "user_id": t.column("user_id"),
+            "user_value": pa.array(uv, pa.float64()),
+            "type_value": pa.array(tv, pa.float64()),
+            "share": pa.array(share, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow") \
+        .sort(["event_type", "user_id"])
