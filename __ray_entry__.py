@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_zscore": q.events_rolling_zscore,  # frame anomaly
         "events_value_deciles": q.events_value_deciles,  # ntile bucketing
         "events_user_value_share": q.events_user_value_share,  # share of total
+        "events_near_pairs": q.events_near_pairs,  # temporal self-range-join
     }
 
 

@@ -3755,6 +3755,16 @@ RELATIONAL["events_user_value_share"] = """
     ORDER BY event_type, user_id
 """
 
+RELATIONAL["events_near_pairs"] = """
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+     AND a.event_type <> b.event_type
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 3600000000
+     AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+    ORDER BY event_id_a, event_id_b
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

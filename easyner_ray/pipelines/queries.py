@@ -7211,3 +7211,76 @@ def events_user_value_share(sf_dir: str):
 
     return j.map_batches(finish, batch_format="pyarrow") \
         .sort(["event_type", "user_id"])
+
+
+def events_near_pairs(sf_dir: str):
+    """Temporal self-join: ordered pairs of SAME-user events of
+    DIFFERENT types within one hour of each other -> (event_id_a,
+    event_id_b, dt_us), a-before-b under (ts, event_id) order. The
+    interaction-mining primitive (which actions co-occur in a session
+    window?) and the one self-range-join shape the engine had not yet
+    exercised: per-user bucketed exchange (whole users co-locate, the
+    partitioned_analytics shape), then a vectorized two-pointer — one
+    searchsorted over each user run's sorted timestamps, pairs emitted
+    by repeat/arange, never an all-pairs product."""
+    import numpy as np
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    W_US = 3600 * 1_000_000
+
+    ev = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "event_type", "ts"])
+    bucketed = ev.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 32),
+        batch_format="pyarrow")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        t = t.take(idx)
+        n = len(t)
+        empty = pa.table({"event_id_a": pa.array([], pa.int64()),
+                          "event_id_b": pa.array([], pa.int64()),
+                          "dt_us": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        uid = np.asarray(t.column("user_id").combine_chunks(),
+                         dtype=np.int64)
+        tus = t.column("ts").cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks(),
+                         dtype=np.int64)
+        etype = t.column("event_type").combine_chunks() \
+            .dictionary_encode()
+        ecode = np.asarray(etype.indices, dtype=np.int64)
+        # per-user runs
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid[1:] != uid[:-1]
+        run_id = np.cumsum(change) - 1
+        # ts is sorted only WITHIN a user run — lift each run onto its
+        # own disjoint key band (gap > W) so ONE global searchsorted
+        # answers every run's window without cross-run leakage
+        mn = tus.min()
+        span = (tus.max() - mn) + W_US + 1
+        key = run_id * span + (tus - mn)
+        hi = np.searchsorted(key, key + W_US, side="right")
+        cnt = np.maximum(hi - np.arange(n) - 1, 0)  # partners after i
+        if cnt.sum() == 0:
+            return empty
+        a = np.repeat(np.arange(n), cnt)
+        offs = np.arange(len(a)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        b = a + 1 + offs
+        keep = ecode[a] != ecode[b]
+        a, b = a[keep], b[keep]
+        return pa.table({
+            "event_id_a": pa.array(eid[a], pa.int64()),
+            "event_id_b": pa.array(eid[b], pa.int64()),
+            "dt_us": pa.array(tus[b] - tus[a], pa.int64())})
+
+    out = bucketed.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")
+    return out.sort(["event_id_a", "event_id_b"])

@@ -443,3 +443,15 @@ def test_rolling_zscore_query_sentinel_and_values(ray_session):
     assert (df["roll_std"] == -999999.0).sum() > 0
     real = df[df["roll_std"] != -999999.0]
     assert (real["roll_std"] >= 0).all()
+
+
+def test_near_pairs_window_and_order_invariants(ray_session):
+    from easyner_ray.pipelines import queries as q
+
+    rows = q.events_near_pairs(SF).take_all()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dt_us"] <= 3600 * 1_000_000
+    # no duplicate ordered pairs
+    pairs = [(r["event_id_a"], r["event_id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
