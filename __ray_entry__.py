@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deciles": q.events_value_deciles,  # ntile bucketing
         "events_user_value_share": q.events_user_value_share,  # share of total
         "events_near_pairs": q.events_near_pairs,  # temporal self-range-join
+        "part_discount_slope": q.part_discount_slope,  # grouped OLS regr
     }
 
 

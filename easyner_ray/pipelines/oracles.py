@@ -3765,6 +3765,21 @@ RELATIONAL["events_near_pairs"] = """
     ORDER BY event_id_a, event_id_b
 """
 
+RELATIONAL["part_discount_slope"] = """
+    WITH s AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             sum(l_discount) AS sx, sum(l_quantity) AS sy,
+             sum(l_discount * l_discount) AS sxx,
+             sum(l_discount * l_quantity) AS sxy
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept
+    FROM s ORDER BY p_brand
+"""
+
 RELATIONAL["events_rolling_mean"] = """
     SELECT event_id,
            round(avg(value) OVER (PARTITION BY user_id

@@ -7284,3 +7284,71 @@ def events_near_pairs(sf_dir: str):
     out = bucketed.groupby("__bucket").map_groups(
         kernel, batch_format="pyarrow")
     return out.sort(["event_id_a", "event_id_b"])
+
+
+def part_discount_slope(sf_dir: str):
+    """Grouped OLS regression: per brand, the slope and intercept of
+    quantity regressed on discount over that brand's lineitems (does
+    discounting move volume?) -> (p_brand, n, slope, intercept). The
+    regression-aggregate family (SQL regr_slope / regr_intercept) in
+    its scale shape: the five sufficient statistics (n, Sx, Sy, Sxx,
+    Sxy) accumulate as per-batch partials onto the |brand| keyspace,
+    the closed form evaluates on the tiny final table with the
+    Python-round grain."""
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    parts = _rp(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pm = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs()))
+    p_ref = ray.put((pm.column("p_partkey").combine_chunks(),
+                     pm.column("p_brand").combine_chunks()))
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(p_ref)
+        idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+        brand = brands.take(idx.fill_null(0))
+        x = t.column("l_discount")
+        y = t.column("l_quantity")
+        g = pa.table({
+            "p_brand": brand,
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "sxy": pc.multiply(x, y)}) \
+            .group_by(["p_brand"]).aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["p_brand", "n", "sx", "sy", "sxx",
+                                 "sxy"])
+
+    agg = grouped_agg(li.map_batches(partial, batch_format="pyarrow"),
+                      ["p_brand"],
+                      [("n", "sum", "n"), ("sx", "sum", "sx"),
+                       ("sy", "sum", "sy"), ("sxx", "sum", "sxx"),
+                       ("sxy", "sum", "sxy")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_pylist()
+        sx = t.column("sx").to_pylist()
+        sy = t.column("sy").to_pylist()
+        sxx = t.column("sxx").to_pylist()
+        sxy = t.column("sxy").to_pylist()
+        slope, icept = [], []
+        for ni, a, b, aa, ab in zip(n, sx, sy, sxx, sxy):
+            den = ni * aa - a * a
+            if den == 0:
+                slope.append(None)
+                icept.append(None)
+                continue
+            m = (ni * ab - a * b) / den
+            slope.append(round(m, 4))
+            icept.append(round((b - m * a) / ni, 4))
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "n": pa.array(n, pa.int64()),
+                         "slope": pa.array(slope, pa.float64()),
+                         "intercept": pa.array(icept, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("p_brand")
