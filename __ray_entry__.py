@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_value_share": q.events_user_value_share,  # share of total
         "events_near_pairs": q.events_near_pairs,  # temporal self-range-join
         "part_discount_slope": q.part_discount_slope,  # grouped OLS regr
+        "part_discount_corr": q.part_discount_corr,  # grouped Pearson corr
     }
 
 

@@ -3765,6 +3765,24 @@ RELATIONAL["events_near_pairs"] = """
     ORDER BY event_id_a, event_id_b
 """
 
+RELATIONAL["part_discount_corr"] = """
+    WITH s AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             sum(l_discount) AS sx, sum(l_quantity) AS sy,
+             sum(l_discount * l_discount) AS sxx,
+             sum(l_quantity * l_quantity) AS syy,
+             sum(l_discount * l_quantity) AS sxy
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, n,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 4) END AS r
+    FROM s ORDER BY p_brand
+"""
+
 RELATIONAL["part_discount_slope"] = """
     WITH s AS (
       SELECT p_brand, CAST(count(*) AS BIGINT) AS n,

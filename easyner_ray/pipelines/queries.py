@@ -7352,3 +7352,65 @@ def part_discount_slope(sf_dir: str):
                          "intercept": pa.array(icept, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("p_brand")
+
+
+def part_discount_corr(sf_dir: str):
+    """Grouped Pearson correlation: per brand, corr(l_discount,
+    l_quantity) — the SQL corr() aggregate via the six sufficient
+    statistics (adds Syy to the regression partials); NULL when either
+    side is constant (DuckDB corr semantics) -> (p_brand, n, r)."""
+    import math
+
+    import ray
+
+    from easyner_ray.ops.relational import grouped_agg
+
+    parts = _rp(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pm = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs()))
+    p_ref = ray.put((pm.column("p_partkey").combine_chunks(),
+                     pm.column("p_brand").combine_chunks()))
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(p_ref)
+        idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+        brand = brands.take(idx.fill_null(0))
+        x = t.column("l_discount")
+        y = t.column("l_quantity")
+        g = pa.table({
+            "p_brand": brand,
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y)}) \
+            .group_by(["p_brand"]).aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["p_brand", "n", "sx", "sy", "sxx",
+                                 "syy", "sxy"])
+
+    agg = grouped_agg(li.map_batches(partial, batch_format="pyarrow"),
+                      ["p_brand"],
+                      [("n", "sum", "n"), ("sx", "sum", "sx"),
+                       ("sy", "sum", "sy"), ("sxx", "sum", "sxx"),
+                       ("syy", "sum", "syy"), ("sxy", "sum", "sxy")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # |brands| rows
+        r_out = []
+        for r in rows:
+            vx = r["n"] * r["sxx"] - r["sx"] * r["sx"]
+            vy = r["n"] * r["syy"] - r["sy"] * r["sy"]
+            if vx <= 0 or vy <= 0:
+                r_out.append(None)
+                continue
+            cov = r["n"] * r["sxy"] - r["sx"] * r["sy"]
+            r_out.append(round(cov / math.sqrt(vx * vy), 4))
+        return pa.table({
+            "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "r": pa.array(r_out, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("p_brand")
