@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_near_pairs": q.events_near_pairs,  # temporal self-range-join
         "part_discount_slope": q.part_discount_slope,  # grouped OLS regr
         "part_discount_corr": q.part_discount_corr,  # grouped Pearson corr
+        "events_value_moments": q.events_value_moments,  # skew/kurtosis
     }
 
 

@@ -3783,6 +3783,33 @@ RELATIONAL["part_discount_corr"] = """
     FROM s ORDER BY p_brand
 """
 
+RELATIONAL["events_value_moments"] = """
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+    SELECT event_type, n, round(mu, 4) AS mean,
+           CASE WHEN n < 2 THEN NULL
+                ELSE round(n * m2 / (n - 1), 4) END AS var_samp,
+           CASE WHEN m2 <= 0 THEN NULL
+                ELSE round(m3 / (m2 * sqrt(m2)), 4) END AS skewness,
+           CASE WHEN m2 <= 0 THEN NULL
+                ELSE round(m4 / (m2 * m2) - 3.0, 4) END
+             AS kurtosis_excess
+    FROM m ORDER BY event_type
+"""
+
 RELATIONAL["part_discount_slope"] = """
     WITH s AS (
       SELECT p_brand, CAST(count(*) AS BIGINT) AS n,

@@ -7414,3 +7414,75 @@ def part_discount_corr(sf_dir: str):
             "r": pa.array(r_out, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("p_brand")
+
+
+def events_value_moments(sf_dir: str):
+    """Higher-moment profile per event type: sample variance, skewness
+    and excess kurtosis from the raw power sums (S1..S4 partials onto
+    the |types| keyspace; both engines evaluate the SAME explicitly
+    stated closed forms, so no builtin's private formula is involved)
+    -> (event_type, n, mean, var_samp, skewness, kurtosis_excess),
+    round-4. The shape-of-the-distribution monitor that catches value
+    drift a mean/variance dashboard misses."""
+    from easyner_ray.ops.relational import grouped_agg
+
+    ev = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        v2 = pc.multiply(v, v)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(t), np.int64)),
+                      "s1": v, "s2": v2,
+                      "s3": pc.multiply(v2, v),
+                      "s4": pc.multiply(v2, v2)}) \
+            .group_by(["event_type"]).aggregate(
+                [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+                 ("s3", "sum"), ("s4", "sum")])
+        return g.rename_columns(["event_type", "n", "s1", "s2", "s3",
+                                 "s4"])
+
+    agg = grouped_agg(ev.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("n", "sum", "n"), ("s1", "sum", "s1"),
+                       ("s2", "sum", "s2"), ("s3", "sum", "s3"),
+                       ("s4", "sum", "s4")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import math
+
+        rows = t.to_pylist()  # |types| rows
+        out = {"event_type": [], "n": [], "mean": [], "var_samp": [],
+               "skewness": [], "kurtosis_excess": []}
+        for r in rows:
+            n, s1, s2, s3, s4 = (r["n"], r["s1"], r["s2"], r["s3"],
+                                 r["s4"])
+            mu = s1 / n
+            m2 = s2 / n - mu * mu
+            # repeated multiplication, never pow(): the SQL oracle
+            # states the same products, so both engines run identical
+            # IEEE operation sequences on their (ulp-close) sums
+            m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+            m4 = (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+                  - 3 * mu * mu * mu * mu)
+            out["event_type"].append(r["event_type"])
+            out["n"].append(n)
+            out["mean"].append(round(mu, 4))
+            out["var_samp"].append(
+                None if n < 2 else round(n * m2 / (n - 1), 4))
+            out["skewness"].append(
+                None if m2 <= 0
+                else round(m3 / (m2 * math.sqrt(m2)), 4))
+            out["kurtosis_excess"].append(
+                None if m2 <= 0 else round(m4 / (m2 * m2) - 3.0, 4))
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "mean": pa.array(out["mean"], pa.float64()),
+            "var_samp": pa.array(out["var_samp"], pa.float64()),
+            "skewness": pa.array(out["skewness"], pa.float64()),
+            "kurtosis_excess": pa.array(out["kurtosis_excess"],
+                                        pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
