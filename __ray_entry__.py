@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_discount_slope": q.part_discount_slope,  # grouped OLS regr
         "part_discount_corr": q.part_discount_corr,  # grouped Pearson corr
         "events_value_moments": q.events_value_moments,  # skew/kurtosis
+        "part_weighted_median_price": q.part_weighted_median_price,  # w-median
     }
 
 

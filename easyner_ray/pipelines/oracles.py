@@ -3810,6 +3810,18 @@ RELATIONAL["events_value_moments"] = """
     FROM m ORDER BY event_type
 """
 
+RELATIONAL["part_weighted_median_price"] = """
+    WITH w AS (
+      SELECT p_brand, l_extendedprice AS price, l_quantity AS qty,
+             sum(l_quantity) OVER (PARTITION BY p_brand
+                                   ORDER BY l_extendedprice) AS cw,
+             sum(l_quantity) OVER (PARTITION BY p_brand) AS tot
+      FROM lineitem JOIN part ON p_partkey = l_partkey)
+    SELECT p_brand, min(price) AS w_median
+    FROM w WHERE cw >= 0.5 * tot
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
 RELATIONAL["part_discount_slope"] = """
     WITH s AS (
       SELECT p_brand, CAST(count(*) AS BIGINT) AS n,

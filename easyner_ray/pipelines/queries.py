@@ -7486,3 +7486,78 @@ def events_value_moments(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort("event_type")
+
+
+def part_weighted_median_price(sf_dir: str):
+    """Grouped WEIGHTED median: per brand, the smallest extended price
+    whose cumulative quantity weight reaches half the brand's total
+    (the robust 'typical price paid per unit' — an unweighted median
+    over-represents small orders) -> (p_brand, w_median). Exact
+    element-selection semantics (no interpolation), stated identically
+    in SQL as a window-cumsum crossing. Engine: whole brands co-locate
+    via the bucketed exchange; per brand one sort + cumsum + crossing
+    scan, all numpy."""
+    import ray
+
+    from easyner_ray.ops.relational import add_hash_bucket
+
+    parts = _rp(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pm = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs()))
+    p_ref = ray.put((pm.column("p_partkey").combine_chunks(),
+                     pm.column("p_brand").combine_chunks()))
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(p_ref)
+        idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+        out = pa.table({"p_brand": brands.take(idx.fill_null(0)),
+                        "price": t.column("l_extendedprice"),
+                        "qty": t.column("l_quantity")})
+        return add_hash_bucket(out, ["p_brand"], 16)
+
+    tagged = li.map_batches(tag, batch_format="pyarrow")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("p_brand", "ascending"),
+                                            ("price", "ascending")])
+        t = t.take(idx)
+        n = len(t)
+        if n == 0:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "w_median": pa.array([], pa.float64())})
+        brand = t.column("p_brand").combine_chunks()
+        price = t.column("price").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qty = t.column("qty").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        enc = brand.dictionary_encode()
+        code = np.asarray(enc.indices, dtype=np.int64)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = code[1:] != code[:-1]
+        run_start = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        cw = np.cumsum(qty)
+        base = np.where(run_start > 0, cw[run_start - 1], 0.0)
+        seg = cw - base[run_id]                     # per-group cum weight
+        run_end = np.append(run_start[1:], n) - 1
+        total = seg[run_end]                        # per-run totals
+        half = 0.5 * total
+        crossed = seg >= half[run_id]
+        # first crossing per run (cand ascending -> first occurrence
+        # per run id; the run's last row always crosses, so every run
+        # resolves)
+        cand = np.flatnonzero(crossed)
+        runs_c, first_idx = np.unique(run_id[cand], return_index=True)
+        first = np.empty(len(run_start), dtype=np.int64)
+        first[runs_c] = cand[first_idx]
+        out_brand = enc.dictionary.take(
+            pa.array(code[run_start], pa.int64()))
+        return pa.table({"p_brand": out_brand,
+                         "w_median": pa.array(price[first], pa.float64())})
+
+    out = tagged.groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow")
+    return out.sort("p_brand")
