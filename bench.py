@@ -269,6 +269,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "conv_packed_sft": q.conv_packed_sft,
         "kg_edge_neighborhood": q.kg_edge_neighborhood,  # pruned graph serve
         "events_rolling_mean": q.events_rolling_mean,
+        "events_near_pairs": q.events_near_pairs,
+        "events_value_moments": q.events_value_moments,
+        "part_weighted_median_price": q.part_weighted_median_price,
     }
     out: dict[str, float] = {}
     for name, fn in picks.items():
