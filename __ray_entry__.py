@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_discount_corr": q.part_discount_corr,  # grouped Pearson corr
         "events_value_moments": q.events_value_moments,  # skew/kurtosis
         "part_weighted_median_price": q.part_weighted_median_price,  # w-median
+        "conv_reply_latency": q.conv_reply_latency,  # role-pair timing census
     }
 
 

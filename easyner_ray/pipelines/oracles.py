@@ -1493,6 +1493,23 @@ KG["conv_key_turns"] = f"""
     SELECT conv_id, turn_idx, score FROM r WHERE rn = 1 ORDER BY conv_id
 """
 
+KG["conv_reply_latency"] = f"""
+    WITH lagged AS (
+      SELECT conv_id, turn_idx, role, ts,
+             lag(role) OVER w AS prev_role,
+             lag(ts) OVER w AS prev_ts
+      FROM {TR}
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    p AS (
+      SELECT prev_role, role,
+             (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS dt
+      FROM lagged WHERE prev_role IS NOT NULL)
+    SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n,
+           round(sum(dt) * 1.0 / count(*), 4) AS mean_latency_s,
+           CAST(max(dt) AS BIGINT) AS max_latency_s
+    FROM p GROUP BY 1, 2 ORDER BY prev_role, role
+"""
+
 KG["conv_tool_errors"] = f"""
     SELECT tool,
            CAST(count(*) AS BIGINT) AS n_outputs,

@@ -7561,3 +7561,53 @@ def part_weighted_median_price(sf_dir: str):
     out = tagged.groupby("__bucket").map_groups(
         kernel, batch_format="pyarrow")
     return out.sort("p_brand")
+
+
+def conv_reply_latency(sf_dir: str):
+    """Reply-latency census by role transition: for every consecutive
+    turn pair within a conversation, the seconds between them, rolled
+    up per (prev_role, role) -> (prev_role, role, n, mean_latency_s,
+    max_latency_s). The agent-ops timing dashboard (how long do tool
+    calls take? how fast does the assistant answer?). One bucketed
+    lag() exchange (the partitioned_analytics shape), integer-seconds
+    floor on both engines, Python-round grain on the tiny final."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role", "ts"])
+    lagged = partitioned_analytics(tr, ["conv_id"], ["turn_idx"],
+                                   [("lag", "role", "prev_role"),
+                                    ("lag", "ts", "prev_ts")])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev_role")))
+        dt = pc.divide(
+            pc.subtract(t.column("ts").cast(pa.int64()),
+                        t.column("prev_ts").cast(pa.int64())),
+            pa.scalar(1_000_000, pa.int64()))  # floor int seconds
+        g = pa.table({"prev_role": t.column("prev_role"),
+                      "role": t.column("role"),
+                      "n": pa.array(np.ones(len(t), np.int64)),
+                      "s": dt, "mx": dt}) \
+            .group_by(["prev_role", "role"]) \
+            .aggregate([("n", "sum"), ("s", "sum"), ("mx", "max")])
+        return g.rename_columns(["prev_role", "role", "n", "s", "mx"])
+
+    agg = grouped_agg(lagged.map_batches(pairs, batch_format="pyarrow"),
+                      ["prev_role", "role"],
+                      [("n", "sum", "n"), ("s", "sum", "s"),
+                       ("mx", "max", "max_latency_s")], final="tree")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_pylist()
+        s = t.column("s").to_pylist()
+        return pa.table({
+            "prev_role": t.column("prev_role"),
+            "role": t.column("role"),
+            "n": pa.array(n, pa.int64()),
+            "mean_latency_s": pa.array(
+                [round(a / b, 4) for a, b in zip(s, n)], pa.float64()),
+            "max_latency_s": t.column("max_latency_s").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["prev_role", "role"])
