@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_moments": q.events_value_moments,  # skew/kurtosis
         "part_weighted_median_price": q.part_weighted_median_price,  # w-median
         "conv_reply_latency": q.conv_reply_latency,  # role-pair timing census
+        "conv_context_overflow": q.conv_context_overflow,  # budget truncation
     }
 
 

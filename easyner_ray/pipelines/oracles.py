@@ -1493,6 +1493,26 @@ KG["conv_key_turns"] = f"""
     SELECT conv_id, turn_idx, score FROM r WHERE rn = 1 ORDER BY conv_id
 """
 
+KG["conv_context_overflow"] = f"""
+    WITH t AS (
+      SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+             CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+               AS n_tokens
+      FROM {TR}),
+    s AS (
+      SELECT conv_id, turn_idx, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx DESC) AS suffix
+      FROM t)
+    SELECT conv_id,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN sum(n_tokens) > 4096 THEN 1 ELSE 0 END
+                AS BIGINT) AS overflow,
+           CAST(min(CASE WHEN suffix <= 4096 THEN turn_idx END)
+                AS BIGINT) AS keep_from_turn
+    FROM s GROUP BY conv_id ORDER BY conv_id
+"""
+
 KG["conv_reply_latency"] = f"""
     WITH lagged AS (
       SELECT conv_id, turn_idx, role, ts,

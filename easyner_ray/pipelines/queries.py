@@ -7611,3 +7611,63 @@ def conv_reply_latency(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["prev_role", "role"])
+
+
+def conv_context_overflow(sf_dir: str):
+    """Context-budget audit: per conversation, total whitespace tokens,
+    whether it overflows a 4096-token context, and the earliest turn
+    that still fits when keeping the LAST turns (the standard SFT
+    truncation: drop history, keep the recent window) ->
+    (conv_id, total_tokens, overflow, keep_from_turn). keep_from_turn
+    is the smallest turn_idx whose suffix (that turn through the end)
+    totals <= 4096; a conversation within budget keeps everything. One
+    bucketed suffix-cumsum exchange (cumsum over descending turn order
+    via a negated order key), then a conversation-keyspace rollup."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    BUDGET = 4096
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"),
+                                     r"[^\s]+").cast(pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                         "neg_idx": pc.negate(
+                             t.column("turn_idx").cast(pa.int64())),
+                         "n_tokens": n})
+
+    base = tr.map_batches(tok, batch_format="pyarrow")
+    # cumsum over neg_idx order == suffix sum over turn order
+    suf = partitioned_analytics(base, ["conv_id"], ["neg_idx"],
+                                [("cumsum", "n_tokens", "suffix")])
+
+    def mark(t: pa.Table) -> pa.Table:
+        s = t.column("suffix").cast(pa.int64())
+        fits = pc.less_equal(s, BUDGET)
+        # turn candidates that fit; non-fitting rows excluded from min
+        keep = pc.if_else(fits, t.column("turn_idx"),
+                          pa.scalar(None, pa.int64()))
+        g = pa.table({"conv_id": t.column("conv_id"),
+                      "tok": t.column("n_tokens"),
+                      "cand": keep}) \
+            .group_by(["conv_id"]) \
+            .aggregate([("tok", "sum"), ("cand", "min")])
+        return g.rename_columns(["conv_id", "tok", "cand"])
+
+    agg = grouped_agg(suf.map_batches(mark, batch_format="pyarrow"),
+                      ["conv_id"], [("tok", "sum", "total_tokens"),
+                                    ("cand", "min", "keep_from_turn")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = t.column("total_tokens").cast(pa.int64())
+        over = pc.greater(total, BUDGET).cast(pa.int64())
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "total_tokens": total,
+                         "overflow": over,
+                         "keep_from_turn": t.column("keep_from_turn")
+                        .cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("conv_id")
