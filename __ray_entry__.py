@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_weighted_median_price": q.part_weighted_median_price,  # w-median
         "conv_reply_latency": q.conv_reply_latency,  # role-pair timing census
         "conv_context_overflow": q.conv_context_overflow,  # budget truncation
+        "orders_monthly_revenue_ma": q.orders_monthly_revenue_ma,  # series MA
+        "conv_tool_latency": q.conv_tool_latency,  # per-tool turnaround
     }
 
 

@@ -1513,6 +1513,23 @@ KG["conv_context_overflow"] = f"""
     FROM s GROUP BY conv_id ORDER BY conv_id
 """
 
+KG["conv_tool_latency"] = f"""
+    WITH led AS (
+      SELECT conv_id, turn_idx, role, tool, ts,
+             lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS next_ts
+      FROM {TR}),
+    p AS (
+      SELECT tool,
+             (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS dt
+      FROM led
+      WHERE role = 'tool' AND tool IS NOT NULL AND next_ts IS NOT NULL)
+    SELECT tool, CAST(count(*) AS BIGINT) AS n,
+           round(sum(dt) * 1.0 / count(*), 4) AS mean_latency_s,
+           CAST(max(dt) AS BIGINT) AS max_latency_s
+    FROM p GROUP BY tool ORDER BY tool
+"""
+
 KG["conv_reply_latency"] = f"""
     WITH lagged AS (
       SELECT conv_id, turn_idx, role, ts,
@@ -3857,6 +3874,18 @@ RELATIONAL["part_weighted_median_price"] = """
     SELECT p_brand, min(price) AS w_median
     FROM w WHERE cw >= 0.5 * tot
     GROUP BY p_brand ORDER BY p_brand
+"""
+
+RELATIONAL["orders_monthly_revenue_ma"] = """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           round(avg(revenue) OVER (ORDER BY month
+                                    ROWS BETWEEN 2 PRECEDING
+                                    AND CURRENT ROW), 4) AS ma3
+    FROM m ORDER BY month
 """
 
 RELATIONAL["part_discount_slope"] = """

@@ -7671,3 +7671,87 @@ def conv_context_overflow(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort("conv_id")
+
+
+def orders_monthly_revenue_ma(sf_dir: str):
+    """Monthly order revenue with a 3-month trailing moving average —
+    the reporting query every finance dashboard runs: a tiny grouped
+    rollup onto the |months| keyspace, then the ROWS-frame mean over
+    the ordered month series (constant partition key; the series is
+    months-sized, so the window work is trivial after the rollup) ->
+    (month, revenue, ma3)."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ym = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        g = pa.table({"month": ym, "r": t.column("o_totalprice")}) \
+            .group_by(["month"]).aggregate([("r", "sum")])
+        return g.rename_columns(["month", "r"])
+
+    monthly = grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["month"], [("r", "sum", "r")], final="tree")
+    keyed = monthly.map_batches(
+        lambda t: _round4(pa.table({
+            "month": t.column("month"),
+            "revenue": t.column("r"),
+            "one": pa.array(np.ones(len(t), np.int64))}), ["revenue"]),
+        batch_format="pyarrow")
+    ma = partitioned_analytics(keyed, ["one"], ["month"],
+                               [("rolling_mean", "revenue:3", "ma")])
+    return ma.map_batches(
+        lambda t: _round4(pa.table({"month": t.column("month"),
+                                    "revenue": t.column("revenue"),
+                                    "ma3": t.column("ma")}), ["ma3"]),
+        batch_format="pyarrow").sort("month")
+
+
+def conv_tool_latency(sf_dir: str):
+    """Per-tool turnaround: seconds from each tool-role turn to the
+    NEXT turn in the conversation (how long the pipeline waited on
+    that tool) -> (tool, n, mean_latency_s, max_latency_s). The
+    lead() complement of conv_reply_latency, grouped by tool name —
+    the agent-ops page for slow tools."""
+    from easyner_ray.ops.analytic import partitioned_analytics
+    from easyner_ray.ops.relational import grouped_agg
+
+    tr = _transcripts_cols(sf_dir, ["conv_id", "turn_idx", "role",
+                                    "tool", "ts"])
+    led = partitioned_analytics(tr, ["conv_id"], ["turn_idx"],
+                                [("lead", "ts", "next_ts")])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(
+            pc.equal(t.column("role"), "tool"),
+            pc.is_valid(t.column("tool"))),
+            pc.is_valid(t.column("next_ts"))))
+        dt = pc.divide(
+            pc.subtract(t.column("next_ts").cast(pa.int64()),
+                        t.column("ts").cast(pa.int64())),
+            pa.scalar(1_000_000, pa.int64()))
+        g = pa.table({"tool": t.column("tool"),
+                      "n": pa.array(np.ones(len(t), np.int64)),
+                      "s": dt, "mx": dt}) \
+            .group_by(["tool"]) \
+            .aggregate([("n", "sum"), ("s", "sum"), ("mx", "max")])
+        return g.rename_columns(["tool", "n", "s", "mx"])
+
+    agg = grouped_agg(led.map_batches(pairs, batch_format="pyarrow"),
+                      ["tool"], [("n", "sum", "n"), ("s", "sum", "s"),
+                                 ("mx", "max", "max_latency_s")],
+                      final="tree")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_pylist()
+        s = t.column("s").to_pylist()
+        return pa.table({
+            "tool": t.column("tool"),
+            "n": pa.array(n, pa.int64()),
+            "mean_latency_s": pa.array(
+                [round(a / b, 4) for a, b in zip(s, n)], pa.float64()),
+            "max_latency_s": t.column("max_latency_s").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("tool")
